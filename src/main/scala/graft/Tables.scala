@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet testdata (TESTDATA.md) and
+  * the role mapping from the reference's time-series schema onto the
+  * `events` table (FIXTURES.md §B): ts→ts_utc, event_type→asset,
+  * value→price.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no type
+    * for. Read nanos as raw longs (legacy conf) and floor-divide to
+    * microsecond timestamps — exactly what DuckDB does when it reads
+    * the same file as its µs TIMESTAMP, so oracle comparisons agree.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** `events` viewed as the reference's raw_prices fact table
+    * (SURVEY.md §1.1 #2): one row per (timestamp, asset) with a double
+    * price. (event_type, ts) is unique in the testdata, matching the
+    * reference's UNIQUE INDEX (ts_utc, asset) (dag_btc_daily.py:147-150).
+    */
+  def prices(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("ts").as("ts_utc"),
+      col("event_type").as("asset"),
+      col("value").as("price"))
+}

