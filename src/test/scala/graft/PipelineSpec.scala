@@ -1,0 +1,65 @@
+package graft
+
+import graft.ingest.BinanceSource
+import graft.ingest.BinanceSource.{FetchSpec, FixtureFetcher}
+
+/** Golden end-to-end: the whole DAG over a synthetic fixture, including
+  * re-run idempotency (SURVEY.md §5).
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("runRange produces one metrics row per day and re-runs are idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val p = new Pipeline(spark, root, new FixtureFetcher())
+    p.runRange("BTC-USD", "2024-01-01", "2024-01-08")
+
+    val metrics = spark.read.parquet(s"$root/daily_metrics")
+    assert(metrics.count() === 8)
+    val byDate = metrics.collect().map(r => r.getDate(0).toString -> r).toMap
+    // ret NULL on day 1, non-null day 2; ma7 first non-null day 7
+    assert(byDate("2024-01-01").isNullAt(6))
+    assert(!byDate("2024-01-02").isNullAt(6))
+    (1 to 6).foreach(d => assert(byDate(f"2024-01-0$d").isNullAt(7), s"ma7 day $d"))
+    assert(!byDate("2024-01-07").isNullAt(7) && !byDate("2024-01-08").isNullAt(7))
+
+    // raw facts: 24 rows/day, no duplicate (ts, asset) keys
+    val raw = spark.read.parquet(s"$root/raw_prices")
+    assert(raw.count() === 8 * 24)
+
+    // replay two days: byte-identical warehouse state
+    val before = metrics.orderBy("date").collect().toSeq
+    p.runDay("BTC-USD", "2024-01-03")
+    p.runDay("BTC-USD", "2024-01-08")
+    val after = spark.read.parquet(s"$root/daily_metrics").orderBy("date").collect().toSeq
+    assert(after === before)
+    assert(spark.read.parquet(s"$root/raw_prices").count() === 8 * 24)
+  }
+
+  test("quality checks pass on the golden warehouse and catch a thin day") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wh2").toString
+    val p = new Pipeline(spark, root, new FixtureFetcher())
+    p.runDay("BTC-USD", "2024-02-01") // includes qualityChecks — must not throw
+  }
+
+  test("retry: succeeds after transient failures, rethrows after exhaustion (S2)") {
+    var calls = 0
+    val v = BinanceSource.retry(attempts = 4, backoffMs = 1) {
+      calls += 1
+      if (calls < 3) sys.error("transient")
+      "ok"
+    }
+    assert(v === "ok" && calls === 3)
+    intercept[RuntimeException] {
+      BinanceSource.retry(attempts = 2, backoffMs = 1) { sys.error("always") }
+    }
+  }
+
+  test("fixture fetcher is deterministic and day-shaped") {
+    val f = new FixtureFetcher()
+    val a = f.fetch(FetchSpec("BTC-USD", "2024-01-01"))
+    val b = f.fetch(FetchSpec("BTC-USD", "2024-01-01"))
+    assert(a === b)
+    assert(a.size === 24)
+    assert(a.head._1 === 1704067200000L)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.model.Schemas
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("insertIfAbsent: first write wins, replays are no-ops (S8, dag:147-156)") {
+    val existing = Seq(("t1", "BTC", 100.0), ("t2", "BTC", 101.0)).toDF("ts_utc", "asset", "price")
+    val incoming = Seq(("t2", "BTC", 999.0), ("t3", "BTC", 102.0)).toDF("ts_utc", "asset", "price")
+    val merged = Warehouse.insertIfAbsent(existing, incoming, Seq("ts_utc", "asset"))
+    val byKey = merged.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(byKey === Map(("t1", "BTC") -> 100.0, ("t2", "BTC") -> 101.0, ("t3", "BTC") -> 102.0))
+    // replay: inserting the same batch again changes nothing
+    val replay = Warehouse.insertIfAbsent(merged, incoming, Seq("ts_utc", "asset"))
+    assert(replay.count() === 3)
+    assert(replay.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap === byKey)
+  }
+
+  test("insertIfAbsent: no duplicate keys ever (S8 invariant)") {
+    val existing = Seq(("t1", "A", 1.0)).toDF("ts_utc", "asset", "price")
+    val incoming = Seq(("t1", "A", 2.0), ("t1", "B", 3.0)).toDF("ts_utc", "asset", "price")
+    val merged = Warehouse.insertIfAbsent(existing, incoming, Seq("ts_utc", "asset"))
+    assert(merged.groupBy("ts_utc", "asset").count().filter($"count" > 1).isEmpty)
+  }
+
+  test("upsert: last write wins on update cols, other cols preserved (S9, dag:219-230)") {
+    val existing = Seq(
+      ("2024-01-01", "BTC", 100.0, 0.05), // (date, asset, close, ret)
+      ("2024-01-02", "BTC", 110.0, 0.10)
+    ).toDF("date", "asset", "close", "ret")
+    val incoming = Seq(
+      ("2024-01-02", "BTC", 999.0), // restate day 2 close
+      ("2024-01-03", "BTC", 120.0)  // new day
+    ).toDF("date", "asset", "close")
+    val out = Warehouse.upsert(existing, incoming, keys = Seq("date", "asset"), updateCols = Seq("close"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), Option(r.get(3)))).toMap
+    assert(out("2024-01-01") === ((100.0, Some(0.05))))  // untouched
+    assert(out("2024-01-02") === ((999.0, Some(0.10))))  // close updated, ret PRESERVED
+    assert(out("2024-01-03") === ((120.0, None)))        // new row, ret NULL
+  }
+
+  test("upsert is idempotent under replay") {
+    val existing = Seq(("d1", "A", 1.0, 9.0)).toDF("date", "asset", "close", "ret")
+    val incoming = Seq(("d1", "A", 2.0)).toDF("date", "asset", "close")
+    val once = Warehouse.upsert(existing, incoming, Seq("date", "asset"), Seq("close"))
+    val twice = Warehouse.upsert(once, incoming, Seq("date", "asset"), Seq("close"))
+    assert(once.orderBy("date").collect().toSeq === twice.orderBy("date").collect().toSeq)
+  }
+
+  test("CSV sink + declared-schema scan round trip (S4/S5, dag:92-95,125)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/out"
+    val df = Seq(("2024-01-01T00:00:00Z", 42694.12), ("2024-01-01T01:00:00Z", 42700.0))
+      .toDF("ts_utc", "price")
+    Warehouse.writeCsv(df, dir, singleFile = true)
+    val back = Warehouse.readCsv(spark, dir, Schemas.rawCsvSchema)
+    assert(back.orderBy("ts_utc").collect().toSeq === df.orderBy("ts_utc").collect().toSeq)
+  }
+
+  test("requireNonEmpty guards empty inputs (S6)") {
+    val empty = Seq.empty[(String, Double)].toDF("ts_utc", "price")
+    intercept[IllegalArgumentException] { Warehouse.requireNonEmpty(empty, "test") }
+  }
+}
