@@ -1,5 +1,6 @@
 package graft
 
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ops.{Indicators, Normalize, Ohlc}
 import graft.store.Warehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -133,7 +134,56 @@ object SparkEntry {
           (col("high") * 2).as("high"), (col("low") * 2).as("low"), (col("close") * 2).as("close"))
       Warehouse.upsert(existing, incoming, keys = Seq("date", "asset"),
         updateCols = Seq("open", "high", "low", "close"))
-    }))
+    }),
+
+    // ---- north-star: dedup family ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir),
+      substring(col("text"), 1, 50))),
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.8)),
+    "q_dedup_minhash" -> ((s, dir) => // approximate (hash-based): rows-only check
+      Dedup.minhashNearDups(Tables.documents(s, dir), n = 3, numHashes = 128, bands = 16, threshold = 0.8)),
+    "q_dedup_simhash" -> ((s, dir) => // approximate (hash-based): rows-only check
+      Dedup.simhashNearDups(Tables.documents(s, dir), n = 3, maxHamming = 3)),
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.4)),
+
+    // ---- north-star: similarity search ----
+    "q_topk_cosine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
+    }),
+    "q_ann_lsh" -> ((s, dir) => { // approximate: rows-only check
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
+    }),
+    "q_vector_norm" -> ((s, dir) => Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.l2norm(col("embedding")).as("norm"))),
+
+    // ---- north-star: text analysis ----
+    "q_lang_id" -> ((s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "q_text_quality" -> ((s, dir) => TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+      .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality_score")),
+    "q_token_count" -> ((s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
+    "q_fingerprint" -> ((s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
+    "q_fingerprint_rolling" -> ((s, dir) => Tables.documents(s, dir) // xxhash-based: rows-only
+      .select(col("doc_id"), TextAnalysis.fingerprintRolling(col("text")).as("fp"))),
+
+    // ---- north-star: multimodal + JSON/array columns ----
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.attachPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("format"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("n_bytes"))),
+    "q_json_extract" -> ((s, dir) => Tables.events(s, dir)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // ---- streaming (complete-mode replay equals the batch OHLC) ----
+    "q_stream_ohlc" -> ((s, dir) => graft.streaming.StreamingOhlc.run(
+      s, s"$dir/events.parquet", s"stream_ohlc_${math.abs(dir.hashCode)}")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -186,5 +236,96 @@ object SparkEntry {
         |       COALESCE(n.open, o.open) AS open, COALESCE(n.high, o.high) AS high,
         |       COALESCE(n.low, o.low) AS low, COALESCE(n.close, o.close) AS close,
         |       o.ret AS ret
-        |FROM existing o FULL JOIN incoming n ON o.date = n.date AND o.asset = n.asset""".stripMargin))
+        |FROM existing o FULL JOIN incoming n ON o.date = n.date AND o.asset = n.asset""".stripMargin),
+
+    // ---- north-star oracles ----
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, substr(text, 1, 50) AS dedup_key, count(*) AS n_dups
+        |FROM documents GROUP BY 2""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                     for i in range(1, len(toks) - 1)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter,
+        |         any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, inter / (na + nb - inter) AS jaccard
+        |FROM pairs WHERE inter / (na + nb - inter) >= 0.8""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |           FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b, list_dot_product(a.v, b.v) / (a.nm * b.nm) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.4""".stripMargin,
+    "q_topk_cosine" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(q.v, c.v) / (q.nm * c.nm) AS sim
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_vector_norm" ->
+      """SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |FROM embeddings""".stripMargin,
+    "q_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it'], t))) * 1.0 / len(toks) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','los'], t))) * 1.0 / len(toks) AS s_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','von','mit','den'], t))) * 1.0 / len(toks) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des','un','une'], t))) * 1.0 / len(toks) AS s_fr,
+        |    len(list_filter(toks, t -> list_contains(['的','是','在','了','我','有','和','人'], t))) * 1.0 / len(toks) AS s_zh
+        |  FROM sc)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |       WHEN s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
+        |       ELSE 'und' END AS lang_pred
+        |FROM r""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+        |  length(regexp_replace(text, ' ', '', 'g')) * 1.0 / len(string_split(lower(text), ' ')) AS avg_token_len,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |      t -> list_contains(['the','a','and','of','to','in','is','it'], t))) * 1.0
+        |    / len(string_split(lower(text), ' ')) AS stopword_ratio,
+        |  length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
+        |  least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
+        |    + len(list_filter(string_split(lower(text), ' '),
+        |          t -> list_contains(['the','a','and','of','to','in','is','it'], t))) * 1.0
+        |      / len(string_split(lower(text), ' ')) * 0.3
+        |    + least(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+        |            / len(string_split(lower(text), ' ')) / 10.0, 1.0) * 0.2 AS quality_score
+        |FROM documents""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+        |  list_sum(list_transform(string_split(lower(text), ' '),
+        |    w -> 1 + greatest(0, floor((length(w) - 1) / 4.0)::BIGINT)))::BIGINT
+        |    + length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+    "q_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  n_chars % 640 + 64 AS width,
+        |  n_chars * 7 % 480 + 48 AS height,
+        |  octet_length(encode(text))::BIGINT AS n_bytes
+        |FROM documents""".stripMargin,
+    "q_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "q_stream_ohlc" -> s"$dailyCte SELECT * FROM daily")
 }

@@ -1,0 +1,200 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * the north-star extension family (BASELINE.json): exact dedup,
+  * n-gram Jaccard near-dup, MinHash+LSH near-dup, SimHash near-dup.
+  *
+  * Design for 100 TB:
+  *  - exact dedup is a hash aggregate (map-side partial, one shuffle
+  *    on the content key, never a sort);
+  *  - Jaccard runs on an inverted shingle index (explode + self-join
+  *    on shingle) so cost is Σ df², not n²; `dfCap` drops
+  *    ultra-common shingles, the standard guard against quadratic
+  *    blowup on boilerplate shingles at scale;
+  *  - MinHash/LSH replaces the inverted-index join with banded
+  *    signature buckets: candidates are only generated inside a
+  *    bucket, then verified with exact Jaccard — the linear-ish scale
+  *    path (cf. Broder '97; MMDS ch.3 banding analysis);
+  *  - SimHash gives 64-bit fingerprints; hamming-≤k candidates via
+  *    the pigeonhole chunk trick (Manku et al., WWW'07), verified
+  *    with bit_count.
+  */
+object Dedup {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word n-gram shingles, 1-based element_at so the
+    * semantics match the SQL oracle's list slicing exactly.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(t, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: one surviving row (smallest id) per distinct key.
+    * `key` is any expression — full text, normalized text, or a
+    * content hash like sha2(text, 256) when the key must stay small
+    * on the shuffle wire at 100 TB.
+    */
+  def exact(df: DataFrame, key: Column, idCol: String = "doc_id"): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(idCol, "dedup_key", "n_dups")
+
+  /** (doc_id, shingle, n_shingles) inverted index rows. */
+  private def shingleIndex(docs: DataFrame, n: Int, dfCap: Option[Int]): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    dfCap match {
+      case None => sh
+      case Some(cap) =>
+        // drop shingles present in more than `cap` docs — they add
+        // O(df²) candidate pairs and almost no Jaccard signal
+        val rare = sh.groupBy("s").count().filter(col("count") <= cap).select("s")
+        sh.join(broadcast(rare), Seq("s"))
+    }
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: (a, b, jaccard) for
+    * jaccard ≥ threshold, a < b. Deterministic — no hashing — so it
+    * doubles as the verification oracle for the approximate variants.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                        dfCap: Option[Int] = None): DataFrame = {
+    val ex = shingleIndex(docs, n, dfCap)
+    val a = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s"))
+    val b = ex.select(col("doc_id").as("b"), col("n").as("nb"), col("s"))
+    a.join(b, a("s") === b("s") && a("a") < b("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** Deterministic universal-hash parameters (a·x + b) mod P with
+    * a < 2³¹ so a·x never overflows a signed Long for x < 2³².
+    */
+  private val HashPrime = 4294967311L // smallest prime > 2^32
+  private def hashParams(k: Int, seed: Long = 42L): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: (doc_id, sig: array<long>[numHashes]).
+    * One explode + one groupBy with numHashes `min` aggregates —
+    * partial aggregation makes the shuffle one row per doc.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 128): DataFrame = {
+    val params = hashParams(numHashes)
+    val ex = shingleIndex(docs, n, None)
+      // base shingle hash, folded into [0, 2^32)
+      .withColumn("x", pmod(xxhash64(col("s")), lit(4294967296L)))
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(HashPrime))).as(s"h$i")
+    }
+    ex.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    * bands × rowsPerBand must equal numHashes; with 16×8 the detect
+    * probability at j=0.9 is 1-(1-0.9⁸)¹⁶ ≈ 0.9999 and false
+    * candidates at j=0.1 are ~0 — and every candidate is verified
+    * against the true shingle sets anyway, so precision is exact.
+    */
+  def minhashNearDups(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(docs, n, numHashes)
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r).cast("string")).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(docs, candidates, n, threshold)
+  }
+
+  /** Exact Jaccard for a candidate pair set — joins the pair list
+    * back to the shingle index; cost is |candidates|, not n².
+    */
+  private def verifyJaccard(docs: DataFrame, pairs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val ex = shingleIndex(docs, n, None)
+    val ea = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s").as("sa"))
+    val eb = ex.select(col("doc_id").as("b_"), col("n").as("nb"), col("s").as("sb"))
+    pairs.join(ea, "a")
+      .join(eb, col("b") === col("b_") && col("sa") === col("sb"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash fingerprints: (doc_id, simhash: long). Per-doc
+    * bit b is the sign of Σ±1 over shingle-hash bit b — 64 sum
+    * aggregates, one shuffle row per doc.
+    */
+  def simhash(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ex = shingleIndex(docs, n, None).withColumn("h", xxhash64(col("s")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val fp = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _) // distinct bits: sum == OR
+    ex.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dups: hamming(a,b) ≤ maxHamming. Candidates via the
+    * pigeonhole trick — split the 64-bit fingerprint into
+    * maxHamming+1 chunks; any pair within distance maxHamming agrees
+    * on ≥1 chunk — then verify with bit_count(a XOR b).
+    */
+  def simhashNearDups(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val fps = simhash(docs, n)
+    val chunked = fps.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until chunks).map { j =>
+        struct(lit(j).as("ck"),
+          shiftright(col("simhash"), j * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("cv"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ck"), col("c.cv"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+}

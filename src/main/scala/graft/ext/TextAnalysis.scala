@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * codegen'd expressions — no UDFs — so they run inside whole-stage
+  * codegen and scale linearly with one scan and zero shuffles.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + extra tokens for long
+    * words (≈1 token per 4 chars beyond the first 4) + punctuation —
+    * a deterministic regex/arithmetic stand-in for a real tokenizer.
+    */
+  def tokenCountBpe(text: Column): Column = {
+    val t = tokens(text)
+    val wordPieces = aggregate(t,
+      lit(0L), (acc, w) =>
+        acc + lit(1L) + greatest(lit(0L), floor((length(w) - 1) / lit(4.0)).cast("long")))
+    val punct = length(regexp_replace(text, "[^.,!?;:]", "")).cast("long")
+    wordPieces + punct
+  }
+
+  /** Function-word occurrence ratio for one language's stopword list. */
+  private def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isin(words.map(lit(_)): _*))).cast("double") / size(t)
+  }
+
+  val StopwordsEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  val StopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un", "los")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "den")
+  val StopwordsFr = Seq("le", "la", "de", "et", "les", "des", "un", "une")
+  val StopwordsZh = Seq("的", "是", "在", "了", "我", "有", "和", "人")
+
+  /** Heuristic language ID: per-language function-word hit rates with
+    * a fixed preference order on ties (en > es > de > fr > zh). The
+    * real-world form swaps the word lists for character n-gram
+    * profiles; the operator shape (k scored expressions + argmax) is
+    * identical.
+    */
+  def langScores(text: Column): Seq[(String, Column)] = Seq(
+    "en" -> stopwordRatio(text, StopwordsEn),
+    "es" -> stopwordRatio(text, StopwordsEs),
+    "de" -> stopwordRatio(text, StopwordsDe),
+    "fr" -> stopwordRatio(text, StopwordsFr),
+    "zh" -> stopwordRatio(text, StopwordsZh))
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // first language (in preference order) whose score is the max
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(scores.map(_._2).map(s >= _).reduce(_ && _), lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality features + a deterministic composite score in [0, ~1]:
+    * rewards length (saturating at 100 tokens), function-word density,
+    * and word-length plausibility. Mirrors the shape of
+    * Gopher/C4-style quality rules.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val t = tokens(text)
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("avg_token_len",
+        length(regexp_replace(text, " ", "")).cast("double") / size(t))
+      .withColumn("stopword_ratio", stopwordRatio(text, StopwordsEn))
+      .withColumn("punct_ratio",
+        length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
+          greatest(length(text), lit(1)).cast("double"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
+        col("stopword_ratio") * 0.3 +
+        least(col("avg_token_len") / 10.0, lit(1.0)) * 0.2)
+  }
+
+  /** Content fingerprint (exact dedup key): md5 of the text. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** Rolling polynomial fingerprint over token hashes — order-aware
+    * (unlike md5-of-text it survives whitespace normalization
+    * differences if tokens are normalized first): fp = Σ h(tokᵢ)·31ⁱ
+    * mod 2³¹−1, computed as a left fold. Modular form keeps every
+    * intermediate < 2³⁶ so ANSI mode never sees a Long overflow.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) =>
+      pmod(acc * 31L + pmod(xxhash64(w), lit(2147483647L)), lit(2147483647L)))
+}

@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("shingles: distinct word 3-grams, 1-based-window semantics") {
+    val out = docs((1L, "a b c d c d")) // windows: "a b c","b c d","c d c","d c d"
+      .select(Dedup.shingles($"text", 3).as("sh")).head().getSeq[String](0)
+    assert(out === Seq("a b c", "b c d", "c d c", "d c d"))
+    // shorter than n → empty, not an error
+    val short = docs((2L, "a b")).select(Dedup.shingles($"text", 3)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup keeps the smallest id per key and counts dups") {
+    val out = Dedup.exact(docs((5L, "same"), (2L, "same"), (9L, "other")), $"text")
+      .collect().map(r => r.getString(1) -> (r.getLong(0), r.getLong(2))).toMap
+    assert(out === Map("same" -> (2L, 2L), "other" -> (9L, 1L)))
+  }
+
+  test("ngram Jaccard finds planted near-dups and nothing else") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearDup = "alpha beta gamma delta epsilon zeta eta theta iota lambda" // one token changed
+    val unrelated = "one two three four five six seven eight nine ten"
+    val pairs = Dedup.ngramJaccardPairs(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)), n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L))) // 6 shared of 10 distinct shingles = 0.6
+  }
+
+  test("minhash+LSH near-dups match exact Jaccard on sf0.001 documents") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.ngramJaccardPairs(d, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashNearDups(d, 3, 128, 16, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(approx === exact)
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val d = docs((1L, "a b c d e f g h"), (2L, "x y z w v u t s"))
+    val s1 = Dedup.minhashSignatures(d, 3, 16).orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val s2 = Dedup.minhashSignatures(d, 3, 16).orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.head !== s1(1)) // different docs → different signatures
+  }
+
+  test("identical shingle sets → identical minhash signature and hamming-0 simhash") {
+    val d = docs((1L, "p q r s t u"), (2L, "p q r s t u"))
+    val sigs = Dedup.minhashSignatures(d, 3, 32).collect().map(_.getSeq[Long](1))
+    assert(sigs(0) === sigs(1))
+    val near = Dedup.simhashNearDups(d, 3, maxHamming = 3).collect()
+    assert(near.length === 1 && near.head.getInt(2) === 0)
+  }
+
+  test("simhash near-dups: small edit stays within hamming 3, unrelated text does not") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = ((1 to 39).map(i => s"tok$i") :+ "tokX").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val out = Dedup.simhashNearDups(docs((1L, base), (2L, edited), (3L, other)), 3, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L)))
+  }
+}

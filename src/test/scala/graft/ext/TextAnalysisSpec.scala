@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount and BPE-ish estimate") {
+    val df = Seq((1L, "the quick brownfoxjumps over, it.")).toDF("doc_id", "text")
+    val r = df.select(TextAnalysis.tokenCount($"text"),
+      TextAnalysis.tokenCountBpe($"text")).head()
+    assert(r.getInt(0) === 5)
+    // words: the(1) quick(2:1+1) brownfoxjumps(13:1+3) over,(5:1+1) it.(3:1) = 1+2+4+2+1=10; punct=2
+    assert(r.getLong(1) === 12L)
+  }
+
+  test("langId picks the language with the densest function words") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "der hund und die katze von den"),
+      (4L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextAnalysis.langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "de")
+    assert(out(4L) === "en") // all-zero scores → preference order fallback
+  }
+
+  test("quality features: exact arithmetic on a known doc") {
+    val text = "the cat sat on. the mat," // 6 whitespace tokens, punct attached
+    val out = TextAnalysis.qualityFeatures(Seq((1L, text)).toDF("doc_id", "text")).head()
+    val s = out.schema
+    assert(out.getLong(s.fieldIndex("n_tokens")) === 6L)
+    val avg = out.getDouble(s.fieldIndex("avg_token_len"))
+    assert(math.abs(avg - (text.count(_ != ' ').toDouble / 6)) < 1e-12)
+    assert(out.getDouble(s.fieldIndex("stopword_ratio")) === 2.0 / 6) // "the" twice
+    assert(out.getDouble(s.fieldIndex("punct_ratio")) === 2.0 / text.length)
+  }
+
+  test("fingerprints: md5 stable, rolling order-aware") {
+    val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprintMd5($"text"), TextAnalysis.fingerprintRolling($"text"))
+      .collect()
+    assert(fps(0).getString(0) !== fps(1).getString(0))
+    assert(fps(0).getLong(1) !== fps(1).getLong(1)) // order matters
+    assert(fps.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 2147483647L))
+  }
+}
