@@ -22,14 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-order double dot product of two float arrays — a
+    * native codegen expression ([[graft.functions.DotProductF]]);
+    * bit-identical to `aggregate(zip_with(a, b, (x,y) => x*y), 0D, +)`
+    * (same left-to-right double accumulation) at a fraction of the
+    * per-element cost.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.native.dotF(a, b)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def l2norm(a: Column): Column = sqrt(graft.functions.native.dotF(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -62,14 +63,12 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit signature of an embedding under the hyperplanes. */
+  /** Sign-bit signature of an embedding under the hyperplanes —
+    * one codegen'd pass over all planes
+    * ([[graft.functions.HyperplaneSigExpr]]).
+    */
   private def signature(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val d = aggregate(
-        zip_with(v, lit(p), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.native.hyperplaneSig(v, planes)
 
   /** Approximate top-k via multi-table LSH + exact rerank. One hash
     * table has vanishing recall for moderate-angle neighbors, so the
@@ -83,28 +82,20 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
               bits: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val allPlanes = (0 until tables).map(t => hyperplanes(bits, dim, seed = 42L + t))
-    // corpus row → one (table, bucket) entry per table
+    val allPlanes = (0 until tables).map(t => hyperplanes(bits, dim, seed = 42L + t)).toArray
+    // corpus row → one packed (table<<32 | bucket) key per table
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      explode(array(allPlanes.zipWithIndex.map { case (p, t) =>
-        struct(lit(t).as("t"), signature(col("embedding"), p).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col("neighbor_id"), col("cv"), col("tb.t"), col("tb.bucket"))
+      explode(graft.functions.native.lshKeys(col("embedding"), allPlanes, multiprobe = false)).as("tb"))
     // query row → own bucket + hamming-1 probes, per table
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       l2norm(col("embedding")).as("qn"),
-      explode(flatten(array(allPlanes.zipWithIndex.map { case (p, t) =>
-        val sig = signature(col("embedding"), p)
-        array(struct(lit(t).as("t"), sig.as("bucket")) +:
-          (0 until bits).map(i =>
-            struct(lit(t).as("t"), sig.bitwiseXOR(lit(1L << i)).as("bucket"))): _*)
-      }: _*))).as("tb"))
-      .select(col("query_id"), col("qv"), col("qn"), col("tb.t"), col("tb.bucket"))
-    val candidates = broadcast(probes).join(c, Seq("t", "bucket"))
-      .select("query_id", "qv", "qn", "neighbor_id", "cv")
-      .dropDuplicates("query_id", "neighbor_id")
+      explode(graft.functions.native.lshKeys(col("embedding"), allPlanes, multiprobe = true)).as("tb"))
+    val candidates = broadcast(probes).join(c, Seq("tb"))
+    // score first (cheap native dot), dedupe after — the dedup shuffle
+    // then moves 3 scalar columns instead of two 64-float arrays
     val scored = candidates.select(col("query_id"), col("neighbor_id"),
       (dot(col("qv"), col("cv")) / (col("qn") * l2norm(col("cv")))).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

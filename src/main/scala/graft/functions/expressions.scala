@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot array/text kernels —
+  * preferred over UDFs per the Spark extension ladder: each generates
+  * a single static call into [[Kernels]], so the per-element work runs
+  * as tight JVM loops *inside* the enclosing whole-stage-codegen span
+  * (a Scala UDF would break the span and pay per-row serialization).
+  */
+private object ExprHelpers {
+  def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** Sequential-order double dot product over array<float|double>. */
+case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_f"
+
+  private def aF = ExprHelpers.isFloatArray(left)
+  private def bF = ExprHelpers.isFloatArray(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Double kr = graft.functions.Kernels.dot($a, $b, $aF, $bF);
+      |if (kr == null) { ${ev.isNull} = true; } else { ${ev.value} = kr.doubleValue(); }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Distinct word n-gram shingles of a lowercased text column. */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"word_shingles_$n"
+
+  override def nullSafeEval(t: Any): Any =
+    Kernels.wordShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature (array<long>[numHashes]) of a shingle array. */
+case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(sh: Any): Any =
+    Kernels.minhashSig(sh.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSig($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash fingerprint of a shingle array. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(sh: Any): Any =
+    Kernels.simhash64(sh.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sign-bit LSH signature of an embedding under fixed hyperplanes. */
+case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  private def vF = ExprHelpers.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.hyperplaneSig(v.asInstanceOf[ArrayData], planes, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneSig($c, $pRef, $vF)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Packed LSH bucket keys ((table << 32) | bucket) across all tables;
+  * query side sets `multiprobe` to add hamming-1 probe buckets.
+  */
+case class LshKeysExpr(child: Expression, planes: Array[Array[Array[Double]]],
+                       multiprobe: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_keys"
+
+  private def vF = ExprHelpers.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.lshKeys(v.asInstanceOf[ArrayData], planes, multiprobe, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshTables", planes, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lshKeys($c, $pRef, $multiprobe, $vF)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API entry points. */
+object native {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
+  def wordShingles(text: Column, n: Int): Column = c(WordShinglesExpr(e(text), n))
+  def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
+    c(MinHashSigExpr(e(shingles), as, bs))
+  def simhash64(shingles: Column): Column = c(SimHash64Expr(e(shingles)))
+  def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
+    c(HyperplaneSigExpr(e(v), planes))
+  def lshKeys(v: Column, planes: Array[Array[Array[Double]]], multiprobe: Boolean): Column =
+    c(LshKeysExpr(e(v), planes, multiprobe))
+}
