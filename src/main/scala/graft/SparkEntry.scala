@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.ops.{Indicators, Normalize, Ohlc}
+import graft.ops.{Indicators, Normalize, Ohlc, Relational}
 import graft.store.Warehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -181,6 +181,33 @@ object SparkEntry {
     "q_json_extract" -> ((s, dir) => Tables.events(s, dir)
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // ---- relational core: joins / set ops / analytics ----
+    "q_join_bcast" -> ((s, dir) => Relational.revenueByNation(
+      Tables.orders(s, dir), Tables.table(s, dir, "customer"), Tables.table(s, dir, "nation"))),
+    "q_join_big" -> ((s, dir) => Relational.revenueByPriority(
+      Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "q_semi_join" -> ((s, dir) => Relational.customersWithOrders(
+      Tables.table(s, dir, "customer"), Tables.orders(s, dir))),
+    "q_rollup" -> ((s, dir) => Relational.rollupQtyRevenue(Tables.lineitem(s, dir))),
+    "q_set_except" -> ((s, dir) => Relational.usersExcept(Tables.events(s, dir), "click", "purchase")),
+    "q_count_distinct" -> ((s, dir) => Relational.distinctUsers(Tables.events(s, dir))),
+    "q_approx_distinct" -> ((s, dir) => // HLL sketch: rows-only check
+      Relational.approxDistinctUsers(Tables.events(s, dir))),
+    "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(Tables.events(s, dir))),
+    "q_topk_group" -> ((s, dir) => Relational.topKPerGroup(Tables.events(s, dir), k = 5)),
+    "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), gapSec = 1800L)),
+    "q_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      Relational.asofJoin(
+        e.filter(col("event_type") === "click").select("event_id", "ts", "user_id", "value"),
+        e.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
+        key = "user_id", tsCol = "ts", valueCol = "value")
+    }),
+    "q_ann_ivf" -> ((s, dir) => { // approximate: rows-only check
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
+    }),
+
     // ---- streaming (complete-mode replay equals the batch OHLC) ----
     "q_stream_ohlc" -> ((s, dir) => graft.streaming.StreamingOhlc.run(
       s, s"$dir/events.parquet", s"stream_ohlc_${math.abs(dir.hashCode)}")))
@@ -327,5 +354,62 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+
+    // ---- relational-core oracles ----
+    "q_join_bcast" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q_join_big" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_set_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_count_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q_quantiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_topk_group" ->
+      """SELECT event_type, event_id, value, rank FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+        |  FROM events) t WHERE rank <= 5""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, max(value) AS rv FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), l AS (
+        |  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.ts, l.user_id, l.value, r.rv AS asof_value, r.ts AS asof_ts
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_stream_ohlc" -> s"$dailyCte SELECT * FROM daily")
 }

@@ -102,6 +102,54 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Approximate top-k via IVF (inverted-file) coarse quantization:
+    * corpus vectors are bucketed by nearest centroid; each query
+    * probes its `nprobe` nearest cells and reranks exactly. Scored
+    * work drops to ~nprobe/nlist of the corpus per query. Centroids:
+    * deterministic seeds (lowest vec_ids) + one Lloyd refinement pass
+    * (posexplode + per-dimension mean — a single shuffle of
+    * nlist × dim cells). At 100 TB the centroid fit runs on a sample
+    * and the assignment pass stays a single scan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    def normalize(vs: Array[Array[Double]]): Array[Array[Double]] =
+      vs.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    def collectCents(df: DataFrame): Array[Array[Double]] =
+      df.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val seeds = normalize(collectCents(
+      corpus.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(nlist)))
+    // one refinement pass: mean of assigned vectors per (cell, dim)
+    val probe1 = graft.functions.native.centroidProbes(col("embedding"), seeds, 1)
+    val means = corpus
+      .select(element_at(probe1, 1).as("cell"), posexplode(col("embedding")))
+      .groupBy("cell", "pos").agg(avg("col").as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val refined = seeds.clone()
+    means.groupBy(_._1).foreach { case (cell, xs) =>
+      val v = new Array[Double](xs.map(_._2).max + 1)
+      xs.foreach { case (_, pos, m) => v(pos) = m }
+      refined(cell) = v
+    }
+    val cents = normalize(refined)
+    val assign1 = graft.functions.native.centroidProbes(col("embedding"), cents, 1)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      element_at(assign1, 1).as("cell"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      l2norm(col("embedding")).as("qn"),
+      explode(graft.functions.native.centroidProbes(col("embedding"), cents, nprobe)).as("cell"))
+    val scored = broadcast(probes).join(c, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * l2norm(col("cv")))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** All near-duplicate embedding pairs with cosine ≥ threshold
     * (a < b). Brute force at test scale; at 100 TB, bucket with
     * `lshTopK`'s signatures first.

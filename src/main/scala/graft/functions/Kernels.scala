@@ -161,6 +161,49 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Indices of the `nprobe` centroids with the highest dot product
+    * against `v` (centroids pre-normalized ⇒ cosine order), best
+    * first — the IVF coarse-quantizer probe step.
+    */
+  def centroidProbes(v: ArrayData, cents: Array[Array[Double]],
+                     nprobe: Int, vFloat: Boolean): ArrayData = {
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val p = cents(c)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (vFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        acc += x * p(j)
+        j += 1
+      }
+      scores(c) = acc
+      c += 1
+    }
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var o = 0
+    while (o < m) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && (scores(i) > bestS || (scores(i) == bestS && best == -1))) {
+          best = i; bestS = scores(i)
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(o) = best
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Sign-bit LSH signature: bit i set iff dot(v, planes(i)) ≥ 0. */
   def hyperplaneSig(v: ArrayData, planes: Array[Array[Double]], vFloat: Boolean): Long = {
     var sig = 0L

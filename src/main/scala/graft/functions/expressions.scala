@@ -130,6 +130,25 @@ case class LshKeysExpr(child: Expression, planes: Array[Array[Array[Double]]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-`nprobe` centroid indices by dot product (IVF probe list). */
+case class CentroidProbesExpr(child: Expression, cents: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_probes"
+
+  private def vF = ExprHelpers.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.centroidProbes(v.asInstanceOf[ArrayData], cents, nprobe, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.centroidProbes($c, $cRef, $nprobe, $vF)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points. */
 object native {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -144,4 +163,6 @@ object native {
     c(HyperplaneSigExpr(e(v), planes))
   def lshKeys(v: Column, planes: Array[Array[Array[Double]]], multiprobe: Boolean): Column =
     c(LshKeysExpr(e(v), planes, multiprobe))
+  def centroidProbes(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    c(CentroidProbesExpr(e(v), cents, nprobe))
 }

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join / set / analytic operators beyond the reference's surface —
+  * the relational core any 100 TB engine needs. Everything here is
+  * declarative DataFrame API so Catalyst plans it: dimension joins are
+  * explicitly `broadcast()` (no shuffle of the fact side), fact-fact
+  * joins shuffle on the join key once, and the as-of join uses the
+  * union + last-non-null window form — one shuffle on the
+  * partitioning key, no range-explosion, the standard scalable shape
+  * for time-series point-in-time correctness.
+  */
+object Relational {
+
+  /** Fact ⋈ broadcast dims: revenue per nation. `broadcast()` keeps
+    * the orders side shuffle-free (BroadcastHashJoin both hops).
+    */
+  def revenueByNation(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      // decimal sum: exact and order-independent, so the result is
+      // reproducible run-to-run and engine-to-engine (a double sum over
+      // a large group drifts in the last ulps with aggregation order)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+
+  /** Fact ⋈ fact: one shuffle each side on the join key, then
+    * hash-aggregate — the canonical large-join shape.
+    */
+  def revenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)) - col("l_discount").cast("decimal(4,2)"))).as("rev"))
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum("rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
+
+  /** Left-semi: customers that have at least one order — no payload
+    * from the right side crosses the wire, just existence.
+    */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.select("o_custkey"),
+      customer("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** ROLLUP aggregate: per (returnflag, linestatus) + subtotals +
+    * grand total. Spark plans one Expand + hash-aggregate.
+    */
+  def rollupQtyRevenue(lineitem: DataFrame): DataFrame =
+    lineitem.rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+
+  /** Set difference on a key domain: users who did `a` but never `b`. */
+  def usersExcept(events: DataFrame, a: String, b: String): DataFrame =
+    events.filter(col("event_type") === a).select("user_id")
+      .except(events.filter(col("event_type") === b).select("user_id"))
+
+  /** Exact distinct cardinality per group (one shuffle; Spark plans
+    * partial distinct then count). The approximate companion is
+    * `approxDistinctUsers` — HLL, constant memory at any scale.
+    */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(countDistinct("user_id").as("n_users"))
+
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events.groupBy("event_type").agg(approx_count_distinct("user_id", rsd).as("n_users_approx"))
+
+  /** Exact interpolated percentiles per group. At 100 TB swap
+    * `percentile` for `percentile_approx` (t-digest, mergeable) — the
+    * exact form materializes each group's values.
+    */
+  def valueQuantiles(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      expr("percentile(value, 0.5)").as("p50"),
+      expr("percentile(value, 0.9)").as("p90"),
+      expr("percentile(value, 0.99)").as("p99"))
+
+  /** Top-k rows per group by value (rank ≤ k), deterministic
+    * tie-break on event_id.
+    */
+  def topKPerGroup(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    events.select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds `gapSec`. Two
+    * windows over one shuffle on user_id, then a hash-aggregate.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapped = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_sess",
+        when(unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+  }
+
+  /** As-of join: for each left row, the latest right row with
+    * right.ts ≤ left.ts within the same key — point-in-time
+    * correctness for feature/label joins. Implemented as
+    * union → single window (last non-null) → filter back to left
+    * rows: ONE shuffle on the key, no per-row range scan, no
+    * cross-product — the shape that survives 100 TB (a range join
+    * would explode; a per-key sort is linear after the shuffle).
+    *
+    * Right side is first reduced to one row per (key, ts) via max —
+    * making the match deterministic under duplicate timestamps.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, tsCol: String, valueCol: String,
+               asofPrefix: String = "asof_"): DataFrame = {
+    val r = right.groupBy(col(key), col(tsCol))
+      .agg(max(col(valueCol)).as("__rv"))
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
+      .withColumn("__side", lit(1))
+    val unioned = l.unionByName(r.select((Seq(key, tsCol, "__rv", "__side")).map(col): _*),
+      allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at equal ts → "≤" semantics
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asofPrefix + valueCol, last("__rv", ignoreNulls = true).over(w))
+      .withColumn(asofPrefix + "ts",
+        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__rv", "__side")
+  }
+}

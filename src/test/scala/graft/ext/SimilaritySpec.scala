@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach(r => assert(r.getDouble(3) === exactSims((r.getLong(0), r.getLong(2)))))
   }
 
+  test("ivfTopK: reasonable recall vs brute force, exact sims for returned pairs") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.ivfTopK(q, c, 10, nlist = 8, nprobe = 4).collect()
+    val approxPairs = approx.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approxPairs).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // sims are exact for whatever pairs IVF returns
+    val bySim = Similarity.bruteForceTopK(q, c, c.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    approx.foreach(r => assert(math.abs(r.getDouble(3) - bySim((r.getLong(0), r.getLong(2)))) < 1e-12))
+  }
+
   test("embeddingNearDups: symmetric-free (a<b) and threshold-respecting") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.embeddingNearDups(e, 0.4).collect()

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: at-or-before match, ties take same-instant right row, no-match is null") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 1.0), // before any right row
+      (2L, ts("2024-01-01 11:00:00"), 7L, 2.0), // exactly at right ts → match it
+      (3L, ts("2024-01-01 12:30:00"), 7L, 3.0), // between rights → earlier one
+      (4L, ts("2024-01-01 15:00:00"), 8L, 4.0)  // other key
+    ).toDF("event_id", "ts", "user_id", "value")
+    val right = Seq(
+      (7L, ts("2024-01-01 11:00:00"), 100.0),
+      (7L, ts("2024-01-01 12:00:00"), 200.0),
+      (8L, ts("2024-01-01 14:00:00"), 300.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Relational.asofJoin(left, right, "user_id", "ts", "value")
+      .orderBy("event_id")
+      .select("event_id", "asof_value", "asof_ts")
+      .collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(out(1).getDouble(1) === 100.0 && out(1).getTimestamp(2) === ts("2024-01-01 11:00:00"))
+    assert(out(2).getDouble(1) === 200.0 && out(2).getTimestamp(2) === ts("2024-01-01 12:00:00"))
+    assert(out(3).getDouble(1) === 300.0)
+  }
+
+  test("asofJoin: duplicate right timestamps deterministically resolve to max value") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 7L, 0.0)).toDF("event_id", "ts", "user_id", "value")
+    val right = Seq(
+      (7L, ts("2024-01-01 11:00:00"), 5.0),
+      (7L, ts("2024-01-01 11:00:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Relational.asofJoin(left, right, "user_id", "ts", "value").collect()
+    assert(out.head.getAs[Double]("asof_value") === 9.0)
+  }
+
+  test("sessionize: gap strictly greater than gapSec starts a new session") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L),
+      (2L, ts("2024-01-01 10:30:00"), 7L), // exactly 1800s → same session
+      (3L, ts("2024-01-01 11:00:01"), 7L), // 1801s → new session
+      (4L, ts("2024-01-01 10:00:00"), 8L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Relational.sessionize(df, 1800L)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n_events") === 2) // user 7 session 0
+    assert(out(1).getAs[Long]("n_events") === 1) // user 7 session 1
+    assert(out(2).getAs[Long]("n_events") === 1) // user 8
+    assert(out(0).getAs[Timestamp]("session_end") === ts("2024-01-01 10:30:00"))
+  }
+
+  test("usersExcept is set difference with distinct semantics") {
+    val df = Seq(
+      (1L, "click", 1L), (2L, "click", 1L), (3L, "click", 2L),
+      (4L, "purchase", 2L), (5L, "purchase", 3L)
+    ).toDF("event_id", "event_type", "user_id")
+    val out = Relational.usersExcept(df, "click", "purchase").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L))
+  }
+
+  test("topKPerGroup: k rows per group, value desc, deterministic ties") {
+    val df = Seq(
+      (1L, "a", 5.0), (2L, "a", 5.0), (3L, "a", 1.0), (4L, "b", 2.0)
+    ).toDF("event_id", "event_type", "value")
+    val out = Relational.topKPerGroup(df, 2).orderBy("event_type", "rank").collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(1L, 2L, 4L))
+  }
+
+  test("broadcast join plan: fact side has no shuffle before the join") {
+    val orders = Seq((1L, 10L, 100.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((10L, "c", 1L)).toDF("c_custkey", "c_name", "c_nationkey")
+    val nation = Seq((1L, "DE", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val plan = Relational.revenueByNation(orders, customer, nation)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+}
