@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "ab", 2L), (1L, "xyz", 3L), (2L, "", 0L)
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("attachPayload: payload is the UTF-8 bytes, metadata deterministic") {
+    val m = Multimodal.attachPayload(docs).orderBy("doc_id").collect()
+    assert(m(0).getAs[String]("format") === "png")
+    assert(m(1).getAs[String]("format") === "jpeg")
+    assert(m(2).getAs[String]("format") === "webp")
+    assert(m(0).getAs[Array[Byte]]("payload").toSeq === "ab".getBytes("UTF-8").toSeq)
+    assert(m(0).getAs[Long]("n_bytes") === 2L)
+    assert(m(1).getAs[Int]("width") === 3 % 640 + 64)
+  }
+
+  test("decodeFeatures: partition-batched decode stub computes byte stats") {
+    val media = Multimodal.attachPayload(docs).as[Multimodal.MediaRow]
+    val f = Multimodal.decodeFeatures(media, frameStride = 2).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(f(0L).mean_byte === (97 + 98) / 2.0) // "ab"
+    assert(f(0L).first_byte === 97)
+    assert(f(0L).frames_sampled === 1) // 2 bytes / stride 2
+    assert(f(1L).frames_sampled === 2) // 3 bytes / stride 2 → ceil
+    assert(f(2L).mean_byte === 0.0 && f(2L).first_byte === -1 && f(2L).frames_sampled === 0)
+  }
+
+  test("resize: metadata-only transform preserves payload") {
+    val r = Multimodal.resize(Multimodal.attachPayload(docs), 100, 50)
+      .orderBy("doc_id").collect()
+    assert(r.forall(_.getAs[Int]("width") === 100))
+    assert(r.forall(_.getAs[Int]("height") === 50))
+    assert(r(1).getAs[Array[Byte]]("payload").toSeq === "xyz".getBytes("UTF-8").toSeq)
+  }
+}
