@@ -203,6 +203,25 @@ object SparkEntry {
         e.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
         key = "user_id", tsCol = "ts", valueCol = "value")
     }),
+    "q_pivot" -> ((s, dir) => Relational.pivotUserValues(Tables.events(s, dir),
+      Seq("click", "error", "purchase", "signup", "view"))),
+    "q_cube" -> ((s, dir) => Relational.cubeCounts(Tables.events(s, dir))),
+    "q_set_intersect" -> ((s, dir) => Relational.usersIntersect(Tables.events(s, dir), "click", "purchase")),
+    "q_ma7_calendar" -> ((s, dir) => Relational.maCalendar(dailyOhlc(s, dir), 7)),
+    "q_array_ops" -> ((s, dir) => Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("first"),
+      array_max(col("embedding")).cast("double").as("vmax"),
+      array_min(col("embedding")).cast("double").as("vmin"),
+      element_at(reverse(col("embedding")), 1).cast("double").as("last"))),
+    "q_string_ops" -> ((s, dir) => Tables.documents(s, dir).select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 10)).as("head_upper"),
+      length(col("text")).cast("long").as("n_chars_computed"),
+      (size(split(col("text"), " ")) - 1).cast("long").as("n_spaces"),
+      regexp_replace(col("text"), "[aeiou]", "").as("no_vowels"),
+      instr(col("text"), "the").cast("long").as("first_the"))),
     "q_ann_ivf" -> ((s, dir) => { // approximate: rows-only check
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
@@ -356,6 +375,41 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
 
     // ---- relational-core oracles ----
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'error') AS DOUBLE) AS error,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'view') AS DOUBLE) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
+        |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_ma7_calendar" -> (dailyCte +
+      """ SELECT date, asset, close,
+        |   avg(close) OVER (PARTITION BY asset ORDER BY date
+        |                    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS ma7_cal
+        | FROM daily""".stripMargin),
+    "q_array_ops" ->
+      """SELECT vec_id, len(embedding)::BIGINT AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |  CAST(list_reverse(embedding)[1] AS DOUBLE) AS last
+        |FROM embeddings""".stripMargin,
+    "q_string_ops" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 10)) AS head_upper,
+        |  length(text)::BIGINT AS n_chars_computed,
+        |  (len(string_split(text, ' ')) - 1)::BIGINT AS n_spaces,
+        |  regexp_replace(text, '[aeiou]', '', 'g') AS no_vowels,
+        |  CASE WHEN strpos(text, 'the') IS NULL THEN 0 ELSE strpos(text, 'the') END::BIGINT AS first_the
+        |FROM documents""".stripMargin,
     "q_join_bcast" ->
       """SELECT n_name, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -111,6 +111,41 @@ object Relational {
         min("ts").as("session_start"), max("ts").as("session_end"))
   }
 
+  /** Pivot: one column per event_type, decimal-exact value sums (cast
+    * to double at the edge). Value list is declared, not discovered —
+    * at scale a discovery pass first (`.distinct.collect`) or a fixed
+    * vocabulary avoids a blind two-pass pivot.
+    */
+  def pivotUserValues(events: DataFrame, types: Seq[String]): DataFrame =
+    events.groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double"))
+
+  /** CUBE over two dimensions — counts per (type, day), per type,
+    * per day, and grand total in one Expand + hash-aggregate pass.
+    */
+  def cubeCounts(events: DataFrame): DataFrame =
+    events.cube(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Set intersection on a key domain: users who did both `a` and `b`. */
+  def usersIntersect(events: DataFrame, a: String, b: String): DataFrame =
+    events.filter(col("event_type") === a).select("user_id")
+      .intersect(events.filter(col("event_type") === b).select("user_id"))
+
+  /** Calendar-range trailing mean: avg over the previous `days`
+    * CALENDAR days (rangeBetween on a day-number ordering), not the
+    * previous N rows — differs from the row-frame form exactly when
+    * dates have gaps.
+    */
+  def maCalendar(daily: DataFrame, days: Int): DataFrame = {
+    val w = Window.partitionBy("asset")
+      .orderBy(datediff(col("date"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-(days - 1), Window.currentRow)
+    daily.select(col("date"), col("asset"), col("close"),
+      avg("close").over(w).as(s"ma${days}_cal"))
+  }
+
   /** As-of join: for each left row, the latest right row with
     * right.ts ≤ left.ts within the same key — point-in-time
     * correctness for feature/label joins. Implemented as

@@ -1,7 +1,6 @@
 package graft.tools
 
-import graft.Tables
-import graft.ext.Similarity
+import graft.{SparkEntry, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -20,13 +19,18 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val e = Tables.embeddings(spark, dir)
-    time("warmup count")(e.count())
-    val q = e.filter(col("vec_id") < 10)
-    val c = e.filter(col("vec_id") >= 10)
-    time("lsh full #1")(Similarity.lshTopK(q, c, 10).count())
-    time("lsh full #2")(Similarity.lshTopK(q, c, 10).count())
-    time("brute topk")(Similarity.bruteForceTopK(q, c, 10).count())
+    time("warmup")(Tables.events(spark, dir).count())
+    val topk = SparkEntry.queries("q_topk_group")(spark, dir)
+    time("topk #1")(topk.count())
+    time("topk #2")(SparkEntry.queries("q_topk_group")(spark, dir).count())
+    println("=== topk plan ===")
+    topk.explain("formatted")
+    println("=== q_project plan (pushdown check) ===")
+    SparkEntry.queries("q_project")(spark, dir).explain("formatted")
+    println("=== q_join_big plan ===")
+    SparkEntry.queries("q_join_big")(spark, dir).explain("formatted")
+    println("=== q_dedup_ngram plan (exchange reuse check) ===")
+    SparkEntry.queries("q_dedup_ngram")(spark, dir).explain("formatted")
     spark.stop()
   }
 }
