@@ -66,6 +66,30 @@ object Warehouse {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Date-partitioned warehouse layout (`path/date=YYYY-MM-DD/…`) —
+    * the 100 TB form: scans with a date predicate prune to the
+    * matching directories (PartitionFilters, no file I/O elsewhere).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Incremental keyed rewrite: replaces ONLY the partitions present
+    * in `df` (dynamic partition overwrite), leaving all other
+    * partitions untouched — the scalable form of the reference's
+    * per-day upsert (dag_btc_daily.py:219-230): a day's restatement
+    * rewrites that day's directory, never the table.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** S4: headered CSV sink (dag:92-95). `singleFile` gives the
     * reference's one-file-per-day parity; leave false at scale.
     */

@@ -30,12 +30,10 @@ object StreamingOhlc {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming daily OHLC over a parquet directory/file of events.
-    * Complete output mode so the memory sink holds every window —
-    * appropriate for a bounded replay; production uses append +
-    * watermark with foreachBatch upsert.
+  /** readStream → watermark → 1-day tumbling OHLC, shared by both
+    * sinks below.
     */
-  def run(spark: SparkSession, eventsPath: String, queryName: String): DataFrame = {
+  private def ohlcStream(spark: SparkSession, eventsPath: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
     // the file streaming source monitors a DIRECTORY; when handed a
@@ -53,7 +51,7 @@ object StreamingOhlc {
       .select(timestamp_micros(expr("ts div 1000")).as("ts_utc"),
         col("event_type").as("asset"), col("value").as("price"))
       .withWatermark("ts_utc", "1 day")
-    val ohlc = stream
+    stream
       .groupBy(window(col("ts_utc"), "1 day").as("w"), col("asset"))
       .agg(
         min_by(col("price"), col("ts_utc")).as("open"),
@@ -62,7 +60,13 @@ object StreamingOhlc {
         max_by(col("price"), col("ts_utc")).as("close"))
       .select(col("w.start").cast("date").as("date"), col("asset"),
         col("open"), col("high"), col("low"), col("close"))
-    val q = ohlc.writeStream
+  }
+
+  /** Bounded replay into an in-memory table: complete output mode so
+    * the memory sink holds every window.
+    */
+  def run(spark: SparkSession, eventsPath: String, queryName: String): DataFrame = {
+    val q = ohlcStream(spark, eventsPath, queryName).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
@@ -70,5 +74,39 @@ object StreamingOhlc {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(queryName)
+  }
+
+  /** Production sink shape: update-mode micro-batches merged into a
+    * date-partitioned parquet warehouse via keyed upsert + dynamic
+    * partition overwrite — each batch rewrites ONLY the date
+    * partitions it touches (late/replayed data restates its own day),
+    * the streaming analog of the reference's per-day ON CONFLICT
+    * upsert (dag_btc_daily.py:219-230).
+    */
+  def runIncremental(spark: SparkSession, eventsPath: String,
+                     warehouseDir: String, queryName: String): DataFrame = {
+    import graft.store.Warehouse
+    val q = ohlcStream(spark, eventsPath, queryName).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.withColumn("date", col("date").cast("string"))
+          val exists = new java.io.File(warehouseDir).exists()
+          val merged = if (exists) {
+            val dates = b.select("date").distinct()
+            val existing = spark.read.parquet(warehouseDir)
+              .withColumn("date", col("date").cast("string"))
+              .join(broadcast(dates), Seq("date"), "left_semi") // only touched partitions
+            Warehouse.upsert(existing, b, keys = Seq("date", "asset"),
+              updateCols = Seq("open", "high", "low", "close"))
+          } else b
+          Warehouse.overwritePartitions(merged, warehouseDir, Seq("date"))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(warehouseDir)
   }
 }

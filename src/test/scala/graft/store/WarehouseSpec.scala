@@ -62,4 +62,29 @@ class WarehouseSpec extends SparkSpec {
     val empty = Seq.empty[(String, Double)].toDF("ts_utc", "price")
     intercept[IllegalArgumentException] { Warehouse.requireNonEmpty(empty, "test") }
   }
+
+  test("overwritePartitions rewrites only the partitions present in the batch") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_part").toString
+    val base = Seq(
+      ("2024-01-01", "BTC", 100.0), ("2024-01-02", "BTC", 101.0), ("2024-01-03", "BTC", 102.0)
+    ).toDF("date", "asset", "price")
+    Warehouse.writePartitioned(base, dir, Seq("date"))
+    val d1File = new java.io.File(s"$dir/date=2024-01-01").listFiles().filter(_.getName.endsWith(".parquet")).head
+    val d1Before = d1File.lastModified()
+    Thread.sleep(1100)
+    // restate only day 2
+    val restated = Seq(("2024-01-02", "BTC", 999.0)).toDF("date", "asset", "price")
+    Warehouse.overwritePartitions(restated, dir, Seq("date"))
+    val after = spark.read.parquet(dir)
+      .withColumn("date", col("date").cast("string")) // partition col is inferred as DATE
+      .collect().map(r => r.getAs[String]("date") -> r.getAs[Double]("price")).toMap
+    assert(after === Map("2024-01-01" -> 100.0, "2024-01-02" -> 999.0, "2024-01-03" -> 102.0))
+    // day-1 partition untouched on disk (same file, same mtime)
+    assert(d1File.exists() && d1File.lastModified() === d1Before)
+    // reads with a date predicate prune to one partition directory
+    val plan = spark.read.parquet(dir).filter(col("date") === "2024-01-02")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-02"))
+  }
 }
