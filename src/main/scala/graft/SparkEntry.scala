@@ -203,6 +203,11 @@ object SparkEntry {
         e.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
         key = "user_id", tsCol = "ts", valueCol = "value")
     }),
+    "q_join_salted" -> ((s, dir) => Relational.saltedJoin(
+      Tables.orders(s, dir),
+      Tables.table(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_name")),
+      key = "o_custkey", buckets = 8)
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")),
     "q_pivot" -> ((s, dir) => Relational.pivotUserValues(Tables.events(s, dir),
       Seq("click", "error", "purchase", "signup", "view"))),
     "q_cube" -> ((s, dir) => Relational.cubeCounts(Tables.events(s, dir))),
@@ -375,6 +380,9 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
 
     // ---- relational-core oracles ----
+    "q_join_salted" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'click') AS DOUBLE) AS click,

@@ -111,6 +111,21 @@ object Relational {
         min("ts").as("session_start"), max("ts").as("session_end"))
   }
 
+  /** Skew-resistant equi-join: salt the skewed (left) side into
+    * `buckets` sub-keys and replicate the small right side once per
+    * bucket, so a single hot key spreads over `buckets` tasks instead
+    * of one straggler. Semantically identical to
+    * `left.join(right, key)`. AQE's skew-join handles sort-merge skew
+    * automatically; explicit salting is for the cases AQE can't split
+    * (e.g. a single key too large for one task's build side, or
+    * aggregations keyed on the hot key).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, buckets: Int): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
+    val replicated = right.withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Pivot: one column per event_type, decimal-exact value sums (cast
     * to double at the edge). Value list is declared, not discovered —
     * at scale a discovery pass first (`.distinct.collect`) or a fixed

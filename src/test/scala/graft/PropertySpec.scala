@@ -1,0 +1,107 @@
+package graft
+
+import graft.ext.Dedup
+import graft.ops.{Indicators, Ohlc, Relational}
+import graft.store.Warehouse
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5) over scalacheck-generated
+  * inputs — each property is the algebraic law the operator must
+  * satisfy, not an example. Deterministic seeds so failures reproduce.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Draw `n` deterministic samples from a generator. */
+  private def forAll[A](gen: Gen[A], n: Int = 5)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(40), Seed(42L + i)).foreach(f)
+    }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private val priceSeries: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(1.0, 1000.0))
+
+  test("OHLC invariants: low ≤ min(open,close) ≤ max(open,close) ≤ high; endpoints by ts order") {
+    forAll(priceSeries) { prices =>
+      val rows = prices.zipWithIndex.map { case (p, i) =>
+        (new Timestamp(86400000L + i * 3600000L), "A", p)
+      }
+      val ohlc = Ohlc.daily(rows.toDF("ts_utc", "asset", "price")).collect()
+      ohlc.foreach { r =>
+        val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+          r.getAs[Double]("low"), r.getAs[Double]("close"))
+        assert(l <= math.min(o, c) && math.max(o, c) <= h)
+      }
+      // single-day series: open/close are the ts-ordered endpoints
+      if (prices.length <= 24) {
+        val r = ohlc.head
+        assert(r.getAs[Double]("open") === prices.head)
+        assert(r.getAs[Double]("close") === prices.last)
+      }
+    }
+  }
+
+  test("rolling mean of a constant series is the constant; ret is 0") {
+    forAll2(Gen.choose(1.0, 500.0), Gen.choose(8, 40)) { (c, n) =>
+      val daily = (1 to n).map(i => (java.sql.Date.valueOf(f"2024-01-${(i % 28) + 1}%02d"), "A", c, c, c, c))
+        .distinct.toDF("date", "asset", "open", "high", "low", "close")
+      val e = Indicators.enrich(daily).collect()
+      e.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("ma7"))) assert(math.abs(r.getAs[Double]("ma7") - c) < 1e-9)
+        if (!r.isNullAt(r.fieldIndex("ret"))) assert(math.abs(r.getAs[Double]("ret")) < 1e-12)
+      }
+    }
+  }
+
+  test("dedup idempotence: f(f(x)) = f(x)") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(1L, 20L))) { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("event_id", "k")
+      val once = graft.ops.Normalize.dedupKeepFirst(df, Seq("k"), Seq("event_id"))
+      val twice = graft.ops.Normalize.dedupKeepFirst(once, Seq("k"), Seq("event_id"))
+      assert(once.collect().toSet === twice.collect().toSet)
+      assert(once.count() === keys.distinct.length)
+    }
+  }
+
+  test("insertIfAbsent replay: applying the same batch twice = once; no key dupes") {
+    forAll2(Gen.listOf(Gen.choose(1L, 15L)), Gen.listOf(Gen.choose(1L, 15L))) { (ex, in) =>
+      val existing = ex.distinct.map(k => (k, s"v$k")).toDF("k", "v")
+      val incoming = in.distinct.map(k => (k, s"w$k")).toDF("k", "v")
+      val once = Warehouse.insertIfAbsent(existing, incoming, Seq("k"))
+      val twice = Warehouse.insertIfAbsent(once, incoming, Seq("k"))
+      assert(once.collect().toSet === twice.collect().toSet)
+      assert(once.groupBy("k").count().filter($"count" > 1).isEmpty)
+      // first-wins: every existing value survives untouched
+      val vals = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      ex.distinct.foreach(k => assert(vals(k) === s"v$k"))
+    }
+  }
+
+  test("minhash similarity estimate tracks true Jaccard") {
+    // identical docs → identical sigs; disjoint docs → (near-)disjoint sigs
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val b = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    val sigs = Dedup.minhashSignatures(
+      Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text"), n = 3, numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val agree = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    assert(agree < 8, s"disjoint shingle sets should rarely collide, got $agree/64")
+  }
+
+  test("saltedJoin equals plain join") {
+    forAll2(Gen.nonEmptyListOf(Gen.choose(1L, 5L)), Gen.nonEmptyListOf(Gen.choose(1L, 5L))) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+      val right = rs.distinct.map(k => (k, s"d$k")).toDF("k", "d")
+      val plain = left.join(right, Seq("k")).select("k", "id", "d").collect().toSet
+      val salted = Relational.saltedJoin(left, right, "k", buckets = 4)
+        .select("k", "id", "d").collect().toSet
+      assert(salted === plain)
+    }
+  }
+}
