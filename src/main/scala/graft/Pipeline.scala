@@ -133,10 +133,9 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
     qualityChecks(asset, day, csvPath)
   }
 
-  /** Airflow catchup=True (dag:16): backfill a date range. The
-    * set-based engine would do all days in one pass (Ohlc.daily over
-    * the whole fact table); runRange preserves the reference's
-    * day-at-a-time replay semantics for parity testing.
+  /** Airflow catchup=True (dag:16): backfill a date range. runRange
+    * preserves the reference's day-at-a-time replay semantics for
+    * parity testing; `backfillAll` below is the set-based form.
     */
   def runRange(asset: String, fromDay: String, toDayIncl: String): Unit = {
     var d = java.time.LocalDate.parse(fromDay)
@@ -145,5 +144,24 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
       runDay(asset, d.toString)
       d = d.plusDays(1)
     }
+  }
+
+  /** The natural Spark form of catchup: ONE pass over the whole fact
+    * table — ingest every day's rows, group-aggregate all daily OHLC
+    * at once, window-enrich, one transactional rewrite. Equivalent to
+    * runRange over the same days (asserted in PipelineSpec) but O(1)
+    * jobs instead of O(days): at 100 TB the per-day replay is 365×
+    * the scans and 365× the scheduler round-trips for the same
+    * result.
+    */
+  def backfillAll(asset: String, days: Seq[String]): Unit = {
+    days.foreach(d => loadRaw(asset, extract(asset, d)))
+    val raw = spark.read.schema(Schemas.rawPricesSchema).parquet(rawPath)
+      .filter(col("asset") === asset)
+    val enriched = Indicators.enrich(Ohlc.daily(Warehouse.requireNonEmpty(raw, s"raw_prices $asset")))
+      .select(Schemas.dailyMetricsSchema.fieldNames.map(col): _*)
+    val staged = enriched.cache(); staged.count()
+    Warehouse.overwrite(staged, metricsPath)
+    staged.unpersist()
   }
 }

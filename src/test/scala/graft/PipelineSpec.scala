@@ -35,6 +35,17 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/raw_prices").count() === 8 * 24)
   }
 
+  test("backfillAll (set-based, one pass) equals runRange (per-day replay)") {
+    val days = (1 to 8).map(d => f"2024-01-0$d")
+    val rootA = java.nio.file.Files.createTempDirectory("graft_wh_a").toString
+    new Pipeline(spark, rootA, new FixtureFetcher()).runRange("BTC-USD", days.head, days.last)
+    val rootB = java.nio.file.Files.createTempDirectory("graft_wh_b").toString
+    new Pipeline(spark, rootB, new FixtureFetcher()).backfillAll("BTC-USD", days)
+    val a = spark.read.parquet(s"$rootA/daily_metrics").orderBy("date").collect().toSeq
+    val b = spark.read.parquet(s"$rootB/daily_metrics").orderBy("date").collect().toSeq
+    assert(a === b)
+  }
+
   test("quality checks pass on the golden warehouse and catch a thin day") {
     val root = java.nio.file.Files.createTempDirectory("graft_wh2").toString
     val p = new Pipeline(spark, root, new FixtureFetcher())
