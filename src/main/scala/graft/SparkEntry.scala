@@ -147,6 +147,11 @@ object SparkEntry {
       Dedup.simhashNearDups(Tables.documents(s, dir), n = 3, maxHamming = 3)),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.4)),
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dropNearDups(docs, Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8))
+        .select("doc_id", "lang", "n_chars")
+    }),
 
     // ---- north-star: similarity search ----
     "q_topk_cosine" -> ((s, dir) => {
@@ -171,6 +176,9 @@ object SparkEntry {
         TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
     "q_fingerprint" -> ((s, dir) => Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
+    "q_vocab" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir), topN = 100)),
+    "q_train_split" -> ((s, dir) => TextAnalysis.splitAssign(Tables.documents(s, dir))
+      .select("doc_id", "lang", "split")),
     "q_fingerprint_rolling" -> ((s, dir) => Tables.documents(s, dir) // xxhash-based: rows-only
       .select(col("doc_id"), TextAnalysis.fingerprintRolling(col("text")).as("fp"))),
 
@@ -369,6 +377,30 @@ object SparkEntry {
         |    + length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_tokens_bpe
         |FROM documents""".stripMargin,
     "q_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_vocab" ->
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "q_train_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS b
+        |      FROM documents)""".stripMargin,
+    "q_dedup_keep" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                     for i in range(1, len(toks) - 1)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter,
+        |         any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (SELECT DISTINCT b FROM pairs WHERE inter / (na + nb - inter) >= 0.8)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT b FROM dropped)""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,

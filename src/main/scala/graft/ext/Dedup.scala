@@ -79,6 +79,16 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** The keep/drop DECISION from near-dup pairs: drop every doc that
+    * has a near-duplicate with a smaller doc_id (keep-first rule —
+    * one anti-join against the pair list's `b` side). Not full
+    * connected components: a chain a~b~c with a≁c keeps a and c,
+    * which is the standard training-data choice (transitive merging
+    * over-deletes).
+    */
+  def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   // ---- MinHash + LSH ----
 
   /** Deterministic universal-hash parameters (a·x + b) mod P with

@@ -82,6 +82,30 @@ object TextAnalysis {
         least(col("avg_token_len") / 10.0, lit(1.0)) * 0.2)
   }
 
+  /** Corpus vocabulary: the `topN` most frequent tokens (ties broken
+    * by token for determinism). Explode + count partial-aggregates
+    * map-side, so the shuffle carries one row per distinct token per
+    * partition; the final top-N is a TakeOrdered, not a full sort.
+    */
+  def vocabulary(df: DataFrame, topN: Int, textCol: String = "text"): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(topN)
+
+  /** Deterministic train/val/test assignment from a stable content
+    * key: md5 of the id, first 4 hex digits mod 100 → [0,100) bucket,
+    * split 80/10/10. Pure expression — the same row lands in the same
+    * split on any engine, any run, any partitioning (the property a
+    * training pipeline needs so replays never leak val into train).
+    */
+  def splitAssign(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    df.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+  }
+
   /** Content fingerprint (exact dedup key): md5 of the text. */
   def fingerprintMd5(text: Column): Column = md5(text)
 

@@ -32,6 +32,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L))) // 6 shared of 10 distinct shingles = 0.6
   }
 
+  test("dropNearDups: keep-first rule, chains don't over-delete") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
+    // pairs: 1~2, 2~3 (chain), 1!~3 → drop 2 and 3? No: drop b-side only → 2 (from 1~2) and 3 (from 2~3)
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("a", "b", "jaccard")
+    val kept = Dedup.dropNearDups(docs, pairs).select(col("doc_id")).as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L))
+    // no pair list → everything kept
+    val none = Seq.empty[(Long, Long, Double)].toDF("a", "b", "jaccard")
+    assert(Dedup.dropNearDups(docs, none).count() === 4)
+  }
+
   test("minhash+LSH near-dups match exact Jaccard on sf0.001 documents") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.ngramJaccardPairs(d, 3, 0.8)

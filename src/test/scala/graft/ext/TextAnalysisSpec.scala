@@ -40,6 +40,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getDouble(s.fieldIndex("punct_ratio")) === 2.0 / text.length)
   }
 
+  test("vocabulary: frequency-ordered, deterministic ties, top-N cut") {
+    val df = Seq((1L, "b a b c a b"), (2L, "c a")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df, 2).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq === Seq(("a", 3L), ("b", 3L))) // tie a/b → token asc
+  }
+
+  test("splitAssign: deterministic, ~80/10/10, stable across repartitioning") {
+    val df = spark.range(1000).toDF("doc_id")
+    val s1 = TextAnalysis.splitAssign(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = TextAnalysis.splitAssign(df.repartition(7)).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s2)
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05 && math.abs(frac("val") - 0.1) < 0.04)
+  }
+
   test("fingerprints: md5 stable, rolling order-aware") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fps = df.select(TextAnalysis.fingerprintMd5($"text"), TextAnalysis.fingerprintRolling($"text"))
