@@ -46,11 +46,19 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "dedup_key", "n_dups")
 
-  /** (doc_id, shingle, n_shingles) inverted index rows. */
+  /** `size(split(text," ")) >= n` ⟺ the doc has ≥1 shingle, but costs
+    * one split instead of the full shingle build — predicate pushdown
+    * re-evaluates filter expressions per row, so the guard must be
+    * cheaper than the projection it guards.
+    */
+  private def hasShingles(n: Int): Column = size(split(col("text"), " ")) >= n
+
+  /** (doc_id, shingle, n_shingles) inverted index rows. No emptiness
+    * filter needed: explode of an empty array emits no rows.
+    */
   private def shingleIndex(docs: DataFrame, n: Int, dfCap: Option[Int]): DataFrame = {
     val sh = docs
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     dfCap match {
       case None => sh
@@ -109,9 +117,9 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 128): DataFrame = {
     val (as, bs) = hashParams(numHashes).unzip
-    docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), graft.functions.native.minhashSig(col("sh"), as, bs).as("sig"))
+    docs.filter(hasShingles(n))
+      .select(col("doc_id"),
+        graft.functions.native.minhashSig(shingles(col("text"), n), as, bs).as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard verified.
@@ -123,17 +131,17 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sigs = minhashSignatures(docs, n, numHashes)
-    val banded = sigs.select(
+    val (as, bs) = hashParams(numHashes).unzip
+    // single-expression banded keys: the shingling + signature + band
+    // hash run ONCE per row inside one kernel call. (A projected
+    // signature column would be re-substituted — and the whole MinHash
+    // recomputed — once per band reference in the explode.)
+    val banded = docs.filter(hasShingles(n)).select(
       col("doc_id"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"), xxhash64(slice(col("sig"), j * r + 1, r).cast("string")).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      explode(graft.functions.native.minhashBandKeys(
+        shingles(col("text"), n), as, bs, bands)).as("bk"))
     val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     verifyJaccard(docs, candidates, n, threshold)
@@ -163,9 +171,9 @@ object Dedup {
     * vs the equivalent explode + 64-sum-aggregate formulation.
     */
   def simhash(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), graft.functions.native.simhash64(col("sh")).as("simhash"))
+    docs.filter(hasShingles(n))
+      .select(col("doc_id"),
+        graft.functions.native.simhash64(shingles(col("text"), n)).as("simhash"))
 
   /** SimHash near-dups: hamming(a,b) ≤ maxHamming. Candidates via the
     * pigeonhole trick — split the 64-bit fingerprint into

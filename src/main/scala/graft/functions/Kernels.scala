@@ -101,6 +101,40 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  /** Banded LSH bucket keys straight from the shingle array: computes
+    * the MinHash signature once, then packs each band's row-slice into
+    * (band << 48) | (hash of the slice & 0xFFFFFFFFFFFF). One
+    * expression evaluation per row — materializing the signature as a
+    * separate projected column would get re-substituted (and the
+    * whole MinHash recomputed) once per band reference in the
+    * downstream explode.
+    */
+  def minhashBandKeys(sh: ArrayData, as: Array[Long], bs: Array[Long], bands: Int): ArrayData = {
+    val k = as.length
+    val r = k / bands
+    val sig = minhashSig(sh, as, bs)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L // FNV-1a over the band's signature longs
+      var i = b * r
+      val end = i + r
+      while (i < end) {
+        var v = sig.getLong(i)
+        var byte = 0
+        while (byte < 8) {
+          h = (h ^ (v & 0xff)) * 0x100000001b3L
+          v >>>= 8
+          byte += 1
+        }
+        i += 1
+      }
+      out(b) = (b.toLong << 48) | (h & 0xffffffffffffL)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over a shingle array: bit b of the fingerprint is
     * set iff Σ over shingles of ±1 (sign of hash bit b) is positive.
     */

@@ -76,6 +76,24 @@ case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Packed banded-MinHash LSH bucket keys of a shingle array. */
+case class MinHashBandKeysExpr(child: Expression, as: Array[Long], bs: Array[Long], bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override def nullSafeEval(sh: Any): Any =
+    Kernels.minhashBandKeys(sh.asInstanceOf[ArrayData], as, bs, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashBandKeys($c, $aRef, $bRef, $bands)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash fingerprint of a shingle array. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -158,6 +176,8 @@ object native {
   def wordShingles(text: Column, n: Int): Column = c(WordShinglesExpr(e(text), n))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     c(MinHashSigExpr(e(shingles), as, bs))
+  def minhashBandKeys(shingles: Column, as: Array[Long], bs: Array[Long], bands: Int): Column =
+    c(MinHashBandKeysExpr(e(shingles), as, bs, bands))
   def simhash64(shingles: Column): Column = c(SimHash64Expr(e(shingles)))
   def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
     c(HyperplaneSigExpr(e(v), planes))
