@@ -1,6 +1,7 @@
 package graft.tools
 
-import graft.{SparkEntry, Tables}
+import graft.Tables
+import graft.ext.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -19,18 +20,25 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    time("warmup")(Tables.events(spark, dir).count())
-    val topk = SparkEntry.queries("q_topk_group")(spark, dir)
-    time("topk #1")(topk.count())
-    time("topk #2")(SparkEntry.queries("q_topk_group")(spark, dir).count())
-    println("=== topk plan ===")
-    topk.explain("formatted")
-    println("=== q_project plan (pushdown check) ===")
-    SparkEntry.queries("q_project")(spark, dir).explain("formatted")
-    println("=== q_join_big plan ===")
-    SparkEntry.queries("q_join_big")(spark, dir).explain("formatted")
-    println("=== q_dedup_ngram plan (exchange reuse check) ===")
-    SparkEntry.queries("q_dedup_ngram")(spark, dir).explain("formatted")
+    val docs = Tables.documents(spark, dir)
+    time("warmup")(docs.count())
+    time("ngram broadcast #1")(Dedup.ngramJaccardPairs(docs, 3, 0.8).count())
+    time("ngram broadcast #2")(Dedup.ngramJaccardPairs(docs, 3, 0.8).count())
+    // shuffle-hash variant via hint
+    val ex = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val a = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s"))
+    val b = ex.select(col("doc_id").as("b"), col("n").as("nb"), col("s"))
+    val shuffled = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), a("s") === b("s") && a("a") < b("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+    time("ngram shufflehash #1")(shuffled.count())
+    time("ngram shufflehash #2")(shuffled.count())
+    val plan = shuffled.queryExecution.executedPlan.toString
+    println("[scratch] ReusedExchange present: " + plan.contains("ReusedExchange"))
     spark.stop()
   }
 }
