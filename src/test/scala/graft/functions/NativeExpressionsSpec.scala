@@ -1,0 +1,112 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Each native codegen expression vs the equivalent built-in
+  * (higher-order-function) formulation it replaced — results must be
+  * bit-identical on generated inputs, since the oracle gate and the
+  * dedup/similarity semantics were originally defined by the HOF
+  * forms.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default.withSize(30), Seed(7L + i)))
+
+  test("DotProductF ≡ aggregate(zip_with(...)) incl. accumulation order") {
+    val vecs = samples(Gen.listOfN(64, Gen.choose(-5.0f, 5.0f)), 20).map(_.toArray)
+    val df = vecs.grouped(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(native.dotF($"a", $"b").as("k"), hof.as("h")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bit-exact
+  }
+
+  test("DotProductF: null element or length mismatch → null") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f), Array(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val out = df.select(native.dotF($"a", $"b")).collect()
+    assert(out(0).getDouble(0) === 11.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("WordShinglesExpr ≡ array_distinct(transform(sequence...)) over split(lower)") {
+    val texts = samples(Gen.listOf(Gen.oneOf("a", "b", "cc", "Dd", "", "e f")), 30)
+      .map(_.mkString(" ")) ++ Seq("", " ", "one two", "x y z x y z", "A  B C")
+    val df = texts.toDF("text")
+    val t = split(lower($"text"), " ")
+    val hof = when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", element_at(t, i + lit(1)), element_at(t, i + lit(2)), element_at(t, i + lit(3))))))
+      .otherwise(array().cast("array<string>"))
+    df.select(native.wordShingles($"text", 3).as("k"), hof.as("h")).collect()
+      .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1), s"for ${r}"))
+  }
+
+  test("MinHashSigExpr ≡ explode + groupBy(min over (a·x+b) mod P)") {
+    val as = Array(3L, 7L, 2147483629L)
+    val bs = Array(11L, 0L, 17L)
+    val df = Seq((1L, Seq("aa bb cc", "bb cc dd")), (2L, Seq("zz yy xx"))).toDF("id", "sh")
+    val kernel = df.select($"id", native.minhashSig($"sh", as, bs).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val P = 4294967311L
+    val hofDf = df.select($"id", explode($"sh").as("s"))
+      .withColumn("x", pmod(xxhash64($"s"), lit(4294967296L)))
+    val hof = hofDf.groupBy("id")
+      .agg(min(pmod(lit(as(0)) * $"x" + lit(bs(0)), lit(P))).as("h0"),
+        min(pmod(lit(as(1)) * $"x" + lit(bs(1)), lit(P))).as("h1"),
+        min(pmod(lit(as(2)) * $"x" + lit(bs(2)), lit(P))).as("h2"))
+      .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(kernel === hof)
+  }
+
+  test("SimHash64Expr ≡ per-bit sign of summed hash bits") {
+    val df = Seq((1L, Seq("aa", "bb", "cc")), (2L, Seq("zz"))).toDF("id", "sh")
+    val kernel = df.select($"id", native.simhash64($"sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ex = df.select($"id", explode($"sh").as("s")).withColumn("h", xxhash64($"s"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val fp = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)).reduce(_ + _)
+    val hof = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"id", fp.as("fp")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === hof)
+  }
+
+  test("MinHashBandKeysExpr: same shingles → same keys; band ids packed in high bits") {
+    val as = Array.tabulate(8)(i => 2L * i + 3); val bs = Array.tabulate(8)(i => 5L * i)
+    val df = Seq((1L, Seq("p q r")), (2L, Seq("p q r")), (3L, Seq("s t u"))).toDF("id", "sh")
+    val keys = df.select($"id", native.minhashBandKeys($"sh", as, bs, 4).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(keys(1L) === keys(2L))
+    assert(keys(1L) !== keys(3L))
+    assert(keys(1L).zipWithIndex.forall { case (k, b) => (k >>> 48) === b.toLong })
+  }
+
+  test("LshKeysExpr: multiprobe emits own + hamming-1 buckets per table") {
+    val planes = Array(Array(Array(1.0, 0.0), Array(0.0, 1.0))) // 1 table, 2 bits
+    val df = Seq((1L, Array(1.0f, -1.0f))).toDF("id", "v")
+    val own = df.select(native.lshKeys($"v", planes, multiprobe = false))
+      .head().getSeq[Long](0)
+    val probes = df.select(native.lshKeys($"v", planes, multiprobe = true))
+      .head().getSeq[Long](0)
+    assert(own.length === 1 && probes.length === 3)
+    assert(own.head === 1L) // bit0: dot=1≥0 → set; bit1: dot=-1<0 → clear
+    assert(probes.toSet === Set(1L, 0L, 3L)) // own, flip bit0, flip bit1
+  }
+
+  test("CentroidProbesExpr: ordered nearest centroids by dot product") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val df = Seq((1L, Array(0.9f, 0.5f))).toDF("id", "v")
+    val probes = df.select(native.centroidProbes($"v", cents, 2)).head().getSeq[Int](0)
+    assert(probes === Seq(0, 1)) // dot: 0.9, 0.5, -0.9
+  }
+}
