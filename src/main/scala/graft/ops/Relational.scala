@@ -165,25 +165,29 @@ object Relational {
     * right.ts ≤ left.ts within the same key — point-in-time
     * correctness for feature/label joins. Implemented as
     * union → single window (last non-null) → filter back to left
-    * rows: ONE shuffle on the key, no per-row range scan, no
-    * cross-product — the shape that survives 100 TB (a range join
-    * would explode; a per-key sort is linear after the shuffle).
+    * rows: ONE shuffle on the key (verified — the plan has exactly one
+    * Exchange), no per-row range scan, no cross-product — the shape
+    * that survives 100 TB (a range join would explode; a per-key sort
+    * is linear after the shuffle).
     *
-    * Right side is first reduced to one row per (key, ts) via max —
-    * making the match deterministic under duplicate timestamps.
+    * Duplicate right timestamps resolve deterministically to the max
+    * value: the sort order ends with the value column, and the
+    * last-non-null frame picks the final (largest) one — equivalent
+    * to pre-aggregating `max(value)` per (key, ts) without the extra
+    * shuffle that groupBy would add. Right values must be non-null.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, tsCol: String, valueCol: String,
                asofPrefix: String = "asof_"): DataFrame = {
-    val r = right.groupBy(col(key), col(tsCol))
-      .agg(max(col(valueCol)).as("__rv"))
+    val r = right.select(col(key), col(tsCol), col(valueCol).as("__rv"))
       .withColumn("__side", lit(0))
     val l = left.withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
       .withColumn("__side", lit(1))
     val unioned = l.unionByName(r.select((Seq(key, tsCol, "__rv", "__side")).map(col): _*),
       allowMissingColumns = true)
-    // right rows (side 0) sort before left rows at equal ts → "≤" semantics
-    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"))
+    // right rows (side 0) sort before left rows at equal ts → "≤"
+    // semantics; __rv last → dup right timestamps resolve to max value
+    val w = Window.partitionBy(key).orderBy(col(tsCol), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(asofPrefix + valueCol, last("__rv", ignoreNulls = true).over(w))
