@@ -103,14 +103,11 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** Deterministic universal-hash parameters (a·x + b) mod P with
-    * a < 2³¹ so a·x never overflows a signed Long for x < 2³².
+  /** Universal-hash parameters — shared with the SQL registry
+    * (graft.functions.Registry) so both surfaces agree per seed.
     */
-  private val HashPrime = 4294967311L // smallest prime > 2^32
-  private def hashParams(k: Int, seed: Long = 42L): Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-  }
+  private def hashParams(k: Int, seed: Long = 42L): (Array[Long], Array[Long]) =
+    graft.functions.Kernels.minhashParams(k, seed)
 
   /** MinHash signatures: (doc_id, sig: array<long>[numHashes]),
     * computed per-doc in one codegen'd pass over the shingle array
@@ -120,7 +117,7 @@ object Dedup {
     * family).
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 128): DataFrame = {
-    val (as, bs) = hashParams(numHashes).unzip
+    val (as, bs) = hashParams(numHashes)
     docs.filter(hasShingles(n))
       .select(col("doc_id"),
         graft.functions.native.minhashSig(shingles(col("text"), n), as, bs).as("sig"))
@@ -135,7 +132,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                       bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val (as, bs) = hashParams(numHashes).unzip
+    val (as, bs) = hashParams(numHashes)
     // single-expression banded keys: the shingling + signature + band
     // hash run ONCE per row inside one kernel call. (A projected
     // signature column would be re-substituted — and the whole MinHash

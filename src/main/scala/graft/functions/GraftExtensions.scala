@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration of the native expressions, so
+  * `spark.sql("SELECT dot_f(a, b) …")` works alongside the Column
+  * API. Two entry points:
+  *
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at
+  *    session build (the SparkSessionExtensions injection path);
+  *  - `Registry.registerAll(spark)` on an already-live session.
+  *
+  * Driver-side parameters (hash counts, seeds) are SQL literal
+  * arguments resolved at plan time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Registry.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object Registry {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[Registry.type].getName, null, name, usage, "")
+
+  /** (name, info, builder) for every SQL-exposed native function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_f", info("dot_f", "dot_f(a, b) - sequential double dot product of two numeric arrays"),
+      (es: Seq[Expression]) => DotProductF(es(0), es(1))),
+    ("word_shingles", info("word_shingles", "word_shingles(text, n) - distinct lowercased word n-gram shingles"),
+      (es: Seq[Expression]) => WordShinglesExpr(es(0), intLit(es(1), "n"))),
+    ("simhash64", info("simhash64", "simhash64(shingles) - 64-bit SimHash fingerprint"),
+      (es: Seq[Expression]) => SimHash64Expr(es(0))),
+    ("minhash_sig", info("minhash_sig", "minhash_sig(shingles, numHashes, seed) - MinHash signature array"),
+      (es: Seq[Expression]) => {
+        val k = intLit(es(1), "numHashes")
+        val seed = if (es.length > 2) intLit(es(2), "seed").toLong else 42L
+        val (as, bs) = Kernels.minhashParams(k, seed)
+        MinHashSigExpr(es(0), as, bs)
+      }))
+
+  /** Register everything on a live session (idempotent). */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

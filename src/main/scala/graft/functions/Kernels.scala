@@ -77,6 +77,16 @@ object Kernels {
   val HashPrime = 4294967311L // smallest prime > 2^32
   private val Fold = 4294967296L // 2^32
 
+  /** Deterministic universal-hash parameters (a·x + b) mod P with
+    * a < 2³¹ so a·x never overflows a signed Long for x < 2³². Shared
+    * by the Column API (Dedup) and the SQL registry so the same seed
+    * yields the same signatures on both surfaces.
+    */
+  def minhashParams(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong)).unzip
+  }
+
   /** MinHash signature over a shingle array: base hash
     * x = xxhash64(s, 42) mod 2^32, then sig(i) = min over shingles of
     * (a(i)·x + b(i)) mod P — the per-doc form of the explode+groupBy

@@ -1,0 +1,40 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registerAll exposes the native functions to spark.sql") {
+    Registry.registerAll(spark)
+    Seq((1L, "the quick brown fox jumps")).toDF("id", "text").createOrReplaceTempView("ext_docs")
+    val sh = spark.sql("SELECT word_shingles(text, 3) AS sh FROM ext_docs").head().getSeq[String](0)
+    assert(sh === Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("ext_vecs")
+    assert(spark.sql("SELECT dot_f(a, b) AS d FROM ext_vecs").head().getDouble(0) === 11.0)
+
+    // SQL minhash_sig(seed default 42) == Column-API signatures
+    val sqlSig = spark.sql("SELECT minhash_sig(word_shingles(text, 3), 16) AS sig FROM ext_docs")
+      .head().getSeq[Long](0)
+    val colSig = graft.ext.Dedup.minhashSignatures(
+      Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text"), n = 3, numHashes = 16)
+      .head().getSeq[Long](1)
+    assert(sqlSig === colSig)
+
+    val fp = spark.sql("SELECT simhash64(word_shingles(text, 3)) AS fp FROM ext_docs").head().getLong(0)
+    val fpCol = graft.ext.Dedup.simhash(Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text"))
+      .head().getLong(1)
+    assert(fp === fpCol)
+  }
+
+  test("non-literal parameter is rejected with a clear error") {
+    Registry.registerAll(spark)
+    Seq((3, "a b c d")).toDF("n", "text").createOrReplaceTempView("ext_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, n) FROM ext_bad").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
