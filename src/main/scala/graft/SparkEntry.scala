@@ -177,6 +177,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
     "q_vocab" -> ((s, dir) => TextAnalysis.vocabulary(Tables.documents(s, dir), topN = 100)),
+    "q_sql_shingles" -> ((s, dir) => {
+      // the SQL surface end-to-end: native function through spark.sql
+      graft.functions.Registry.registerAll(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("SELECT doc_id, CAST(size(word_shingles(text, 3)) AS BIGINT) AS n_shingles FROM documents_v")
+    }),
     "q_train_split" -> ((s, dir) => TextAnalysis.splitAssign(Tables.documents(s, dir))
       .select("doc_id", "lang", "split")),
     "q_fingerprint_rolling" -> ((s, dir) => Tables.documents(s, dir) // xxhash-based: rows-only
@@ -377,6 +383,15 @@ object SparkEntry {
         |    + length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_tokens_bpe
         |FROM documents""".stripMargin,
     "q_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_sql_shingles" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(string_split(lower(text), ' ')) >= 3
+        |       THEN len(list_distinct([string_split(lower(text), ' ')[i] || ' ' ||
+        |                               string_split(lower(text), ' ')[i+1] || ' ' ||
+        |                               string_split(lower(text), ' ')[i+2]
+        |                               for i in range(1, len(string_split(lower(text), ' ')) - 1)]))
+        |       ELSE 0 END::BIGINT AS n_shingles
+        |FROM documents""".stripMargin,
     "q_vocab" ->
       """SELECT token, count(*) AS freq
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
