@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression guards: every hard-won plan property from
+  * round-1 profiling, asserted so a refactor can't silently
+  * reintroduce the shuffle/recompute it removed. Plans are built on
+  * sf0.001 — plan SHAPE is scale-invariant (AQE may still re-pick
+  * join strategies at runtime; these check the static plan).
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+  private def exchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).size
+
+  test("as-of join: exactly one shuffle (union + window, no pre-agg exchange)") {
+    assert(exchanges(plan("q_asof_join")) === 1)
+  }
+
+  test("sessionize: exactly one shuffle (window partitioning reused by the aggregate)") {
+    assert(exchanges(plan("q_sessionize")) === 1)
+  }
+
+  test("top-k per group: partial WindowGroupLimit before the exchange") {
+    val p = plan("q_topk_group")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.indexOf("WindowGroupLimit") < p.lastIndexOf("WindowGroupLimit"), "expect partial+final")
+  }
+
+  test("projection pushdown: 2-column scan reads a 2-column schema") {
+    val p = plan("q_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"), p)
+  }
+
+  test("broadcast dim join: no shuffle of the fact side before the join") {
+    val p = plan("q_join_bcast")
+    assert(p.contains("BroadcastHashJoin"))
+    // only the post-join aggregate shuffles (one exchange)
+    assert(exchanges(p) <= 1, p)
+  }
+
+  test("banded MinHash: the signature kernel appears once per join side, not once per band") {
+    val p = plan("q_dedup_minhash")
+    val n = "minhash_band_keys".r.findAllIn(p).size
+    assert(n <= 4, s"minhash_band_keys evaluated $n times — banding recompute regression:\n${p.take(2000)}")
+  }
+
+  test("ngram dedup: shuffle-hash join, no broadcast of the inverted index") {
+    val p = plan("q_dedup_ngram")
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
+  test("window indicators partition by asset (no single-partition total-order window)") {
+    val p = SparkEntry.queries("q_ma7")(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(asset"), p.take(1500))
+  }
+}
