@@ -55,6 +55,16 @@ object Dedup {
 
   /** (doc_id, shingle, n_shingles) inverted index rows. No emptiness
     * filter needed: explode of an empty array emits no rows.
+    *
+    * With `dfCap` set, shingles present in more than `cap` docs are
+    * dropped AND `n` is recomputed over the surviving shingles, so
+    * downstream Jaccard measures numerator and denominator over the
+    * SAME (capped) shingle universe — i.e. the capped operator is
+    * EXACT Jaccard on capped shingle sets, not an underestimate of
+    * uncapped Jaccard. The over-cap set is tiny by construction
+    * (boilerplate headers/footers), so it broadcasts as an anti-join
+    * — the rare majority never moves; the extra cost of the guard is
+    * the df count plus one doc_id-window recount.
     */
   private def shingleIndex(docs: DataFrame, n: Int, dfCap: Option[Int]): DataFrame = {
     val sh = docs
@@ -63,10 +73,12 @@ object Dedup {
     dfCap match {
       case None => sh
       case Some(cap) =>
-        // drop shingles present in more than `cap` docs — they add
-        // O(df²) candidate pairs and almost no Jaccard signal
-        val rare = sh.groupBy("s").count().filter(col("count") <= cap).select("s")
-        sh.join(broadcast(rare), Seq("s"))
+        val common = sh.groupBy("s").count().filter(col("count") > cap).select("s")
+        val surviving = sh.select("doc_id", "s")
+          .join(broadcast(common), Seq("s"), "left_anti")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        surviving.withColumn("n", count(lit(1)).over(w))
+          .select("doc_id", "n", "s")
     }
   }
 
@@ -148,17 +160,22 @@ object Dedup {
     verifyJaccard(docs, candidates, n, threshold)
   }
 
-  /** Exact Jaccard for a candidate pair set — joins the pair list
-    * back to the shingle index; cost is |candidates|, not n².
+  /** Exact Jaccard for a candidate pair set: the pair list joins the
+    * per-doc shingle ARRAYS (two plain doc_id equi-joins — the corpus
+    * is scanned but never exploded into index rows, unlike the
+    * round-1 shape that paid a corpus-wide explode+shuffle twice),
+    * then one `array_intersect` per pair. `pairs` must appear exactly
+    * once in this tree: every extra reference to an unmaterialized
+    * candidate frame re-executes the whole candidate join upstream.
     */
   private def verifyJaccard(docs: DataFrame, pairs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val ex = shingleIndex(docs, n, None)
-    val ea = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s").as("sa"))
-    val eb = ex.select(col("doc_id").as("b_"), col("n").as("nb"), col("s").as("sb"))
-    pairs.join(ea, "a")
-      .join(eb.hint("shuffle_hash"), col("b") === col("b_") && col("sa") === col("sb"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+    val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    pairs
+      .join(withSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(withSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"), size(col("shb")).cast("long").as("nb"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")

@@ -107,12 +107,13 @@ object Similarity {
     * probes its `nprobe` nearest cells and reranks exactly. Scored
     * work drops to ~nprobe/nlist of the corpus per query. Centroids:
     * deterministic seeds (lowest vec_ids) + one Lloyd refinement pass
-    * (posexplode + per-dimension mean — a single shuffle of
-    * nlist × dim cells). At 100 TB the centroid fit runs on a sample
-    * and the assignment pass stays a single scan.
+    * over a deterministic ~`fitSample × nlist`-row sample (hash-mod on
+    * vec_id, so the fit is partitioning-invariant). The refinement
+    * shuffle is sample × dim cells, never corpus × dim; the full
+    * corpus is only ever scanned once, for assignment.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, fitSample: Int = 50): DataFrame = {
     def normalize(vs: Array[Array[Double]]): Array[Array[Double]] =
       vs.map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
@@ -122,9 +123,14 @@ object Similarity {
       df.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     val seeds = normalize(collectCents(
       corpus.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(nlist)))
+    // content-hash downsample to ~fitSample×nlist rows for the fit —
+    // one cheap count (parquet metadata) sizes the modulus
+    val total = corpus.count()
+    val every = math.max(1L, total / (fitSample.toLong * nlist))
+    val fit = corpus.filter(pmod(hash(col("vec_id")), lit(every)) === 0)
     // one refinement pass: mean of assigned vectors per (cell, dim)
     val probe1 = graft.functions.native.centroidProbes(col("embedding"), seeds, 1)
-    val means = corpus
+    val means = fit
       .select(element_at(probe1, 1).as("cell"), posexplode(col("embedding")))
       .groupBy("cell", "pos").agg(avg("col").as("m"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -151,17 +157,72 @@ object Similarity {
   }
 
   /** All near-duplicate embedding pairs with cosine ≥ threshold
-    * (a < b). Brute force at test scale; at 100 TB, bucket with
-    * `lshTopK`'s signatures first.
+    * (a < b), EXACT, via a blocked self-join.
+    *
+    * An exact threshold join at a low threshold (0.4 ≈ 3σ above the
+    * random-pair cosine on 64-dim data) is intrinsically O(n²)
+    * comparisons — no LSH family separates pairs at the threshold from
+    * the background with recall 1 (measured on this corpus: qualifying
+    * sims start at 0.401). What CAN scale is the *distribution*: rows
+    * are hashed into `blocks` groups and each of the B(B+1)/2 block
+    * pairs becomes one equi-join key, so every unordered row pair
+    * meets exactly once, each task holds ~2n/B rows, and nothing is
+    * broadcast or nested-loop joined. Replication factor is (B+1)/2
+    * per side — pick B ≈ √parallelism at scale.
+    *
+    * For high thresholds (≥0.7) use [[embeddingNearDupsApprox]] — the
+    * banded-signature candidate pass prunes instead of replicating.
     */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    val B = blocks
     val n = embeddings.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("nm"))
-    val a = n.select(col("vec_id").as("a"), col("embedding").as("va"), col("nm").as("na"))
-    val b = n.select(col("vec_id").as("b"), col("embedding").as("vb"), col("nm").as("nb"))
-    a.join(b, col("a") < col("b"))
+      l2norm(col("embedding")).as("nm"), pmod(hash(col("vec_id")), lit(B)).as("blk"))
+    // block pair (i, j), i <= j, packed as i*B + j. A row in block i
+    // goes left for keys (i, i..B-1) and right for keys (0..j, j): a
+    // pair with blocks (x, y), x < y, meets once (left from x, right
+    // from y); same-block pairs meet twice and the a0 < b0 half-filter
+    // keeps one.
+    val left = n.select(col("vec_id").as("a0"), col("embedding").as("va"),
+      col("nm").as("na"), col("blk").as("ba"),
+      explode(sequence(col("blk") * B + col("blk"), col("blk") * B + lit(B - 1))).as("pk"))
+    val right = n.select(col("vec_id").as("b0"), col("embedding").as("vb"),
+      col("nm").as("nb"), col("blk").as("bb"),
+      explode(sequence(col("blk"), col("blk") * B + col("blk"), lit(B))).as("pk"))
+    left.hint("shuffle_hash").join(right, Seq("pk"))
+      .filter(col("a0") =!= col("b0") && (col("ba") =!= col("bb") || col("a0") < col("b0")))
+      .select(least(col("a0"), col("b0")).as("a"), greatest(col("a0"), col("b0")).as("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Approximate near-duplicate pairs via banded sign-bit signatures +
+    * exact verify — the scale path when the threshold is high enough
+    * for LSH to separate (cos ≥ ~0.7). The 64-bit hyperplane signature
+    * is split into `bands`; any equal band makes the pair a candidate
+    * (pigeonhole: every pair within hamming distance `bands − 1` of
+    * each other's signature is guaranteed found), candidates are then
+    * scored exactly and filtered at the true threshold — so precision
+    * is 1.0 and only recall is approximate. Candidate volume is an
+    * equi-join on (band, value): Σ bucket² work, not n².
+    */
+  def embeddingNearDupsApprox(embeddings: DataFrame, threshold: Double,
+                              bands: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(64, dim)
+    val bits = 64 / bands
+    val sigd = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nm"), signature(col("embedding"), planes).as("sig"))
+    // band b value = bits-wide slice of the signature, packed with the
+    // band index so one join key column covers all bands
+    val banded = sigd.select(col("vec_id"), col("embedding"), col("nm"),
+      explode(array((0 until bands).map(bnd =>
+        lit(bnd.toLong << 58) + shiftrightunsigned(col("sig"), bnd * bits) % lit(1L << bits)): _*)).as("bk"))
+    val a = banded.select(col("vec_id").as("a"), col("embedding").as("va"), col("nm").as("na"), col("bk"))
+    val b = banded.select(col("vec_id").as("b"), col("embedding").as("vb"), col("nm").as("nb"), col("bk"))
+    a.hint("shuffle_hash").join(b, Seq("bk"))
+      .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
+      .dropDuplicates("a", "b")
   }
 }

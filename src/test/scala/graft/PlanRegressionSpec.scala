@@ -53,6 +53,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p.take(1500))
   }
 
+  test("embedding near-dup: blocked equi-join — no nested-loop/cartesian, no corpus broadcast") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
+  test("embedding near-dup approx: banded candidates join on bucket key, no nested loop") {
+    val p = plan("q_embed_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
   test("window indicators partition by asset (no single-partition total-order window)") {
     val p = SparkEntry.queries("q_ma7")(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("hashpartitioning(asset"), p.take(1500))

@@ -44,6 +44,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropNearDups(docs, none).count() === 4)
   }
 
+  test("dfCap: capped equals uncapped when no shingle exceeds the cap") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val uncapped = Dedup.ngramJaccardPairs(d, 3, 0.8, dfCap = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(d, 3, 0.8, dfCap = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped.nonEmpty && capped === uncapped)
+  }
+
+  test("dfCap: capped Jaccard is EXACT over the capped shingle universe (boilerplate fixture)") {
+    // every doc shares the boilerplate prefix "std hdr tok" (df = 4 > cap = 2);
+    // capped semantics must measure Jaccard over the remaining shingles only
+    val boiler = "std hdr tok"
+    val d = docs(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler alpha beta gamma epsilon"),
+      (3L, s"$boiler one two three four"),
+      (4L, s"$boiler nine eight seven six"))
+    val out = Dedup.ngramJaccardPairs(d, 3, threshold = 0.3, dfCap = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // "std hdr tok" has df 4 > 2 → dropped from BOTH numerator and denominator.
+    // doc1 capped: {hdr tok alpha, tok alpha beta, alpha beta gamma, beta gamma delta}
+    // doc2 capped: {hdr tok alpha, tok alpha beta, alpha beta gamma, beta gamma epsilon}
+    // inter = 3, union = 5 → jaccard = 0.6 over the capped universe
+    // (the old buggy form gave inter=3, na=nb=5 → 3/7 — an underestimate)
+    assert(out.keySet === Set((1L, 2L)))
+    assert(math.abs(out((1L, 2L)) - 0.6) < 1e-12)
+  }
+
   test("minhash+LSH near-dups match exact Jaccard on sf0.001 documents") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Dedup.ngramJaccardPairs(d, 3, 0.8)

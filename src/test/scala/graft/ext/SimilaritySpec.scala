@@ -60,12 +60,55 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach(r => assert(math.abs(r.getDouble(3) - bySim((r.getLong(0), r.getLong(2)))) < 1e-12))
   }
 
-  test("embeddingNearDups: symmetric-free (a<b) and threshold-respecting") {
+  test("embeddingNearDups: blocked self-join is EXACT — equals driver brute force pair-for-pair") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val out = Similarity.embeddingNearDups(e, 0.4).collect()
-    out.foreach { r =>
-      assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDouble(2) >= 0.4)
+    // driver-side oracle: all pairs ≥ threshold on collected vectors
+    val vecs = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
     }
+    val expected = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.4
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    // exercise a block count that does NOT divide the data evenly
+    val out = Similarity.embeddingNearDups(e, 0.4, blocks = 7).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === pairs.distinct.length, "a pair was emitted twice")
+    assert(pairs.toSet === expected)
+    out.foreach { r => assert(r.getLong(0) < r.getLong(1)); assert(r.getDouble(2) >= 0.4) }
+  }
+
+  test("embeddingNearDupsApprox: precision 1.0 (exact verify) and full recall on clustered data") {
+    // synthetic clustered corpus: 40 base vectors, each with a strong
+    // near-dup (cos ≈ 0.98) + noise singletons — the regime the banded
+    // signature path is FOR (high threshold, real margin)
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def perturb(v: Array[Float], eps: Double): Array[Float] = {
+      val w = v.map(x => x + (rnd.nextGaussian() * eps).toFloat)
+      val n = math.sqrt(w.map(x => x.toDouble * x).sum)
+      w.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = unit(64)
+      Seq((i * 2L, base.toSeq), (i * 2L + 1, perturb(base, 0.02).toSeq))
+    } ++ (1000L until 1100L).map(id => (id, unit(64).toSeq))
+    val e = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Similarity.embeddingNearDupsApprox(e, threshold = 0.9, bands = 8).collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(i => (i * 2L, i * 2L + 1)).toSet
+    // recall: every planted pair found (cos≈0.98 ⇒ tiny hamming ⇒ some band collides)
+    assert((planted -- got).isEmpty, s"missed planted pairs: ${planted -- got}")
+    // precision: every returned pair truly ≥ threshold (exact verify)
+    out.foreach(r => assert(r.getDouble(2) >= 0.9))
   }
 }
