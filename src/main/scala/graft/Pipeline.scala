@@ -56,12 +56,8 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
       col("price"))
     val existing = readOrEmpty(rawPath, Schemas.rawPricesSchema)
     val merged = Warehouse.insertIfAbsent(existing, incoming, Seq("ts_utc", "asset"))
-    // read-modify-write on plain parquet: stage then swap (the read
-    // and the overwrite cannot share a live path)
-    val staged = merged.cache()
-    staged.count()
-    Warehouse.overwrite(staged, rawPath)
-    staged.unpersist()
+    // read-modify-write on a live path: staged write + directory swap
+    Warehouse.rewriteAtomic(merged, rawPath)
   }
 
   /** compute_daily_metrics (dag:164-233): OHLC for the day, upserted
@@ -79,9 +75,8 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
     val existing = readOrEmpty(metricsPath, Schemas.dailyMetricsSchema)
     val merged = Warehouse.upsert(existing, ohlc, keys = Seq("date", "asset"),
       updateCols = Seq("open", "high", "low", "close"))
-    val staged = merged.cache(); staged.count()
-    Warehouse.overwrite(staged.select(Schemas.dailyMetricsSchema.fieldNames.map(col): _*), metricsPath)
-    staged.unpersist()
+    Warehouse.rewriteAtomic(
+      merged.select(Schemas.dailyMetricsSchema.fieldNames.map(col): _*), metricsPath)
   }
 
   /** enrich_indicators (dag:235-297): recompute ret/ma7/ma30/vol30
@@ -94,9 +89,7 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
       spark.read.schema(Schemas.dailyMetricsSchema).parquet(metricsPath), "daily_metrics")
     val enriched = Indicators.enrich(metrics.select("date", "asset", "open", "high", "low", "close"))
       .select(Schemas.dailyMetricsSchema.fieldNames.map(col): _*)
-    val staged = enriched.cache(); staged.count()
-    Warehouse.overwrite(staged, metricsPath)
-    staged.unpersist()
+    Warehouse.rewriteAtomic(enriched, metricsPath)
   }
 
   /** plot_report (dag:300-371): the report DATASET — trailing 60
@@ -160,8 +153,6 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
       .filter(col("asset") === asset)
     val enriched = Indicators.enrich(Ohlc.daily(Warehouse.requireNonEmpty(raw, s"raw_prices $asset")))
       .select(Schemas.dailyMetricsSchema.fieldNames.map(col): _*)
-    val staged = enriched.cache(); staged.count()
-    Warehouse.overwrite(staged, metricsPath)
-    staged.unpersist()
+    Warehouse.rewriteAtomic(enriched, metricsPath)
   }
 }

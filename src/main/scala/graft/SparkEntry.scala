@@ -259,9 +259,19 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
     }),
 
-    // ---- streaming (complete-mode replay equals the batch OHLC) ----
-    "q_stream_ohlc" -> ((s, dir) => graft.streaming.StreamingOhlc.run(
-      s, s"$dir/events.parquet", s"stream_ohlc_${math.abs(dir.hashCode)}")))
+    // ---- streaming (bounded replay through the PRODUCTION sink shape:
+    // update-mode micro-batches upserted into a date-partitioned
+    // warehouse — open-window state lives on executors and each batch
+    // rewrites only the date partitions it touched; no complete-mode
+    // memory sink holding every window on the driver) ----
+    "q_stream_ohlc" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ohlc_" +
+        s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      graft.streaming.StreamingOhlc.runIncremental(
+        s, s"$dir/events.parquet", wh, s"stream_ohlc_${math.abs(dir.hashCode)}")
+        .select(col("date").cast("date").as("date"), col("asset"),
+          col("open"), col("high"), col("low"), col("close"))
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

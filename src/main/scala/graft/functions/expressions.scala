@@ -16,10 +16,39 @@ import org.apache.spark.unsafe.types.UTF8String
   * (a Scala UDF would break the span and pay per-row serialization).
   */
 private object ExprHelpers {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+
   def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** Misuse (e.g. `dot_f(array<int>, ...)` through the SQL registry)
+    * must fail at ANALYSIS time: the kernels read raw unsafe bytes, so
+    * a wrong element type would silently reinterpret garbage, not
+    * throw.
+    */
+  def requireVector(name: String, args: (String, Expression)*): TypeCheckResult = {
+    args.collectFirst {
+      case (arg, e) if !(e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }) =>
+        TypeCheckFailure(s"$name requires ARRAY<FLOAT> or ARRAY<DOUBLE> for $arg, " +
+          s"got ${e.dataType.catalogString}")
+    }.getOrElse(TypeCheckSuccess)
+  }
+
+  private def sameShape(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ae, _), ArrayType(be, _)) => sameShape(ae, be) // nullability-agnostic
+    case _ => a == b
+  }
+
+  def requireType(name: String, expected: DataType, arg: String, e: Expression): TypeCheckResult =
+    if (sameShape(e.dataType, expected)) TypeCheckSuccess
+    else TypeCheckFailure(s"$name requires ${expected.catalogString} for $arg, " +
+      s"got ${e.dataType.catalogString}")
 }
 
 /** Sequential-order double dot product over array<float|double>. */
@@ -27,6 +56,8 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_f"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireVector(prettyName, "left" -> left, "right" -> right)
 
   private def aF = ExprHelpers.isFloatArray(left)
   private def bF = ExprHelpers.isFloatArray(right)
@@ -48,6 +79,8 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
 case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = s"word_shingles_$n"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "text", child)
 
   override def nullSafeEval(t: Any): Any =
     Kernels.wordShingles(t.asInstanceOf[UTF8String], n)
@@ -63,6 +96,8 @@ case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, ArrayType(StringType), "shingles", child)
 
   override def nullSafeEval(sh: Any): Any =
     Kernels.minhashSig(sh.asInstanceOf[ArrayData], as, bs)
@@ -81,6 +116,8 @@ case class MinHashBandKeysExpr(child: Expression, as: Array[Long], bs: Array[Lon
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_keys"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, ArrayType(StringType), "shingles", child)
 
   override def nullSafeEval(sh: Any): Any =
     Kernels.minhashBandKeys(sh.asInstanceOf[ArrayData], as, bs, bands)
@@ -98,6 +135,8 @@ case class MinHashBandKeysExpr(child: Expression, as: Array[Long], bs: Array[Lon
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, ArrayType(StringType), "shingles", child)
 
   override def nullSafeEval(sh: Any): Any =
     Kernels.simhash64(sh.asInstanceOf[ArrayData])
@@ -113,6 +152,8 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireVector(prettyName, "v" -> child)
 
   private def vF = ExprHelpers.isFloatArray(child)
 
@@ -134,6 +175,8 @@ case class LshKeysExpr(child: Expression, planes: Array[Array[Array[Double]]],
                        multiprobe: Boolean) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_keys"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireVector(prettyName, "v" -> child)
 
   private def vF = ExprHelpers.isFloatArray(child)
 
@@ -153,6 +196,8 @@ case class CentroidProbesExpr(child: Expression, cents: Array[Array[Double]], np
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "centroid_probes"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireVector(prettyName, "v" -> child)
 
   private def vF = ExprHelpers.isFloatArray(child)
 

@@ -66,6 +66,30 @@ object Warehouse {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Read-modify-write rewrite of a LIVE path (`df` still reads from
+    * `path`): write to a staging dir first, then swap via directory
+    * rename — the parquet analog of the reference's BEGIN/DELETE/
+    * INSERT transaction (dag_btc_daily.py:287-295). The overwrite-in-
+    * place alternative (cache + count as a barrier) is not durable:
+    * block eviction or executor loss after the old files are deleted
+    * forces recomputation from a half-rewritten source. Rename is
+    * atomic on HDFS/POSIX; on object stores swap the table POINTER
+    * (catalog/manifest) instead — same two-phase shape.
+    */
+  def rewriteAtomic(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path.staging-$tag")
+    val retired = new org.apache.hadoop.fs.Path(s"$path.retired-$tag")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val existed = fs.exists(dest)
+    if (existed) require(fs.rename(dest, retired), s"cannot retire $dest")
+    require(fs.rename(staging, dest), s"cannot promote $staging")
+    if (existed) fs.delete(retired, true)
+  }
+
   /** Date-partitioned warehouse layout (`path/date=YYYY-MM-DD/…`) —
     * the 100 TB form: scans with a date predicate prune to the
     * matching directories (PartitionFilters, no file I/O elsewhere).

@@ -50,7 +50,12 @@ object StreamingSessions {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+              // a late-but-allowed event (watermark delay > gap) can put
+              // end + gap behind the current watermark, and Spark rejects
+              // past timeout timestamps — clamp forward so the session
+              // closes on the next micro-batch instead of killing the query
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.endMs + gapMs, wm + 1))
             }
             closed.result().iterator
           }

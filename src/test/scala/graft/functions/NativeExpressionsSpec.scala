@@ -109,4 +109,26 @@ class NativeExpressionsSpec extends SparkSpec {
     val probes = df.select(native.centroidProbes($"v", cents, 2)).head().getSeq[Int](0)
     assert(probes === Seq(0, 1)) // dot: 0.9, 0.5, -0.9
   }
+
+  test("type misuse fails at ANALYSIS time, not with garbage results (SQL surface)") {
+    // the unsafe kernels reinterpret raw bytes — dot_f(array<int>) once
+    // returned silent garbage; checkInputDataTypes must reject it
+    graft.functions.Registry.registerAll(spark)
+    Seq((1L, Seq(1, 2, 3))).toDF("id", "xs").createOrReplaceTempView("ints_v")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_f(xs, xs) FROM ints_v").collect()
+    }
+    assert(e1.getMessage.contains("ARRAY<FLOAT>"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_shingles(id, 3) FROM ints_v").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("string"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(xs) FROM ints_v").collect()
+    }
+    assert(e3.getMessage.contains("array<string>"), e3.getMessage)
+    // and the valid shapes still pass analysis
+    Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v").createOrReplaceTempView("floats_v")
+    assert(spark.sql("SELECT dot_f(v, v) FROM floats_v").head().getDouble(0) === 5.0)
+  }
 }

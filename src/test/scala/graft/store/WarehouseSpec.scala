@@ -87,4 +87,22 @@ class WarehouseSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("2024-01-02"))
   }
+
+  test("rewriteAtomic: read-modify-write on a LIVE path survives, leaves no staging dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rewrite").toString + "/t"
+    Warehouse.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // merged frame still READS from dir — the exact shape that made
+    // cache+overwrite fragile
+    val existing = spark.read.parquet(dir)
+    val merged = existing.unionByName(Seq((3L, "c")).toDF("id", "v"))
+    Warehouse.rewriteAtomic(merged, dir)
+    val out = spark.read.parquet(dir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(siblings.toSeq === Seq("t"), s"staging/retired dirs left behind: ${siblings.mkString(",")}")
+    // also works when the destination doesn't exist yet
+    val fresh = dir + "2"
+    Warehouse.rewriteAtomic(Seq((9L, "z")).toDF("id", "v"), fresh)
+    assert(spark.read.parquet(fresh).count() === 1)
+  }
 }
