@@ -104,6 +104,24 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
       .select("date", "close", "ma7", "ma30")
       .orderBy("date")
 
+  /** plot_report artifact (dag:300-371 savefig parity, S11): render
+    * the report window to an SVG line chart + S12 existence/size
+    * check. The collect is bounded (≤ 61 rows) by construction.
+    */
+  def renderReport(asset: String, day: String, outPath: String): String = {
+    val rows = reportWindow(asset, day).collect()
+    val dates = rows.map(_.getDate(0).toString).toSeq
+    def series(i: Int) = rows.map(r => if (r.isNullAt(i)) None else Some(r.getDouble(i))).toSeq
+    val svg = graft.report.SvgChart.lineChart(dates,
+      Seq("close" -> series(1), "ma7" -> series(2), "ma30" -> series(3)),
+      title = s"$asset $day close/ma7/ma30 (trailing 60d)")
+    val p = java.nio.file.Paths.get(outPath)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, svg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Checks.requireFileNonEmpty(spark, outPath)
+    outPath
+  }
+
   /** quality_checks (dag:373-443). */
   def qualityChecks(asset: String, day: String, csvPath: String): Unit = {
     Checks.requireFileNonEmpty(spark, csvPath)
@@ -122,7 +140,7 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
     loadRaw(asset, csvPath)
     computeDailyMetrics(asset, day)
     enrichIndicators()
-    reportWindow(asset, day)
+    renderReport(asset, day, s"$root/reports/${asset}_$day.svg")
     qualityChecks(asset, day, csvPath)
   }
 

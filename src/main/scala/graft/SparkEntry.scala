@@ -207,6 +207,30 @@ object SparkEntry {
         col("height").cast("long").as("height"), col("n_bytes"))),
     "q_json_extract" -> ((s, dir) => Tables.events(s, dir)
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    "q_json_struct" -> ((s, dir) => {
+      // schema-full JSON (SURVEY §2.6): from_json with an explicit
+      // STRUCT schema, a MAP<STRING,BIGINT> parse of the same payload,
+      // and a nested-struct round-trip (to_json → from_json → dotted
+      // field access). All codegen'd Jackson parses — no UDFs.
+      val e = Tables.events(s, dir)
+      val nested = from_json(
+        to_json(struct(
+          struct(col("user_id").as("uid"), col("event_type").as("et")).as("who"),
+          col("value").as("v"))),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "who STRUCT<uid: BIGINT, et: STRING>, v DOUBLE"))
+      e.select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"),
+        element_at(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)), "k").as("k_map"),
+        nested.getField("who").getField("uid").as("uid"),
+        nested.getField("who").getField("et").as("et"),
+        nested.getField("v").as("v"))
+    }),
 
     // ---- relational core: joins / set ops / analytics ----
     "q_join_bcast" -> ((s, dir) => Relational.revenueByNation(
@@ -448,6 +472,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "q_json_struct" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map,
+        |  user_id AS uid, event_type AS et, value AS v
+        |FROM events""".stripMargin,
 
     // ---- relational-core oracles ----
     "q_join_salted" ->

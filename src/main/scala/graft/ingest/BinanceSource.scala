@@ -74,8 +74,10 @@ object BinanceSource {
       * numbers/strings, no nesting or escapes).
       */
     private[ingest] def parseKlines(json: String): Seq[Kline] = {
+      // rows may keep stray whitespace/brackets from pretty-printed
+      // payloads — trim BEFORE stripping row brackets
       val rows = json.trim.stripPrefix("[").stripSuffix("]").split("\\],\\s*\\[").toSeq
-        .map(_.stripPrefix("[").stripSuffix("]")).filter(_.nonEmpty)
+        .map(_.trim.stripPrefix("[").stripSuffix("]").trim).filter(_.nonEmpty)
       rows.map { r =>
         val f = r.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
         (f(0).toLong, f(1), f(2), f(3), f(4), f(5), f(6).toLong, f(7), f(8).toLong, f(9), f(10), f(11))

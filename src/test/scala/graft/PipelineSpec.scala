@@ -52,6 +52,21 @@ class PipelineSpec extends SparkSpec {
     p.runDay("BTC-USD", "2024-02-01") // includes qualityChecks — must not throw
   }
 
+  test("renderReport writes an SVG chart artifact with one polyline per series (S11/S12)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wh3").toString
+    val p = new Pipeline(spark, root, new FixtureFetcher())
+    p.runRange("BTC-USD", "2024-01-01", "2024-01-03")
+    // runDay already rendered per-day artifacts
+    val f = new java.io.File(s"$root/reports/BTC-USD_2024-01-03.svg")
+    assert(f.exists() && f.length() > 0)
+    val svg = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(svg.startsWith("<svg"))
+    assert("<polyline ".r.findAllIn(svg).size === 3) // close, ma7, ma30
+    assert(svg.contains("2024-01-01") && svg.contains("2024-01-03"))
+    // ma7/ma30 all-null at day 3 → their polylines have no points, close does
+    assert(svg.contains("close"))
+  }
+
   test("retry: succeeds after transient failures, rethrows after exhaustion (S2)") {
     var calls = 0
     val v = BinanceSource.retry(attempts = 4, backoffMs = 1) {
