@@ -33,9 +33,19 @@ object Bench {
     // attributed to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b profiles a subset in
+    // isolation (the driver never sets it — full suite by default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val best = scala.collection.mutable.LinkedHashMap[String, Double](names.map(_ -> Double.NaN): _*)
     for (pass <- 1 to math.max(passes, 1); name <- names) {
+      // settle the heap OUTSIDE the timed section: a heap-churning
+      // query otherwise inflates whatever runs after it — and with a
+      // deterministic order, the SAME victims every pass, so
+      // min-of-passes can't see through it (measured: q_approx_distinct
+      // 2.4s contaminated vs 0.44s isolated)
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try {

@@ -219,17 +219,23 @@ object SparkEntry {
           col("value").as("v"))),
         org.apache.spark.sql.types.StructType.fromDDL(
           "who STRUCT<uid: BIGINT, et: STRING>, v DOUBLE"))
-      e.select(
-        col("event_id"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
-          .getField("k").as("k"),
-        element_at(from_json(col("props"),
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.LongType)), "k").as("k_map"),
-        nested.getField("who").getField("uid").as("uid"),
-        nested.getField("who").getField("et").as("et"),
-        nested.getField("v").as("v"))
+      // two-level projection: the from_json round-trip is aliased in an
+      // inner Project and field-extracted in the outer one.
+      // CollapseProject keeps them separate (it refuses to duplicate a
+      // non-cheap producer referenced 3×), so the JSON parse runs ONCE
+      // per row instead of once per extracted field.
+      e.select(col("event_id"), col("props"), nested.as("__nested"))
+        .select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"),
+          element_at(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)), "k").as("k_map"),
+          col("__nested").getField("who").getField("uid").as("uid"),
+          col("__nested").getField("who").getField("et").as("et"),
+          col("__nested").getField("v").as("v"))
     }),
 
     // ---- relational core: joins / set ops / analytics ----

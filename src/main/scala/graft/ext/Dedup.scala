@@ -53,51 +53,58 @@ object Dedup {
     */
   private def hasShingles(n: Int): Column = size(split(col("text"), " ")) >= n
 
-  /** (doc_id, shingle, n_shingles) inverted index rows. No emptiness
-    * filter needed: explode of an empty array emits no rows.
+  /** (doc_id, shingle) inverted index rows. No emptiness filter
+    * needed: explode of an empty array emits no rows.
     *
     * With `dfCap` set, shingles present in more than `cap` docs are
-    * dropped AND `n` is recomputed over the surviving shingles, so
-    * downstream Jaccard measures numerator and denominator over the
-    * SAME (capped) shingle universe — i.e. the capped operator is
-    * EXACT Jaccard on capped shingle sets, not an underestimate of
-    * uncapped Jaccard. The over-cap set is tiny by construction
-    * (boilerplate headers/footers), so it broadcasts as an anti-join
-    * — the rare majority never moves; the extra cost of the guard is
-    * the df count plus one doc_id-window recount.
+    * dropped, so downstream Jaccard measures numerator and denominator
+    * over the SAME (capped) shingle universe — i.e. the capped
+    * operator is EXACT Jaccard on capped shingle sets, not an
+    * underestimate of uncapped Jaccard (per-doc sizes are recounted on
+    * the surviving rows by `ngramJaccardPairs`). The over-cap set is
+    * tiny by construction (boilerplate headers/footers), so it
+    * broadcasts as an anti-join — the rare majority never moves.
     */
   private def shingleIndex(docs: DataFrame, n: Int, dfCap: Option[Int]): DataFrame = {
     val sh = docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
     dfCap match {
       case None => sh
       case Some(cap) =>
         val common = sh.groupBy("s").count().filter(col("count") > cap).select("s")
-        val surviving = sh.select("doc_id", "s")
-          .join(broadcast(common), Seq("s"), "left_anti")
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        surviving.withColumn("n", count(lit(1)).over(w))
-          .select("doc_id", "n", "s")
+        sh.join(broadcast(common), Seq("s"), "left_anti")
     }
   }
 
   /** Exact n-gram Jaccard near-dup pairs: (a, b, jaccard) for
     * jaccard ≥ threshold, a < b. Deterministic — no hashing — so it
     * doubles as the verification oracle for the approximate variants.
+    *
+    * Shape: the big shingle-key self-join carries ONLY (doc_id, s) —
+    * per-doc set sizes are aggregated separately (one row per doc,
+    * always far smaller than the index) and joined onto the candidate
+    * PAIR list, not onto the index. Carrying `n` through the index
+    * join (the round-1 form) widened every shuffled row and needed a
+    * window recount under dfCap; this form shuffles the minimum and
+    * never window-sorts. The counts join is left unhinted: AQE
+    * broadcasts it while counts fit (any test scale) and falls back to
+    * a key shuffle of the pair list beyond that.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         dfCap: Option[Int] = None): DataFrame = {
     val ex = shingleIndex(docs, n, dfCap)
-    val a = ex.select(col("doc_id").as("a"), col("n").as("na"), col("s"))
-    val b = ex.select(col("doc_id").as("b"), col("n").as("nb"), col("s"))
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = ex.select(col("doc_id").as("a"), col("s"))
+    val b = ex.select(col("doc_id").as("b"), col("s"))
     // shuffle-hash, not broadcast: the inverted index is large (one row
     // per doc×shingle) and only ever grows with the corpus — measured
     // 2.5× faster than broadcasting it even at sf0.1, and the only
     // join shape that survives 100 TB
     a.hint("shuffle_hash").join(b.hint("shuffle_hash"), a("s") === b("s") && a("a") < b("b"))
       .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")

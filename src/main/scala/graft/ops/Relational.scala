@@ -25,23 +25,28 @@ object Relational {
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      // decimal sum: exact and order-independent, so the result is
-      // reproducible run-to-run and engine-to-engine (a double sum over
-      // a large group drifts in the last ulps with aggregation order)
+      // exact order-independent sum (reproducible run-to-run and
+      // engine-to-engine, unlike a double sum which drifts in the last
+      // ulps with aggregation order) — limb-sum form, not the 5-10x
+      // slower wide-decimal aggregation buffer (see ExactSums)
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        ExactSums.moneySum(col("o_totalprice")).as("revenue"))
 
   /** Fact ⋈ fact: one shuffle each side on the join key, then
     * hash-aggregate — the canonical large-join shape.
     */
   def revenueByPriority(lineitem: DataFrame, orders: DataFrame): DataFrame =
     lineitem.select(col("l_orderkey"),
-        (col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(BigDecimal(1)) - col("l_discount").cast("decimal(4,2)"))).as("rev"))
+        // price*(1-discount) in exact scale-4 integer units: cents
+        // times (100 - discount-cents), all long arithmetic — equals
+        // the decimal product exactly (both inputs are 2dp)
+        (ExactSums.units(col("l_extendedprice"), 2) *
+          (lit(100L) - ExactSums.units(col("l_discount"), 2))).as("rev_units"))
       .join(orders.select("o_orderkey", "o_orderpriority"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(sum("rev").cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .agg(ExactSums.limbSumUnits(col("rev_units"), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
 
   /** Left-semi: customers that have at least one order — no payload
     * from the right side crosses the wire, just existence.
@@ -56,8 +61,8 @@ object Relational {
     */
   def rollupQtyRevenue(lineitem: DataFrame): DataFrame =
     lineitem.rollup("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+      .agg(ExactSums.moneySum(col("l_quantity")).as("sum_qty"),
+        ExactSums.moneySum(col("l_extendedprice")).as("sum_price"),
         count(lit(1)).as("n"))
 
   /** Set difference on a key domain: users who did `a` but never `b`. */

