@@ -1,7 +1,7 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.ops.{Indicators, Normalize, Ohlc, Relational}
+import graft.ext.{Contamination, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
+import graft.ops.{Indicators, Normalize, Ohlc, Relational, TotalOrder}
 import graft.store.Warehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -200,6 +200,30 @@ object SparkEntry {
       .select("doc_id", "lang", "split")),
     "q_fingerprint_rolling" -> ((s, dir) => Tables.documents(s, dir) // xxhash-based: rows-only
       .select(col("doc_id"), TextAnalysis.fingerprintRolling(col("text")).as("fp"))),
+
+    // ---- north-star: corpus hygiene (PII / repetition / decontam /
+    // ordering / packing / normalization / quantization) ----
+    "q_pii" -> ((s, dir) => Pii.audit(Tables.documents(s, dir))
+      .select("doc_id", "n_emails", "n_ipv4", "n_phones", "redacted")),
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetitionFeatures(Tables.documents(s, dir))),
+    "q_decontam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      // every 17th doc plays the held-out benchmark; the rest is corpus
+      Contamination.flag(d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0), n = 5)
+    }),
+    "q_global_index" -> ((s, dir) => TotalOrder.globalIndex(
+      Tables.documents(s, dir).select("doc_id"),
+      // md5 of the id = deterministic corpus shuffle order; id breaks ties
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")))),
+    "q_pack_sequences" -> ((s, dir) => TotalOrder.packSequences(
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq(col("doc_id")), "n_tokens", maxTokens = 512)),
+    "q_normalize_text" -> ((s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("norm_text"))),
+    "q_quantize_embed" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      .select("vec_id", "scale", "sum_q", "n_sat")),
 
     // ---- north-star: multimodal + JSON/array columns ----
     "q_multimodal_meta" -> ((s, dir) => Multimodal.attachPayload(Tables.documents(s, dir))
@@ -469,6 +493,76 @@ object SparkEntry {
         |dropped AS (SELECT DISTINCT b FROM pairs WHERE inter / (na + nb - inter) >= 0.8)
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT b FROM dropped)""".stripMargin,
+    "q_pii" -> (
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${Pii.EmailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '${Pii.Ipv4Re}'))::BIGINT AS n_ipv4,
+         |  len(regexp_extract_all(text, '${Pii.PhoneRe}'))::BIGINT AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Pii.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Pii.Ipv4Re}', '<IP>', 'g'),
+         |    '${Pii.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM documents""".stripMargin),
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |         len(list_distinct(toks))::BIGINT AS n_distinct,
+        |         CASE WHEN len(toks) >= 2
+        |              THEN 1.0 - len(list_distinct([toks[i] || ' ' || toks[i+1]
+        |                                            for i in range(1, len(toks))]))::DOUBLE
+        |                         / (len(toks) - 1)
+        |              ELSE 0.0 END AS dup_bigram_frac
+        |  FROM t),
+        |top AS (SELECT doc_id, max(cnt) AS top_cnt
+        |        FROM (SELECT doc_id, tok, count(*) AS cnt
+        |              FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
+        |        GROUP BY 1)
+        |SELECT b.doc_id, n_tokens, n_distinct,
+        |  1.0 - n_distinct::DOUBLE / n_tokens AS dup_token_frac,
+        |  top_cnt::DOUBLE / n_tokens AS top_token_frac,
+        |  dup_bigram_frac
+        |FROM base b JOIN top USING (doc_id)""".stripMargin,
+    "q_decontam" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                        toks[i+3] || ' ' || toks[i+4]
+        |                        for i in range(1, len(toks) - 3)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 17 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM ex JOIN bench USING (s)
+        |WHERE doc_id % 17 <> 0
+        |GROUP BY 1""".stripMargin,
+    "q_global_index" ->
+      """SELECT doc_id,
+        |  (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)::BIGINT AS idx
+        |FROM documents""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
+    "q_normalize_text" ->
+      """WITH t AS (SELECT doc_id,
+        |             string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(toks, (tk, i) -> i = 1 OR toks[i-1] <> tk), ' ') AS norm_text
+        |FROM t""".stripMargin,
+    "q_quantize_embed" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+        |      FROM (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v)),
+        |q AS (SELECT vec_id, scale, list_transform(e, x -> round(x * scale)::INT) AS qv FROM s)
+        |SELECT vec_id, scale,
+        |  list_sum(list_transform(qv, x -> x::BIGINT))::BIGINT AS sum_q,
+        |  len(list_filter(qv, x -> abs(x) = 127))::BIGINT AS n_sat
+        |FROM q""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,

@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-grams with an evaluation/benchmark set, so they can be dropped
+  * before training (the standard n-gram-overlap decontamination used
+  * for public eval suites).
+  *
+  * Scale shape: the benchmark side is small by nature (eval suites are
+  * thousands of documents, the corpus is billions), so its distinct
+  * shingle set is broadcast and the corpus side never shuffles — one
+  * scan of the corpus, a BroadcastHashJoin against the benchmark
+  * shingles, then a partial-aggregating count per contaminated doc.
+  * The corpus×shingle explode streams through codegen; nothing is
+  * materialized per-document.
+  */
+object Contamination {
+
+  /** (doc_id, shingle) index using the native distinct-shingle kernel. */
+  private def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.native.wordShingles(col("text"), n)).as("s"))
+
+  /** Contaminated corpus docs: (doc_id, n_shared) where n_shared is
+    * the number of distinct `n`-grams the doc shares with any
+    * benchmark doc, for docs sharing at least `minShared`.
+    */
+  def flag(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+           minShared: Int = 1): DataFrame = {
+    val benchShingles = shingleRows(benchmark, n).select("s").distinct()
+    shingleRows(corpus, n)
+      .join(broadcast(benchShingles), Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc by construction
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The clean corpus: drop flagged docs via a broadcast anti-join
+    * (the flagged set is a vanishing fraction of the corpus).
+    */
+  def clean(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+            minShared: Int = 1): DataFrame =
+    corpus.join(broadcast(flag(corpus, benchmark, n, minShared).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+}

@@ -195,6 +195,25 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Per-vector int8 scalar quantization: scale = 127 / max|xᵢ|, then
+    * qᵢ = round(xᵢ·scale) ∈ [−127, 127] — the standard symmetric
+    * scheme vector stores use to cut embedding storage 4× before ANN
+    * indexing. Pure expressions, zero shuffle. Emits the quantized
+    * array plus audit scalars (scale, Σq, saturation count); the
+    * reconstruction-error bound is property-tested (|xᵢ − qᵢ/scale| ≤
+    * 1/(2·scale) by construction).
+    */
+  def quantizeInt8(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val amax = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = when(amax > 0, lit(127.0) / amax).otherwise(lit(1.0))
+    embeddings
+      .withColumn("scale", scale)
+      .withColumn("q", transform(v, x => round(x.cast("double") * col("scale")).cast("int")))
+      .withColumn("sum_q", aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long")))
+      .withColumn("n_sat", size(filter(col("q"), x => abs(x) === 127)).cast("long"))
+  }
+
   /** Approximate near-duplicate pairs via banded sign-bit signatures +
     * exact verify — the scale path when the threshold is high enough
     * for LSH to separate (cos ≥ ~0.7). The 64-bit hyperplane signature

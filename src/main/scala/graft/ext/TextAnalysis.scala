@@ -106,6 +106,49 @@ object TextAnalysis {
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
   }
 
+  /** Gopher-style repetition features: the fraction of duplicated
+    * tokens, the mass of the single most frequent token, and the
+    * fraction of duplicated bigrams. High values mark boilerplate /
+    * degenerate documents a training pipeline should drop.
+    *
+    * Shape: distinct-token and bigram fractions are pure per-row
+    * expressions (zero shuffle); only the top-token count needs an
+    * explode → two-level hash aggregate, which partial-aggregates
+    * map-side so the shuffle carries ≤ one row per (doc, token) per
+    * partition — linear in corpus size, no window sorts.
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val perDoc = df.select(col("doc_id"), explode(t).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
+    df.select(
+        col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        // distinct bigrams via the native shingle kernel; total bigrams = n-1
+        when(size(t) >= 2,
+          lit(1.0) - size(graft.functions.native.wordShingles(col(textCol), 2)).cast("double")
+            / (size(t) - 1).cast("double"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .withColumn("dup_token_frac",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .join(perDoc, Seq("doc_id"))
+      .withColumn("top_token_frac", col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+      .select("doc_id", "n_tokens", "n_distinct", "dup_token_frac", "top_token_frac", "dup_bigram_frac")
+  }
+
+  /** Text normalization for dedup keys / training input: lowercase,
+    * trim, collapse whitespace runs, and drop adjacent repeated tokens
+    * ("the the" → "the" — OCR/scrape stutter). Pure expressions.
+    */
+  def normalizeText(text: Column): Column = {
+    val toks = split(regexp_replace(trim(lower(text)), " +", " "), " ")
+    // keep token i if it differs from token i-1 (filter's index lambda is 0-based)
+    array_join(filter(toks, (t, i) =>
+      (i === 0) || (t =!= element_at(toks, i))), " ")
+  }
+
   /** Content fingerprint (exact dedup key): md5 of the text. */
   def fingerprintMd5(text: Column): Column = md5(text)
 

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Total-order operators that scale: global row index and global
+  * running sum under an explicit sort order, computed WITHOUT the
+  * naive `row_number() OVER (ORDER BY …)` — which Spark plans as a
+  * single-partition window, the canonical 100 TB scale-killer.
+  *
+  * Shape (the textbook two-pass used by RDD.zipWithIndex): range-
+  * partition on the sort key so partition p holds keys below partition
+  * p+1, sort within partitions, run one tiny job to collect per-
+  * partition counts/sums (one row per partition), broadcast the
+  * cumulative offsets, then stream each partition once adding
+  * offset + local position. Both passes read the same range-shuffle
+  * output; nothing ever lands on one node.
+  *
+  * This is the sanctioned RDD case — genuinely per-partition
+  * imperative logic (carrying a running accumulator through a sorted
+  * iterator), which no Catalyst operator expresses without collapsing
+  * to one partition.
+  *
+  * Callers must include a unique tiebreaker in `sortCols`: rows equal
+  * on the full sort key may straddle a range boundary, and the global
+  * order (hence index) of ties would otherwise be partitioner-
+  * dependent.
+  */
+object TotalOrder {
+
+  private def ranged(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+  }
+
+  /** Attach a 0-based global position under `sortCols`' total order. */
+  def globalIndex(df: DataFrame, sortCols: Seq[Column], outCol: String = "idx"): DataFrame = {
+    val sorted = ranged(df, sortCols)
+    val indexed = sorted.rdd.zipWithIndex() // two-pass: count job + offset map
+      .map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
+    df.sparkSession.createDataFrame(indexed,
+      sorted.schema.add(StructField(outCol, LongType, nullable = false)))
+  }
+
+  /** Attach the inclusive global running sum of LONG column `valueCol`
+    * under `sortCols`' total order.
+    */
+  def prefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                outCol: String = "cum"): DataFrame = {
+    val sorted = ranged(df, sortCols)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    // pass 1: per-partition totals — one long per partition to the driver
+    val partials = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(0L)(_ + _) // offsets(p) = total before partition p
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    // pass 2: stream each partition once, accumulating from its offset
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    df.sparkSession.createDataFrame(out,
+      sorted.schema.add(StructField(outCol, LongType, nullable = false)))
+  }
+
+  /** Greedy sequence packing for training: assign each document to a
+    * fixed-token-budget pack, filling packs in `sortCols` order. A
+    * document starting at global token offset t goes to pack
+    * t / maxTokens — deterministic, single extra column, and packs are
+    * contiguous under the given order so a downstream
+    * `repartition(pack_id)` co-locates each pack.
+    * (Documents longer than `maxTokens` still get exactly one pack —
+    * real pipelines split those upstream.)
+    */
+  def packSequences(df: DataFrame, sortCols: Seq[Column], tokenCol: String,
+                    maxTokens: Long, outCol: String = "pack_id"): DataFrame =
+    prefixSum(df, sortCols, tokenCol, "__cum")
+      .withColumn(outCol, floor((col("__cum") - col(tokenCol)).cast("double") / maxTokens.toDouble).cast("long"))
+      .drop("__cum")
+}
