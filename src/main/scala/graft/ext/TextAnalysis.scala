@@ -140,14 +140,13 @@ object TextAnalysis {
 
   /** Text normalization for dedup keys / training input: lowercase,
     * trim, collapse whitespace runs, and drop adjacent repeated tokens
-    * ("the the" → "the" — OCR/scrape stutter). Pure expressions.
+    * ("the the" → "the" — OCR/scrape stutter). Native one-pass kernel
+    * ([[graft.functions.Kernels.normalizeText]]) — the HOF-lambda form
+    * re-evaluated the trim/regex/split subtree per element (interpreted,
+    * no subexpression sharing), i.e. O(tokens²) per document.
     */
-  def normalizeText(text: Column): Column = {
-    val toks = split(regexp_replace(trim(lower(text)), " +", " "), " ")
-    // keep token i if it differs from token i-1 (filter's index lambda is 0-based)
-    array_join(filter(toks, (t, i) =>
-      (i === 0) || (t =!= element_at(toks, i))), " ")
-  }
+  def normalizeText(text: Column): Column =
+    graft.functions.native.normalizeText(text)
 
   /** Content fingerprint (exact dedup key): md5 of the text. */
   def fingerprintMd5(text: Column): Column = md5(text)

@@ -40,6 +40,8 @@ object Registry {
       (es: Seq[Expression]) => DotProductF(es(0), es(1))),
     ("word_shingles", info("word_shingles", "word_shingles(text, n) - distinct lowercased word n-gram shingles"),
       (es: Seq[Expression]) => WordShinglesExpr(es(0), intLit(es(1), "n"))),
+    ("normalize_text", info("normalize_text", "normalize_text(text) - lowercase, trim, collapse spaces, drop adjacent repeated tokens"),
+      (es: Seq[Expression]) => NormalizeTextExpr(es(0))),
     ("simhash64", info("simhash64", "simhash64(shingles) - 64-bit SimHash fingerprint"),
       (es: Seq[Expression]) => SimHash64Expr(es(0))),
     ("minhash_sig", info("minhash_sig", "minhash_sig(shingles, numHashes, seed) - MinHash signature array"),

@@ -74,6 +74,45 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Normalized text: lowercase, trim spaces, collapse space runs, and
+    * drop each token equal to its predecessor — one pass over the
+    * string, reproducing exactly
+    * `array_join(filter(split(regexp_replace(trim(lower(text)), " +", " "), " "),
+    *   (t, i) => i === 0 || t =!= element_at(toks, i)), " ")`.
+    * The HOF form re-evaluated the whole trim/regex/split subtree per
+    * element inside the interpreted lambda (O(tokens²) per doc); this
+    * kernel is O(chars).
+    */
+  def normalizeText(text: UTF8String): UTF8String = {
+    val s = text.toLowerCase.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n && s.charAt(i) == ' ') i += 1
+    // previous token bounds in s (the predecessor in the collapsed token
+    // array — updated for every token, emitted or not, matching filter's
+    // compare-to-toks[i-1] semantics)
+    var prevStart = -1
+    var prevEnd = -1
+    var first = true
+    while (i < n) {
+      var j = i
+      while (j < n && s.charAt(j) != ' ') j += 1
+      val dup = prevStart >= 0 && (j - i == prevEnd - prevStart) &&
+        s.regionMatches(i, s, prevStart, j - i)
+      if (!dup) {
+        if (!first) sb.append(' ')
+        sb.append(s, i, j)
+        first = false
+      }
+      prevStart = i
+      prevEnd = j
+      i = j
+      while (i < n && s.charAt(i) == ' ') i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   val HashPrime = 4294967311L // smallest prime > 2^32
   private val Fold = 4294967296L // 2^32
 

@@ -91,6 +91,22 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Lowercase/trim/collapse-spaces/drop-adjacent-repeat normalization. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "text", child)
+
+  override def nullSafeEval(t: Any): Any =
+    Kernels.normalizeText(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.normalizeText($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature (array<long>[numHashes]) of a shingle array. */
 case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long])
     extends UnaryExpression {
@@ -219,6 +235,7 @@ object native {
 
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def wordShingles(text: Column, n: Int): Column = c(WordShinglesExpr(e(text), n))
+  def normalizeText(text: Column): Column = c(NormalizeTextExpr(e(text)))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     c(MinHashSigExpr(e(shingles), as, bs))
   def minhashBandKeys(shingles: Column, as: Array[Long], bs: Array[Long], bands: Int): Column =

@@ -55,6 +55,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(frac("train") - 0.8) < 0.05 && math.abs(frac("val") - 0.1) < 0.04)
   }
 
+  test("normalizeText kernel matches the HOF reference formulation") {
+    // the pre-kernel formulation, kept here as the semantic oracle
+    def hofNorm(text: org.apache.spark.sql.Column) = {
+      val toks = split(regexp_replace(trim(lower(text)), " +", " "), " ")
+      array_join(filter(toks, (t, i) => (i === 0) || (t =!= element_at(toks, i))), " ")
+    }
+    val docs = Seq(
+      "  The THE the  quick   brown brown fox  ",
+      "a a a",
+      "", "   ", "single",
+      "a b a b a",
+      "tab\there tab\there", // non-space whitespace is part of the token
+      "Ünïcode Ünïcode tokens")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = df.select(TextAnalysis.normalizeText($"text"), hofNorm($"text")).collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+    assert(rows(0).getString(0) === "the quick brown fox")
+    assert(rows(1).getString(0) === "a")
+  }
+
   test("fingerprints: md5 stable, rolling order-aware") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fps = df.select(TextAnalysis.fingerprintMd5($"text"), TextAnalysis.fingerprintRolling($"text"))
