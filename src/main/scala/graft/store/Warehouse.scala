@@ -102,22 +102,47 @@ object Warehouse {
     * partitions untouched — the scalable form of the reference's
     * per-day upsert (dag_btc_daily.py:219-230): a day's restatement
     * rewrites that day's directory, never the table.
+    *
+    * `tasksPerPartition` bounds write parallelism per distinct
+    * partition value: 1 (default) co-locates each partition's rows in
+    * one task → one file per touched dir (right for aggregate-table
+    * sized restatements; without any repartition every task sprinkles
+    * rows into every `date=` dir — tasks×dirs tiny files, measured 140
+    * for 30 dates). For a LARGE or skewed partition, set it so each
+    * task's slice fits executor memory — the salt keeps k tasks per
+    * dir instead of funneling a hot date through one task.
     */
-  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String],
+                          tasksPerPartition: Int = 1): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // co-locate each partition's rows in one task first: without this,
-    // every task sprinkles a few rows into every `date=` dir —
-    // tasks×dirs tiny files (measured 140 files for 30 dates) that
-    // then cost as much again to list+read. One shuffle on the
-    // partition key → one file per touched dir, at any scale.
-    val colocated = df.repartition(partitionCols.map(col): _*)
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(math.max(tasksPerPartition, 1)))
+    val colocated = df.repartition(partitionCols.map(col) :+ salt: _*)
     try colocated.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** Partition-pruned read: `path` filtered to the given `values` of
+    * the partition column, with literals cast to the DISCOVERED
+    * partition type so the predicate is guaranteed to land in
+    * PartitionFilters. (Comparing through a cast on the COLUMN side —
+    * e.g. string literals against an inferred DATE partition column —
+    * silently defeats pruning and rescans the whole table; so can a
+    * join-based semi-filter, where pruning is best-effort DPP.)
+    */
+  def readPartitions(spark: SparkSession, path: String, partitionCol: String,
+                     values: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (values.isEmpty) return df.limit(0)
+    val lits = df.schema(partitionCol).dataType match {
+      case org.apache.spark.sql.types.DateType => values.map(v => lit(java.sql.Date.valueOf(v)))
+      case dt => values.map(v => lit(v).cast(dt))
+    }
+    df.filter(col(partitionCol).isin(lits: _*))
   }
 
   /** S4: headered CSV sink (dag:92-95). `singleFile` gives the

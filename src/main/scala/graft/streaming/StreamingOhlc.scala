@@ -30,6 +30,30 @@ object StreamingOhlc {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Runs `body` with streaming configs tuned for a bounded replay of a
+    * SMALL-cardinality keyed aggregate, restoring prior values after:
+    *
+    *  - shuffle partitions sized to the state's key cardinality
+    *    (assets × days here, ~150 keys — 32 state stores would each
+    *    pay per-batch open/commit I/O to hold a handful of rows; at
+    *    scale this number is sized to keys/executor like any shuffle);
+    *  - no-data micro-batches off: they exist to eagerly evict state
+    *    past the watermark (append-mode finalization); an update-mode
+    *    upsert sink gets nothing from them and pays a full state-store
+    *    round per trigger. Eviction still happens on the next data
+    *    batch in a long-running query.
+    */
+  private def withReplayConfs[T](spark: SparkSession, statePartitions: Int)(body: => T): T = {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.shuffle.partitions" -> conf.getOption("spark.sql.shuffle.partitions"),
+      "spark.sql.streaming.noDataMicroBatches.enabled" ->
+        conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled"))
+    conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body
+    finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   /** readStream → watermark → 1-day tumbling OHLC, shared by both
     * sinks below.
     */
@@ -62,10 +86,15 @@ object StreamingOhlc {
         col("open"), col("high"), col("low"), col("close"))
   }
 
+  /** Dev/profiling hook: the raw windowed stream with no sink wiring. */
+  def debugStream(spark: SparkSession, eventsPath: String, queryName: String): DataFrame =
+    ohlcStream(spark, eventsPath, queryName)
+
   /** Bounded replay into an in-memory table: complete output mode so
     * the memory sink holds every window.
     */
-  def run(spark: SparkSession, eventsPath: String, queryName: String): DataFrame = {
+  def run(spark: SparkSession, eventsPath: String, queryName: String,
+          statePartitions: Int = 8): DataFrame = withReplayConfs(spark, statePartitions) {
     val q = ohlcStream(spark, eventsPath, queryName).writeStream
       .outputMode("complete")
       .format("memory")
@@ -84,7 +113,8 @@ object StreamingOhlc {
     * upsert (dag_btc_daily.py:219-230).
     */
   def runIncremental(spark: SparkSession, eventsPath: String,
-                     warehouseDir: String, queryName: String): DataFrame = {
+                     warehouseDir: String, queryName: String,
+                     statePartitions: Int = 8): DataFrame = withReplayConfs(spark, statePartitions) {
     import graft.store.Warehouse
     val q = ohlcStream(spark, eventsPath, queryName).writeStream
       .outputMode("update")
@@ -93,10 +123,13 @@ object StreamingOhlc {
           val b = batch.withColumn("date", col("date").cast("string"))
           val exists = new java.io.File(warehouseDir).exists()
           val merged = if (exists) {
-            val dates = b.select("date").distinct()
-            val existing = spark.read.parquet(warehouseDir)
+            // the touched dates are bounded (one per restated day) —
+            // collect them and read with a static IN on the partition
+            // column: guaranteed PartitionFilters, unlike a semi-join
+            // whose partition pruning is best-effort DPP
+            val dates = b.select("date").distinct().collect().map(_.getString(0)).toIndexedSeq
+            val existing = Warehouse.readPartitions(spark, warehouseDir, "date", dates)
               .withColumn("date", col("date").cast("string"))
-              .join(broadcast(dates), Seq("date"), "left_semi") // only touched partitions
             Warehouse.upsert(existing, b, keys = Seq("date", "asset"),
               updateCols = Seq("open", "high", "low", "close"))
           } else b

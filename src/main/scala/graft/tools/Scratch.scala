@@ -25,11 +25,26 @@ object Scratch {
     val dir = "/root/testdata/sf0.1"
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    for (rep <- 1 to 4) {
-      for (q <- Seq("q_rollup", "q_join_big", "q_join_bcast", "q_dedup_ngram",
-                    "q_dedup_keep", "q_json_struct", "q_stream_ohlc")) {
-        time(q)(noop(SparkEntry.queries(q)(spark, dir)))
+    for (rep <- 1 to 3) {
+      // batch equivalent of the stream aggregation, for the floor
+      time("batch_ohlc_equiv") {
+        noop(Tables.events(spark, dir)
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type").as("asset"))
+          .agg(min_by(col("value"), col("ts")).as("open"), max(col("value")).as("high"),
+            min(col("value")).as("low"), max_by(col("value"), col("ts")).as("close")))
       }
+      // streaming agg only, counting micro-batches, no warehouse
+      time("stream_agg_noop_sink") {
+        val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+        val q = graft.streaming.StreamingOhlc.debugStream(spark, s"$dir/events.parquet", s"dbg_$rep")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            batches.incrementAndGet(); b.write.mode("overwrite").format("noop").save(); ()
+          }.start()
+        q.processAllAvailable(); q.stop()
+        println(s"[scratch]   micro-batches: ${batches.get()}")
+      }
+      time("q_stream_ohlc")(noop(SparkEntry.queries("q_stream_ohlc")(spark, dir)))
     }
     spark.stop()
   }

@@ -66,6 +66,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p.take(1500))
   }
 
+  test("readPartitions lands the IN-filter in PartitionFilters (typed literals, no column cast)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    import org.apache.spark.sql.functions._
+    spark.range(100)
+      .withColumn("date", date_add(lit(java.sql.Date.valueOf("2024-01-01")), (col("id") % 5).cast("int")))
+      .write.mode("overwrite").partitionBy("date").parquet(tmp)
+    val pruned = graft.store.Warehouse.readPartitions(spark, tmp, "date", Seq("2024-01-02", "2024-01-04"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse(scan)
+    assert(pf.contains("date") && (pf.contains("IN") || pf.contains(" in(")), scan.take(2000))
+    assert(pruned.count() === 40)
+  }
+
   test("window indicators partition by asset (no single-partition total-order window)") {
     val p = SparkEntry.queries("q_ma7")(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("hashpartitioning(asset"), p.take(1500))
