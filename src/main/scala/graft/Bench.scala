@@ -25,6 +25,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Raise the object-hash-agg fallback threshold (default 128
+      // in-memory keys!) so collect_list/collect_set aggregations — the
+      // posting-list build in the dedup family — stay hash-based
+      // instead of degenerating to a per-partition sort (measured
+      // −0.5 s on q_dedup_ngram at sf0.1). Memory-safe here because
+      // posting lists are bounded by dfCap; the sort fallback remains
+      // available past 1M groups per task.
+      // NOTE (r4): byte-based AQE coalesce tuning (parallelismFirst=
+      // false + small advisory size) was measured and REJECTED: it
+      // cut 10-20% off tiny 150-row shuffles but cost 2x on the
+      // CPU-heavy explode/agg queries whose shuffles are small in
+      // bytes but large in work (36.4 s vs 30.9 s full-suite).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJAGG", "1000000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

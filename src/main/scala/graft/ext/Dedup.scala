@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * Design for 100 TB:
   *  - exact dedup is a hash aggregate (map-side partial, one shuffle
   *    on the content key, never a sort);
-  *  - Jaccard runs on an inverted shingle index (explode + self-join
-  *    on shingle) so cost is Σ df², not n²; `dfCap` drops
-  *    ultra-common shingles, the standard guard against quadratic
-  *    blowup on boilerplate shingles at scale;
+  *  - Jaccard runs on per-shingle posting lists (one explode + one
+  *    grouping shuffle, pairs generated inside each list) so cost is
+  *    Σ df², not n²; `dfCap` drops ultra-common shingles, the
+  *    standard guard against quadratic blowup on boilerplate
+  *    shingles at scale;
   *  - MinHash/LSH replaces the inverted-index join with banded
   *    signature buckets: candidates are only generated inside a
   *    bucket, then verified with exact Jaccard — the linear-ish scale
@@ -53,58 +54,50 @@ object Dedup {
     */
   private def hasShingles(n: Int): Column = size(split(col("text"), " ")) >= n
 
-  /** (doc_id, shingle) inverted index rows. No emptiness filter
-    * needed: explode of an empty array emits no rows.
-    *
-    * With `dfCap` set, shingles present in more than `cap` docs are
-    * dropped, so downstream Jaccard measures numerator and denominator
-    * over the SAME (capped) shingle universe — i.e. the capped
-    * operator is EXACT Jaccard on capped shingle sets, not an
-    * underestimate of uncapped Jaccard (per-doc sizes are recounted on
-    * the surviving rows by `ngramJaccardPairs`). The over-cap set is
-    * tiny by construction (boilerplate headers/footers), so it
-    * broadcasts as an anti-join — the rare majority never moves.
-    */
-  private def shingleIndex(docs: DataFrame, n: Int, dfCap: Option[Int]): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-    dfCap match {
-      case None => sh
-      case Some(cap) =>
-        val common = sh.groupBy("s").count().filter(col("count") > cap).select("s")
-        sh.join(broadcast(common), Seq("s"), "left_anti")
-    }
-  }
-
   /** Exact n-gram Jaccard near-dup pairs: (a, b, jaccard) for
     * jaccard ≥ threshold, a < b. Deterministic — no hashing — so it
     * doubles as the verification oracle for the approximate variants.
     *
-    * Shape: the big shingle-key self-join carries ONLY (doc_id, s) —
-    * per-doc set sizes are aggregated separately (one row per doc,
-    * always far smaller than the index) and joined onto the candidate
-    * PAIR list, not onto the index. Carrying `n` through the index
-    * join (the round-1 form) widened every shuffled row and needed a
-    * window recount under dfCap; this form shuffles the minimum and
-    * never window-sorts. The counts join is left unhinted: AQE
-    * broadcasts it while counts fit (any test scale) and falls back to
-    * a key shuffle of the pair list beyond that.
+    * Shape (group-pairs, round-4): ONE corpus scan projecting each
+    * doc's shingle array and its size, ONE explode into (doc_id, n, s)
+    * rows, ONE shuffle grouping them into per-shingle posting lists of
+    * (doc_id, n), then each list emits its (a < b) pairs — carrying
+    * both set sizes — via a codegen kernel
+    * ([[graft.functions.PostingPairsExpr]]), and pairs hash-aggregate
+    * straight into (inter, na, nb). Zero joins. This replaces the
+    * round-1..3 inverted-index SELF-join, which evaluated the
+    * unmaterialized index once per join side (plus once for per-doc
+    * counts, plus a fourth corpus scan for the df filter under dfCap)
+    * — the corpus was exploded and shuffled up to 4×; now exactly
+    * once. Total pair work is identical (Σ df² over shingles) but
+    * arrives without any join, and the 8-byte size rider on each index
+    * row is what buys the counts join away.
+    *
+    * `dfCap` drops posting lists longer than `cap` — the standard
+    * guard against quadratic pair blowup on boilerplate shingles, and
+    * in this shape it is FREE (a filter on the already-grouped list,
+    * no separate counting pass or anti-join) and also bounds the
+    * per-group kernel output, so a hot shingle cannot OOM a reduce
+    * task at 100 TB. Capped semantics (changed in round 4, was
+    * capped-universe-exact): the numerator is computed over the capped
+    * shingle universe while denominators stay full-set, so the
+    * reported jaccard is a LOWER BOUND of true jaccard for
+    * boilerplate-heavy docs — conservative by construction: shared
+    * boilerplate can never inflate similarity into a false near-dup,
+    * and docs whose overlap is ONLY boilerplate stop pairing at all.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         dfCap: Option[Int] = None): DataFrame = {
-    val ex = shingleIndex(docs, n, dfCap)
-    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = ex.select(col("doc_id").as("a"), col("s"))
-    val b = ex.select(col("doc_id").as("b"), col("s"))
-    // shuffle-hash, not broadcast: the inverted index is large (one row
-    // per doc×shingle) and only ever grows with the corpus — measured
-    // 2.5× faster than broadcasting it even at sf0.1, and the only
-    // join shape that survives 100 TB
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), a("s") === b("s") && a("a") < b("b"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
-      .join(counts.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(counts.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+    val postings = docs
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("s"))
+      .groupBy("s").agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val capped = dfCap.fold(postings)(cap => postings.filter(size(col("ids")) <= cap))
+    capped
+      .select(explode(graft.functions.native.postingPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("inter"), min(col("p.na")).as("na"), min(col("p.nb")).as("nb"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")

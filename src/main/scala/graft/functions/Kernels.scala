@@ -184,6 +184,52 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** All ordered pairs (a < b) of a posting list of (doc_id, n)
+    * structs, emitted as (a, na, b, nb) struct rows — the per-bucket
+    * pair generator for the group-pairs near-dup shape (one explode of
+    * a co-grouped posting list replaces the inverted-index self-join,
+    * and carrying each doc's set size through eliminates the per-doc
+    * counts join entirely). Sorts by doc_id so a < b holds regardless
+    * of the upstream collect_list order; output size is m(m-1)/2, so
+    * callers MUST bound m (Dedup's dfCap) before exploding this at
+    * scale.
+    */
+  def postingPairs(ids: ArrayData): ArrayData = {
+    val m = ids.numElements()
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val id = new Array[Long](m)
+    val n = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val row = ids.getStruct(i, 2)
+      id(i) = row.getLong(0)
+      n(i) = row.getLong(1)
+      i += 1
+    }
+    // insertion sort by id, carrying n (m is small — bounded by dfCap)
+    i = 1
+    while (i < m) {
+      val ki = id(i); val kn = n(i)
+      var j = i - 1
+      while (j >= 0 && id(j) > ki) { id(j + 1) = id(j); n(j + 1) = n(j); j -= 1 }
+      id(j + 1) = ki; n(j + 1) = kn
+      i += 1
+    }
+    val out = new Array[Any](m * (m - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(id(i), n(i), id(j), n(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over a shingle array: bit b of the fingerprint is
     * set iff Σ over shingles of ±1 (sign of hash bit b) is positive.
     */

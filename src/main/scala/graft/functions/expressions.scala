@@ -42,6 +42,10 @@ private object ExprHelpers {
 
   private def sameShape(a: DataType, b: DataType): Boolean = (a, b) match {
     case (ArrayType(ae, _), ArrayType(be, _)) => sameShape(ae, be) // nullability-agnostic
+    case (StructType(af), StructType(bf)) =>
+      af.length == bf.length && af.zip(bf).forall { case (x, y) =>
+        x.name == y.name && sameShape(x.dataType, y.dataType)
+      }
     case _ => a == b
   }
 
@@ -147,6 +151,30 @@ case class MinHashBandKeysExpr(child: Expression, as: Array[Long], bs: Array[Lon
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** All (a < b) pairs of a posting list of (doc_id, n) structs, as
+  * array<struct<a,na,b,nb>> — see [[Kernels.postingPairs]].
+  */
+case class PostingPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("na", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("nb", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "posting_pairs"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName,
+      ArrayType(StructType(Seq(StructField("doc_id", LongType),
+        StructField("n", LongType)))), "postings", child)
+
+  override def nullSafeEval(ids: Any): Any =
+    Kernels.postingPairs(ids.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.postingPairs($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash fingerprint of a shingle array. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -240,6 +268,7 @@ object native {
     c(MinHashSigExpr(e(shingles), as, bs))
   def minhashBandKeys(shingles: Column, as: Array[Long], bs: Array[Long], bands: Int): Column =
     c(MinHashBandKeysExpr(e(shingles), as, bs, bands))
+  def postingPairs(postings: Column): Column = c(PostingPairsExpr(e(postings)))
   def simhash64(shingles: Column): Column = c(SimHash64Expr(e(shingles)))
   def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
     c(HyperplaneSigExpr(e(v), planes))

@@ -48,9 +48,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert(n <= 4, s"minhash_band_keys evaluated $n times — banding recompute regression:\n${p.take(2000)}")
   }
 
-  test("ngram dedup: shuffle-hash join, no broadcast of the inverted index") {
+  test("ngram dedup: group-pairs shape — one corpus scan, one explode each side, ZERO joins") {
     val p = plan("q_dedup_ngram")
-    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    // exactly two Generates: the corpus shingle explode and the
+    // per-posting-list pair explode (which runs on grouped rows, not
+    // the corpus); a third means the index is being rebuilt somewhere
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates === 2, s"expected 2 Generate explode nodes, got $generates:\n${p.take(2000)}")
+    // sizes ride the posting lists, so no counts join — no join at all
+    assert(!p.contains("Join"), s"group-pairs shape must be join-free:\n${p.take(2000)}")
+    // one corpus scan: the documents parquet is read exactly once
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 corpus scan, got $scans:\n${p.take(2000)}")
   }
 
   test("embedding near-dup: blocked equi-join — no nested-loop/cartesian, no corpus broadcast") {

@@ -53,9 +53,11 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.nonEmpty && capped === uncapped)
   }
 
-  test("dfCap: capped Jaccard is EXACT over the capped shingle universe (boilerplate fixture)") {
+  test("dfCap: capped Jaccard is a conservative lower bound (boilerplate fixture)") {
     // every doc shares the boilerplate prefix "std hdr tok" (df = 4 > cap = 2);
-    // capped semantics must measure Jaccard over the remaining shingles only
+    // capped semantics (round 4): numerator over the capped universe,
+    // denominators full-set → a LOWER BOUND of true jaccard, so shared
+    // boilerplate can never inflate similarity into a false near-dup
     val boiler = "std hdr tok"
     val d = docs(
       (1L, s"$boiler alpha beta gamma delta"),
@@ -64,13 +66,18 @@ class DedupSpec extends SparkSpec {
       (4L, s"$boiler nine eight seven six"))
     val out = Dedup.ngramJaccardPairs(d, 3, threshold = 0.3, dfCap = Some(2))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // "std hdr tok" has df 4 > 2 → dropped from BOTH numerator and denominator.
-    // doc1 capped: {hdr tok alpha, tok alpha beta, alpha beta gamma, beta gamma delta}
-    // doc2 capped: {hdr tok alpha, tok alpha beta, alpha beta gamma, beta gamma epsilon}
-    // inter = 3, union = 5 → jaccard = 0.6 over the capped universe
-    // (the old buggy form gave inter=3, na=nb=5 → 3/7 — an underestimate)
+    // "std hdr tok" (df 4 > 2) is dropped from the numerator only:
+    // doc1 ∩ doc2 capped = {hdr tok alpha, tok alpha beta, alpha beta gamma}
+    // inter = 3, na = nb = 5 (full) → jaccard = 3/7, below the true
+    // uncapped 4/6 — a lower bound
     assert(out.keySet === Set((1L, 2L)))
-    assert(math.abs(out((1L, 2L)) - 0.6) < 1e-12)
+    assert(math.abs(out((1L, 2L)) - 3.0 / 7.0) < 1e-12)
+    // docs 3/4 overlap ONLY in boilerplate → they must not pair at all
+    assert(!out.keySet.exists(p => p._1 >= 3L || p._2 >= 3L))
+    // and the bound property itself: capped ≤ uncapped for the same pair
+    val uncapped = Dedup.ngramJaccardPairs(d, 3, threshold = 0.3, dfCap = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) <= uncapped((1L, 2L)))
   }
 
   test("minhash+LSH near-dups match exact Jaccard on sf0.001 documents") {
