@@ -243,20 +243,24 @@ object SparkEntry {
           col("value").as("v"))),
         org.apache.spark.sql.types.StructType.fromDDL(
           "who STRUCT<uid: BIGINT, et: STRING>, v DOUBLE"))
-      // two-level projection: the from_json round-trip is aliased in an
-      // inner Project and field-extracted in the outer one.
-      // CollapseProject keeps them separate (it refuses to duplicate a
-      // non-cheap producer referenced 3×), so the JSON parse runs ONCE
-      // per row instead of once per extracted field.
-      e.select(col("event_id"), col("props"), nested.as("__nested"))
+      // two-level projection: each from_json is aliased in an inner
+      // Project and field-extracted in the outer one. CollapseProject
+      // keeps them separate (it refuses to duplicate a non-cheap
+      // producer referenced more than once), so each JSON payload is
+      // parsed ONCE per row — `props` through a single MAP parse that
+      // feeds both k and k_map (was two independent parses, struct +
+      // map, of the same payload: the largest avoidable line item in
+      // BENCH_r03 after q_stream_ohlc), and the nested round-trip
+      // through a single STRUCT parse feeding uid/et/v.
+      val propsMap = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))
+      e.select(col("event_id"), propsMap.as("__props"), nested.as("__nested"))
         .select(
           col("event_id"),
-          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
-            .getField("k").as("k"),
-          element_at(from_json(col("props"),
-            org.apache.spark.sql.types.MapType(
-              org.apache.spark.sql.types.StringType,
-              org.apache.spark.sql.types.LongType)), "k").as("k_map"),
+          element_at(col("__props"), "k").as("k"),
+          element_at(col("__props"), "k").as("k_map"),
           col("__nested").getField("who").getField("uid").as("uid"),
           col("__nested").getField("who").getField("et").as("et"),
           col("__nested").getField("v").as("v"))

@@ -131,15 +131,18 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Pivot: one column per event_type, decimal-exact value sums (cast
-    * to double at the edge). Value list is declared, not discovered —
-    * at scale a discovery pass first (`.distinct.collect`) or a fixed
-    * vocabulary avoids a blind two-pass pivot.
+  /** Pivot: one column per event_type, exact order-independent value
+    * sums via the limb-sum form (ExactSums) — NOT
+    * `sum(cast(decimal(18,6)))`, whose precision-28 BigDecimal buffer
+    * would be allocated once per pivot column per group (measured 2×
+    * on q_pivot). Value list is declared, not discovered — at scale a
+    * discovery pass first (`.distinct.collect`) or a fixed vocabulary
+    * avoids a blind two-pass pivot.
     */
   def pivotUserValues(events: DataFrame, types: Seq[String]): DataFrame =
     events.groupBy("user_id")
       .pivot("event_type", types)
-      .agg(sum(col("value").cast("decimal(18,6)")).cast("double"))
+      .agg(ExactSums.moneySum(col("value"), 6))
 
   /** CUBE over two dimensions — counts per (type, day), per type,
     * per day, and grand total in one Expand + hash-aggregate pass.

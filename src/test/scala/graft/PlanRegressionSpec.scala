@@ -75,6 +75,12 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p.take(1500))
   }
 
+  test("json struct: each payload parsed once — two from_json total (props map + nested)") {
+    val p = plan("q_json_struct")
+    val parses = "from_json".r.findAllIn(p).size
+    assert(parses === 2, s"expected 2 from_json (one per payload), got $parses:\n${p.take(2000)}")
+  }
+
   test("readPartitions lands the IN-filter in PartitionFilters (typed literals, no column cast)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
     import org.apache.spark.sql.functions._
