@@ -117,8 +117,16 @@ object Warehouse {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(math.max(tasksPerPartition, 1)))
-    val colocated = df.repartition(partitionCols.map(col) :+ salt: _*)
+    // salt only when spreading a partition over >1 task: with k=1 the
+    // pmod is always 0 but would still hash every column of every row
+    // on the write path (and xxhash64 rejects un-hashable types like
+    // MapType that a plain repartition handles fine)
+    val colocated =
+      if (tasksPerPartition <= 1) df.repartition(partitionCols.map(col): _*)
+      else {
+        val salt = pmod(xxhash64(df.columns.map(col): _*), lit(tasksPerPartition))
+        df.repartition(partitionCols.map(col) :+ salt: _*)
+      }
     try colocated.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
@@ -137,9 +145,17 @@ object Warehouse {
   def readPartitions(spark: SparkSession, path: String, partitionCol: String,
                      values: Seq[String]): DataFrame = {
     val df = spark.read.parquet(path)
+    require(df.schema.fieldNames.contains(partitionCol),
+      s"readPartitions($path): partition column '$partitionCol' not found " +
+        s"(columns: ${df.schema.fieldNames.mkString(", ")})")
     if (values.isEmpty) return df.limit(0)
     val lits = df.schema(partitionCol).dataType match {
-      case org.apache.spark.sql.types.DateType => values.map(v => lit(java.sql.Date.valueOf(v)))
+      case org.apache.spark.sql.types.DateType => values.map { v =>
+        require(v.matches("""\d{4}-\d{2}-\d{2}"""),
+          s"readPartitions($path): value '$v' for DATE partition column " +
+            s"'$partitionCol' must be yyyy-MM-dd")
+        lit(java.sql.Date.valueOf(v))
+      }
       case dt => values.map(v => lit(v).cast(dt))
     }
     df.filter(col(partitionCol).isin(lits: _*))

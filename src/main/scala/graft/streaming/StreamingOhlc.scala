@@ -30,8 +30,9 @@ object StreamingOhlc {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Runs `body` with streaming configs tuned for a bounded replay of a
-    * SMALL-cardinality keyed aggregate, restoring prior values after:
+  /** An ISOLATED session (same SparkContext, own conf) with streaming
+    * configs tuned for a bounded replay of a SMALL-cardinality keyed
+    * aggregate:
     *
     *  - shuffle partitions sized to the state's key cardinality
     *    (assets × days here, ~150 keys — 32 state stores would each
@@ -42,16 +43,17 @@ object StreamingOhlc {
     *    upsert sink gets nothing from them and pays a full state-store
     *    round per trigger. Eviction still happens on the next data
     *    batch in a long-running query.
+    *
+    * newSession (not set-then-restore on the caller's session, the
+    * round-3 form): a conf mutation on a shared session silently
+    * applies to every query running concurrently on it — the same
+    * cross-query contamination class the bench harness had to fix.
     */
-  private def withReplayConfs[T](spark: SparkSession, statePartitions: Int)(body: => T): T = {
-    val conf = spark.conf
-    val saved = Seq("spark.sql.shuffle.partitions" -> conf.getOption("spark.sql.shuffle.partitions"),
-      "spark.sql.streaming.noDataMicroBatches.enabled" ->
-        conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled"))
-    conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try body
-    finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  private def replaySession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s
   }
 
   /** readStream → watermark → 1-day tumbling OHLC, shared by both
@@ -94,15 +96,16 @@ object StreamingOhlc {
     * the memory sink holds every window.
     */
   def run(spark: SparkSession, eventsPath: String, queryName: String,
-          statePartitions: Int = 8): DataFrame = withReplayConfs(spark, statePartitions) {
-    val q = ohlcStream(spark, eventsPath, queryName).writeStream
+          statePartitions: Int = 8): DataFrame = {
+    val s = replaySession(spark, statePartitions)
+    val q = ohlcStream(s, eventsPath, queryName).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(queryName)
+    s.table(queryName)
   }
 
   /** Production sink shape: update-mode micro-batches merged into a
@@ -114,9 +117,10 @@ object StreamingOhlc {
     */
   def runIncremental(spark: SparkSession, eventsPath: String,
                      warehouseDir: String, queryName: String,
-                     statePartitions: Int = 8): DataFrame = withReplayConfs(spark, statePartitions) {
+                     statePartitions: Int = 8): DataFrame = {
     import graft.store.Warehouse
-    val q = ohlcStream(spark, eventsPath, queryName).writeStream
+    val s = replaySession(spark, statePartitions)
+    val q = ohlcStream(s, eventsPath, queryName).writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
@@ -128,7 +132,7 @@ object StreamingOhlc {
             // column: guaranteed PartitionFilters, unlike a semi-join
             // whose partition pruning is best-effort DPP
             val dates = b.select("date").distinct().collect().map(_.getString(0)).toIndexedSeq
-            val existing = Warehouse.readPartitions(spark, warehouseDir, "date", dates)
+            val existing = Warehouse.readPartitions(s, warehouseDir, "date", dates)
               .withColumn("date", col("date").cast("string"))
             Warehouse.upsert(existing, b, keys = Seq("date", "asset"),
               updateCols = Seq("open", "high", "low", "close"))
