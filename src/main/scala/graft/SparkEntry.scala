@@ -153,7 +153,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.8, dfCap = Some(100))),
     "q_dedup_minhash" -> ((s, dir) => // approximate (hash-based): rows-only check
       Dedup.minhashNearDups(Tables.documents(s, dir), n = 3, numHashes = 128, bands = 16, threshold = 0.8)),
-    "q_dedup_simhash" -> ((s, dir) => // approximate (hash-based): rows-only check
+    "q_dedup_simhash" -> ((s, dir) => // hash-based: rows-only vs oracle; pair set
+      // proven == brute-force hamming<=3 on sf0.001 (DedupSpec)
       Dedup.simhashNearDups(Tables.documents(s, dir), n = 3, maxHamming = 3)),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.4)),
@@ -199,6 +200,7 @@ object SparkEntry {
     "q_train_split" -> ((s, dir) => TextAnalysis.splitAssign(Tables.documents(s, dir))
       .select("doc_id", "lang", "split")),
     "q_fingerprint_rolling" -> ((s, dir) => Tables.documents(s, dir) // xxhash-based: rows-only
+      // vs oracle; matches a driver-side reimplementation (TextAnalysisSpec)
       .select(col("doc_id"), TextAnalysis.fingerprintRolling(col("text")).as("fp"))),
 
     // ---- north-star: corpus hygiene (PII / repetition / decontam /
@@ -276,7 +278,8 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Relational.rollupQtyRevenue(Tables.lineitem(s, dir))),
     "q_set_except" -> ((s, dir) => Relational.usersExcept(Tables.events(s, dir), "click", "purchase")),
     "q_count_distinct" -> ((s, dir) => Relational.distinctUsers(Tables.events(s, dir))),
-    "q_approx_distinct" -> ((s, dir) => // HLL sketch: rows-only check
+    "q_approx_distinct" -> ((s, dir) => // HLL sketch: rows-only vs oracle;
+      // asserted within 3·rsd of exact per group (RelationalSpec)
       Relational.approxDistinctUsers(Tables.events(s, dir))),
     "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(Tables.events(s, dir))),
     "q_topk_group" -> ((s, dir) => Relational.topKPerGroup(Tables.events(s, dir), k = 5)),

@@ -106,6 +106,24 @@ class DedupSpec extends SparkSpec {
     assert(near.length === 1 && near.head.getInt(2) === 0)
   }
 
+  test("simhash near-dup pair set equals brute-force hamming<=3 on sf0.001 documents") {
+    // teeth for the oracle-less q_dedup_simhash: the pigeonhole chunk
+    // join generates a candidate SUPERSET of all hamming<=k pairs and
+    // verifies each with bit_count, so the result must EQUAL the all-
+    // pairs scan over the same fingerprints — any chunking bug (wrong
+    // widths, missed chunk) loses pairs and fails this
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fps = Dedup.simhash(d, 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDups(d, 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+    assert(got === brute)
+  }
+
   test("simhash near-dups: small edit stays within hamming 3, unrelated text does not") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val edited = ((1 to 39).map(i => s"tok$i") :+ "tokX").mkString(" ")

@@ -75,6 +75,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1).getString(0) === "a")
   }
 
+  test("rolling fingerprint matches an independent driver-side reimplementation") {
+    // the oracle-less query key (q_fingerprint_rolling) gets its teeth
+    // here: the same fold — fp = (acc*31 + (xxh64(tok) mod M)) mod M
+    // over split(lower(text), " ") — written directly against the
+    // public XXH64 primitive, no Column API involved
+    val M = 2147483647L
+    def expected(text: String): Long =
+      text.toLowerCase.split(" ", -1).foldLeft(0L) { (acc, w) =>
+        val h = java.lang.Math.floorMod(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+            org.apache.spark.unsafe.types.UTF8String.fromString(w), 42L), M)
+        java.lang.Math.floorMod(acc * 31L + h, M)
+      }
+    val fixtures = Seq(
+      "The quick brown fox", "the quick brown fox", // case-insensitive
+      "a b c", "c b a", // order-aware
+      "", "single", "  double  spaces ", // empty tokens kept by split(-1)
+      "Ünïcode tokens here")
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.fingerprintRolling($"text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fixtures.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === expected(t), s"fixture '$t'")
+    }
+  }
+
   test("fingerprints: md5 stable, rolling order-aware") {
     val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fps = df.select(TextAnalysis.fingerprintMd5($"text"), TextAnalysis.fingerprintRolling($"text"))

@@ -82,4 +82,22 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
+
+  test("approx distinct is within 3·rsd of exact per group (sf0.01 events)") {
+    // teeth for the oracle-less q_approx_distinct: the HLL estimate at
+    // rsd=0.02 must sit within 3 standard errors of the exact count
+    // for EVERY group — a broken sketch config would blow straight
+    // past that
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val rsd = 0.02
+    val exact = Relational.distinctUsers(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.approxDistinctUsers(events, rsd)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (g, n) =>
+      assert(math.abs(approx(g) - n) <= math.max(3 * rsd * n, 1),
+        s"group $g: approx ${approx(g)} vs exact $n exceeds 3·rsd")
+    }
+  }
 }
