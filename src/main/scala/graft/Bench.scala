@@ -39,6 +39,12 @@ object Bench {
       // bytes but large in work (36.4 s vs 30.9 s full-suite).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJAGG", "1000000"))
+      // dev aid: SPARK_GRAFT_CONF="k=v;k2=v2" overlays arbitrary confs
+      // for A/B runs (the driver never sets it)
+      .config(sys.env.get("SPARK_GRAFT_CONF").toSeq
+        .flatMap(_.split(";")).map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

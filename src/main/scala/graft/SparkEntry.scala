@@ -104,7 +104,9 @@ object SparkEntry {
     }),
     "q_report_window" -> ((s, dir) => {
       val e = enriched(s, dir)
-      val maxDate = e.agg(max(col("date"))).head().getDate(0)
+      // max(date) over daily == over enriched (windows preserve rows);
+      // the scalar-subquery action skips the window stage entirely
+      val maxDate = dailyOhlc(s, dir).agg(max(col("date"))).head().getDate(0)
       e.filter(col("asset") === "click")
         .filter(col("date").between(date_sub(lit(maxDate), 14), lit(maxDate)))
         .select("date", "close", "ma7", "ma30")

@@ -111,32 +111,35 @@ object TextAnalysis {
     * fraction of duplicated bigrams. High values mark boilerplate /
     * degenerate documents a training pipeline should drop.
     *
-    * Shape: distinct-token and bigram fractions are pure per-row
-    * expressions (zero shuffle); only the top-token count needs an
-    * explode → two-level hash aggregate, which partial-aggregates
-    * map-side so the shuffle carries ≤ one row per (doc, token) per
-    * partition — linear in corpus size, no window sorts.
+    * Shape: every feature is a function of ONE document, so the whole
+    * thing is a per-row kernel ([[graft.functions.RepetitionStatsExpr]]
+    * — token counts, distinct counts, top-token mass, and distinct
+    * bigrams in one pass over the text) plus arithmetic. Zero
+    * shuffles. The round-2/3 form exploded the corpus into (doc,
+    * token) rows and hash-aggregated twice to find the top token — a
+    * full corpus shuffle for a value that never needed to leave its
+    * row (and a per-doc `explode → groupBy doc_id` re-concentrates
+    * every document's tokens into one task whatever the cluster size).
+    *
+    * Two-level projection: the kernel struct is aliased in an inner
+    * Project and field-extracted in the outer one, so the single-pass
+    * kernel runs once per row, not once per feature.
     */
-  def repetitionFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    val perDoc = df.select(col("doc_id"), explode(t).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
-    df.select(
+  def repetitionFeatures(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(col("doc_id"),
+        graft.functions.native.repetitionStats(col(textCol)).as("__r"))
+      .select(
         col("doc_id"),
-        size(t).cast("long").as("n_tokens"),
-        size(array_distinct(t)).cast("long").as("n_distinct"),
-        // distinct bigrams via the native shingle kernel; total bigrams = n-1
-        when(size(t) >= 2,
-          lit(1.0) - size(graft.functions.native.wordShingles(col(textCol), 2)).cast("double")
-            / (size(t) - 1).cast("double"))
+        col("__r.n_tokens").as("n_tokens"),
+        col("__r.n_distinct").as("n_distinct"),
+        (lit(1.0) - col("__r.n_distinct").cast("double") / col("__r.n_tokens").cast("double"))
+          .as("dup_token_frac"),
+        (col("__r.top_cnt").cast("double") / col("__r.n_tokens").cast("double"))
+          .as("top_token_frac"),
+        when(col("__r.n_tokens") >= 2,
+          lit(1.0) - col("__r.n_distinct_bigrams").cast("double")
+            / (col("__r.n_tokens") - 1).cast("double"))
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
-      .withColumn("dup_token_frac",
-        lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
-      .join(perDoc, Seq("doc_id"))
-      .withColumn("top_token_frac", col("top_cnt").cast("double") / col("n_tokens").cast("double"))
-      .select("doc_id", "n_tokens", "n_distinct", "dup_token_frac", "top_token_frac", "dup_bigram_frac")
-  }
 
   /** Text normalization for dedup keys / training input: lowercase,
     * trim, collapse whitespace runs, and drop adjacent repeated tokens

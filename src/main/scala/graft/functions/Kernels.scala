@@ -113,6 +113,40 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Per-document repetition statistics in ONE pass over the text:
+    * (n_tokens, n_distinct, top_cnt, n_distinct_bigrams), with the
+    * same tokenization as [[wordShingles]] — split(lower(text), " "),
+    * empty tokens kept. Replaces an explode → two-level hash
+    * aggregate → join (a full corpus shuffle) with a per-row map:
+    * every feature is a function of one document, so nothing ever
+    * needs to leave the row.
+    */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toLowerCase.toString
+    val counts = new java.util.HashMap[String, Integer]()
+    val bigrams = new java.util.HashSet[String]()
+    var m = 0
+    var top = 0
+    var prev: String = null
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val tok = s.substring(start, i)
+        m += 1
+        val c = counts.merge(tok, 1, (a, b) => a + b)
+        if (c > top) top = c
+        if (prev != null) bigrams.add(prev + " " + tok)
+        prev = tok
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      m.toLong, counts.size.toLong, top.toLong, bigrams.size.toLong)
+  }
+
   val HashPrime = 4294967311L // smallest prime > 2^32
   private val Fold = 4294967296L // 2^32
 

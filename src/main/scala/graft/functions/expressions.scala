@@ -151,6 +151,28 @@ case class MinHashBandKeysExpr(child: Expression, as: Array[Long], bs: Array[Lon
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass per-document repetition statistics — see
+  * [[Kernels.repetitionStats]].
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("n_distinct_bigrams", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "text", child)
+
+  override def nullSafeEval(t: Any): Any =
+    Kernels.repetitionStats(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.repetitionStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All (a < b) pairs of a posting list of (doc_id, n) structs, as
   * array<struct<a,na,b,nb>> — see [[Kernels.postingPairs]].
   */
@@ -269,6 +291,7 @@ object native {
   def minhashBandKeys(shingles: Column, as: Array[Long], bs: Array[Long], bands: Int): Column =
     c(MinHashBandKeysExpr(e(shingles), as, bs, bands))
   def postingPairs(postings: Column): Column = c(PostingPairsExpr(e(postings)))
+  def repetitionStats(text: Column): Column = c(RepetitionStatsExpr(e(text)))
   def simhash64(shingles: Column): Column = c(SimHash64Expr(e(shingles)))
   def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
     c(HyperplaneSigExpr(e(v), planes))

@@ -45,6 +45,11 @@ object Scratch {
         println(s"[scratch]   micro-batches: ${batches.get()}")
       }
       time("q_stream_ohlc")(noop(SparkEntry.queries("q_stream_ohlc")(spark, dir)))
+      for (sp <- Seq(1, 2, 4, 8)) time(s"runIncremental(statePartitions=$sp)") {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_sp${sp}_${System.nanoTime()}"
+        noop(graft.streaming.StreamingOhlc.runIncremental(
+          spark, s"$dir/events.parquet", wh, s"sp${sp}_$rep", statePartitions = sp))
+      }
     }
     spark.stop()
   }

@@ -75,6 +75,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1).getString(0) === "a")
   }
 
+  test("repetition kernel matches the explode-aggregate reference formulation") {
+    import org.apache.spark.sql.DataFrame
+    // the round-2/3 shape, kept here as the independent reference:
+    // explode → (doc, token) counts → per-doc max, joined onto per-row
+    // distinct/bigram fractions
+    def reference(df: DataFrame): DataFrame = {
+      val t = split(lower(col("text")), " ")
+      val perDoc = df.select(col("doc_id"), explode(t).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max(col("cnt")).as("top_cnt"))
+      df.select(
+          col("doc_id"),
+          size(t).cast("long").as("n_tokens"),
+          size(array_distinct(t)).cast("long").as("n_distinct"),
+          when(size(t) >= 2,
+            lit(1.0) - size(graft.functions.native.wordShingles(col("text"), 2)).cast("double")
+              / (size(t) - 1).cast("double"))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .withColumn("dup_token_frac",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+        .join(perDoc, Seq("doc_id"))
+        .withColumn("top_token_frac", col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+        .select("doc_id", "n_tokens", "n_distinct", "dup_token_frac", "top_token_frac", "dup_bigram_frac")
+    }
+    val fixtures = Seq(
+      "the the the the", // one token repeated: top frac 1, dup 3/4
+      "a b c d", "a a b b", "single", "",
+      "  leading and  double  spaces", // empty tokens count
+      "Mixed CASE mixed case", // lowercased before counting
+      "x y x y x") // dup bigrams: {x y, y x} distinct of 4 windows
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = fixtures.toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val ref = reference(df).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got.keySet === ref.keySet)
+    got.keySet.foreach(k => assert(got(k) === ref(k), s"doc $k"))
+    // spot-check one row by hand: "the the the the"
+    assert(got(0L) === Seq(4L, 1L, 0.75, 1.0, 1.0 - 1.0 / 3.0))
+  }
+
   test("rolling fingerprint matches an independent driver-side reimplementation") {
     // the oracle-less query key (q_fingerprint_rolling) gets its teeth
     // here: the same fold — fp = (acc*31 + (xxh64(tok) mod M)) mod M
