@@ -21,7 +21,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // 3 passes: pass 1 absorbs codegen compilation; two further passes
+    // give the per-query MIN a fighting chance against cross-query GC/
+    // JIT noise (r3 saw 0.3-0.6s phantom regressions that vanished in
+    // isolation — min-of-2 kept exactly one noisy sample per query)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
