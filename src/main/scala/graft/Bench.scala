@@ -56,6 +56,17 @@ object Bench {
     // warm the JVM/codegen/scheduler path once so startup cost isn't
     // attributed to whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
+    // the per-query fixed floor: a no-input noop write through the same
+    // harness path — job submit + task launch + commit, nothing else.
+    // Reported as "floor" so a round-over-round diff can tell harness
+    // drift from query regressions. (Measured r4: ~0.07s warm; the
+    // remaining per-tiny-query cost is scan + per-stage jobs.)
+    val floor = {
+      spark.range(1).toDF("id").write.mode("overwrite").format("noop").save()
+      val t0 = System.nanoTime()
+      spark.range(1).toDF("id").write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b profiles a subset in
     // isolation (the driver never sets it — full suite by default)
@@ -86,7 +97,7 @@ object Bench {
 
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor":$floor,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

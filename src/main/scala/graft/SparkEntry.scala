@@ -168,6 +168,14 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8, dfCap = Some(100)))
         .select("doc_id", "lang", "n_chars")
     }),
+    "q_dedup_cluster" -> ((s, dir) => {
+      // transitive-merge policy: one survivor per connected component
+      // of the near-dup graph (min-label propagation, Dedup)
+      val docs = Tables.documents(s, dir)
+      Dedup.dropNearDupsByCluster(docs,
+        Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8, dfCap = Some(100)))
+        .select("doc_id", "lang", "n_chars")
+    }),
 
     // ---- north-star: similarity search ----
     "q_topk_cosine" -> ((s, dir) => {
@@ -502,6 +510,26 @@ object SparkEntry {
         |dropped AS (SELECT DISTINCT b FROM pairs WHERE inter / (na + nb - inter) >= 0.8)
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT b FROM dropped)""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                     for i in range(1, len(toks) - 1)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+        |pr AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter,
+        |         any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a, b FROM pr WHERE inter / (na + nb - inter) >= 0.8),
+        |edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
+        |reach AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+        |dropped AS (SELECT x AS doc_id FROM reach GROUP BY 1 HAVING min(y) < x)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
     "q_pii" -> (
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '${Pii.EmailRe}'))::BIGINT AS n_emails,

@@ -108,10 +108,67 @@ object Dedup {
     * one anti-join against the pair list's `b` side). Not full
     * connected components: a chain a~b~c with a≁c keeps a and c,
     * which is the standard training-data choice (transitive merging
-    * over-deletes).
+    * over-deletes). For the policy that DOES merge chains, see
+    * [[nearDupClusters]] / [[dropNearDupsByCluster]].
     */
   def dropNearDups(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over the near-dup pair graph:
+    * (id, cluster) where cluster = the smallest doc_id reachable
+    * through near-dup pairs. Iterative min-label propagation — each
+    * round joins labels to the edge list and keeps the per-node min
+    * (one shuffle per round), converging in O(component diameter)
+    * rounds with a driver-side convergence count. Near-dup components
+    * are clique-ish (diameter 2-3), so rounds stay in single digits
+    * regardless of corpus size; `localCheckpoint` truncates the plan
+    * lineage each round so iteration N doesn't replan rounds 1..N-1.
+    * For adversarial long-chain graphs the two-phase star algorithms
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * drop rounds to O(log n); not needed for near-dup workloads.
+    * Only docs that appear in `pairs` are emitted — singletons are
+    * their own cluster by definition.
+    */
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("y"), col("cluster").as("ycl")), Seq("y"))
+        .groupBy("x").agg(min(col("ycl")).as("ncl"))
+      val next = labels
+        .join(neighborMin.select(col("x").as("id"), col("ncl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncl"), col("cluster"))).as("cluster"),
+          (coalesce(col("ncl"), col("cluster")) < col("cluster")).as("__chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__chg")).count()
+      labels = next.select("id", "cluster")
+      round += 1
+    }
+    labels
+  }
+
+  /** Cluster keep/drop policy: ONE survivor (the smallest doc_id) per
+    * connected component — the transitive-merge alternative to
+    * [[dropNearDups]]'s keep-first rule: a chain a~b~c with a≁c keeps
+    * only a here (keep-first keeps a and c). Anti-join against the
+    * non-minimum members; docs outside the pair graph are untouched.
+    */
+  def dropNearDupsByCluster(docs: DataFrame, pairs: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
+    val dropped = nearDupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
 
   // ---- MinHash + LSH ----
 

@@ -50,7 +50,13 @@ object Registry {
         val seed = if (es.length > 2) intLit(es(2), "seed").toLong else 42L
         val (as, bs) = Kernels.minhashParams(k, seed)
         MinHashSigExpr(es(0), as, bs)
-      }))
+      }),
+    ("posting_pairs", info("posting_pairs",
+      "posting_pairs(array<struct<doc_id,n>>) - all (a < b) pairs of a posting list with both set sizes"),
+      (es: Seq[Expression]) => PostingPairsExpr(es(0))),
+    ("repetition_stats", info("repetition_stats",
+      "repetition_stats(text) - (n_tokens, n_distinct, top_cnt, n_distinct_bigrams) in one pass"),
+      (es: Seq[Expression]) => RepetitionStatsExpr(es(0))))
 
   /** Register everything on a live session (idempotent). */
   def registerAll(spark: SparkSession): Unit =

@@ -44,6 +44,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dropNearDups(docs, none).count() === 4)
   }
 
+  test("cluster policy: chains merge to one survivor; keep-first keeps chain ends") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "w"), (2L, "x"), (3L, "y"), (4L, "z"), (6L, "v"), (5L, "u"))
+      .toDF("doc_id", "text")
+    // chain 1~2~3 (1 !~ 3) and isolated pair 5~6; doc 4 untouched
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.9)).toDF("a", "b", "jaccard")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val keptCluster = Dedup.dropNearDupsByCluster(docs, pairs)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(keptCluster === Seq(1L, 4L, 5L)) // one survivor per component
+    val keptFirst = Dedup.dropNearDups(docs, pairs)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(keptFirst === Seq(1L, 4L, 5L)) // b-side drop: 2,3,6 dropped here too
+    // where the policies genuinely differ — a "hub" component
+    // 1~3, 2~3 (1 !~ 2): keep-first drops only the b-side {3},
+    // keeping both 1 and 2; the cluster policy merges {1,2,3} and
+    // keeps only the minimum
+    val hub = Seq((1L, 3L, 0.9), (2L, 3L, 0.9)).toDF("a", "b", "jaccard")
+    val d2 = Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("doc_id", "text")
+    assert(Dedup.dropNearDups(d2, hub).select(col("doc_id")).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(Dedup.dropNearDupsByCluster(d2, hub).select(col("doc_id")).as[Long].collect().sorted.toSeq === Seq(1L))
+  }
+
   test("dfCap: capped equals uncapped when no shingle exceeds the cap") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val uncapped = Dedup.ngramJaccardPairs(d, 3, 0.8, dfCap = None)

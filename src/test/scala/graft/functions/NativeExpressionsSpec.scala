@@ -110,6 +110,37 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(probes === Seq(0, 1)) // dot: 0.9, 0.5, -0.9
   }
 
+  test("PostingPairsExpr: sorted (a<b) pairs with carried sizes; <2 ids -> empty") {
+    val df = Seq(
+      (Seq((5L, 50L), (2L, 20L), (9L, 90L)), "unsorted in"),
+      (Seq((1L, 10L)), "single"),
+      (Seq.empty[(Long, Long)], "empty"))
+      .toDF("ids_raw", "label")
+      .select(expr("transform(ids_raw, x -> struct(x._1 as doc_id, x._2 as n))").as("ids"), $"label")
+    val out = df.select(native.postingPairs($"ids").as("p"), $"label").collect()
+      .map(r => r.getString(1) -> r.getSeq[org.apache.spark.sql.Row](0)).toMap
+    assert(out("unsorted in").map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) ===
+      Seq((2L, 20L, 5L, 50L), (2L, 20L, 9L, 90L), (5L, 50L, 9L, 90L)))
+    assert(out("single").isEmpty)
+    assert(out("empty").isEmpty)
+  }
+
+  test("RepetitionStatsExpr: one-pass counts match hand-computed values") {
+    val out = Seq("a b a b a", "", "X x", "a  b")
+      .toDF("text")
+      .select(native.repetitionStats($"text").as("r"))
+      .collect().map(_.getStruct(0)).map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // "a b a b a": 5 tokens, 2 distinct, top "a" x3, bigrams {a b, b a}
+    assert(out(0) === ((5L, 2L, 3L, 2L)))
+    // "": one empty token
+    assert(out(1) === ((1L, 1L, 1L, 0L)))
+    // "X x" lowercases to two equal tokens, one distinct bigram
+    assert(out(2) === ((2L, 1L, 2L, 1L)))
+    // "a  b": empty middle token from the double space
+    assert(out(3) === ((3L, 3L, 1L, 2L)))
+  }
+
   test("type misuse fails at ANALYSIS time, not with garbage results (SQL surface)") {
     // the unsafe kernels reinterpret raw bytes — dot_f(array<int>) once
     // returned silent garbage; checkInputDataTypes must reject it
