@@ -10,24 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Per-path schema cache. A bare `spark.read.parquet(path)` re-lists
-    * the directory and re-reads parquet footers on EVERY call (~80 ms
-    * measured, vs ~13 ms with a declared schema) — a metastore would
-    * hold the schema; this cache plays that role for path-based reads.
-    * Assumes a path's schema is immutable for the life of the process
-    * (appends are fine — they don't change the schema); call
-    * [[invalidateSchemaCache]] after a schema-changing rewrite.
+  /** Reads go through [[graft.store.SchemaCache]] so repeat loads skip
+    * parquet footer re-inference (~80 ms each; testdata schemas are
+    * immutable for the life of the process).
     */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-
-  def invalidateSchemaCache(): Unit = schemaCache.clear()
-
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
-  }
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.store.SchemaCache.read(spark, s"$sfDir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no type
     * for. Read nanos as raw longs (legacy conf) and floor-divide to

@@ -63,8 +63,10 @@ object Warehouse {
   }
 
   /** S10: atomic full rewrite. */
-  def overwrite(df: DataFrame, path: String): Unit =
+  def overwrite(df: DataFrame, path: String): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path)
+    SchemaCache.invalidate(path) // a full rewrite may change the schema
+  }
 
   /** Read-modify-write rewrite of a LIVE path (`df` still reads from
     * `path`): write to a staging dir first, then swap via directory
@@ -88,6 +90,7 @@ object Warehouse {
     if (existed) require(fs.rename(dest, retired), s"cannot retire $dest")
     require(fs.rename(staging, dest), s"cannot promote $staging")
     if (existed) fs.delete(retired, true)
+    SchemaCache.invalidate(path) // a full rewrite may change the schema
   }
 
   /** Date-partitioned warehouse layout (`path/date=YYYY-MM-DD/…`) —
@@ -144,7 +147,7 @@ object Warehouse {
     */
   def readPartitions(spark: SparkSession, path: String, partitionCol: String,
                      values: Seq[String]): DataFrame = {
-    val df = spark.read.parquet(path)
+    val df = SchemaCache.read(spark, path) // per-micro-batch callers skip footer re-inference
     require(df.schema.fieldNames.contains(partitionCol),
       s"readPartitions($path): partition column '$partitionCol' not found " +
         s"(columns: ${df.schema.fieldNames.mkString(", ")})")

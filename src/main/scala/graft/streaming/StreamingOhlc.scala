@@ -144,6 +144,6 @@ object StreamingOhlc {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.read.parquet(warehouseDir)
+    graft.store.SchemaCache.read(spark, warehouseDir)
   }
 }

@@ -75,6 +75,13 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p.take(1500))
   }
 
+  test("repetition features: zero exchanges — pure per-row kernel, no corpus shuffle") {
+    val p = plan("q_repetition")
+    assert(exchanges(p) === 0, s"repetition must not shuffle:\n${p.take(1500)}")
+    val kernels = "repetition_stats".r.findAllIn(p).size
+    assert(kernels === 1, s"kernel must run once per row, found $kernels references:\n${p.take(1500)}")
+  }
+
   test("json struct: each payload parsed once — two from_json total (props map + nested)") {
     val p = plan("q_json_struct")
     val parses = "from_json".r.findAllIn(p).size
