@@ -234,6 +234,8 @@ object SparkEntry {
       Seq(col("doc_id")), "n_tokens", maxTokens = 512)),
     "q_normalize_text" -> ((s, dir) => Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("norm_text"))),
+    "q_chunk_text" -> ((s, dir) => TextAnalysis.chunkTokens(
+      Tables.documents(s, dir), maxTokens = 128, stride = 96)),
     "q_quantize_embed" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
       .select("vec_id", "scale", "sum_q", "n_sat")),
 
@@ -590,6 +592,17 @@ object SparkEntry {
         |SELECT doc_id,
         |  array_to_string(list_filter(toks, (tk, i) -> i = 1 OR toks[i-1] <> tk), ' ') AS norm_text
         |FROM t""".stripMargin,
+    "q_chunk_text" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, len(toks) AS n,
+        |        CASE WHEN len(toks) <= 128 THEN 1
+        |             ELSE CAST(ceil((len(toks) - 128) / 96.0) AS INT) + 1 END AS nc, toks
+        |      FROM tk),
+        |e AS (SELECT doc_id, n, toks, unnest(range(nc)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |       least(128, n - chunk_id * 96)::BIGINT AS n_chunk_tokens,
+        |       array_to_string(toks[chunk_id * 96 + 1 : chunk_id * 96 + 128], ' ') AS chunk_text
+        |FROM e""".stripMargin,
     "q_quantize_embed" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |s AS (SELECT vec_id, e,

@@ -141,6 +141,36 @@ object TextAnalysis {
             / (col("__r.n_tokens") - 1).cast("double"))
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
 
+  /** Token-window document chunking — the standard pre-tokenization
+    * step that splits long documents into overlapping max-`maxTokens`
+    * windows advancing by `stride` tokens (stride < maxTokens gives
+    * overlap so no span is ever cut mid-context). One row per chunk:
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    *
+    * Shape: chunk descriptors are built per-row with a bounded
+    * `transform(sequence(...))` and exploded — one scan, zero
+    * shuffles; output volume is input×(1/stride) overhead, exactly the
+    * overlap factor. A doc shorter than `maxTokens` yields one chunk
+    * (its whole text).
+    */
+  def chunkTokens(df: DataFrame, maxTokens: Int = 128, stride: Int = 96,
+                  textCol: String = "text"): DataFrame = {
+    require(stride > 0 && maxTokens >= stride,
+      s"need 0 < stride <= maxTokens, got stride=$stride maxTokens=$maxTokens")
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val nChunks = when(n <= maxTokens, lit(1))
+      .otherwise(ceil((n - maxTokens) / lit(stride.toDouble)).cast("int") + 1)
+    df.select(col("doc_id"), t.as("__toks"), n.as("__n"), nChunks.as("__nc"))
+      .select(col("doc_id"), col("__n"),
+        explode(transform(sequence(lit(0), col("__nc") - 1), i => struct(
+          i.cast("long").as("chunk_id"),
+          least(lit(maxTokens), col("__n") - i * stride).cast("long").as("n_chunk_tokens"),
+          array_join(slice(col("__toks"), i * stride + 1, lit(maxTokens)), " ").as("chunk_text"))))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.n_chunk_tokens"), col("c.chunk_text"))
+  }
+
   /** Text normalization for dedup keys / training input: lowercase,
     * trim, collapse whitespace runs, and drop adjacent repeated tokens
     * ("the the" → "the" — OCR/scrape stutter). Native one-pass kernel

@@ -75,6 +75,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(1).getString(0) === "a")
   }
 
+  test("chunkTokens: window boundaries, overlap, and short-doc behavior") {
+    // 10 tokens, maxTokens=4, stride=3 → nc = ceil((10-4)/3)+1 = 3,
+    // token offsets 0, 3, 6 — the last chunk ends exactly at token 10
+    val words = (1 to 10).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, maxTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1 === Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 4L, "w7 w8 w9 w10")))
+    // short doc → one whole-text chunk; empty text is one empty token
+    assert(out.filter(_._1 == 2L) === Seq((2L, 0L, 2L, "a b")))
+    assert(out.filter(_._1 == 3L) === Seq((3L, 0L, 1L, "")))
+    // overlap: consecutive chunks share maxTokens - stride tokens
+    assert(doc1(0)._4.split(" ").last === doc1(1)._4.split(" ").head)
+  }
+
   test("repetition kernel matches the explode-aggregate reference formulation") {
     import org.apache.spark.sql.DataFrame
     // the round-2/3 shape, kept here as the independent reference:
