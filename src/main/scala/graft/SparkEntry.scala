@@ -236,6 +236,15 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("norm_text"))),
     "q_chunk_text" -> ((s, dir) => TextAnalysis.chunkTokens(
       Tables.documents(s, dir), maxTokens = 128, stride = 96)),
+    "q_mixture_sample" -> ((s, dir) => TextAnalysis.mixtureSample(
+      Tables.documents(s, dir),
+      Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1))
+      .select("doc_id", "source")),
+    "q_unigram_logp" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
+    "q_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)
+        .withColumn("rank", col("rank").cast("long"))),
     "q_quantize_embed" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
       .select("vec_id", "scale", "sum_q", "n_sat")),
 
@@ -603,6 +612,37 @@ object SparkEntry {
         |       least(128, n - chunk_id * 96)::BIGINT AS n_chunk_tokens,
         |       array_to_string(toks[chunk_id * 96 + 1 : chunk_id * 96 + 128], ' ') AS chunk_text
         |FROM e""".stripMargin,
+    "q_mixture_sample" ->
+      """SELECT doc_id, source
+        |FROM (SELECT doc_id, source,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000 AS b,
+        |        CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+        |             WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+        |             WHEN 'src4' THEN 0.1 ELSE 1.0 END AS f
+        |      FROM documents)
+        |WHERE b < f * 10000""".stripMargin,
+    "q_unigram_logp" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |              FROM documents),
+        |v AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(freq) AS total FROM v)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(log10(freq)) - (SELECT log10(total) FROM tot), 6) AS avg_logp
+        |FROM toks JOIN v USING (token)
+        |GROUP BY doc_id""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |              FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, token, tf, round(tf * ln(n_docs / df_t), 6) AS tfidf
+        |       FROM tf JOIN dfreq USING (token), n)
+        |SELECT doc_id, rank, token, tf, tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY tfidf DESC, token) AS rank
+        |      FROM sc)
+        |WHERE rank <= 3""".stripMargin,
     "q_quantize_embed" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |s AS (SELECT vec_id, e,

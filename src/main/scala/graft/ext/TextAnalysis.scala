@@ -106,6 +106,84 @@ object TextAnalysis {
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
   }
 
+  /** Deterministic domain-mixture resampling: keep each document with
+    * a per-source probability decided by a stable content hash (md5 of
+    * the id, 4 hex digits mod 10000) rather than an RNG, so the SAME
+    * rows survive on any engine, any run, any partitioning — the
+    * property a training pipeline needs for reproducible mixtures and
+    * honest ablations. `weights` maps source → keep fraction in [0,1];
+    * sources absent from the map keep everything.
+    *
+    * Shape: pure per-row expressions (hash bucket + a literal CASE
+    * chain), zero shuffles; the filter sits directly over the scan.
+    */
+  def mixtureSample(df: DataFrame, weights: Map[String, Double],
+                    idCol: String = "doc_id",
+                    sourceCol: String = "source"): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"keep fractions must be in [0,1]: $weights")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10000
+    val frac = weights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
+      case (els, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(els)
+    }
+    df.filter(bucket < frac * 10000)
+  }
+
+  /** Corpus-derived unigram language-model score: mean log10 p(token)
+    * per document, with p(t) the MLE estimate freq(t)/total from the
+    * corpus itself. The CCNet-style LM quality filter shape — documents
+    * made of rare tokens score low; downstream buckets or drops them.
+    * Scores are rounded to 6 dp so the value is portable across
+    * engines' float-summation orders.
+    *
+    * Shape: one explode feeds a hash-agg whose output is bounded by
+    * VOCABULARY size, not corpus size; that table broadcasts back onto
+    * the exploded tokens, and the only full shuffle is the per-doc
+    * aggregate. The grand total rides a 1-row broadcast cross join —
+    * no second pass over the corpus.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = df.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = vocab.agg(sum("freq").as("total"))
+    toks.join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avg(log10(col("freq"))).as("__alf"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__alf") - log10(col("total")), 6).as("avg_logp"))
+  }
+
+  /** TF-IDF top-`k` terms per document: tf = in-doc term count, idf =
+    * ln(N / df_t), ranked per doc by (rounded score desc, token asc).
+    * The rounding is load-bearing for determinism: mathematically-equal
+    * scores computed via different ln() paths must tie, and the token
+    * tie-break must decide — otherwise the cut at rank k is
+    * engine-dependent.
+    *
+    * Shape: explode → (doc, token) hash-agg (map-side partial), token
+    * document-frequency agg bounded by vocab size and broadcast back,
+    * then a per-doc window for the top-k. Two shuffles total at any
+    * scale: the tf agg and the doc-partitioned rank.
+    */
+  def tfidfTopTerms(df: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = df.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df_t")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "tfidf")
+  }
+
   /** Gopher-style repetition features: the fraction of duplicated
     * tokens, the mass of the single most frequent token, and the
     * fraction of duplicated bigrams. High values mark boilerplate /

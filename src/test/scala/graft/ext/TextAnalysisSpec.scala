@@ -95,6 +95,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(doc1(0)._4.split(" ").last === doc1(1)._4.split(" ").head)
   }
 
+  test("mixtureSample: endpoint weights, determinism, and monotone fractions") {
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    // weight 1.0 keeps everything, 0.0 keeps nothing, missing source keeps everything
+    val kept = TextAnalysis.mixtureSample(df,
+      Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") === 100)
+    assert(!bySrc.contains("src1"))
+    assert(bySrc("src2") > 20 && bySrc("src2") < 80) // ~50 of 100
+    assert(bySrc("src3") === 100)
+    // identical survivors under a different partitioning
+    val kept2 = TextAnalysis.mixtureSample(df.repartition(7),
+      Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sorted.toSeq === kept2.sorted.toSeq)
+  }
+
+  test("unigramLogProb: hand-computed MLE scores") {
+    // corpus tokens: a a b | b  → freq a=2 b=2, total=4
+    val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every token has p = 2/4 → avg log10 p = log10(0.5) ≈ -0.30103
+    assert(out(1L)._1 === 3L)
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - (-0.30103)) < 1e-9)
+    assert(math.abs(out(2L)._2 - (-0.30103)) < 1e-9)
+  }
+
+  test("tfidfTopTerms: hand-computed scores, rank order, tie-break") {
+    // d1: x x y   d2: y z   → df_t: x=1 y=2 z=1, N=2
+    // d1: x: 2*ln2 ≈ 1.386294, y: 0; d2: z: ln2 ≈ 0.693147, y: 0
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(r => (r._1, r._2))
+    assert(out === Seq(
+      (1L, 1, "x", 2L, 1.386294), (1L, 2, "y", 1L, 0.0),
+      (2L, 1, "z", 1L, 0.693147), (2L, 2, "y", 1L, 0.0)))
+  }
+
   test("repetition kernel matches the explode-aggregate reference formulation") {
     import org.apache.spark.sql.DataFrame
     // the round-2/3 shape, kept here as the independent reference:
