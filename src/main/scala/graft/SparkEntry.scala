@@ -245,6 +245,13 @@ object SparkEntry {
     "q_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)
         .withColumn("rank", col("rank").cast("long"))),
+    "q_ngram_counts" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(Tables.documents(s, dir), n = 3, topN = 100)),
+    "q_sample_per_source" -> ((s, dir) =>
+      TextAnalysis.samplePerSource(Tables.documents(s, dir), nPer = 5)
+        .select("doc_id", "source", "sample_rank")),
+    "q_token_histogram" -> ((s, dir) =>
+      TextAnalysis.tokenHistogram(Tables.documents(s, dir), width = 10)),
     "q_quantize_embed" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
       .select("vec_id", "scale", "sum_q", "n_sat")),
 
@@ -643,6 +650,26 @@ object SparkEntry {
         |                                   ORDER BY tfidf DESC, token) AS rank
         |      FROM sc)
         |WHERE rank <= 3""".stripMargin,
+    "q_ngram_counts" ->
+      """WITH tk AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT unnest([array_to_string(toks[i : i + 2], ' ')
+        |                     for i in range(1, len(toks) - 1)]) AS ngram
+        |      FROM tk WHERE len(toks) >= 3)
+        |SELECT ngram, count(*) AS freq FROM g
+        |GROUP BY 1 ORDER BY freq DESC, ngram LIMIT 100""".stripMargin,
+    "q_sample_per_source" ->
+      """SELECT doc_id, source, sample_rank FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 5""".stripMargin,
+    "q_token_histogram" ->
+      """SELECT CAST(floor(len(string_split(lower(text), ' ')) / 10) AS BIGINT) AS bucket,
+        |       count(*) AS n_docs,
+        |       round(avg(length(text)), 6) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_quantize_embed" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |s AS (SELECT vec_id, e,

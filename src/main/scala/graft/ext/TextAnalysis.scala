@@ -184,6 +184,66 @@ object TextAnalysis {
       .select("doc_id", "rank", "token", "tf", "tfidf")
   }
 
+  /** Corpus n-gram frequency table: the `topN` most frequent word
+    * n-grams (raw occurrence counts — NOT per-doc distinct like the
+    * dedup shingles), ties broken by the gram for determinism. The
+    * standard corpus-statistics / LM-smoothing input.
+    *
+    * Shape: grams are materialized per row with a bounded
+    * `transform(sequence)` (no join, no second scan), the count
+    * partial-aggregates map-side so the shuffle carries one row per
+    * distinct gram per partition, and the top-N is a TakeOrdered.
+    */
+  def ngramCounts(df: DataFrame, n: Int, topN: Int,
+                  textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    df.select(explode(when(size(toks) >= n, grams)
+        .otherwise(array().cast("array<string>"))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("ngram")).limit(topN)
+  }
+
+  /** Deterministic stratified sample: exactly min(`nPer`, group size)
+    * documents per source, chosen by md5-of-id rank — the same docs on
+    * any engine, any run. How eval slices and human-review batches get
+    * drawn without an RNG seed fight.
+    *
+    * Shape: one hash-partitioned window per source; no global sort.
+    * Skew note: a source with billions of rows still ranks inside one
+    * partition — for that regime, pre-filter with [[mixtureSample]] to
+    * a small multiple of `nPer` first (documented trade; exact top-N
+    * per group needs the total order within the group).
+    */
+  def samplePerSource(df: DataFrame, nPer: Int,
+                      idCol: String = "doc_id",
+                      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPer >= 1, s"nPer must be >= 1, got $nPer")
+    df.withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))).cast("long"))
+      .filter(col("sample_rank") <= nPer)
+  }
+
+  /** Token-count histogram: docs bucketed by floor(n_tokens / `width`),
+    * with per-bucket doc counts and mean char length — the length
+    * profile a packing/truncation budget is tuned against.
+    * Zero joins: one scan, one vocab-sized-output aggregate.
+    */
+  def tokenHistogram(df: DataFrame, width: Int = 10,
+                     textCol: String = "text"): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val nTok = size(tokens(col(textCol)))
+    df.select(floor(nTok / width).cast("long").as("bucket"),
+        nTok.as("__nt"), length(col(textCol)).as("__nc"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__nc")), 6).as("avg_chars"))
+  }
+
   /** Gopher-style repetition features: the fraction of duplicated
     * tokens, the mass of the single most frequent token, and the
     * fraction of duplicated bigrams. High values mark boilerplate /

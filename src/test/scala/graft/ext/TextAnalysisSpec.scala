@@ -137,6 +137,45 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1, "z", 1L, 0.693147), (2L, 2, "y", 1L, 0.0)))
   }
 
+  test("ngramCounts: raw occurrence counts, short-doc exclusion, tie order") {
+    // "a b a b" → trigrams: "a b a", "b a b"; "a b" → none (len < 3)
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramCounts(df, n = 3, topN = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a b a", 2L), ("b a b", 1L)))
+    // raw counts, not per-doc distinct: a doc repeating a gram counts each time
+    val rep = TextAnalysis.ngramCounts(Seq((1L, "x y x y x")).toDF("doc_id", "text"), 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rep.toSeq === Seq(("x y", 2L), ("y x", 2L)))
+  }
+
+  test("samplePerSource: exact N per group, deterministic, partition-stable") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val s1 = TextAnalysis.samplePerSource(df, 7).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(s1.length === 21)
+    assert(s1.groupBy(_._2).forall(_._2.length == 7))
+    val s2 = TextAnalysis.samplePerSource(df.repartition(11), 7).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(s1.toSeq === s2.toSeq)
+    // a group smaller than N yields the whole group
+    val small = TextAnalysis.samplePerSource(df.filter($"doc_id" < 5), 7).collect()
+    assert(small.length === 5)
+  }
+
+  test("tokenHistogram: bucket boundaries and exact means") {
+    val df = Seq(
+      (1L, (1 to 9).map(_ => "w").mkString(" ")),   // 9 tokens  → bucket 0
+      (2L, (1 to 10).map(_ => "w").mkString(" ")),  // 10 tokens → bucket 1
+      (3L, (1 to 19).map(_ => "w").mkString(" "))   // 19 tokens → bucket 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenHistogram(df, width = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out(0) === ((0L, 1L, 17.0)))          // "w w ... w" ×9 = 17 chars
+    assert(out(1)._1 === 1L && out(1)._2 === 2L) // docs 2 and 3
+    assert(out(1)._3 === (19.0 + 37.0) / 2)
+  }
+
   test("repetition kernel matches the explode-aggregate reference formulation") {
     import org.apache.spark.sql.DataFrame
     // the round-2/3 shape, kept here as the independent reference:
