@@ -105,4 +105,29 @@ class PlanRegressionSpec extends SparkSpec {
     val p = SparkEntry.queries("q_ma7")(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("hashpartitioning(asset"), p.take(1500))
   }
+
+  test("mixture sample / chunking: zero exchanges — pure per-row filter/explode") {
+    assert(exchanges(plan("q_mixture_sample")) === 0)
+    assert(exchanges(plan("q_chunk_text")) === 0)
+  }
+
+  test("unigram LM: vocab and total ride broadcasts; one corpus-token agg shuffle each side") {
+    val p = plan("q_unigram_logp")
+    assert("BroadcastExchange".r.findAllIn(p).size === 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("tfidf: df_t and doc count broadcast — no shuffle join on token") {
+    val p = plan("q_tfidf_topk")
+    assert("BroadcastExchange".r.findAllIn(p).size === 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("stratified sample: one exchange (the per-source window), no global sort") {
+    val p = plan("q_sample_per_source")
+    assert(exchanges(p) === 1, p.take(2000))
+    // rank evaluates per source partition; a Sort global=true would be a total order
+    assert(!p.contains("Sort [") || !p.contains("global=true"), p.take(2000))
+  }
 }
