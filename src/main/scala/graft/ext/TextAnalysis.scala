@@ -137,19 +137,27 @@ object TextAnalysis {
     * Scores are rounded to 6 dp so the value is portable across
     * engines' float-summation orders.
     *
-    * Shape: one explode feeds a hash-agg whose output is bounded by
-    * VOCABULARY size, not corpus size; that table broadcasts back onto
-    * the exploded tokens, and the only full shuffle is the per-doc
-    * aggregate. The grand total rides a 1-row broadcast cross join —
-    * no second pass over the corpus.
+    * Shape: the per-row [[graft.functions.Kernels.tokenCounts]] kernel
+    * counts tokens inside each document, so the explode emits one row
+    * per DISTINCT token per doc; the vocab agg's output is bounded by
+    * vocabulary size and broadcasts back, and the only full shuffle is
+    * the per-doc aggregate. The grand total rides a 1-row broadcast
+    * cross join — no second pass over the corpus. The per-doc mean is
+    * the tf-weighted sum over distinct tokens (≡ the per-instance mean
+    * mathematically; the 6 dp rounding absorbs float-order drift).
     */
   def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = df.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    // per-row TF kernel: the corpus never shuffles at token grain —
+    // rows after the explode are one per DISTINCT token per doc
+    val tf = df.select(col("doc_id"),
+        explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
+    val vocab = tf.groupBy("token").agg(sum("tf").as("freq"))
     val total = vocab.agg(sum("freq").as("total"))
-    toks.join(broadcast(vocab), "token")
+    tf.join(broadcast(vocab), "token")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), avg(log10(col("freq"))).as("__alf"))
+      .agg(sum("tf").as("n_tokens"),
+        (sum(col("tf") * log10(col("freq"))) / sum("tf")).as("__alf"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"),
         round(col("__alf") - log10(col("total")), 6).as("avg_logp"))
@@ -170,8 +178,10 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    val tf = df.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // per-row TF kernel — no corpus-wide groupBy(doc, token) shuffle
+    val tf = df.select(col("doc_id"),
+        explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
     val scored = tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(nDocs))
@@ -189,19 +199,15 @@ object TextAnalysis {
     * dedup shingles), ties broken by the gram for determinism. The
     * standard corpus-statistics / LM-smoothing input.
     *
-    * Shape: grams are materialized per row with a bounded
-    * `transform(sequence)` (no join, no second scan), the count
+    * Shape: grams come from the one-pass [[graft.functions.Kernels
+    * .wordNgrams]] codegen kernel (no join, no second scan), the count
     * partial-aggregates map-side so the shuffle carries one row per
     * distinct gram per partition, and the top-N is a TakeOrdered.
     */
   def ngramCounts(df: DataFrame, n: Int, topN: Int,
                   textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val toks = tokens(col(textCol))
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => array_join(slice(toks, i, lit(n)), " "))
-    df.select(explode(when(size(toks) >= n, grams)
-        .otherwise(array().cast("array<string>"))).as("ngram"))
+    df.select(explode(graft.functions.native.wordNgrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("ngram")).limit(topN)
   }

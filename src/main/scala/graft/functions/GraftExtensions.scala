@@ -42,6 +42,10 @@ object Registry {
       (es: Seq[Expression]) => WordShinglesExpr(es(0), intLit(es(1), "n"))),
     ("normalize_text", info("normalize_text", "normalize_text(text) - lowercase, trim, collapse spaces, drop adjacent repeated tokens"),
       (es: Seq[Expression]) => NormalizeTextExpr(es(0))),
+    ("word_ngrams", info("word_ngrams", "word_ngrams(text, n) - ALL lowercased word n-grams in order, repeats kept"),
+      (es: Seq[Expression]) => WordNgramsExpr(es(0), intLit(es(1), "n"))),
+    ("token_counts", info("token_counts", "token_counts(text) - per-document (token, tf) pairs in first-seen order"),
+      (es: Seq[Expression]) => TokenCountsExpr(es(0))),
     ("simhash64", info("simhash64", "simhash64(shingles) - 64-bit SimHash fingerprint"),
       (es: Seq[Expression]) => SimHash64Expr(es(0))),
     ("minhash_sig", info("minhash_sig", "minhash_sig(shingles, numHashes, seed) - MinHash signature array"),

@@ -74,6 +74,70 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams of `text` in order, repeats kept — the raw-count
+    * twin of [[wordShingles]] (which emits per-doc DISTINCT grams for
+    * dedup). Same tokenization: split lowercased text on ' ' with
+    * empty tokens kept; empty array when fewer than n tokens.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { toks.add(s.substring(start, i)); start = i + 1 }
+      i += 1
+    }
+    toks.add(s.substring(start))
+    val m = toks.size
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-document term frequencies: (token, count) pairs in first-seen
+    * order over `split(lower(text), " ")` with empty tokens kept. Lets
+    * a TF consumer skip the corpus-wide `groupBy(doc, token)` shuffle —
+    * the counting happens inside the row.
+    */
+  def tokenCounts(text: UTF8String): ArrayData = {
+    val s = text.toLowerCase.toString
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        val tok = s.substring(start, i)
+        counts.put(tok, counts.getOrDefault(tok, 0L) + 1L)
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var o = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Normalized text: lowercase, trim spaces, collapse space runs, and
     * drop each token equal to its predecessor — one pass over the
     * string, reproducing exactly

@@ -95,6 +95,42 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ALL word n-grams in order, repeats kept (raw-count twin of shingles). */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = s"word_ngrams_$n"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "text", child)
+
+  override def nullSafeEval(t: Any): Any =
+    Kernels.wordNgrams(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.wordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-document term frequencies: array<struct<token,tf>> in first-seen order. */
+case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "token_counts"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "text", child)
+
+  override def nullSafeEval(t: Any): Any =
+    Kernels.tokenCounts(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokenCounts($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Lowercase/trim/collapse-spaces/drop-adjacent-repeat normalization. */
 case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -285,6 +321,8 @@ object native {
 
   def dotF(a: Column, b: Column): Column = c(DotProductF(e(a), e(b)))
   def wordShingles(text: Column, n: Int): Column = c(WordShinglesExpr(e(text), n))
+  def wordNgrams(text: Column, n: Int): Column = c(WordNgramsExpr(e(text), n))
+  def tokenCounts(text: Column): Column = c(TokenCountsExpr(e(text)))
   def normalizeText(text: Column): Column = c(NormalizeTextExpr(e(text)))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     c(MinHashSigExpr(e(shingles), as, bs))

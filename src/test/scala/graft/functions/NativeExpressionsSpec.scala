@@ -50,6 +50,33 @@ class NativeExpressionsSpec extends SparkSpec {
       .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1), s"for ${r}"))
   }
 
+  test("WordNgramsExpr ≡ transform(sequence...) over split(lower), repeats kept") {
+    val texts = samples(Gen.listOf(Gen.oneOf("a", "b", "cc", "Dd", "", "e f")), 30)
+      .map(_.mkString(" ")) ++ Seq("", " ", "one two", "x y z x y z", "A  B C")
+    val df = texts.toDF("text")
+    val t = split(lower($"text"), " ")
+    val hof = when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", element_at(t, i + lit(1)), element_at(t, i + lit(2)), element_at(t, i + lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(native.wordNgrams($"text", 3).as("k"), hof.as("h")).collect()
+      .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1), s"for ${r}"))
+  }
+
+  test("TokenCountsExpr ≡ explode + groupBy count, first-seen order, empties kept") {
+    val texts = samples(Gen.listOf(Gen.oneOf("a", "b", "cc", "Dd", "")), 30)
+      .map(_.mkString(" ")) ++ Seq("", " ", "x y x", "A a A")
+    texts.zipWithIndex.foreach { case (text, i) =>
+      val out = Seq(text).toDF("text")
+        .select(explode(native.tokenCounts($"text")).as("tc"))
+        .select($"tc.token", $"tc.tf").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      val want = toks.distinct.map(t => t -> toks.count(_ == t).toLong)
+      assert(out.toSeq === want, s"case $i: '$text'")
+    }
+  }
+
   test("MinHashSigExpr ≡ explode + groupBy(min over (a·x+b) mod P)") {
     val as = Array(3L, 7L, 2147483629L)
     val bs = Array(11L, 0L, 17L)
