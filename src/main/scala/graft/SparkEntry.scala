@@ -254,6 +254,12 @@ object SparkEntry {
       TextAnalysis.tokenHistogram(Tables.documents(s, dir), width = 10)),
     "q_quantize_embed" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
       .select("vec_id", "scale", "sum_q", "n_sat")),
+    "q_embed_centroid" -> ((s, dir) =>
+      // centroid array → (label, i, m) scalars for the oracle compare
+      Similarity.groupCentroids(Tables.embeddings(s, dir), dim = 64)
+        .select(col("label"), col("n_vecs"), posexplode(col("centroid")))
+        .select(col("label"), col("n_vecs"),
+          (col("pos") + 1).cast("long").as("i"), round(col("col"), 6).as("m"))),
 
     // ---- north-star: multimodal + JSON/array columns ----
     "q_multimodal_meta" -> ((s, dir) => Multimodal.attachPayload(Tables.documents(s, dir))
@@ -670,6 +676,14 @@ object SparkEntry {
         |       count(*) AS n_docs,
         |       round(avg(length(text)), 6) AS avg_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_embed_centroid" ->
+      """WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |                   unnest(embedding::DOUBLE[]) AS x
+        |            FROM embeddings),
+        |m AS (SELECT label, CAST(i AS BIGINT) AS i, round(avg(x), 6) AS m
+        |      FROM ex GROUP BY 1, 2),
+        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT label, n_vecs, i, m FROM m JOIN n USING (label)""".stripMargin,
     "q_quantize_embed" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |s AS (SELECT vec_id, e,

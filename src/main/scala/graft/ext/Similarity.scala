@@ -214,6 +214,22 @@ object Similarity {
       .withColumn("n_sat", size(filter(col("q"), x => abs(x) === 127)).cast("long"))
   }
 
+  /** Per-group embedding centroids via [[graft.functions.VectorMeanAgg]]
+    * — a typed-imperative aggregate whose buffer is one `double[dim+1]`
+    * per group, so centroids cost ONE shuffle of vector-grain rows.
+    * The `posexplode` alternative multiplies the shuffled row count by
+    * `dim` (64–4096×) for the same answer; at 100 TB that is the
+    * difference between a broadcast-sized result and a re-shuffle of
+    * the corpus. Used for domain centroids, drift monitoring, and IVF
+    * seeding.
+    */
+  def groupCentroids(embeddings: DataFrame, dim: Int,
+                     groupCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    embeddings.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.native.vectorMean(col(vecCol), dim).as("centroid"))
+
   /** Approximate near-duplicate pairs via banded sign-bit signatures +
     * exact verify — the scale path when the threshold is high enough
     * for LSH to separate (cos ≥ ~0.7). The 64-bit hyperplane signature

@@ -315,6 +315,82 @@ case class CentroidProbesExpr(child: Expression, cents: Array[Array[Double]], np
 }
 
 /** Column-API entry points. */
+/** Element-wise mean of a group's vectors — a `TypedImperativeAggregate`
+  * whose buffer is one `double[dim+1]` (sums + count) per group: the
+  * shape that computes per-group centroids in ONE shuffle with
+  * vector-grain rows, instead of a `posexplode` that multiplies the
+  * shuffle by `dim`. Partial buffers merge associatively on the map
+  * side like any built-in agg. Null/short vectors are skipped (counted
+  * out); an empty group yields null.
+  */
+case class VectorMeanAgg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_mean"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireVector(prettyName, "v" -> child)
+  private def isF = ExprHelpers.isFloatArray(child)
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim + 1)
+
+  override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() == dim) {
+        var i = 0
+        while (i < dim) {
+          buf(i) += (if (isF) a.getFloat(i).toDouble else a.getDouble(i))
+          i += 1
+        }
+        buf(dim) += 1.0
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i <= dim) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Double]): Any = {
+    val n = buf(dim)
+    if (n == 0.0) null
+    else {
+      val out = new Array[Any](dim)
+      var i = 0
+      while (i < dim) { out(i) = buf(i) / n; i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate((dim + 1) * 8)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(dim + 1)(bb.getDouble)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorMeanAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorMeanAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object native {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -337,4 +413,6 @@ object native {
     c(LshKeysExpr(e(v), planes, multiprobe))
   def centroidProbes(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
     c(CentroidProbesExpr(e(v), cents, nprobe))
+  def vectorMean(v: Column, dim: Int): Column =
+    c(VectorMeanAgg(e(v), dim).toAggregateExpression())
 }

@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("groupCentroids: exact elementwise means, merge across partitions, empty-group null") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 2.0f)), (2L, 0, Seq(3.0f, 4.0f)),
+      (3L, 1, Seq(-1.0f, 0.5f))).toDF("vec_id", "label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.groupCentroids(d, dim = 2).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).sortBy(_._1)
+    val out = run(df)
+    assert(out(0) === ((0, 2L, Seq(2.0, 3.0))))
+    assert(out(1) === ((1, 1L, Seq(-1.0, 0.5))))
+    // partial-buffer merge path: every row in its own partition
+    assert(run(df.repartition(3)).toSeq === out.toSeq)
+    // wrong-dim vectors are counted out of the mean (all-skipped → null)
+    val bad = Seq((1L, 9, Seq(1.0f))).toDF("vec_id", "label", "embedding")
+    val r = Similarity.groupCentroids(bad, dim = 2).collect()(0)
+    assert(r.getLong(1) === 1L && r.isNullAt(2))
+  }
+
   test("dot / l2norm / cosine basics") {
     val df = Seq((1L, Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("id", "a", "b")
     val r = df.select(
