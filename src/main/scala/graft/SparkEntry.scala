@@ -224,6 +224,13 @@ object SparkEntry {
       Contamination.flag(d.filter(col("doc_id") % 17 =!= 0),
         d.filter(col("doc_id") % 17 === 0), n = 5)
     }),
+    "q_decontam_bloom" -> ((s, dir) => { // bloom screening pass: rows-only
+      // vs oracle (FP-rate dependent); no-false-negatives + exact-match
+      // behavior asserted in ContaminationSpec
+      val d = Tables.documents(s, dir)
+      Contamination.flagBloom(d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0), n = 5)
+    }),
     "q_global_index" -> ((s, dir) => TotalOrder.globalIndex(
       Tables.documents(s, dir).select("doc_id"),
       // md5 of the id = deterministic corpus shuffle order; id breaks ties

@@ -37,6 +37,30 @@ object Contamination {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Scale variant of [[flag]]: the benchmark shingle set rides a
+    * Bloom filter (constant-size, `fpp`-tunable) instead of a
+    * broadcast hash set — the switch point is when the distinct
+    * benchmark shingles no longer broadcast comfortably (≳ 10⁸
+    * shingles ≈ GBs of set vs tens of MB of bloom bits). No false
+    * negatives: every truly contaminated doc is flagged; `n_shared`
+    * may over-count by the false-positive rate, so treat it as a
+    * screening pass and re-verify survivors of a tight `minShared`
+    * with [[flag]] on the (tiny) flagged subset if exactness matters.
+    * The probe is a codegen'd expression on the corpus scan — the
+    * corpus still never shuffles.
+    */
+  def flagBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                minShared: Int = 1, expectedShingles: Long = 1000000L,
+                fpp: Double = 0.001): DataFrame = {
+    val bf = shingleRows(benchmark, n).select("s").distinct()
+      .stat.bloomFilter("s", expectedShingles, fpp)
+    shingleRows(corpus, n)
+      .filter(graft.functions.native.bloomMightContain(col("s"), bf))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The clean corpus: drop flagged docs via a broadcast anti-join
     * (the flagged set is a vanishing fraction of the corpus).
     */

@@ -315,6 +315,33 @@ case class CentroidProbesExpr(child: Expression, cents: Array[Array[Double]], np
 }
 
 /** Column-API entry points. */
+/** Bloom-filter membership probe over a string column. The filter is a
+  * task-shipped reference object (`addReferenceObj`), so the probe runs
+  * inside whole-stage codegen with NO per-row serialization — the
+  * constant-size alternative to broadcasting a distinct-set hash join
+  * when the set is huge. Bytes probed are the UTF-8 encoding, matching
+  * `BloomFilter.putString`'s encoding, so a filter built with
+  * `df.stat.bloomFilter` agrees bit-for-bit.
+  */
+case class BloomMightContainExpr(child: Expression,
+    bf: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "item", child)
+
+  override def nullSafeEval(t: Any): Any =
+    bf.mightContainBinary(t.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloom", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$bfRef.mightContainBinary($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Element-wise mean of a group's vectors — a `TypedImperativeAggregate`
   * whose buffer is one `double[dim+1]` (sums + count) per group: the
   * shape that computes per-group centroids in ONE shuffle with
@@ -415,4 +442,6 @@ object native {
     c(CentroidProbesExpr(e(v), cents, nprobe))
   def vectorMean(v: Column, dim: Int): Column =
     c(VectorMeanAgg(e(v), dim).toAggregateExpression())
+  def bloomMightContain(item: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    c(BloomMightContainExpr(e(item), bf))
 }

@@ -34,4 +34,36 @@ class ContaminationSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().sorted
     assert(kept.toSeq === Seq(11L, 12L))
   }
+
+  test("flagBloom: no false negatives vs exact flag; exact on this fixture") {
+    val exact = Contamination.flag(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Contamination.flagBloom(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // superset guarantee (bloom has no false negatives)
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id) && bloom(id) >= n, s"doc $id lost by bloom")
+    }
+    // at fpp=0.001 over a handful of shingles, no FP fires: sets equal
+    assert(bloom === exact)
+    // a larger planted check: 200 corpus docs, every 10th contaminated
+    val big = (0L until 200L).map { i =>
+      if (i % 10 == 0) (i, s"padding $i then what is the capital of france answer paris")
+      else (i, s"doc $i words alpha beta gamma delta epsilon zeta eta theta")
+    }.toDF("doc_id", "text")
+    val bigExact = Contamination.flag(big, bench, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    val bigBloom = Contamination.flagBloom(big, bench, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(bigExact.subsetOf(bigBloom), "bloom lost a contaminated doc")
+    assert(bigExact === (0L until 200L by 10).toSet)
+    // single-probe FPs can inflate minShared=1 (expected ~2 in 1800
+    // probes at fpp=0.001); at minShared=2 a clean doc needs TWO FP
+    // probes (~4e-5 per doc) — the screening threshold regime
+    val bigExact2 = Contamination.flag(big, bench, n = 5, minShared = 2)
+      .collect().map(_.getLong(0)).toSet
+    val bigBloom2 = Contamination.flagBloom(big, bench, n = 5, minShared = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(bigBloom2 === bigExact2)
+  }
 }
