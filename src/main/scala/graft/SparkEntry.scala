@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Contamination, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
+import graft.ext.{Contamination, CorpusPipeline, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
 import graft.ops.{Indicators, Normalize, Ohlc, Relational, TotalOrder}
 import graft.store.Warehouse
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -223,6 +223,14 @@ object SparkEntry {
       // every 17th doc plays the held-out benchmark; the rest is corpus
       Contamination.flag(d.filter(col("doc_id") % 17 =!= 0),
         d.filter(col("doc_id") % 17 === 0), n = 5)
+    }),
+    "q_corpus_prepare" -> ((s, dir) => { // end-to-end prep composition:
+      // rows-only vs oracle; every stage is oracle-verified via its own
+      // key, the wiring via CorpusPipelineSpec (gates/determinism/packing)
+      val d = Tables.documents(s, dir)
+      CorpusPipeline.prepare(
+        d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0))
+        .select(col("doc_id"), col("quality_score"), col("split"), col("pack_id"))
     }),
     "q_decontam_bloom" -> ((s, dir) => { // bloom screening pass: rows-only
       // vs oracle (FP-rate dependent); no-false-negatives + exact-match

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the composition a pipeline
+  * user actually runs, wired from the operator families so the stages
+  * share scans where the shapes allow:
+  *
+  *  1. normalize text (one-pass kernel, in-place column)
+  *  2. hygiene gates: quality score + repetition + PII — all per-row
+  *     expressions, so stages 1-2 are ONE scan with zero shuffles
+  *     (Catalyst collapses them into a single projection)
+  *  3. decontaminate vs a benchmark set (broadcast shingles; the
+  *     corpus side stays unshuffled)
+  *  4. near-dup dedup (posting-list pairs + keep-first anti-join)
+  *  5. deterministic train/val/test split (pure hash expression)
+  *  6. deterministic global order + fixed-token-budget packing
+  *     (range-partition prefix sum — the only total-order touch)
+  *
+  * Each stage is individually oracle-verified via its own query key;
+  * the composition is covered by a determinism + stage-semantics spec
+  * (CorpusPipelineSpec). Scale switch points for stage variants
+  * (bloom decontam past ~10⁸ benchmark shingles, MinHash dedup past
+  * ~10⁷ docs) are in docs/SCALE.md.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minQuality: Double = 0.2,
+      maxDupTokenFrac: Double = 0.8,
+      maxPiiEmails: Long = 0L,
+      decontamNgram: Int = 5,
+      dedupNgram: Int = 3,
+      dedupJaccard: Double = 0.8,
+      packTokens: Long = 512L)
+
+  /** docs: (doc_id, text, …); benchmark: held-out eval docs. One row
+    * per surviving doc: (doc_id, text, quality_score, split, pack_id).
+    */
+  def prepare(docs: DataFrame, benchmark: DataFrame,
+              cfg: Config = Config()): DataFrame = {
+    // stages 1-2: one projection — normalize + quality + PII +
+    // repetition features, then the gates
+    val normalized = docs.withColumn("text", TextAnalysis.normalizeText(col("text")))
+    val feats = Pii.audit(TextAnalysis.qualityFeatures(normalized))
+      .withColumn("__rep", graft.functions.native.repetitionStats(col("text")))
+      .withColumn("dup_token_frac",
+        when(col("__rep.n_tokens") > 0,
+          lit(1.0) - col("__rep.n_distinct").cast("double") / col("__rep.n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+    val hygienic = feats
+      .filter(col("quality_score") >= cfg.minQuality)
+      .filter(col("dup_token_frac") <= cfg.maxDupTokenFrac)
+      .filter(col("n_emails") <= cfg.maxPiiEmails)
+      .select("doc_id", "text", "quality_score")
+    // stage 3: decontaminate (corpus unshuffled; broadcast benchmark)
+    val decontaminated = Contamination.clean(hygienic, benchmark, cfg.decontamNgram)
+    // stage 4: near-dup keep-first
+    val pairs = Dedup.ngramJaccardPairs(decontaminated, cfg.dedupNgram, cfg.dedupJaccard)
+    val deduped = Dedup.dropNearDups(decontaminated, pairs)
+    // stage 5: deterministic split
+    val split = TextAnalysis.splitAssign(deduped)
+    // stage 6: deterministic global order + token-budget packing
+    val withTokens = split.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.ops.TotalOrder.packSequences(withTokens,
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")), "n_tokens", cfg.packTokens)
+      .select("doc_id", "text", "quality_score", "split", "pack_id")
+  }
+}

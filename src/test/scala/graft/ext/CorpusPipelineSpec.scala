@@ -1,0 +1,70 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a corpus exercising every gate:
+  //  1: good doc (survives everything)
+  //  2: near-dup of 1 with higher id (dropped by keep-first dedup)
+  //  3: degenerate repetition (dropped by dup_token_frac gate)
+  //  4: PII (dropped by email gate)
+  //  5: contaminated (quotes the benchmark 5-gram run)
+  //  6: good doc, distinct content (survives)
+  private val goodText =
+    "the analysis of shuffle behavior in distributed engines rewards " +
+    "careful attention to partitioning and to the costs of wide dependencies"
+  private val corpus = Seq(
+    (1L, goodText),
+    (2L, goodText + " appendix"),
+    (3L, Seq.fill(40)("spam").mkString(" ")),
+    (4L, "contact me at alice@example.com for the dataset and the paper draft " +
+      "with all of the other materials we discussed in the longer meeting"),
+    (5L, "prelude text then what is the capital of france answer paris " +
+      "plus more than enough filler to pass the quality gates easily here"),
+    (6L, "a completely different and reasonably long document about the " +
+      "evaluation of retrieval systems under domain shift and noisy labels")
+  ).toDF("doc_id", "text")
+  private val bench = Seq(
+    (100L, "what is the capital of france answer paris of course")
+  ).toDF("doc_id", "text")
+
+  test("every gate fires on its designated doc; survivors carry split + pack") {
+    val out = CorpusPipeline.prepare(corpus, bench,
+      CorpusPipeline.Config(minQuality = 0.2, maxDupTokenFrac = 0.5))
+    val rows = out.collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.toSeq === Seq(1L, 6L), s"survivors: ${ids.mkString(",")}")
+    // schema contract
+    assert(out.columns.toSeq === Seq("doc_id", "text", "quality_score", "split", "pack_id"))
+    rows.foreach { r =>
+      assert(Set("train", "val", "test").contains(r.getAs[String]("split")))
+      assert(r.getAs[Long]("pack_id") >= 0L)
+    }
+  }
+
+  test("deterministic across partitionings and reruns") {
+    def run(np: Int) = CorpusPipeline.prepare(corpus.repartition(np), bench)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(run(1) === run(7))
+    assert(run(7) === run(7))
+  }
+
+  test("packing respects the token budget over the deterministic order") {
+    // many tiny docs, no gates firing: pack boundaries are exact
+    val many = (10L until 60L)
+      .map(i => (i, s"document number $i with exactly eight whitespace tokens"))
+      .toDF("doc_id", "text")
+    val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(many, noBench,
+      CorpusPipeline.Config(minQuality = 0.0, packTokens = 24L))
+    // 8 tokens per doc, budget 24 → exactly 3 docs per pack
+    val sizes = out.groupBy("pack_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.count() === 50L)
+    assert(sizes.values.forall(_ <= 3L))
+    assert(sizes.values.count(_ == 3L) >= sizes.size - 1) // only the tail pack may be short
+  }
+}
