@@ -224,6 +224,12 @@ object SparkEntry {
       Contamination.flag(d.filter(col("doc_id") % 17 =!= 0),
         d.filter(col("doc_id") % 17 === 0), n = 5)
     }),
+    "q_lang_scores" -> ((s, dir) => { // the per-language feature vector
+      // under langId — what threshold-based language filtering consumes
+      val scores = TextAnalysis.langScores(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id") +: scores.map { case (l, c) => round(c, 6).as(s"score_$l") }: _*)
+    }),
     "q_corpus_prepare" -> ((s, dir) => { // end-to-end prep composition:
       // rows-only vs oracle; every stage is oracle-verified via its own
       // key, the wiring via CorpusPipelineSpec (gates/determinism/packing)
@@ -691,6 +697,15 @@ object SparkEntry {
         |       count(*) AS n_docs,
         |       round(avg(length(text)), 6) AS avg_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_lang_scores" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  round(len(list_filter(toks, w -> w IN ('the','a','and','of','to','in','is','it')))::DOUBLE / len(toks), 6) AS score_en,
+        |  round(len(list_filter(toks, w -> w IN ('el','la','de','que','y','en','un','los')))::DOUBLE / len(toks), 6) AS score_es,
+        |  round(len(list_filter(toks, w -> w IN ('der','die','das','und','ist','von','mit','den')))::DOUBLE / len(toks), 6) AS score_de,
+        |  round(len(list_filter(toks, w -> w IN ('le','la','de','et','les','des','un','une')))::DOUBLE / len(toks), 6) AS score_fr,
+        |  round(len(list_filter(toks, w -> w IN ('的','是','在','了','我','有','和','人')))::DOUBLE / len(toks), 6) AS score_zh
+        |FROM t""".stripMargin,
     "q_embed_centroid" ->
       """WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |                   unnest(embedding::DOUBLE[]) AS x

@@ -52,6 +52,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(run(7) === run(7))
   }
 
+  test("prepared corpus round-trips the warehouse split-partitioned with pruned reads") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_wh").toString
+    val prepared = CorpusPipeline.prepare(corpus, bench)
+    graft.store.Warehouse.writePartitioned(prepared, dir, Seq("split"))
+    // pruned read: only the train partition's directories are scanned
+    val train = graft.store.Warehouse.readPartitions(spark, dir, "split", Seq("train"))
+    val scan = train.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("split"), scan.take(1500))
+    val expected = prepared.filter($"split" === "train").select("doc_id")
+      .as[Long].collect().sorted
+    assert(train.select("doc_id").as[Long].collect().sorted.toSeq === expected.toSeq)
+    // full read returns every surviving doc
+    assert(spark.read.parquet(dir).count() === prepared.count())
+  }
+
   test("packing respects the token budget over the deterministic order") {
     // many tiny docs, no gates firing: pack boundaries are exact
     val many = (10L until 60L)
