@@ -263,6 +263,14 @@ object SparkEntry {
       .select("doc_id", "source")),
     "q_unigram_logp" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir))),
+    "q_mixture_upsample" -> ((s, dir) => TextAnalysis.mixtureResample(
+      Tables.documents(s, dir),
+      Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5, "src3" -> 0.0))
+      .select("doc_id", "source", "copy_idx")),
+    "q_pack_concat" -> ((s, dir) => TotalOrder.packConcat(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq(col("doc_id")), "n_tokens", "text", maxTokens = 512)),
     "q_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), k = 3)
         .withColumn("rank", col("rank").cast("long"))),
@@ -697,6 +705,26 @@ object SparkEntry {
         |       count(*) AS n_docs,
         |       round(avg(length(text)), 6) AS avg_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_mixture_upsample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000 AS b,
+        |        CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+        |             WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0 ELSE 1.0 END AS w
+        |      FROM documents),
+        |c AS (SELECT doc_id, source,
+        |        CAST(floor(w) AS BIGINT)
+        |          + CASE WHEN b < (w - floor(w)) * 10000 THEN 1 ELSE 0 END AS n
+        |      FROM t)
+        |SELECT doc_id, source, unnest(range(n)) AS copy_idx FROM c WHERE n > 0""".stripMargin,
+    "q_pack_concat" ->
+      """WITH d AS (SELECT doc_id, text,
+        |             len(string_split(lower(text), ' '))::BIGINT AS nt FROM documents),
+        |c AS (SELECT doc_id, text, nt,
+        |        sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |p AS (SELECT *, CAST(floor((cum - nt) / 512.0) AS BIGINT) AS pack_id FROM c)
+        |SELECT pack_id, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |       string_agg(text, ' ' ORDER BY cum) AS pack_text
+        |FROM p GROUP BY 1""".stripMargin,
     "q_lang_scores" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
         |SELECT doc_id,

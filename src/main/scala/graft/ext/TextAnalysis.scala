@@ -130,6 +130,36 @@ object TextAnalysis {
     df.filter(bucket < frac * 10000)
   }
 
+  /** Epoch-mixing generalization of [[mixtureSample]] to weights ABOVE
+    * 1: each document is emitted `floor(w)` times, plus one more copy
+    * for the stable hash-selected fraction `w - floor(w)` of its
+    * source — so a source weighted 2.5 contributes each doc twice and
+    * half its docs (always the same half) a third time. Output rows
+    * carry `copy_idx` (0-based) so downstream shuffling/packing can
+    * spread the copies. Weight 0 drops the source; missing sources
+    * default to weight 1.
+    *
+    * Shape: per-row expressions + a bounded `sequence` explode — zero
+    * shuffles, output volume is exactly Σ source_rows · w.
+    */
+  def mixtureResample(df: DataFrame, weights: Map[String, Double],
+                      idCol: String = "doc_id",
+                      sourceCol: String = "source"): DataFrame = {
+    require(weights.values.forall(_ >= 0.0),
+      s"weights must be non-negative: $weights")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10000
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
+      case (els, (src, x)) => when(col(sourceCol) === src, lit(x)).otherwise(els)
+    }
+    val copies = floor(w).cast("long") +
+      when(bucket < (w - floor(w)) * 10000, 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Corpus-derived unigram language-model score: mean log10 p(token)
     * per document, with p(t) the MLE estimate freq(t)/total from the
     * corpus itself. The CCNet-style LM quality filter shape — documents

@@ -82,4 +82,30 @@ object TotalOrder {
     prefixSum(df, sortCols, tokenCol, "__cum")
       .withColumn(outCol, floor((col("__cum") - col(tokenCol)).cast("double") / maxTokens.toDouble).cast("long"))
       .drop("__cum")
+
+  /** Materialize the packed sequences: one row per pack —
+    * (pack_id, n_docs, n_tokens, pack_text) with member texts joined
+    * in pack order. The training-shard output step after
+    * [[packSequences]].
+    *
+    * Shape: one additional shuffle keyed by pack_id; each group is
+    * bounded by the token budget (a pack never exceeds maxTokens plus
+    * one document), so the collect_list per group is small by
+    * construction. Within-pack order rides the inclusive prefix sum —
+    * strictly increasing when every row has ≥1 token, so the
+    * `array_sort` over (cum, text) structs is a total order with no
+    * extra key.
+    */
+  def packConcat(df: DataFrame, sortCols: Seq[Column], tokenCol: String,
+                 textCol: String, maxTokens: Long, sep: String = " "): DataFrame = {
+    val packed = prefixSum(df, sortCols, tokenCol, "__cum")
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokenCol)).cast("double") / maxTokens.toDouble).cast("long"))
+    packed.groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__cum"), col(textCol)))),
+            s => s.getField(textCol)), sep).as("pack_text"))
+  }
 }

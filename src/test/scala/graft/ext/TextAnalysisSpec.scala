@@ -113,6 +113,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.sorted.toSeq === kept2.sorted.toSeq)
   }
 
+  test("mixtureResample: integer repeats + stable fractional extras, zero drops") {
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val out = TextAnalysis.mixtureResample(df,
+      Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5, "src3" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src1") === 200) // exactly 2 copies each of 100 docs
+    assert(!bySrc.contains("src3")) // weight 0 drops the source
+    assert(bySrc("src0") >= 200 && bySrc("src0") <= 300) // 2 or 3 copies
+    assert(bySrc("src2") >= 20 && bySrc("src2") <= 80)   // ~half keep one
+    // copy_idx is dense 0..n-1 per doc
+    out.groupBy(_._1).foreach { case (_, copies) =>
+      assert(copies.map(_._3).sorted.toSeq === (0L until copies.length).toSeq)
+    }
+    // deterministic across partitionings
+    val out2 = TextAnalysis.mixtureResample(df.repartition(7),
+      Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5, "src3" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.toSeq === out2.sorted.toSeq)
+  }
+
   test("unigramLogProb: hand-computed MLE scores") {
     // corpus tokens: a a b | b  → freq a=2 b=2, total=4
     val df = Seq((1L, "a a b"), (2L, "b")).toDF("doc_id", "text")

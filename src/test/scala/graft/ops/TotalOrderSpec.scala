@@ -36,6 +36,25 @@ class TotalOrderSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("packConcat: pack rows match packSequences groups; text joins in order") {
+    val docs = Seq(7L, 3L, 11L, 1L, 9L)
+      .map(i => (i, s"doc$i words here", 3L)).toDF("id", "text", "nt").repartition(3)
+    val out = TotalOrder.packConcat(docs, Seq(col("id")), "nt", "text", maxTokens = 7)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // order 1,3,7,9,11 with 3 tokens each, budget 7 → packs by start
+    // offset: 0,3 → pack 0; 6,9 → packs 0 and 1 (floor(6/7)=0!) check:
+    // starts 0,3,6,9,12 → packs 0,0,0,1,1
+    assert(out.length === 2)
+    assert(out(0) === ((0L, 3L, 9L, "doc1 words here doc3 words here doc7 words here")))
+    assert(out(1) === ((1L, 2L, 6L, "doc9 words here doc11 words here")))
+    // partitioning-invariant
+    val out2 = TotalOrder.packConcat(docs.repartition(1), Seq(col("id")), "nt", "text", 7)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === out2.toSeq)
+  }
+
   test("packSequences: packs are contiguous, ordered, and respect the budget") {
     // v values 1..5; budget 4 → multiple docs per pack, some packs split mid-run
     val out = TotalOrder.packSequences(df, Seq(col("id")), "v", maxTokens = 4)
