@@ -281,6 +281,8 @@ object SparkEntry {
         .select("doc_id", "source", "sample_rank")),
     "q_token_histogram" -> ((s, dir) =>
       TextAnalysis.tokenHistogram(Tables.documents(s, dir), width = 10)),
+    "q_corpus_health" -> ((s, dir) =>
+      TextAnalysis.corpusHealth(Tables.documents(s, dir))),
     "q_quantize_embed" -> ((s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir))
       .select("vec_id", "scale", "sum_q", "n_sat")),
     "q_embed_centroid" -> ((s, dir) =>
@@ -734,6 +736,25 @@ object SparkEntry {
         |  round(len(list_filter(toks, w -> w IN ('le','la','de','et','les','des','un','une')))::DOUBLE / len(toks), 6) AS score_fr,
         |  round(len(list_filter(toks, w -> w IN ('的','是','在','了','我','有','和','人')))::DOUBLE / len(toks), 6) AS score_zh
         |FROM t""".stripMargin,
+    "q_corpus_health" -> (
+      s"""WITH f AS (SELECT source,
+         |  least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
+         |    + len(list_filter(string_split(lower(text), ' '),
+         |          t -> list_contains(['the','a','and','of','to','in','is','it'], t))) * 1.0
+         |      / len(string_split(lower(text), ' ')) * 0.3
+         |    + least(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+         |            / len(string_split(lower(text), ' ')) / 10.0, 1.0) * 0.2 AS q,
+         |  1.0 - len(list_distinct(string_split(lower(text), ' ')))::DOUBLE
+         |        / len(string_split(lower(text), ' ')) AS dupf,
+         |  CASE WHEN len(regexp_extract_all(text, '${graft.ext.Pii.EmailRe}')) > 0
+         |       THEN 1 ELSE 0 END AS haspii,
+         |  len(string_split(lower(text), ' '))::BIGINT AS nt
+         |FROM documents)
+         |SELECT source, count(*) AS n_docs, round(avg(q), 6) AS avg_quality,
+         |       round(avg(dupf), 6) AS avg_dup_frac,
+         |       CAST(sum(haspii) AS BIGINT) AS n_pii_docs,
+         |       round(avg(nt), 6) AS avg_tokens
+         |FROM f GROUP BY 1""".stripMargin),
     "q_embed_centroid" ->
       """WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |                   unnest(embedding::DOUBLE[]) AS x

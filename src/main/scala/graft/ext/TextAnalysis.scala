@@ -264,6 +264,28 @@ object TextAnalysis {
       .filter(col("sample_rank") <= nPer)
   }
 
+  /** Per-source corpus health rollup — the dashboard a data curator
+    * watches: doc count, mean quality score, mean duplicate-token
+    * fraction, docs containing email PII, mean token count. All
+    * features are per-row kernels/expressions, so the whole report is
+    * ONE scan and one source-cardinality aggregate; means are rounded
+    * to 6 dp for cross-engine portability.
+    */
+  def corpusHealth(df: DataFrame, sourceCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val feats = Pii.audit(qualityFeatures(df, textCol), textCol)
+      .withColumn("__rep", graft.functions.native.repetitionStats(col(textCol)))
+    feats.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality_score")), 6).as("avg_quality"),
+        round(avg(lit(1.0) -
+          col("__rep.n_distinct").cast("double") / col("__rep.n_tokens").cast("double")), 6)
+          .as("avg_dup_frac"),
+        sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+        round(avg(col("n_tokens").cast("double")), 6).as("avg_tokens"))
+  }
+
   /** Token-count histogram: docs bucketed by floor(n_tokens / `width`),
     * with per-bucket doc counts and mean char length — the length
     * profile a packing/truncation budget is tuned against.

@@ -184,6 +184,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(small.length === 5)
   }
 
+  test("corpusHealth: exact per-source rollup on a hand-computed fixture") {
+    val df = Seq(
+      (1L, "srcA", "the cat sat"),            // 3 tokens, distinct, no pii
+      (2L, "srcA", "spam spam spam spam"),    // dup frac 0.75
+      (3L, "srcB", "mail me at a@b.co now")   // email pii
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.corpusHealth(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out(0)._1 === "srcA" && out(0)._2 === 2L)
+    assert(out(0)._3 === 0.375) // mean of 0.0 and 0.75
+    assert(out(0)._4 === 0L)
+    assert(out(1) === (("srcB", 1L, 0.0, 1L)))
+  }
+
   test("tokenHistogram: bucket boundaries and exact means") {
     val df = Seq(
       (1L, (1 to 9).map(_ => "w").mkString(" ")),   // 9 tokens  → bucket 0
