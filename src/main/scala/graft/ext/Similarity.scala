@@ -225,10 +225,12 @@ object Similarity {
     */
   def groupCentroids(embeddings: DataFrame, dim: Int,
                      groupCol: String = "label",
-                     vecCol: String = "embedding"): DataFrame =
+                     vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
     embeddings.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_vecs"),
         graft.functions.native.vectorMean(col(vecCol), dim).as("centroid"))
+  }
 
   /** Approximate near-duplicate pairs via banded sign-bit signatures +
     * exact verify — the scale path when the threshold is high enough

@@ -78,10 +78,12 @@ object TotalOrder {
     * real pipelines split those upstream.)
     */
   def packSequences(df: DataFrame, sortCols: Seq[Column], tokenCol: String,
-                    maxTokens: Long, outCol: String = "pack_id"): DataFrame =
+                    maxTokens: Long, outCol: String = "pack_id"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     prefixSum(df, sortCols, tokenCol, "__cum")
       .withColumn(outCol, floor((col("__cum") - col(tokenCol)).cast("double") / maxTokens.toDouble).cast("long"))
       .drop("__cum")
+  }
 
   /** Materialize the packed sequences: one row per pack —
     * (pack_id, n_docs, n_tokens, pack_text) with member texts joined
@@ -98,6 +100,7 @@ object TotalOrder {
     */
   def packConcat(df: DataFrame, sortCols: Seq[Column], tokenCol: String,
                  textCol: String, maxTokens: Long, sep: String = " "): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     val packed = prefixSum(df, sortCols, tokenCol, "__cum")
       .withColumn("pack_id",
         floor((col("__cum") - col(tokenCol)).cast("double") / maxTokens.toDouble).cast("long"))
