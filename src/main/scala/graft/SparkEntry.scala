@@ -363,6 +363,13 @@ object SparkEntry {
       .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")),
     "q_pivot" -> ((s, dir) => Relational.pivotUserValues(Tables.events(s, dir),
       Seq("click", "error", "purchase", "signup", "view"))),
+    "q_unpivot" -> ((s, dir) => {
+      // round-trip: melt the pivoted wide table back to long — equals
+      // the direct (user, type) grouped sum (null cells drop out)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Relational.unpivotUserValues(
+        Relational.pivotUserValues(Tables.events(s, dir), types), types)
+    }),
     "q_cube" -> ((s, dir) => Relational.cubeCounts(Tables.events(s, dir))),
     "q_set_intersect" -> ((s, dir) => Relational.usersIntersect(Tables.events(s, dir), "click", "purchase")),
     "q_ma7_calendar" -> ((s, dir) => Relational.maCalendar(dailyOhlc(s, dir), 7)),
@@ -801,6 +808,10 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'view') AS DOUBLE) AS view
         |FROM events GROUP BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT user_id, event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_cube" ->
       """SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
         |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,

@@ -144,6 +144,16 @@ object Relational {
       .pivot("event_type", types)
       .agg(ExactSums.moneySum(col("value"), 6))
 
+  /** Unpivot (melt): the wide per-type columns back to long
+    * (user_id, event_type, total) rows, null cells dropped — the
+    * inverse of [[pivotUserValues]]. The native `unpivot` operator is
+    * a single Expand pass: one scan, no union-of-selects, no join;
+    * output rows = non-null cells.
+    */
+  def unpivotUserValues(wide: DataFrame, types: Seq[String]): DataFrame =
+    wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "total")
+      .filter(col("total").isNotNull)
+
   /** CUBE over two dimensions — counts per (type, day), per type,
     * per day, and grand total in one Expand + hash-aggregate pass.
     */

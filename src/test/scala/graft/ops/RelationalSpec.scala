@@ -57,6 +57,19 @@ class RelationalSpec extends SparkSpec {
     assert(out(0).getAs[Timestamp]("session_end") === ts("2024-01-01 10:30:00"))
   }
 
+  test("unpivot inverts pivot: long rows equal the direct grouped sums, nulls dropped") {
+    val events = Seq(
+      (1L, "click", 1.5), (1L, "click", 2.5), (1L, "view", 3.0),
+      (2L, "view", 4.0)) // user 2 never clicks → null cell → dropped
+      .map { case (u, t, v) => (u, t, v, ts("2024-01-01 10:00:00")) }
+      .toDF("user_id", "event_type", "value", "ts")
+    val types = Seq("click", "view")
+    val long = Relational.unpivotUserValues(
+        Relational.pivotUserValues(events, types), types)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted
+    assert(long.toSeq === Seq((1L, "click", 4.0), (1L, "view", 3.0), (2L, "view", 4.0)))
+  }
+
   test("usersExcept is set difference with distinct semantics") {
     val df = Seq(
       (1L, "click", 1L), (2L, "click", 1L), (3L, "click", 2L),
