@@ -372,12 +372,19 @@ case class VectorMeanAgg(
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
       if (a.numElements() == dim) {
+        // null elements poison the vector (counted out), matching dot():
+        // reading through them would reinterpret unsafe bytes
+        var ok = true
         var i = 0
-        while (i < dim) {
-          buf(i) += (if (isF) a.getFloat(i).toDouble else a.getDouble(i))
-          i += 1
+        while (ok && i < dim) { ok = !a.isNullAt(i); i += 1 }
+        if (ok) {
+          i = 0
+          while (i < dim) {
+            buf(i) += (if (isF) a.getFloat(i).toDouble else a.getDouble(i))
+            i += 1
+          }
+          buf(dim) += 1.0
         }
-        buf(dim) += 1.0
       }
     }
     buf

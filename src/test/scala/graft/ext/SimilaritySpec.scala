@@ -22,6 +22,13 @@ class SimilaritySpec extends SparkSpec {
     val bad = Seq((1L, 9, Seq(1.0f))).toDF("vec_id", "label", "embedding")
     val r = Similarity.groupCentroids(bad, dim = 2).collect()(0)
     assert(r.getLong(1) === 1L && r.isNullAt(2))
+    // a null ELEMENT poisons that vector only (matching dot()); the
+    // group's mean comes from the remaining clean vectors
+    val mixed = Seq(
+      (1L, 0, Seq[java.lang.Float](1.0f, null)),
+      (2L, 0, Seq[java.lang.Float](3.0f, 5.0f))).toDF("vec_id", "label", "embedding")
+    val m = Similarity.groupCentroids(mixed, dim = 2).collect()(0)
+    assert(m.getLong(1) === 2L && m.getSeq[Double](2) === Seq(3.0, 5.0))
   }
 
   test("dot / l2norm / cosine basics") {
