@@ -556,7 +556,7 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
         |FROM (SELECT doc_id, lang,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS b
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
         |      FROM documents)""".stripMargin,
     "q_dedup_keep" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
@@ -666,7 +666,7 @@ object SparkEntry {
     "q_mixture_sample" ->
       """SELECT doc_id, source
         |FROM (SELECT doc_id, source,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000 AS b,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b,
         |        CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
         |             WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
         |             WHEN 'src4' THEN 0.1 ELSE 1.0 END AS f
@@ -716,7 +716,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "q_mixture_upsample" ->
       """WITH t AS (SELECT doc_id, source,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000 AS b,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b,
         |        CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
         |             WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0 ELSE 1.0 END AS w
         |      FROM documents),

@@ -52,7 +52,10 @@ object Contamination {
   def flagBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                 minShared: Int = 1, expectedShingles: Long = 1000000L,
                 fpp: Double = 0.001): DataFrame = {
-    val bf = shingleRows(benchmark, n).select("s").distinct()
+    // no distinct() before the build: Bloom insertion is idempotent, so
+    // deduping the shingle stream would add a full shuffle for zero
+    // effect on the filter bits (sizing comes from expectedShingles)
+    val bf = shingleRows(benchmark, n).select("s")
       .stat.bloomFilter("s", expectedShingles, fpp)
     shingleRows(corpus, n)
       .filter(graft.functions.native.bloomMightContain(col("s"), bf))

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *     corpus side stays unshuffled)
   *  4. near-dup dedup (posting-list pairs + keep-first anti-join)
   *  5. deterministic train/val/test split (pure hash expression)
-  *  6. deterministic global order + fixed-token-budget packing
-  *     (range-partition prefix sum — the only total-order touch)
+  *  6. deterministic order + fixed-token-budget packing PER SPLIT
+  *     (range-partition prefix sum — the only total-order touch;
+  *     packs never straddle train/val/test)
   *
   * Each stage is individually oracle-verified via its own query key;
   * the composition is covered by a determinism + stage-semantics spec
@@ -55,30 +56,44 @@ object CorpusPipeline {
       .filter(col("n_emails") <= cfg.maxPiiEmails)
       .select("doc_id", "text", "quality_score")
     // stage 3: decontaminate (corpus unshuffled; broadcast benchmark).
+    // The benchmark side gets the SAME normalization as the corpus —
+    // shingling raw benchmark text against normalized corpus text
+    // would miss contamination whose raw forms differ only in
+    // whitespace runs / adjacent-duplicate tokens (exactly what
+    // normalizeText folds), i.e. false negatives in the one stage
+    // that promises none.
+    val normBench = benchmark.withColumn("text", TextAnalysis.normalizeText(col("text")))
     // Stage boundary MATERIALIZED: the surviving corpus feeds both
     // sides of the dedup (pair build + anti-join) and, downstream, the
-    // prefix sum's two passes — without a checkpoint the whole
-    // scan→gates→decontam subtree is recomputed up to 4× (measured
-    // 6.4 s → 4.1 s at sf0.1). At cluster scale this is the standard
-    // persist-at-the-stage-boundary trade: one disk-backed
-    // materialization of the (already heavily filtered) corpus vs four
-    // recomputes of every upstream operator.
-    val decontaminated = Contamination.clean(hygienic, benchmark, cfg.decontamNgram)
+    // prefix sum's two passes — without it the scan→gates→decontam
+    // subtree is recomputed up to 4× (measured 6.4 s → 4.1 s at
+    // sf0.1). localCheckpoint is the single-JVM form: eager, executor-
+    // local blocks, NOT fault-tolerant (an executor loss fails the
+    // downstream job). On a cluster, swap the boundary for
+    // persist(DISK_ONLY) or a staging-table write — same shape, same
+    // one-materialization-vs-four-recomputes trade.
+    val decontaminated = Contamination.clean(hygienic, normBench, cfg.decontamNgram)
       .localCheckpoint(true)
     // stage 4: near-dup keep-first
     val pairs = Dedup.ngramJaccardPairs(decontaminated, cfg.dedupNgram, cfg.dedupJaccard)
     val deduped = Dedup.dropNearDups(decontaminated, pairs)
     // stage 5: deterministic split
     val split = TextAnalysis.splitAssign(deduped)
-    // stage 6: deterministic global order + token-budget packing.
+    // stage 6: deterministic order + token-budget packing, PER SPLIT —
+    // a pack must never straddle train/val/test (a mixed pack either
+    // leaks val text into a train shard or has to be broken, voiding
+    // the fixed-budget contract). pack_id is therefore unique per
+    // (split, pack_id), not globally.
     // Second boundary: prefixSum streams its input twice (per-partition
     // totals, then the indexed pass) — they must see identical
     // partitions, and should not re-run the dedup anti-join.
     val withTokens = split.withColumn("n_tokens",
       TextAnalysis.tokenCount(col("text")).cast("long"))
       .localCheckpoint(true)
-    graft.ops.TotalOrder.packSequences(withTokens,
+    Seq("train", "val", "test").map { sp =>
+      graft.ops.TotalOrder.packSequences(withTokens.filter(col("split") === sp),
         Seq(md5(col("doc_id").cast("string")), col("doc_id")), "n_tokens", cfg.packTokens)
+    }.reduce(_.unionByName(_))
       .select("doc_id", "text", "quality_score", "split", "pack_id")
   }
 }

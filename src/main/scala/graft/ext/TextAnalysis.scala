@@ -93,15 +93,26 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("token"))
       .limit(topN)
 
+  /** Stable hash bucket in [0, mod): md5 of the id, first 8 hex digits
+    * mod `mod`. 8 digits (2³²) rather than 4 (2¹⁶) is load-bearing:
+    * 65536 % 10000 = 5536, so a 16-bit bucket mod 10000 hits
+    * 0..5535 with probability 7/65536 vs 6/65536 for the rest — a
+    * systematic ~8% inflation of small keep-fractions. At 2³² the
+    * residual bias is ≤ 2.4e-6 relative. Shared by every deterministic
+    * sampling/split operator so engines agree digit-for-digit.
+    */
+  private def hashBucket(idCol: String, mod: Int) =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % mod
+
   /** Deterministic train/val/test assignment from a stable content
-    * key: md5 of the id, first 4 hex digits mod 100 → [0,100) bucket,
-    * split 80/10/10. Pure expression — the same row lands in the same
-    * split on any engine, any run, any partitioning (the property a
-    * training pipeline needs so replays never leak val into train).
+    * key: md5 of the id → [0,100) bucket, split 80/10/10. Pure
+    * expression — the same row lands in the same split on any engine,
+    * any run, any partitioning (the property a training pipeline needs
+    * so replays never leak val into train).
     */
   def splitAssign(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100
+    val bucket = hashBucket(idCol, 100)
     df.withColumn("split",
       when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
   }
@@ -122,8 +133,7 @@ object TextAnalysis {
                     sourceCol: String = "source"): DataFrame = {
     require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
       s"keep fractions must be in [0,1]: $weights")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("long") % 10000
+    val bucket = hashBucket(idCol, 10000)
     val frac = weights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
       case (els, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(els)
     }
@@ -147,8 +157,7 @@ object TextAnalysis {
                       sourceCol: String = "source"): DataFrame = {
     require(weights.values.forall(_ >= 0.0),
       s"weights must be non-negative: $weights")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("long") % 10000
+    val bucket = hashBucket(idCol, 10000)
     val w = weights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) {
       case (els, (src, x)) => when(col(sourceCol) === src, lit(x)).otherwise(els)
     }
@@ -296,7 +305,7 @@ object TextAnalysis {
     require(width >= 1, s"width must be >= 1, got $width")
     val nTok = size(tokens(col(textCol)))
     df.select(floor(nTok / width).cast("long").as("bucket"),
-        nTok.as("__nt"), length(col(textCol)).as("__nc"))
+        length(col(textCol)).as("__nc"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("__nc")), 6).as("avg_chars"))

@@ -77,13 +77,21 @@ object TotalOrder {
     * (Documents longer than `maxTokens` still get exactly one pack —
     * real pipelines split those upstream.)
     */
-  def packSequences(df: DataFrame, sortCols: Seq[Column], tokenCol: String,
-                    maxTokens: Long, outCol: String = "pack_id"): DataFrame = {
+  /** The pack-assignment rule, shared by [[packSequences]] and
+    * [[packConcat]] so the boundary formula cannot drift between the
+    * id view and the materialized view: a doc starting at global token
+    * offset t (= inclusive cum − own tokens) goes to pack t/maxTokens.
+    */
+  private def withPackId(df: DataFrame, sortCols: Seq[Column], tokenCol: String,
+                         maxTokens: Long, outCol: String): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     prefixSum(df, sortCols, tokenCol, "__cum")
       .withColumn(outCol, floor((col("__cum") - col(tokenCol)).cast("double") / maxTokens.toDouble).cast("long"))
-      .drop("__cum")
   }
+
+  def packSequences(df: DataFrame, sortCols: Seq[Column], tokenCol: String,
+                    maxTokens: Long, outCol: String = "pack_id"): DataFrame =
+    withPackId(df, sortCols, tokenCol, maxTokens, outCol).drop("__cum")
 
   /** Materialize the packed sequences: one row per pack —
     * (pack_id, n_docs, n_tokens, pack_text) with member texts joined
@@ -100,10 +108,7 @@ object TotalOrder {
     */
   def packConcat(df: DataFrame, sortCols: Seq[Column], tokenCol: String,
                  textCol: String, maxTokens: Long, sep: String = " "): DataFrame = {
-    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
-    val packed = prefixSum(df, sortCols, tokenCol, "__cum")
-      .withColumn("pack_id",
-        floor((col("__cum") - col(tokenCol)).cast("double") / maxTokens.toDouble).cast("long"))
+    val packed = withPackId(df, sortCols, tokenCol, maxTokens, "pack_id")
     packed.groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).as("n_tokens"),

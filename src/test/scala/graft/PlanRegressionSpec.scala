@@ -127,7 +127,8 @@ class PlanRegressionSpec extends SparkSpec {
   test("stratified sample: one exchange (the per-source window), no global sort") {
     val p = plan("q_sample_per_source")
     assert(exchanges(p) === 1, p.take(2000))
-    // rank evaluates per source partition; a Sort global=true would be a total order
-    assert(!p.contains("Sort [") || !p.contains("global=true"), p.take(2000))
+    // SortExec prints as "Sort [keys], <global>, 0" — a true flag would
+    // mean a total-order sort (single partition), the scale-killer
+    assert(!"""Sort \[[^\]]*\], true,""".r.findFirstIn(p).isDefined, p.take(2000))
   }
 }

@@ -75,11 +75,16 @@ class CorpusPipelineSpec extends SparkSpec {
     val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = CorpusPipeline.prepare(many, noBench,
       CorpusPipeline.Config(minQuality = 0.0, packTokens = 24L))
-    // 8 tokens per doc, budget 24 → exactly 3 docs per pack
-    val sizes = out.groupBy("pack_id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 8 tokens per doc, budget 24 → exactly 3 docs per pack; pack_id
+    // is scoped per split (packs never straddle train/val/test)
+    val sizes = out.groupBy("split", "pack_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(out.count() === 50L)
     assert(sizes.values.forall(_ <= 3L))
-    assert(sizes.values.count(_ == 3L) >= sizes.size - 1) // only the tail pack may be short
+    // within each split only the tail pack may be short
+    sizes.keys.map(_._1).toSet.foreach { sp: String =>
+      val perSplit = sizes.filter(_._1._1 == sp).values.toSeq
+      assert(perSplit.count(_ < 3L) <= 1, s"split $sp packs: $perSplit")
+    }
   }
 }
