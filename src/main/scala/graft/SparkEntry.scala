@@ -347,6 +347,9 @@ object SparkEntry {
       // asserted within 3·rsd of exact per group (RelationalSpec)
       Relational.approxDistinctUsers(Tables.events(s, dir))),
     "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(Tables.events(s, dir))),
+    "q_quantiles_approx" -> ((s, dir) => // sketch: rows-only vs oracle;
+      // within-rank-error-of-exact asserted in RelationalSpec
+      Relational.valueQuantilesApprox(Tables.events(s, dir))),
     "q_topk_group" -> ((s, dir) => Relational.topKPerGroup(Tables.events(s, dir), k = 5)),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), gapSec = 1800L)),
     "q_asof_join" -> ((s, dir) => {

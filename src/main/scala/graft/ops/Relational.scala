@@ -90,6 +90,18 @@ object Relational {
       expr("percentile(value, 0.9)").as("p90"),
       expr("percentile(value, 0.99)").as("p99"))
 
+  /** The 100 TB form of [[valueQuantiles]]: `approx_percentile`
+    * (KLL-style mergeable sketch, error ≤ 1/accuracy of the rank) —
+    * constant memory per group where the exact form materializes the
+    * group's values. Rows-only vs the oracle (sketch results are
+    * implementation-defined); closeness to exact is unit-asserted.
+    */
+  def valueQuantilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events.groupBy("event_type").agg(
+      expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+      expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+      expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
+
   /** Top-k rows per group by value (rank ≤ k), deterministic
     * tie-break on event_id.
     */

@@ -96,6 +96,22 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
 
+  test("approx percentiles are within the sketch's rank-error of exact (sf0.01 events)") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = Relational.valueQuantiles(events).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Relational.valueQuantilesApprox(events, accuracy = 10000).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // accuracy=10000 → rank error ≤ n/10000; with ~2000 values/group the
+    // sketch is exact up to interpolation — allow a small value tolerance
+    exact.foreach { case (g, (p50, p90, p99)) =>
+      val (a50, a90, a99) = approx(g)
+      assert(math.abs(a50 - p50) <= math.abs(p50) * 0.02 + 0.05, s"$g p50 $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= math.abs(p90) * 0.02 + 0.05, s"$g p90 $a90 vs $p90")
+      assert(math.abs(a99 - p99) <= math.abs(p99) * 0.02 + 0.05, s"$g p99 $a99 vs $p99")
+    }
+  }
+
   test("approx distinct is within 3·rsd of exact per group (sf0.01 events)") {
     // teeth for the oracle-less q_approx_distinct: the HLL estimate at
     // rsd=0.02 must sit within 3 standard errors of the exact count
