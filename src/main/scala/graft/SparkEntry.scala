@@ -340,6 +340,8 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_semi_join" -> ((s, dir) => Relational.customersWithOrders(
       Tables.table(s, dir, "customer"), Tables.orders(s, dir))),
+    "q_outer_join" -> ((s, dir) => Relational.customerOrderCounts(
+      Tables.table(s, dir, "customer"), Tables.orders(s, dir))),
     "q_rollup" -> ((s, dir) => Relational.rollupQtyRevenue(Tables.lineitem(s, dir))),
     "q_set_except" -> ((s, dir) => Relational.usersExcept(Tables.events(s, dir), "click", "purchase")),
     "q_count_distinct" -> ((s, dir) => Relational.distinctUsers(Tables.events(s, dir))),
@@ -857,6 +859,11 @@ object SparkEntry {
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c_custkey, c_name, coalesce(n, 0) AS n_orders
+        |FROM customer LEFT JOIN
+        |  (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+        |  ON c_custkey = o_custkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -56,6 +56,20 @@ object Relational {
       customer("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_mktsegment")
 
+  /** Left-outer join with null-side aggregation: every customer with
+    * their order count, zero for customers who never ordered (the rows
+    * an inner join silently drops). Orders pre-aggregate to one row
+    * per custkey BEFORE the join, so the outer join is dim-sized on
+    * both sides — never join-then-count a fact table when the count
+    * can partial-aggregate first.
+    */
+  def customerOrderCounts(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val counts = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    customer.join(counts, customer("c_custkey") === counts("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+  }
+
   /** ROLLUP aggregate: per (returnflag, linestatus) + subtotals +
     * grand total. Spark plans one Expand + hash-aggregate.
     */

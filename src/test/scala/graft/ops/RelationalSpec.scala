@@ -57,6 +57,15 @@ class RelationalSpec extends SparkSpec {
     assert(out(0).getAs[Timestamp]("session_end") === ts("2024-01-01 10:30:00"))
   }
 
+  test("customerOrderCounts: never-ordered customers survive with zero") {
+    val customer = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
+      .toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 3L)).toDF("o_orderkey", "o_custkey")
+    val out = Relational.customerOrderCounts(customer, orders)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(out.toSeq === Seq((1L, 2L), (2L, 0L), (3L, 1L)))
+  }
+
   test("unpivot inverts pivot: long rows equal the direct grouped sums, nulls dropped") {
     val events = Seq(
       (1L, "click", 1.5), (1L, "click", 2.5), (1L, "view", 3.0),
