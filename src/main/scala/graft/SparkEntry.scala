@@ -86,6 +86,20 @@ object SparkEntry {
       }
       Warehouse.readCsv(s, out, graft.model.Schemas.rawCsvSchema)
     }),
+    "q_scan_jsonl" -> ((s, dir) => {
+      // JSONL round-trip: parquet → newline-delimited JSON shards →
+      // declared-schema scan (the training-corpus interchange format);
+      // oracle reads the parquet directly. Staged once per JVM per
+      // sfDir, same discipline as q_scan_csv.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_scan_jsonl_" +
+        s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (stagedCsvDirs.add(out)) {
+        Warehouse.writeJsonl(Tables.documents(s, dir)
+          .select("doc_id", "text", "lang", "source", "n_chars"), out)
+      }
+      Warehouse.readJsonl(s, out, org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+    }),
 
     // ---- §2.2 projections / filters (P1-P8) ----
     "q_project" -> ((s, dir) => Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")),
@@ -423,6 +437,8 @@ object SparkEntry {
     "q_scan_table" -> "SELECT * FROM lineitem",
     "q_scan_csv" ->
       "SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_utc, value AS price FROM events",
+    "q_scan_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_project" -> "SELECT l_orderkey, l_extendedprice FROM lineitem",
     "q_lit_col" -> "SELECT event_id, 'BTC-USD' AS asset, value AS price FROM events",
     "q_cast" -> "SELECT doc_id, CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) AS n_chars_d FROM documents",

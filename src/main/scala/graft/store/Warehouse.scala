@@ -178,6 +178,19 @@ object Warehouse {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSONL (newline-delimited JSON) sink — the interchange format
+    * training corpora ship in; one JSON object per line, splittable,
+    * partition-parallel.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** JSONL scan with a DECLARED schema — never inferSchema (inference
+    * is a full extra pass over the data at scale; SURVEY.md §1.3).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S6: empty-input guard (dag:126-127 etc.) — limit(1), never a full
     * count.
     */
