@@ -130,14 +130,20 @@ object Dedup {
     * their own cluster by definition.
     */
   def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // pairs are unique (a < b) by construction, so the directed union
+    // is duplicate-free — a distinct() here would be a full extra
+    // shuffle of the edge list for nothing (and duplicate edges could
+    // not change a min() anyway)
     val edges = pairs.select(col("a").as("x"), col("b").as("y"))
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
-      .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // fused round 0: initial labels ARE the ids, so the first
+    // propagation needs no label join — label = min(own, min neighbor)
+    // in one aggregate. Saves a full join+agg+join round.
+    var labels = edges.groupBy("x").agg(min(col("y")).as("__m"))
+      .select(col("x").as("id"), least(col("x"), col("__m")).as("cluster"))
       .localCheckpoint(true)
-    var round = 0
+    var round = 1
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       val neighborMin = edges
