@@ -90,10 +90,8 @@ object CorpusPipeline {
     val withTokens = split.withColumn("n_tokens",
       TextAnalysis.tokenCount(col("text")).cast("long"))
       .localCheckpoint(true)
-    Seq("train", "val", "test").map { sp =>
-      graft.ops.TotalOrder.packSequences(withTokens.filter(col("split") === sp),
+    graft.ops.TotalOrder.packSequencesPerGroup(withTokens, "split",
         Seq(md5(col("doc_id").cast("string")), col("doc_id")), "n_tokens", cfg.packTokens)
-    }.reduce(_.unionByName(_))
       .select("doc_id", "text", "quality_score", "split", "pack_id")
   }
 }

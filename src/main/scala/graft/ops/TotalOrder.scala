@@ -93,6 +93,34 @@ object TotalOrder {
                     maxTokens: Long, outCol: String = "pack_id"): DataFrame =
     withPackId(df, sortCols, tokenCol, maxTokens, outCol).drop("__cum")
 
+  /** Per-group packing: like [[packSequences]] but pack offsets reset
+    * at each value of `groupCol`, so no pack ever straddles a group
+    * (train/val/test shards must not mix). ONE global prefix sum over
+    * (group, sortCols) plus a group-cardinality offset cumsum —
+    * instead of one full prefix sum per group. The offset window is a
+    * single-partition sort over #groups rows (3 for splits), bounded
+    * by group cardinality, not data. pack_id is unique per
+    * (group, pack_id).
+    */
+  def packSequencesPerGroup(df: DataFrame, groupCol: String, sortCols: Seq[Column],
+                            tokenCol: String, maxTokens: Long,
+                            outCol: String = "pack_id"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    import org.apache.spark.sql.expressions.Window
+    val cum = prefixSum(df, col(groupCol) +: sortCols, tokenCol, "__cum")
+    // group start offset = total tokens of all groups sorting before it
+    // (same ascending group order as the prefix sum's range partitioning)
+    val w = Window.orderBy(groupCol).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(groupCol).agg(sum(col(tokenCol)).as("__t"))
+      .withColumn("__off", coalesce(sum("__t").over(w), lit(0L)))
+      .drop("__t")
+    cum.join(broadcast(offsets), Seq(groupCol))
+      .withColumn(outCol,
+        floor((col("__cum") - col(tokenCol) - col("__off")).cast("double") / maxTokens.toDouble)
+          .cast("long"))
+      .drop("__cum", "__off")
+  }
+
   /** Materialize the packed sequences: one row per pack —
     * (pack_id, n_docs, n_tokens, pack_text) with member texts joined
     * in pack order. The training-shard output step after

@@ -55,6 +55,20 @@ class TotalOrderSpec extends SparkSpec {
     assert(out.toSeq === out2.toSeq)
   }
 
+  test("packSequencesPerGroup equals packSequences run per group") {
+    val docs = Seq(
+      (1L, "g2", 3L), (2L, "g1", 5L), (3L, "g1", 2L), (4L, "g2", 4L),
+      (5L, "g1", 3L), (6L, "g3", 7L), (7L, "g2", 2L)).toDF("id", "grp", "nt")
+      .repartition(3)
+    val got = TotalOrder.packSequencesPerGroup(docs, "grp", Seq(col("id")), "nt", 6)
+      .select("id", "grp", "pack_id").as[(Long, String, Long)].collect().sorted
+    val want = Seq("g1", "g2", "g3").flatMap { g =>
+      TotalOrder.packSequences(docs.filter($"grp" === g), Seq(col("id")), "nt", 6)
+        .select("id", "grp", "pack_id").as[(Long, String, Long)].collect()
+    }.sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("packSequences: packs are contiguous, ordered, and respect the budget") {
     // v values 1..5; budget 4 → multiple docs per pack, some packs split mid-run
     val out = TotalOrder.packSequences(df, Seq(col("id")), "v", maxTokens = 4)
