@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** CSV staging dirs already written by this JVM (see q_scan_csv). */
-  private val stagedCsvDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Scan-format staging dirs (CSV/JSONL) already written by this JVM
+    * (see q_scan_csv / q_scan_jsonl). */
+  private val stagedScanDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Daily OHLC per asset from the events fact table. */
   private def dailyOhlc(s: SparkSession, dir: String): DataFrame =
@@ -79,7 +80,7 @@ object SparkEntry {
       // every invocation timed a side effect, not the scan.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_scan_csv_" +
         s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (stagedCsvDirs.add(out)) {
+      if (stagedScanDirs.add(out)) {
         val src = Tables.events(s, dir).select(
           Normalize.tsToIso(col("ts")).as("ts_utc"), col("value").as("price"))
         Warehouse.writeCsv(src, out)
@@ -93,12 +94,11 @@ object SparkEntry {
       // sfDir, same discipline as q_scan_csv.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_scan_jsonl_" +
         s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (stagedCsvDirs.add(out)) {
+      if (stagedScanDirs.add(out)) {
         Warehouse.writeJsonl(Tables.documents(s, dir)
           .select("doc_id", "text", "lang", "source", "n_chars"), out)
       }
-      Warehouse.readJsonl(s, out, org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+      Warehouse.readJsonl(s, out, graft.model.Schemas.documentsJsonlSchema)
     }),
 
     // ---- §2.2 projections / filters (P1-P8) ----

@@ -59,6 +59,16 @@ object Schemas {
     StructField("ts_utc", StringType, nullable = false),
     StructField("price", DoubleType, nullable = false)))
 
+  /** JSONL shard schema for the documents corpus — the declared-schema
+    * contract for `Warehouse.readJsonl` (never inferSchema).
+    */
+  val documentsJsonlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** raw_prices fact-table schema (dag_btc_daily.py:138-144) with a
     * real timestamp type.
     */

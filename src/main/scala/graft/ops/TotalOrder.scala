@@ -100,7 +100,9 @@ object TotalOrder {
     * instead of one full prefix sum per group. The offset window is a
     * single-partition sort over #groups rows (3 for splits), bounded
     * by group cardinality, not data. pack_id is unique per
-    * (group, pack_id).
+    * (group, pack_id). Rows with a NULL group get a NULL pack_id
+    * (they are retained — the offset join is left-outer — but belong
+    * to no group's pack order; assign them a real group upstream).
     */
   def packSequencesPerGroup(df: DataFrame, groupCol: String, sortCols: Seq[Column],
                             tokenCol: String, maxTokens: Long,
@@ -114,7 +116,7 @@ object TotalOrder {
     val offsets = df.groupBy(groupCol).agg(sum(col(tokenCol)).as("__t"))
       .withColumn("__off", coalesce(sum("__t").over(w), lit(0L)))
       .drop("__t")
-    cum.join(broadcast(offsets), Seq(groupCol))
+    cum.join(broadcast(offsets), Seq(groupCol), "left_outer")
       .withColumn(outCol,
         floor((col("__cum") - col(tokenCol) - col("__off")).cast("double") / maxTokens.toDouble)
           .cast("long"))
