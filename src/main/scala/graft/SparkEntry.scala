@@ -392,6 +392,7 @@ object SparkEntry {
     "q_cube" -> ((s, dir) => Relational.cubeCounts(Tables.events(s, dir))),
     "q_set_intersect" -> ((s, dir) => Relational.usersIntersect(Tables.events(s, dir), "click", "purchase")),
     "q_ma7_calendar" -> ((s, dir) => Relational.maCalendar(dailyOhlc(s, dir), 7)),
+    "q_hopping_window" -> ((s, dir) => Relational.hoppingCounts(Tables.events(s, dir))),
     "q_array_ops" -> ((s, dir) => Tables.embeddings(s, dir).select(
       col("vec_id"),
       size(col("embedding")).cast("long").as("dim"),
@@ -829,6 +830,12 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'view') AS DOUBLE) AS view
         |FROM events GROUP BY 1""".stripMargin,
+    "q_hopping_window" ->
+      """WITH e AS (SELECT event_type,
+        |             (epoch(ts)::BIGINT // 43200) * 43200 AS b FROM events),
+        |w AS (SELECT event_type, unnest([b, b - 43200]) AS ws_epoch FROM e)
+        |SELECT make_timestamp(ws_epoch * 1000000) AS ws, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q_unpivot" ->
       """SELECT user_id, event_type,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -187,6 +187,19 @@ object Relational {
     events.cube(col("event_type"), to_date(col("ts")).as("date"))
       .agg(count(lit(1)).as("n"))
 
+  /** Hopping (sliding) event-time windows: `duration` windows
+    * advancing every `slide`, so each event lands in duration/slide
+    * windows — the batch twin of Structured Streaming's
+    * `window(ts, d, s)`. Plans as one Expand (the per-event window
+    * fan-out) + hash-aggregate: no self-join, no range join, output
+    * rows = events × (d/s) pre-aggregation.
+    */
+  def hoppingCounts(events: DataFrame, duration: String = "1 day",
+                    slide: String = "12 hours"): DataFrame =
+    events.groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
   /** Set intersection on a key domain: users who did both `a` and `b`. */
   def usersIntersect(events: DataFrame, a: String, b: String): DataFrame =
     events.filter(col("event_type") === a).select("user_id")

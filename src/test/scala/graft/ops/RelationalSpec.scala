@@ -57,6 +57,18 @@ class RelationalSpec extends SparkSpec {
     assert(out(0).getAs[Timestamp]("session_end") === ts("2024-01-01 10:30:00"))
   }
 
+  test("hoppingCounts: each event lands in exactly duration/slide windows") {
+    val events = Seq(
+      (1L, "click", ts("2024-01-01 06:00:00")),  // windows 2023-12-31 12:00 and 2024-01-01 00:00
+      (2L, "click", ts("2024-01-01 18:00:00")))  // windows 2024-01-01 00:00 and 12:00
+      .toDF("event_id", "event_type", "ts")
+    val out = Relational.hoppingCounts(events)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).sorted
+    assert(out.toSeq === Seq(
+      ("2023-12-31 12:00:00.0", 1L), ("2024-01-01 00:00:00.0", 2L),
+      ("2024-01-01 12:00:00.0", 1L)))
+  }
+
   test("customerOrderCounts: never-ordered customers survive with zero") {
     val customer = Seq((1L, "alice"), (2L, "bob"), (3L, "carol"))
       .toDF("c_custkey", "c_name")
