@@ -302,8 +302,8 @@ object SparkEntry {
     "q_embed_centroid" -> ((s, dir) =>
       // centroid array → (label, i, m) scalars for the oracle compare
       Similarity.groupCentroids(Tables.embeddings(s, dir), dim = 64)
-        .select(col("label"), col("n_vecs"), posexplode(col("centroid")))
-        .select(col("label"), col("n_vecs"),
+        .select(col("label"), col("n_vecs"), col("n_valid"), posexplode(col("centroid")))
+        .select(col("label"), col("n_vecs"), col("n_valid"),
           (col("pos") + 1).cast("long").as("i"), round(col("col"), 6).as("m"))),
 
     // ---- north-star: multimodal + JSON/array columns ----
@@ -333,15 +333,23 @@ object SparkEntry {
       // map, of the same payload: the largest avoidable line item in
       // BENCH_r03 after q_stream_ohlc), and the nested round-trip
       // through a single STRUCT parse feeding uid/et/v.
+      // the map parse keeps STRING values: a MAP<STRING,BIGINT> parse
+      // nulls the WHOLE payload when ANY value fails LONG coercion,
+      // whereas string values never fail and the cast below nulls only
+      // the extracted field — per-field coercion, matching both the
+      // struct-parse semantics this replaced and the oracle's
+      // json_extract_string + CAST. `k` and `k_map` are INTENTIONALLY
+      // the same extraction (one map parse fanned into two outputs);
+      // the struct-parse path is exercised by `__nested` below.
       val propsMap = from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.LongType))
+          org.apache.spark.sql.types.StringType))
       e.select(col("event_id"), propsMap.as("__props"), nested.as("__nested"))
         .select(
           col("event_id"),
-          element_at(col("__props"), "k").as("k"),
-          element_at(col("__props"), "k").as("k_map"),
+          element_at(col("__props"), "k").cast("long").as("k"),
+          element_at(col("__props"), "k").cast("long").as("k_map"),
           col("__nested").getField("who").getField("uid").as("uid"),
           col("__nested").getField("who").getField("et").as("et"),
           col("__nested").getField("v").as("v"))
@@ -790,8 +798,13 @@ object SparkEntry {
         |            FROM embeddings),
         |m AS (SELECT label, CAST(i AS BIGINT) AS i, round(avg(x), 6) AS m
         |      FROM ex GROUP BY 1, 2),
-        |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
-        |SELECT label, n_vecs, i, m FROM m JOIN n USING (label)""".stripMargin,
+        |n AS (SELECT label, count(*) AS n_vecs,
+        |             count(*) FILTER (WHERE embedding IS NOT NULL
+        |               AND len(embedding) = 64
+        |               AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+        |               AS n_valid
+        |      FROM embeddings GROUP BY 1)
+        |SELECT label, n_vecs, n_valid, i, m FROM m JOIN n USING (label)""".stripMargin,
     "q_quantize_embed" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |s AS (SELECT vec_id, e,

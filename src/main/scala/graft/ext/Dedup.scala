@@ -85,9 +85,20 @@ object Dedup {
     * boilerplate-heavy docs — conservative by construction: shared
     * boilerplate can never inflate similarity into a false near-dup,
     * and docs whose overlap is ONLY boilerplate stop pairing at all.
+    *
+    * `doc_id` must be LONG: the pair kernel packs (doc_id, n) structs
+    * and orders pairs numerically. Corpora keyed by string/UUID ids
+    * should assign surrogate longs first (e.g.
+    * [[graft.ops.TotalOrder.globalIndex]]) and map back after —
+    * checked eagerly here so the error names the fix instead of
+    * surfacing as the kernel's analysis-time type mismatch.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         dfCap: Option[Int] = None): DataFrame = {
+    val idType = docs.schema("doc_id").dataType
+    require(idType == org.apache.spark.sql.types.LongType,
+      s"ngramJaccardPairs requires a LONG doc_id (got $idType); assign " +
+        "surrogate long ids (TotalOrder.globalIndex) and join back after")
     val postings = docs
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("s"))
@@ -159,6 +170,14 @@ object Dedup {
       labels = next.select("id", "cluster")
       round += 1
     }
+    // silently returning non-converged labels would split a long-diameter
+    // component into several clusters and make the keep/drop policy
+    // under-delete with no signal — fail loudly instead; near-dup graphs
+    // converge in single digits, so hitting this means maxRounds is wrong
+    // for the graph (raise it, or use a log-round star algorithm)
+    require(changed == 0,
+      s"nearDupClusters did not converge after $maxRounds rounds " +
+        s"($changed labels still changing); raise maxRounds")
     labels
   }
 

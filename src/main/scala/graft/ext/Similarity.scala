@@ -227,8 +227,16 @@ object Similarity {
                      groupCol: String = "label",
                      vecCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    // n_vecs counts ALL group rows; n_valid counts exactly the rows the
+    // aggregate folds into the centroid (non-null, right-dim, no null
+    // elements — same rules as VectorMeanAgg.update), so the centroid's
+    // true denominator is visible and a group full of junk vectors can't
+    // masquerade as a well-supported centroid in drift monitoring
+    val valid = col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+      !exists(col(vecCol), x => x.isNull)
     embeddings.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_vecs"),
+        count(when(valid, lit(1))).as("n_valid"),
         graft.functions.native.vectorMean(col(vecCol), dim).as("centroid"))
   }
 

@@ -97,8 +97,14 @@ object Warehouse {
     * the 100 TB form: scans with a date predicate prune to the
     * matching directories (PartitionFilters, no file I/O elsewhere).
     */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    // a full overwrite may change the table's schema; `overwritePartitions`
+    // below deliberately does NOT invalidate — it is schema-preserving by
+    // contract and sits on the per-micro-batch streaming hot path, where
+    // the cache exists precisely to skip per-batch footer re-inference
+    SchemaCache.invalidate(path)
+  }
 
   /** Incremental keyed rewrite: replaces ONLY the partitions present
     * in `df` (dynamic partition overwrite), leaving all other

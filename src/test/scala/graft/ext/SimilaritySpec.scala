@@ -12,23 +12,26 @@ class SimilaritySpec extends SparkSpec {
       (3L, 1, Seq(-1.0f, 0.5f))).toDF("vec_id", "label", "embedding")
     def run(d: org.apache.spark.sql.DataFrame) =
       Similarity.groupCentroids(d, dim = 2).collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).sortBy(_._1)
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getSeq[Double](3)))
+        .sortBy(_._1)
     val out = run(df)
-    assert(out(0) === ((0, 2L, Seq(2.0, 3.0))))
-    assert(out(1) === ((1, 1L, Seq(-1.0, 0.5))))
+    assert(out(0) === ((0, 2L, 2L, Seq(2.0, 3.0))))
+    assert(out(1) === ((1, 1L, 1L, Seq(-1.0, 0.5))))
     // partial-buffer merge path: every row in its own partition
     assert(run(df.repartition(3)).toSeq === out.toSeq)
-    // wrong-dim vectors are counted out of the mean (all-skipped → null)
+    // wrong-dim vectors are counted out of the mean (all-skipped → null);
+    // n_valid exposes the centroid's true denominator (0), n_vecs the rows
     val bad = Seq((1L, 9, Seq(1.0f))).toDF("vec_id", "label", "embedding")
     val r = Similarity.groupCentroids(bad, dim = 2).collect()(0)
-    assert(r.getLong(1) === 1L && r.isNullAt(2))
+    assert(r.getLong(1) === 1L && r.getLong(2) === 0L && r.isNullAt(3))
     // a null ELEMENT poisons that vector only (matching dot()); the
     // group's mean comes from the remaining clean vectors
     val mixed = Seq(
       (1L, 0, Seq[java.lang.Float](1.0f, null)),
       (2L, 0, Seq[java.lang.Float](3.0f, 5.0f))).toDF("vec_id", "label", "embedding")
     val m = Similarity.groupCentroids(mixed, dim = 2).collect()(0)
-    assert(m.getLong(1) === 2L && m.getSeq[Double](2) === Seq(3.0, 5.0))
+    assert(m.getLong(1) === 2L && m.getLong(2) === 1L &&
+      m.getSeq[Double](3) === Seq(3.0, 5.0))
   }
 
   test("dot / l2norm / cosine basics") {
