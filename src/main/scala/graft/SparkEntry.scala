@@ -100,6 +100,18 @@ object SparkEntry {
       }
       Warehouse.readJsonl(s, out, graft.model.Schemas.documentsJsonlSchema)
     }),
+    "q_scan_orc" -> ((s, dir) => {
+      // ORC round-trip: parquet → ORC (Hive-era interchange) →
+      // declared-schema scan; oracle reads the parquet directly.
+      // Staged once per JVM per sfDir, same discipline as q_scan_csv.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_scan_orc_" +
+        s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      if (stagedScanDirs.add(out)) {
+        Warehouse.writeOrc(Tables.documents(s, dir)
+          .select("doc_id", "text", "lang", "source", "n_chars"), out)
+      }
+      Warehouse.readOrc(s, out, graft.model.Schemas.documentsJsonlSchema)
+    }),
 
     // ---- §2.2 projections / filters (P1-P8) ----
     "q_project" -> ((s, dir) => Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")),
@@ -398,9 +410,25 @@ object SparkEntry {
         Relational.pivotUserValues(Tables.events(s, dir), types), types)
     }),
     "q_cube" -> ((s, dir) => Relational.cubeCounts(Tables.events(s, dir))),
+    "q_rank_funcs" -> ((s, dir) => Relational.rankFamily(Tables.lineitem(s, dir))),
+    "q_grouping_sets" -> ((s, dir) => Relational.groupingSetCounts(Tables.events(s, dir))),
     "q_set_intersect" -> ((s, dir) => Relational.usersIntersect(Tables.events(s, dir), "click", "purchase")),
     "q_ma7_calendar" -> ((s, dir) => Relational.maCalendar(dailyOhlc(s, dir), 7)),
     "q_hopping_window" -> ((s, dir) => Relational.hoppingCounts(Tables.events(s, dir))),
+    "q_range_join" -> ((s, dir) => {
+      // point-in-interval join, bucketed to an equi-join (IntervalJoin):
+      // 200 deterministic 97-minute windows laid every 211 minutes over
+      // the event span, events assigned by inclusive BETWEEN. The 1-hour
+      // bucket keeps interval replication at 2-3 rows each; the exploded
+      // interval side is broadcast-sized here, shuffled-hash at 100 TB.
+      val e = Tables.events(s, dir).select(unix_timestamp(col("ts")).as("p"), col("user_id"))
+      val iv = s.range(200).select(col("id").as("interval_id"),
+        (lit(1704067200L) + col("id") * (211L * 60)).as("start_s"))
+        .withColumn("end_s", col("start_s") + (97L * 60))
+      ops.IntervalJoin.pointInInterval(e, "p", iv, "start_s", "end_s", bucket = 3600L)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+    }),
     "q_array_ops" -> ((s, dir) => Tables.embeddings(s, dir).select(
       col("vec_id"),
       size(col("embedding")).cast("long").as("dim"),
@@ -447,6 +475,8 @@ object SparkEntry {
     "q_scan_csv" ->
       "SELECT strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_utc, value AS price FROM events",
     "q_scan_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_scan_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_project" -> "SELECT l_orderkey, l_extendedprice FROM lineitem",
     "q_lit_col" -> "SELECT event_id, 'BTC-USD' AS asset, value AS price FROM events",
@@ -843,6 +873,16 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = 'view') AS DOUBLE) AS view
         |FROM events GROUP BY 1""".stripMargin,
+    "q_range_join" ->
+      """WITH iv AS (SELECT i AS interval_id,
+        |              1704067200 + i*211*60 AS start_s,
+        |              1704067200 + i*211*60 + 97*60 AS end_s
+        |            FROM range(200) t(i)),
+        |e AS (SELECT epoch(ts)::BIGINT AS p, user_id FROM events)
+        |SELECT interval_id, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM e JOIN iv ON p BETWEEN start_s AND end_s
+        |GROUP BY 1""".stripMargin,
     "q_hopping_window" ->
       """WITH e AS (SELECT event_type,
         |             (epoch(ts)::BIGINT // 43200) * 43200 AS b FROM events),
@@ -856,6 +896,17 @@ object SparkEntry {
     "q_cube" ->
       """SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
         |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+    "q_rank_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk, cume_dist() OVER w AS cdist
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin,
+    "q_grouping_sets" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS d FROM events)
+        |SELECT event_type, d, count(*) AS n,
+        |       CAST(2*GROUPING(event_type) + GROUPING(d) AS BIGINT) AS gid
+        |FROM e GROUP BY GROUPING SETS ((event_type, d), (event_type), ())""".stripMargin,
     "q_set_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |INTERSECT

@@ -187,6 +187,40 @@ object Relational {
     events.cube(col("event_type"), to_date(col("ts")).as("date"))
       .agg(count(lit(1)).as("n"))
 
+  /** The tie-aware ranking family over one window: rank (gaps),
+    * dense_rank (no gaps), percent_rank ((rank−1)/(n−1)) and cume_dist
+    * (rows ≤ current / n). All four are functions of the ORDER KEY
+    * alone, so ties make them deterministic across engines and
+    * partitionings — unlike row_number/ntile, whose within-tie order
+    * is arbitrary (q_topk_group pins row_number with a unique
+    * tie-break key instead). One shuffle on the partition key; the
+    * sort is per-partition.
+    */
+  def rankFamily(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      col("l_quantity"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      percent_rank().over(w).as("prnk"),
+      cume_dist().over(w).as("cdist"))
+  }
+
+  /** GROUPING SETS — the general form CUBE/ROLLUP specialize: exactly
+    * the requested grouping combinations, one Expand + hash-aggregate
+    * pass (no union of separate scans). `gid` disambiguates which set
+    * each row belongs to via `grouping()`, the standard way to tell a
+    * stored NULL from a rolled-up one.
+    */
+  def groupingSetCounts(events: DataFrame): DataFrame = {
+    val e = events.withColumn("d", to_date(col("ts")))
+    e.groupingSets(
+        Seq(Seq(col("event_type"), col("d")), Seq(col("event_type")), Seq()),
+        col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("event_type")) * 2 + grouping(col("d"))).cast("long").as("gid"))
+  }
+
   /** Hopping (sliding) event-time windows: `duration` windows
     * advancing every `slide`, so each event lands in duration/slide
     * windows — the batch twin of Structured Streaming's

@@ -197,6 +197,20 @@ object Warehouse {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC sink — the other columnar interchange format a warehouse
+    * migration meets (Hive-era tables). Same columnar/codec virtues as
+    * parquet; pushdown and pruning work identically through the scan.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** ORC scan with a DECLARED schema — never inferSchema (SURVEY.md
+    * §1.3; for ORC inference is only a footer read, but the declared
+    * schema is still the contract that catches silent drift).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** S6: empty-input guard (dag:126-127 etc.) — limit(1), never a full
     * count.
     */
