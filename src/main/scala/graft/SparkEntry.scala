@@ -411,6 +411,10 @@ object SparkEntry {
     }),
     "q_cube" -> ((s, dir) => Relational.cubeCounts(Tables.events(s, dir))),
     "q_rank_funcs" -> ((s, dir) => Relational.rankFamily(Tables.lineitem(s, dir))),
+    "q_fuzzy_join" -> ((s, dir) => ops.FuzzyJoin.editDistancePairs(
+      Tables.table(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+      idCol = "c_custkey", strCol = "c_name", k = 1)
+      .select(col("a"), col("b"), col("dist"))),
     "q_grouping_sets" -> ((s, dir) => Relational.groupingSetCounts(Tables.events(s, dir))),
     "q_set_intersect" -> ((s, dir) => Relational.usersIntersect(Tables.events(s, dir), "click", "purchase")),
     "q_ma7_calendar" -> ((s, dir) => Relational.maCalendar(dailyOhlc(s, dir), 7)),
@@ -453,6 +457,9 @@ object SparkEntry {
     // warehouse — open-window state lives on executors and each batch
     // rewrites only the date partitions it touched; no complete-mode
     // memory sink holding every window on the driver) ----
+    "q_stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingSessions.run(
+        s, s"$dir/events.parquet", s"stream_sessions_${math.abs(dir.hashCode)}")),
     "q_stream_ohlc" -> ((s, dir) => {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ohlc_" +
         s"${ProcessHandle.current().pid()}_${System.nanoTime()}"
@@ -896,6 +903,13 @@ object SparkEntry {
     "q_cube" ->
       """SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
         |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer)
+        |SELECT x.c_custkey AS a, y.c_custkey AS b,
+        |       CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS dist
+        |FROM c x JOIN c y ON x.c_custkey < y.c_custkey
+        |  AND abs(len(x.c_name) - len(y.c_name)) <= 1
+        |  AND levenshtein(x.c_name, y.c_name) <= 1""".stripMargin,
     "q_rank_funcs" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
@@ -991,5 +1005,20 @@ object SparkEntry {
         |  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click')
         |SELECT l.event_id, l.ts, l.user_id, l.value, r.rv AS asof_value, r.ts AS asof_ts
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
-    "q_stream_ohlc" -> s"$dailyCte SELECT * FROM daily")
+    "q_stream_ohlc" -> s"$dailyCte SELECT * FROM daily",
+    // session_window semantics: break at delta >= gap (see
+    // StreamingSessions scaladoc) — one tick stricter than
+    // q_sessionize's batch `>` break
+    "q_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin)
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (Levenshtein) similarity join without the cross
+  * product, via deletion-neighborhood blocking (the SymSpell scheme,
+  * public: Garbe 2012; same pigeonhole family as the SimHash chunk
+  * join). For every string emit the set of strings reachable by
+  * deleting up to `k` characters; if `ed(a, b) <= k` then walking one
+  * optimal alignment and deleting from `a` its substituted/deleted
+  * characters and from `b` its substituted/inserted characters lands
+  * both on the SAME string with at most `k` deletions each — so every
+  * true pair shares at least one variant and blocking is
+  * recall-complete. Candidates then verify with the exact
+  * `levenshtein` (codegen built-in), so precision is 1.0.
+  *
+  * Cost shape at 100 TB: the explode is `O(rows × len^k)` thin
+  * (variant, id) rows, the self-join is an EQUI-join on the variant —
+  * Σ bucket² candidate pairs instead of n² — and the verify touches
+  * candidates only. The all-pairs alternative is a
+  * BroadcastNestedLoopJoin that never survives past one executor's
+  * memory. `k` beyond 2 explodes the neighborhood (len² variants per
+  * string at k=2 is the practical ceiling — cf. PassJoin-style
+  * segment filters for larger k).
+  */
+object FuzzyJoin {
+
+  /** delete-one-char variants of every string in `vs` (array column). */
+  private def deleteOne(vs: Column): Column =
+    array_distinct(flatten(transform(vs, s =>
+      when(length(s) > 0,
+        transform(sequence(lit(1), length(s)), i =>
+          concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+        .otherwise(array(s)))))
+
+  /** All (a < b) id pairs whose strings are within Levenshtein
+    * distance `k`, as (a, b, dist). Identical strings pair at dist 0.
+    * `idCol` must be orderable and unique per string row.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        k: Int = 1): DataFrame = {
+    require(k >= 1 && k <= 2, s"k must be 1 or 2 (neighborhood is len^k per string), got $k")
+    var variants = array(col(strCol))
+    for (_ <- 1 to k) variants = array_distinct(concat(variants, deleteOne(variants)))
+    val v = df.select(col(idCol), col(strCol), explode(variants).as("__key"))
+    val lhs = v.select(col(idCol).as("a"), col(strCol).as("__sa"), col("__key"))
+    val rhs = v.select(col(idCol).as("b"), col(strCol).as("__sb"), col("__key"))
+    lhs.join(rhs, Seq("__key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "__sa", "__sb")
+      .distinct() // a pair can share several variants; meet once
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= k)
+      .select("a", "b", "dist")
+  }
+}

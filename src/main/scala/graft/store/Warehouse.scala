@@ -197,6 +197,42 @@ object Warehouse {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Small-file compaction: rewrite `path` into files of roughly
+    * `targetFileBytes`, atomically ([[rewriteAtomic]] dir swap).
+    *
+    * Incremental append patterns (streaming micro-batches, per-day
+    * upserts, task-per-partition writes) accrete files far below the
+    * scan-efficient size; at 100 TB the cost is dominated by per-file
+    * open/footer/seek overhead and driver-side listing, both linear in
+    * FILE COUNT, not bytes — a table of 10 KB files reads ~100× slower
+    * than the same bytes in 128 MB files. Target count is computed
+    * from the CURRENT compressed on-disk size (not a row-count guess,
+    * which bakes in a compression-ratio assumption), and the rewrite
+    * uses round-robin `repartition(n)` — an even byte spread without a
+    * shuffle key; for sort-clustered layouts compose with a
+    * `sortWithinPartitions` on the cluster key after a range
+    * repartition instead. Partitioned tables compact per-directory
+    * (this keeps partition pruning intact and bounds each rewrite).
+    *
+    * Returns the number of output files written.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(dest, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) bytes += f.getLen
+    }
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    rewriteAtomic(spark.read.parquet(path).repartition(n), path)
+    n
+  }
+
   /** ORC sink — the other columnar interchange format a warehouse
     * migration meets (Hive-era tables). Same columnar/codec virtues as
     * parquet; pushdown and pruning work identically through the scan.

@@ -105,4 +105,27 @@ class WarehouseSpec extends SparkSpec {
     Warehouse.rewriteAtomic(Seq((9L, "z")).toDF("id", "v"), fresh)
     assert(spark.read.parquet(fresh).count() === 1)
   }
+
+  test("compact: bin-packs small files to the byte target, identical data, atomic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // 16 tasks -> 16 small files, the accretion pattern compaction fixes
+    spark.range(10000).selectExpr("id", "id * 2 AS v").repartition(16)
+      .write.parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSeq
+    assert(dataFiles.size === 16)
+    val before = spark.read.parquet(dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // huge target -> everything packs into one file
+    val n = Warehouse.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n === 1 && dataFiles.size === 1)
+    val after = spark.read.parquet(dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === before)
+    // tiny target -> several files, still the same data
+    val n2 = Warehouse.compact(spark, dir, targetFileBytes = 16L << 10)
+    assert(n2 > 1 && dataFiles.size === n2)
+    assert(spark.read.parquet(dir).count() === 10000)
+    // no staging/retired leftovers
+    val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(siblings.toSeq === Seq("t"), s"leftovers: ${siblings.mkString(",")}")
+  }
 }
