@@ -458,7 +458,7 @@ object SparkEntry {
     // rewrites only the date partitions it touched; no complete-mode
     // memory sink holding every window on the driver) ----
     "q_stream_sessions" -> ((s, dir) =>
-      graft.streaming.StreamingSessions.run(
+      graft.streaming.SessionWindows.run(
         s, s"$dir/events.parquet", s"stream_sessions_${math.abs(dir.hashCode)}")),
     "q_stream_ohlc" -> ((s, dir) => {
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft_stream_ohlc_" +

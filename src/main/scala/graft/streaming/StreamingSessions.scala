@@ -1,71 +1,64 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import java.sql.Timestamp
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Streaming gap-based sessionization: `session_window(ts, gap)` —
-  * the stateful twin of the batch gaps-and-islands form
-  * (`Relational.sessionize`). The state store keeps one in-flight
-  * session per (user, open window); windows MERGE as late events
-  * bridge gaps, and the watermark finalizes and evicts sessions whose
-  * close time falls behind it — bounded state at any corpus size,
-  * keyed and shuffled once on user_id.
-  *
-  * Boundary semantics: a session window spans `[first_ts, last_ts +
-  * gap)`, so an event exactly `gap` after the previous one does NOT
-  * merge — the break condition is `delta >= gap`, one tick STRICTER
-  * than the batch sessionizer's `delta > gap` (dag-free choice there,
-  * SQL-window heritage). The two agree except for events landing
-  * exactly on the gap boundary; the oracle for each query pins its own
-  * semantics.
+/** Stateful streaming sessionization — the streaming twin of
+  * `Relational.sessionize` (same gap rule), built on
+  * `flatMapGroupsWithState`: per-user open-session state, sessions
+  * emitted when the event-time watermark passes session end + gap
+  * (EventTimeTimeout). State is O(1) per user — the shape that holds
+  * at any scale; Spark shuffles by user once and keeps state in the
+  * state store across micro-batches.
   */
 object StreamingSessions {
 
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  final case class Evt(user_id: Long, ts: Timestamp, event_id: Long)
+  final case class OpenSession(sessionId: Long, startMs: Long, endMs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              session_start: Timestamp, session_end: Timestamp)
 
-  /** Bounded replay of the events file into finalized sessions:
-    * (user_id, session_start, last_ts, n_events). Complete output mode
-    * holds every session in the memory sink; production uses update
-    * mode + foreachBatch keyed upsert on (user_id, session_start) like
-    * StreamingOhlc.runIncremental.
-    */
-  def run(spark: SparkSession, eventsPath: String, queryName: String,
-          gap: String = "30 minutes", statePartitions: Int = 8): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.streaming.schemaInference", "false")
-    val src = new java.io.File(eventsPath)
-    val streamDir =
-      if (src.isFile) {
-        val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$queryName")
-        java.nio.file.Files.createSymbolicLink(d.resolve(src.getName), src.toPath)
-        d.toString
-      } else eventsPath
-    val q = s.readStream
-      .schema(eventsRawSchema)
-      .parquet(streamDir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
-      .withWatermark("ts", "1 day")
-      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
-      .select(col("user_id"), col("w.start").as("session_start"),
-        col("last_ts"), col("n_events"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table(queryName)
+  /** events must be a streaming Dataset with a watermark on `ts`. */
+  def sessions(events: Dataset[Evt], gapSec: Long = 1800L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSec * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Evt], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.sessionId, s.n, new Timestamp(s.startMs), new Timestamp(s.endMs)))
+          } else {
+            val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Array.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case None => Some(OpenSession(0L, t, t, 1L))
+                case Some(s) if t - s.endMs > gapMs =>
+                  closed += SessionOut(user, s.sessionId, s.n, new Timestamp(s.startMs), new Timestamp(s.endMs))
+                  Some(OpenSession(s.sessionId + 1, t, t, 1L))
+                case Some(s) =>
+                  Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // a late-but-allowed event (watermark delay > gap) can put
+              // end + gap behind the current watermark, and Spark rejects
+              // past timeout timestamps — clamp forward so the session
+              // closes on the next micro-batch instead of killing the query
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.endMs + gapMs, wm + 1))
+            }
+            closed.result().iterator
+          }
+      }
   }
 }
