@@ -25,31 +25,39 @@ object Scratch {
     val dir = "/root/testdata/sf0.1"
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // A/B: current thin-pair shape vs verify-in-stage-then-dedup
+    val cust = Tables.table(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    def variants(c: org.apache.spark.sql.Column) = array_distinct(concat(array(c),
+      when(length(c) > 0, transform(sequence(lit(1), length(c)), i =>
+        concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+        .otherwise(array(c))))
+    def verifyFirst(): DataFrame = {
+      val v = cust.select(col("id"), col("s"), explode(variants(col("s"))).as("__key"))
+      v.select(col("id").as("a"), col("s").as("__sa"), col("__key"))
+        .join(v.select(col("id").as("b"), col("s").as("__sb"), col("__key")), Seq("__key"))
+        .filter(col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1).cast("long"))
+        .filter(col("dist") >= 0)
+        .select("a", "b", "dist").distinct()
+    }
+    def thinHashed(): DataFrame = {
+      val v = cust.select(col("id"),
+        explode(transform(variants(col("s")), x => xxhash64(x))).as("__key"))
+      val cand = v.select(col("id").as("a"), col("__key"))
+        .join(v.select(col("id").as("b"), col("__key")), Seq("__key"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      cand.join(cust.select(col("id").as("a"), col("s").as("__sa")), Seq("a"))
+        .join(cust.select(col("id").as("b"), col("s").as("__sb")), Seq("b"))
+        .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1).cast("long"))
+        .filter(col("dist") >= 0)
+        .select("a", "b", "dist")
+    }
     for (rep <- 1 to 3) {
-      // batch equivalent of the stream aggregation, for the floor
-      time("batch_ohlc_equiv") {
-        noop(Tables.events(spark, dir)
-          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type").as("asset"))
-          .agg(min_by(col("value"), col("ts")).as("open"), max(col("value")).as("high"),
-            min(col("value")).as("low"), max_by(col("value"), col("ts")).as("close")))
-      }
-      // streaming agg only, counting micro-batches, no warehouse
-      time("stream_agg_noop_sink") {
-        val batches = new java.util.concurrent.atomic.AtomicInteger(0)
-        val q = graft.streaming.StreamingOhlc.debugStream(spark, s"$dir/events.parquet", s"dbg_$rep")
-          .writeStream.outputMode("update")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            batches.incrementAndGet(); b.write.mode("overwrite").format("noop").save(); ()
-          }.start()
-        q.processAllAvailable(); q.stop()
-        println(s"[scratch]   micro-batches: ${batches.get()}")
-      }
-      time("q_stream_ohlc")(noop(SparkEntry.queries("q_stream_ohlc")(spark, dir)))
-      for (sp <- Seq(1, 2, 4, 8)) time(s"runIncremental(statePartitions=$sp)") {
-        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_sp${sp}_${System.nanoTime()}"
-        noop(graft.streaming.StreamingOhlc.runIncremental(
-          spark, s"$dir/events.parquet", wh, s"sp${sp}_$rep", statePartitions = sp))
-      }
+      time(s"thin_pairs#$rep")(noop(graft.ops.FuzzyJoin.editDistancePairs(cust, "id", "s", 1)))
+      time(s"thin_hashed#$rep")(noop(thinHashed()))
+      time(s"verify_first#$rep")(noop(verifyFirst()))
     }
     spark.stop()
   }
