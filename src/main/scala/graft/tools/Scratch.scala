@@ -25,39 +25,38 @@ object Scratch {
     val dir = "/root/testdata/sf0.1"
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    // A/B: current thin-pair shape vs verify-in-stage-then-dedup
-    val cust = Tables.table(spark, dir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("s"))
-    def variants(c: org.apache.spark.sql.Column) = array_distinct(concat(array(c),
-      when(length(c) > 0, transform(sequence(lit(1), length(c)), i =>
-        concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
-        .otherwise(array(c))))
-    def verifyFirst(): DataFrame = {
-      val v = cust.select(col("id"), col("s"), explode(variants(col("s"))).as("__key"))
-      v.select(col("id").as("a"), col("s").as("__sa"), col("__key"))
-        .join(v.select(col("id").as("b"), col("s").as("__sb"), col("__key")), Seq("__key"))
-        .filter(col("a") < col("b"))
-        .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1).cast("long"))
-        .filter(col("dist") >= 0)
-        .select("a", "b", "dist").distinct()
-    }
-    def thinHashed(): DataFrame = {
-      val v = cust.select(col("id"),
-        explode(transform(variants(col("s")), x => xxhash64(x))).as("__key"))
-      val cand = v.select(col("id").as("a"), col("__key"))
-        .join(v.select(col("id").as("b"), col("__key")), Seq("__key"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-      cand.join(cust.select(col("id").as("a"), col("s").as("__sa")), Seq("a"))
-        .join(cust.select(col("id").as("b"), col("s").as("__sb")), Seq("b"))
-        .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1).cast("long"))
-        .filter(col("dist") >= 0)
-        .select("a", "b", "dist")
-    }
+    // A/B: q_json_struct component costs — map parse vs struct parse vs
+    // variant for props; roundtrip cost in isolation
+    import org.apache.spark.sql.types._
+    val e = Tables.events(spark, dir)
+    def roundtrip = from_json(
+      to_json(struct(
+        struct(col("user_id").as("uid"), col("event_type").as("et")).as("who"),
+        col("value").as("v"))),
+      StructType.fromDDL("who STRUCT<uid: BIGINT, et: STRING>, v DOUBLE"))
+    def mapParse(): DataFrame =
+      e.select(col("event_id"), from_json(col("props"), MapType(StringType, StringType)).as("__p"))
+        .select(col("event_id"), element_at(col("__p"), "k").cast("long").as("k"))
+    def structParse(): DataFrame =
+      e.select(col("event_id"), from_json(col("props"), StructType.fromDDL("k STRING")).as("__p"))
+        .select(col("event_id"), col("__p.k").cast("long").as("k"))
+    def variantParse(): DataFrame =
+      e.select(col("event_id"), parse_json(col("props")).as("__p"))
+        .select(col("event_id"),
+          try_variant_get(col("__p"), "$.k", "long").as("k"))
+    def getJson(): DataFrame =
+      e.select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+    def roundtripOnly(): DataFrame =
+      e.select(col("event_id"), roundtrip.as("__n"))
+        .select(col("event_id"), col("__n.who.uid").as("uid"), col("__n.who.et").as("et"), col("__n.v").as("v"))
+    def current(): DataFrame = SparkEntry.queries("q_json_struct")(spark, dir)
     for (rep <- 1 to 3) {
-      time(s"thin_pairs#$rep")(noop(graft.ops.FuzzyJoin.editDistancePairs(cust, "id", "s", 1)))
-      time(s"thin_hashed#$rep")(noop(thinHashed()))
-      time(s"verify_first#$rep")(noop(verifyFirst()))
+      time(s"current#$rep")(noop(current()))
+      time(s"map_parse#$rep")(noop(mapParse()))
+      time(s"struct_parse#$rep")(noop(structParse()))
+      time(s"variant#$rep")(noop(variantParse()))
+      time(s"get_json#$rep")(noop(getJson()))
+      time(s"roundtrip#$rep")(noop(roundtripOnly()))
     }
     spark.stop()
   }

@@ -82,10 +82,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(kernels === 1, s"kernel must run once per row, found $kernels references:\n${p.take(1500)}")
   }
 
-  test("json struct: each payload parsed once — two from_json total (props map + nested)") {
+  test("json struct: props parsed once — one from_json feeding both k and k_map") {
     val p = plan("q_json_struct")
     val parses = "from_json".r.findAllIn(p).size
-    assert(parses === 2, s"expected 2 from_json (one per payload), got $parses:\n${p.take(2000)}")
+    assert(parses === 1, s"expected 1 from_json (single props parse), got $parses:\n${p.take(2000)}")
+  }
+
+  test("json variant: props parsed once into variant, typed get") {
+    val p = plan("q_json_variant")
+    val parses = "parseJson|parse_json".r.findAllIn(p).size
+    assert(parses === 1, s"expected 1 parse_json, got $parses:\n${p.take(2000)}")
   }
 
   test("readPartitions lands the IN-filter in PartitionFilters (typed literals, no column cast)") {

@@ -150,4 +150,22 @@ class RelationalSpec extends SparkSpec {
         s"group $g: approx ${approx(g)} vs exact $n exceeds 3·rsd")
     }
   }
+
+  test("to_json/from_json round-trip preserves nested struct fields incl. nulls") {
+    // coverage moved out of q_json_struct (which now parses only the
+    // real props payload): serialize a nested struct per row, reparse
+    // with an explicit schema, and require field-exact equality
+    val df = Seq(
+      (1L, Some("click"), Some(1.5)),
+      (2L, None, Some(-0.25)),
+      (3L, Some("view"), None)
+    ).toDF("uid", "et", "v")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "who STRUCT<uid: BIGINT, et: STRING>, v DOUBLE")
+    val rt = df.select(from_json(
+        to_json(struct(struct(col("uid"), col("et")).as("who"), col("v"))),
+        schema).as("n"))
+      .select(col("n.who.uid").as("uid"), col("n.who.et").as("et"), col("n.v").as("v"))
+    assert(rt.collect().toSet === df.collect().toSet)
+  }
 }
