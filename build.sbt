@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 95-query bench suite at 8g spends ~8s (of 53s)
+  // in cross-query GC pressure — old-gen churn from the dedup/posting
+  // explodes inflates every later query's floor (measured 0.235s vs
+  // 0.084s per-query floor, 53.0 vs 45.1s full suite). The container
+  // has 128 GiB; single-JVM local[32] means driver heap IS executor
+  // heap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
