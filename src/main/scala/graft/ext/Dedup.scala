@@ -139,14 +139,52 @@ object Dedup {
     * drop rounds to O(log n); not needed for near-dup workloads.
     * Only docs that appear in `pairs` are emitted — singletons are
     * their own cluster by definition.
+    *
+    * Size-aware hybrid: the near-dup edge list is O(#duplicate pairs)
+    * AFTER thresholding — vastly smaller than the corpus it came from
+    * (the expensive part, the pair build, has already collapsed 100 TB
+    * of text into the few rows that actually matched). When that list
+    * fits the driver (`maxLocalEdges`, counted on the one materialized
+    * edge frame), clustering runs as driver-side union-find with path
+    * halving — two jobs total (materialize + apply) instead of 2 jobs
+    * PER propagation round. Same driver-side-when-small trade Spark
+    * itself makes for broadcast joins. Larger graphs take the
+    * distributed min-label loop below unchanged.
     */
-  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20,
+                      maxLocalEdges: Long = 2000000L): DataFrame = {
+    // ONE materialization of the (expensive) pair build; everything
+    // below — the size probe and both cluster paths — reads the
+    // checkpointed half-edge list, never the pair plan again
+    val halfEdges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .localCheckpoint(true)
+    if (halfEdges.count() <= maxLocalEdges) {
+      val spark = pairs.sparkSession
+      import scala.collection.mutable
+      val parent = mutable.LongMap.empty[Long]
+      def find(a: Long): Long = {
+        var r = a
+        while (parent.getOrElse(r, r) != r) {
+          val p = parent(r); parent(r) = parent.getOrElse(p, p); r = parent(r)
+        }
+        r
+      }
+      halfEdges.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // union-by-min makes every root the minimum of its component, so
+      // find(id) IS the min-label-propagation cluster id
+      val nodes = (parent.keys ++ parent.values).toArray.distinct
+      val labels = nodes.map(id => (id, find(id)))
+      return spark.createDataFrame(labels.toSeq).toDF("id", "cluster")
+    }
     // pairs are unique (a < b) by construction, so the directed union
     // is duplicate-free — a distinct() here would be a full extra
     // shuffle of the edge list for nothing (and duplicate edges could
     // not change a min() anyway)
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+    val edges = halfEdges
+      .unionByName(halfEdges.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint(true)
     // fused round 0: initial labels ARE the ids, so the first
     // propagation needs no label join — label = min(own, min neighbor)

@@ -67,6 +67,11 @@ class DedupSpec extends SparkSpec {
     val d2 = Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("doc_id", "text")
     assert(Dedup.dropNearDups(d2, hub).select(col("doc_id")).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
     assert(Dedup.dropNearDupsByCluster(d2, hub).select(col("doc_id")).as[Long].collect().sorted.toSeq === Seq(1L))
+    // the distributed min-label loop (forced via maxLocalEdges = 0)
+    // must agree with the driver-side union-find fast path
+    val dist = Dedup.nearDupClusters(pairs, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === clusters)
   }
 
   test("dfCap: capped equals uncapped when no shingle exceeds the cap") {
