@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep Bench's compact JSON summary as the LAST line of a run: the
+// driver parses bench output from a bounded log tail, and sbt's
+// "[success] Total time ..." epilogue otherwise lands after it.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -386,6 +386,9 @@ object SparkEntry {
       // within-rank-error-of-exact asserted in RelationalSpec
       Relational.valueQuantilesApprox(Tables.events(s, dir))),
     "q_topk_group" -> ((s, dir) => Relational.topKPerGroup(Tables.events(s, dir), k = 5)),
+    "q_rolling_median" -> ((s, dir) => Indicators.rollingMedian(Tables.prices(s, dir), 30)),
+    "q_group_stats" -> ((s, dir) => Relational.groupStats(Tables.prices(s, dir))),
+    "q_lexical_stats" -> ((s, dir) => TextAnalysis.lexicalStats(Tables.documents(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), gapSec = 1800L)),
     "q_asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -982,6 +985,30 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1""".stripMargin,
+    "q_rolling_median" ->
+      """SELECT ts AS ts_utc, event_type AS asset,
+        |  CASE WHEN count(value) OVER w >= 30 THEN round(median(value) OVER w, 6) END AS med30
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_group_stats" ->
+      """SELECT event_type AS asset, count(*) AS n,
+        |  round(avg(value), 6) AS mean_price,
+        |  round(stddev_samp(value), 6) AS sd_price,
+        |  round(corr(value, epoch(ts)/86400), 6) AS corr_drift,
+        |  round(covar_samp(value, epoch(ts)/86400), 6) AS covar_drift
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_lexical_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+        |), tf AS (
+        |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+        |  round(log2(CAST(sum(c) AS DOUBLE)) - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |FROM tf GROUP BY doc_id""".stripMargin,
     "q_topk_group" ->
       """SELECT event_type, event_id, value, rank FROM (
         |  SELECT event_type, event_id, value,

@@ -202,6 +202,32 @@ object TextAnalysis {
         round(col("__alf") - log10(col("total")), 6).as("avg_logp"))
   }
 
+  /** Per-document lexical statistics: token count, type (distinct
+    * token) count, type-token ratio, and the Shannon entropy (bits) of
+    * the document's own unigram distribution — the standard lexical
+    * diversity / degenerate-text signals (a 2-token loop has entropy
+    * ≈1 regardless of length; natural prose sits near log2 of its
+    * vocabulary). H = log2 n − (Σ c·log2 c)/n over the TF entries.
+    * ttr/entropy are rounded to 6 dp so float-summation order never
+    * leaks into comparisons.
+    *
+    * Shape: the per-row [[graft.functions.Kernels.tokenCounts]] kernel
+    * builds the TF inside the row and two `aggregate` HOFs fold over
+    * it — one scan, zero shuffles, zero joins; the corpus is never
+    * exploded to token grain.
+    */
+  def lexicalStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tc = graft.functions.native.tokenCounts(col(textCol))
+    val n = aggregate(tc, lit(0L), (a, x) => a + x.getField("tf"))
+    val sumCLogC = aggregate(tc, lit(0.0), (a, x) =>
+      a + x.getField("tf").cast("double") * log2(x.getField("tf").cast("double")))
+    df.select(col("doc_id"),
+      n.as("n_tokens"),
+      size(tc).cast("long").as("n_types"),
+      round(size(tc).cast("double") / n.cast("double"), 6).as("ttr"),
+      round(log2(n.cast("double")) - sumCLogC / n.cast("double"), 6).as("entropy"))
+  }
+
   /** TF-IDF top-`k` terms per document: tf = in-doc term count, idf =
     * ln(N / df_t), ranked per doc by (rounded score desc, token asc).
     * The rounding is load-bearing for determinism: mathematically-equal

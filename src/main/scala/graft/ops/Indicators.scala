@@ -47,4 +47,25 @@ object Indicators {
   /** pandas min_periods: emit NULL until `cnt` non-null rows are in frame. */
   private def guarded(value: Column, cnt: Column, minPeriods: Int): Column =
     when(cnt >= minPeriods, value)
+
+  /** Exact rolling median of price over the trailing `window` rows per
+    * asset (min_periods = window, same guard discipline as ma30) — the
+    * robust-center sibling of the mean indicators: outlier ticks move
+    * ma30 but not med30. Rounded to 6 dp for engine portability.
+    *
+    * Shape: `percentile(0.5)` as a window aggregate — the frame's
+    * values are buffered and selected per row, O(w log w) on a
+    * 30-row frame. Partitioned by asset, so parallelism is per-asset
+    * like every other indicator. At tick grain (millions of rows per
+    * asset-frame) switch to `approx_percentile` over the same frame —
+    * mergeable sketch, constant memory (docs/SCALE.md).
+    */
+  def rollingMedian(prices: DataFrame, window: Int = 30): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Window.partitionBy("asset").orderBy("ts_utc")
+      .rowsBetween(-(window - 1), 0)
+    prices.select(col("ts_utc"), col("asset"),
+      when(count(col("price")).over(w) >= window,
+        round(expr("percentile(price, 0.5)").over(w), 6)).as(s"med$window"))
+  }
 }

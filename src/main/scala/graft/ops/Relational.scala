@@ -104,6 +104,25 @@ object Relational {
       expr("percentile(value, 0.9)").as("p90"),
       expr("percentile(value, 0.99)").as("p99"))
 
+  /** Per-asset distribution + time-drift statistics in ONE hash
+    * aggregate: count, mean, sample stddev, and the correlation /
+    * sample covariance of price against time (days since epoch — days
+    * rather than seconds keeps the co-moment magnitudes small so 6 dp
+    * rounding is far above float noise). corr > 0 = drifting upward.
+    * All of these are one-pass mergeable co-moment aggregates (partial
+    * maps merge associatively), so the plan is a map-side partial +
+    * one thin shuffle per group at any scale.
+    */
+  def groupStats(prices: DataFrame): DataFrame = {
+    val tDays = col("ts_utc").cast("double") / lit(86400.0)
+    prices.groupBy("asset").agg(
+      count(lit(1)).as("n"),
+      round(avg(col("price")), 6).as("mean_price"),
+      round(stddev_samp(col("price")), 6).as("sd_price"),
+      round(corr(col("price"), tDays), 6).as("corr_drift"),
+      round(covar_samp(col("price"), tDays), 6).as("covar_drift"))
+  }
+
   /** The 100 TB form of [[valueQuantiles]]: `approx_percentile`
     * (KLL-style mergeable sketch, error ≤ 1/accuracy of the rank) —
     * constant memory per group where the exact form materializes the

@@ -288,4 +288,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0).getLong(1) !== fps(1).getLong(1)) // order matters
     assert(fps.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 2147483647L))
   }
+
+  test("lexicalStats: hand-computed counts, TTR, and entropy") {
+    val df = Seq(
+      (1L, "a b a"),          // c = {a:2, b:1}
+      (2L, "x x x x"),        // degenerate: entropy 0
+      (3L, "p q r s")         // all distinct: entropy log2(4) = 2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalStats(df).orderBy("doc_id").collect()
+    assert(got(0).getLong(1) === 3L && got(0).getLong(2) === 2L)
+    assert(got(0).getDouble(3) === 0.666667) // round(2/3, 6)
+    // H = log2(3) − (2·log2 2 + 1·0)/3 = 1.584963 − 0.666667
+    assert(math.abs(got(0).getDouble(4) - 0.918296) < 1e-6)
+    assert(got(1).getDouble(4) === 0.0 && got(1).getDouble(3) === 0.25)
+    assert(got(2).getDouble(4) === 2.0 && got(2).getDouble(3) === 1.0)
+  }
+
+  test("lexicalStats: empty text is one empty token (split semantics)") {
+    val got = TextAnalysis.lexicalStats(Seq((1L, "")).toDF("doc_id", "text")).head()
+    assert(got.getLong(1) === 1L && got.getLong(2) === 1L)
+    assert(got.getDouble(3) === 1.0 && got.getDouble(4) === 0.0)
+  }
 }

@@ -93,4 +93,28 @@ class IndicatorsSpec extends SparkSpec {
       assert(r.getDouble(s.fieldIndex("ma7")) === want)
     }
   }
+
+  test("rollingMedian: min_periods guard, odd/even frame selection, per-asset") {
+    def t(i: Int) = java.sql.Timestamp.valueOf(s"2024-01-0${i + 1} 00:00:00")
+    val prices = Seq(
+      (t(0), "X", 4.0), (t(1), "X", 1.0), (t(2), "X", 10.0), (t(3), "X", 2.0),
+      (t(0), "Y", 100.0), (t(1), "Y", 200.0), (t(2), "Y", 300.0))
+      .toDF("ts_utc", "asset", "price")
+    val out = Indicators.rollingMedian(prices, window = 3)
+      .orderBy("asset", "ts_utc").collect()
+    val med = out.head.schema.fieldIndex("med3")
+    assert(out(0).isNullAt(med) && out(1).isNullAt(med)) // min_periods
+    assert(out(2).getDouble(med) === 4.0)  // median(4,1,10)
+    assert(out(3).getDouble(med) === 2.0)  // median(1,10,2)
+    assert(out(4).isNullAt(med) && out(5).isNullAt(med))
+    assert(out(6).getDouble(med) === 200.0) // Y's own window
+  }
+
+  test("rollingMedian: even frame interpolates the two middles") {
+    def t(i: Int) = java.sql.Timestamp.valueOf(s"2024-01-0${i + 1} 00:00:00")
+    val prices = Seq((t(0), "X", 1.0), (t(1), "X", 2.0), (t(2), "X", 3.0), (t(3), "X", 10.0))
+      .toDF("ts_utc", "asset", "price")
+    val out = Indicators.rollingMedian(prices, window = 4).orderBy("ts_utc").collect()
+    assert(out(3).getDouble(out.head.schema.fieldIndex("med4")) === 2.5)
+  }
 }

@@ -168,4 +168,20 @@ class RelationalSpec extends SparkSpec {
       .select(col("n.who.uid").as("uid"), col("n.who.et").as("et"), col("n.v").as("v"))
     assert(rt.collect().toSet === df.collect().toSet)
   }
+
+  test("groupStats: exact co-moments on a linear-drift fixture") {
+    // price = 10·t_days + 5 exactly → corr 1, covar/var relationships known
+    val day = 86400L
+    val rows = (0 until 4).map(i =>
+      (new Timestamp(i * day * 1000L), "X", 10.0 * i + 5.0))
+    val df = rows.toDF("ts_utc", "asset", "price")
+    val out = Relational.groupStats(df).head()
+    assert(out.getString(0) === "X" && out.getLong(1) === 4L)
+    assert(out.getDouble(2) === 20.0)          // mean of 5,15,25,35
+    // var_samp(price) = 100·var_samp(t days) = 100·(5/3); sd = sqrt
+    assert(math.abs(out.getDouble(3) - math.sqrt(100.0 * 5.0 / 3.0)) < 1e-6)
+    assert(out.getDouble(4) === 1.0)           // perfectly linear
+    // covar_samp(price, t) = 10·var_samp(t) = 10·(5/3)
+    assert(math.abs(out.getDouble(5) - 10.0 * 5.0 / 3.0) < 1e-6)
+  }
 }
