@@ -389,6 +389,7 @@ object SparkEntry {
     "q_rolling_median" -> ((s, dir) => Indicators.rollingMedian(Tables.prices(s, dir), 30)),
     "q_group_stats" -> ((s, dir) => Relational.groupStats(Tables.prices(s, dir))),
     "q_lexical_stats" -> ((s, dir) => TextAnalysis.lexicalStats(Tables.documents(s, dir))),
+    "q_zipf_fit" -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), gapSec = 1800L)),
     "q_asof_join" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -1009,6 +1010,15 @@ object SparkEntry {
         |  round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
         |  round(log2(CAST(sum(c) AS DOUBLE)) - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6) AS entropy
         |FROM tf GROUP BY doc_id""".stripMargin,
+    "q_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1 ORDER BY freq DESC, token LIMIT 1000),
+        |ranked AS (SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM freq)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(regr_slope(ln(freq), ln(rank)), 6) AS slope,
+        |  round(regr_intercept(ln(freq), ln(rank)), 6) AS intercept,
+        |  round(regr_r2(ln(freq), ln(rank)), 6) AS r2
+        |FROM ranked""".stripMargin,
     "q_topk_group" ->
       """SELECT event_type, event_id, value, rank FROM (
         |  SELECT event_type, event_id, value,

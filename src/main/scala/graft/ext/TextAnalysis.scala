@@ -93,6 +93,30 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("token"))
       .limit(topN)
 
+  /** Zipf-law fit over the corpus vocabulary: OLS slope / intercept /
+    * R² of ln(freq) against ln(rank) for the `topN` most frequent
+    * tokens. Natural text tracks slope ≈ −1; a slope far from it (or
+    * low R²) flags templated/synthetic corpora — a cheap corpus-level
+    * health signal next to the per-doc quality features.
+    *
+    * Shape: the vocabulary agg partial-aggregates map-side and its
+    * output is bounded by `topN`; the rank window and the regr_*
+    * co-moment aggregates then run over those topN rows only (the
+    * single-partition window is bounded by construction, not by data
+    * volume). regr_slope/intercept/r2 are one-pass mergeable
+    * aggregates — no second scan, no collect.
+    */
+  def zipfFit(df: DataFrame, topN: Int = 1000, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = vocabulary(df, topN, textCol)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("freq"), asc("token"))))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("slope"),
+      round(expr("regr_intercept(ln(freq), ln(rank))"), 6).as("intercept"),
+      round(expr("regr_r2(ln(freq), ln(rank))"), 6).as("r2"))
+  }
+
   /** Stable hash bucket in [0, mod): md5 of the id, first 8 hex digits
     * mod `mod`. 8 digits (2³²) rather than 4 (2¹⁶) is load-bearing:
     * 65536 % 10000 = 5536, so a 16-bit bucket mod 10000 hits

@@ -304,6 +304,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2).getDouble(4) === 2.0 && got(2).getDouble(3) === 1.0)
   }
 
+  test("zipfFit: exact power-law fixture gives slope −1, R² 1") {
+    // freq = 12/rank exactly: a×12 b×6 c×4 d×3 → ln freq is linear in
+    // ln rank with slope −1 and intercept ln 12
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d")).mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text")).head()
+    assert(out.getLong(0) === 4L)
+    assert(out.getDouble(1) === -1.0)
+    assert(math.abs(out.getDouble(2) - math.log(12.0)) < 1e-5)
+    assert(out.getDouble(3) === 1.0)
+  }
+
   test("lexicalStats: empty text is one empty token (split semantics)") {
     val got = TextAnalysis.lexicalStats(Seq((1L, "")).toDF("doc_id", "text")).head()
     assert(got.getLong(1) === 1L && got.getLong(2) === 1L)
