@@ -371,6 +371,35 @@ object SparkEntry {
       Tables.orders(s, dir), Tables.table(s, dir, "customer"), Tables.table(s, dir, "nation"))),
     "q_join_big" -> ((s, dir) => Relational.revenueByPriority(
       Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "q_join_bucketed" -> ((s, dir) => {
+      // co-located join: both sides bucketed on the join key at write
+      // time, so the join (and the keyed aggregate above it) plans with
+      // ZERO exchanges — write-once/join-many (PlanRegressionSpec
+      // asserts the exchange-free plan). Staged once per JVM per sfDir
+      // like q_scan_csv: the gated operator is the bucketed JOIN, not
+      // the sink.
+      val h = s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      val (ot, ct) = (s"orders_b_$h", s"customer_b_$h")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$h"
+      if (stagedScanDirs.add(base)) {
+        Warehouse.writeBucketed(Tables.orders(s, dir), ot, s"$base/orders",
+          "o_custkey", 8)
+        Warehouse.writeBucketed(
+          Tables.table(s, dir, "customer").select("c_custkey", "c_name"),
+          ct, s"$base/customer", "c_custkey", 8)
+      }
+      // merge hint: at test SF the dim side fits the broadcast
+      // threshold and Catalyst would broadcast — legal, but the
+      // operator under test is the co-located SORT-MERGE join both
+      // sides are too big to broadcast at 100 TB; the hint pins that
+      // shape so the plan guard is meaningful at any SF
+      Warehouse.readBucketed(s, ot)
+        .join(Warehouse.readBucketed(s, ct).hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.ops.ExactSums.moneySum(col("o_totalprice")).as("total_spend"))
+    }),
     "q_semi_join" -> ((s, dir) => Relational.customersWithOrders(
       Tables.table(s, dir, "customer"), Tables.orders(s, dir))),
     "q_outer_join" -> ((s, dir) => Relational.customerOrderCounts(
@@ -962,6 +991,11 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

@@ -247,6 +247,35 @@ object Warehouse {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Hash-bucketed table write: pre-shuffle the table ONCE at write
+    * time into `nBuckets` by `key` (bucket id is burned into each file
+    * name; the catalog carries the spec), so every later equi-join or
+    * aggregate on `key` against a same-bucketed table reads co-located
+    * data and plans with ZERO exchanges — the write-once/join-many
+    * amortization that turns the nightly big-join shuffle into a scan
+    * at 100 TB. `sortBy(key)` additionally orders rows within each
+    * bucket file so sort-merge joins can skip their sorts when each
+    * bucket holds one file. Registered via `saveAsTable` with an
+    * explicit path (external table): bucketing METADATA lives in the
+    * session catalog — a metastore in production — because plain
+    * parquet carries no bucket contract for the planner to trust.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    key: String, nBuckets: Int): Unit = {
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(tableName)
+    SchemaCache.invalidate(path)
+  }
+
+  /** Catalog read of a bucketed table — the bucket spec only applies
+    * through the catalog; a path read of the same files would discard
+    * it (and the zero-exchange join with it).
+    */
+  def readBucketed(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+
   /** S6: empty-input guard (dag:126-127 etc.) — limit(1), never a full
     * count.
     */

@@ -35,6 +35,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"), p)
   }
 
+  test("bucketed join: co-located tables — zero exchanges through join AND keyed agg") {
+    val p = plan("q_join_bucketed")
+    assert(exchanges(p) === 0,
+      s"bucketed join must not shuffle (bucket spec lost?):\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(500))
+    assert(p.contains("SelectedBucketsCount"), "scan did not report bucketing:\n" + p.take(2000))
+  }
+
   test("broadcast dim join: no shuffle of the fact side before the join") {
     val p = plan("q_join_bcast")
     assert(p.contains("BroadcastHashJoin"))
