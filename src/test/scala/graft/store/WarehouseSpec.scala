@@ -88,6 +88,37 @@ class WarehouseSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("2024-01-02"))
   }
 
+  test("dynamic partition pruning: a dim-filtered join prunes the fact scan at runtime") {
+    import org.apache.spark.sql.functions.col
+    // the at-scale sibling of the static typed-IN pruning readPartitions
+    // guarantees: when the date set comes from a JOIN (not a literal),
+    // DPP injects the dim's build-side keys into the fact scan's
+    // partition filters — directory pruning without a driver round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val fact = (1 to 30).flatMap(d => Seq((f"2024-01-$d%02d", "BTC", d.toDouble)))
+      .toDF("date", "asset", "price")
+    Warehouse.writePartitioned(fact, dir, Seq("date"))
+    // the dim must be a SCAN with a surviving selective Filter: a
+    // local Seq folds the filter into a LocalRelation and the pruning
+    // rule sees no predicate to reuse — mirror the real shape (dim
+    // table on disk, filtered at query time)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("2024-01-05", "keep"), ("2024-01-06", "keep"), ("2024-01-07", "drop"))
+      .toDF("ddate", "tag")
+      .withColumn("ddate", col("ddate").cast("date"))
+      .write.mode("overwrite").parquet(dimDir)
+    // join on the RAW partition column: casting/wrapping it disqualifies
+    // the scan from pruning-filter insertion (the same rule
+    // readPartitions encodes for static literals)
+    val joined = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir).filter(col("tag") === "keep"),
+        col("date") === col("ddate"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan not dynamically pruned:\n${plan.take(1500)}")
+    assert(joined.count() === 2L)
+  }
+
   test("rewriteAtomic: read-modify-write on a LIVE path survives, leaves no staging dirs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rewrite").toString + "/t"
     Warehouse.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
