@@ -54,6 +54,11 @@ object SparkEntry {
       |         w30 AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
       |)""".stripMargin
 
+  /** `dailyCte` under a RECURSIVE with-clause — DuckDB applies the
+    * RECURSIVE keyword to the whole WITH list, so the recursive
+    * indicator oracles share the same daily CTE text verbatim. */
+  private val dailyCteRec = dailyCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's full analytical core — daily OHLC + indicators.
     */
@@ -416,6 +421,9 @@ object SparkEntry {
       Relational.valueQuantilesApprox(Tables.events(s, dir))),
     "q_topk_group" -> ((s, dir) => Relational.topKPerGroup(Tables.events(s, dir), k = 5)),
     "q_rolling_median" -> ((s, dir) => Indicators.rollingMedian(Tables.prices(s, dir), 30)),
+    "q_ema_macd" -> ((s, dir) => Indicators.emaMacd(dailyOhlc(s, dir))),
+    "q_rsi_atr" -> ((s, dir) => Indicators.rsiAtr(dailyOhlc(s, dir), 14)),
+    "q_bollinger" -> ((s, dir) => Indicators.bollinger(dailyOhlc(s, dir), 20, 2.0)),
     "q_group_stats" -> ((s, dir) => Relational.groupStats(Tables.prices(s, dir))),
     "q_lexical_stats" -> ((s, dir) => TextAnalysis.lexicalStats(Tables.documents(s, dir))),
     "q_zipf_fit" -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
@@ -1025,6 +1033,91 @@ object SparkEntry {
         |  CASE WHEN count(value) OVER w >= 30 THEN round(median(value) OVER w, 6) END AS med30
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // Recursive-indicator oracles replay the EXACT arithmetic of the
+    // SeededEwma window recursion (same multiply-add order, alphas as
+    // CAST(... AS DOUBLE) divisions) in a recursive CTE, so doubles
+    // match bit-for-bit before the final 6-dp round.
+    "q_ema_macd" -> (dailyCteRec +
+      """, t AS (
+        |  SELECT asset, date, close,
+        |         row_number() OVER (PARTITION BY asset ORDER BY date) AS rn
+        |  FROM daily
+        |), e AS (
+        |  SELECT asset, date, close, rn,
+        |         close AS ema12, close AS ema26, CAST(0 AS DOUBLE) AS sig
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.asset, s.date, s.close, s.rn, s.ema12, s.ema26,
+        |         (CAST(2 AS DOUBLE)/10)*(s.ema12 - s.ema26)
+        |           + (1 - CAST(2 AS DOUBLE)/10)*s.sig AS sig
+        |  FROM (
+        |    SELECT t.asset, t.date, t.close, t.rn,
+        |           (CAST(2 AS DOUBLE)/13)*t.close + (1 - CAST(2 AS DOUBLE)/13)*e.ema12 AS ema12,
+        |           (CAST(2 AS DOUBLE)/27)*t.close + (1 - CAST(2 AS DOUBLE)/27)*e.ema26 AS ema26,
+        |           e.sig
+        |    FROM t JOIN e ON t.asset = e.asset AND t.rn = e.rn + 1
+        |  ) s
+        |)
+        |SELECT date, asset, close,
+        |       round(ema12, 6) AS ema12, round(ema26, 6) AS ema26,
+        |       round(ema12 - ema26, 6) AS macd, round(sig, 6) AS signal,
+        |       round((ema12 - ema26) - sig, 6) AS hist
+        |FROM e""".stripMargin),
+    "q_rsi_atr" -> (dailyCteRec +
+      """, t AS (
+        |  SELECT asset, date, close, high, low,
+        |         row_number() OVER (PARTITION BY asset ORDER BY date) AS rn,
+        |         lag(close) OVER (PARTITION BY asset ORDER BY date) AS prev_close
+        |  FROM daily
+        |), g AS (
+        |  SELECT asset, date, rn,
+        |    CASE WHEN prev_close IS NULL THEN NULL
+        |         WHEN close - prev_close > 0 THEN close - prev_close
+        |         ELSE 0.0 END AS gain,
+        |    CASE WHEN prev_close IS NULL THEN NULL
+        |         WHEN close - prev_close < 0 THEN -(close - prev_close)
+        |         ELSE 0.0 END AS loss,
+        |    CASE WHEN prev_close IS NULL THEN high - low
+        |         ELSE greatest(high - low, abs(high - prev_close), abs(low - prev_close))
+        |    END AS tr
+        |  FROM t
+        |), e AS (
+        |  SELECT asset, date, rn,
+        |         CAST(0 AS DOUBLE) AS cum_gain, CAST(0 AS DOUBLE) AS cum_loss, tr AS cum_tr,
+        |         CAST(NULL AS DOUBLE) AS avg_gain, CAST(NULL AS DOUBLE) AS avg_loss,
+        |         CAST(NULL AS DOUBLE) AS atr
+        |  FROM g WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.asset, g.date, g.rn,
+        |         e.cum_gain + g.gain, e.cum_loss + g.loss, e.cum_tr + g.tr,
+        |         CASE WHEN g.rn - 1 < 14 THEN NULL
+        |              WHEN g.rn - 1 = 14 THEN (e.cum_gain + g.gain)/14.0
+        |              ELSE (CAST(1 AS DOUBLE)/14)*g.gain
+        |                     + (1 - CAST(1 AS DOUBLE)/14)*e.avg_gain END,
+        |         CASE WHEN g.rn - 1 < 14 THEN NULL
+        |              WHEN g.rn - 1 = 14 THEN (e.cum_loss + g.loss)/14.0
+        |              ELSE (CAST(1 AS DOUBLE)/14)*g.loss
+        |                     + (1 - CAST(1 AS DOUBLE)/14)*e.avg_loss END,
+        |         CASE WHEN g.rn < 14 THEN NULL
+        |              WHEN g.rn = 14 THEN (e.cum_tr + g.tr)/14.0
+        |              ELSE (CAST(1 AS DOUBLE)/14)*g.tr
+        |                     + (1 - CAST(1 AS DOUBLE)/14)*e.atr END
+        |  FROM g JOIN e ON g.asset = e.asset AND g.rn = e.rn + 1
+        |)
+        |SELECT date, asset,
+        |  round(CASE WHEN avg_loss = 0 THEN 100.0
+        |             ELSE 100.0 - 100.0/(1.0 + avg_gain/avg_loss) END, 6) AS rsi14,
+        |  round(atr, 6) AS atr14
+        |FROM e""".stripMargin),
+    "q_bollinger" -> (dailyCte +
+      """ SELECT date, asset, close,
+        |  round(CASE WHEN count(close) OVER w >= 20 THEN avg(close) OVER w END, 6) AS bb_mid,
+        |  round(CASE WHEN count(close) OVER w >= 20
+        |        THEN avg(close) OVER w + 2.0*stddev_samp(close) OVER w END, 6) AS bb_upper,
+        |  round(CASE WHEN count(close) OVER w >= 20
+        |        THEN avg(close) OVER w - 2.0*stddev_samp(close) OVER w END, 6) AS bb_lower
+        |FROM daily
+        |WINDOW w AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
     "q_group_stats" ->
       """SELECT event_type AS asset, count(*) AS n,
         |  round(avg(value), 6) AS mean_price,

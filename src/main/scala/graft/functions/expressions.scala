@@ -451,4 +451,20 @@ object native {
     c(VectorMeanAgg(e(v), dim).toAggregateExpression())
   def bloomMightContain(item: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
     c(BloomMightContainExpr(e(item), bf))
+  /** `SeededEwma(...) OVER (PARTITION BY .. ORDER BY .. ROWS UNBOUNDED
+    * PRECEDING)` — the WindowExpression is built directly instead of
+    * `Column.over`, which wraps any AggregateFunction in an
+    * AggregateExpression; an AggregateWindowFunction under that
+    * wrapper fails analysis (WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE —
+    * the wrapper node itself has a window-function child). */
+  def seededEwmaOver(x: Column, alpha: Double, seedPeriods: Int,
+                     partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, CurrentRow, RowFrame, SortOrder, SpecifiedWindowFrame,
+      UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    c(WindowExpression(SeededEwma(e(x), alpha, seedPeriods),
+      WindowSpecDefinition(partitionBy.map(e),
+        orderBy.map(o => SortOrder(e(o), Ascending)),
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))))
+  }
 }

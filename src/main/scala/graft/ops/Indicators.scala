@@ -68,4 +68,100 @@ object Indicators {
       when(count(col("price")).over(w) >= window,
         round(expr("percentile(price, 0.5)").over(w), 6)).as(s"med$window"))
   }
+
+  import graft.functions.native
+
+  /** EMA/MACD family over the daily close — pandas `ewm(span,
+    * adjust=False)` semantics via the [[graft.functions.SeededEwma]]
+    * window recursion (seed = first close):
+    *
+    *   ema12  = EWMA(close, α=2/13)
+    *   ema26  = EWMA(close, α=2/27)
+    *   macd   = ema12 − ema26
+    *   signal = EWMA(macd,  α=2/10)   (the "signal line", span 9)
+    *   hist   = macd − signal
+    *
+    * Two Window passes over the SAME (asset, date) spec — the signal
+    * line recurses on the derived macd column, so it cannot share the
+    * first pass — but one sort and ZERO extra shuffles: the second
+    * WindowExec reuses the child's ordering/distribution. Defined from
+    * row 1 (no min_periods — the recursion warm-up is the indicator's
+    * documented bias, as in pandas). Rounded to 6 dp for engine
+    * portability.
+    */
+  def emaMacd(daily: DataFrame): DataFrame = {
+    def ewma(x: Column, alpha: Double): Column =
+      native.seededEwmaOver(x, alpha, 1, Seq(col("asset")), Seq(col("date")))
+    val base = daily.select(col("date"), col("asset"), col("close"),
+      ewma(col("close"), 2.0 / 13).as("ema12"),
+      ewma(col("close"), 2.0 / 27).as("ema26"))
+      .withColumn("macd", col("ema12") - col("ema26"))
+    base
+      .withColumn("signal", ewma(col("macd"), 2.0 / 10))
+      .select(col("date"), col("asset"), col("close"),
+        round(col("ema12"), 6).as("ema12"), round(col("ema26"), 6).as("ema26"),
+        round(col("macd"), 6).as("macd"), round(col("signal"), 6).as("signal"),
+        round(col("macd") - col("signal"), 6).as("hist"))
+  }
+
+  /** Wilder RSI(period) + ATR(period) over daily OHLC — both are the
+    * same seeded-EWMA recursion (α = 1/period, seed = plain mean of
+    * the first `period` values; Wilder's `(prev·(n−1)+x)/n` IS α=1/n
+    * smoothing):
+    *
+    *   gain/loss = the positive/negative part of the close diff
+    *               (NULL on each asset's first row — not a zero gain)
+    *   rsi  = 100 − 100/(1 + avg_gain/avg_loss), 100 when avg_loss=0
+    *   tr   = max(high−low, |high−prev_close|, |low−prev_close|)
+    *          (high−low on the first row)
+    *   atr  = WilderEWMA(tr)
+    *
+    * rsi's first value lands one row after atr's: gains start at row 2
+    * (first diff is NULL) while tr exists from row 1 — the same
+    * count-non-null min_periods discipline as vol30 vs ma30 above.
+    * One Window pass, one shuffle on asset. Rounded to 6 dp.
+    */
+  def rsiAtr(daily: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val w = Window.partitionBy("asset").orderBy("date")
+    val alpha = 1.0 / period
+    def wilder(x: Column): Column =
+      native.seededEwmaOver(x, alpha, period, Seq(col("asset")), Seq(col("date")))
+    val diff = col("close") - lag(col("close"), 1).over(w)
+    val prevClose = lag(col("close"), 1).over(w)
+    val gl = daily.select(col("date"), col("asset"), col("close"),
+      col("high"), col("low"),
+      when(diff.isNull, lit(null)).when(diff > 0, diff).otherwise(lit(0.0)).as("gain"),
+      when(diff.isNull, lit(null)).when(diff < 0, -diff).otherwise(lit(0.0)).as("loss"),
+      when(prevClose.isNull, col("high") - col("low"))
+        .otherwise(greatest(col("high") - col("low"),
+          abs(col("high") - prevClose), abs(col("low") - prevClose))).as("tr"))
+    gl.select(col("date"), col("asset"),
+        wilder(col("gain")).as("avg_gain"),
+        wilder(col("loss")).as("avg_loss"),
+        wilder(col("tr")).as("atr"))
+      .select(col("date"), col("asset"),
+        round(when(col("avg_loss") === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss"))), 6)
+          .as(s"rsi$period"),
+        round(col("atr"), 6).as(s"atr$period"))
+  }
+
+  /** Bollinger bands: mid = trailing `window`-row mean of close,
+    * upper/lower = mid ± k·stddev_samp, min_periods-guarded like ma30.
+    * Pure built-in window aggregates — no recursion — so it shares
+    * the one (asset, date) sort with everything else in this family.
+    */
+  def bollinger(daily: DataFrame, window: Int = 20, k: Double = 2.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val w = Window.partitionBy("asset").orderBy("date")
+      .rowsBetween(-(window - 1), 0)
+    val n = count(col("close")).over(w)
+    val mid = when(n >= window, avg(col("close")).over(w))
+    val dev = when(n >= window, stddev_samp(col("close")).over(w))
+    daily.select(col("date"), col("asset"), col("close"),
+      round(mid, 6).as("bb_mid"),
+      round(mid + lit(k) * dev, 6).as("bb_upper"),
+      round(mid - lit(k) * dev, 6).as("bb_lower"))
+  }
 }

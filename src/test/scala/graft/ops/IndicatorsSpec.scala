@@ -117,4 +117,116 @@ class IndicatorsSpec extends SparkSpec {
     val out = Indicators.rollingMedian(prices, window = 4).orderBy("ts_utc").collect()
     assert(out(3).getDouble(out.head.schema.fieldIndex("med4")) === 2.5)
   }
+
+  // ---- recursive indicator family (SeededEwma window function) ----
+
+  /** Two-asset daily OHLC fixture, 40 rows each, deterministic. */
+  private lazy val ohlcFixture = {
+    val rows = for {
+      (asset, base) <- Seq(("BTC", 100.0), ("ETH", 50.0))
+      i <- 0 until 40
+    } yield {
+      val close = base + i + math.sin(i * 1.7) * 7
+      val open = base + i + math.cos(i * 1.3) * 6
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        asset, open, math.max(open, close) + 2.5, math.min(open, close) - 1.5, close)
+    }
+    rows.toDF("date", "asset", "open", "high", "low", "close")
+  }
+
+  /** Driver-side reference recursion: pandas ewm(adjust=False). */
+  private def refEwma(xs: Seq[Double], alpha: Double): Seq[Double] =
+    xs.tail.scanLeft(xs.head)((s, x) => alpha * x + (1.0 - alpha) * s)
+
+  test("emaMacd equals a driver-side scanLeft recursion per asset") {
+    val out = Indicators.emaMacd(ohlcFixture).orderBy("asset", "date").collect()
+    val s = out.head.schema
+    Seq("BTC", "ETH").foreach { asset =>
+      val rows = out.filter(_.getString(s.fieldIndex("asset")) == asset)
+      val closes = rows.map(_.getDouble(s.fieldIndex("close"))).toSeq
+      val e12 = refEwma(closes, 2.0 / 13)
+      val e26 = refEwma(closes, 2.0 / 27)
+      val macd = e12.zip(e26).map { case (a, b) => a - b }
+      val sig = refEwma(macd, 2.0 / 10)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        def got(c: String) = r.getDouble(s.fieldIndex(c))
+        assert(got("ema12") === round6(e12(i)), s"$asset ema12 row $i")
+        assert(got("ema26") === round6(e26(i)), s"$asset ema26 row $i")
+        assert(got("macd") === round6(macd(i)), s"$asset macd row $i")
+        assert(got("signal") === round6(sig(i)), s"$asset signal row $i")
+        assert(got("hist") === round6(macd(i) - sig(i)), s"$asset hist row $i")
+      }
+    }
+  }
+
+  test("rsiAtr: Wilder seeding/recursion equals driver-side reference; null discipline") {
+    val period = 14
+    val out = Indicators.rsiAtr(ohlcFixture, period).orderBy("asset", "date").collect()
+    val s = out.head.schema
+    val src = ohlcFixture.orderBy("asset", "date").collect()
+    val ss = src.head.schema
+    Seq("BTC", "ETH").foreach { asset =>
+      val rows = out.filter(_.getString(s.fieldIndex("asset")) == asset)
+      val raw = src.filter(_.getString(ss.fieldIndex("asset")) == asset)
+      def rc(r: Row, c: String) = r.getDouble(ss.fieldIndex(c))
+      val closes = raw.map(rc(_, "close"))
+      val highs = raw.map(rc(_, "high"))
+      val lows = raw.map(rc(_, "low"))
+      val diffs = closes.indices.map(i => if (i == 0) Double.NaN else closes(i) - closes(i - 1))
+      val gains = diffs.map(d => if (d.isNaN) Double.NaN else if (d > 0) d else 0.0)
+      val losses = diffs.map(d => if (d.isNaN) Double.NaN else if (d < 0) -d else 0.0)
+      val trs = closes.indices.map { i =>
+        if (i == 0) highs(i) - lows(i)
+        else math.max(highs(i) - lows(i),
+          math.max(math.abs(highs(i) - closes(i - 1)), math.abs(lows(i) - closes(i - 1))))
+      }
+      // wilder: NaN until `period` non-NaN seen, then mean, then recursion
+      def wilder(xs: Seq[Double]): Seq[Double] = {
+        val a = 1.0 / period
+        var cum = 0.0; var n = 0; var state = Double.NaN
+        xs.map { x =>
+          if (!x.isNaN) {
+            n += 1; cum += x
+            state = if (n < period) Double.NaN
+            else if (n == period) cum / period
+            else a * x + (1.0 - a) * state
+          }
+          state
+        }
+      }
+      val ag = wilder(gains); val al = wilder(losses); val atr = wilder(trs)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val rsiIdx = s.fieldIndex(s"rsi$period"); val atrIdx = s.fieldIndex(s"atr$period")
+        if (ag(i).isNaN) assert(r.isNullAt(rsiIdx), s"$asset rsi row $i should be NULL")
+        else {
+          val want = if (al(i) == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + ag(i) / al(i))
+          assert(r.getDouble(rsiIdx) === round6(want), s"$asset rsi row $i")
+        }
+        if (atr(i).isNaN) assert(r.isNullAt(atrIdx), s"$asset atr row $i should be NULL")
+        else assert(r.getDouble(atrIdx) === round6(atr(i)), s"$asset atr row $i")
+      }
+      // rsi seeds exactly one row after atr (first diff is NULL)
+      assert(rows(period - 1).isNullAt(s.fieldIndex(s"rsi$period")))
+      assert(!rows(period - 1).isNullAt(s.fieldIndex(s"atr$period")))
+      assert(!rows(period).isNullAt(s.fieldIndex(s"rsi$period")))
+    }
+  }
+
+  test("bollinger: min_periods guard and mid ± 2·stddev") {
+    val out = Indicators.bollinger(ohlcFixture, window = 20, k = 2.0)
+      .orderBy("asset", "date").collect()
+    val s = out.head.schema
+    val btc = out.filter(_.getString(s.fieldIndex("asset")) == "BTC")
+    (0 until 19).foreach(i => assert(btc(i).isNullAt(s.fieldIndex("bb_mid")), s"row $i"))
+    val closes = btc.map(_.getDouble(s.fieldIndex("close")))
+    val frame = closes.slice(0, 20)
+    val mean = frame.sum / 20
+    val sd = math.sqrt(frame.map(x => (x - mean) * (x - mean)).sum / 19)
+    assert(math.abs(btc(19).getDouble(s.fieldIndex("bb_mid")) - mean) < 1e-6)
+    assert(math.abs(btc(19).getDouble(s.fieldIndex("bb_upper")) - (mean + 2 * sd)) < 1e-6)
+    assert(math.abs(btc(19).getDouble(s.fieldIndex("bb_lower")) - (mean - 2 * sd)) < 1e-6)
+  }
+
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 }
