@@ -316,28 +316,39 @@ object Dedup {
   /** SimHash near-dups: hamming(a,b) ≤ maxHamming. Candidates via the
     * pigeonhole trick — split the 64-bit fingerprint into
     * maxHamming+1 chunks; any pair within distance maxHamming agrees
-    * on ≥1 chunk — then verify with bit_count(a XOR b).
+    * on ≥1 chunk.
+    *
+    * Shape (group-pairs, round-6 — the same rework the ngram family
+    * got in round 4): one chunk explode (maxHamming+1 thin rows per
+    * doc), ONE shuffle grouping (chunk, value) buckets, then each
+    * bucket's (doc_id, simhash) list emits its verified pairs inside a
+    * codegen kernel ([[graft.functions.SimhashBucketPairsExpr]]) —
+    * hamming is checked in-kernel AND cross-bucket duplicates are
+    * eliminated by the first-agreeing-chunk rule (a pair within
+    * distance k agrees on ≥1 of the k+1 chunks; only the smallest
+    * agreeing chunk's bucket owns it). This replaces the chunked
+    * SELF-join + candidate-wide `distinct` — which paid a second
+    * explode evaluation on the join's probe side plus a full shuffle
+    * of every candidate pair — with zero joins and zero post-shuffles:
+    * pair work is still Σ bucket² (pigeonhole cost at any scale), but
+    * no candidate row ever crosses the wire.
     */
   def simhashNearDups(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val fps = simhash(docs, n)
-    val chunked = fps.select(
-      col("doc_id"), col("simhash"),
-      explode(array((0 until chunks).map { j =>
-        struct(lit(j).as("ck"),
-          shiftright(col("simhash"), j * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("cv"))
-      }: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.ck"), col("c.cv"))
-    chunked.as("x").join(chunked.as("y"),
-        col("x.ck") === col("y.ck") && col("x.cv") === col("y.cv") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+    fps.select(
+        col("doc_id"), col("simhash"),
+        explode(array((0 until chunks).map { j =>
+          struct(lit(j).as("ck"),
+            shiftright(col("simhash"), j * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("cv"))
+        }: _*)).as("c"))
+      .groupBy(col("c.ck").as("ck"), col("c.cv").as("cv"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(graft.functions.native.simhashBucketPairs(
+        col("ids"), col("ck"), width, maxHamming)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
   }
 }

@@ -431,6 +431,65 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Verified SimHash near-dup pairs inside one pigeonhole bucket:
+    * all (a < b) pairs of the (doc_id, simhash) list whose hamming
+    * distance ≤ maxHamming AND whose FIRST agreeing chunk is this
+    * bucket's chunk index `ck` — the first-agreeing-chunk rule
+    * deduplicates across buckets for free (a pair within distance k
+    * agrees on ≥1 of the k+1 chunks and is emitted ONLY by the
+    * smallest agreeing one), replacing the chunked self-join +
+    * pair-wide `distinct` with a grouped-list kernel: verification
+    * happens here, so no candidate row ever hits a shuffle. Output
+    * (a, b, hamming) structs; callers bound the list size the same
+    * way posting lists are bounded (Σ bucket² work).
+    */
+  def simhashBucketPairs(ids: ArrayData, ck: Int, width: Int, maxHamming: Int): ArrayData = {
+    val m = ids.numElements()
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val id = new Array[Long](m)
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val row = ids.getStruct(i, 2)
+      id(i) = row.getLong(0)
+      h(i) = row.getLong(1)
+      i += 1
+    }
+    // insertion sort by id so a < b regardless of collect_list order
+    i = 1
+    while (i < m) {
+      val ki = id(i); val kh = h(i)
+      var j = i - 1
+      while (j >= 0 && id(j) > ki) { id(j + 1) = id(j); h(j + 1) = h(j); j -= 1 }
+      id(j + 1) = ki; h(j + 1) = kh
+      i += 1
+    }
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val x = h(i) ^ h(j)
+        if (java.lang.Long.bitCount(x) <= maxHamming) {
+          // emit only if no chunk below ck agrees (that bucket owns it)
+          var c = 0
+          var owned = true
+          while (owned && c < ck) {
+            if (((x >>> (c * width)) & mask) == 0L) owned = false
+            c += 1
+          }
+          if (owned)
+            out += org.apache.spark.sql.catalyst.InternalRow(
+              id(i), id(j), java.lang.Long.bitCount(x))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Sign-bit LSH signature: bit i set iff dot(v, planes(i)) ≥ 0. */
   def hyperplaneSig(v: ArrayData, planes: Array[Array[Double]], vFloat: Boolean): Long = {
     var sig = 0L

@@ -233,6 +233,38 @@ case class PostingPairsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Verified SimHash pairs of one pigeonhole bucket — see
+  * [[Kernels.simhashBucketPairs]]. Left: array<struct<doc_id,simhash>>;
+  * right: the bucket's chunk index.
+  */
+case class SimhashBucketPairsExpr(left: Expression, right: Expression,
+                                  width: Int, maxHamming: Int) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "simhash_bucket_pairs"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName,
+      ArrayType(StructType(Seq(StructField("doc_id", LongType),
+        StructField("simhash", LongType)))), "ids", left) match {
+      case org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess =>
+        ExprHelpers.requireType(prettyName, IntegerType, "ck", right)
+      case fail => fail
+    }
+
+  override def nullSafeEval(ids: Any, ck: Any): Any =
+    Kernels.simhashBucketPairs(ids.asInstanceOf[ArrayData],
+      ck.asInstanceOf[Int], width, maxHamming)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.Kernels.simhashBucketPairs($l, $r, $width, $maxHamming)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** 64-bit SimHash fingerprint of a shingle array. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -457,6 +489,8 @@ object native {
     * AggregateExpression; an AggregateWindowFunction under that
     * wrapper fails analysis (WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE —
     * the wrapper node itself has a window-function child). */
+  def simhashBucketPairs(ids: Column, ck: Column, width: Int, maxHamming: Int): Column =
+    c(SimhashBucketPairsExpr(e(ids), e(ck), width, maxHamming))
   def seededEwmaOver(x: Column, alpha: Double, seedPeriods: Int,
                      partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
     import org.apache.spark.sql.catalyst.expressions.{

@@ -1,0 +1,84 @@
+package graft.tools
+
+import graft.Tables
+import graft.ext.{Contamination, CorpusPipeline, Dedup, Pii, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage attribution of the corpus-prep pipeline — ad-hoc
+  * profiling main, not part of the driver contract.
+  */
+object ProfPrep {
+  def noop(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+  def time(label: String)(f: => Unit): Unit = {
+    System.gc()
+    val t0 = System.nanoTime()
+    f
+    println(f"[prep] $label%-44s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.orderBy(col("doc_id")).limit(20)
+    val cfg = CorpusPipeline.Config()
+
+    // warm-up full pipeline once (codegen/JIT)
+    time("full pipeline (cold)") { noop(CorpusPipeline.prepare(docs, bench, cfg)) }
+    time("full pipeline (warm)") { noop(CorpusPipeline.prepare(docs, bench, cfg)) }
+
+    // stages
+    val normalized = docs.withColumn("text", TextAnalysis.normalizeText(col("text")))
+    val feats = Pii.audit(TextAnalysis.qualityFeatures(normalized))
+      .withColumn("__rep", graft.functions.native.repetitionStats(col("text")))
+      .withColumn("dup_token_frac",
+        when(col("__rep.n_tokens") > 0,
+          lit(1.0) - col("__rep.n_distinct").cast("double") / col("__rep.n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+    val hygienic = feats
+      .filter(col("quality_score") >= cfg.minQuality)
+      .filter(col("dup_token_frac") <= cfg.maxDupTokenFrac)
+      .filter(col("n_emails") <= cfg.maxPiiEmails)
+      .select("doc_id", "text", "quality_score")
+    time("stage 1-2 gates (noop)") { noop(hygienic) }
+
+    val normBench = bench.withColumn("text", TextAnalysis.normalizeText(col("text")))
+    var decontaminated: DataFrame = null
+    time("stage 3 decontam + localCheckpoint") {
+      decontaminated = Contamination.clean(hygienic, normBench, cfg.decontamNgram)
+        .localCheckpoint(true)
+    }
+    var pairs: DataFrame = null
+    time("stage 4a pair build (noop)") {
+      pairs = Dedup.ngramJaccardPairs(decontaminated, cfg.dedupNgram, cfg.dedupJaccard)
+      noop(pairs)
+    }
+    var deduped: DataFrame = null
+    time("stage 4b anti-join (noop)") {
+      deduped = Dedup.dropNearDups(decontaminated, pairs)
+      noop(deduped)
+    }
+    val split = TextAnalysis.splitAssign(deduped)
+    var withTokens: DataFrame = null
+    time("stage 5 split + tokens + localCheckpoint") {
+      withTokens = split.withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+        .localCheckpoint(true)
+    }
+    time("stage 6 pack (noop)") {
+      noop(graft.ops.TotalOrder.packSequencesPerGroup(withTokens, "split",
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")), "n_tokens", cfg.packTokens)
+        .select("doc_id", "text", "quality_score", "split", "pack_id"))
+    }
+    spark.stop()
+  }
+}

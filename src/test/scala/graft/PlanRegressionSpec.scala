@@ -70,6 +70,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert(scans === 1, s"expected 1 corpus scan, got $scans:\n${p.take(2000)}")
   }
 
+  test("simhash dedup: group-pairs shape — one chunk explode, ZERO joins, no distinct") {
+    val p = plan("q_dedup_simhash")
+    // one chunk explode + one per-bucket pair explode; verification
+    // and cross-bucket dedup happen inside the bucket kernel, so the
+    // old self-join + candidate-wide distinct must not reappear
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates === 2, s"expected 2 Generate explode nodes, got $generates:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"group-pairs shape must be join-free:\n${p.take(2000)}")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 corpus scan, got $scans:\n${p.take(2000)}")
+  }
+
   test("embedding near-dup: blocked equi-join — no nested-loop/cartesian, no corpus broadcast") {
     val p = plan("q_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
