@@ -424,6 +424,25 @@ object SparkEntry {
     "q_ema_macd" -> ((s, dir) => Indicators.emaMacd(dailyOhlc(s, dir))),
     "q_rsi_atr" -> ((s, dir) => Indicators.rsiAtr(dailyOhlc(s, dir), 14)),
     "q_bollinger" -> ((s, dir) => Indicators.bollinger(dailyOhlc(s, dir), 20, 2.0)),
+    "q_stochastic" -> ((s, dir) => Indicators.stochastic(dailyOhlc(s, dir), 14, 3)),
+    "q_drawdown" -> ((s, dir) => Indicators.drawdown(dailyOhlc(s, dir))),
+    "q_perf_stats" -> ((s, dir) => Indicators.perfStats(dailyOhlc(s, dir))),
+    "q_corr_matrix" -> ((s, dir) => Relational.corrMatrix(dailyOhlc(s, dir))),
+    "q_window_offsets" -> ((s, dir) => Relational.windowOffsets(dailyOhlc(s, dir))),
+    "q_oov_rate" -> ((s, dir) => ext.TextAnalysis.oovRate(Tables.documents(s, dir), 1000)),
+    "q_incr_dedup" -> ((s, dir) => {
+      // incremental crawl cycle: newest 20% of ids arrive against the
+      // accepted catalog (the other 80%); content key = md5(normalized
+      // text). The max-id probe is a bounded scalar collect, the same
+      // scalar-subquery shape as q_point_lookup.
+      val docs = Tables.documents(s, dir)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val thr = maxId * 4 / 5
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= thr),
+        docs.filter(col("doc_id") < thr),
+        md5(ext.TextAnalysis.normalizeText(col("text"))))
+    }),
     "q_group_stats" -> ((s, dir) => Relational.groupStats(Tables.prices(s, dir))),
     "q_lexical_stats" -> ((s, dir) => TextAnalysis.lexicalStats(Tables.documents(s, dir))),
     "q_zipf_fit" -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
@@ -1109,6 +1128,84 @@ object SparkEntry {
         |             ELSE 100.0 - 100.0/(1.0 + avg_gain/avg_loss) END, 6) AS rsi14,
         |  round(atr, 6) AS atr14
         |FROM e""".stripMargin),
+    "q_stochastic" -> (dailyCte +
+      """ SELECT date, asset, round(k, 6) AS stoch_k,
+        |  round(CASE WHEN count(k) OVER ws >= 3 THEN avg(k) OVER ws END, 6) AS stoch_d
+        |FROM (
+        |  SELECT date, asset,
+        |    CASE WHEN count(close) OVER w >= 14 AND max(high) OVER w <> min(low) OVER w
+        |         THEN 100.0*(close - min(low) OVER w)/(max(high) OVER w - min(low) OVER w)
+        |    END AS k
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |) t
+        |WINDOW ws AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin),
+    "q_drawdown" -> (dailyCte +
+      """ SELECT date, asset, close,
+        |  round(close / max(close) OVER (PARTITION BY asset ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1, 6) AS drawdown
+        |FROM daily""".stripMargin),
+    "q_perf_stats" -> (dailyCte +
+      """, e AS (
+        |  SELECT *, close / lag(close) OVER (PARTITION BY asset ORDER BY date) - 1 AS ret,
+        |         close / max(close) OVER (PARTITION BY asset ORDER BY date
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS dd
+        |  FROM daily
+        |)
+        |SELECT asset, count(*) AS n_days,
+        |  round(arg_max(close, date) / arg_min(close, date) - 1, 6) AS total_return,
+        |  round(stddev_samp(ret) * sqrt(365.0), 6) AS ann_vol,
+        |  round(avg(ret) / stddev_samp(ret) * sqrt(365.0), 6) AS sharpe,
+        |  round(min(dd), 6) AS max_drawdown
+        |FROM e GROUP BY 1""".stripMargin),
+    "q_corr_matrix" -> (dailyCte +
+      """, r AS (
+        |  SELECT date, asset,
+        |         close / lag(close) OVER (PARTITION BY asset ORDER BY date) - 1 AS ret
+        |  FROM daily
+        |)
+        |SELECT x.asset AS asset_a, y.asset AS asset_b, count(*) AS n_days,
+        |       round(corr(x.ret, y.ret), 6) AS ret_corr
+        |FROM r x JOIN r y ON x.date = y.date AND x.asset < y.asset
+        |WHERE x.ret IS NOT NULL AND y.ret IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin),
+    "q_window_offsets" -> (dailyCte +
+      """ SELECT date, asset, close,
+        |  lead(close) OVER w AS next_close,
+        |  lag(close, 7) OVER w AS close_7ago,
+        |  first_value(close) OVER wr AS first_close,
+        |  nth_value(close, 3) OVER wr AS third_close
+        |FROM daily
+        |WINDOW w AS (PARTITION BY asset ORDER BY date),
+        |       wr AS (PARTITION BY asset ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+    "q_oov_rate" ->
+      """WITH vocab AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) u
+        |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 1000
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS oov_rate
+        |FROM tok LEFT JOIN vocab v ON tok.token = v.token
+        |GROUP BY doc_id""".stripMargin,
+    "q_incr_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |             string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id,
+        |        array_to_string(list_filter(toks, (tk, i) -> i = 1 OR toks[i-1] <> tk), ' ') AS norm_text
+        |      FROM t),
+        |h AS (SELECT doc_id, md5(norm_text) AS dedup_key FROM n),
+        |thr AS (SELECT (max(doc_id)*4)//5 AS v FROM documents)
+        |SELECT min(doc_id) AS doc_id, dedup_key, count(*) AS n_dups
+        |FROM h
+        |WHERE doc_id >= (SELECT v FROM thr)
+        |  AND dedup_key NOT IN (SELECT dedup_key FROM h WHERE doc_id < (SELECT v FROM thr))
+        |GROUP BY dedup_key""".stripMargin,
     "q_bollinger" -> (dailyCte +
       """ SELECT date, asset, close,
         |  round(CASE WHEN count(close) OVER w >= 20 THEN avg(close) OVER w END, 6) AS bb_mid,

@@ -47,6 +47,25 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "dedup_key", "n_dups")
 
+  /** Incremental exact dedup — the every-crawl-cycle operation on a
+    * growing corpus: drop incoming rows whose content key already
+    * exists in the CATALOG (the previously-accepted corpus), then
+    * dedup within the increment itself (smallest id survives, as
+    * [[exact]]). Returns (id, dedup_key, n_dups) for the surviving
+    * increment rows. The catalog ships only DISTINCT keys into the
+    * anti-join — at 100 TB pass a content HASH as `key` so the wire
+    * carries 16 bytes/doc, and put a Bloom filter of catalog keys in
+    * front (cf. [[Contamination.flagBloom]]) when the increment is
+    * tiny relative to the catalog: most probes then never shuffle.
+    */
+  def incrementalDedup(incoming: DataFrame, catalog: DataFrame, key: Column,
+                       idCol: String = "doc_id"): DataFrame =
+    incoming.withColumn("dedup_key", key)
+      .join(catalog.select(key.as("dedup_key")).distinct(), Seq("dedup_key"), "left_anti")
+      .groupBy("dedup_key")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(idCol, "dedup_key", "n_dups")
+
   /** `size(split(text," ")) >= n` ⟺ the doc has ≥1 shingle, but costs
     * one split instead of the full shingle build — predicate pushdown
     * re-evaluates filter expressions per row, so the guard must be

@@ -93,6 +93,26 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("token"))
       .limit(topN)
 
+  /** Per-document out-of-vocabulary rate against the corpus top-`topN`
+    * vocabulary — the tokenizer-coverage signal: docs with high OOV
+    * against the working vocab are script/noise outliers the tokenizer
+    * will shred into bytes. Vocabulary rides a broadcast (topN rows by
+    * construction); the corpus explodes once and aggregates back to
+    * doc grain — one shuffle, identical at any corpus size. Ties at
+    * the rank-`topN` boundary break on token text, so the vocab set is
+    * engine-deterministic.
+    */
+  def oovRate(df: DataFrame, topN: Int = 1000, textCol: String = "text"): DataFrame = {
+    val vocab = vocabulary(df, topN, textCol)
+      .select(col("token"), lit(1).as("__in"))
+    df.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** Zipf-law fit over the corpus vocabulary: OLS slope / intercept /
     * R² of ln(freq) against ln(rank) for the `topN` most frequent
     * tokens. Natural text tracks slope ≈ −1; a slope far from it (or

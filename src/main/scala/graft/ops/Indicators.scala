@@ -147,6 +147,65 @@ object Indicators {
         round(col("atr"), 6).as(s"atr$period"))
   }
 
+  /** Stochastic oscillator: %K = 100·(close − minN(low)) /
+    * (maxN(high) − minN(low)) over the trailing `window` rows, %D =
+    * the `smooth`-row mean of %K. min_periods-guarded like ma30; %K
+    * is NULL when the channel is flat (max = min — division would be
+    * 0/0). Pure built-in window aggregates, one shuffle on asset.
+    */
+  def stochastic(daily: DataFrame, window: Int = 14, smooth: Int = 3): DataFrame = {
+    require(window >= 1 && smooth >= 1, s"window/smooth must be >= 1")
+    val base = Window.partitionBy("asset").orderBy("date")
+    val wN = base.rowsBetween(-(window - 1), 0)
+    val wS = base.rowsBetween(-(smooth - 1), 0)
+    val lowN = min(col("low")).over(wN)
+    val highN = max(col("high")).over(wN)
+    val k = when(count(col("close")).over(wN) >= window && highN =!= lowN,
+      lit(100.0) * (col("close") - lowN) / (highN - lowN))
+    val withK = daily.select(col("date"), col("asset"), col("close"), k.as("k"))
+    withK.select(col("date"), col("asset"),
+      round(col("k"), 6).as("stoch_k"),
+      round(when(count(col("k")).over(wS) >= smooth, avg(col("k")).over(wS)), 6).as("stoch_d"))
+  }
+
+  /** Drawdown from the running peak: dd = close / cummax(close) − 1
+    * (≤ 0, with 0 at every new high). The running max is a plain
+    * unbounded-preceding window aggregate — O(1) per row.
+    */
+  def drawdown(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("date"), col("asset"), col("close"),
+      round(col("close") / max(col("close")).over(w) - 1, 6).as("drawdown"))
+  }
+
+  /** Per-asset performance summary in ONE aggregate pass over the
+    * window-enriched daily closes:
+    *
+    *   total_return = last close / first close − 1  (arg_max/arg_min by date)
+    *   ann_vol      = stddev_samp(daily ret) · √365 (crypto trades 365d)
+    *   sharpe       = mean(ret)/stddev(ret) · √365  (rf = 0)
+    *   max_drawdown = min over the running-peak drawdown
+    *
+    * The window pass (ret + running max) partitions by asset, so the
+    * whole thing is one shuffle; the final agg is per-asset hash agg.
+    */
+  def perfStats(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val enriched = daily.select(col("date"), col("asset"), col("close"),
+      (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"),
+      (col("close") / max(col("close")).over(wRun) - 1).as("dd"))
+    val ann = sqrt(lit(365.0))
+    enriched.groupBy("asset").agg(
+      count(lit(1)).as("n_days"),
+      round(max_by(col("close"), col("date")) / min_by(col("close"), col("date")) - 1, 6)
+        .as("total_return"),
+      round(stddev_samp(col("ret")) * ann, 6).as("ann_vol"),
+      round(avg(col("ret")) / stddev_samp(col("ret")) * ann, 6).as("sharpe"),
+      round(min(col("dd")), 6).as("max_drawdown"))
+  }
+
   /** Bollinger bands: mid = trailing `window`-row mean of close,
     * upper/lower = mid ± k·stddev_samp, min_periods-guarded like ma30.
     * Pure built-in window aggregates — no recursion — so it shares

@@ -306,4 +306,41 @@ object Relational {
       .filter(col("__side") === 1)
       .drop("__rv", "__side")
   }
+
+  /** Pairwise Pearson correlation of daily returns across assets:
+    * (asset_a < asset_b, n overlapping days, corr). Returns come from
+    * one per-asset window pass; the pair grid is a self-equi-join on
+    * date — k assets make k·(k−1)/2 pairs per day, so the join output
+    * is tiny relative to the input and the `corr` hash-agg is
+    * mergeable. At 100 TB the daily table is already the reduced tier
+    * (one row per asset-day), so the date join never touches raw
+    * ticks; for thousands of assets the same shape holds with the
+    * date-keyed join shuffling the slim (date, asset, ret) triple.
+    */
+  def corrMatrix(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    val rets = daily.select(col("date"), col("asset"),
+      (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"))
+      .filter(col("ret").isNotNull)
+    rets.as("x").join(rets.as("y"),
+        col("x.date") === col("y.date") && col("x.asset") < col("y.asset"))
+      .groupBy(col("x.asset").as("asset_a"), col("y.asset").as("asset_b"))
+      .agg(count(lit(1)).as("n_days"),
+        round(corr(col("x.ret"), col("y.ret")), 6).as("ret_corr"))
+  }
+
+  /** The offset/positional window-function surface over daily closes:
+    * lead, multi-row lag, first_value, and nth_value on the running
+    * frame — each NULL exactly where the offset/position falls outside
+    * the partition (SQL semantics, mirrored by the oracle).
+    */
+  def windowOffsets(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("date"), col("asset"), col("close"),
+      lead(col("close"), 1).over(w).as("next_close"),
+      lag(col("close"), 7).over(w).as("close_7ago"),
+      first_value(col("close")).over(wRun).as("first_close"),
+      nth_value(col("close"), 3).over(wRun).as("third_close"))
+  }
 }

@@ -162,4 +162,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((1L, 2L)))
   }
+
+  test("incrementalDedup: catalog hits dropped, min-id survives within increment") {
+    val catalog = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha"),   // already in catalog -> dropped
+      (11L, "gamma"), (13L, "gamma"),  // new dup pair -> 11 survives, n_dups 2
+      (12L, "delta")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, catalog, org.apache.spark.sql.functions.col("text"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(11L, 12L))
+    val byKey = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byKey("gamma") === 2L && byKey("delta") === 1L)
+  }
 }

@@ -321,4 +321,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.getLong(1) === 1L && got.getLong(2) === 1L)
     assert(got.getDouble(3) === 1.0 && got.getDouble(4) === 0.0)
   }
+
+  test("oovRate: tokens outside the top-N vocabulary are counted per doc") {
+    // corpus token freqs: a=4, c=3, b=2 -> top-2 vocab = {a, c}
+    val docs = Seq(
+      (1L, "a a b"),       // b oov -> 1/3
+      (2L, "a b c"),       // b oov -> 1/3
+      (3L, "a c c")        // 0 oov
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, topN = 2).orderBy("doc_id").collect()
+    val s = out.head.schema
+    def row(i: Int) = (out(i).getLong(s.fieldIndex("n_tokens")),
+      out(i).getLong(s.fieldIndex("n_oov")), out(i).getDouble(s.fieldIndex("oov_rate")))
+    assert(row(0) === ((3L, 1L, 0.333333)))
+    assert(row(1) === ((3L, 1L, 0.333333)))
+    assert(row(2) === ((3L, 0L, 0.0)))
+  }
 }

@@ -227,6 +227,56 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(btc(19).getDouble(s.fieldIndex("bb_lower")) - (mean - 2 * sd)) < 1e-6)
   }
 
+  test("stochastic: %K bounds, flat-channel NULL, %D is the 3-row mean of %K") {
+    val out = Indicators.stochastic(ohlcFixture, window = 14, smooth = 3)
+      .orderBy("asset", "date").collect()
+    val s = out.head.schema
+    val btc = out.filter(_.getString(s.fieldIndex("asset")) == "BTC")
+    (0 until 13).foreach(i => assert(btc(i).isNullAt(s.fieldIndex("stoch_k")), s"row $i"))
+    btc.drop(13).foreach { r =>
+      val k = r.getDouble(s.fieldIndex("stoch_k"))
+      assert(k >= 0.0 && k <= 100.0)
+    }
+    // %D appears once 3 %K values exist
+    assert(btc(14).isNullAt(s.fieldIndex("stoch_d")))
+    assert(!btc(15).isNullAt(s.fieldIndex("stoch_d")))
+    // flat channel → NULL %K (0/0 guarded)
+    import spark.implicits._
+    val flat = (1 to 20).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        "X", 5.0, 5.0, 5.0, 5.0)).toDF("date", "asset", "open", "high", "low", "close")
+    val fk = Indicators.stochastic(flat, 14, 3).orderBy("date").collect()
+    fk.foreach(r => assert(r.isNullAt(fk.head.schema.fieldIndex("stoch_k"))))
+  }
+
+  test("drawdown: zero at new highs, close/cummax-1 otherwise") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    val daily = Seq((d(1), "X", 10.0), (d(2), "X", 8.0), (d(3), "X", 12.0), (d(4), "X", 6.0))
+      .toDF("date", "asset", "close")
+    val out = Indicators.drawdown(daily).orderBy("date").collect()
+    val idx = out.head.schema.fieldIndex("drawdown")
+    assert(out(0).getDouble(idx) === 0.0)
+    assert(out(1).getDouble(idx) === -0.2)      // 8/10 - 1
+    assert(out(2).getDouble(idx) === 0.0)       // new high
+    assert(out(3).getDouble(idx) === -0.5)      // 6/12 - 1
+  }
+
+  test("perfStats: total return, sharpe sign, max drawdown on a known path") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    val daily = Seq((d(1), "X", 10.0), (d(2), "X", 8.0), (d(3), "X", 12.0), (d(4), "X", 6.0))
+      .toDF("date", "asset", "close")
+    val r = Indicators.perfStats(daily).collect().head
+    val s = r.schema
+    assert(r.getLong(s.fieldIndex("n_days")) === 4L)
+    assert(r.getDouble(s.fieldIndex("total_return")) === -0.4) // 6/10 - 1
+    assert(r.getDouble(s.fieldIndex("max_drawdown")) === -0.5)
+    // rets: -0.2, +0.5, -0.5 → negative mean → negative sharpe
+    assert(r.getDouble(s.fieldIndex("sharpe")) < 0)
+    assert(r.getDouble(s.fieldIndex("ann_vol")) > 0)
+  }
+
   private def round6(x: Double): Double =
     new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 }

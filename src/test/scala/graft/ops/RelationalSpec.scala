@@ -184,4 +184,36 @@ class RelationalSpec extends SparkSpec {
     // covar_samp(price, t) = 10·var_samp(t) = 10·(5/3)
     assert(math.abs(out.getDouble(5) - 10.0 * 5.0 / 3.0) < 1e-6)
   }
+
+  test("corrMatrix: perfectly correlated and anti-correlated return series") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    // A and B move proportionally (corr +1); C moves opposite in sign
+    val a = Seq(100.0, 110.0, 104.5, 125.4)
+    val b = a.map(_ * 2)                       // identical returns
+    val c = Seq(100.0, 90.0, 94.5, 75.6)       // opposite-sign returns
+    val daily = (1 to 4).flatMap(i => Seq(
+      (d(i), "A", a(i - 1)), (d(i), "B", b(i - 1)), (d(i), "C", c(i - 1))))
+      .toDF("date", "asset", "close")
+    val out = Relational.corrMatrix(daily).orderBy("asset_a", "asset_b").collect()
+    val s = out.head.schema
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(s.fieldIndex("ret_corr"))).toMap
+    assert(out.forall(_.getLong(s.fieldIndex("n_days")) == 3L))
+    assert(m(("A", "B")) === 1.0)
+    assert(m(("A", "C")) < 0)
+  }
+
+  test("windowOffsets: offsets NULL outside the partition, nth_value needs 3 rows") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    val daily = (1 to 9).map(i => (d(i), "X", 100.0 + i)).toDF("date", "asset", "close")
+    val out = Relational.windowOffsets(daily).orderBy("date").collect()
+    val s = out.head.schema
+    assert(out(8).isNullAt(s.fieldIndex("next_close")))          // last row: no lead
+    assert(out(0).getDouble(s.fieldIndex("next_close")) === 102.0)
+    (0 until 7).foreach(i => assert(out(i).isNullAt(s.fieldIndex("close_7ago"))))
+    assert(out(7).getDouble(s.fieldIndex("close_7ago")) === 101.0)
+    out.foreach(r => assert(r.getDouble(s.fieldIndex("first_close")) === 101.0))
+    assert(out(1).isNullAt(s.fieldIndex("third_close")))
+    assert(out(2).getDouble(s.fieldIndex("third_close")) === 103.0)
+  }
 }
