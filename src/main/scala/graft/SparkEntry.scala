@@ -430,6 +430,8 @@ object SparkEntry {
     "q_corr_matrix" -> ((s, dir) => Relational.corrMatrix(dailyOhlc(s, dir))),
     "q_window_offsets" -> ((s, dir) => Relational.windowOffsets(dailyOhlc(s, dir))),
     "q_oov_rate" -> ((s, dir) => ext.TextAnalysis.oovRate(Tables.documents(s, dir), 1000)),
+    "q_heavy_hitters" -> ((s, dir) => Relational.heavyHitters(Tables.events(s, dir), "user_id", 0.001)),
+    "q_key_skew" -> ((s, dir) => Relational.keySkew(Tables.events(s, dir), "user_id", 5)),
     "q_incr_dedup" -> ((s, dir) => {
       // incremental crawl cycle: newest 20% of ids arrive against the
       // accepted catalog (the other 80%); content key = md5(normalized
@@ -1192,6 +1194,21 @@ object SparkEntry {
         |    AS oov_rate
         |FROM tok LEFT JOIN vocab v ON tok.token = v.token
         |GROUP BY doc_id""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT user_id, n, round(CAST(n AS DOUBLE)/total, 6) AS share
+        |FROM c, t
+        |WHERE n >= CAST(0.001 AS DOUBLE) * CAST(total AS DOUBLE)""".stripMargin,
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+        |             CAST(max(n) AS BIGINT) AS max_n FROM c),
+        |tk AS (SELECT CAST(sum(n) AS BIGINT) AS top_n
+        |       FROM (SELECT n FROM c ORDER BY n DESC, user_id LIMIT 5) x)
+        |SELECT n_keys, total, round(CAST(max_n AS DOUBLE)/total, 6) AS max_share,
+        |       round(CAST(top_n AS DOUBLE)/total, 6) AS top5_share
+        |FROM t, tk""".stripMargin,
     "q_incr_dedup" ->
       """WITH t AS (SELECT doc_id,
         |             string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks

@@ -307,6 +307,63 @@ object Relational {
       .drop("__rv", "__side")
   }
 
+  /** Exact heavy hitters: keys whose row share is ≥ `minShare`. Two
+    * mergeable aggregates (per-key counts, then the 1-row total
+    * broadcast back over the counts) — no driver collect, no sort.
+    * The threshold multiplies in DOUBLE on both engines (the oracle
+    * casts explicitly) so boundary keys resolve identically. The
+    * single-pass constant-memory companion for exploratory use is
+    * [[countMinSketchOf]]; this exact form is itself scale-safe —
+    * the counts frame is |keys|, not |rows|.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare <= 1, s"minShare in (0,1], got $minShare")
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") >= lit(minShare) * col("__total"))
+      .select(col(keyCol), col("n"),
+        round(col("n") / col("__total"), 6).as("share"))
+  }
+
+  /** Count-min sketch of per-key frequencies — the single-pass,
+    * constant-memory, MERGEABLE companion to [[heavyHitters]] (built
+    * on Spark's `count_min_sketch` aggregate; Cormode & Muthukrishnan
+    * '05). The sketch is width ⌈e/eps⌉ × depth ⌈ln(1/(1−confidence))⌉
+    * counters regardless of data size; estimates overestimate by at
+    * most eps·N with probability ≥ confidence (never underestimate).
+    * Returned to the driver — the sketch IS a bounded summary; probe
+    * it for any candidate key without another scan.
+    */
+  def countMinSketchOf(df: DataFrame, keyCol: String, eps: Double = 0.0001,
+                       confidence: Double = 0.99, seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = df.selectExpr(
+      s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed) AS s")
+      .head().getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** One-row key-skew report: distinct keys, total rows, the max key's
+    * share, and the top-`topK` keys' combined share — the diagnostic
+    * that decides between a plain shuffle join and the salted join
+    * ([[saltedJoin]]) / AQE skew split at 100 TB. The top-K sum is
+    * order-insensitive (ties at the boundary contribute the same
+    * count either way), so it is engine-deterministic without any
+    * tie-break contract.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
+      max(col("n")).as("__max_n"))
+    val top = counts.orderBy(desc("n"), asc(keyCol)).limit(topK)
+      .agg(sum(col("n")).as("__top_n"))
+    tot.crossJoin(top).select(col("n_keys"), col("total"),
+      round(col("__max_n") / col("total"), 6).as("max_share"),
+      round(col("__top_n") / col("total"), 6).as(s"top${topK}_share"))
+  }
+
   /** Pairwise Pearson correlation of daily returns across assets:
     * (asset_a < asset_b, n overlapping days, corr). Returns come from
     * one per-asset window pass; the pair grid is a self-equi-join on

@@ -93,6 +93,71 @@ object Warehouse {
     SchemaCache.invalidate(path) // a full rewrite may change the schema
   }
 
+  /** Versioned snapshot write — time travel for the single-writer
+    * warehouse: each write lands a complete immutable version under
+    * `path/v=<n>/`, then the `_latest` pointer file is swapped via
+    * write-to-temp + atomic rename. Readers resolve the pointer (or an
+    * explicit version) and scan exactly one version directory — old
+    * versions stay readable until [[expireSnapshots]] drops them.
+    * This is the two-phase POINTER-swap shape that object stores need
+    * (directory rename is not atomic there; a one-line manifest swap
+    * is) — the same trade documented on [[rewriteAtomic]], flipped:
+    * rewriteAtomic moves the data dir, this moves only the pointer.
+    * Snapshot isolation for free: a reader holding version n is
+    * unaffected by writer progress to n+1.
+    */
+  def writeSnapshot(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = snapshots(spark, path).lastOption.getOrElse(0L) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8")); out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+    fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"cannot swap pointer for $path")
+    next
+  }
+
+  /** All snapshot versions present under `path`, ascending. */
+  def snapshots(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
+  }
+
+  /** Read a snapshot: the pinned `version`, or the `_latest` pointer's
+    * target when absent. */
+  def readSnapshot(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse {
+      val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+      val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(ptr), s"no _latest pointer under $path")
+      val in = fs.open(ptr)
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close(); s.toLong
+    }
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  /** Drop every version older than `keepLast` versions back (never the
+    * latest). Readers pinned to an expired version fail on next scan —
+    * the standard retention contract.
+    */
+  def expireSnapshots(spark: SparkSession, path: String, keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = snapshots(spark, path)
+    val drop = all.dropRight(keepLast)
+    drop.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
+    drop
+  }
+
   /** Date-partitioned warehouse layout (`path/date=YYYY-MM-DD/…`) —
     * the 100 TB form: scans with a date predicate prune to the
     * matching directories (PartitionFilters, no file I/O elsewhere).

@@ -216,4 +216,35 @@ class RelationalSpec extends SparkSpec {
     assert(out(1).isNullAt(s.fieldIndex("third_close")))
     assert(out(2).getDouble(s.fieldIndex("third_close")) === 103.0)
   }
+
+  test("heavyHitters: only keys at/above the share threshold survive") {
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++ (1 to 15).map(i => s"u$i"))
+      .toDF("k")
+    val out = Relational.heavyHitters(df, "k", 0.2).orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("hot", "warm"))
+    val hot = out.head
+    assert(hot.getLong(1) === 60L && hot.getDouble(2) === 0.6)
+  }
+
+  test("keySkew: max and top-K shares on a known distribution") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(15)("c") ++ Seq.fill(5)("d"))
+      .toDF("k")
+    val r = Relational.keySkew(df, "k", topK = 2).collect().head
+    val s = r.schema
+    assert(r.getLong(s.fieldIndex("n_keys")) === 4L)
+    assert(r.getLong(s.fieldIndex("total")) === 100L)
+    assert(r.getDouble(s.fieldIndex("max_share")) === 0.5)
+    assert(r.getDouble(s.fieldIndex("top2_share")) === 0.8)
+  }
+
+  test("countMinSketchOf: estimates never undercount, bounded overcount") {
+    val df = (Seq.fill(500)(7L) ++ Seq.fill(100)(8L) ++ (1L to 400L)).toDF("k")
+    val n = 1000L
+    val eps = 0.01
+    val cms = Relational.countMinSketchOf(df, "k", eps = eps, confidence = 0.99)
+    assert(cms.estimateCount(7L) >= 500L)
+    assert(cms.estimateCount(8L) >= 100L)
+    assert(cms.estimateCount(7L) <= 500L + (eps * n).toLong + 1)
+    assert(cms.estimateCount(8L) <= 100L + (eps * n).toLong + 1)
+  }
 }

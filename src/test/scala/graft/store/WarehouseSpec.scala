@@ -159,4 +159,22 @@ class WarehouseSpec extends SparkSpec {
     val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
     assert(siblings.toSeq === Seq("t"), s"leftovers: ${siblings.mkString(",")}")
   }
+
+  test("snapshots: versioned writes, time travel, pointer swap, retention") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
+    val v1 = Warehouse.writeSnapshot(Seq((1L, "a")).toDF("id", "x"), root)
+    val v2 = Warehouse.writeSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    val v3 = Warehouse.writeSnapshot(Seq((3L, "c")).toDF("id", "x"), root)
+    assert((v1, v2, v3) === ((1L, 2L, 3L)))
+    assert(Warehouse.snapshots(spark, root) === Seq(1L, 2L, 3L))
+    // latest follows the pointer; pinned versions stay readable
+    assert(Warehouse.readSnapshot(spark, root).collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(Warehouse.readSnapshot(spark, root, Some(2L)).count() === 2L)
+    assert(Warehouse.readSnapshot(spark, root, Some(1L)).count() === 1L)
+    // retention drops the oldest, keeps latest 2
+    assert(Warehouse.expireSnapshots(spark, root, keepLast = 2) === Seq(1L))
+    assert(Warehouse.snapshots(spark, root) === Seq(2L, 3L))
+    assert(Warehouse.readSnapshot(spark, root).count() === 1L)
+    intercept[Exception] { Warehouse.readSnapshot(spark, root, Some(1L)).collect() }
+  }
 }
