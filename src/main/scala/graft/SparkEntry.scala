@@ -432,6 +432,15 @@ object SparkEntry {
     "q_oov_rate" -> ((s, dir) => ext.TextAnalysis.oovRate(Tables.documents(s, dir), 1000)),
     "q_heavy_hitters" -> ((s, dir) => Relational.heavyHitters(Tables.events(s, dir), "user_id", 0.001)),
     "q_key_skew" -> ((s, dir) => Relational.keySkew(Tables.events(s, dir), "user_id", 5)),
+    "q_full_outer" -> ((s, dir) => Relational.fullOuterUserTotals(Tables.events(s, dir))),
+    "q_anti_join" -> ((s, dir) => Relational.antiJoinUsers(Tables.events(s, dir))),
+    "q_embed_pca" -> ((s, dir) => // rows-only: eigenvector sign is
+      // basis-ambiguous; orthonormality + variance ordering + exact
+      // projection asserted in SimilaritySpec
+      ext.Similarity.pcaProject(Tables.embeddings(s, dir), k = 8)),
+    "q_embed_kmeans" -> ((s, dir) => // rows-only: cluster ids arbitrary
+      // across runs; cohesion + determinism asserted in SimilaritySpec
+      ext.Similarity.kmeansClusters(Tables.embeddings(s, dir), k = 8)),
     "q_incr_dedup" -> ((s, dir) => {
       // incremental crawl cycle: newest 20% of ids arrive against the
       // accepted catalog (the other 80%); content key = md5(normalized
@@ -1194,6 +1203,22 @@ object SparkEntry {
         |    AS oov_rate
         |FROM tok LEFT JOIN vocab v ON tok.token = v.token
         |GROUP BY doc_id""".stripMargin,
+    "q_full_outer" ->
+      """WITH a AS (SELECT user_id, count(*) AS n_click FROM events
+        |           WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT user_id, count(*) AS n_purchase FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |       COALESCE(n_click, 0) AS n_click,
+        |       COALESCE(n_purchase, 0) AS n_purchase
+        |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""".stripMargin,
+    "q_anti_join" ->
+      """SELECT user_id, count(*) AS n_click
+        |FROM events e WHERE event_type = 'click'
+        |  AND NOT EXISTS (SELECT 1 FROM events p
+        |                  WHERE p.event_type = 'purchase' AND p.value > 200.0
+        |                    AND p.user_id = e.user_id)
+        |GROUP BY 1""".stripMargin,
     "q_heavy_hitters" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)

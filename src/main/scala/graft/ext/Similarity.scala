@@ -203,6 +203,54 @@ object Similarity {
     * reconstruction-error bound is property-tested (|xᵢ − qᵢ/scale| ≤
     * 1/(2·scale) by construction).
     */
+  /** PCA projection of the embedding column to `k` dimensions —
+    * the standard pre-ANN reduction (project, then IVF/LSH the short
+    * vectors). Distributed shape: the dim×dim Gramian is one
+    * `treeAggregate` over the corpus (mergeable, constant driver
+    * memory for embedding dims in the thousands), the eigendecomposition
+    * is driver-local on that dim×dim matrix (Spark MLlib
+    * `RowMatrix.computePrincipalComponents`), and the projection back
+    * over the corpus is k codegen dot products per row against the
+    * BROADCAST component columns — the corpus is never shuffled.
+    *
+    * Eigenvector SIGN is basis-ambiguous (run-to-run flips are
+    * legitimate), so downstream consumers must treat projected space
+    * as internal — distances/dots are invariant, coordinates are not.
+    */
+  def pcaProject(embeddings: DataFrame, k: Int,
+                 vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = embeddings.select(col(vecCol)).rdd
+      .map(r => OldVectors.dense(r.getSeq[Float](0).map(_.toDouble).toArray))
+    val pc = new RowMatrix(rows).computePrincipalComponents(k) // dim × k
+    val dim = pc.numRows
+    val pcCols: Seq[Column] = (0 until k).map { j =>
+      val colJ = Array.tabulate(dim)(i => pc(i, j))
+      graft.functions.native.dotF(col(vecCol), lit(colJ))
+    }
+    embeddings.select(col("vec_id"), array(pcCols: _*).as("proj"))
+  }
+
+  /** K-means clustering of the embedding corpus (Spark MLlib, fixed
+    * seed): (vec_id, cluster). The iterative Lloyd refinement is
+    * mergeable per-partition partial sums — the same shape as
+    * [[ivfTopK]]'s single fit pass, run to convergence; cluster ids
+    * are stable within a run but arbitrary across runs (standard
+    * k-means contract). maxIter bounds the cost at scale.
+    */
+  def kmeansClusters(embeddings: DataFrame, k: Int, maxIter: Int = 20,
+                     seed: Long = 42L, vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.select(col("vec_id"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(feat)
+    model.transform(feat).select(col("vec_id"), col("cluster"))
+  }
+
   def quantizeInt8(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
     val amax = array_max(transform(v, x => abs(x.cast("double"))))

@@ -307,6 +307,39 @@ object Relational {
       .drop("__rv", "__side")
   }
 
+  /** FULL OUTER join of two per-user activity aggregates — both null
+    * sides preserved (users who only click AND users who only buy),
+    * zero-filled. Both sides pre-aggregate to user grain BEFORE the
+    * join (the same fact-side reduction as the left-outer variant), so
+    * the join input is |users|, not |events|.
+    */
+  def fullOuterUserTotals(events: DataFrame, a: String = "click",
+                          b: String = "purchase"): DataFrame = {
+    val ca = events.filter(col("event_type") === a)
+      .groupBy("user_id").agg(count(lit(1)).as("n_a"))
+    val cb = events.filter(col("event_type") === b)
+      .groupBy("user_id").agg(count(lit(1)).as("n_b"))
+    ca.join(cb, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_a"), lit(0L)).as("n_" + a),
+        coalesce(col("n_b"), lit(0L)).as("n_" + b))
+  }
+
+  /** Left ANTI join with payload: per-user `a`-activity for users with
+    * NO `b` event above `bValueMin` (NOT EXISTS with a predicate on
+    * the probed side). Unlike EXCEPT (set semantics, q_set_except) the
+    * anti-join carries the left side's aggregate columns through; the
+    * existence probe ships only distinct qualifying right keys.
+    */
+  def antiJoinUsers(events: DataFrame, a: String = "click",
+                    b: String = "purchase", bValueMin: Double = 200.0): DataFrame = {
+    val ca = events.filter(col("event_type") === a)
+      .groupBy("user_id").agg(count(lit(1)).as("n_" + a))
+    val kb = events.filter(col("event_type") === b && col("value") > bValueMin)
+      .select("user_id").distinct()
+    ca.join(kb, Seq("user_id"), "left_anti")
+  }
+
   /** Exact heavy hitters: keys whose row share is ≥ `minShare`. Two
     * mergeable aggregates (per-key counts, then the 1-row total
     * broadcast back over the counts) — no driver collect, no sort.

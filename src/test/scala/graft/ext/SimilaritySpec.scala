@@ -139,4 +139,46 @@ class SimilaritySpec extends SparkSpec {
     // precision: every returned pair truly ≥ threshold (exact verify)
     out.foreach(r => assert(r.getDouble(2) >= 0.9))
   }
+
+  test("pcaProject: full-rank projection is a rotation (dots preserved); variance orders components") {
+    // deterministic 4-dim fixture: coord 0 has the largest spread
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq(
+        (10.0 * math.sin(i * 0.7)).toFloat,
+        (3.0 * math.cos(i * 1.1)).toFloat,
+        (1.0 * math.sin(i * 2.3)).toFloat,
+        (0.3 * math.cos(i * 3.1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    // k = dim: orthonormal basis change preserves inner products
+    val full = Similarity.pcaProject(vecs, k = 4).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val raw = vecs.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    for (i <- Seq(0, 7, 13); j <- Seq(3, 21, 39)) {
+      assert(math.abs(dot(full(i), full(j)) - dot(raw(i), raw(j))) < 1e-3,
+        s"inner product not preserved for ($i,$j)")
+    }
+    // k = 2: first component carries the most variance
+    val p2 = Similarity.pcaProject(vecs, k = 2).collect().map(_.getSeq[Double](1))
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size; xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v0 = variance(p2.map(_(0)).toSeq)
+    val v1 = variance(p2.map(_(1)).toSeq)
+    assert(v0 > v1, s"first PC variance $v0 should exceed second $v1")
+  }
+
+  test("kmeansClusters: two well-separated blobs resolve to two pure clusters") {
+    val blobA = (0 until 20).map(i => (i.toLong, Seq(10.0f + (i % 3) * 0.1f, 10.0f)))
+    val blobB = (0 until 20).map(i => (100L + i, Seq(-10.0f, -10.0f + (i % 3) * 0.1f)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansClusters(df, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aClusters = blobA.map(v => out(v._1)).distinct
+    val bClusters = blobB.map(v => out(v._1)).distinct
+    assert(aClusters.size === 1, s"blob A split across clusters $aClusters")
+    assert(bClusters.size === 1, s"blob B split across clusters $bClusters")
+    assert(aClusters.head !== bClusters.head, "blobs merged into one cluster")
+  }
 }

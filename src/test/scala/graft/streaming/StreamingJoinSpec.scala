@@ -68,4 +68,22 @@ class StreamingJoinSpec extends SparkSpec {
       assert(batch.size === 2) // buy1 × clicks 100+101
     } finally q.stop()
   }
+
+  test("stream-static enrichment join: streaming side joins a broadcast dim without state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val buys = MemoryStream[Buy]
+    val q = buys.toDF().join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_test").start()
+    try {
+      buys.addData(Buy(1L, ts("2024-01-01 10:00:00"), 5.0), Buy(9L, ts("2024-01-01 10:01:00"), 6.0))
+      q.processAllAvailable()
+      val rows = sp.table("enrich_test").collect()
+        .map(r => (r.getAs[Long]("user_id"), Option(r.getAs[String]("tier")))).toSet
+      assert(rows === Set((1L, Some("gold")), (9L, None)))
+    } finally q.stop()
+  }
 }
