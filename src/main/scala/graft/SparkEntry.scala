@@ -433,6 +433,12 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) => Relational.heavyHitters(Tables.events(s, dir), "user_id", 0.001)),
     "q_key_skew" -> ((s, dir) => Relational.keySkew(Tables.events(s, dir), "user_id", 5)),
     "q_full_outer" -> ((s, dir) => Relational.fullOuterUserTotals(Tables.events(s, dir))),
+    "q_gap_fill" -> ((s, dir) =>
+      // deterministic gaps: drop every 3rd calendar day, then resample
+      // + ffill back onto the full per-asset calendar spine
+      Relational.calendarFill(dailyOhlc(s, dir)
+        .filter(dayofmonth(col("date")) % 3 =!= 0)
+        .select("date", "asset", "close"))),
     "q_anti_join" -> ((s, dir) => Relational.antiJoinUsers(Tables.events(s, dir))),
     "q_embed_pca" -> ((s, dir) => // rows-only: eigenvector sign is
       // basis-ambiguous; orthonormality + variance ordering + exact
@@ -1203,6 +1209,23 @@ object SparkEntry {
         |    AS oov_rate
         |FROM tok LEFT JOIN vocab v ON tok.token = v.token
         |GROUP BY doc_id""".stripMargin,
+    "q_gap_fill" -> (dailyCte +
+      """, filt AS (
+        |  SELECT date, asset, close FROM daily WHERE day(date) % 3 <> 0
+        |), cal AS (
+        |  SELECT asset, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+        |                                            CAST(mx AS TIMESTAMP),
+        |                                            INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM (SELECT asset, min(date) AS mn, max(date) AS mx FROM filt GROUP BY 1) b
+        |), j AS (
+        |  SELECT cal.asset, cal.date, f.close
+        |  FROM cal LEFT JOIN filt f ON f.asset = cal.asset AND f.date = cal.date
+        |)
+        |SELECT date, asset,
+        |  last_value(close IGNORE NULLS) OVER (PARTITION BY asset ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+        |  close IS NULL AS was_gap
+        |FROM j""".stripMargin),
     "q_full_outer" ->
       """WITH a AS (SELECT user_id, count(*) AS n_click FROM events
         |           WHERE event_type = 'click' GROUP BY 1),

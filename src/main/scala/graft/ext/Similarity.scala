@@ -239,7 +239,7 @@ object Similarity {
     * are stable within a run but arbitrary across runs (standard
     * k-means contract). maxIter bounds the cost at scale.
     */
-  def kmeansClusters(embeddings: DataFrame, k: Int, maxIter: Int = 20,
+  def kmeansClusters(embeddings: DataFrame, k: Int, maxIter: Int = 10,
                      seed: Long = 42L, vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector

@@ -397,6 +397,30 @@ object Relational {
       round(col("__top_n") / col("total"), 6).as(s"top${topK}_share"))
   }
 
+  /** Calendar gap-fill + forward-fill — the pandas
+    * `asfreq('D').ffill()` resample the reference's stack gets for
+    * free, as a declarative plan: per-asset calendar spine
+    * (`sequence(min, max, 1 day)` exploded from a 1-row-per-asset
+    * agg — the spine costs |assets| agg rows, not a shuffle of the
+    * data), LEFT join of the observed days onto the spine, then
+    * last-non-null carry-forward over a running window. One shuffle
+    * on asset for the window; `was_gap` marks synthesized rows.
+    * Leading gaps (before an asset's first observation) stay NULL —
+    * ffill has nothing to carry.
+    */
+  def calendarFill(observed: DataFrame): DataFrame = {
+    val spine = observed.groupBy("asset")
+      .agg(min(col("date")).as("__mn"), max(col("date")).as("__mx"))
+      .select(col("asset"),
+        explode(sequence(col("__mn"), col("__mx"), expr("INTERVAL 1 DAY"))).as("date"))
+    val w = Window.partitionBy("asset").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(observed, Seq("asset", "date"), "left")
+      .select(col("date"), col("asset"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_ffill"),
+        col("close").isNull.as("was_gap"))
+  }
+
   /** Pairwise Pearson correlation of daily returns across assets:
     * (asset_a < asset_b, n overlapping days, corr). Returns come from
     * one per-asset window pass; the pair grid is a self-equi-join on

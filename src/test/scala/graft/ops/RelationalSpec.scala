@@ -247,4 +247,22 @@ class RelationalSpec extends SparkSpec {
     assert(cms.estimateCount(7L) <= 500L + (eps * n).toLong + 1)
     assert(cms.estimateCount(8L) <= 100L + (eps * n).toLong + 1)
   }
+
+  test("calendarFill: spine completes the calendar, ffill carries last close, leading gap stays null") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
+    val observed = Seq(
+      (d(2), "X", 10.0), (d(5), "X", 20.0),  // gap 3,4; leading day 2 is the min
+      (d(1), "Y", 1.0), (d(2), "Y", 2.0))
+      .toDF("date", "asset", "close")
+    val out = Relational.calendarFill(observed).orderBy("asset", "date").collect()
+    val s = out.head.schema
+    val x = out.filter(_.getString(s.fieldIndex("asset")) == "X")
+    assert(x.length === 4) // days 2..5
+    assert(x.map(_.getDate(s.fieldIndex("date")).toString).toSeq ===
+      Seq("2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"))
+    assert(x.map(_.getDouble(s.fieldIndex("close_ffill"))).toSeq === Seq(10.0, 10.0, 10.0, 20.0))
+    assert(x.map(_.getBoolean(s.fieldIndex("was_gap"))).toSeq === Seq(false, true, true, false))
+    val y = out.filter(_.getString(s.fieldIndex("asset")) == "Y")
+    assert(y.length === 2 && y.forall(!_.getBoolean(s.fieldIndex("was_gap"))))
+  }
 }
