@@ -60,7 +60,25 @@ object Registry {
       (es: Seq[Expression]) => PostingPairsExpr(es(0))),
     ("repetition_stats", info("repetition_stats",
       "repetition_stats(text) - (n_tokens, n_distinct, top_cnt, n_distinct_bigrams) in one pass"),
-      (es: Seq[Expression]) => RepetitionStatsExpr(es(0))))
+      (es: Seq[Expression]) => RepetitionStatsExpr(es(0))),
+    ("seeded_ewma", info("seeded_ewma",
+      "seeded_ewma(x, alpha, seedPeriods) OVER (... ROWS UNBOUNDED PRECEDING) - " +
+        "recursive EWMA window function; seedPeriods=1 seeds on the first value (pandas " +
+        "ewm adjust=False), n seeds on the mean of the first n (Wilder)"),
+      (es: Seq[Expression]) => {
+        val alpha = es(1) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"alpha must be a numeric literal, got $other")
+        }
+        SeededEwma(es(0), alpha, intLit(es(2), "seedPeriods"))
+      }),
+    ("simhash_bucket_pairs", info("simhash_bucket_pairs",
+      "simhash_bucket_pairs(ids, ck, width, maxHamming) - verified (a,b,hamming) pairs " +
+        "of one pigeonhole bucket's (doc_id, simhash) list; first-agreeing-chunk dedup"),
+      (es: Seq[Expression]) => SimhashBucketPairsExpr(es(0), es(1),
+        intLit(es(2), "width"), intLit(es(3), "maxHamming"))))
 
   /** Register everything on a live session (idempotent). */
   def registerAll(spark: SparkSession): Unit =

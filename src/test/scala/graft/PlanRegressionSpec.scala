@@ -70,6 +70,25 @@ class PlanRegressionSpec extends SparkSpec {
     assert(scans === 1, s"expected 1 corpus scan, got $scans:\n${p.take(2000)}")
   }
 
+  test("oov rate: vocab rides a broadcast join; one doc-grain shuffle only") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"token-grain sort-merge join regression:\n${p.take(1500)}")
+  }
+
+  test("heavy hitters: the 1-row total broadcasts back over the counts") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"total must broadcast, not shuffle:\n${p.take(1500)}")
+  }
+
+  test("calendar fill: spine explode + one asset-window shuffle, no cartesian") {
+    val p = plan("q_gap_fill")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates === 1, s"expected 1 spine explode, got $generates:\n${p.take(1500)}")
+  }
+
   test("simhash dedup: group-pairs shape — one chunk explode, ZERO joins, no distinct") {
     val p = plan("q_dedup_simhash")
     // one chunk explode + one per-bucket pair explode; verification

@@ -37,4 +37,15 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("seeded_ewma works from SQL with an OVER clause") {
+    Registry.registerAll(spark)
+    Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("i", "x").createOrReplaceTempView("ewma_t")
+    val out = spark.sql(
+      """SELECT i, seeded_ewma(x, 0.5, 1) OVER
+        |  (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+        |FROM ewma_t ORDER BY i""".stripMargin).collect().map(_.getDouble(1))
+    // 10; 0.5*20+0.5*10=15; 0.5*30+0.5*15=22.5
+    assert(out.toSeq === Seq(10.0, 15.0, 22.5))
+  }
 }
