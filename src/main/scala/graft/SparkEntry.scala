@@ -284,6 +284,19 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
       Seq(col("doc_id")), "n_tokens", maxTokens = 512)),
+    "q_pack_util" -> ((s, dir) => TotalOrder.packUtilization(
+      TotalOrder.packSequences(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq(col("doc_id")), "n_tokens", maxTokens = 512),
+      budgetTokens = 512)),
+    "q_cross_neardup" -> ((s, dir) => {
+      // near-dup screen of the newest-20% increment against the
+      // catalog — same id split as q_incr_dedup
+      val docs = Tables.documents(s, dir)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      Dedup.crossNearDupPairs(docs, incomingMinId = maxId * 4 / 5)
+    }),
     "q_normalize_text" -> ((s, dir) => Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("norm_text"))),
     "q_chunk_text" -> ((s, dir) => TextAnalysis.chunkTokens(
@@ -788,6 +801,30 @@ object SparkEntry {
         |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
         |SELECT doc_id, n_tokens, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
         |FROM c""".stripMargin,
+    "q_pack_util" ->
+      """WITH d AS (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |p AS (SELECT n_tokens, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id FROM c)
+        |SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(n_tokens) AS DOUBLE) / 512, 6) AS utilization
+        |FROM p GROUP BY 1""".stripMargin,
+    "q_cross_neardup" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                     for i in range(1, len(toks) - 1)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+        |thr AS (SELECT (max(doc_id)*4)//5 AS v FROM documents),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter,
+        |         any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, inter / (na + nb - inter) AS jaccard
+        |FROM pairs
+        |WHERE inter / (na + nb - inter) >= 0.8
+        |  AND a < (SELECT v FROM thr) AND b >= (SELECT v FROM thr)""".stripMargin,
     "q_normalize_text" ->
       """WITH t AS (SELECT doc_id,
         |             string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks

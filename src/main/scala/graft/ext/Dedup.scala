@@ -66,6 +66,23 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "dedup_key", "n_dups")
 
+  /** Cross-corpus near-dup pairs between an id-disjoint catalog
+    * (ids < `incomingMinId`) and an increment (ids ≥): the near-dup
+    * sibling of [[incrementalDedup]] — the crawl-cycle question is
+    * rarely "byte-identical?" but "near-duplicate of something we
+    * already have?". Pairs come from the SAME one-explode group-pairs
+    * build as [[ngramJaccardPairs]] restricted to cross pairs
+    * (a in catalog, b in increment — the a < b order gives this for
+    * free on id-disjoint corpora). At the scale where exact Σdf²
+    * pair work stops fitting, swap the pair source for
+    * [[minhashNearDups]] and keep the same filter — the decision
+    * logic is unchanged (docs/SCALE.md switch table).
+    */
+  def crossNearDupPairs(all: DataFrame, incomingMinId: Long, n: Int = 3,
+                        threshold: Double = 0.8, dfCap: Option[Int] = None): DataFrame =
+    ngramJaccardPairs(all, n, threshold, dfCap)
+      .filter(col("a") < incomingMinId && col("b") >= incomingMinId)
+
   /** `size(split(text," ")) >= n` ⟺ the doc has ≥1 shingle, but costs
     * one split instead of the full shingle build — predicate pushdown
     * re-evaluates filter expressions per row, so the guard must be

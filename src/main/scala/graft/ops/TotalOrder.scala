@@ -93,6 +93,18 @@ object TotalOrder {
                     maxTokens: Long, outCol: String = "pack_id"): DataFrame =
     withPackId(df, sortCols, tokenCol, maxTokens, outCol).drop("__cum")
 
+  /** Pack utilization report over a packed frame: docs, tokens, and
+    * fill fraction per pack — the training-efficiency metric (padding
+    * waste = 1 − utilization when packs are padded to the budget).
+    * One hash-agg on pack_id; trailing packs under-fill by design.
+    */
+  def packUtilization(packed: DataFrame, budgetTokens: Long,
+                      tokenCol: String = "n_tokens",
+                      packCol: String = "pack_id"): DataFrame =
+    packed.groupBy(packCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"),
+        round(sum(col(tokenCol)) / lit(budgetTokens), 6).as("utilization"))
+
   /** Per-group packing: like [[packSequences]] but pack offsets reset
     * at each value of `groupCol`, so no pack ever straddles a group
     * (train/val/test shards must not mix). ONE global prefix sum over
