@@ -93,6 +93,17 @@ object Bench {
         if (!ok) -1.0
         else if (prev.isNaN || prev < 0 || dt < prev) dt
         else prev
+      // Free blocks the query left behind (eager localCheckpoints in
+      // the pipeline queries persist executor-local RDD blocks that
+      // nothing unpersists once the noop write has consumed them).
+      // Waiting for ContextCleaner-via-GC lets them pile up across
+      // 120 queries × 3 passes and the storage/execution memory
+      // contention inflates every LATER query — measured: the same
+      // pipeline query 6.8 s isolated vs 49.7 s in the full suite.
+      // Outside the timed section, like the GC settle.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
     }
 
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -207,6 +207,9 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8, dfCap = Some(100)))
         .select("doc_id", "lang", "n_chars")
     }),
+    "q_dup_spans" -> ((s, dir) => // xxhash window hashes: rows-only check;
+      // planted-span behavior unit-asserted (DedupSpec duplicateSpans)
+      Dedup.duplicateSpans(Tables.documents(s, dir), w = 8)),
 
     // ---- north-star: similarity search ----
     "q_topk_cosine" -> ((s, dir) => {
@@ -217,6 +220,11 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => { // approximate: rows-only check
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
+    }),
+    "q_ann_pq" -> ((s, dir) => { // approximate (PQ/ADC): rows-only check;
+      // recall-vs-brute unit-asserted (SimilaritySpec pqTopK)
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
     }),
     "q_vector_norm" -> ((s, dir) => Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.l2norm(col("embedding")).as("norm"))),
@@ -453,6 +461,17 @@ object SparkEntry {
         .filter(dayofmonth(col("date")) % 3 =!= 0)
         .select("date", "asset", "close"))),
     "q_anti_join" -> ((s, dir) => Relational.antiJoinUsers(Tables.events(s, dir))),
+    "q_ohlc_weekly" -> ((s, dir) => Ohlc.weekly(Tables.prices(s, dir))),
+    "q_scd2" -> ((s, dir) =>
+      // dimension history: each (user, event_type)'s price TIER
+      // (floor(value/10)) tracked as an SCD2 attribute — runs collapse,
+      // validity intervals close at the next change
+      Relational.scdType2(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") / 10).as("tier")),
+        keyCols = Seq("user_id", "event_type"), attrCol = "tier",
+        tsCol = "ts", tieCol = "event_id")),
     "q_embed_pca" -> ((s, dir) => // rows-only: eigenvector sign is
       // basis-ambiguous; orthonormality + variance ordering + exact
       // projection asserted in SimilaritySpec
@@ -1232,6 +1251,29 @@ object SparkEntry {
         |FROM daily
         |WINDOW w AS (PARTITION BY asset ORDER BY date),
         |       wr AS (PARTITION BY asset ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+    "q_ohlc_weekly" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type AS asset,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CAST(floor(value / 10) AS BIGINT) AS tier
+        |  FROM events
+        |), runs AS (
+        |  SELECT *, row_number() OVER w AS rn, lag(tier) OVER w AS prev_tier
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), collapsed AS (
+        |  SELECT * FROM runs WHERE rn = 1 OR prev_tier IS DISTINCT FROM tier
+        |)
+        |SELECT user_id, event_type, tier,
+        |  ts AS effective_from,
+        |  lead(ts) OVER w2 AS effective_to,
+        |  lead(ts) OVER w2 IS NULL AS is_current
+        |FROM collapsed
+        |WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin,
     "q_oov_rate" ->
       """WITH vocab AS (
         |  SELECT token FROM (

@@ -387,4 +387,61 @@ object Dedup {
         col("ids"), col("ck"), width, maxHamming)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.hamming").as("hamming"))
   }
+
+  /** Substring-level duplication profile (Lee et al. '22,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * each document, the fraction of its distinct `w`-token windows
+    * that also occur in ANOTHER document — the signal behind
+    * remove-duplicated-substring policies, at window rather than
+    * whole-document grain (catches boilerplate headers, licence
+    * blocks, syndicated paragraphs that whole-doc near-dup misses).
+    *
+    * Shape (one corpus pass, group-pairs discipline): per-row
+    * [[graft.functions.WindowHashesExpr]] O(tokens) rolling hashes →
+    * ONE explode of per-doc DISTINCT hashes (thin (doc_id, h) longs on
+    * the wire) → ONE grouping shuffle on h building each window's doc
+    * list → lists with 2 ≤ df ≤ dfCap explode back (only duplicated
+    * windows — typically a tiny fraction of the corpus) → doc-grain
+    * count. No self-join, no pair explosion (df lists are linear in
+    * postings; nothing quadratic exists here). `dfCap` drops
+    * ultra-common boilerplate windows, same guard as the ngram
+    * family's dfCap; capped windows are CORPUS-frequent, so flagging
+    * them per-doc would only re-rank universally-shared boilerplate.
+    *
+    * Returns (doc_id, n_windows, n_distinct, dup_windows,
+    * dup_fraction) — dup_fraction over distinct windows. Docs shorter
+    * than w tokens have zero windows and dup_fraction 0.
+    */
+  def duplicateSpans(docs: DataFrame, w: Int = 8, dfCap: Int = 1000,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // ONE evaluation of the rolling-hash kernel: per-doc stats ride the
+    // exploded rows (group-pairs discipline — the ngram family's r2
+    // lesson: an unmaterialized index referenced from two plan branches
+    // re-evaluates the whole corpus scan per branch). explode_outer
+    // keeps sub-w-token docs (null h → never df-counted as duplicated).
+    val ex = docs.select(col(idCol),
+        graft.functions.native.windowHashes(col(textCol), w).as("wh"))
+      .select(col(idCol), size(col("wh")).cast("long").as("n_windows"),
+        array_distinct(col("wh")).as("whd"))
+      .select(col(idCol), col("n_windows"),
+        size(col("whd")).cast("long").as("n_distinct"),
+        explode_outer(col("whd")).as("h"))
+    // shuffle 1: each window's doc list (df ≤ list size, linear — no
+    // pair explosion anywhere); shuffle 2: doc grain. Each distinct
+    // (doc, window) crosses the wire once per shuffle as 4 scalars.
+    // hsalt: sub-w docs (h null) must NOT collapse into one giant
+    // null-key group — each gets its own singleton group.
+    ex.groupBy(col("h"),
+        when(col("h").isNull, col(idCol)).otherwise(lit(0L)).as("hsalt"))
+      .agg(collect_list(struct(col(idCol), col("n_windows"), col("n_distinct"))).as("docs"))
+      .select((col("h").isNotNull && size(col("docs")).between(2, dfCap)).as("is_dup"),
+        explode(col("docs")).as("d"))
+      .groupBy(col(s"d.$idCol").as(idCol))
+      .agg(first(col("d.n_windows")).as("n_windows"),
+        first(col("d.n_distinct")).as("n_distinct"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_fraction",
+        when(col("n_distinct") > 0,
+          col("dup_windows").cast("double") / col("n_distinct")).otherwise(lit(0.0)))
+  }
 }

@@ -298,6 +298,90 @@ object Similarity {
     * is 1.0 and only recall is approximate. Candidate volume is an
     * equi-join on (band, value): Σ bucket² work, not n².
     */
+  /** Approximate top-k via product quantization (Jégou et al. '11,
+    * "Product Quantization for Nearest Neighbor Search"): the corpus
+    * vector is replaced by `m` centroid indices (one per dim/m-wide
+    * subspace), queries precompute an m×kc lookup table once, and each
+    * query×doc score is `m` array reads (ADC) instead of a dim-wide
+    * dot — the memory-bound scale path where even IVF's probed cells
+    * don't fit raw vectors in RAM (codes are m ints vs dim floats:
+    * 16× smaller at m=8/dim=64, 64–256× in production dims).
+    *
+    * Distributed shape: codebooks are fit DRIVER-LOCAL over a bounded
+    * deterministic sample (≤ fitSample·kc rows, hash-mod on vec_id →
+    * partitioning-invariant; Lloyd per subspace, seeded by the sample's
+    * first kc subvectors), shipped as one reference object. Encode is
+    * one corpus pass ([[graft.functions.PqEncodeExpr]]); the ADC sweep
+    * broadcasts queries+tables against (id, norm, code) — the raw
+    * embedding column never enters the cross product; the `rerank`-deep
+    * shortlist is broadcast back and ONLY those rows are rescored
+    * exactly, with the corpus side probed in place (no corpus shuffle
+    * anywhere). Precision of the final ordering is exact; recall is
+    * bounded by the shortlist (recall unit: SimilaritySpec).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+             m: Int = 8, kc: Int = 16, fitSample: Int = 50,
+             rerank: Int = 4): DataFrame = {
+    // bounded deterministic fit sample, driver-local Lloyd per subspace
+    val total = corpus.count()
+    val every = math.max(1L, total / (fitSample.toLong * kc))
+    val sample = corpus.filter(pmod(hash(col("vec_id")), lit(every)) === 0)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "pqTopK: empty fit sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
+    val sub = dim / m
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val xs = sample.map(_.slice(s * sub, (s + 1) * sub))
+      var cs = Array.tabulate(math.min(kc, xs.length))(xs(_).clone)
+      for (_ <- 1 to 5) {
+        val sums = Array.fill(cs.length)(new Array[Double](sub))
+        val cnt = new Array[Long](cs.length)
+        xs.foreach { x =>
+          var best = 0; var bestD = Double.MaxValue
+          for (j <- cs.indices) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = x(i) - cs(j)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j }
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += x(i); i += 1 }
+          cnt(best) += 1
+        }
+        cs = cs.indices.map { j =>
+          if (cnt(j) == 0) cs(j) else sums(j).map(_ / cnt(j))
+        }.toArray
+      }
+      cs
+    }
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), l2norm(col("embedding")).as("cn"),
+      graft.functions.native.pqEncode(col("embedding"), cents).as("code"))
+    val qb = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), l2norm(col("embedding")).as("qn"),
+      graft.functions.native.pqTable(col("embedding"), cents).as("tab")))
+    // ADC sweep: queries × (id, norm, code) — m reads per pair
+    val approx = qb.select("query_id", "qn", "tab")
+      .crossJoin(c.select("neighbor_id", "cn", "code"))
+      .select(col("query_id"), col("neighbor_id"),
+        (graft.functions.native.pqAdc(col("tab"), col("code"), kc) /
+          (col("qn") * col("cn"))).as("asim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("asim"), asc("neighbor_id"))
+    val shortlist = approx.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k * rerank).select("query_id", "neighbor_id")
+    // exact rerank of shortlist rows only; corpus probed in place
+    val exact = c.select("neighbor_id", "cv", "cn")
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(qb.select("query_id", "qv", "qn"), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+    val w2 = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   def embeddingNearDupsApprox(embeddings: DataFrame, threshold: Double,
                               bands: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(64, dim)

@@ -510,4 +510,131 @@ object Kernels {
     }
     sig
   }
+
+  /** Rabin-Karp rolling hashes of every `w`-token window, in document
+    * order (repeats kept — window j covers tokens [j, j+w)). Tokens are
+    * `split(lower(text), " ")` with empties kept, same tokenization as
+    * [[wordShingles]]; each token contributes its xxhash64, combined
+    * polynomially with wrapping 64-bit arithmetic:
+    * wh(j) = Σ_k th(j+k)·P^(w-1-k). The roll
+    * wh(j+1) = (wh(j) − th(j)·P^(w-1))·P + th(j+w) makes the cost
+    * O(tokens), independent of w. Empty array when fewer than w tokens.
+    */
+  def windowHashes(text: UTF8String, w: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val P = 0x100000001b3L
+    // per-token hashes, streaming the split
+    val th = new java.util.ArrayList[java.lang.Long]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        th.add(XXH64.hashUTF8String(UTF8String.fromString(s.substring(start, i)), 42L))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = th.size
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    var pw = 1L // P^(w-1), wrapping
+    i = 1
+    while (i < w) { pw *= P; i += 1 }
+    val out = new Array[Any](m - w + 1)
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * P + th.get(i); i += 1 }
+    out(0) = h
+    var j = 1
+    while (j <= m - w) {
+      h = (h - th.get(j - 1) * pw) * P + th.get(j + w - 1)
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Product-quantization code of `v` under codebooks `cents`
+    * (m × k × sub doubles, m·sub == dim): per subspace, the index of
+    * the L2-nearest centroid (ties → lowest index). Null on dimension
+    * mismatch. The code is m small ints — the 4–16-byte stand-in for a
+    * dim-float vector in memory-bound ANN sweeps.
+    */
+  def pqEncode(v: ArrayData, cents: Array[Array[Array[Double]]],
+               vFloat: Boolean): ArrayData = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    if (v.numElements() != m * sub) return null
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cs = cents(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = (if (vFloat) v.getFloat(s * sub + i).toDouble
+                   else v.getDouble(s * sub + i)) - c(i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: flat m·k doubles where
+    * table[s·k + j] = dot(q_sub_s, cents[s][j]) — computed ONCE per
+    * query row, so each query×code score is m adds ([[pqAdc]]) instead
+    * of a dim-wide dot. Null on dimension mismatch.
+    */
+  def pqTable(q: ArrayData, cents: Array[Array[Array[Double]]],
+              qFloat: Boolean): ArrayData = {
+    val m = cents.length
+    val k = cents(0).length
+    val sub = cents(0)(0).length
+    if (q.numElements() != m * sub) return null
+    val out = new Array[Any](m * k)
+    var s = 0
+    while (s < m) {
+      var j = 0
+      while (j < k) {
+        val c = cents(s)(j)
+        var acc = 0.0
+        var i = 0
+        while (i < sub) {
+          acc += (if (qFloat) q.getFloat(s * sub + i).toDouble
+                  else q.getDouble(s * sub + i)) * c(i)
+          i += 1
+        }
+        out(s * k + j) = acc
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance score: Σ_s table[s·k + code(s)] ≈ dot(q, x̂)
+    * where x̂ is the PQ reconstruction of the corpus vector — m array
+    * reads per pair. Null if the code is empty (encode mismatch).
+    */
+  def pqAdc(table: ArrayData, code: ArrayData, k: Int): java.lang.Double = {
+    val m = code.numElements()
+    if (m == 0 || table.numElements() != m * k) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += table.getDouble(s * k + code.getInt(s))
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
 }

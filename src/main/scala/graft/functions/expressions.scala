@@ -346,6 +346,106 @@ case class CentroidProbesExpr(child: Expression, cents: Array[Array[Double]], np
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Rabin-Karp rolling hashes of every w-token window, repeats kept —
+  * the unit of substring-level dedup (Lee et al. '22 "Deduplicating
+  * Training Data"): two documents sharing a ≥w-token run share all its
+  * interior window hashes.
+  */
+case class WindowHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"window_hashes_$w"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "text", child)
+
+  override def nullSafeEval(t: Any): Any =
+    Kernels.windowHashes(t.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.windowHashes($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Product-quantization code (array<int>, one centroid index per
+  * subspace) of a vector under driver-fit codebooks.
+  */
+case class PqEncodeExpr(child: Expression, cents: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireVector(prettyName, "v" -> child)
+
+  private def vF = ExprHelpers.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.pqEncode(v.asInstanceOf[ArrayData], cents, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData kr =
+      |  graft.functions.Kernels.pqEncode($c, $cRef, $vF);
+      |if (kr == null) { ${ev.isNull} = true; } else { ${ev.value} = kr; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query flat ADC lookup table (m·k doubles) under the codebooks. */
+case class PqTableExpr(child: Expression, cents: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_table"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireVector(prettyName, "q" -> child)
+
+  private def qF = ExprHelpers.isFloatArray(child)
+
+  override def nullSafeEval(q: Any): Any =
+    Kernels.pqTable(q.asInstanceOf[ArrayData], cents, qF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData kr =
+      |  graft.functions.Kernels.pqTable($c, $cRef, $qF);
+      |if (kr == null) { ${ev.isNull} = true; } else { ${ev.value} = kr; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC score: m table lookups ≈ dot(query, PQ-reconstructed corpus vector). */
+case class PqAdcExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, ArrayType(DoubleType), "table", left) match {
+      case org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess =>
+        ExprHelpers.requireType(prettyName, ArrayType(IntegerType), "code", right)
+      case fail => fail
+    }
+
+  override def nullSafeEval(t: Any, c: Any): Any =
+    Kernels.pqAdc(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) => s"""
+      |java.lang.Double kr = graft.functions.Kernels.pqAdc($t, $c, $k);
+      |if (kr == null) { ${ev.isNull} = true; } else { ${ev.value} = kr.doubleValue(); }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API entry points. */
 /** Bloom-filter membership probe over a string column. The filter is a
   * task-shipped reference object (`addReferenceObj`), so the probe runs
@@ -479,6 +579,13 @@ object native {
     c(LshKeysExpr(e(v), planes, multiprobe))
   def centroidProbes(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
     c(CentroidProbesExpr(e(v), cents, nprobe))
+  def windowHashes(text: Column, w: Int): Column = c(WindowHashesExpr(e(text), w))
+  def pqEncode(v: Column, cents: Array[Array[Array[Double]]]): Column =
+    c(PqEncodeExpr(e(v), cents))
+  def pqTable(q: Column, cents: Array[Array[Array[Double]]]): Column =
+    c(PqTableExpr(e(q), cents))
+  def pqAdc(table: Column, code: Column, k: Int): Column =
+    c(PqAdcExpr(e(table), e(code), k))
   def vectorMean(v: Column, dim: Int): Column =
     c(VectorMeanAgg(e(v), dim).toAggregateExpression())
   def bloomMightContain(item: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =

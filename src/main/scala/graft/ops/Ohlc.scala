@@ -29,4 +29,18 @@ object Ohlc {
         max(col("price")).as("high"),
         min(col("price")).as("low"),
         max_by(col("price"), col("ts_utc")).as("close"))
+
+  /** Calendar-week resample (pandas `resample('W')` analog, Monday
+    * start to match ANSI `date_trunc('week')`): same single hash
+    * aggregate as [[daily]], coarser bucket — open/close are argmin/
+    * argmax by raw timestamp WITHIN the week, so no daily intermediate
+    * and no sort. One shuffle of (week, asset) partials at any scale.
+    */
+  def weekly(df: DataFrame): DataFrame =
+    df.groupBy(date_trunc("week", col("ts_utc")).cast("date").as("week"), col("asset"))
+      .agg(
+        min_by(col("price"), col("ts_utc")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts_utc")).as("close"))
 }

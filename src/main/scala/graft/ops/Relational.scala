@@ -457,4 +457,39 @@ object Relational {
       first_value(col("close")).over(wRun).as("first_close"),
       nth_value(col("close"), 3).over(wRun).as("third_close"))
   }
+
+  /** Slowly-changing-dimension Type 2 history build: collapse a keyed
+    * change stream to one row per VALUE RUN with
+    * [effective_from, effective_to) validity and an is_current flag —
+    * the warehouse-standard way to keep dimension history queryable
+    * with an as-of predicate.
+    *
+    * Two window passes over the same (key, ts) partitioning — ONE
+    * shuffle total (the second window reuses the first's ordering):
+    * pass 1 drops rows whose attribute equals the previous row's
+    * (run-length collapse, null-safe via `<=>`), pass 2 closes each
+    * survivor with the NEXT survivor's ts. `tieCol` breaks equal-ts
+    * ties deterministically. Output grain = number of value CHANGES —
+    * at 100 TB typically orders of magnitude below the event grain,
+    * and everything before the collapse is a per-partition window,
+    * never a join.
+    */
+  def scdType2(changes: DataFrame, keyCols: Seq[String], attrCol: String,
+               tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val collapsed = changes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      // partition head + every null-safe value change survives
+      .filter(col("rn") === 1 || !(col("prev_attr") <=> col(attrCol)))
+      .drop("rn", "prev_attr")
+    val w2 = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    collapsed.select(
+      (keyCols.map(col) :+ col(attrCol) :+
+        col(tsCol).as("effective_from") :+
+        lead(col(tsCol), 1).over(w2).as("effective_to") :+
+        lead(col(tsCol), 1).over(w2).isNull.as("is_current")): _*)
+  }
 }

@@ -163,6 +163,35 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L)))
   }
 
+  test("duplicateSpans: planted shared span flagged, unique and short docs zeroed") {
+    // A and B share a 12-token run embedded in otherwise-unrelated text:
+    // with w=5, the run contributes 12-5+1 = 8 shared interior windows
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val a = s"a1 a2 a3 $span a4 a5 a6"
+    val b = s"b1 b2 b3 b4 $span b5 b6"
+    val c = (1 to 20).map(i => s"c$i").mkString(" ") // unique doc
+    val d = "short doc" // < w tokens → zero windows
+    val out = Dedup.duplicateSpans(docs((1L, a), (2L, b), (3L, c), (4L, d)), w = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc A: 18 tokens → 14 windows, 8 duplicated
+    assert(out(1L)._1 === 14L && out(1L)._3 === 8L)
+    assert(out(2L)._3 === 8L)
+    assert(out(3L) === ((16L, 16L, 0L, 0.0)))
+    assert(out(4L) === ((0L, 0L, 0L, 0.0)))
+    assert(math.abs(out(1L)._4 - 8.0 / 14.0) < 1e-12)
+  }
+
+  test("duplicateSpans: within-doc repetition alone is not cross-doc duplication") {
+    val rep = ((1 to 8) ++ (1 to 8)).map(i => s"r$i").mkString(" ")
+    val other = (30 to 45).map(i => s"o$i").mkString(" ")
+    val out = Dedup.duplicateSpans(docs((1L, rep), (2L, other)), w = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // doc 1 repeats its own windows (distinct collapses them); no OTHER
+    // doc shares them → nothing is cross-doc duplicated
+    assert(out(1L) === 0L && out(2L) === 0L)
+  }
+
   test("incrementalDedup: catalog hits dropped, min-id survives within increment") {
     val catalog = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val incoming = Seq(

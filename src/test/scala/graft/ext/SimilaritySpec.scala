@@ -88,6 +88,31 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach(r => assert(math.abs(r.getDouble(3) - bySim((r.getLong(0), r.getLong(2)))) < 1e-12))
   }
 
+  test("pqTopK: reasonable recall vs brute force, exact sims for returned pairs") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+    val exact = Similarity.bruteForceTopK(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.pqTopK(q, c, 10, m = 8, kc = 16, rerank = 8).collect()
+    val approxPairs = approx.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approxPairs).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall too low: $recall")
+    // exactly k rows per query, ranks 1..k
+    approx.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to 10L))
+    }
+    // returned sims equal the exact cosine (the rerank is exact)
+    val bySim = Similarity.bruteForceTopK(q, c, c.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    approx.foreach(r =>
+      assert(math.abs(r.getDouble(3) - bySim((r.getLong(0), r.getLong(2)))) < 1e-12))
+    // determinism: same fit sample → identical codes → identical result
+    val again = Similarity.pqTopK(q, c, 10, m = 8, kc = 16, rerank = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === approx.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("embeddingNearDups: blocked self-join is EXACT — equals driver brute force pair-for-pair") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // driver-side oracle: all pairs ≥ threshold on collected vectors

@@ -27,6 +27,21 @@ class OhlcSpec extends SparkSpec {
     assert(out(("2024-01-01", "ETH")) === ((7.0, 7.0, 7.0, 7.0)))
   }
 
+  test("weekly resample: Monday buckets, endpoints by raw ts across days") {
+    val prices = Seq(
+      // 2024-01-01 is a Monday; 01-07 (Sun) is the same ISO week
+      (ts("2024-01-01 00:00:00"), "BTC", 100.0), // week open
+      (ts("2024-01-03 12:00:00"), "BTC", 140.0), // week high
+      (ts("2024-01-07 23:00:00"), "BTC", 120.0), // week close (Sunday)
+      (ts("2024-01-08 00:00:00"), "BTC", 50.0)   // next week (Monday)
+    ).toDF("ts_utc", "asset", "price")
+    val out = Ohlc.weekly(prices).collect().map(r =>
+      (r.getDate(0).toString, r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(("2024-01-01", "BTC")) === ((100.0, 140.0, 100.0, 120.0)))
+    assert(out(("2024-01-08", "BTC")) === ((50.0, 50.0, 50.0, 50.0)))
+  }
+
   test("OHLC invariant: low <= min(open,close) <= max(open,close) <= high") {
     val rnd = new scala.util.Random(42)
     val rows = for {

@@ -248,6 +248,34 @@ class RelationalSpec extends SparkSpec {
     assert(cms.estimateCount(8L) <= 100L + (eps * n).toLong + 1)
   }
 
+  test("scdType2: runs collapse, validity intervals chain, nulls collapse too") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      // key (u1, dim): A A B A — middle repeat collapses, A reappearing opens a NEW run
+      (1L, "dim", t("2024-01-01 00:00:00"), 1L, Some("A")),
+      (1L, "dim", t("2024-01-02 00:00:00"), 2L, Some("A")),
+      (1L, "dim", t("2024-01-03 00:00:00"), 3L, Some("B")),
+      (1L, "dim", t("2024-01-04 00:00:00"), 4L, Some("A")),
+      // key (2, dim): null → null → X (null run collapses via <=>)
+      (2L, "dim", t("2024-01-01 00:00:00"), 5L, None),
+      (2L, "dim", t("2024-01-02 00:00:00"), 6L, None),
+      (2L, "dim", t("2024-01-03 00:00:00"), 7L, Some("X")))
+      .toDF("user_id", "event_type", "ts", "event_id", "attr")
+    val out = Relational.scdType2(changes, Seq("user_id", "event_type"),
+        "attr", "ts", "event_id")
+      .orderBy("user_id", "effective_from").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(2), r.getTimestamp(3).toString.take(10),
+        if (r.isNullAt(4)) "open" else r.getTimestamp(4).toString.take(10), r.getBoolean(5)))
+    assert(u1.toSeq === Seq(
+      ("A", "2024-01-01", "2024-01-03", false),
+      ("B", "2024-01-03", "2024-01-04", false),
+      ("A", "2024-01-04", "open", true)))
+    val u2 = out.filter(_.getLong(0) == 2L)
+      .map(r => (Option(r.getString(2)), r.getBoolean(5)))
+    assert(u2.toSeq === Seq((None, false), (Some("X"), true)))
+  }
+
   test("calendarFill: spine completes the calendar, ffill carries last close, leading gap stays null") {
     def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, i))
     val observed = Seq(
