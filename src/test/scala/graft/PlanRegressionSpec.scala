@@ -176,4 +176,31 @@ class PlanRegressionSpec extends SparkSpec {
     // mean a total-order sort (single partition), the scale-killer
     assert(!"""Sort \[[^\]]*\], true,""".r.findFirstIn(p).isDefined, p.take(2000))
   }
+
+  test("duplicate spans: ONE kernel pass, two shuffles, ZERO joins") {
+    val p = plan("q_dup_spans")
+    // stats ride the exploded rows, so the rolling-hash kernel (and the
+    // corpus scan under it) must appear exactly once — a second scan
+    // means per-doc stats grew their own plan branch (the r2 ngram bug)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected 1 corpus scan, got $scans:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"span profile must be join-free:\n${p.take(2000)}")
+    assert(exchanges(p) === 2, s"expected window + doc shuffles only:\n${p.take(2000)}")
+  }
+
+  test("PQ ANN: broadcast sweep/rerank — only the two per-query top-k windows shuffle, pre-limited") {
+    val p = plan("q_ann_pq")
+    // the ADC cross and the shortlist/query rerank joins are all
+    // broadcast-side: no shuffle join anywhere
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(2000))
+    // the only exchanges are the approx and exact top-k windows on
+    // query_id, and both rank streams are cut to k per partition
+    // BEFORE the wire by partial WindowGroupLimit
+    assert(exchanges(p) <= 2, p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("scd2: both window passes share ONE shuffle on the dimension key") {
+    assert(exchanges(plan("q_scd2")) === 1, plan("q_scd2").take(2000))
+  }
 }
