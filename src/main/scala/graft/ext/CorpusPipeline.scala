@@ -63,35 +63,47 @@ object CorpusPipeline {
     // normalizeText folds), i.e. false negatives in the one stage
     // that promises none.
     val normBench = benchmark.withColumn("text", TextAnalysis.normalizeText(col("text")))
-    // Stage boundary MATERIALIZED: the surviving corpus feeds both
-    // sides of the dedup (pair build + anti-join) and, downstream, the
-    // prefix sum's two passes — without it the scan→gates→decontam
-    // subtree is recomputed up to 4× (measured 6.4 s → 4.1 s at
-    // sf0.1). localCheckpoint is the single-JVM form: eager, executor-
-    // local blocks, NOT fault-tolerant (an executor loss fails the
-    // downstream job). On a cluster, swap the boundary for
-    // persist(DISK_ONLY) or a staging-table write — same shape, same
-    // one-materialization-vs-four-recomputes trade.
-    val decontaminated = Contamination.clean(hygienic, normBench, cfg.decontamNgram)
+    // Stage boundary MATERIALIZED — the ONLY full-text materialization
+    // in the pipeline. Split and token counts are pure per-row hashes /
+    // kernels of (doc_id, text), independent of the dedup outcome, so
+    // they're computed here, inside the same projection, instead of in
+    // a second full-text checkpoint after the dedup (the r6 restructure:
+    // two text materializations + a recomputed pair build → one).
+    // localCheckpoint is the single-JVM form: eager, executor-local
+    // blocks, NOT fault-tolerant (an executor loss fails the downstream
+    // job). On a cluster, swap the boundary for persist(DISK_ONLY) or a
+    // staging-table write — same shape, same trade.
+    val corpus = TextAnalysis.splitAssign(
+        Contamination.clean(hygienic, normBench, cfg.decontamNgram))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
       .localCheckpoint(true)
-    // stage 4: near-dup keep-first
-    val pairs = Dedup.ngramJaccardPairs(decontaminated, cfg.dedupNgram, cfg.dedupJaccard)
-    val deduped = Dedup.dropNearDups(decontaminated, pairs)
-    // stage 5: deterministic split
-    val split = TextAnalysis.splitAssign(deduped)
-    // stage 6: deterministic order + token-budget packing, PER SPLIT —
-    // a pack must never straddle train/val/test (a mixed pack either
+    // stage 4: near-dup keep-first. The loser set is materialized —
+    // it is O(#near-dup pairs), tiny next to the corpus — so the
+    // anti-join below reads a few ids instead of re-running the whole
+    // posting-list pair build (which a bare `dropNearDups(corpus,
+    // pairs)` would re-evaluate inside its own plan).
+    val pairs = Dedup.ngramJaccardPairs(corpus, cfg.dedupNgram, cfg.dedupJaccard)
+    val losers = pairs.select(col("b").as("doc_id")).distinct().localCheckpoint(true)
+    // stages 5-6: deterministic order + token-budget packing, PER SPLIT
+    // — a pack must never straddle train/val/test (a mixed pack either
     // leaks val text into a train shard or has to be broken, voiding
     // the fixed-budget contract). pack_id is therefore unique per
     // (split, pack_id), not globally.
-    // Second boundary: prefixSum streams its input twice (per-partition
-    // totals, then the indexed pass) — they must see identical
-    // partitions, and should not re-run the dedup anti-join.
-    val withTokens = split.withColumn("n_tokens",
-      TextAnalysis.tokenCount(col("text")).cast("long"))
+    // The prefix sum runs over a THIN frame (id, split, tokens — no
+    // text): at 100 TB the packing decision is ~24 bytes/row, so the
+    // range-partition shuffle and its double pass never move document
+    // bodies. The thin frame is checkpointed because prefixSum streams
+    // its input twice (per-partition totals, then the indexed pass) —
+    // both passes must see identical partitions.
+    val thin = corpus.select("doc_id", "quality_score", "split", "n_tokens")
+      .join(losers, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    graft.ops.TotalOrder.packSequencesPerGroup(withTokens, "split",
-        Seq(md5(col("doc_id").cast("string")), col("doc_id")), "n_tokens", cfg.packTokens)
+    val packed = graft.ops.TotalOrder.packSequencesPerGroup(thin, "split",
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")), "n_tokens", cfg.packTokens)
+    // text rejoins the surviving rows once, at the end — one shuffle of
+    // the bodies (vs a second full-text materialization), and the only
+    // place document text moves at all after the checkpoint
+    packed.join(corpus.select("doc_id", "text"), Seq("doc_id"))
       .select("doc_id", "text", "quality_score", "split", "pack_id")
   }
 }

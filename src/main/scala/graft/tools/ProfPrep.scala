@@ -52,31 +52,28 @@ object ProfPrep {
     time("stage 1-2 gates (noop)") { noop(hygienic) }
 
     val normBench = bench.withColumn("text", TextAnalysis.normalizeText(col("text")))
-    var decontaminated: DataFrame = null
-    time("stage 3 decontam + localCheckpoint") {
-      decontaminated = Contamination.clean(hygienic, normBench, cfg.decontamNgram)
+    var corpus: DataFrame = null
+    time("stage 3 decontam+split+tokens + localCkpt") {
+      corpus = TextAnalysis.splitAssign(
+          Contamination.clean(hygienic, normBench, cfg.decontamNgram))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
         .localCheckpoint(true)
     }
-    var pairs: DataFrame = null
-    time("stage 4a pair build (noop)") {
-      pairs = Dedup.ngramJaccardPairs(decontaminated, cfg.dedupNgram, cfg.dedupJaccard)
-      noop(pairs)
+    var losers: DataFrame = null
+    time("stage 4 pair build + loser localCkpt") {
+      val pairs = Dedup.ngramJaccardPairs(corpus, cfg.dedupNgram, cfg.dedupJaccard)
+      losers = pairs.select(col("b").as("doc_id")).distinct().localCheckpoint(true)
     }
-    var deduped: DataFrame = null
-    time("stage 4b anti-join (noop)") {
-      deduped = Dedup.dropNearDups(decontaminated, pairs)
-      noop(deduped)
-    }
-    val split = TextAnalysis.splitAssign(deduped)
-    var withTokens: DataFrame = null
-    time("stage 5 split + tokens + localCheckpoint") {
-      withTokens = split.withColumn("n_tokens",
-        TextAnalysis.tokenCount(col("text")).cast("long"))
+    var thin: DataFrame = null
+    time("stage 5 thin anti-join + localCkpt") {
+      thin = corpus.select("doc_id", "quality_score", "split", "n_tokens")
+        .join(losers, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
     }
-    time("stage 6 pack (noop)") {
-      noop(graft.ops.TotalOrder.packSequencesPerGroup(withTokens, "split",
+    time("stage 6 pack + text rejoin (noop)") {
+      val packed = graft.ops.TotalOrder.packSequencesPerGroup(thin, "split",
         Seq(md5(col("doc_id").cast("string")), col("doc_id")), "n_tokens", cfg.packTokens)
+      noop(packed.join(corpus.select("doc_id", "text"), Seq("doc_id"))
         .select("doc_id", "text", "quality_score", "split", "pack_id"))
     }
     spark.stop()
