@@ -472,6 +472,24 @@ object SparkEntry {
             floor(col("value") / 10).as("tier")),
         keyCols = Seq("user_id", "event_type"), attrCol = "tier",
         tsCol = "ts", tieCol = "event_id")),
+    "q_obv" -> ((s, dir) => Indicators.obv(Tables.prices(s, dir))),
+    "q_ma_cross" -> ((s, dir) =>
+      // 3/10 windows (not 7/30): the testdata spans 30 calendar days,
+      // so a 30-day slow MA is warm for exactly one row and could
+      // never cross — 3/10 exercises real flips (18 at sf0.01)
+      Indicators.maCross(dailyOhlc(s, dir), fast = 3, slow = 10)),
+    "q_set_except_all" -> ((s, dir) =>
+      Relational.usersExceptAll(Tables.events(s, dir), "click", "purchase")),
+    "q_set_intersect_all" -> ((s, dir) =>
+      Relational.usersIntersectAll(Tables.events(s, dir), "click", "purchase")),
+    "q_string_agg" -> ((s, dir) => Relational.activeDaysAgg(Tables.events(s, dir))),
+    "q_moments" -> ((s, dir) => Relational.valueMoments(Tables.events(s, dir))),
+    "q_epoch_shuffle" -> ((s, dir) =>
+      TotalOrder.epochShuffle(Tables.documents(s, dir), "doc_id", epochs = 3)),
+    "q_bigram_logp" -> ((s, dir) => ext.TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
+    "q_bpe_learn" -> ((s, dir) => // rows-only: the merge fixpoint loop
+      // isn't ANSI SQL; the exact merge sequence is pinned in BpeSpec
+      ext.Bpe.learn(Tables.documents(s, dir), merges = 8)),
     "q_embed_pca" -> ((s, dir) => // rows-only: eigenvector sign is
       // basis-ambiguous; orthonormality + variance ordering + exact
       // projection asserted in SimilaritySpec
@@ -1274,6 +1292,87 @@ object SparkEntry {
         |  lead(ts) OVER w2 IS NULL AS is_current
         |FROM collapsed
         |WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin,
+    "q_obv" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS date, event_type AS asset,
+        |         arg_max(value, ts) AS close, count(*) AS volume
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT *, CASE WHEN lag(close) OVER w IS NULL THEN 0.0
+        |                 ELSE sign(close - lag(close) OVER w) * volume END AS signed
+        |  FROM d WINDOW w AS (PARTITION BY asset ORDER BY date)
+        |)
+        |SELECT date, asset, close, volume,
+        |  CAST(sum(signed) OVER (PARTITION BY asset ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM s""".stripMargin,
+    "q_ma_cross" -> (dailyCte +
+      """, m AS (
+        |  SELECT date, asset, close,
+        |    CASE WHEN count(close) OVER wf >= 3 THEN avg(close) OVER wf END AS maf,
+        |    CASE WHEN count(close) OVER ws >= 10 THEN avg(close) OVER ws END AS mas
+        |  FROM daily
+        |  WINDOW wf AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |         ws AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |), warm AS (
+        |  SELECT date, asset, close,
+        |    CASE WHEN maf > mas THEN 1 WHEN maf < mas THEN -1 ELSE 0 END AS state
+        |  FROM m WHERE mas IS NOT NULL
+        |), x AS (
+        |  SELECT *, lag(state) OVER (PARTITION BY asset ORDER BY date) AS prev FROM warm
+        |)
+        |SELECT date, asset, close,
+        |  CASE WHEN state = 1 THEN 'golden' ELSE 'death' END AS signal
+        |FROM x WHERE prev IS NOT NULL AND state <> prev AND state <> 0""".stripMargin),
+    "q_set_except_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT ALL
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT ALL
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_string_agg" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+        |  FROM events
+        |)
+        |SELECT event_type, string_agg(day, ',' ORDER BY day) AS active_days
+        |FROM d GROUP BY 1""".stripMargin,
+    "q_moments" ->
+      """WITH mu AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1),
+        |c AS (SELECT e.event_type, e.value - mu.mu AS d
+        |      FROM events e JOIN mu USING (event_type)),
+        |a AS (SELECT event_type, count(*) AS n, avg(d*d) AS m2,
+        |             avg(d*d*d) AS m3, avg(d*d*d*d) AS m4
+        |      FROM c GROUP BY 1)
+        |SELECT event_type, n, round(m3 / power(m2, 1.5), 6) AS skew,
+        |       round(m4 / power(m2, 2) - 3, 6) AS kurt_excess
+        |FROM a""".stripMargin,
+    "q_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, epoch,
+        |         md5(concat('graft:', epoch, ':', doc_id)) AS k
+        |  FROM e
+        |)
+        |SELECT doc_id, epoch,
+        |  row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1 AS position
+        |FROM keyed""".stripMargin,
+    "q_bigram_logp" ->
+      """WITH arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+        |idx AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i
+        |        FROM arr WHERE len(a) >= 2),
+        |bgn AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2 FROM idx),
+        |bc AS (SELECT w1, w2, count(*) AS c FROM bgn GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS cc FROM bgn GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS vs FROM
+        |       (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(log10((c + 1.0) / (cc + 1.0 * vs))), 6) AS avg_logp
+        |FROM bgn JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin,
     "q_oov_rate" ->
       """WITH vocab AS (
         |  SELECT token FROM (

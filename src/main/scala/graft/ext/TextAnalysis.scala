@@ -246,6 +246,48 @@ object TextAnalysis {
         round(col("__alf") - log10(col("total")), 6).as("avg_logp"))
   }
 
+  /** Per-document bigram-LM quality score: mean log10 p(w₂|w₁) under
+    * an add-k–smoothed corpus bigram model — the next step up from
+    * [[unigramLogProb]]'s CCNet-style scoring (a unigram model can't
+    * see scrambled word order; a bigram model scores it down):
+    *
+    *   p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V)
+    *
+    * with c(w₁·) = occurrences of w₁ in non-final position and V the
+    * corpus unigram vocabulary. Docs with fewer than 2 tokens emit no
+    * row (they have no bigrams), same as the oracle's inner join.
+    *
+    * Shape: one corpus pass builds bigram instances via the per-row
+    * [[graft.functions.Kernels.wordNgrams]] kernel; model counts are
+    * two hash-aggs over that explode, joined back BROADCAST so the
+    * instance stream never shuffles at bigram grain — the final
+    * per-doc mean partial-aggregates map-side, so the only corpus-
+    * grain shuffle carries doc-grain rows. Past broadcast size
+    * (bigram vocab ~10⁸), switch the count joins to shuffle joins and
+    * pre-reduce instances to per-doc distinct (bigram, tf) first —
+    * same algebra, tf-weighted (docs/SCALE.md).
+    */
+  def bigramLogProb(df: DataFrame, k: Double = 1.0,
+                    textCol: String = "text"): DataFrame = {
+    val bg = df.select(col("doc_id"),
+      explode(graft.functions.native.wordNgrams(col(textCol), 2)).as("bigram"))
+    val bigramCounts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+    val contextCounts = bg
+      .select(substring_index(col("bigram"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cc"))
+    val vocab = df
+      .select(explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
+      .agg(countDistinct(col("tc.token")).as("vs"))
+    bg.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(broadcast(bigramCounts), "bigram")
+      .join(broadcast(contextCounts), "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10((col("c") + lit(k)) / (col("cc") + lit(k) * col("vs")))), 6)
+          .as("avg_logp"))
+  }
+
   /** Per-document lexical statistics: token count, type (distinct
     * token) count, type-token ratio, and the Shannon entropy (bits) of
     * the document's own unigram distribution — the standard lexical

@@ -211,6 +211,56 @@ object Indicators {
     * Pure built-in window aggregates — no recursion — so it shares
     * the one (asset, date) sort with everything else in this family.
     */
+  /** On-balance volume over the daily tier: cumulative sum of
+    * sign(Δclose)·volume per asset, OBV = 0 until the first close
+    * change (the standard seeding). The testdata carries no per-trade
+    * size, so volume is the day's tick count — the shape (one daily
+    * hash-agg, then one per-asset window pass ≡ one shuffle) is
+    * identical with a real volume column: swap `count(*)` for
+    * `sum(trade_size)` in the aggregate.
+    */
+  def obv(prices: DataFrame): DataFrame = {
+    val daily = prices.groupBy(to_date(col("ts_utc")).as("date"), col("asset"))
+      .agg(max_by(col("price"), col("ts_utc")).as("close"),
+        count(lit(1)).as("volume"))
+    val w = Window.partitionBy("asset").orderBy("date")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val signed = signum(col("close") - lag(col("close"), 1).over(w)) * col("volume")
+    daily
+      .withColumn("signed", coalesce(signed, lit(0.0)))
+      .select(col("date"), col("asset"), col("close"), col("volume"),
+        sum(col("signed")).over(wRun).cast("long").as("obv"))
+  }
+
+  /** Moving-average crossover signals (golden / death cross): rows
+    * where the sign of maFast−maSlow flips, with the MAs computed
+    * here under the same min_periods guard as [[enrich]] (slow warm
+    * implies fast warm for fast < slow). The NULL warm-up rows are
+    * filtered BEFORE the lag, so the first warm day never compares
+    * against a NULL state, and exact-tie days (state 0) emit nothing
+    * but do advance the comparison state. All windows share ONE
+    * (asset, date) sort — a single shuffle, like the rest of the
+    * indicator family.
+    */
+  def maCross(daily: DataFrame, fast: Int = 7, slow: Int = 30): DataFrame = {
+    require(fast >= 1 && slow > fast, s"need 1 <= fast < slow, got $fast/$slow")
+    val w = Window.partitionBy("asset").orderBy("date")
+    val wf = w.rowsBetween(-(fast - 1), 0)
+    val ws = w.rowsBetween(-(slow - 1), 0)
+    val maF = when(count(col("close")).over(wf) >= fast, avg(col("close")).over(wf))
+    val maS = when(count(col("close")).over(ws) >= slow, avg(col("close")).over(ws))
+    val state = when(maF > maS, 1).when(maF < maS, -1).otherwise(0)
+    daily
+      .select(col("date"), col("asset"), col("close"),
+        state.as("state"), maS.isNotNull.as("warm"))
+      .filter(col("warm"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNotNull && col("state") =!= col("prev")
+        && col("state") =!= 0)
+      .select(col("date"), col("asset"), col("close"),
+        when(col("state") === 1, "golden").otherwise("death").as("signal"))
+  }
+
   def bollinger(daily: DataFrame, window: Int = 20, k: Double = 2.0): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val w = Window.partitionBy("asset").orderBy("date")

@@ -258,6 +258,67 @@ object Relational {
     events.filter(col("event_type") === a).select("user_id")
       .intersect(events.filter(col("event_type") === b).select("user_id"))
 
+  /** Bag-semantics set ops (SQL EXCEPT ALL / INTERSECT ALL): per-row
+    * multiplicity arithmetic, not membership — a user with 3 clicks
+    * and 1 purchase keeps 2 rows under exceptAll, 1 under
+    * intersectAll. Spark plans both as a single count-per-key
+    * aggregate + generate (no join), one shuffle on the key — same
+    * cost as the DISTINCT forms, unlike the naive
+    * row_number-then-anti-join encoding.
+    */
+  def usersExceptAll(events: DataFrame, a: String, b: String): DataFrame =
+    events.filter(col("event_type") === a).select("user_id")
+      .exceptAll(events.filter(col("event_type") === b).select("user_id"))
+
+  def usersIntersectAll(events: DataFrame, a: String, b: String): DataFrame =
+    events.filter(col("event_type") === a).select("user_id")
+      .intersectAll(events.filter(col("event_type") === b).select("user_id"))
+
+  /** Ordered string aggregation (ANSI LISTAGG / string_agg with ORDER
+    * BY): per group, the comma-joined sorted list of distinct member
+    * values. Sorting INSIDE the aggregate value (`sort_array` over a
+    * `collect_set`) keeps the result deterministic under any
+    * partitioning — an unordered listagg is engine-arbitrary and can
+    * never hash-compare. One hash-agg shuffle; the per-group array is
+    * bounded by the group's distinct cardinality (here: ≤31 dates), so
+    * buffer size is a data contract, not a scale hazard — unbounded
+    * groups want the top-N or histogram forms instead (docs/SCALE.md).
+    */
+  def activeDaysAgg(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(array_join(sort_array(collect_set(to_date(col("ts")).cast("string"))), ",")
+        .as("active_days"))
+
+  /** Higher central moments per group — population skewness and excess
+    * kurtosis of `value`:
+    *
+    *   skew = m₃ / m₂^1.5          kurt_excess = m₄ / m₂² − 3
+    *
+    * Computed TWO-PASS (per-group mean, broadcast back, then one hash
+    * aggregate of centered powers) rather than by binomial expansion
+    * of raw power sums: the one-pass expansion subtracts nearly-equal
+    * O(μ⁴)-scale terms, and that catastrophic cancellation amplifies
+    * each engine's own float-summation-order noise far past any
+    * rounding — centered sums keep the relative error at machine
+    * epsilon, which 6 dp rounding then absorbs. The explicit algebra
+    * (not the builtin `skewness`/`kurtosis` names) is also what makes
+    * the result engine-portable: builtins disagree across engines on
+    * population-vs-sample convention. Cost: one extra scan; both
+    * aggregates are mergeable partial+final hash aggs, the mean join
+    * is broadcast (group-cardinality rows), so nothing new shuffles.
+    */
+  def valueMoments(events: DataFrame): DataFrame = {
+    val mu = events.groupBy("event_type").agg(avg(col("value")).as("__mu"))
+    val d = col("value") - col("__mu")
+    events.join(broadcast(mu), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        avg(pow(d, 2)).as("m2"), avg(pow(d, 3)).as("m3"), avg(pow(d, 4)).as("m4"))
+      .select(col("event_type"), col("n"),
+        round(col("m3") / pow(col("m2"), 1.5), 6).as("skew"),
+        round(col("m4") / pow(col("m2"), 2) - lit(3.0), 6).as("kurt_excess"))
+  }
+
   /** Calendar-range trailing mean: avg over the previous `days`
     * CALENDAR days (rangeBetween on a day-number ordering), not the
     * previous N rows — differs from the row-frame form exactly when

@@ -43,6 +43,33 @@ object TotalOrder {
       sorted.schema.add(StructField(outCol, LongType, nullable = false)))
   }
 
+  /** Multi-epoch deterministic training shuffle: for each of `epochs`
+    * passes over the data, a reproducible pseudo-random total order —
+    * (id, epoch, position) with position 0..N−1 dense per epoch. The
+    * order is md5(seed:epoch:id) (id as tiebreaker), so every engine,
+    * run, and partitioning produces the SAME shuffle — the property a
+    * training pipeline needs to resume mid-epoch or ablate data order.
+    *
+    * Shape: the epoch fan-out is a per-row `explode(sequence(...))`
+    * (no join), then ONE range-partition pass assigns positions via
+    * [[globalIndex]] over (epoch, key) — epochs are contiguous in that
+    * total order and each holds exactly N rows, so the per-epoch
+    * position is idx − epoch·N. No single-partition window at any
+    * scale; N costs one count job over the un-exploded input.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   seed: String = "graft"): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val n = df.count()
+    val exploded = df.select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__key",
+        md5(concat_ws(":", lit(seed), col("epoch"), col(idCol))))
+    globalIndex(exploded, Seq(col("epoch"), col("__key"), col(idCol)), "__g")
+      .select(col(idCol), col("epoch").cast("long").as("epoch"),
+        (col("__g") - col("epoch") * n).as("position"))
+  }
+
   /** Attach the inclusive global running sum of LONG column `valueCol`
     * under `sortCols`' total order.
     */

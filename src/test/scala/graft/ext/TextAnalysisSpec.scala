@@ -337,4 +337,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row(1) === ((3L, 1L, 0.333333)))
     assert(row(2) === ((3L, 0L, 0.0)))
   }
+  test("bigramLogProb: add-1 model on a hand-computed corpus; <2-token docs emit nothing") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "b a"), (4L, "x"))
+      .toDF("doc_id", "text")
+    // c(a b)=2, c(b a)=1; contexts a->2, b->1; V={a,b,x}=3
+    // doc1/2: log10((2+1)/(2+3)) = log10(0.6); doc3: log10((1+1)/(1+3))
+    val out = TextAnalysis.bigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((1L, -0.221849)))
+    assert(out(2L) === ((1L, -0.221849)))
+    assert(out(3L) === ((1L, -0.30103)))
+  }
+
 }

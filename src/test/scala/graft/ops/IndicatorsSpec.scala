@@ -279,4 +279,37 @@ class IndicatorsSpec extends SparkSpec {
 
   private def round6(x: Double): Double =
     new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  test("obv: cumulative signed tick-count volume, zero-seeded") {
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def p(day: Int, hour: Int, price: Double) =
+      (java.sql.Timestamp.from(t0.plus(java.time.Duration.ofHours(day * 24L + hour))),
+        "X", price)
+    // day0: 2 ticks close 10 | day1: 3 ticks close 12 (+3) |
+    // day2: 1 tick close 11 (-1) | day3: 2 ticks close 11 (0)
+    val prices = Seq(
+      p(0, 1, 9), p(0, 2, 10),
+      p(1, 1, 11), p(1, 2, 13), p(1, 3, 12),
+      p(2, 5, 11),
+      p(3, 1, 10), p(3, 2, 11)
+    ).toDF("ts_utc", "asset", "price")
+    val out = Indicators.obv(prices).orderBy("date").collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((2L, 0L), (3L, 3L), (1L, 2L), (2L, 2L)))
+  }
+
+  test("maCross: sign flips emit golden/death, warm-up and ties advance silently") {
+    def d(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // fast=1, slow=2: maF = close, maS = 2-day mean
+    val path = Seq(
+      (d(0), "X", 10.0), // warm-up (slow needs 2 rows): filtered
+      (d(1), "X", 20.0), // maF 20 vs maS 15: state 1, first warm -> no emit
+      (d(2), "X", 20.0), // maF 20 vs maS 20: tie -> emits nothing, advances
+      (d(3), "X", 5.0),  // state -1 after tie: death
+      (d(4), "X", 30.0)  // maF 30 vs maS 17.5: state 1 -> golden
+    ).toDF("date", "asset", "close")
+    val out = Indicators.maCross(path, fast = 1, slow = 2).orderBy("date").collect()
+      .map(r => (r.getDate(0).toString, r.getString(3)))
+    assert(out.toSeq === Seq("2024-01-04" -> "death", "2024-01-05" -> "golden"))
+  }
+
 }

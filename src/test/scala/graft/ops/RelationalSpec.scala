@@ -293,4 +293,47 @@ class RelationalSpec extends SparkSpec {
     val y = out.filter(_.getString(s.fieldIndex("asset")) == "Y")
     assert(y.length === 2 && y.forall(!_.getBoolean(s.fieldIndex("was_gap"))))
   }
+  test("exceptAll/intersectAll: multiset multiplicity arithmetic") {
+    // user 1: 3 clicks, 1 purchase -> exceptAll keeps 2, intersectAll 1
+    // user 2: 1 click, 2 purchases -> exceptAll keeps 0, intersectAll 1
+    // user 3: purchases only      -> neither
+    val df = Seq(
+      (1L, "click", 1L), (2L, "click", 1L), (3L, "click", 1L), (4L, "purchase", 1L),
+      (5L, "click", 2L), (6L, "purchase", 2L), (7L, "purchase", 2L),
+      (8L, "purchase", 3L)
+    ).toDF("event_id", "event_type", "user_id")
+    val ex = Relational.usersExceptAll(df, "click", "purchase").as[Long].collect().sorted
+    assert(ex.toSeq === Seq(1L, 1L))
+    val in = Relational.usersIntersectAll(df, "click", "purchase").as[Long].collect().sorted
+    assert(in.toSeq === Seq(1L, 2L))
+  }
+
+  test("activeDaysAgg: sorted comma-joined distinct days, any partitioning") {
+    val df = Seq(
+      (1L, "click", ts("2024-01-03 10:00:00"), 1L),
+      (2L, "click", ts("2024-01-01 10:00:00"), 1L),
+      (3L, "click", ts("2024-01-01 23:00:00"), 2L),
+      (4L, "purchase", ts("2024-01-02 00:00:00"), 1L)
+    ).toDF("event_id", "event_type", "ts", "user_id")
+    def run(np: Int) = Relational.activeDaysAgg(df.repartition(np))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    val expected = Seq("click" -> "2024-01-01,2024-01-03", "purchase" -> "2024-01-02")
+    assert(run(1) === expected)
+    assert(run(5) === expected)
+  }
+
+  test("valueMoments: hand-computed skew/kurtosis per group") {
+    val df = ((1 to 5).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 7.0)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("event_id", "event_type", "value")
+    val out = Relational.valueMoments(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // a: symmetric 1..5 -> skew 0; m2=2, m4=6.8 -> kurt 6.8/4-3 = -1.3
+    assert(out("a") === ((5L, 0.0, -1.3)))
+    // b: {1,1,1,7} -> m2=6.75, m3=20.25, m4=106.3125
+    //    skew = 20.25/6.75^1.5 = sqrt(4/3); kurt = 106.3125/45.5625-3
+    assert(out("b") === ((4L, 1.154701, -0.666667)))
+  }
+
 }

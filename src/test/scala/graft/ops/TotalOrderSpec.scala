@@ -82,4 +82,23 @@ class TotalOrderSpec extends SparkSpec {
     // packs never decrease in id order
     assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq)
   }
+  test("epochShuffle: dense per-epoch positions, partitioning-invariant, epochs differ") {
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run(np: Int) = TotalOrder.epochShuffle(docs.repartition(np), "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run(2)
+    assert(a.length === 120)
+    // each epoch is a permutation: positions exactly 0..39
+    (0L to 2L).foreach { e =>
+      val pos = a.filter(_._2 == e).map(_._3).sorted
+      assert(pos.toSeq === (0L until 40L).toSeq, s"epoch $e")
+    }
+    // deterministic under a different input partitioning
+    assert(a.sortBy(x => (x._2, x._3)).toSeq === run(7).sortBy(x => (x._2, x._3)).toSeq)
+    // different epochs shuffle differently (md5 keys differ per epoch)
+    val byId0 = a.filter(_._2 == 0L).map(x => x._1 -> x._3).toMap
+    val byId1 = a.filter(_._2 == 1L).map(x => x._1 -> x._3).toMap
+    assert((1L to 40L).exists(id => byId0(id) != byId1(id)))
+  }
+
 }
