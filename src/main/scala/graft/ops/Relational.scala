@@ -216,13 +216,33 @@ object Relational {
     * sort is per-partition.
     */
   def rankFamily(lineitem: DataFrame): DataFrame = {
+    // All four functions are determined by (partition key, order key)
+    // alone, so compute them at KEY-DISTINCT grain and broadcast-join
+    // back: rank = 1 + rows strictly below, dense_rank = distinct-key
+    // row_number, percent_rank/cume_dist from the same cumulative
+    // counts. The fact table never sorts and never shuffles — vs the
+    // direct window form, which plans one task per partition-key value
+    // (3 here) each totally sorting its share, the thing that dies at
+    // 100 TB. The distinct grain is |flags|×|quantities| (~150 rows);
+    // if the order key were near-unique this degenerates to the
+    // direct-window cost and the window form is no worse — the switch
+    // point is key cardinality vs row count (docs/SCALE.md).
+    val counts = lineitem.groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-      col("l_quantity"),
-      rank().over(w).cast("long").as("rnk"),
-      dense_rank().over(w).cast("long").as("drnk"),
-      percent_rank().over(w).as("prnk"),
-      cume_dist().over(w).as("cdist"))
+    val below = coalesce(
+      sum(col("__c")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val n = sum(col("__c")).over(Window.partitionBy("l_returnflag"))
+    val ranked = counts.select(col("l_returnflag"), col("l_quantity"),
+      (below + 1L).as("rnk"),
+      row_number().over(w).cast("long").as("drnk"),
+      when(n > 1L, below.cast("double") / (n - 1L).cast("double"))
+        .otherwise(lit(0.0)).as("prnk"),
+      ((below + col("__c")).cast("double") / n.cast("double")).as("cdist"))
+    lineitem.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .join(broadcast(ranked), Seq("l_returnflag", "l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("rnk"), col("drnk"), col("prnk"), col("cdist"))
   }
 
   /** GROUPING SETS — the general form CUBE/ROLLUP specialize: exactly
