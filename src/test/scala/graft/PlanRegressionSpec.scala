@@ -203,4 +203,44 @@ class PlanRegressionSpec extends SparkSpec {
   test("scd2: both window passes share ONE shuffle on the dimension key") {
     assert(exchanges(plan("q_scd2")) === 1, plan("q_scd2").take(2000))
   }
+
+  test("rank family: fact side never sorts — ranks broadcast-joined from key grain") {
+    val p = plan("q_rank_funcs")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only Sort allowed is the key-distinct window's (≤150 rows);
+    // a Sort whose ordering mentions l_orderkey means the fact sorted
+    assert(!p.contains("Sort [l_orderkey"), p.take(2000))
+    // one exchange for the count agg + one for the tiny window
+    assert(exchanges(p) <= 2, p.take(2000))
+  }
+
+  test("epoch shuffle: no window, no hash shuffle — positions come off the RDD pass") {
+    // the range partitioning lives behind globalIndex's RDD boundary
+    // (Scan ExistingRDD), so the visible plan must be JUST a project
+    // over it: any Window or hash exchange here means the positions
+    // regressed to a window formulation
+    val p = plan("q_epoch_shuffle")
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.contains("Window"), s"epoch positions must not use a window:\n${p.take(2000)}")
+    assert(exchanges(p) === 0, p.take(2000))
+  }
+
+  test("bigram LM: count joins broadcast — corpus never shuffles at bigram grain") {
+    val p = plan("q_bigram_logp")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(2000))
+    // bigram counts + context counts + vocab + the final doc-grain agg
+    assert(exchanges(p) <= 4, p.take(2000))
+  }
+
+  test("ma crossover: the MA windows and the state lag share ONE (asset) shuffle") {
+    // exchange 1: the daily OHLC aggregate; exchange 2: the (asset)
+    // window partitioning, reused by maF/maS AND the post-filter lag
+    assert(exchanges(plan("q_ma_cross")) === 2, plan("q_ma_cross").take(2000))
+  }
+
+  test("moments: two mergeable passes, mean joined broadcast") {
+    val p = plan("q_moments")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(2000))
+  }
 }
