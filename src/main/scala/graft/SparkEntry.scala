@@ -490,6 +490,12 @@ object SparkEntry {
     "q_bpe_learn" -> ((s, dir) => // rows-only: the merge fixpoint loop
       // isn't ANSI SQL; the exact merge sequence is pinned in BpeSpec
       ext.Bpe.learn(Tables.documents(s, dir), merges = 8)),
+    "q_quality_classifier" -> ((s, dir) => // rows-only: L-BFGS isn't ANSI
+      // SQL; separation + calibration asserted in QualityClassifierSpec.
+      // Weak label: lang='en' — the CCNet trick of scoring against a
+      // reference corpus, here the majority language slice
+      ext.QualityClassifier.trainScore(Tables.documents(s, dir),
+        col("lang") === "en")),
     "q_embed_pca" -> ((s, dir) => // rows-only: eigenvector sign is
       // basis-ambiguous; orthonormality + variance ordering + exact
       // projection asserted in SimilaritySpec
