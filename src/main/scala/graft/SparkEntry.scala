@@ -484,6 +484,8 @@ object SparkEntry {
       Relational.usersIntersectAll(Tables.events(s, dir), "click", "purchase")),
     "q_string_agg" -> ((s, dir) => Relational.activeDaysAgg(Tables.events(s, dir))),
     "q_moments" -> ((s, dir) => Relational.valueMoments(Tables.events(s, dir))),
+    "q_retention" -> ((s, dir) => Relational.retentionCohorts(Tables.events(s, dir))),
+    "q_funnel" -> ((s, dir) => Relational.funnelConversion(Tables.events(s, dir))),
     "q_epoch_shuffle" -> ((s, dir) =>
       TotalOrder.epochShuffle(Tables.documents(s, dir), "doc_id", epochs = 3)),
     "q_bigram_logp" -> ((s, dir) => ext.TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
@@ -1355,6 +1357,27 @@ object SparkEntry {
         |SELECT event_type, n, round(m3 / power(m2, 1.5), 6) AS skew,
         |       round(m4 / power(m2, 2) - 3, 6) AS kurt_excess
         |FROM a""".stripMargin,
+    "q_retention" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |            FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT cohort, CAST(day - cohort AS BIGINT) AS "offset", count(*) AS n_users
+        |FROM act JOIN fs USING (user_id)
+        |WHERE day - cohort <= 30
+        |GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH fa AS (SELECT user_id, min(ts) AS ts_a FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |conv AS (SELECT DISTINCT e.user_id
+        |         FROM events e JOIN fa USING (user_id)
+        |         WHERE e.event_type = 'purchase'
+        |           AND e.ts > fa.ts_a
+        |           AND e.ts <= fa.ts_a + INTERVAL 86400 SECONDS)
+        |SELECT CAST(fa.ts_a AS DATE) AS cohort, count(*) AS n_users,
+        |       CAST(count(conv.user_id) AS BIGINT) AS n_converted,
+        |       round(CAST(count(conv.user_id) AS DOUBLE) / count(*), 6) AS conv_rate
+        |FROM fa LEFT JOIN conv ON fa.user_id = conv.user_id
+        |GROUP BY 1""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH e AS (
         |  SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents

@@ -309,6 +309,54 @@ object Relational {
       .agg(array_join(sort_array(collect_set(to_date(col("ts")).cast("string"))), ",")
         .as("active_days"))
 
+  /** Retention cohort matrix: users grouped by first-seen day, counted
+    * on each later active day as an offset from their cohort day —
+    * (cohort, offset, n_users), offset 0 being the cohort size. Two
+    * user-grain aggregates (first-seen min, distinct active days) and
+    * one join, all hash-partitioned on user_id so the join reuses the
+    * aggregates' shuffle; the output is calendar² grain, tiny at any
+    * scale. count(*) suffices after the join — (user, day) is distinct
+    * and cohort is functionally dependent on user.
+    */
+  def retentionCohorts(events: DataFrame, maxOffset: Int = 30): DataFrame = {
+    val firstSeen = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(firstSeen, "user_id")
+      .select(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("offset"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Two-step funnel conversion by cohort day: for each user's FIRST
+    * `stepA` event, did a `stepB` event follow within `windowSec`
+    * seconds? Emits (cohort, n_users, n_converted, conv_rate) at the
+    * day-of-first-A grain. Strictly-after semantics (B at the same
+    * instant as A does not convert — a funnel implies order). Shape:
+    * one filtered agg per step, user-grain join (co-partitioned with
+    * the aggs' own shuffle), then a calendar-grain rollup — the fact
+    * table is read twice but never joined to itself at event grain.
+    */
+  def funnelConversion(events: DataFrame, stepA: String = "click",
+                       stepB: String = "purchase",
+                       windowSec: Long = 86400L): DataFrame = {
+    val firstA = events.filter(col("event_type") === stepA)
+      .groupBy("user_id").agg(min(col("ts")).as("ts_a"))
+    val conv = events.filter(col("event_type") === stepB)
+      .join(firstA, "user_id")
+      .filter(col("ts") > col("ts_a") &&
+        col("ts") <= col("ts_a") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select("user_id").distinct()
+      .withColumn("converted", lit(1L))
+    firstA.join(conv, Seq("user_id"), "left_outer")
+      .groupBy(to_date(col("ts_a")).as("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_users").cast("double"), 6))
+  }
+
   /** Higher central moments per group — population skewness and excess
     * kurtosis of `value`:
     *

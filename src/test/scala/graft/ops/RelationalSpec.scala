@@ -336,4 +336,35 @@ class RelationalSpec extends SparkSpec {
     assert(out("b") === ((4L, 1.154701, -0.666667)))
   }
 
+  test("retentionCohorts: offsets from first-seen day, offset 0 is cohort size") {
+    val df = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00"), 1L),
+      (2L, "click", ts("2024-01-02 10:00:00"), 1L),
+      (3L, "click", ts("2024-01-04 10:00:00"), 1L),
+      (4L, "click", ts("2024-01-04 12:00:00"), 1L), // same day: no double count
+      (5L, "click", ts("2024-01-02 09:00:00"), 2L)
+    ).toDF("event_id", "event_type", "ts", "user_id")
+    val out = Relational.retentionCohorts(df).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).sorted
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
+  test("funnelConversion: strictly-after B within the window, per first-A cohort") {
+    val df = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00"), 1L),    // converts (+10 min)
+      (2L, "purchase", ts("2024-01-01 10:10:00"), 1L),
+      (3L, "click", ts("2024-01-01 11:00:00"), 2L),    // same-instant B: no
+      (4L, "purchase", ts("2024-01-01 11:00:00"), 2L),
+      (5L, "click", ts("2024-01-01 12:00:00"), 3L),    // B after window: no
+      (6L, "purchase", ts("2024-01-03 12:00:00"), 3L),
+      (7L, "click", ts("2024-01-01 13:00:00"), 4L),    // no B at all
+      (8L, "purchase", ts("2024-01-01 09:00:00"), 5L)  // B only: not in funnel
+    ).toDF("event_id", "event_type", "ts", "user_id")
+    val out = Relational.funnelConversion(df).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("2024-01-01", 4L, 1L, 0.25)))
+  }
+
 }
