@@ -492,6 +492,13 @@ object SparkEntry {
     "q_bpe_learn" -> ((s, dir) => // rows-only: the merge fixpoint loop
       // isn't ANSI SQL; the exact merge sequence is pinned in BpeSpec
       ext.Bpe.learn(Tables.documents(s, dir), merges = 8)),
+    "q_bpe_encode" -> ((s, dir) => { // rows-only: piece counts derive
+      // from the learned segmentation (merge loop); exact per-doc
+      // fertility and OOV char-fallback are pinned in BpeSpec
+      val docs = Tables.documents(s, dir)
+      val (_, seg) = ext.Bpe.learnWithSegmentation(docs, merges = 8)
+      ext.Bpe.encode(docs, seg).orderBy("doc_id")
+    }),
     "q_quality_classifier" -> ((s, dir) => // rows-only: L-BFGS isn't ANSI
       // SQL; separation + calibration asserted in QualityClassifierSpec.
       // Weak label: lang='en' — the CCNet trick of scoring against a

@@ -55,7 +55,16 @@ object Bpe {
     * early when no adjacent pair occurs at least `minFreq` times.
     */
   def learn(df: DataFrame, merges: Int, minFreq: Long = 2L,
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text"): DataFrame =
+    learnWithSegmentation(df, merges, minFreq, textCol)._1
+
+  /** [[learn]], also returning the final segmentation table
+    * (word, freq, pieces) — the vocab-grain dictionary [[encode]]
+    * joins against. Both frames are materialized (vocab-grain) when
+    * this returns; neither re-runs the merge loop.
+    */
+  def learnWithSegmentation(df: DataFrame, merges: Int, minFreq: Long = 2L,
+                            textCol: String = "text"): (DataFrame, DataFrame) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     val spark = df.sparkSession
     // corpus → vocabulary: the one data-scale aggregate
@@ -65,7 +74,7 @@ object Bpe {
       .filter(length(col("word")) > 0)
     var cur = words
       .withColumn("symbols", split(col("word"), ""))
-      .select("freq", "symbols")
+      .select("word", "freq", "symbols")
       .localCheckpoint(true)
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -94,8 +103,40 @@ object Bpe {
         step += 1
       }
     }
-    cur.unpersist()
     import spark.implicits._
-    rules.toSeq.toDF("step", "left", "right", "freq")
+    val rulesDf = rules.toSeq.toDF("step", "left", "right", "freq")
+    val seg = cur.select(col("word"), col("freq"), col("symbols").as("pieces"))
+    (rulesDf, seg)
+  }
+
+  /** Apply a learned segmentation to a corpus: per-doc piece counts
+    * and tokenizer fertility (pieces per word — the sentencepiece
+    * coverage metric; 1.0 = every word is a single learned unit).
+    * Words outside the segmentation vocabulary fall back to
+    * character-level (|word| pieces), the standard OOV behavior.
+    *
+    * Shape: the corpus stays at per-doc DISTINCT-token grain (the
+    * tokenCounts kernel counts inside the row), the segmentation
+    * joins BROADCAST at |vocab| rows with only piece COUNTS (the
+    * arrays never move), and the doc-grain aggregate partial-combines
+    * map-side. Past broadcast vocab (~10⁸ words) switch to a shuffle
+    * join on word — same algebra (docs/SCALE.md).
+    */
+  def encode(docs: DataFrame, segmentation: DataFrame,
+             textCol: String = "text"): DataFrame = {
+    val sizes = segmentation
+      .select(col("word"), size(col("pieces")).cast("long").as("n_pc"))
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.token").as("word"), col("tc.tf").as("tf"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(sizes), Seq("word"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * coalesce(col("n_pc"), length(col("word")).cast("long")))
+          .as("n_pieces"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6))
   }
 }

@@ -40,4 +40,18 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
     assert(rules.toSeq === Seq(("a", "a", 4L), ("aa", "a", 2L)))
   }
+  test("encode: piece counts and fertility from the learned segmentation; OOV falls back to chars") {
+    val (_, seg) = Bpe.learnWithSegmentation(corpus, merges = 10, minFreq = 2L)
+    // segmentation after the 4 merges (the last one fuses low+er):
+    // low=[low] lower=[lower] newest=[n,e,w,e,s,t] a=[a]
+    val out = Bpe.encode(corpus, seg).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))   // "low low low"
+    assert(out(2L) === ((2L, 2L, 1.0)))   // "lower lower"
+    assert(out(3L) === ((2L, 7L, 3.5)))   // "newest a"
+    // unseen word: character-level fallback
+    val oov = Bpe.encode(Seq((9L, "zz low")).toDF("doc_id", "text"), seg).head()
+    assert((oov.getLong(1), oov.getLong(2), oov.getDouble(3)) === ((2L, 3L, 1.5)))
+  }
+
 }
