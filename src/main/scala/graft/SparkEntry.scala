@@ -59,6 +59,13 @@ object SparkEntry {
     * indicator oracles share the same daily CTE text verbatim. */
   private val dailyCteRec = dailyCte.replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Fixed BM25 query set (q_bm25) — mirrored literally in the oracle's
+    * VALUES list. */
+  private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "agg", "scan"),
+    3 -> Seq("vector", "merge"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's full analytical core — daily OHLC + indicators.
     */
@@ -486,6 +493,19 @@ object SparkEntry {
     "q_moments" -> ((s, dir) => Relational.valueMoments(Tables.events(s, dir))),
     "q_retention" -> ((s, dir) => Relational.retentionCohorts(Tables.events(s, dir))),
     "q_funnel" -> ((s, dir) => Relational.funnelConversion(Tables.events(s, dir))),
+    "q_drift_psi" -> ((s, dir) => Relational.psiDrift(Tables.events(s, dir))),
+    "q_anomaly" -> ((s, dir) => Relational.anomalyFlags(Tables.events(s, dir))),
+    "q_bm25" -> ((s, dir) => ext.TextAnalysis.bm25TopK(
+      Tables.documents(s, dir), Bm25Queries, k = 10)),
+    "q_temperature_mix" -> ((s, dir) =>
+      ext.TextAnalysis.temperatureMixture(Tables.documents(s, dir), alpha = 0.7)),
+    "q_source_kl" -> ((s, dir) =>
+      ext.TextAnalysis.sourceDivergence(Tables.documents(s, dir), topN = 200)),
+    "q_kfold" -> ((s, dir) => ext.TextAnalysis
+      .kfoldAssign(Tables.documents(s, dir), k = 5)
+      .select("doc_id", "lang", "fold")),
+    "q_quality_gate" -> ((s, dir) =>
+      ext.TextAnalysis.qualityGatePerSource(Tables.documents(s, dir), keepFrac = 0.75)),
     "q_epoch_shuffle" -> ((s, dir) =>
       TotalOrder.epochShuffle(Tables.documents(s, dir), "doc_id", epochs = 3)),
     "q_bigram_logp" -> ((s, dir) => ext.TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
@@ -1385,6 +1405,107 @@ object SparkEntry {
         |       round(CAST(count(conv.user_id) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM fa LEFT JOIN conv ON fa.user_id = conv.user_id
         |GROUP BY 1""".stripMargin,
+    "q_drift_psi" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |         list_transform(quantile_cont(value,
+        |           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), c -> round(c, 6)) AS cuts
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |b AS (SELECT e.event_type,
+        |        CASE WHEN e.ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS period,
+        |        len(list_filter(cuts, c -> c <= e.value))::BIGINT AS bucket
+        |      FROM events e JOIN cuts USING (event_type)),
+        |cnt AS (SELECT event_type, period, bucket, count(*) AS n FROM b GROUP BY 1,2,3),
+        |spine AS (SELECT event_type, period, bucket
+        |          FROM (SELECT DISTINCT event_type FROM cuts),
+        |               (SELECT unnest(['ref','cur']) AS period),
+        |               (SELECT unnest(range(0, 10)) AS bucket)),
+        |sh AS (SELECT s.event_type, s.period, s.bucket, coalesce(n, 0) AS n,
+        |         sum(coalesce(n, 0)) OVER (PARTITION BY s.event_type, s.period) AS tot
+        |       FROM spine s LEFT JOIN cnt
+        |         ON s.event_type = cnt.event_type AND s.period = cnt.period
+        |        AND s.bucket = cnt.bucket),
+        |p AS (SELECT event_type, bucket,
+        |        max(CASE WHEN period = 'ref' THEN (n + 0.5) / (tot + 5.0) END) AS p_ref,
+        |        max(CASE WHEN period = 'cur' THEN (n + 0.5) / (tot + 5.0) END) AS p_cur
+        |      FROM sh GROUP BY 1, 2)
+        |SELECT event_type, round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
+        |FROM p GROUP BY 1""".stripMargin,
+    "q_anomaly" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+        |              stddev_samp(value) AS sigma
+        |            FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value, round((value - mu) / sigma, 6) AS z
+        |FROM events JOIN st USING (event_type)
+        |WHERE abs(round((value - mu) / sigma, 6)) > 3.0""".stripMargin,
+    "q_bm25" ->
+      """WITH q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+        |                                 (2,'agg'),(2,'scan'),(3,'vector'),
+        |                                 (3,'merge')) AS t(query_id, token)),
+        |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |toks AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+        |       FROM toks WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |              avg(len(string_split(lower(text), ' ')))::DOUBLE AS avg_dl
+        |       FROM documents),
+        |dfreq AS (SELECT token, count(*)::DOUBLE AS df_t FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))), 6)
+        |           AS bm25
+        |       FROM tf JOIN q USING (token) JOIN dfreq USING (token), st
+        |       GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, bm25
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY bm25 DESC, doc_id) AS rank
+        |      FROM sc)
+        |WHERE rank <= 10""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |             sum(len(string_split(lower(text), ' ')))::BIGINT AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_tokens)::DOUBLE AS total,
+        |             sum(power(n_tokens::DOUBLE, 0.7)) AS z_temp FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |       round(n_tokens / total, 6) AS p_nat,
+        |       round(power(n_tokens::DOUBLE, 0.7) / z_temp, 6) AS p_temp,
+        |       round((power(n_tokens::DOUBLE, 0.7) / z_temp)
+        |             / (n_tokens / total), 6) AS boost
+        |FROM s, t""".stripMargin,
+    "q_source_kl" ->
+      """WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        |              FROM documents),
+        |st AS (SELECT source, token, count(*) AS f FROM toks GROUP BY 1, 2),
+        |v AS (SELECT token, sum(f)::BIGINT AS freq FROM st GROUP BY 1
+        |      ORDER BY freq DESC, token LIMIT 200),
+        |ct AS (SELECT sum(freq)::DOUBLE AS c_tot FROM v),
+        |iv AS (SELECT st.source, st.token, st.f, v.freq FROM st JOIN v USING (token)),
+        |stt AS (SELECT source, sum(f)::DOUBLE AS s_tot FROM iv GROUP BY 1)
+        |SELECT source, count(*) AS n_terms,
+        |       round(sum((f / s_tot) * ln((f / s_tot) / (freq / c_tot))), 6) AS kl
+        |FROM iv JOIN stt USING (source), ct
+        |GROUP BY source""".stripMargin,
+    "q_kfold" ->
+      """SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold
+        |FROM documents""".stripMargin,
+    "q_quality_gate" ->
+      """WITH sc AS (SELECT doc_id, source,
+        |  round(least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
+        |    + len(list_filter(string_split(lower(text), ' '),
+        |          t -> list_contains(['the','a','and','of','to','in','is','it'], t))) * 1.0
+        |      / len(string_split(lower(text), ' ')) * 0.3
+        |    + least(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+        |            / len(string_split(lower(text), ' ')) / 10.0, 1.0) * 0.2, 6) AS score
+        |  FROM documents),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY score DESC, doc_id) AS qrank,
+        |        count(*) OVER (PARTITION BY source) AS n_src
+        |      FROM sc)
+        |SELECT doc_id, source, score, qrank FROM r
+        |WHERE qrank <= ceil(n_src * 0.75)""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH e AS (
         |  SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents

@@ -510,4 +510,155 @@ object TextAnalysis {
   def fingerprintRolling(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) =>
       pmod(acc * 31L + pmod(xxhash64(w), lit(2147483647L)), lit(2147483647L)))
+
+  /** BM25 keyword retrieval: top-`k` documents per query under
+    * Robertson/Lucene BM25 — idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    * tf saturation k1, length normalization b against the mean doc
+    * length. Ties (after 6-dp rounding) break by doc_id, so ranks are
+    * engine-deterministic.
+    *
+    * Shape — the inverted-index probe order, which is what survives
+    * 100 TB: the corpus TF explode is SEMI-JOINED down to the query
+    * vocabulary (a broadcast of |∪ query terms| strings) BEFORE
+    * anything shuffles, so df counts, scoring, and the per-query
+    * top-k all run over |query terms| × df rows, never the corpus
+    * token stream. Corpus-level stats (N, avg dl) are one 1-row agg
+    * crossed in broadcast. The only corpus-grain work is the one
+    * kernel scan.
+    */
+  def bm25TopK(df: DataFrame, queries: Seq[(Int, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty && k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t.toLowerCase)) }
+      .toDF("query_id", "token")
+    val stats = df.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(tokens(col(textCol)))).as("avg_dl"))
+    val tf = df.select(col("doc_id"),
+        size(tokens(col(textCol))).cast("double").as("dl"),
+        explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("dl"),
+        col("tc.token").as("token"), col("tc.tf").cast("double").as("tf"))
+      .join(broadcast(qterms.select("token").distinct()), Seq("token"), "left_semi")
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df_t"))
+    tf.join(broadcast(qterms), Seq("token"))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl"))))
+      .groupBy("query_id", "doc_id").agg(round(sum("contrib"), 6).as("bm25"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "bm25")
+  }
+
+  /** Temperature-scaled mixture weights (the multilingual-/domain-
+    * balancing rule from mBERT/XLM-R and data-mixture papers):
+    * p_temp(s) ∝ n_tokens(s)^alpha, alpha ∈ (0,1] — alpha=1 is the
+    * natural distribution, alpha→0 uniform. Emits, per source, the
+    * natural and temperature shares plus the sampling boost
+    * p_temp/p_nat a mixture sampler ([[mixtureResample]]) would apply.
+    *
+    * Shape: one corpus scan → source-grain agg (map-side partial), then
+    * the normalizing constants are a 1-row agg crossed in broadcast;
+    * every post-scan frame is |sources| rows.
+    */
+  def temperatureMixture(df: DataFrame, alpha: Double,
+                         sourceCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    val bySrc = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val z = bySrc.agg(sum(col("n_tokens")).cast("double").as("total"),
+      sum(pow(col("n_tokens").cast("double"), alpha)).as("z_temp"))
+    bySrc.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("total"), 6).as("p_nat"),
+        round(pow(col("n_tokens").cast("double"), alpha) / col("z_temp"), 6)
+          .as("p_temp"),
+        round((pow(col("n_tokens").cast("double"), alpha) / col("z_temp")) /
+          (col("n_tokens") / col("total")), 6).as("boost"))
+  }
+
+  /** Per-source unigram KL divergence against the corpus distribution,
+    * both restricted to (and renormalized over) the corpus top-`topN`
+    * vocabulary — the domain-shift score data-mixture audits sort by.
+    * Terms a source never uses contribute 0 (lim p→0 of p·ln p).
+    *
+    * Shape: ONE corpus explode (per-row TF kernel) → (source, token)
+    * partial-agg; the corpus distribution is then derived by summing
+    * that frame over sources — no second scan — and the top-N vocab
+    * joins back broadcast. Everything after the one token shuffle is
+    * |sources|×topN-bounded.
+    */
+  def sourceDivergence(df: DataFrame, topN: Int = 200,
+                       sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val st = df.select(col(sourceCol).as("source"),
+        explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
+      .select(col("source"), col("tc.token").as("token"), col("tc.tf").as("tf"))
+      .groupBy("source", "token").agg(sum("tf").as("f"))
+    val vocab = st.groupBy("token").agg(sum(col("f")).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(topN)
+    val corpusTot = vocab.agg(sum("freq").cast("double").as("c_tot"))
+    val inVocab = st.join(broadcast(vocab), "token")
+    val srcTot = inVocab.groupBy("source").agg(sum("f").cast("double").as("s_tot"))
+    inVocab.join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("term",
+        (col("f") / col("s_tot")) *
+          log((col("f") / col("s_tot")) / (col("freq") / col("c_tot"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"), round(sum("term"), 6).as("kl"))
+  }
+
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * md5-bucket(id) mod `k` — the same engine-/partitioning-stable
+    * hash family as [[splitAssign]], so folds are reproducible and
+    * disjoint by construction. Pure per-row expressions, zero
+    * shuffles.
+    */
+  def kfoldAssign(df: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold", hashBucket(idCol, k))
+  }
+
+  /** Per-source adaptive quality gate: keep the top `keepFrac` of each
+    * source's documents by composite quality score (6-dp rounded;
+    * ties break by doc_id) — the per-domain threshold rule quality
+    * filters use instead of one global cutoff, which would empty
+    * low-resource domains. Rank-based, not percentile-threshold-based,
+    * so the kept set is exact and engine-deterministic.
+    *
+    * Shape: per-row feature scoring inside the scan, then ONE shuffle
+    * on source for the in-group rank. Same skew note as
+    * [[samplePerSource]]: a billion-row source ranks inside one
+    * partition — at that scale switch to the `approx_percentile`
+    * threshold form (sketch per source, broadcast cutoffs back, filter;
+    * trades exact top-N% for a mergeable one-pass bound).
+    */
+  def qualityGatePerSource(df: DataFrame, keepFrac: Double = 0.75,
+                           sourceCol: String = "source",
+                           textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepFrac > 0.0 && keepFrac <= 1.0)
+    val scored = qualityFeatures(df, textCol)
+      .withColumn("score", round(col("quality_score"), 6))
+    scored
+      .withColumn("qrank", row_number().over(
+        Window.partitionBy(sourceCol).orderBy(desc("score"), asc("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(
+        Window.partitionBy(sourceCol)))
+      .filter(col("qrank") <= ceil(col("n_src") * keepFrac))
+      .select(col("doc_id"), col(sourceCol).as("source"), col("score"),
+        col("qrank"))
+  }
 }

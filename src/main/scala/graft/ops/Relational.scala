@@ -621,4 +621,68 @@ object Relational {
         lead(col(tsCol), 1).over(w2).as("effective_to") :+
         lead(col(tsCol), 1).over(w2).isNull.as("is_current")): _*)
   }
+
+  /** Population Stability Index per event_type between a reference
+    * period (ts < `splitTs`) and the current period — the standard
+    * drift monitor for a feature distribution. Buckets are the
+    * reference period's exact deciles (6-dp rounded so both engines
+    * bucket on identical cutpoints), plus the two open tails; each
+    * period's bucket shares are additively smoothed
+    * (p = (n+0.5)/(N+5)) so an empty bucket contributes a finite
+    * term instead of ln 0. PSI = Σ_b (p_cur−p_ref)·ln(p_cur/p_ref).
+    *
+    * Shape: cutpoints are a |types|-row agg broadcast back; bucketing
+    * is a 9-element array probe per row inside the scan; the full
+    * type×period×bucket spine is generated (not discovered) so
+    * zero-count buckets exist before smoothing. One event-grain
+    * shuffle (the bucket count agg, map-side partial); everything
+    * after is |types|×20 rows. At 100 TB swap the exact decile agg
+    * for `approx_percentile` — the spine/smoothing algebra is
+    * unchanged.
+    */
+  def psiDrift(events: DataFrame, splitTs: String = "2024-01-16"): DataFrame = {
+    val split = lit(splitTs).cast("timestamp")
+    val cuts = events.filter(col("ts") < split)
+      .groupBy("event_type")
+      .agg(transform(
+        expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"),
+        c => round(c, 6)).as("cuts"))
+    val counts = events
+      .join(broadcast(cuts), "event_type")
+      .withColumn("period", when(col("ts") < split, "ref").otherwise("cur"))
+      .withColumn("bucket",
+        size(filter(col("cuts"), c => c <= col("value"))).cast("long"))
+      .groupBy("event_type", "period", "bucket").agg(count(lit(1)).as("n"))
+    val spine = cuts.select("event_type")
+      .withColumn("period", explode(array(lit("ref"), lit("cur"))))
+      .withColumn("bucket", explode(sequence(lit(0L), lit(9L))))
+    val shares = spine
+      .join(counts, Seq("event_type", "period", "bucket"), "left_outer")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("tot", sum("n").over(
+        Window.partitionBy("event_type", "period")))
+      .withColumn("p", (col("n") + 0.5) / (col("tot") + 5.0))
+    shares.groupBy("event_type", "bucket")
+      .agg(max(when(col("period") === "ref", col("p"))).as("p_ref"),
+        max(when(col("period") === "cur", col("p"))).as("p_cur"))
+      .withColumn("term", (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+      .groupBy("event_type")
+      .agg(round(sum("term"), 6).as("psi"))
+  }
+
+  /** Global z-score anomaly flags: each event scored against its
+    * event_type's full-period mean/stddev, flagged when |z| (6-dp
+    * rounded, so the comparison is engine-deterministic) exceeds
+    * `zMax`. The one-pass batch form of a streaming monitor; per-type
+    * stats are a mergeable |types|-row agg broadcast back, the scoring
+    * is per-row inside the scan, zero event-grain shuffles.
+    */
+  def anomalyFlags(events: DataFrame, zMax: Double = 3.0): DataFrame = {
+    val stats = events.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    events.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) > zMax)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
 }

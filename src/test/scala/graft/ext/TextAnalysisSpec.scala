@@ -350,4 +350,83 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((1L, -0.30103)))
   }
 
+  test("bm25TopK: hand-computed scores, tf saturation and length normalization") {
+    val docs = Seq(
+      (1L, "apple apple pear plum"), // tf=2, dl=4
+      (2L, "apple fig"),             // tf=1, dl=2
+      (3L, "pear plum fig")          // no hit
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq(1 -> Seq("apple")), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // N=3, df=2, idf=ln(1+1.5/2.5); avg_dl=3
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    val s1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0))
+    val s2 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2.0 / 3.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Array((1, 1, 1L, r6(s1)), (1, 2, 2L, r6(s2))))
+  }
+  test("bm25TopK: multi-term queries sum per-term contributions; k caps ranks") {
+    val docs = Seq((1L, "a b"), (2L, "a a"), (3L, "b b"), (4L, "c c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq(1 -> Seq("a", "b")), k = 2)
+      .orderBy("rank").collect()
+    assert(out.length === 2)
+    // doc 1 hits both terms; docs 2/3 hit one with higher tf — equal dl
+    // everywhere so the two-term doc scores highest
+    assert(out.head.getLong(2) === 1L)
+  }
+  test("temperatureMixture: alpha=1 is the natural distribution; alpha<1 boosts small sources") {
+    val docs = Seq(
+      (1L, "s1", "w w w w w w w w w"), // 9 tokens
+      (2L, "s2", "w")                  // 1 token
+    ).toDF("doc_id", "source", "text")
+    val nat = TextAnalysis.temperatureMixture(docs, alpha = 1.0)
+      .orderBy("source").collect()
+    assert(nat.map(_.getDouble(5)).toSeq === Seq(1.0, 1.0)) // boost
+    val t = TextAnalysis.temperatureMixture(docs, alpha = 0.5)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    // p_temp: 3/4 vs 1/4 ; p_nat: 0.9 vs 0.1 -> boosts 5/6 and 2.5
+    assert(t("s1") === ((0.75, 0.833333)))
+    assert(t("s2") === ((0.25, 2.5)))
+  }
+  test("sourceDivergence: identical distributions give kl=0, skewed source diverges") {
+    val docs = Seq(
+      (1L, "s1", "a a b"), (2L, "s1", "a b b"),
+      (3L, "s2", "a a b"), (4L, "s2", "a b b"),
+      (5L, "s3", "a a a") // all mass on a
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceDivergence(docs, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("s1") === out("s2"))
+    assert(out("s3") > out("s1"))
+    // corpus: a=9/15, b=6/15; s1: a=3/6, b=3/6
+    val kl1 = 0.5 * math.log(0.5 / 0.6) + 0.5 * math.log(0.5 / 0.4)
+    assert(math.abs(out("s1") - kl1) < 1e-6)
+  }
+  test("kfoldAssign: folds are in range, deterministic, and match splitAssign's hash family") {
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val folds = TextAnalysis.kfoldAssign(docs, k = 5).select("doc_id", "fold")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    assert(folds.values.toSet.size === 5) // all folds populated at n=200
+    val again = TextAnalysis.kfoldAssign(docs.repartition(7), k = 5)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === folds)
+  }
+  test("qualityGatePerSource: keeps ceil(frac*n) top-scored docs per source") {
+    // s1: 4 docs with increasing length (score rises with n_tokens);
+    // s2: 1 doc — a tiny source must survive a per-source gate
+    val docs = Seq(
+      (1L, "s1", "the a"), (2L, "s1", "the a of to in"),
+      (3L, "s1", "the a of to in is it and the a"),
+      (4L, "s1", "the"), (5L, "s2", "x")
+    ).toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.qualityGatePerSource(docs, keepFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    // ceil(4*0.5)=2 from s1 (the two longest), ceil(1*0.5)=1 from s2
+    assert(kept.map(_._1).toSet === Set(3L, 2L, 5L))
+    assert(kept.filter(_._2 == "s1").map(_._3).sorted.toSeq === Seq(1, 2))
+  }
+
 }

@@ -367,4 +367,34 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq === Seq(("2024-01-01", 4L, 1L, 0.25)))
   }
 
+  test("psiDrift: unchanged distribution scores 0; a shifted one scores higher") {
+    // 'flat': identical values in both periods -> every bucket count
+    // matches -> psi exactly 0. 'shift': cur values jump above every
+    // ref decile -> mass concentrates in the top bucket.
+    val vals = (1 to 100).map(_.toDouble)
+    val flat =
+      vals.map(v => ("flat", ts("2024-01-10 00:00:00"), v)) ++
+      vals.map(v => ("flat", ts("2024-01-20 00:00:00"), v))
+    val shift =
+      vals.map(v => ("shift", ts("2024-01-10 00:00:00"), v)) ++
+      vals.map(v => ("shift", ts("2024-01-20 00:00:00"), v + 1000.0))
+    val df = (flat ++ shift).zipWithIndex
+      .map { case ((t, time, v), i) => (i.toLong, t, time, v) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val out = Relational.psiDrift(df, "2024-01-16").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("flat") === 0.0)
+    assert(out("shift") > 1.0) // total drift; conventional alert is >0.2
+  }
+  test("anomalyFlags: only |z| above the threshold survives, z vs hand stats") {
+    val base = (1 to 50).flatMap(_ => Seq(10.0, 12.0)) // mean 11, tight spread
+    val df = (base :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "m", ts("2024-01-01 00:00:00"), v) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val out = Relational.anomalyFlags(df).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(2) === 1000.0)
+    assert(out.head.getDouble(3) > 3.0)
+  }
+
 }
