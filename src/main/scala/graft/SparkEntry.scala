@@ -201,7 +201,7 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> ((s, dir) => // approximate (banded-signature candidates): rows-only
       Similarity.embeddingNearDupsApprox(Tables.embeddings(s, dir), threshold = 0.45, bands = 16)),
     "q_dedup_keep" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir)
       Dedup.dropNearDups(docs,
         Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8, dfCap = Some(100)))
         .select("doc_id", "lang", "n_chars")
@@ -237,11 +237,11 @@ object SparkEntry {
       .select(col("vec_id"), Similarity.l2norm(col("embedding")).as("norm"))),
 
     // ---- north-star: text analysis ----
-    "q_lang_id" -> ((s, dir) => Tables.documents(s, dir)
+    "q_lang_id" -> ((s, dir) => Tables.documentsWide(s, dir)
       .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))),
-    "q_text_quality" -> ((s, dir) => TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+    "q_text_quality" -> ((s, dir) => TextAnalysis.qualityFeatures(Tables.documentsWide(s, dir))
       .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio", "quality_score")),
-    "q_token_count" -> ((s, dir) => Tables.documents(s, dir)
+    "q_token_count" -> ((s, dir) => Tables.documentsWide(s, dir)
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.tokenCountBpe(col("text")).as("n_tokens_bpe"))),
     "q_fingerprint" -> ((s, dir) => Tables.documents(s, dir)
@@ -261,7 +261,7 @@ object SparkEntry {
 
     // ---- north-star: corpus hygiene (PII / repetition / decontam /
     // ordering / packing / normalization / quantization) ----
-    "q_pii" -> ((s, dir) => Pii.audit(Tables.documents(s, dir))
+    "q_pii" -> ((s, dir) => Pii.audit(Tables.documentsWide(s, dir))
       .select("doc_id", "n_emails", "n_ipv4", "n_phones", "redacted")),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionFeatures(Tables.documents(s, dir))),
     "q_decontam" -> ((s, dir) => {
@@ -273,13 +273,13 @@ object SparkEntry {
     "q_lang_scores" -> ((s, dir) => { // the per-language feature vector
       // under langId — what threshold-based language filtering consumes
       val scores = TextAnalysis.langScores(col("text"))
-      Tables.documents(s, dir).select(
+      Tables.documentsWide(s, dir).select(
         col("doc_id") +: scores.map { case (l, c) => round(c, 6).as(s"score_$l") }: _*)
     }),
     "q_corpus_prepare" -> ((s, dir) => { // end-to-end prep composition:
       // rows-only vs oracle; every stage is oracle-verified via its own
       // key, the wiring via CorpusPipelineSpec (gates/determinism/packing)
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsWide(s, dir)
       CorpusPipeline.prepare(
         d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0))
         .select(col("doc_id"), col("quality_score"), col("split"), col("pack_id"))
@@ -292,7 +292,7 @@ object SparkEntry {
         d.filter(col("doc_id") % 17 === 0), n = 5)
     }),
     "q_global_index" -> ((s, dir) => TotalOrder.globalIndex(
-      Tables.documents(s, dir).select("doc_id"),
+      Tables.documentsWide(s, dir).select("doc_id"),
       // md5 of the id = deterministic corpus shuffle order; id breaks ties
       Seq(md5(col("doc_id").cast("string")), col("doc_id")))),
     "q_pack_sequences" -> ((s, dir) => TotalOrder.packSequences(
@@ -373,7 +373,7 @@ object SparkEntry {
       // demo a second struct parse — serialize+reparse was ~0.7 s of
       // the 1.25 s line item; that equivalence now lives in a unit
       // test, RelationalSpec "to_json/from_json round-trip".)
-      val e = Tables.events(s, dir)
+      val e = Tables.eventsWide(s, dir)
       val propsStruct = from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
       e.select(col("event_id"), propsStruct.as("__props"),
@@ -393,7 +393,7 @@ object SparkEntry {
       // drift; measured ~2× cheaper than a map parse of the same
       // payload and schema-free at 100 TB (no executor-side schema
       // agreement needed, late binding per field).
-      val e = Tables.events(s, dir)
+      val e = Tables.eventsWide(s, dir)
       e.select(col("event_id"), try_parse_json(col("props")).as("__v"))
         .select(col("event_id"),
           try_variant_get(col("__v"), "$.k", "long").as("k"))
@@ -546,7 +546,7 @@ object SparkEntry {
         md5(ext.TextAnalysis.normalizeText(col("text"))))
     }),
     "q_group_stats" -> ((s, dir) => Relational.groupStats(Tables.prices(s, dir))),
-    "q_lexical_stats" -> ((s, dir) => TextAnalysis.lexicalStats(Tables.documents(s, dir))),
+    "q_lexical_stats" -> ((s, dir) => TextAnalysis.lexicalStats(Tables.documentsWide(s, dir))),
     "q_zipf_fit" -> ((s, dir) => TextAnalysis.zipfFit(Tables.documents(s, dir))),
     "q_sessionize" -> ((s, dir) => Relational.sessionize(Tables.events(s, dir), gapSec = 1800L)),
     "q_asof_join" -> ((s, dir) => {
@@ -557,7 +557,7 @@ object SparkEntry {
         key = "user_id", tsCol = "ts", valueCol = "value")
     }),
     "q_join_salted" -> ((s, dir) => Relational.saltedJoin(
-      Tables.orders(s, dir),
+      Tables.tableWide(s, dir, "orders"),
       Tables.table(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_name")),
       key = "o_custkey", buckets = 8)
       .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")),
@@ -573,7 +573,7 @@ object SparkEntry {
     "q_cube" -> ((s, dir) => Relational.cubeCounts(Tables.events(s, dir))),
     "q_rank_funcs" -> ((s, dir) => Relational.rankFamily(Tables.lineitem(s, dir))),
     "q_fuzzy_join" -> ((s, dir) => ops.FuzzyJoin.editDistancePairs(
-      Tables.table(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+      Tables.tableWide(s, dir, "customer").select(col("c_custkey"), col("c_name")),
       idCol = "c_custkey", strCol = "c_name", k = 1)
       .select(col("a"), col("b"), col("dist"))),
     "q_grouping_sets" -> ((s, dir) => Relational.groupingSetCounts(Tables.events(s, dir))),

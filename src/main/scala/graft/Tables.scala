@@ -17,6 +17,29 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     graft.store.SchemaCache.read(spark, s"$sfDir/$name.parquet")
 
+  /** [[table]] through [[graft.store.SchemaCache.readWide]]: fanned
+    * out to cluster parallelism iff the file layout (row-group count)
+    * can't feed it. For call sites whose downstream is CPU-heavy per
+    * row — text kernels, JSON parsing, regex audits — where a starved
+    * single-row-group scan serializes the whole query on one core.
+    * Winners chosen by measurement (FanTest probe, round 6): blanket
+    * fan-out regresses ~100/147 queries, so this is opt-in per site.
+    */
+  def tableWide(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.store.SchemaCache.readWide(spark, s"$sfDir/$name.parquet")
+
+  /** [[documents]] fanned out for kernel-bound consumers ([[tableWide]]). */
+  def documentsWide(spark: SparkSession, sfDir: String): DataFrame =
+    tableWide(spark, sfDir, "documents")
+
+  /** [[events]] fanned out for kernel-bound consumers ([[tableWide]]). */
+  def eventsWide(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tableWide(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no type
     * for. Read nanos as raw longs (legacy conf) and floor-divide to
     * microsecond timestamps — exactly what DuckDB does when it reads
