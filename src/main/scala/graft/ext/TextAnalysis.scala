@@ -538,12 +538,19 @@ object TextAnalysis {
       .toDF("query_id", "token")
     val stats = df.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(size(tokens(col(textCol)))).as("avg_dl"))
+    // tf feeds BOTH dfreq and the scoring join — materialize it once
+    // (it is |matching (doc, term)| grain, bounded by the query terms'
+    // document frequency) so the corpus explode + semi-join runs once,
+    // not once per consumer. Same boundary pattern as Dedup/
+    // CorpusPipeline: localCheckpoint here, persist(DISK_ONLY) or a
+    // parquet stage table on a cluster.
     val tf = df.select(col("doc_id"),
         size(tokens(col(textCol))).cast("double").as("dl"),
         explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
       .select(col("doc_id"), col("dl"),
         col("tc.token").as("token"), col("tc.tf").cast("double").as("tf"))
       .join(broadcast(qterms.select("token").distinct()), Seq("token"), "left_semi")
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df_t"))
     tf.join(broadcast(qterms), Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
@@ -602,12 +609,17 @@ object TextAnalysis {
   def sourceDivergence(df: DataFrame, topN: Int = 200,
                        sourceCol: String = "source",
                        textCol: String = "text"): DataFrame = {
+    // st feeds the vocab build AND the in-vocab join (and vocab itself
+    // feeds two consumers) — materialize both once so the corpus
+    // explode + (source, token) agg isn't re-evaluated per branch
     val st = df.select(col(sourceCol).as("source"),
         explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
       .select(col("source"), col("tc.token").as("token"), col("tc.tf").as("tf"))
       .groupBy("source", "token").agg(sum("tf").as("f"))
+      .localCheckpoint(true)
     val vocab = st.groupBy("token").agg(sum(col("f")).as("freq"))
       .orderBy(desc("freq"), asc("token")).limit(topN)
+      .localCheckpoint(true)
     val corpusTot = vocab.agg(sum("freq").cast("double").as("c_tot"))
     val inVocab = st.join(broadcast(vocab), "token")
     val srcTot = inVocab.groupBy("source").agg(sum("f").cast("double").as("s_tot"))

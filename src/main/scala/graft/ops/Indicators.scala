@@ -53,20 +53,32 @@ object Indicators {
     * robust-center sibling of the mean indicators: outlier ticks move
     * ma30 but not med30. Rounded to 6 dp for engine portability.
     *
-    * Shape: `percentile(0.5)` as a window aggregate — the frame's
-    * values are buffered and selected per row, O(w log w) on a
-    * 30-row frame. Partitioned by asset, so parallelism is per-asset
-    * like every other indicator. At tick grain (millions of rows per
-    * asset-frame) switch to `approx_percentile` over the same frame —
+    * Shape: `collect_list` gathers the frame (a flat array append per
+    * replayed row) and the median comes from one codegen'd
+    * `array_sort` in the outer projection — NOT `percentile(0.5)` as a
+    * window aggregate, whose per-row finalization builds and sorts a
+    * counts hashmap on every frame shift. `collect_list` skips NULL
+    * prices, so `size(frame) = window` IS the min_periods guard
+    * (`count(price) OVER w >= window`). O(w) state per row, one sort
+    * per output row on a w-element array. At tick grain with much
+    * larger windows switch to `approx_percentile` over the frame —
     * mergeable sketch, constant memory (docs/SCALE.md).
     */
   def rollingMedian(prices: DataFrame, window: Int = 30): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val w = Window.partitionBy("asset").orderBy("ts_utc")
       .rowsBetween(-(window - 1), 0)
-    prices.select(col("ts_utc"), col("asset"),
-      when(count(col("price")).over(w) >= window,
-        round(expr("percentile(price, 0.5)").over(w), 6)).as(s"med$window"))
+    // two-level select so the sort runs once per row: CollapseProject
+    // refuses to inline a non-cheap producer with several references
+    val sorted = col("__sorted")
+    val med =
+      if (window % 2 == 1) element_at(sorted, (window + 1) / 2)
+      else (element_at(sorted, window / 2) + element_at(sorted, window / 2 + 1)) / 2.0
+    prices
+      .select(col("ts_utc"), col("asset"),
+        array_sort(collect_list(col("price")).over(w)).as("__sorted"))
+      .select(col("ts_utc"), col("asset"),
+        when(size(sorted) === window, round(med, 6)).as(s"med$window"))
   }
 
   import graft.functions.native
