@@ -175,8 +175,11 @@ object Similarity {
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
     val B = blocks
+    // n feeds both join sides — materialize once so the scan + norm
+    // kernel doesn't run twice (cluster swap: persist(DISK_ONLY))
     val n = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nm"), pmod(hash(col("vec_id")), lit(B)).as("blk"))
+      .localCheckpoint(true)
     // block pair (i, j), i <= j, packed as i*B + j. A row in block i
     // goes left for keys (i, i..B-1) and right for keys (0..j, j): a
     // pair with blocks (x, y), x < y, meets once (left from x, right

@@ -329,10 +329,14 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
-    // per-row TF kernel — no corpus-wide groupBy(doc, token) shuffle
+    // per-row TF kernel — no corpus-wide groupBy(doc, token) shuffle.
+    // tf feeds BOTH the df_t build and the scoring join: materialize it
+    // once so the corpus explode doesn't run per consumer (cluster
+    // swap: persist(DISK_ONLY) or a stage table — it is corpus-sized)
     val tf = df.select(col("doc_id"),
         explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
       .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
     val scored = tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(nDocs))

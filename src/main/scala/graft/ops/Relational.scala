@@ -319,10 +319,15 @@ object Relational {
     * and cohort is functionally dependent on user.
     */
   def retentionCohorts(events: DataFrame, maxOffset: Int = 30): DataFrame = {
-    val firstSeen = events.groupBy("user_id")
-      .agg(min(to_date(col("ts"))).as("cohort"))
+    // ONE event-grain scan: cohort = min(day) is derivable from the
+    // distinct (user, day) frame, so firstSeen rides active instead of
+    // re-scanning the fact table; active materialized once for its two
+    // consumers (cluster swap: persist(DISK_ONLY))
     val active = events
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(true)
+    val firstSeen = active.groupBy("user_id")
+      .agg(min(col("day")).as("cohort"))
     active.join(firstSeen, "user_id")
       .select(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("offset"))
       .filter(col("offset") <= maxOffset)
@@ -341,8 +346,12 @@ object Relational {
   def funnelConversion(events: DataFrame, stepA: String = "click",
                        stepB: String = "purchase",
                        windowSec: Long = 86400L): DataFrame = {
+    // firstA feeds the conversion join AND the cohort rollup —
+    // materialize the user-grain frame once (cluster swap:
+    // persist(DISK_ONLY); user grain is small next to event grain)
     val firstA = events.filter(col("event_type") === stepA)
       .groupBy("user_id").agg(min(col("ts")).as("ts_a"))
+      .localCheckpoint(true)
     val conv = events.filter(col("event_type") === stepB)
       .join(firstA, "user_id")
       .filter(col("ts") > col("ts_a") &&
@@ -562,9 +571,12 @@ object Relational {
     */
   def corrMatrix(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("asset").orderBy("date")
+    // rets feeds both self-join sides — materialize once so the
+    // tick-grain daily aggregate upstream doesn't run twice
     val rets = daily.select(col("date"), col("asset"),
       (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"))
       .filter(col("ret").isNotNull)
+      .localCheckpoint(true)
     rets.as("x").join(rets.as("y"),
         col("x.date") === col("y.date") && col("x.asset") < col("y.asset"))
       .groupBy(col("x.asset").as("asset_a"), col("y.asset").as("asset_b"))
@@ -642,11 +654,15 @@ object Relational {
     */
   def psiDrift(events: DataFrame, splitTs: String = "2024-01-16"): DataFrame = {
     val split = lit(splitTs).cast("timestamp")
+    // cuts feeds the bucket join AND the spine — materialize the
+    // |event types|-row frame once so the reference-period scan and
+    // exact-percentile aggregate don't run per consumer
     val cuts = events.filter(col("ts") < split)
       .groupBy("event_type")
       .agg(transform(
         expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"),
         c => round(c, 6)).as("cuts"))
+      .localCheckpoint(true)
     val counts = events
       .join(broadcast(cuts), "event_type")
       .withColumn("period", when(col("ts") < split, "ref").otherwise("cur"))
