@@ -41,6 +41,14 @@ object Bench {
       // cut 10-20% off tiny 150-row shuffles but cost 2x on the
       // CPU-heavy explode/agg queries whose shuffles are small in
       // bytes but large in work (36.4 s vs 30.9 s full-suite).
+      // NOTE (r6): two more floor levers measured and REJECTED for the
+      // same reason — they help the 25-query floor subset ~1.1 s but
+      // cost the 15 byte-heavy queries the same 1.1 s back:
+      // spark.shuffle.compress=false (posting-list/pair shuffles are
+      // LZ4-friendly; raw blocks cost more IO than the codec saves)
+      // and spark.sql.autoBroadcastJoinThreshold=64m (20 MB build
+      // sides broadcast fine for dim joins but serialize the big
+      // dedup/cluster join builds into every task).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJAGG", "1000000"))
       // dev aid: SPARK_GRAFT_CONF="k=v;k2=v2" overlays arbitrary confs
