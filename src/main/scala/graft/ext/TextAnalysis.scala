@@ -231,11 +231,15 @@ object TextAnalysis {
     */
   def unigramLogProb(df: DataFrame, textCol: String = "text"): DataFrame = {
     // per-row TF kernel: the corpus never shuffles at token grain —
-    // rows after the explode are one per DISTINCT token per doc
+    // rows after the explode are one per DISTINCT token per doc.
+    // tf feeds the vocab build and the scoring join, vocab feeds the
+    // normalizer and the same join — materialize each once (cluster
+    // swap for tf: persist(DISK_ONLY), it is corpus-sized)
     val tf = df.select(col("doc_id"),
         explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
       .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
-    val vocab = tf.groupBy("token").agg(sum("tf").as("freq"))
+      .localCheckpoint(true)
+    val vocab = tf.groupBy("token").agg(sum("tf").as("freq")).localCheckpoint(true)
     val total = vocab.agg(sum("freq").as("total"))
     tf.join(broadcast(vocab), "token")
       .groupBy("doc_id")
@@ -269,12 +273,18 @@ object TextAnalysis {
     */
   def bigramLogProb(df: DataFrame, k: Double = 1.0,
                     textCol: String = "text"): DataFrame = {
+    // bg feeds the model build AND the scoring join — materialize it
+    // once (cluster swap: persist(DISK_ONLY), it is corpus-sized); the
+    // context counts then reduce the |distinct bigrams| frame instead
+    // of a second corpus-grain pass: c(w₁·) = Σ c over w₁'s bigrams
     val bg = df.select(col("doc_id"),
       explode(graft.functions.native.wordNgrams(col(textCol), 2)).as("bigram"))
+      .localCheckpoint(true)
     val bigramCounts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
-    val contextCounts = bg
-      .select(substring_index(col("bigram"), " ", 1).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("cc"))
+      .localCheckpoint(true)
+    val contextCounts = bigramCounts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum("c").as("cc"))
     val vocab = df
       .select(explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
       .agg(countDistinct(col("tc.token")).as("vs"))
