@@ -76,6 +76,11 @@ object CorpusPipeline {
     val corpus = TextAnalysis.splitAssign(
         Contamination.clean(hygienic, normBench, cfg.decontamNgram))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      // unconditionally materialized (not Mat.matBoundary): three
+      // consumers (pair build, thin packing pass, final text rejoin)
+      // each re-run the whole normalize→quality→decontam kernel chain
+      // if this recomputes — input bytes understate that cost, and the
+      // A/B at sf0.1 showed gated 5.1 s vs forced 3.0 s end-to-end
       .localCheckpoint(true)
     // stage 4: near-dup keep-first. The loser set is materialized —
     // it is O(#near-dup pairs), tiny next to the corpus — so the

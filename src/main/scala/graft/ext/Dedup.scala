@@ -192,6 +192,11 @@ object Dedup {
     // ONE materialization of the (expensive) pair build; everything
     // below — the size probe and both cluster paths — reads the
     // checkpointed half-edge list, never the pair plan again
+    // unconditionally materialized (not Mat.matBoundary): the loop
+    // below re-reads this frame every round, so un-materialized
+    // recompute depth grows with the iteration count — the size gate's
+    // "recompute ≈ 2× subtree" assumption does not hold for iterative
+    // consumers (A/B at sf0.1: gated 2.46 s vs forced 1.31 s)
     val halfEdges = pairs.select(col("a").as("x"), col("b").as("y"))
       .localCheckpoint(true)
     if (halfEdges.count() <= maxLocalEdges) {

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Mat.MatOps
 
 /** Similarity search over an embedding column (array<float>) — the
   * north-star ANN extension.
@@ -179,7 +180,7 @@ object Similarity {
     // kernel doesn't run twice (cluster swap: persist(DISK_ONLY))
     val n = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nm"), pmod(hash(col("vec_id")), lit(B)).as("blk"))
-      .localCheckpoint(true)
+      .matBoundary
     // block pair (i, j), i <= j, packed as i*B + j. A row in block i
     // goes left for keys (i, i..B-1) and right for keys (0..j, j): a
     // pair with blocks (x, y), x < y, meets once (left from x, right

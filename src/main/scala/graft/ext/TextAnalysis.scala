@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Mat.MatOps
 
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, document fingerprinting. All pure
@@ -238,8 +239,8 @@ object TextAnalysis {
     val tf = df.select(col("doc_id"),
         explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
       .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
-      .localCheckpoint(true)
-    val vocab = tf.groupBy("token").agg(sum("tf").as("freq")).localCheckpoint(true)
+      .matBoundary
+    val vocab = tf.groupBy("token").agg(sum("tf").as("freq")).matBoundary
     val total = vocab.agg(sum("freq").as("total"))
     tf.join(broadcast(vocab), "token")
       .groupBy("doc_id")
@@ -279,9 +280,9 @@ object TextAnalysis {
     // of a second corpus-grain pass: c(w₁·) = Σ c over w₁'s bigrams
     val bg = df.select(col("doc_id"),
       explode(graft.functions.native.wordNgrams(col(textCol), 2)).as("bigram"))
-      .localCheckpoint(true)
+      .matBoundary
     val bigramCounts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .matBoundary
     val contextCounts = bigramCounts
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum("c").as("cc"))
@@ -346,7 +347,7 @@ object TextAnalysis {
     val tf = df.select(col("doc_id"),
         explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
       .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
-      .localCheckpoint(true)
+      .matBoundary
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
     val scored = tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(nDocs))
@@ -564,7 +565,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"),
         col("tc.token").as("token"), col("tc.tf").cast("double").as("tf"))
       .join(broadcast(qterms.select("token").distinct()), Seq("token"), "left_semi")
-      .localCheckpoint(true)
+      .matBoundary
     val dfreq = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df_t"))
     tf.join(broadcast(qterms), Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
@@ -630,10 +631,10 @@ object TextAnalysis {
         explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
       .select(col("source"), col("tc.token").as("token"), col("tc.tf").as("tf"))
       .groupBy("source", "token").agg(sum("tf").as("f"))
-      .localCheckpoint(true)
+      .matBoundary
     val vocab = st.groupBy("token").agg(sum(col("f")).as("freq"))
       .orderBy(desc("freq"), asc("token")).limit(topN)
-      .localCheckpoint(true)
+      .matBoundary
     val corpusTot = vocab.agg(sum("freq").cast("double").as("c_tot"))
     val inVocab = st.join(broadcast(vocab), "token")
     val srcTot = inVocab.groupBy("source").agg(sum("f").cast("double").as("s_tot"))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Mat.MatOps
 
 /** Join / set / analytic operators beyond the reference's surface —
   * the relational core any 100 TB engine needs. Everything here is
@@ -325,7 +326,7 @@ object Relational {
     // consumers (cluster swap: persist(DISK_ONLY))
     val active = events
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .localCheckpoint(true)
+      .matBoundary
     val firstSeen = active.groupBy("user_id")
       .agg(min(col("day")).as("cohort"))
     active.join(firstSeen, "user_id")
@@ -351,7 +352,7 @@ object Relational {
     // persist(DISK_ONLY); user grain is small next to event grain)
     val firstA = events.filter(col("event_type") === stepA)
       .groupBy("user_id").agg(min(col("ts")).as("ts_a"))
-      .localCheckpoint(true)
+      .matBoundary
     val conv = events.filter(col("event_type") === stepB)
       .join(firstA, "user_id")
       .filter(col("ts") > col("ts_a") &&
@@ -576,7 +577,7 @@ object Relational {
     val rets = daily.select(col("date"), col("asset"),
       (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"))
       .filter(col("ret").isNotNull)
-      .localCheckpoint(true)
+      .matBoundary
     rets.as("x").join(rets.as("y"),
         col("x.date") === col("y.date") && col("x.asset") < col("y.asset"))
       .groupBy(col("x.asset").as("asset_a"), col("y.asset").as("asset_b"))
@@ -662,7 +663,7 @@ object Relational {
       .agg(transform(
         expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"),
         c => round(c, 6)).as("cuts"))
-      .localCheckpoint(true)
+      .matBoundary
     val counts = events
       .join(broadcast(cuts), "event_type")
       .withColumn("period", when(col("ts") < split, "ref").otherwise("cur"))

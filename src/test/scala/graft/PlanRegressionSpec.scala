@@ -11,8 +11,15 @@ import org.apache.spark.sql.DataFrame
 class PlanRegressionSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-  private def plan(q: String): String =
-    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+  // These are AT-SCALE contracts: materialization boundaries are
+  // size-gated (graft.ops.Mat), and on sf0.001 the gate legitimately
+  // lets shared subtrees recompute. Force every boundary ON while
+  // building the plan so the assertions check the 100 TB shape.
+  private def plan(q: String): String = {
+    spark.conf.set(graft.ops.Mat.ConfKey, "0")
+    try SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+    finally spark.conf.unset(graft.ops.Mat.ConfKey)
+  }
   private def exchanges(p: String): Int =
     "Exchange hashpartitioning".r.findAllIn(p).size
 
