@@ -495,6 +495,9 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) => Relational.funnelConversion(Tables.events(s, dir))),
     "q_drift_psi" -> ((s, dir) => Relational.psiDrift(Tables.events(s, dir))),
     "q_anomaly" -> ((s, dir) => Relational.anomalyFlags(Tables.events(s, dir))),
+    "q_trend_fit" -> ((s, dir) => Relational.trendFit(Tables.events(s, dir))),
+    "q_event_transitions" -> ((s, dir) => Relational.eventTransitions(Tables.events(s, dir))),
+    "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(Tables.events(s, dir))),
     "q_bm25" -> ((s, dir) => ext.TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Bm25Queries, k = 10)),
     "q_temperature_mix" -> ((s, dir) =>
@@ -1438,6 +1441,32 @@ object SparkEntry {
         |SELECT event_id, event_type, value, round((value - mu) / sigma, 6) AS z
         |FROM events JOIN st USING (event_type)
         |WHERE abs(round((value - mu) / sigma, 6)) > 3.0""".stripMargin,
+    "q_trend_fit" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope,
+        |  round(regr_intercept(value, epoch(ts) / 86400.0), 6) AS intercept,
+        |  round(regr_r2(value, epoch(ts) / 86400.0), 6) AS r2
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_event_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c""".stripMargin,
+    "q_value_histogram" ->
+      """WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(CASE WHEN b.hi = b.lo THEN 0
+        |       ELSE least(floor((e.value - b.lo) / ((b.hi - b.lo) / 20)), 19)
+        |       END AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM events e JOIN b USING (event_type) GROUP BY 1, 2""".stripMargin,
     "q_bm25" ->
       """WITH q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
         |                                 (2,'agg'),(2,'scan'),(3,'vector'),

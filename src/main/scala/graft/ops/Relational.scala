@@ -702,4 +702,69 @@ object Relational {
       .filter(abs(col("z")) > zMax)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
   }
+
+  /** Per-group OLS trend fit of value on time (epoch days):
+    * slope/intercept/r² via the SQL linear-regression aggregates.
+    * All three are functions of the same five partial-aggregable sums
+    * (n, Σx, Σy, Σxy, Σx²), so the 100 TB shape is ONE map-side-
+    * combined pass over the fact grain and a |groups|-row result — no
+    * window, no join, no second scan. 6-dp rounding keeps the float
+    * compare engine-deterministic (same discipline as [[groupStats]]).
+    */
+  def trendFit(events: DataFrame): DataFrame = {
+    val t = (col("ts").cast("double") / lit(86400.0)).as("t")
+    events.select(col("event_type"), col("value"), t)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("regr_slope(value, t)"), 6).as("slope"),
+        round(expr("regr_intercept(value, t)"), 6).as("intercept"),
+        round(expr("regr_r2(value, t)"), 6).as("r2"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: count and conditional probability of each
+    * (prev_type → next_type) step, ordered by (ts, event_id) within
+    * user. The classic user-journey / curriculum-sequencing profile.
+    *
+    * 100 TB shape: the lag needs events clustered by user — ONE
+    * shuffle+sort at event grain (unavoidable: adjacency is defined
+    * per user) feeding a partial-aggregable pair count; the
+    * probability normalization then runs on the |types|² aggregate,
+    * never back on the event grain.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    steps.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("prev_type")), 6))
+  }
+
+  /** Fixed-width numeric histogram per group: `bins` equal-width
+    * buckets between the group's min and max (max lands in the last
+    * bucket). The standard distribution profile for feature/QA
+    * dashboards, exact — the approximate siblings are
+    * [[valueQuantilesApprox]] / count-min.
+    *
+    * 100 TB shape: two passes over the fact grain, both partial-
+    * aggregable — a |groups|-row min/max agg broadcast back, then
+    * bucket-assign inside the scan and a map-side-combined
+    * (group, bin) count. Zero event-grain shuffles. Bin edges are
+    * computed in the same IEEE double expression order on both
+    * engines, so bucket assignment is compare-exact.
+    */
+  def valueHistogram(events: DataFrame, bins: Int = 20): DataFrame = {
+    val b = events.groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    events.join(broadcast(b), "event_type")
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(bins))),
+            lit(bins - 1L)).cast("long")))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+  }
 }

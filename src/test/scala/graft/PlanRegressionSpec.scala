@@ -250,4 +250,25 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(2000))
   }
+
+  test("trend fit: ONE partial-agg pass, no join/window, pruned scan") {
+    val p = plan("q_trend_fit")
+    assert(p.contains("partial_regr_slope"), p.take(2000))
+    assert(exchanges(p) === 1, p.take(2000))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"), p.take(2000))
+  }
+
+  test("event transitions: one event-grain shuffle (user adjacency), aggs at pair grain") {
+    // exchange 1: hashpartitioning(user_id) for the lag; exchanges 2-3:
+    // the |types|²-grain pair count + normalization window — tiny
+    assert(exchanges(plan("q_event_transitions")) === 3, plan("q_event_transitions").take(2500))
+  }
+
+  test("value histogram: min/max stats broadcast back, no event-grain join shuffle") {
+    val p = plan("q_value_histogram")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(exchanges(p) === 2, p.take(2000)) // stats agg + (group,bin) count agg
+  }
 }

@@ -397,4 +397,48 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getDouble(3) > 3.0)
   }
 
+  test("trendFit: exact slope/intercept/r2 on a perfectly linear series") {
+    // value = 2*t + 5 with t in epoch days → slope 2, intercept 5, r2 1
+    val day = 86400L
+    val df = (0 to 9).map { i =>
+      (i.toLong, "lin", new Timestamp(i * day * 1000L), 2.0 * i + 5.0)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val r = Relational.trendFit(df).collect().head
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === 5.0)
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("eventTransitions: counts follow per-user adjacency, probabilities sum to 1") {
+    // user 1: a→b→a ; user 2: a→b — transitions: a→b ×2, b→a ×1
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "a"),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "a"),
+      (5L, ts("2024-01-01 10:01:00"), 2L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Relational.eventTransitions(df)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("a", "b")) === ((2L, 1.0)))
+    assert(out(("b", "a")) === ((1L, 1.0)))
+    assert(out.size === 2, "no cross-user transition may appear")
+  }
+
+  test("valueHistogram: bins partition the count, max lands in last bin, constant group safe") {
+    val df = ((0 to 99).map(i => (i.toLong, "u", ts("2024-01-01 00:00:00"), i.toDouble)) ++
+      (100 to 104).map(i => (i.toLong, "c", ts("2024-01-01 00:00:00"), 7.0)))
+      .toDF("event_id", "event_type", "ts", "value")
+    val out = Relational.valueHistogram(df, bins = 10)
+    val u = out.filter(col("event_type") === "u").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(u.values.sum === 100L)
+    assert(u.keySet === (0L to 9L).toSet && u.values.forall(_ === 10L),
+      s"uniform 0..99 over 10 bins must be flat: $u")
+    val c = out.filter(col("event_type") === "c").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(c === Map(0L -> 5L), "constant group goes wholly to bin 0")
+  }
+
 }
