@@ -496,6 +496,9 @@ object SparkEntry {
     "q_drift_psi" -> ((s, dir) => Relational.psiDrift(Tables.events(s, dir))),
     "q_anomaly" -> ((s, dir) => Relational.anomalyFlags(Tables.events(s, dir))),
     "q_trend_fit" -> ((s, dir) => Relational.trendFit(Tables.events(s, dir))),
+    "q_rate_spike" -> ((s, dir) => Relational.rateSpikes(Tables.events(s, dir))),
+    "q_centroid_sim" -> ((s, dir) =>
+      ext.Similarity.centroidSimilarity(Tables.embeddings(s, dir), dim = 64)),
     "q_event_transitions" -> ((s, dir) => Relational.eventTransitions(Tables.events(s, dir))),
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(Tables.events(s, dir))),
     "q_bm25" -> ((s, dir) => ext.TextAnalysis.bm25TopK(
@@ -1441,6 +1444,24 @@ object SparkEntry {
         |SELECT event_id, event_type, value, round((value - mu) / sigma, 6) AS z
         |FROM events JOIN st USING (event_type)
         |WHERE abs(round((value - mu) / sigma, 6)) > 3.0""".stripMargin,
+    "q_rate_spike" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+        |       FROM d GROUP BY 1)
+        |SELECT event_type, day, n, round((n - mu) / sigma, 6) AS z
+        |FROM d JOIN st USING (event_type)
+        |WHERE abs(round((n - mu) / sigma, 6)) > 2.0""".stripMargin,
+    "q_centroid_sim" ->
+      """WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |                   unnest(embedding::DOUBLE[]) AS x
+        |            FROM embeddings),
+        |m AS (SELECT label, i, round(avg(x), 6) AS m FROM ex GROUP BY 1, 2),
+        |n AS (SELECT label, sqrt(sum(m * m)) AS nm FROM m GROUP BY 1),
+        |d AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+        |      FROM m a JOIN m b ON a.i = b.i AND a.label < b.label GROUP BY 1, 2)
+        |SELECT label_a, label_b, round(dot / (na.nm * nb.nm), 6) AS cosine
+        |FROM d JOIN n na ON label_a = na.label JOIN n nb ON label_b = nb.label""".stripMargin,
     "q_trend_fit" ->
       """SELECT event_type, count(*) AS n,
         |  round(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope,

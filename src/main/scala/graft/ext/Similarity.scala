@@ -292,6 +292,28 @@ object Similarity {
         graft.functions.native.vectorMean(col(vecCol), dim).as("centroid"))
   }
 
+  /** Pairwise cosine similarity between group centroids — the domain/
+    * source similarity matrix (which corpora are embedding-space
+    * neighbors) driving mixture and dedup-scope decisions.
+    *
+    * 100 TB shape: all vector-grain work is [[groupCentroids]]'s ONE
+    * mergeable pass; the pair join runs at |groups|² grain (a handful
+    * of rows), so the self-join is a broadcast of a tiny frame, never
+    * a vector-grain shuffle. Centroid means are 6-dp rounded BEFORE
+    * the dot product so both engines fold identical inputs (same
+    * determinism discipline as groupStats), and the cosine is 6-dp
+    * rounded after.
+    */
+  def centroidSimilarity(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val c = groupCentroids(embeddings, dim)
+      .select(col("label"), transform(col("centroid"), x => round(x, 6)).as("c"))
+      .withColumn("nm", sqrt(aggregate(col("c"), lit(0.0), (a, x) => a + x * x)))
+    c.as("a").join(broadcast(c.as("b")), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(aggregate(zip_with(col("a.c"), col("b.c"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("a.nm") * col("b.nm")), 6).as("cosine"))
+  }
+
   /** Approximate near-duplicate pairs via banded sign-bit signatures +
     * exact verify — the scale path when the threshold is high enough
     * for LSH to separate (cos ≥ ~0.7). The 64-bit hyperplane signature

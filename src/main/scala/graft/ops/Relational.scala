@@ -703,6 +703,26 @@ object Relational {
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
   }
 
+  /** Daily event-RATE spikes: each (type, day) count scored against
+    * the type's distribution of daily counts — the aggregate-grain
+    * sibling of [[anomalyFlags]] (value outliers) for volume
+    * monitoring: a crawler gone hot, a source gone dark.
+    *
+    * 100 TB shape: one partial-aggregable count collapses the event
+    * grain to |types|×|days| rows; the stats and z-scoring all run at
+    * calendar grain. Zero event-grain shuffles beyond the count agg.
+    */
+  def rateSpikes(events: DataFrame, zMax: Double = 2.0): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_samp(col("n")).as("sigma"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("n") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) > zMax)
+      .select("event_type", "day", "n", "z")
+  }
+
   /** Per-group OLS trend fit of value on time (epoch days):
     * slope/intercept/r² via the SQL linear-regression aggregates.
     * All three are functions of the same five partial-aggregable sums

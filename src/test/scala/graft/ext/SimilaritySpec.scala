@@ -206,4 +206,19 @@ class SimilaritySpec extends SparkSpec {
     assert(bClusters.size === 1, s"blob B split across clusters $bClusters")
     assert(aClusters.head !== bClusters.head, "blobs merged into one cluster")
   }
+
+  test("centroidSimilarity: orthogonal/parallel/antipodal centroids score 0/1/-1") {
+    val df = Seq(
+      (1L, 0, Seq(2.0f, 0.0f)), (2L, 0, Seq(4.0f, 0.0f)),   // centroid (3, 0)
+      (3L, 1, Seq(0.0f, 5.0f)),                             // centroid (0, 5)
+      (4L, 2, Seq(6.0f, 0.0f)),                             // centroid (6, 0) ∥ label 0
+      (5L, 3, Seq(-1.0f, 0.0f))                             // centroid (−1, 0) anti label 0
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidSimilarity(df, dim = 2).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(out((0, 1)) === 0.0)
+    assert(out((0, 2)) === 1.0)
+    assert(out((0, 3)) === -1.0)
+    assert(out.size === 6, "one row per unordered label pair")
+  }
 }

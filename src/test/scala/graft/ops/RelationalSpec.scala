@@ -397,6 +397,17 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getDouble(3) > 3.0)
   }
 
+  test("rateSpikes: a hot day flags, steady days don't") {
+    val day = 86400L * 1000L
+    // type "s": 10 events/day for 9 days, 100 on day 10 → one spike
+    val df = (0 until 9).flatMap(d => (0 until 10).map(i =>
+        ((d * 100 + i).toLong, "s", new Timestamp(d * day), 1.0))) ++
+      (0 until 100).map(i => ((900 + i).toLong, "s", new Timestamp(9 * day), 1.0))
+    val out = Relational.rateSpikes(df.toDF("event_id", "event_type", "ts", "value")).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(2) === 100L && out.head.getDouble(3) > 2.0)
+  }
+
   test("trendFit: exact slope/intercept/r2 on a perfectly linear series") {
     // value = 2*t + 5 with t in epoch days → slope 2, intercept 5, r2 1
     val day = 86400L
