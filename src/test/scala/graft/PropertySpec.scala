@@ -104,4 +104,29 @@ class PropertySpec extends SparkSpec {
       assert(salted === plain)
     }
   }
+
+  test("valueHistogram: bins partition the group count; bin indices stay in [0, bins)") {
+    forAll2(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0)), Gen.choose(2, 16)) { (vs, bins) =>
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, "g", new Timestamp(86400000L), v)
+      }.toDF("event_id", "event_type", "ts", "value")
+      val out = Relational.valueHistogram(df, bins).collect()
+      assert(out.map(_.getLong(2)).sum === vs.length.toLong)
+      assert(out.forall { r => val b = r.getLong(1); b >= 0 && b < bins })
+    }
+  }
+
+  test("eventTransitions: n sums to Σ max(events_per_user − 1, 0); p sums to 1 per prev") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 4L), Gen.oneOf("a", "b", "c")))) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, new Timestamp(86400000L + i * 1000L), u, t)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val out = Relational.eventTransitions(df).collect()
+      val expected = evs.groupBy(_._1).values.map(g => math.max(g.size - 1, 0)).sum
+      assert(out.map(_.getLong(2)).sum === expected.toLong)
+      out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+        assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+      }
+    }
+  }
 }
