@@ -497,6 +497,11 @@ object SparkEntry {
     "q_anomaly" -> ((s, dir) => Relational.anomalyFlags(Tables.events(s, dir))),
     "q_trend_fit" -> ((s, dir) => Relational.trendFit(Tables.events(s, dir))),
     "q_rate_spike" -> ((s, dir) => Relational.rateSpikes(Tables.events(s, dir))),
+    "q_winsorize" -> ((s, dir) => Relational.winsorize(Tables.events(s, dir))),
+    "q_dedup_containment" -> ((s, dir) =>
+      ext.Dedup.ngramContainmentPairs(Tables.documentsWide(s, dir), n = 3, threshold = 0.5)),
+    "q_shingle_novelty" -> ((s, dir) =>
+      ext.Dedup.shingleNovelty(Tables.documentsWide(s, dir), n = 3)),
     "q_centroid_sim" -> ((s, dir) =>
       ext.Similarity.centroidSimilarity(Tables.embeddings(s, dir), dim = 64)),
     "q_event_transitions" -> ((s, dir) => Relational.eventTransitions(Tables.events(s, dir))),
@@ -1444,6 +1449,38 @@ object SparkEntry {
         |SELECT event_id, event_type, value, round((value - mu) / sigma, 6) AS z
         |FROM events JOIN st USING (event_type)
         |WHERE abs(round((value - mu) / sigma, 6)) > 3.0""".stripMargin,
+    "q_winsorize" ->
+      """WITH c AS (SELECT event_type, quantile_cont(value, 0.01) AS p_lo,
+        |                  quantile_cont(value, 0.99) AS p_hi
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  round(least(greatest(value, p_lo), p_hi), 6) AS value_w
+        |FROM events JOIN c USING (event_type)""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                     for i in range(1, len(toks) - 1)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter,
+        |         any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, inter / na AS c_ab, inter / nb AS c_ba
+        |FROM pairs WHERE greatest(inter / na, inter / nb) >= 0.5""".stripMargin,
+    "q_shingle_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                     for i in range(1, len(toks) - 1)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+        |t AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY 1),
+        |f AS (SELECT min(doc_id) AS doc_id FROM ex GROUP BY s),
+        |nv AS (SELECT doc_id, count(*) AS n_novel FROM f GROUP BY 1)
+        |SELECT t.doc_id, t.n_shingles, coalesce(nv.n_novel, 0) AS n_novel,
+        |  round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / t.n_shingles, 6) AS novelty
+        |FROM t LEFT JOIN nv USING (doc_id)""".stripMargin,
     "q_rate_spike" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |           FROM events GROUP BY 1, 2),

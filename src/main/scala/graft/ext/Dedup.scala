@@ -135,6 +135,18 @@ object Dedup {
     require(idType == org.apache.spark.sql.types.LongType,
       s"ngramJaccardPairs requires a LONG doc_id (got $idType); assign " +
         "surrogate long ids (TotalOrder.globalIndex) and join back after")
+    pairCounts(docs, n, dfCap)
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** The shared group-pairs structure behind [[ngramJaccardPairs]] and
+    * [[ngramContainmentPairs]]: (a, b, inter, na, nb) for every doc
+    * pair sharing ≥1 (surviving) shingle, a < b. See
+    * [[ngramJaccardPairs]] for the shape and `dfCap` semantics.
+    */
+  private def pairCounts(docs: DataFrame, n: Int, dfCap: Option[Int]): DataFrame = {
     val postings = docs
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("s"))
@@ -145,9 +157,57 @@ object Dedup {
       .select(explode(graft.functions.native.postingPairs(col("ids"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"), min(col("p.na")).as("na"), min(col("p.nb")).as("nb"))
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+  }
+
+  /** Asymmetric near-dup: shingle CONTAINMENT C(A,B) = |A∩B| / |A| —
+    * the subset/quote detector Jaccard misses (a doc wholly embedded
+    * in a much larger one scores low Jaccard but containment ~1).
+    * Emits both directions per unordered pair (c_ab = inter/na,
+    * c_ba = inter/nb), filtered on the larger of the two, so the
+    * caller sees which side is the contained one. Same single-explode
+    * group-pairs build, same `dfCap` guard, same cost as
+    * [[ngramJaccardPairs]] — only the final scalar differs
+    * (cf. Broder '97's resemblance vs containment).
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                            dfCap: Option[Int] = None): DataFrame = {
+    val idType = docs.schema("doc_id").dataType
+    require(idType == org.apache.spark.sql.types.LongType,
+      s"ngramContainmentPairs requires a LONG doc_id (got $idType); assign " +
+        "surrogate long ids (TotalOrder.globalIndex) and join back after")
+    pairCounts(docs, n, dfCap)
+      .withColumn("c_ab", col("inter") / col("na"))
+      .withColumn("c_ba", col("inter") / col("nb"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("a", "b", "c_ab", "c_ba")
+  }
+
+  /** Per-doc shingle NOVELTY: the fraction of a doc's distinct
+    * shingles not seen in any earlier doc (by ascending doc_id) — the
+    * crawl-cycle "is new content still arriving?" curve, and a
+    * curriculum signal (novelty-dense docs first). Docs with zero
+    * shingles (< n tokens) are absent, as in the pair builds.
+    *
+    * 100 TB shape: ONE corpus explode into thin (doc_id, s) rows,
+    * materialized once for its two consumers (first-seen agg and
+    * per-doc totals); first-seen is a shingle-grain min agg whose
+    * novel-count collapses straight to doc grain, then a doc-grain
+    * join. No joins or shuffles ever carry shingle strings past the
+    * two aggs.
+    */
+  def shingleNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    import graft.ops.Mat.MatOps
+    val ex = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .matBoundary
+    val totals = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = ex.groupBy("s").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 6).as("novelty"))
   }
 
   /** The keep/drop DECISION from near-dup pairs: drop every doc that

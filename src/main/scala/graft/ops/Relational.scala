@@ -703,6 +703,28 @@ object Relational {
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
   }
 
+  /** Winsorize: clip each value into its group's [p_lo, p_hi]
+    * percentile band — the robust feature normalization that keeps
+    * outlier rows (vs [[anomalyFlags]], which reports them) so
+    * downstream stats aren't dominated by a few extreme ticks.
+    *
+    * 100 TB shape: the exact percentile pass materializes each
+    * group's values (fine at |types| groups); past ~10⁷ values/group
+    * swap `percentile` for `approx_percentile` — the clip itself is
+    * unchanged (docs/SCALE.md switch table). Cuts are a |groups|-row
+    * broadcast; clipping runs per-row inside the scan, zero
+    * event-grain shuffles.
+    */
+  def winsorize(events: DataFrame, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(0 <= lo && lo < hi && hi <= 1, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val cuts = events.groupBy("event_type").agg(
+      expr(s"percentile(value, $lo)").as("p_lo"),
+      expr(s"percentile(value, $hi)").as("p_hi"))
+    events.join(broadcast(cuts), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(least(greatest(col("value"), col("p_lo")), col("p_hi")), 6).as("value_w"))
+  }
+
   /** Daily event-RATE spikes: each (type, day) count scored against
     * the type's distribution of daily counts — the aggregate-grain
     * sibling of [[anomalyFlags]] (value outliers) for volume

@@ -204,4 +204,30 @@ class DedupSpec extends SparkSpec {
     val byKey = out.map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(byKey("gamma") === 2L && byKey("delta") === 1L)
   }
+
+  test("containment: embedded doc scores ~1 on its side while jaccard stays low") {
+    val small = "alpha beta gamma delta epsilon" // 3 shingles, all inside big
+    val big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val d = docs((1L, big), (2L, small), (3L, "totally different words here now"))
+    val out = Dedup.ngramContainmentPairs(d, 3, threshold = 0.9).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(r.getDouble(3) === 1.0, "small doc wholly contained → c_ba = 1")
+    assert(r.getDouble(2) < 0.3, "big doc is mostly its own content")
+    // the same pair is invisible to jaccard at any useful threshold
+    assert(Dedup.ngramJaccardPairs(d, 3, threshold = 0.5).collect().isEmpty)
+  }
+
+  test("shingleNovelty: first doc fully novel, duplicate fully stale, overlap partial") {
+    val d = docs(
+      (1L, "a b c d e"),      // 3 shingles, all first-seen
+      (2L, "a b c d e"),      // identical → 0 novel
+      (3L, "c d e f g"))      // shingles: "c d e" (seen), "d e f", "e f g" → 2/3 novel
+    val out = Dedup.shingleNovelty(d, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 1.0)))
+    assert(out(2L) === ((3L, 0L, 0.0)))
+    assert(out(3L) === ((3L, 2L, 0.666667)))
+  }
 }

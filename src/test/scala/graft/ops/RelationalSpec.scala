@@ -397,6 +397,17 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getDouble(3) > 3.0)
   }
 
+  test("winsorize: values clip to the group band, interior values untouched") {
+    val df = (1 to 100).map(i => (i.toLong, "g", ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("event_id", "event_type", "ts", "value")
+    val out = Relational.winsorize(df, 0.1, 0.9).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // exact percentile at p=0.1/0.9 over 1..100: 10.9 and 90.1
+    assert(out(1L) === 10.9 && out(5L) === 10.9, "low tail clips to p10")
+    assert(out(100L) === 90.1 && out(95L) === 90.1, "high tail clips to p90")
+    assert(out(50L) === 50.0, "interior untouched")
+  }
+
   test("rateSpikes: a hot day flags, steady days don't") {
     val day = 86400L * 1000L
     // type "s": 10 events/day for 9 days, 100 on day 10 → one spike
