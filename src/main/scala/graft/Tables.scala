@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
 
 /** Loaders for the driver-provided parquet testdata (TESTDATA.md) and
   * the role mapping from the reference's time-series schema onto the
@@ -35,20 +36,36 @@ object Tables {
   /** [[events]] fanned out for kernel-bound consumers ([[tableWide]]). */
   def eventsWide(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tableWide(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = tableWide(spark, sfDir, "events")
+    df.withColumn("ts", tsToTimestamp(df.schema("ts").dataType))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no type
-    * for. Read nanos as raw longs (legacy conf) and floor-divide to
-    * microsecond timestamps — exactly what DuckDB does when it reads
-    * the same file as its µs TIMESTAMP, so oracle comparisons agree.
+  /** Normalizes a raw `ts` column to a µs TIMESTAMP whichever way the
+    * driver generated the file: parquet TIMESTAMP(NANOS) — which Spark
+    * has no type for, so it surfaces as a raw nanos long under the
+    * legacy conf and is floor-divided to µs, exactly what DuckDB does
+    * reading the same file — or a native µs timestamp (NTZ under the
+    * UTC session denotes the same instant, so the cast is a relabel).
     */
+  def tsToTimestamp(t: DataType): Column = t match {
+    case LongType => timestamp_micros(expr("ts div 1000"))
+    case _        => col("ts").cast(TimestampType)
+  }
+
+  /** The raw `ts` type a batch scan of `events.parquet` surfaces —
+    * streaming sources declare their schema up front, so they probe
+    * this (one cached footer read) instead of hardcoding an era.
+    */
+  def rawTsType(spark: SparkSession, eventsPath: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.store.SchemaCache.read(spark, eventsPath).schema("ts").dataType
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, sfDir, "events")
+    df.withColumn("ts", tsToTimestamp(df.schema("ts").dataType))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

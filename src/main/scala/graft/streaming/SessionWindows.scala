@@ -27,9 +27,9 @@ import org.apache.spark.sql.types._
   */
 object SessionWindows {
 
-  private val eventsRawSchema = StructType(Seq(
+  private def eventsRawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -55,10 +55,11 @@ object SessionWindows {
         java.nio.file.Files.createSymbolicLink(d.resolve(src.getName), src.toPath)
         d.toString
       } else eventsPath
+    val tsType = graft.Tables.rawTsType(s, eventsPath)
     val q = s.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(tsType))
       .parquet(streamDir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+      .select(graft.Tables.tsToTimestamp(tsType).as("ts"), col("user_id"))
       .withWatermark("ts", "1 day")
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))

@@ -19,12 +19,14 @@ import org.apache.spark.sql.types._
   */
 object StreamingOhlc {
 
-  /** events.parquet raw schema — ts read as nanosecond long (the file
-    * is TIMESTAMP(NANOS); see Tables.events).
+  /** events.parquet raw schema — `ts` declared as whatever the file
+    * surfaces in batch (nanos-as-long for legacy TIMESTAMP(NANOS)
+    * testdata, a µs timestamp for regenerated testdata; see
+    * Tables.rawTsType / Tables.tsToTimestamp).
     */
-  private val eventsRawSchema = StructType(Seq(
+  private def eventsRawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -71,10 +73,11 @@ object StreamingOhlc {
         java.nio.file.Files.createSymbolicLink(d.resolve(src.getName), src.toPath)
         d.toString
       } else eventsPath
+    val tsType = graft.Tables.rawTsType(spark, eventsPath)
     val stream = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(tsType))
       .parquet(streamDir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts_utc"),
+      .select(graft.Tables.tsToTimestamp(tsType).as("ts_utc"),
         col("event_type").as("asset"), col("value").as("price"))
       .withWatermark("ts_utc", "1 day")
     stream
