@@ -15,6 +15,12 @@ run / fork := true
 // driver parses bench output from a bounded log tail, and sbt's
 // "[success] Total time ..." epilogue otherwise lands after it.
 showSuccess := false
+// Forked run output inherits stdout RAW — without this, sbt routes it
+// through the logger and every line gains an "[info] " prefix, which
+// breaks the driver's json-parse of Bench's final line (r6's BENCH
+// artifact shows parsed:null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

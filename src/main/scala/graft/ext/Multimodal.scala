@@ -1,5 +1,9 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -8,12 +12,19 @@ import org.apache.spark.sql.functions._
   * executor-side batch functions over `mapPartitions` (the Scala
   * analog of pandas-UDF `mapInPandas` plumbing).
   *
-  * The actual codecs (JPEG decode, resample, frame extraction) are
-  * NOT in this container, so the decode kernels are clearly-marked
-  * deterministic STUBS — but everything Spark-side is real and
-  * tested: the schema (binary + struct), the partition-batched
-  * execution shape, the typed Encoder round trip, and the metadata
-  * derivation, which is pure codegen'd expressions.
+  * The image path is a REAL in-JDK codec: payloads are genuine
+  * PNG/JPEG byte streams produced by `javax.imageio.ImageIO.write`
+  * and decoded back with `ImageIO.read` on the executors. The raster
+  * content is a deterministic arithmetic pattern, which makes the
+  * PNG (lossless) decode output analytically verifiable — the
+  * q_multimodal_decode oracle recomputes the same mean luma in pure
+  * SQL, so a hash match proves the byte-level decode was faithful.
+  *
+  * 100 TB shape: encode and decode are embarrassingly parallel
+  * per-partition batch loops over the opaque binary column; no
+  * shuffle is introduced, and the binary payload never feeds a join
+  * key. Swap `ImageIO` for ffmpeg/libjpeg-turbo bindings and the
+  * plumbing (schema, encoders, partition batching) is unchanged.
   */
 object Multimodal {
 
@@ -21,9 +32,18 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, format: String, width: Int, height: Int,
                             n_bytes: Long, payload: Array[Byte])
 
-  /** Extracted features (decode output schema). */
+  /** Extracted payload statistics (opaque-format output schema). */
   final case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
                                  mean_byte: Double, first_byte: Int, frames_sampled: Int)
+
+  /** One real image row: compressed PNG/JPEG bytes + identity. */
+  final case class ImageRow(doc_id: Long, format: String, payload: Array[Byte])
+
+  /** Decoded image features: dimensions from the codec, mean green-
+    * channel luma over all pixels.
+    */
+  final case class DecodedImage(doc_id: Long, format: String, width: Int, height: Int,
+                                n_bytes: Long, mean_luma: Double)
 
   /** Wrap a text table as a media table: payload = UTF-8 bytes (the
     * stand-in for real image bytes), metadata derived
@@ -38,27 +58,25 @@ object Multimodal {
       octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
       col("text").cast("binary").as("payload"))
 
-  /** Executor-side batch "decode": iterates each partition once,
-    * computing features per payload. The byte-statistics body stands
-    * in for a real `ImageIO.read`/ffmpeg call — swap `decodeStub`
-    * for the codec and the plumbing (partitioning, encoders, batch
-    * shape) is unchanged.
+  /** Executor-side batch payload statistics for opaque formats the
+    * container has no codec for (audio/video/unknown): one partition
+    * pass computing byte-level stats. For image formats use
+    * [[decodeImages]] — the real codec.
     */
   def decodeFeatures(media: Dataset[MediaRow], frameStride: Int = 1024): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (mean, first, frames) = decodeStub(r.payload, frameStride)
+        val (mean, first, frames) = payloadStats(r.payload, frameStride)
         MediaFeatures(r.doc_id, r.format, r.n_bytes, mean, first, frames)
       }
     }
   }
 
-  /** STUB for the real codec: deterministic byte statistics. A real
-    * implementation decodes `payload` with an image/audio library and
-    * returns genuine features (dimensions, duration, frame pixels).
+  /** Byte-level statistics for payloads with no in-container codec:
+    * mean byte value, first byte, and a stride-sampled "frame" count.
     */
-  private def decodeStub(payload: Array[Byte], frameStride: Int): (Double, Int, Int) = {
+  private def payloadStats(payload: Array[Byte], frameStride: Int): (Double, Int, Int) = {
     if (payload.isEmpty) (0.0, -1, 0)
     else {
       var sum = 0L
@@ -66,6 +84,82 @@ object Multimodal {
       while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
       val frames = (payload.length + frameStride - 1) / frameStride // "frame sample" every stride bytes
       (sum.toDouble / payload.length, payload(0) & 0xff, frames)
+    }
+  }
+
+  /** Deterministic grayscale raster: pixel (x, y) of doc d has value
+    * (d·31 + 7x + 13y) mod 256 — full-range, reproducible, and cheap
+    * enough that the oracle can recompute it analytically.
+    */
+  private def grayAt(docId: Long, x: Int, y: Int): Int =
+    java.lang.Math.floorMod(docId * 31 + 7L * x + 13L * y, 256L).toInt
+
+  /** Image dimensions derived from the id (SQL-expressible so the
+    * oracle can reproduce them): 16–47 wide, 12–35 tall.
+    */
+  def imageDims(docId: Long): (Int, Int) =
+    ((docId % 32 + 16).toInt, (docId % 24 + 12).toInt)
+
+  /** Encode the deterministic raster for `docId` as real `format`
+    * ("png" or "jpeg") bytes via `ImageIO.write`.
+    */
+  def encodeImage(docId: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = grayAt(docId, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false) // in-memory streams, no tmp-file spill per call
+    require(ImageIO.write(img, format, baos), s"no ImageIO writer for $format")
+    baos.toByteArray
+  }
+
+  /** Render one real compressed image per doc row: even ids → PNG
+    * (lossless, oracle-verifiable decode), odd ids → JPEG (lossy,
+    * unit-verified decode). Executor-side batch encode over
+    * `mapPartitions`; emits genuine codec output bytes.
+    */
+  def renderImages(docs: DataFrame): Dataset[ImageRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val (w, h) = imageDims(d)
+        val fmt = if (d % 2 == 0) "png" else "jpeg"
+        ImageRow(d, fmt, encodeImage(d, w, h, fmt))
+      }
+    }
+  }
+
+  /** THE real decode kernel: `ImageIO.read` each payload on the
+    * executor, take dimensions from the decoded raster (not metadata)
+    * and mean green-channel luma over every pixel. Fails fast on an
+    * undecodable payload rather than emitting silent nulls.
+    */
+  def decodeImages(media: Dataset[ImageRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable ${r.format} payload for doc ${r.doc_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) >> 8) & 0xff; x += 1 }
+          y += 1
+        }
+        DecodedImage(r.doc_id, r.format, w, h, r.payload.length.toLong,
+          sum.toDouble / (w.toLong * h))
+      }
     }
   }
 

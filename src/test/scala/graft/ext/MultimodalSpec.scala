@@ -20,7 +20,42 @@ class MultimodalSpec extends SparkSpec {
     assert(m(1).getAs[Int]("width") === 3 % 640 + 64)
   }
 
-  test("decodeFeatures: partition-batched decode stub computes byte stats") {
+  test("decodeImages: PNG decode is bit-faithful to the analytic raster") {
+    val d = 4L
+    val src = Seq((d, "t", 1L)).toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.decodeImages(Multimodal.renderImages(src)).collect().head
+    val (w, h) = Multimodal.imageDims(d)
+    assert(out.format === "png")
+    assert(out.width === w && out.height === h)
+    assert(out.n_bytes > 0L)
+    val expect = (for { x <- 0 until w; y <- 0 until h }
+      yield ((d * 31 + 7 * x + 13 * y) % 256).toDouble).sum / (w * h)
+    assert(out.mean_luma === expect) // PNG is lossless: exact equality
+  }
+
+  test("decodeImages: JPEG decode recovers dims exactly, luma approximately") {
+    val d = 5L
+    val src = Seq((d, "t", 1L)).toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.decodeImages(Multimodal.renderImages(src)).collect().head
+    val (w, h) = Multimodal.imageDims(d)
+    assert(out.format === "jpeg")
+    assert(out.width === w && out.height === h) // dims survive lossy coding
+    val expect = (for { x <- 0 until w; y <- 0 until h }
+      yield ((d * 31 + 7 * x + 13 * y) % 256).toDouble).sum / (w * h)
+    assert(math.abs(out.mean_luma - expect) < 16.0,
+      s"jpeg luma ${out.mean_luma} drifted too far from analytic $expect")
+  }
+
+  test("decodeImages: fails fast on an undecodable payload") {
+    val bad = Seq(Multimodal.ImageRow(9L, "png", Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(bad).collect()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
+  test("decodeFeatures: partition-batched payload stats for opaque formats") {
     val media = Multimodal.attachPayload(docs).as[Multimodal.MediaRow]
     val f = Multimodal.decodeFeatures(media, frameStride = 2).collect()
       .map(r => r.doc_id -> r).toMap
