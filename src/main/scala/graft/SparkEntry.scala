@@ -278,8 +278,7 @@ object SparkEntry {
     }),
     "q_train_split" -> ((s, dir) => TextAnalysis.splitAssign(Tables.documents(s, dir))
       .select("doc_id", "lang", "split")),
-    "q_fingerprint_rolling" -> ((s, dir) => Tables.documents(s, dir) // xxhash-based: rows-only
-      // vs oracle; matches a driver-side reimplementation (TextAnalysisSpec)
+    "q_fingerprint_rolling" -> ((s, dir) => Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.fingerprintRolling(col("text")).as("fp"))),
 
     // ---- north-star: corpus hygiene (PII / repetition / decontam /
@@ -300,8 +299,10 @@ object SparkEntry {
         col("doc_id") +: scores.map { case (l, c) => round(c, 6).as(s"score_$l") }: _*)
     }),
     "q_corpus_prepare" -> ((s, dir) => { // end-to-end prep composition:
-      // rows-only vs oracle; every stage is oracle-verified via its own
-      // key, the wiring via CorpusPipelineSpec (gates/determinism/packing)
+      // fully oracle-checked since r7: the DuckDB side recomposes the
+      // whole pipeline (normalize → gates → decontam → split → near-dup
+      // → per-split packing) from the same verified fragments its
+      // component keys use; wiring also covered by CorpusPipelineSpec
       val d = Tables.documentsWide(s, dir)
       CorpusPipeline.prepare(
         d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0))
@@ -812,6 +813,84 @@ object SparkEntry {
         |    + length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_tokens_bpe
         |FROM documents""".stripMargin,
     "q_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_fingerprint_rolling" ->
+      // same fold as the engine: fp = (acc*31 + (md5_32(tok) mod M)) mod M
+      // left-to-right over split(lower(text), ' '); list_reduce seeds
+      // with a prepended 0 to mirror aggregate's zero initial
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(lower(text), ' '),
+        |        w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 2147483647)),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+    "q_corpus_prepare" ->
+      // the full pipeline recomposed from the SAME verified fragments
+      // its component keys use: normalize (q_normalize_text) → quality/
+      // repetition/PII gates (q_text_quality, q_repetition, q_pii) →
+      // 5-gram decontam vs the benchmark slice (q_decontam) → md5 split
+      // (q_train_split) → 3-gram Jaccard keep-first (q_dedup_keep) →
+      // per-split prefix-sum packing in md5 order (q_pack_sequences)
+      """WITH nd AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      list_filter(string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' '),
+        |        (tk, i) -> i = 1 OR string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')[i-1] <> tk),
+        |      ' ') AS text
+        |  FROM documents),
+        |corpus0 AS (SELECT * FROM nd WHERE doc_id % 17 <> 0),
+        |bench AS (SELECT * FROM nd WHERE doc_id % 17 = 0),
+        |feat AS (
+        |  SELECT doc_id, text,
+        |    least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+        |      + len(list_filter(string_split(text, ' '),
+        |            t -> list_contains(['the','a','and','of','to','in','is','it'], t))) * 1.0
+        |        / len(string_split(text, ' ')) * 0.3
+        |      + least(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+        |              / len(string_split(text, ' ')) / 10.0, 1.0) * 0.2 AS quality_score,
+        |    1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |        / len(string_split(text, ' ')) AS dup_token_frac,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails
+        |  FROM corpus0),
+        |htok AS (
+        |  SELECT f.doc_id, f.quality_score, string_split(f.text, ' ') AS toks
+        |  FROM feat f
+        |  WHERE f.quality_score >= 0.2 AND f.dup_token_frac <= 0.8 AND f.n_emails <= 0),
+        |hex AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                                       toks[i+3] || ' ' || toks[i+4]
+        |                                       for i in range(1, len(toks) - 3)])) AS s
+        |  FROM htok WHERE len(toks) >= 5),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                                        toks[i+3] || ' ' || toks[i+4]
+        |                                        for i in range(1, len(toks) - 3)])) AS s
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM bench) WHERE len(toks) >= 5),
+        |contaminated AS (SELECT DISTINCT doc_id FROM hex JOIN bsh USING (s)),
+        |clean AS (SELECT * FROM htok WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |sp AS (
+        |  SELECT doc_id, quality_score, toks,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |    len(toks)::BIGINT AS n_tokens
+        |  FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |        FROM clean)),
+        |cex AS (
+        |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+        |  FROM (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                      for i in range(1, len(toks) - 1)]) AS shingles
+        |        FROM sp WHERE len(toks) >= 3)
+        |  WHERE len(shingles) > 0),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter,
+        |         any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM cex x JOIN cex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT b FROM pairs WHERE inter / (na + nb - inter) >= 0.8),
+        |surv AS (SELECT * FROM sp WHERE doc_id NOT IN (SELECT b FROM losers))
+        |SELECT doc_id, quality_score, split,
+        |  floor((sum(n_tokens) OVER (PARTITION BY split ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |         - n_tokens) / 512.0)::BIGINT AS pack_id
+        |FROM surv""".stripMargin,
     "q_sql_shingles" ->
       """SELECT doc_id,
         |  CASE WHEN len(string_split(lower(text), ' ')) >= 3

@@ -521,10 +521,18 @@ object TextAnalysis {
     * differences if tokens are normalized first): fp = Σ h(tokᵢ)·31ⁱ
     * mod 2³¹−1, computed as a left fold. Modular form keeps every
     * intermediate < 2³⁶ so ANSI mode never sees a Long overflow.
+    * The per-token hash is the first 8 md5 hex digits (the same
+    * engine-portable construction as [[splitAssign]]'s hashBucket),
+    * so the fingerprint is reproducible on ANY engine with md5 —
+    * which is what a fingerprint is for; a ~2× kernel-cost premium
+    * over xxhash64 on a per-doc scan that is never the pipeline
+    * bottleneck.
     */
   def fingerprintRolling(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) =>
-      pmod(acc * 31L + pmod(xxhash64(w), lit(2147483647L)), lit(2147483647L)))
+      pmod(acc * 31L +
+        pmod(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), lit(2147483647L)),
+        lit(2147483647L)))
 
   /** BM25 keyword retrieval: top-`k` documents per query under
     * Robertson/Lucene BM25 — idf = ln(1 + (N−df+0.5)/(df+0.5)),

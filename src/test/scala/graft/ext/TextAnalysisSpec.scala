@@ -255,17 +255,19 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("rolling fingerprint matches an independent driver-side reimplementation") {
-    // the oracle-less query key (q_fingerprint_rolling) gets its teeth
-    // here: the same fold — fp = (acc*31 + (xxh64(tok) mod M)) mod M
-    // over split(lower(text), " ") — written directly against the
-    // public XXH64 primitive, no Column API involved
+    // the same fold — fp = (acc*31 + (md5_32(tok) mod M)) mod M over
+    // split(lower(text), " ") — written directly against JDK
+    // MessageDigest, no Column API involved (the engine-portable hash
+    // q_fingerprint_rolling's DuckDB oracle recomputes)
     val M = 2147483647L
+    def md5_32(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
     def expected(text: String): Long =
       text.toLowerCase.split(" ", -1).foldLeft(0L) { (acc, w) =>
-        val h = java.lang.Math.floorMod(
-          org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-            org.apache.spark.unsafe.types.UTF8String.fromString(w), 42L), M)
-        java.lang.Math.floorMod(acc * 31L + h, M)
+        java.lang.Math.floorMod(acc * 31L + java.lang.Math.floorMod(md5_32(w), M), M)
       }
     val fixtures = Seq(
       "The quick brown fox", "the quick brown fox", // case-insensitive
