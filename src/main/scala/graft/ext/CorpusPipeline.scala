@@ -73,8 +73,17 @@ object CorpusPipeline {
     // blocks, NOT fault-tolerant (an executor loss fails the downstream
     // job). On a cluster, swap the boundary for persist(DISK_ONLY) or a
     // staging-table write — same shape, same trade.
+    // A doc's shared-shingle count depends on nothing but its own
+    // text, so the flag probe runs on the PRE-GATE normalized text:
+    // flag(normalized) ∩ hygienic-ids = flag(hygienic), and the
+    // probe side skips re-evaluating the quality/PII/repetition
+    // kernels (r7 profile: the gate chain was the whole pipeline's
+    // single most re-executed subtree).
+    val contaminated = Contamination.flag(
+        normalized.select(col("doc_id"), col("text")), normBench, cfg.decontamNgram)
+      .select("doc_id")
     val corpus = TextAnalysis.splitAssign(
-        Contamination.clean(hygienic, normBench, cfg.decontamNgram))
+        hygienic.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
       // unconditionally materialized (not Mat.matBoundary): three
       // consumers (pair build, thin packing pass, final text rejoin)

@@ -54,8 +54,13 @@ object ProfPrep {
     val normBench = bench.withColumn("text", TextAnalysis.normalizeText(col("text")))
     var corpus: DataFrame = null
     time("stage 3 decontam+split+tokens + localCkpt") {
+      // mirrors prepare(): the flag probe runs on pre-gate normalized
+      // text so the gate kernels are not re-evaluated on the probe side
+      val contaminated = Contamination.flag(
+          normalized.select(col("doc_id"), col("text")), normBench, cfg.decontamNgram)
+        .select("doc_id")
       corpus = TextAnalysis.splitAssign(
-          Contamination.clean(hygienic, normBench, cfg.decontamNgram))
+          hygienic.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
         .localCheckpoint(true)
     }
