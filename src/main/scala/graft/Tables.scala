@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet testdata (TESTDATA.md) and
   * the role mapping from the reference's time-series schema onto the
@@ -50,7 +50,18 @@ object Tables {
     */
   def tsToTimestamp(t: DataType): Column = t match {
     case LongType => timestamp_micros(expr("ts div 1000"))
-    case _        => col("ts").cast(TimestampType)
+    case TimestampNTZType =>
+      // instant-preserving ONLY because every entry point pins
+      // spark.sql.session.timeZone=UTC; assert rather than silently
+      // shift all event timestamps under a drifted session
+      val tz = SparkSession.active.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"tsToTimestamp: NTZ->Timestamp relabel requires a UTC session, got $tz")
+      col("ts").cast(TimestampType)
+    case TimestampType => col("ts")
+    case other => throw new IllegalArgumentException(
+      s"tsToTimestamp: unexpected raw ts type $other — regenerated " +
+        "testdata changed era? (expected TIMESTAMP(NANOS)-as-long, NTZ µs, or UTC µs)")
   }
 
   /** The raw `ts` type a batch scan of `events.parquet` surfaces —

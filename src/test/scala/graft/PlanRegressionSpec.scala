@@ -256,11 +256,12 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("partial_regr_slope"), p.take(2000))
     assert(exchanges(p) === 1, p.take(2000))
     assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
-    // ts surfaces as bigint (legacy nanos testdata) or timestamp_ntz
-    // (regenerated µs testdata); either way the scan must be pruned to
-    // exactly these three columns
+    // ts surfaces as bigint (legacy nanos testdata), timestamp_ntz
+    // (regenerated µs testdata), or plain timestamp (µs with
+    // isAdjustedToUTC=true) — all handled by Tables.tsToTimestamp;
+    // either way the scan must be pruned to exactly these three columns
     assert(p.contains("event_type:string,value:double>"), p.take(2000))
-    assert("ReadSchema: struct<ts:(bigint|timestamp_ntz)".r.findFirstIn(p).nonEmpty, p.take(2000))
+    assert("ReadSchema: struct<ts:(bigint|timestamp_ntz|timestamp)".r.findFirstIn(p).nonEmpty, p.take(2000))
   }
 
   test("event transitions: one event-grain shuffle (user adjacency), aggs at pair grain") {
