@@ -105,19 +105,24 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
       .orderBy("date")
 
   /** plot_report artifact (dag:300-371 savefig parity, S11): render
-    * the report window to an SVG line chart + S12 existence/size
-    * check. The collect is bounded (≤ 61 rows) by construction.
+    * the report window to a line chart — raster PNG (the reference's
+    * own artifact format, via java.awt + ImageIO) when `outPath` ends
+    * in .png, vector SVG otherwise — + S12 existence/size check. The
+    * collect is bounded (≤ 61 rows) by construction.
     */
   def renderReport(asset: String, day: String, outPath: String): String = {
     val rows = reportWindow(asset, day).collect()
     val dates = rows.map(_.getDate(0).toString).toSeq
     def series(i: Int) = rows.map(r => if (r.isNullAt(i)) None else Some(r.getDouble(i))).toSeq
-    val svg = graft.report.SvgChart.lineChart(dates,
-      Seq("close" -> series(1), "ma7" -> series(2), "ma30" -> series(3)),
-      title = s"$asset $day close/ma7/ma30 (trailing 60d)")
+    val named = Seq("close" -> series(1), "ma7" -> series(2), "ma30" -> series(3))
+    val title = s"$asset $day close/ma7/ma30 (trailing 60d)"
+    val bytes =
+      if (outPath.endsWith(".png")) graft.report.PngChart.lineChart(dates, named, title)
+      else graft.report.SvgChart.lineChart(dates, named, title)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val p = java.nio.file.Paths.get(outPath)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, svg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(p, bytes)
     Checks.requireFileNonEmpty(spark, outPath)
     outPath
   }
@@ -140,7 +145,7 @@ final class Pipeline(spark: SparkSession, root: String, fetcher: Fetcher) {
     loadRaw(asset, csvPath)
     computeDailyMetrics(asset, day)
     enrichIndicators()
-    renderReport(asset, day, s"$root/reports/${asset}_$day.svg")
+    renderReport(asset, day, s"$root/reports/${asset}_$day.png")
     qualityChecks(asset, day, csvPath)
   }
 

@@ -1,15 +1,16 @@
 package graft.report
 
-/** Minimal deterministic SVG line-chart renderer — the S11 artifact
-  * sink (reference dag_btc_daily.py:300-371 renders the same 60-day
-  * close/ma7/ma30 window with matplotlib savefig; this container has
-  * no raster libs, so the artifact is vector SVG built by hand).
-  * Pure string assembly over an ALREADY-COLLECTED, bounded report
-  * window (≤ 61 rows) — never a distributed operation.
+/** Minimal deterministic SVG line-chart renderer — the vector form of
+  * the S11 artifact sink (reference dag_btc_daily.py:300-371 renders
+  * the same 60-day close/ma7/ma30 window with matplotlib savefig;
+  * [[PngChart]] is the raster-parity form, this is the dependency-free
+  * vector one). Geometry shared via [[ChartGeom]]. Pure string
+  * assembly over an ALREADY-COLLECTED, bounded report window (≤ 61
+  * rows) — never a distributed operation.
   */
 object SvgChart {
 
-  private val seriesColors = Seq("#1f77b4", "#ff7f0e", "#2ca02c", "#d62728")
+  private def hex(c: Int): String = f"#$c%06x"
 
   /** Render `series` (name → per-date optional values, all aligned to
     * `dates`) as polylines with a y-range fitted to the defined
@@ -18,34 +19,23 @@ object SvgChart {
   def lineChart(dates: Seq[String], series: Seq[(String, Seq[Option[Double]])],
                 title: String, w: Int = 980, h: Int = 420): String = {
     require(dates.nonEmpty, "empty report window")
-    val padL = 70; val padR = 20; val padT = 40; val padB = 40
-    val plotW = w - padL - padR
-    val plotH = h - padT - padB
-    val defined = series.flatMap(_._2.flatten)
-    val (lo, hi) = if (defined.isEmpty) (0.0, 1.0)
-      else {
-        val l = defined.min; val u = defined.max
-        if (u == l) (l - 1, u + 1) else (l - (u - l) * 0.05, u + (u - l) * 0.05)
-      }
-    def x(i: Int): Double =
-      padL + (if (dates.size == 1) plotW / 2.0 else plotW * i.toDouble / (dates.size - 1))
-    def y(v: Double): Double = padT + plotH * (1.0 - (v - lo) / (hi - lo))
-    def fmt(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val g = ChartGeom(w, h, dates.size, series.flatMap(_._2.flatten))
+    import g.{fmt, lo, hi, padL, padT, plotW, plotH}
 
     val polylines = series.zipWithIndex.map { case ((name, vals), si) =>
-      val pts = vals.zipWithIndex.collect { case (Some(v), i) => s"${fmt(x(i))},${fmt(y(v))}" }
-      s"""<polyline fill="none" stroke="${seriesColors(si % seriesColors.size)}" stroke-width="1.5" points="${pts.mkString(" ")}"><title>$name</title></polyline>"""
+      val pts = vals.zipWithIndex.collect { case (Some(v), i) => s"${fmt(g.x(i))},${fmt(g.y(v))}" }
+      s"""<polyline fill="none" stroke="${hex(ChartGeom.SeriesColors(si % ChartGeom.SeriesColors.size))}" stroke-width="1.5" points="${pts.mkString(" ")}"><title>$name</title></polyline>"""
     }
     val legend = series.zipWithIndex.map { case ((name, _), si) =>
       val lx = padL + si * 110
-      s"""<rect x="$lx" y="${h - 18}" width="10" height="10" fill="${seriesColors(si % seriesColors.size)}"/>""" +
+      s"""<rect x="$lx" y="${h - 18}" width="10" height="10" fill="${hex(ChartGeom.SeriesColors(si % ChartGeom.SeriesColors.size))}"/>""" +
         s"""<text x="${lx + 14}" y="${h - 9}" font-size="11" font-family="sans-serif">$name</text>"""
     }
     val axis =
       s"""<line x1="$padL" y1="$padT" x2="$padL" y2="${padT + plotH}" stroke="#999"/>
          |<line x1="$padL" y1="${padT + plotH}" x2="${padL + plotW}" y2="${padT + plotH}" stroke="#999"/>
-         |<text x="${padL - 6}" y="${fmt(y(hi) + 4)}" font-size="10" text-anchor="end" font-family="sans-serif">${fmt(hi)}</text>
-         |<text x="${padL - 6}" y="${fmt(y(lo) + 4)}" font-size="10" text-anchor="end" font-family="sans-serif">${fmt(lo)}</text>
+         |<text x="${padL - 6}" y="${fmt(g.y(hi) + 4)}" font-size="10" text-anchor="end" font-family="sans-serif">${fmt(hi)}</text>
+         |<text x="${padL - 6}" y="${fmt(g.y(lo) + 4)}" font-size="10" text-anchor="end" font-family="sans-serif">${fmt(lo)}</text>
          |<text x="$padL" y="${padT + plotH + 16}" font-size="10" font-family="sans-serif">${dates.head}</text>
          |<text x="${padL + plotW}" y="${padT + plotH + 16}" font-size="10" text-anchor="end" font-family="sans-serif">${dates.last}</text>""".stripMargin
     s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">

@@ -52,14 +52,31 @@ class PipelineSpec extends SparkSpec {
     p.runDay("BTC-USD", "2024-02-01") // includes qualityChecks — must not throw
   }
 
-  test("renderReport writes an SVG chart artifact with one polyline per series (S11/S12)") {
+  test("renderReport writes PNG (reference savefig parity) and SVG chart artifacts (S11/S12)") {
     val root = java.nio.file.Files.createTempDirectory("graft_wh3").toString
     val p = new Pipeline(spark, root, new FixtureFetcher())
     p.runRange("BTC-USD", "2024-01-01", "2024-01-03")
-    // runDay already rendered per-day artifacts
-    val f = new java.io.File(s"$root/reports/BTC-USD_2024-01-03.svg")
+    // runDay renders the reference's own artifact format: a raster PNG
+    val f = new java.io.File(s"$root/reports/BTC-USD_2024-01-03.png")
     assert(f.exists() && f.length() > 0)
-    val svg = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val img = javax.imageio.ImageIO.read(f)
+    assert(img != null, "report artifact is not a decodable PNG")
+    assert(img.getWidth === 980 && img.getHeight === 420)
+    assert((img.getRGB(2, 2) & 0xffffff) === 0xffffff) // white background
+    // the close polyline must have put ink on the canvas in its series
+    // color (antialiasing blends edges, so scan for near-matches)
+    val c0 = graft.report.ChartGeom.SeriesColors.head
+    def near(rgb: Int): Boolean = {
+      def d(a: Int, b: Int, s: Int) = math.abs(((a >> s) & 0xff) - ((b >> s) & 0xff))
+      d(rgb, c0, 16) < 64 && d(rgb, c0, 8) < 64 && d(rgb, c0, 0) < 64
+    }
+    val inked = (for { x <- 0 until img.getWidth; y <- 0 until img.getHeight
+                       if near(img.getRGB(x, y)) } yield 1).sum
+    assert(inked > 50, s"expected a drawn close series, found $inked matching pixels")
+    // the vector form stays available through the same sink
+    p.renderReport("BTC-USD", "2024-01-03", s"$root/reports/BTC-USD_2024-01-03.svg")
+    val svg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/reports/BTC-USD_2024-01-03.svg")), "UTF-8")
     assert(svg.startsWith("<svg"))
     assert("<polyline ".r.findAllIn(svg).size === 3) // close, ma7, ma30
     assert(svg.contains("2024-01-01") && svg.contains("2024-01-03"))
