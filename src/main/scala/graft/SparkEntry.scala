@@ -237,8 +237,12 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8, dfCap = Some(100)))
         .select("doc_id", "lang", "n_chars")
     }),
-    "q_dup_spans" -> ((s, dir) => // xxhash window hashes: rows-only check;
-      // planted-span behavior unit-asserted (DedupSpec duplicateSpans)
+    "q_dup_spans" -> ((s, dir) =>
+      // oracle-checked since r7: the stats depend only on window-CONTENT
+      // equality, so the oracle recomputes them from literal window
+      // strings while the engine uses rolling xxhash64 (equal up to a
+      // ~2^-65-per-pair collision); planted-span behavior also
+      // unit-asserted (DedupSpec duplicateSpans)
       Dedup.duplicateSpans(Tables.documents(s, dir), w = 8)),
 
     // ---- north-star: similarity search ----
@@ -824,6 +828,25 @@ object SparkEntry {
         |        w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 2147483647)),
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
         |FROM documents""".stripMargin,
+    "q_dup_spans" ->
+      // window identity via literal 8-token strings (space-join is
+      // injective over space-split tokens); engine side hashes instead —
+      // same equivalence classes modulo 64-bit collisions
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |d AS (SELECT doc_id,
+        |        greatest(len(toks) - 7, 0)::BIGINT AS n_windows,
+        |        list_distinct([array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks) - 6)]) AS wins
+        |      FROM t),
+        |ex AS (SELECT doc_id, unnest(wins) AS h FROM d),
+        |df AS (SELECT h, count(*) AS df FROM ex GROUP BY 1),
+        |dup AS (SELECT e.doc_id, count(*) FILTER (WHERE f.df BETWEEN 2 AND 1000) AS dup_windows
+        |        FROM ex e JOIN df f USING (h) GROUP BY 1)
+        |SELECT d.doc_id, d.n_windows, len(d.wins)::BIGINT AS n_distinct,
+        |       coalesce(dup.dup_windows, 0)::BIGINT AS dup_windows,
+        |       CASE WHEN len(d.wins) > 0
+        |            THEN coalesce(dup.dup_windows, 0)::DOUBLE / len(d.wins)
+        |            ELSE 0.0 END AS dup_fraction
+        |FROM d LEFT JOIN dup USING (doc_id)""".stripMargin,
     "q_corpus_prepare" ->
       // the full pipeline recomposed from the SAME verified fragments
       // its component keys use: normalize (q_normalize_text) → quality/
