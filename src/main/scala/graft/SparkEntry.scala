@@ -388,6 +388,14 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           round(col("mean_luma"), 6).as("mean_luma"))
     }),
+    "q_multimodal_audio" -> ((s, dir) => {
+      // REAL audio codec round trip: deterministic integer PCM →
+      // javax.sound WAV encode → RIFF/WAVE decode on the executors.
+      // Every emitted column is an exact integer, so the oracle
+      // recomputes the decoded sums analytically — a hash match proves
+      // the container+PCM parse was byte-faithful.
+      Multimodal.decodeAudio(Multimodal.renderAudio(Tables.documents(s, dir))).toDF()
+    }),
     "q_json_extract" -> ((s, dir) => Tables.events(s, dir)
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))),
     "q_json_struct" -> ((s, dir) => {
@@ -1203,6 +1211,18 @@ object SparkEntry {
         |JOIN generate_series(0, 34) gy(y) ON gy.y < d.doc_id % 24 + 12
         |WHERE d.doc_id % 2 = 0
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_multimodal_audio" ->
+      // analytic recompute of the PCM waveform the engine decodes with
+      // javax.sound: sample i of doc d = ((31d + 7i²) mod 4001) − 2000
+      """SELECT d.doc_id,
+        |  8000::BIGINT AS sample_rate,
+        |  d.doc_id % 500 + 100 AS n_samples,
+        |  sum(abs((d.doc_id * 31 + 7 * g.i * g.i) % 4001 - 2000))::BIGINT AS sum_abs,
+        |  sum(((d.doc_id * 31 + 7 * g.i * g.i) % 4001 - 2000)
+        |      * ((d.doc_id * 31 + 7 * g.i * g.i) % 4001 - 2000))::BIGINT AS sum_sq
+        |FROM documents d
+        |JOIN generate_series(0, 598) g(i) ON g.i < d.doc_id % 500 + 100
+        |GROUP BY 1, 3""".stripMargin,
     "q_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
     "q_json_struct" ->

@@ -55,6 +55,26 @@ class MultimodalSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("undecodable")))
   }
 
+  test("resizeImages: payload bytes genuinely rewritten, decode confirms new dims") {
+    val src = Seq((4L, "t", 1L)).toDF("doc_id", "text", "n_chars")
+    val orig = Multimodal.renderImages(src)
+    val resized = Multimodal.resizeImages(orig, 8, 6).collect().head
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized.payload))
+    assert(img != null && img.getWidth === 8 && img.getHeight === 6)
+    assert(!java.util.Arrays.equals(resized.payload, orig.collect().head.payload))
+  }
+
+  test("decodeAudio: WAV round trip recovers format and exact PCM sums") {
+    val d = 7L
+    val src = Seq((d, "t", 1L)).toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.decodeAudio(Multimodal.renderAudio(src)).collect().head
+    val n = Multimodal.audioLen(d)
+    assert(out.sample_rate === 8000L && out.n_samples === n.toLong)
+    val samples = (0 until n).map(i => Multimodal.sampleAt(d, i.toLong))
+    assert(out.sum_abs === samples.map(s => math.abs(s).toLong).sum)
+    assert(out.sum_sq === samples.map(s => s.toLong * s).sum)
+  }
+
   test("decodeFeatures: partition-batched payload stats for opaque formats") {
     val media = Multimodal.attachPayload(docs).as[Multimodal.MediaRow]
     val f = Multimodal.decodeFeatures(media, frameStride = 2).collect()
