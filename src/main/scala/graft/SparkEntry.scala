@@ -82,6 +82,23 @@ object SparkEntry {
     * indicator oracles share the same daily CTE text verbatim. */
   private val dailyCteRec = dailyCte.replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** Shared oracle for q_incr_dedup and q_incr_dedup_bloom (the Bloom
+    * screen is result-invariant — no false negatives). */
+  private val incrDedupOracle =
+    """WITH t AS (SELECT doc_id,
+      |             string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks
+      |           FROM documents),
+      |n AS (SELECT doc_id,
+      |        array_to_string(list_filter(toks, (tk, i) -> i = 1 OR toks[i-1] <> tk), ' ') AS norm_text
+      |      FROM t),
+      |h AS (SELECT doc_id, md5(norm_text) AS dedup_key FROM n),
+      |thr AS (SELECT (max(doc_id)*4)//5 AS v FROM documents)
+      |SELECT min(doc_id) AS doc_id, dedup_key, count(*) AS n_dups
+      |FROM h
+      |WHERE doc_id >= (SELECT v FROM thr)
+      |  AND dedup_key NOT IN (SELECT dedup_key FROM h WHERE doc_id < (SELECT v FROM thr))
+      |GROUP BY dedup_key""".stripMargin
+
   /** Fixed BM25 query set (q_bm25) — mirrored literally in the oracle's
     * VALUES list. */
   private val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
@@ -599,6 +616,18 @@ object SparkEntry {
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val thr = maxId * 4 / 5
       Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= thr),
+        docs.filter(col("doc_id") < thr),
+        md5(ext.TextAnalysis.normalizeText(col("text"))))
+    }),
+    "q_incr_dedup_bloom" -> ((s, dir) => {
+      // scale variant of q_incr_dedup: Bloom screen before the
+      // anti-join. No false negatives ⇒ bit-identical result, so it
+      // shares the exact form's oracle.
+      val docs = Tables.documents(s, dir)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val thr = maxId * 4 / 5
+      Dedup.incrementalDedupBloom(
         docs.filter(col("doc_id") >= thr),
         docs.filter(col("doc_id") < thr),
         md5(ext.TextAnalysis.normalizeText(col("text"))))
@@ -1847,20 +1876,10 @@ object SparkEntry {
         |SELECT n_keys, total, round(CAST(max_n AS DOUBLE)/total, 6) AS max_share,
         |       round(CAST(top_n AS DOUBLE)/total, 6) AS top5_share
         |FROM t, tk""".stripMargin,
-    "q_incr_dedup" ->
-      """WITH t AS (SELECT doc_id,
-        |             string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks
-        |           FROM documents),
-        |n AS (SELECT doc_id,
-        |        array_to_string(list_filter(toks, (tk, i) -> i = 1 OR toks[i-1] <> tk), ' ') AS norm_text
-        |      FROM t),
-        |h AS (SELECT doc_id, md5(norm_text) AS dedup_key FROM n),
-        |thr AS (SELECT (max(doc_id)*4)//5 AS v FROM documents)
-        |SELECT min(doc_id) AS doc_id, dedup_key, count(*) AS n_dups
-        |FROM h
-        |WHERE doc_id >= (SELECT v FROM thr)
-        |  AND dedup_key NOT IN (SELECT dedup_key FROM h WHERE doc_id < (SELECT v FROM thr))
-        |GROUP BY dedup_key""".stripMargin,
+    "q_incr_dedup" -> incrDedupOracle,
+    // the Bloom screen has no false negatives, so the scale variant's
+    // output is bit-identical to the exact form — same oracle
+    "q_incr_dedup_bloom" -> incrDedupOracle,
     "q_bollinger" -> (dailyCte +
       """ SELECT date, asset, close,
         |  round(CASE WHEN count(close) OVER w >= 20 THEN avg(close) OVER w END, 6) AS bb_mid,

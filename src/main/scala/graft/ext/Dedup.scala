@@ -66,6 +66,36 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "dedup_key", "n_dups")
 
+  /** Scale variant of [[incrementalDedup]] (docs/SCALE.md switch
+    * table): a Bloom filter of the catalog keys screens the increment
+    * BEFORE the anti-join. Bloom filters have no false negatives, so
+    * rows failing the probe are DEFINITELY new and never enter the
+    * shuffle; only the maybe-duplicate sliver (true dups + fpp noise)
+    * rides the exact anti-join. The result is therefore bit-identical
+    * to the exact form — the switch changes wire volume, not answers —
+    * which is why q_incr_dedup_bloom shares q_incr_dedup's oracle.
+    * Pays off when the increment ≪ catalog: most probes answered
+    * executor-locally against constant-size filter bits.
+    */
+  def incrementalDedupBloom(incoming: DataFrame, catalog: DataFrame, key: Column,
+                            idCol: String = "doc_id",
+                            expectedKeys: Long = 1000000L,
+                            fpp: Double = 0.01): DataFrame = {
+    val catKeys = catalog.select(key.as("dedup_key"))
+    // no distinct() before the build: Bloom insertion is idempotent
+    // (same rationale as Contamination.flagBloom)
+    val bf = catKeys.stat.bloomFilter("dedup_key", expectedKeys, fpp)
+    val keyed = incoming.withColumn("dedup_key", key)
+    val probe = graft.functions.native.bloomMightContain(col("dedup_key"), bf)
+    val maybeDup = keyed.filter(probe)
+      .join(catKeys.distinct(), Seq("dedup_key"), "left_anti")
+    val definitelyNew = keyed.filter(!probe)
+    maybeDup.unionByName(definitelyNew)
+      .groupBy("dedup_key")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(idCol, "dedup_key", "n_dups")
+  }
+
   /** Cross-corpus near-dup pairs between an id-disjoint catalog
     * (ids < `incomingMinId`) and an increment (ids ≥): the near-dup
     * sibling of [[incrementalDedup]] — the crawl-cycle question is

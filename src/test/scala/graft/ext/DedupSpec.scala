@@ -205,6 +205,24 @@ class DedupSpec extends SparkSpec {
     assert(byKey("gamma") === 2L && byKey("delta") === 1L)
   }
 
+  test("incrementalDedupBloom: bit-identical to the exact form (no false negatives)") {
+    val catalog = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha"), (11L, "gamma"), (13L, "gamma"), (12L, "delta"))
+      .toDF("doc_id", "text")
+    val key = org.apache.spark.sql.functions.col("text")
+    val exact = Dedup.incrementalDedup(incoming, catalog, key)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // a tight fpp AND an absurdly loose one: correctness must not
+    // depend on the false-positive rate, only wire volume does
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Dedup.incrementalDedupBloom(incoming, catalog, key,
+          expectedKeys = 100L, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(bloom === exact, s"fpp=$fpp")
+    }
+  }
+
   test("containment: embedded doc scores ~1 on its side while jaccard stays low") {
     val small = "alpha beta gamma delta epsilon" // 3 shingles, all inside big
     val big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
