@@ -405,6 +405,19 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           round(col("mean_luma"), 6).as("mean_luma"))
     }),
+    "q_multimodal_frames" -> ((s, dir) => {
+      // REAL multi-frame container round trip: deterministic rasters →
+      // ImageIO animated-GIF encode → ImageReader frame-sample every
+      // 2nd frame on the executors. 256-gray palette makes the GIF
+      // round trip lossless, so the sampled means have an analytic SQL
+      // oracle. Quarter slice of the corpus bounds the encode cost.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 4 === 1)
+      Multimodal.sampleFrames(Multimodal.renderClips(docs), stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_luma"), 6).as("mean_luma"))
+    }),
     "q_multimodal_audio" -> ((s, dir) => {
       // REAL audio codec round trip: deterministic integer PCM →
       // javax.sound WAV encode → RIFF/WAVE decode on the executors.
@@ -1240,6 +1253,21 @@ object SparkEntry {
         |JOIN generate_series(0, 34) gy(y) ON gy.y < d.doc_id % 24 + 12
         |WHERE d.doc_id % 2 = 0
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_multimodal_frames" ->
+      // analytic recompute of the sampled GIF frames: pixel (x,y) of
+      // frame f of doc d = (31d + 7x + 13y + 97f) mod 256, frames
+      // d%6+4, stride 2
+      """SELECT d.doc_id,
+        |  gf.f AS frame_idx,
+        |  d.doc_id % 32 + 16 AS width,
+        |  d.doc_id % 24 + 12 AS height,
+        |  round(avg(CAST((d.doc_id * 31 + 7 * gx.x + 13 * gy.y + 97 * gf.f) % 256 AS DOUBLE)), 6) AS mean_luma
+        |FROM documents d
+        |JOIN generate_series(0, 8, 2) gf(f) ON gf.f < d.doc_id % 6 + 4
+        |JOIN generate_series(0, 46) gx(x) ON gx.x < d.doc_id % 32 + 16
+        |JOIN generate_series(0, 34) gy(y) ON gy.y < d.doc_id % 24 + 12
+        |WHERE d.doc_id % 4 = 1
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_multimodal_audio" ->
       // analytic recompute of the PCM waveform the engine decodes with
       // javax.sound: sample i of doc d = ((31d + 7i²) mod 4001) − 2000

@@ -195,6 +195,107 @@ object Multimodal {
     }
   }
 
+  // ---- video-ish: real multi-frame GIF container via ImageIO ----
+
+  /** One clip row: animated-GIF bytes (the multi-frame container the
+    * JDK can both write and read). */
+  final case class ClipRow(doc_id: Long, n_frames: Int, payload: Array[Byte])
+
+  /** One sampled frame's features. */
+  final case class SampledFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+                                mean_luma: Double)
+
+  /** Frames per clip (SQL-expressible): 4–9. */
+  def clipFrames(docId: Long): Int = (docId % 6 + 4).toInt
+
+  /** Frame f's raster extends the image pattern with a time term:
+    * pixel (x, y) of frame f of doc d = (31d + 7x + 13y + 97f) mod 256.
+    * 256-level grayscale fits a GIF palette exactly, so the container
+    * round-trip is lossless and the sampled means are analytically
+    * oracle-checkable.
+    */
+  private def clipGrayAt(docId: Long, x: Int, y: Int, f: Int): Int =
+    java.lang.Math.floorMod(docId * 31 + 7L * x + 13L * y + 97L * f, 256L).toInt
+
+  /** Encode a real animated GIF via `ImageIO`'s sequence writer. */
+  def encodeGif(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    val out = ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, clipGrayAt(docId, x, y, f)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      out.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Render one real animated GIF per doc row ([[imageDims]] sizes). */
+  def renderClips(docs: DataFrame): Dataset[ClipRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val (w, h) = imageDims(d)
+        val n = clipFrames(d)
+        ClipRow(d, n, encodeGif(d, w, h, n))
+      }
+    }
+  }
+
+  /** THE frame-sample kernel: open each clip with an `ImageReader`,
+    * read every `stride`-th frame (never decoding the skipped ones'
+    * pixels), emit per-sampled-frame mean luma. The container parse +
+    * per-frame decode happens executor-side in the partition batch —
+    * the distributed shape of ffmpeg-based frame extraction.
+    */
+  def sampleFrames(clips: Dataset[ClipRow], stride: Int = 2): Dataset[SampledFrame] = {
+    import clips.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    clips.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val in = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+        val reader = ImageIO.getImageReaders(in).next()
+        try {
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += (img.getRGB(x, y) >> 8) & 0xff; x += 1 }
+              y += 1
+            }
+            SampledFrame(r.doc_id, f, w, h, sum.toDouble / (w.toLong * h))
+          }
+        } finally {
+          reader.dispose()
+          in.close()
+        }
+      }
+    }
+  }
+
   // ---- audio: real WAV codec via javax.sound.sampled (pure JDK) ----
 
   /** One audio row: RIFF/WAVE bytes (16-bit PCM mono LE). */

@@ -64,6 +64,23 @@ class MultimodalSpec extends SparkSpec {
     assert(!java.util.Arrays.equals(resized.payload, orig.collect().head.payload))
   }
 
+  test("sampleFrames: GIF container round trip is lossless; stride skips frames") {
+    val d = 4L // 7 frames (4 % 6 + 4 = 8? -> 4%6=4, +4 = 8 frames), dims 20x16
+    val src = Seq((d, "t", 1L)).toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.sampleFrames(Multimodal.renderClips(src), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    val (w, h) = Multimodal.imageDims(d)
+    val n = Multimodal.clipFrames(d)
+    assert(out.map(_.frame_idx).toSeq === (0 until n by 2))
+    out.foreach { fr =>
+      assert(fr.width === w && fr.height === h)
+      val expect = (for { x <- 0 until w; y <- 0 until h }
+        yield ((d * 31 + 7 * x + 13 * y + 97 * fr.frame_idx) % 256).toDouble).sum / (w * h)
+      assert(fr.mean_luma === expect,
+        s"frame ${fr.frame_idx}: GIF round trip not lossless (${fr.mean_luma} vs $expect)")
+    }
+  }
+
   test("decodeAudio: WAV round trip recovers format and exact PCM sums") {
     val d = 7L
     val src = Seq((d, "t", 1L)).toDF("doc_id", "text", "n_chars")
