@@ -904,13 +904,13 @@ object SparkEntry {
       // 5-gram decontam vs the benchmark slice (q_decontam) → md5 split
       // (q_train_split) → 3-gram Jaccard keep-first (q_dedup_keep) →
       // per-split prefix-sum packing in md5 order (q_pack_sequences)
-      """WITH nd AS (
-        |  SELECT doc_id,
-        |    array_to_string(
-        |      list_filter(string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' '),
-        |        (tk, i) -> i = 1 OR string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')[i-1] <> tk),
-        |      ' ') AS text
+      """WITH tok0 AS (
+        |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS rtoks
         |  FROM documents),
+        |nd AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(rtoks, (tk, i) -> i = 1 OR rtoks[i-1] <> tk), ' ') AS text
+        |  FROM tok0),
         |corpus0 AS (SELECT * FROM nd WHERE doc_id % 17 <> 0),
         |bench AS (SELECT * FROM nd WHERE doc_id % 17 = 0),
         |feat AS (
