@@ -376,6 +376,16 @@ object SparkEntry {
     "q_sample_per_source" -> ((s, dir) =>
       TextAnalysis.samplePerSource(Tables.documents(s, dir), nPer = 5)
         .select("doc_id", "source", "sample_rank")),
+    "q_stratified_sample" -> ((s, dir) =>
+      // exact per-source quotas (src3 intentionally unbudgeted → dropped)
+      TextAnalysis.stratifiedQuota(Tables.documents(s, dir),
+        Map("src0" -> 120L, "src1" -> 60L, "src2" -> 30L, "src4" -> 10L))
+        .select("doc_id", "source", "sample_rank")),
+    "q_compression_ratio" -> ((s, dir) => // deflate isn't ANSI SQL: rows-only;
+      // redundancy ordering + determinism pinned in TextAnalysisSpec
+      Tables.documentsWide(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.compressionRatio(col("text")), 6).as("compression_ratio"))),
     "q_token_histogram" -> ((s, dir) =>
       TextAnalysis.tokenHistogram(Tables.documents(s, dir), width = 10)),
     "q_corpus_health" -> ((s, dir) =>
@@ -1158,6 +1168,15 @@ object SparkEntry {
         |           AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 5""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT r.doc_id, r.source, r.sample_rank FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS sample_rank
+        |  FROM documents) r
+        |JOIN (VALUES ('src0', 120), ('src1', 60), ('src2', 30), ('src4', 10)) q(source, quota)
+        |  ON r.source = q.source AND r.sample_rank <= q.quota""".stripMargin,
     "q_token_histogram" ->
       """SELECT CAST(floor(len(string_split(lower(text), ' ')) / 10) AS BIGINT) AS bucket,
         |       count(*) AS n_docs,

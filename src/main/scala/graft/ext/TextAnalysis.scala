@@ -389,6 +389,30 @@ object TextAnalysis {
     * a small multiple of `nPer` first (documented trade; exact top-N
     * per group needs the total order within the group).
     */
+  /** Exact-quota stratified sample: keep exactly min(quota, |stratum|)
+    * docs per source, chosen by the stable md5-of-id order — the
+    * exact-count companion to [[mixtureSample]]'s fractional form (a
+    * training mixture spec is usually "N docs from source X", not a
+    * fraction, and Bernoulli sampling misses the target by √N).
+    * Sources absent from `quotas` are DROPPED — explicit budget
+    * semantics. Same 100 TB shape as [[samplePerSource]]: one
+    * source-partitioned window rank (each stratum sorts in parallel),
+    * quota lookup is a literal CASE chain, no second pass.
+    */
+  def stratifiedQuota(df: DataFrame, quotas: Map[String, Long],
+                      idCol: String = "doc_id",
+                      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quotas.values.forall(_ >= 0L), s"quotas must be >= 0: $quotas")
+    val quotaCol = quotas.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (els, (src, q)) => when(col(sourceCol) === src, lit(q)).otherwise(els)
+    }
+    df.withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))).cast("long"))
+      .filter(col("sample_rank") <= quotaCol)
+  }
+
   def samplePerSource(df: DataFrame, nPer: Int,
                       idCol: String = "doc_id",
                       sourceCol: String = "source"): DataFrame = {
@@ -512,6 +536,21 @@ object TextAnalysis {
     */
   def normalizeText(text: Column): Column =
     graft.functions.native.normalizeText(text)
+
+  /** Compression-ratio quality signal: deflated bytes / raw UTF-8
+    * bytes (Gopher/FineWeb-style redundancy gate — template spam and
+    * boilerplate deflate far below natural prose, random noise sits
+    * near 1). Per-row codegen kernel, zero shuffles; empty text scores
+    * a neutral 1.0. The ratio is deterministic for a fixed zlib level
+    * within a JVM but not an ANSI-SQL-expressible function, so its
+    * query key is rows-only with the ordering pinned in
+    * TextAnalysisSpec.
+    */
+  def compressionRatio(text: Column): Column =
+    when(octet_length(text) > 0,
+      graft.functions.native.deflateLen(text).cast("double") /
+        octet_length(text).cast("double"))
+      .otherwise(lit(1.0))
 
   /** Content fingerprint (exact dedup key): md5 of the text. */
   def fingerprintMd5(text: Column): Column = md5(text)

@@ -147,6 +147,27 @@ object Kernels {
     * element inside the interpreted lambda (O(tokens²) per doc); this
     * kernel is O(chars).
     */
+  /** zlib-deflated byte length of the UTF-8 text (level 6, default
+    * strategy) — the numerator of the compression-ratio quality signal
+    * (Gopher/FineWeb-style redundancy gates: boilerplate and template
+    * spam deflate far better than natural prose). One Deflater per
+    * call; for a ~KB document the setup cost is dwarfed by the deflate
+    * pass itself, and the kernel stays allocation-bounded (4 KB chunk
+    * buffer) regardless of document size.
+    */
+  def deflateLen(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](4096)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   def normalizeText(text: UTF8String): UTF8String = {
     val s = text.toLowerCase.toString
     val n = s.length

@@ -132,6 +132,24 @@ case class TokenCountsExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Lowercase/trim/collapse-spaces/drop-adjacent-repeat normalization. */
+/** zlib-deflated byte length of the text ([[Kernels.deflateLen]]) —
+  * feeds the compression-ratio quality signal.
+  */
+case class DeflateLenExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "text", child)
+
+  override def nullSafeEval(t: Any): Any =
+    Kernels.deflateLen(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.deflateLen($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "normalize_text"
@@ -566,6 +584,7 @@ object native {
   def wordNgrams(text: Column, n: Int): Column = c(WordNgramsExpr(e(text), n))
   def tokenCounts(text: Column): Column = c(TokenCountsExpr(e(text)))
   def normalizeText(text: Column): Column = c(NormalizeTextExpr(e(text)))
+  def deflateLen(text: Column): Column = c(DeflateLenExpr(e(text)))
   def minhashSig(shingles: Column, as: Array[Long], bs: Array[Long]): Column =
     c(MinHashSigExpr(e(shingles), as, bs))
   def minhashBandKeys(shingles: Column, as: Array[Long], bs: Array[Long], bands: Int): Column =

@@ -184,6 +184,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(small.length === 5)
   }
 
+  test("stratifiedQuota: exact per-source counts, unbudgeted sources dropped, partition-stable") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val quotas = Map("src0" -> 10L, "src1" -> 3L) // src2 unbudgeted → dropped
+    val s1 = TextAnalysis.stratifiedQuota(df, quotas).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val bySrc = s1.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc === Map("src0" -> 10, "src1" -> 3))
+    // stable under repartitioning (md5 order, not physical order)
+    val s2 = TextAnalysis.stratifiedQuota(df.repartition(13), quotas).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(s1.toSeq === s2.toSeq)
+    // quota above the stratum size yields the whole stratum
+    val all = TextAnalysis.stratifiedQuota(df, Map("src0" -> 1000L)).collect()
+    assert(all.length === 100)
+    // the chosen prefix agrees with samplePerSource's md5 order
+    val viaN = TextAnalysis.samplePerSource(df.filter($"source" === "src0"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.filter(_._2 == "src0").map(_._1).toSet === viaN)
+  }
+
+  test("compressionRatio: repetitive text deflates below prose, prose below noise; deterministic") {
+    val rnd = new scala.util.Random(7)
+    val noise = (1 to 200).map(_ => rnd.alphanumeric.take(5).mkString).mkString(" ")
+    val prose = "the quick brown fox jumps over the lazy dog and then wanders " * 20
+    val spam = "buy now " * 160
+    val df = Seq((1L, spam), (2L, prose), (3L, noise), (4L, "")).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.compressionRatio($"text").as("cr"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < r(2L), s"spam ${r(1L)} should deflate below prose ${r(2L)}")
+    assert(r(2L) < r(3L), s"prose ${r(2L)} should deflate below noise ${r(3L)}")
+    assert(r(4L) === 1.0) // empty text scores neutral
+    assert(r(1L) > 0.0 && r(3L) < 1.5)
+    // deterministic across evaluations
+    val again = df.select($"doc_id", TextAnalysis.compressionRatio($"text").as("cr"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(again === r)
+  }
+
   test("corpusHealth: exact per-source rollup on a hand-computed fixture") {
     val df = Seq(
       (1L, "srcA", "the cat sat"),            // 3 tokens, distinct, no pii
