@@ -36,13 +36,15 @@ object CorpusPipeline {
       dedupJaccard: Double = 0.8,
       packTokens: Long = 512L)
 
-  /** docs: (doc_id, text, …); benchmark: held-out eval docs. One row
-    * per surviving doc: (doc_id, text, quality_score, split, pack_id).
+  /** Stages 1-2 of [[prepare]] as a reusable STATELESS gate: normalize
+    * text in place, then the quality/repetition/PII filters — one
+    * projection, zero shuffles, zero state. Because every gate is a
+    * per-row kernel, the same function applies unchanged to a
+    * streaming frame (filter-on-ingest; see
+    * [[graft.streaming.StreamingCorpusGate]]). Keeps all input columns
+    * (text normalized) plus `quality_score`.
     */
-  def prepare(docs: DataFrame, benchmark: DataFrame,
-              cfg: Config = Config()): DataFrame = {
-    // stages 1-2: one projection — normalize + quality + PII +
-    // repetition features, then the gates
+  def hygieneGate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val normalized = docs.withColumn("text", TextAnalysis.normalizeText(col("text")))
     val feats = Pii.audit(TextAnalysis.qualityFeatures(normalized))
       .withColumn("__rep", graft.functions.native.repetitionStats(col("text")))
@@ -50,11 +52,23 @@ object CorpusPipeline {
         when(col("__rep.n_tokens") > 0,
           lit(1.0) - col("__rep.n_distinct").cast("double") / col("__rep.n_tokens").cast("double"))
           .otherwise(lit(0.0)))
-    val hygienic = feats
+    feats
       .filter(col("quality_score") >= cfg.minQuality)
       .filter(col("dup_token_frac") <= cfg.maxDupTokenFrac)
       .filter(col("n_emails") <= cfg.maxPiiEmails)
-      .select("doc_id", "text", "quality_score")
+      .select(docs.columns.map(col).toIndexedSeq :+ col("quality_score"): _*)
+  }
+
+  /** docs: (doc_id, text, …); benchmark: held-out eval docs. One row
+    * per surviving doc: (doc_id, text, quality_score, split, pack_id).
+    */
+  def prepare(docs: DataFrame, benchmark: DataFrame,
+              cfg: Config = Config()): DataFrame = {
+    // stages 1-2: one projection — normalize + quality + PII +
+    // repetition features, then the gates (shared with the streaming
+    // front door via hygieneGate)
+    val normalized = docs.withColumn("text", TextAnalysis.normalizeText(col("text")))
+    val hygienic = hygieneGate(docs, cfg).select("doc_id", "text", "quality_score")
     // stage 3: decontaminate (corpus unshuffled; broadcast benchmark).
     // The benchmark side gets the SAME normalization as the corpus —
     // shingling raw benchmark text against normalized corpus text
