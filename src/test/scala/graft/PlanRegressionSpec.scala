@@ -27,6 +27,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(exchanges(plan("q_asof_join")) === 1)
   }
 
+  test("compression ratio: pure per-row kernel — zero exchanges, codegen'd") {
+    val p = plan("q_compression_ratio")
+    assert(exchanges(p) === 0, p.take(1500))
+    assert(p.contains("deflate_len"), p.take(1500))
+  }
+
+  test("stratified quota: exactly one shuffle (the per-source window rank)") {
+    assert(exchanges(plan("q_stratified_sample")) === 1)
+  }
+
   test("sessionize: exactly one shuffle (window partitioning reused by the aggregate)") {
     assert(exchanges(plan("q_sessionize")) === 1)
   }
