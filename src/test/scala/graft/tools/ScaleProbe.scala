@@ -1,0 +1,74 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe — ad-hoc main, not part of the driver contract.
+  *
+  * Unions K shifted-id copies of the sf0.1 documents/embeddings tables
+  * (so every doc gains K−1 exact clones — a worst-case near-dup load:
+  * every shingle's df multiplies by K and the Σdf² pair work by K²)
+  * and times the heavy operator families at 1× and K×. The point is
+  * the exponent, not the absolute numbers: linear-ish growth means the
+  * shape survives scale; superlinear growth shows where the dfCap /
+  * banding / blocking guards must take over.
+  */
+object ScaleProbe {
+  def time(label: String)(f: => Long): Unit = {
+    System.gc()
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[scale] $label%-46s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    val docs1 = Tables.documents(spark, dir)
+    val maxId = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1
+    def copies(base: DataFrame, idCol: String): DataFrame =
+      (0 until k).map(i => base.withColumn(idCol, col(idCol) + lit(i * maxId)))
+        .reduce(_ unionByName _)
+    val docsK = copies(docs1, "doc_id").localCheckpoint(true)
+    println(s"[scale] docs 1x=${docs1.count()} ${k}x=${docsK.count()}")
+
+    for ((label, d) <- Seq("1x" -> docs1, s"${k}x" -> docsK)) {
+      time(s"dedup exact ($label)") { graft.ext.Dedup.exact(d, md5(col("text"))).count() }
+      time(s"ngram pairs dfCap=default ($label)") {
+        graft.ext.Dedup.ngramJaccardPairs(d, 3, 0.8).count()
+      }
+      time(s"dup spans ($label)") { graft.ext.Dedup.duplicateSpans(d, w = 8).count() }
+      time(s"minhash near-dups ($label)") {
+        graft.ext.Dedup.minhashNearDups(d, threshold = 0.8).count()
+      }
+      time(s"corpus prepare ($label)") {
+        graft.ext.CorpusPipeline.prepare(
+          d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0)).count()
+      }
+    }
+
+    val emb1 = Tables.embeddings(spark, dir)
+    val maxVid = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val embK = (0 until k).map(i => emb1.withColumn("vec_id", col("vec_id") + lit(i * maxVid)))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    for ((label, e) <- Seq("1x" -> emb1, s"${k}x" -> embK)) {
+      val q = e.filter(col("vec_id") < 10)
+      time(s"ann ivf ($label)") { graft.ext.Similarity.ivfTopK(q, e, 10).count() }
+      time(s"ann ivf-pq ($label)") { graft.ext.Similarity.pqTopK(q, e, 10).count() }
+      time(s"embed near-dup banded ($label)") {
+        graft.ext.Similarity.embeddingNearDupsApprox(e, 0.7).count()
+      }
+    }
+    spark.stop()
+  }
+}
