@@ -34,7 +34,14 @@ object CorpusPipeline {
       decontamNgram: Int = 5,
       dedupNgram: Int = 3,
       dedupJaccard: Double = 0.8,
-      packTokens: Long = 512L)
+      packTokens: Long = 512L,
+      // pair-source switch (docs/SCALE.md, measured by ScaleProbe):
+      // exact posting-list pairs by default; MinHash banding past
+      // ~10M docs or heavy duplication, where Σdf² pair work
+      // degrades 30×+ while banding stays near-linear. Candidates are
+      // exact-verified either way, so precision is 1.0 in both modes —
+      // only recall of sub-threshold-ish pairs differs.
+      dedupMinhash: Boolean = false)
 
   /** Stages 1-2 of [[prepare]] as a reusable STATELESS gate: normalize
     * text in place, then the quality/repetition/PII filters — one
@@ -110,7 +117,9 @@ object CorpusPipeline {
     // anti-join below reads a few ids instead of re-running the whole
     // posting-list pair build (which a bare `dropNearDups(corpus,
     // pairs)` would re-evaluate inside its own plan).
-    val pairs = Dedup.ngramJaccardPairs(corpus, cfg.dedupNgram, cfg.dedupJaccard)
+    val pairs =
+      if (cfg.dedupMinhash) Dedup.minhashNearDups(corpus, cfg.dedupNgram, threshold = cfg.dedupJaccard)
+      else Dedup.ngramJaccardPairs(corpus, cfg.dedupNgram, cfg.dedupJaccard)
     val losers = pairs.select(col("b").as("doc_id")).distinct().localCheckpoint(true)
     // stages 5-6: deterministic order + token-budget packing, PER SPLIT
     // — a pack must never straddle train/val/test (a mixed pack either

@@ -45,6 +45,18 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("minhash pair-source switch: same survivors as the exact form on clear dups") {
+    // exact clones have jaccard 1.0 — banding recall is 1 for them, and
+    // candidates are exact-verified, so the scale form must agree here
+    val exact = CorpusPipeline.prepare(corpus, bench,
+      CorpusPipeline.Config(minQuality = 0.2, maxDupTokenFrac = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val mh = CorpusPipeline.prepare(corpus, bench,
+      CorpusPipeline.Config(minQuality = 0.2, maxDupTokenFrac = 0.5, dedupMinhash = true))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(mh.toSeq === exact.toSeq)
+  }
+
   test("deterministic across partitionings and reruns") {
     def run(np: Int) = CorpusPipeline.prepare(corpus.repartition(np), bench)
       .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
