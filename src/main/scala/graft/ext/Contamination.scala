@@ -52,11 +52,17 @@ object Contamination {
   def flagBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                 minShared: Int = 1, expectedShingles: Long = 1000000L,
                 fpp: Double = 0.001): DataFrame = {
+    val benchShingles = shingleRows(benchmark, n).select("s")
+    // an EMPTY benchmark shingle stream NPEs Spark's bloomFilter
+    // builder (no partition emits a filter to merge) — and means
+    // nothing can be contaminated; the emptiness probe is one cheap
+    // job on a side the builder would aggregate to the driver anyway
+    if (benchShingles.isEmpty)
+      return corpus.select(col("doc_id"), lit(0L).as("n_shared")).limit(0)
     // no distinct() before the build: Bloom insertion is idempotent, so
     // deduping the shingle stream would add a full shuffle for zero
     // effect on the filter bits (sizing comes from expectedShingles)
-    val bf = shingleRows(benchmark, n).select("s")
-      .stat.bloomFilter("s", expectedShingles, fpp)
+    val bf = benchShingles.stat.bloomFilter("s", expectedShingles, fpp)
     shingleRows(corpus, n)
       .filter(graft.functions.native.bloomMightContain(col("s"), bf))
       .groupBy("doc_id")

@@ -82,6 +82,10 @@ object Dedup {
                             expectedKeys: Long = 1000000L,
                             fpp: Double = 0.01): DataFrame = {
     val catKeys = catalog.select(key.as("dedup_key"))
+    // an EMPTY catalog (the first crawl cycle!) NPEs Spark's
+    // bloomFilter builder — and needs no screening at all: fall back
+    // to the exact form, whose anti-join against nothing is a no-op
+    if (catKeys.isEmpty) return incrementalDedup(incoming, catalog, key, idCol)
     // no distinct() before the build: Bloom insertion is idempotent
     // (same rationale as Contamination.flagBloom)
     val bf = catKeys.stat.bloomFilter("dedup_key", expectedKeys, fpp)

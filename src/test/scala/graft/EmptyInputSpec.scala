@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Empty-input robustness: at 100 TB an empty increment, an empty
+  * partition after a filter, or an empty benchmark set is ROUTINE,
+  * not exceptional. Every library operator must either return an
+  * empty frame or fail with an explicit `require` message — never an
+  * NPE / NoSuchElementException out of a driver-side `.head()`.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def someDocs: DataFrame =
+    Seq((1L, "some real document text here"), (2L, "another document")).toDF("doc_id", "text")
+
+  test("dedup family: empty in → empty out") {
+    assert(ext.Dedup.exact(emptyDocs, md5(col("text"))).count() === 0L)
+    assert(ext.Dedup.ngramJaccardPairs(emptyDocs, 3, 0.8).count() === 0L)
+    assert(ext.Dedup.duplicateSpans(emptyDocs, w = 8).count() === 0L)
+    assert(ext.Dedup.minhashNearDups(emptyDocs).count() === 0L)
+    assert(ext.Dedup.shingleNovelty(emptyDocs).count() === 0L)
+  }
+
+  test("incremental dedup: empty increment and empty catalog both behave") {
+    val k = md5(col("text"))
+    assert(ext.Dedup.incrementalDedup(emptyDocs, someDocs, k).count() === 0L)
+    // empty catalog: everything in the increment is new
+    assert(ext.Dedup.incrementalDedup(someDocs, emptyDocs, k).count() === 2L)
+    assert(ext.Dedup.incrementalDedupBloom(someDocs, emptyDocs, k).count() === 2L)
+    assert(ext.Dedup.incrementalDedupBloom(emptyDocs, someDocs, k).count() === 0L)
+  }
+
+  test("contamination: empty benchmark flags nothing, empty corpus yields nothing") {
+    assert(ext.Contamination.flag(someDocs, emptyDocs).count() === 0L)
+    assert(ext.Contamination.clean(someDocs, emptyDocs).count() === 2L)
+    assert(ext.Contamination.flag(emptyDocs, someDocs).count() === 0L)
+    assert(ext.Contamination.flagBloom(someDocs, emptyDocs).count() === 0L)
+  }
+
+  test("text analysis + gates: empty in → empty out") {
+    assert(ext.TextAnalysis.qualityFeatures(emptyDocs).count() === 0L)
+    assert(ext.TextAnalysis.tfidfTopTerms(emptyDocs, 3).count() === 0L)
+    assert(ext.TextAnalysis.vocabulary(emptyDocs, 10).count() === 0L)
+    assert(ext.CorpusPipeline.hygieneGate(emptyDocs).count() === 0L)
+    val emptyWithSrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(ext.TextAnalysis.stratifiedQuota(emptyWithSrc, Map("src0" -> 5L)).count() === 0L)
+    assert(ext.TextAnalysis.mixtureSample(emptyWithSrc, Map("src0" -> 0.5)).count() === 0L)
+  }
+
+  test("total-order ops: empty in → empty out (offsets degenerate cleanly)") {
+    val emptyTok = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(ops.TotalOrder.globalIndex(emptyTok, Seq(col("doc_id"))).count() === 0L)
+    assert(ops.TotalOrder.prefixSum(emptyTok, Seq(col("doc_id")), "n_tokens").count() === 0L)
+    assert(ops.TotalOrder.packSequences(emptyTok, Seq(col("doc_id")), "n_tokens", 512).count() === 0L)
+    assert(ops.TotalOrder.epochShuffle(emptyTok, "doc_id", epochs = 2).count() === 0L)
+  }
+
+  test("similarity: empty corpora fail fast with explicit messages or return empty") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val someEmb = Seq((1L, Array.fill(4)(0.5f)), (2L, Array.fill(4)(0.25f)))
+      .toDF("vec_id", "embedding")
+    // pair ops: empty in → empty out
+    assert(ext.Similarity.embeddingNearDups(emptyEmb, 0.5).count() === 0L)
+    assert(ext.Similarity.embeddingNearDupsApprox(emptyEmb, 0.7, dim = 4).count() === 0L)
+    assert(ext.Similarity.bruteForceTopK(emptyEmb, someEmb).count() === 0L)
+    assert(ext.Similarity.bruteForceTopK(someEmb, emptyEmb).count() === 0L)
+    // index fits on an EMPTY corpus cannot produce an index: the
+    // failure must be an explicit require, not an NPE from a head()
+    val e = intercept[IllegalArgumentException] {
+      ext.Similarity.pqTopK(someEmb, emptyEmb, k = 1, m = 2, kc = 2)
+    }
+    assert(e.getMessage.contains("empty fit sample"))
+  }
+
+  test("multimodal: empty frames stream through the batch codecs") {
+    import spark.implicits._
+    assert(ext.Multimodal.decodeImages(ext.Multimodal.renderImages(emptyDocs)).count() === 0L)
+    assert(ext.Multimodal.decodeAudio(ext.Multimodal.renderAudio(emptyDocs)).count() === 0L)
+    assert(ext.Multimodal.sampleFrames(ext.Multimodal.renderClips(emptyDocs)).count() === 0L)
+  }
+}
