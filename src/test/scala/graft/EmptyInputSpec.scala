@@ -76,6 +76,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(e.getMessage.contains("empty fit sample"))
   }
 
+  test("null text: kernels stay null-safe, the hygiene gate drops the row, dedup groups it") {
+    val withNull = Seq((1L, "a fine document with plenty of the usual words in it"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // per-row kernels propagate null instead of throwing
+    val k = withNull.select(
+      ext.TextAnalysis.normalizeText(col("text")).as("n"),
+      ext.TextAnalysis.tokenCount(col("text")).as("tc"),
+      ext.TextAnalysis.fingerprintRolling(col("text")).as("fp"),
+      ext.TextAnalysis.compressionRatio(col("text")).as("cr"))
+      .collect().map(r => (r.isNullAt(0), r.isNullAt(1), r.isNullAt(2)))
+    assert(k.length === 2 && k.exists(_._1)) // the null row stays null
+    // a null-text doc cannot pass a quality gate (null predicate → dropped)
+    assert(ext.CorpusPipeline.hygieneGate(withNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // exact dedup: the null key forms its own group rather than crashing
+    assert(ext.Dedup.exact(withNull, md5(col("text"))).count() === 2L)
+  }
+
   test("multimodal: empty frames stream through the batch codecs") {
     import spark.implicits._
     assert(ext.Multimodal.decodeImages(ext.Multimodal.renderImages(emptyDocs)).count() === 0L)
