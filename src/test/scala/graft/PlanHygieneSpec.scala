@@ -33,4 +33,23 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"cartesian product in: ${offenders.mkString(", ")}")
   }
+
+  test("every query emits only scalar columns (the driver's row canonicalizer contract)") {
+    // the r6 round's ONLY red correctness row was an array<double>
+    // output crashing the harness's pandas sort/hash — pin the
+    // contract: array/map/struct columns must be exploded or projected
+    // to scalars before a frame leaves a query key
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val nonScalar = SparkEntry.queries(name)(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+                    f.dataType.isInstanceOf[MapType] ||
+                    f.dataType.isInstanceOf[StructType] => f.name
+        }
+        if (nonScalar.nonEmpty) Some(s"$name(${nonScalar.mkString(",")})") else None
+      }
+    assert(offenders.isEmpty, s"non-scalar output columns in: ${offenders.mkString("; ")}")
+  }
 }
