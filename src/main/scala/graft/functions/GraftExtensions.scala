@@ -74,6 +74,12 @@ object Registry {
         }
         SeededEwma(es(0), alpha, intLit(es(2), "seedPeriods"))
       }),
+    ("deflate_len", info("deflate_len",
+      "deflate_len(text) - zlib-deflated byte length (compression-ratio quality signal numerator)"),
+      (es: Seq[Expression]) => DeflateLenExpr(es(0))),
+    ("window_hashes", info("window_hashes",
+      "window_hashes(text, w) - rolling polynomial hash of every w-token window"),
+      (es: Seq[Expression]) => WindowHashesExpr(es(0), intLit(es(1), "w"))),
     ("simhash_bucket_pairs", info("simhash_bucket_pairs",
       "simhash_bucket_pairs(ids, ck, width, maxHamming) - verified (a,b,hamming) pairs " +
         "of one pigeonhole bucket's (doc_id, simhash) list; first-agreeing-chunk dedup"),

@@ -27,6 +27,14 @@ class GraftExtensionsSpec extends SparkSpec {
     val fpCol = graft.ext.Dedup.simhash(Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text"))
       .head().getLong(1)
     assert(fp === fpCol)
+
+    // r7 additions: deflate_len and window_hashes agree with the Column API
+    val dl = spark.sql("SELECT deflate_len(text) AS dl FROM ext_docs").head().getLong(0)
+    assert(dl > 0L)
+    assert(dl === Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+      .select(graft.functions.native.deflateLen($"text")).head().getLong(0))
+    val wh = spark.sql("SELECT window_hashes(text, 2) AS wh FROM ext_docs").head().getSeq[Long](0)
+    assert(wh.length === 4) // 5 tokens, w=2 → 4 windows
   }
 
   test("non-literal parameter is rejected with a clear error") {
