@@ -23,6 +23,16 @@ object SparkEntry {
     * (see q_scan_csv / q_scan_jsonl). */
   private val stagedScanDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Run `write` exactly once per staging dir per JVM — and if the
+    * write THROWS, un-claim the dir so the next caller retries instead
+    * of reading a missing/partial directory for the rest of the JVM.
+    */
+  private def stageOnce(out: String)(write: => Unit): Unit =
+    if (stagedScanDirs.add(out)) {
+      try write
+      catch { case e: Throwable => stagedScanDirs.remove(out); throw e }
+    }
+
   /** The greedy token-packed documents frame feeds two keys
     * (q_pack_sequences and q_pack_util); staged ONCE per JVM per sfDir
     * as a parquet stage table so a suite pass pays the two-pass range-
@@ -36,7 +46,7 @@ object SparkEntry {
   private def packedDocs(s: SparkSession, dir: String): DataFrame = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_packed_" +
       s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (stagedScanDirs.add(out)) {
+    stageOnce(out) {
       TotalOrder.packSequences(
         Tables.documents(s, dir).select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
@@ -44,6 +54,13 @@ object SparkEntry {
         .write.mode("overwrite").parquet(out)
     }
     s.read.parquet(out)
+  }
+
+  /** Max doc id via a bounded scalar probe — 0 on an empty table (the
+    * head() row's max is NULL there; getLong would NPE). */
+  private def maxDocId(docs: DataFrame): Long = {
+    val r = docs.agg(max(col("doc_id"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Daily OHLC per asset from the events fact table. */
@@ -132,7 +149,7 @@ object SparkEntry {
       // every invocation timed a side effect, not the scan.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_scan_csv_" +
         s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (stagedScanDirs.add(out)) {
+      stageOnce(out) {
         val src = Tables.events(s, dir).select(
           Normalize.tsToIso(col("ts")).as("ts_utc"), col("value").as("price"))
         Warehouse.writeCsv(src, out)
@@ -146,7 +163,7 @@ object SparkEntry {
       // sfDir, same discipline as q_scan_csv.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_scan_jsonl_" +
         s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (stagedScanDirs.add(out)) {
+      stageOnce(out) {
         Warehouse.writeJsonl(Tables.documents(s, dir)
           .select("doc_id", "text", "lang", "source", "n_chars"), out)
       }
@@ -158,7 +175,7 @@ object SparkEntry {
       // Staged once per JVM per sfDir, same discipline as q_scan_csv.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_scan_orc_" +
         s"${ProcessHandle.current().pid()}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (stagedScanDirs.add(out)) {
+      stageOnce(out) {
         Warehouse.writeOrc(Tables.documents(s, dir)
           .select("doc_id", "text", "lang", "source", "n_chars"), out)
       }
@@ -347,7 +364,7 @@ object SparkEntry {
       // near-dup screen of the newest-20% increment against the
       // catalog — same id split as q_incr_dedup
       val docs = Tables.documents(s, dir)
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val maxId = maxDocId(docs)
       Dedup.crossNearDupPairs(docs, incomingMinId = maxId * 4 / 5)
     }),
     "q_normalize_text" -> ((s, dir) => Tables.documents(s, dir)
@@ -636,7 +653,7 @@ object SparkEntry {
       // text). The max-id probe is a bounded scalar collect, the same
       // scalar-subquery shape as q_point_lookup.
       val docs = Tables.documents(s, dir)
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val maxId = maxDocId(docs)
       val thr = maxId * 4 / 5
       Dedup.incrementalDedup(
         docs.filter(col("doc_id") >= thr),
@@ -648,7 +665,7 @@ object SparkEntry {
       // anti-join. No false negatives ⇒ bit-identical result, so it
       // shares the exact form's oracle.
       val docs = Tables.documents(s, dir)
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val maxId = maxDocId(docs)
       val thr = maxId * 4 / 5
       Dedup.incrementalDedupBloom(
         docs.filter(col("doc_id") >= thr),

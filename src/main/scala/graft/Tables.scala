@@ -37,7 +37,7 @@ object Tables {
   def eventsWide(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = tableWide(spark, sfDir, "events")
-    df.withColumn("ts", tsToTimestamp(df.schema("ts").dataType))
+    df.withColumn("ts", tsToTimestamp(spark, df.schema("ts").dataType))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
@@ -48,13 +48,14 @@ object Tables {
     * reading the same file — or a native µs timestamp (NTZ under the
     * UTC session denotes the same instant, so the cast is a relabel).
     */
-  def tsToTimestamp(t: DataType): Column = t match {
+  def tsToTimestamp(spark: SparkSession, t: DataType): Column = t match {
     case LongType => timestamp_micros(expr("ts div 1000"))
     case TimestampNTZType =>
       // instant-preserving ONLY because every entry point pins
-      // spark.sql.session.timeZone=UTC; assert rather than silently
-      // shift all event timestamps under a drifted session
-      val tz = SparkSession.active.conf.get("spark.sql.session.timeZone")
+      // spark.sql.session.timeZone=UTC; assert the OWNING session (not
+      // SparkSession.active — a second session in the JVM could differ)
+      // rather than silently shift all event timestamps
+      val tz = spark.conf.get("spark.sql.session.timeZone")
       require(tz == "UTC",
         s"tsToTimestamp: NTZ->Timestamp relabel requires a UTC session, got $tz")
       col("ts").cast(TimestampType)
@@ -76,7 +77,7 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, sfDir, "events")
-    df.withColumn("ts", tsToTimestamp(df.schema("ts").dataType))
+    df.withColumn("ts", tsToTimestamp(spark, df.schema("ts").dataType))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

@@ -90,7 +90,12 @@ object Dedup {
     // (same rationale as Contamination.flagBloom)
     val bf = catKeys.stat.bloomFilter("dedup_key", expectedKeys, fpp)
     val keyed = incoming.withColumn("dedup_key", key)
-    val probe = graft.functions.native.bloomMightContain(col("dedup_key"), bf)
+    // null-safe probe: a NULL key makes bloomMightContain NULL, which
+    // both filter branches would drop — but the exact form's anti-join
+    // KEEPS null-key rows (null never matches the catalog), so they
+    // must land on the definitely-new side to preserve bit-identity
+    val probe = coalesce(
+      graft.functions.native.bloomMightContain(col("dedup_key"), bf), lit(false))
     val maybeDup = keyed.filter(probe)
       .join(catKeys.distinct(), Seq("dedup_key"), "left_anti")
     val definitelyNew = keyed.filter(!probe)

@@ -120,8 +120,8 @@ object Similarity {
     * refinement shuffle is sample × dim cells, never corpus × dim.
     * Shared by [[ivfTopK]] and [[pqTopK]] (the IVF-PQ composition).
     */
-  private def coarseCentroids(corpus: DataFrame, nlist: Int,
-                              fitSample: Int): Array[Array[Double]] = {
+  private def coarseCentroids(corpus: DataFrame, nlist: Int, fitSample: Int,
+                              totalHint: Long = -1L): Array[Array[Double]] = {
     def normalize(vs: Array[Array[Double]]): Array[Array[Double]] =
       vs.map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)
@@ -132,8 +132,9 @@ object Similarity {
     val seeds = normalize(collectCents(
       corpus.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(nlist)))
     // content-hash downsample to ~fitSample×nlist rows for the fit —
-    // one cheap count (parquet metadata) sizes the modulus
-    val total = corpus.count()
+    // one cheap count (parquet metadata) sizes the modulus; callers
+    // that already counted (pqTopK's codebook fit) pass it as the hint
+    val total = if (totalHint >= 0) totalHint else corpus.count()
     val every = math.max(1L, total / (fitSample.toLong * nlist))
     val fit = corpus.filter(pmod(hash(col("vec_id")), lit(every)) === 0)
     // one refinement pass: mean of assigned vectors per (cell, dim)
@@ -403,7 +404,7 @@ object Similarity {
     // cell and a query's probed cells are distinct, so no pair is
     // scored twice. The raw embedding column still never enters the
     // sweep (id, norm, m-byte code, cell only).
-    val coarse = coarseCentroids(corpus, nlist, fitSample)
+    val coarse = coarseCentroids(corpus, nlist, fitSample, totalHint = total)
     val np = math.min(nprobe, coarse.length)
     val cellOf = element_at(
       graft.functions.native.centroidProbes(col("embedding"), coarse, 1), 1)

@@ -547,10 +547,11 @@ object TextAnalysis {
     * TextAnalysisSpec.
     */
   def compressionRatio(text: Column): Column =
-    when(octet_length(text) > 0,
-      graft.functions.native.deflateLen(text).cast("double") /
-        octet_length(text).cast("double"))
-      .otherwise(lit(1.0))
+    when(text.isNull, lit(null).cast("double")) // propagate, like every kernel
+      .when(octet_length(text) > 0,
+        graft.functions.native.deflateLen(text).cast("double") /
+          octet_length(text).cast("double"))
+      .otherwise(lit(1.0)) // empty (non-null) text scores neutral
 
   /** Content fingerprint (exact dedup key): md5 of the text. */
   def fingerprintMd5(text: Column): Column = md5(text)

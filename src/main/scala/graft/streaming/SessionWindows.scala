@@ -59,7 +59,7 @@ object SessionWindows {
     val q = s.readStream
       .schema(eventsRawSchema(tsType))
       .parquet(streamDir)
-      .select(graft.Tables.tsToTimestamp(tsType).as("ts"), col("user_id"))
+      .select(graft.Tables.tsToTimestamp(s, tsType).as("ts"), col("user_id"))
       .withWatermark("ts", "1 day")
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))

@@ -77,7 +77,7 @@ object StreamingOhlc {
     val stream = spark.readStream
       .schema(eventsRawSchema(tsType))
       .parquet(streamDir)
-      .select(graft.Tables.tsToTimestamp(tsType).as("ts_utc"),
+      .select(graft.Tables.tsToTimestamp(spark, tsType).as("ts_utc"),
         col("event_type").as("asset"), col("value").as("price"))
       .withWatermark("ts_utc", "1 day")
     stream

@@ -80,13 +80,15 @@ class EmptyInputSpec extends SparkSpec {
     val withNull = Seq((1L, "a fine document with plenty of the usual words in it"),
       (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     // per-row kernels propagate null instead of throwing
-    val k = withNull.select(
+    val k = withNull.orderBy("doc_id").select(
       ext.TextAnalysis.normalizeText(col("text")).as("n"),
       ext.TextAnalysis.tokenCount(col("text")).as("tc"),
       ext.TextAnalysis.fingerprintRolling(col("text")).as("fp"),
       ext.TextAnalysis.compressionRatio(col("text")).as("cr"))
-      .collect().map(r => (r.isNullAt(0), r.isNullAt(1), r.isNullAt(2)))
-    assert(k.length === 2 && k.exists(_._1)) // the null row stays null
+      .collect().map(r => (0 until 4).map(r.isNullAt))
+    assert(k(0).forall(_ == false)) // the real doc: every kernel defined
+    assert(k(1).forall(_ == true), // the null doc: EVERY kernel propagates
+      s"null text must stay null across all kernels, got nullity ${k(1)}")
     // a null-text doc cannot pass a quality gate (null predicate → dropped)
     assert(ext.CorpusPipeline.hygieneGate(withNull)
       .select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))

@@ -221,6 +221,16 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       assert(bloom === exact, s"fpp=$fpp")
     }
+    // NULL dedup keys must survive the Bloom screen exactly like the
+    // anti-join treats them (null never matches the catalog → kept);
+    // a null-propagating probe would silently drop the row
+    val withNull = incoming.union(Seq((14L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val exactN = Dedup.incrementalDedup(withNull, catalog, key)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    val bloomN = Dedup.incrementalDedupBloom(withNull, catalog, key, expectedKeys = 100L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(exactN.exists(_._2.isEmpty), "fixture must exercise a null key")
+    assert(bloomN === exactN, "bloom form diverged on a null dedup key")
   }
 
   test("containment: embedded doc scores ~1 on its side while jaccard stays low") {

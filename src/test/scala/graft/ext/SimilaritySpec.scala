@@ -121,12 +121,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "ADC sweep planned a cartesian product")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "ADC sweep planned a nested-loop scan of all codes — the IVF coarse stage is not pruning")
-    // probing fewer cells scores strictly fewer candidates than probing all
-    val allCells = Similarity.pqTopK(q, c, 10, nlist = 8, nprobe = 8).collect()
+    // recall against brute force is monotone in the probe count —
+    // probing every cell can only see MORE of the true neighbors than
+    // probing one (a regression where nprobe stops pruning would make
+    // these equal for the wrong reason, but can never invert them)
+    val exact = Similarity.bruteForceTopK(q, c, 10).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val oneCell = Similarity.pqTopK(q, c, 10, nlist = 8, nprobe = 1)
-    assert(oneCell.collect().nonEmpty) // pruned index still answers
-    assert(allCells.nonEmpty)
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.pqTopK(q, c, 10, nlist = 8, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got.nonEmpty, s"nprobe=$nprobe returned nothing")
+      (exact & got).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r8 = recall(8)
+    assert(r8 >= r1, s"recall must be monotone in nprobe: nprobe=1 → $r1, nprobe=8 → $r8")
+    assert(r8 >= 0.3, s"full-probe recall too low: $r8")
   }
 
   test("embeddingNearDups: blocked self-join is EXACT — equals driver brute force pair-for-pair") {

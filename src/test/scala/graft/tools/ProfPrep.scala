@@ -36,18 +36,10 @@ object ProfPrep {
     time("full pipeline (cold)") { noop(CorpusPipeline.prepare(docs, bench, cfg)) }
     time("full pipeline (warm)") { noop(CorpusPipeline.prepare(docs, bench, cfg)) }
 
-    // stages
+    // stages — stage 1-2 IS the pipeline's own hygieneGate (extracted
+    // precisely so this profile can't drift from the real gates)
     val normalized = docs.withColumn("text", TextAnalysis.normalizeText(col("text")))
-    val feats = Pii.audit(TextAnalysis.qualityFeatures(normalized))
-      .withColumn("__rep", graft.functions.native.repetitionStats(col("text")))
-      .withColumn("dup_token_frac",
-        when(col("__rep.n_tokens") > 0,
-          lit(1.0) - col("__rep.n_distinct").cast("double") / col("__rep.n_tokens").cast("double"))
-          .otherwise(lit(0.0)))
-    val hygienic = feats
-      .filter(col("quality_score") >= cfg.minQuality)
-      .filter(col("dup_token_frac") <= cfg.maxDupTokenFrac)
-      .filter(col("n_emails") <= cfg.maxPiiEmails)
+    val hygienic = CorpusPipeline.hygieneGate(docs, cfg)
       .select("doc_id", "text", "quality_score")
     time("stage 1-2 gates (noop)") { noop(hygienic) }
 
