@@ -43,7 +43,12 @@ object Dedup {
     * on the shuffle wire at 100 TB.
     */
   def exact(df: DataFrame, key: Column, idCol: String = "doc_id"): DataFrame =
-    df.groupBy(key.as("dedup_key"))
+    keepFirstByKey(df.withColumn("dedup_key", key), idCol)
+
+  /** Shared keep-first tail: one surviving row (smallest id) per
+    * distinct `dedup_key`, with its duplicate count. */
+  private def keepFirstByKey(keyed: DataFrame, idCol: String): DataFrame =
+    keyed.groupBy("dedup_key")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(idCol, "dedup_key", "n_dups")
 
@@ -60,11 +65,10 @@ object Dedup {
     */
   def incrementalDedup(incoming: DataFrame, catalog: DataFrame, key: Column,
                        idCol: String = "doc_id"): DataFrame =
-    incoming.withColumn("dedup_key", key)
-      .join(catalog.select(key.as("dedup_key")).distinct(), Seq("dedup_key"), "left_anti")
-      .groupBy("dedup_key")
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
-      .select(idCol, "dedup_key", "n_dups")
+    keepFirstByKey(
+      incoming.withColumn("dedup_key", key)
+        .join(catalog.select(key.as("dedup_key")).distinct(), Seq("dedup_key"), "left_anti"),
+      idCol)
 
   /** Scale variant of [[incrementalDedup]] (docs/SCALE.md switch
     * table): a Bloom filter of the catalog keys screens the increment
@@ -99,10 +103,7 @@ object Dedup {
     val maybeDup = keyed.filter(probe)
       .join(catKeys.distinct(), Seq("dedup_key"), "left_anti")
     val definitelyNew = keyed.filter(!probe)
-    maybeDup.unionByName(definitelyNew)
-      .groupBy("dedup_key")
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
-      .select(idCol, "dedup_key", "n_dups")
+    keepFirstByKey(maybeDup.unionByName(definitelyNew), idCol)
   }
 
   /** Cross-corpus near-dup pairs between an id-disjoint catalog

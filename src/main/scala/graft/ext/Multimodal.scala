@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // JVM-global, once per process (object init runs on whichever JVM —
+  // driver or executor — first touches a codec): in-memory streams
+  // only, no tmp-file spill per encode/decode call
+  ImageIO.setUseCache(false)
+
   /** One media row: payload + typed metadata. */
   final case class MediaRow(doc_id: Long, format: String, width: Int, height: Int,
                             n_bytes: Long, payload: Array[Byte])
@@ -116,7 +121,6 @@ object Multimodal {
       y += 1
     }
     val baos = new ByteArrayOutputStream()
-    ImageIO.setUseCache(false) // in-memory streams, no tmp-file spill per call
     require(ImageIO.write(img, format, baos), s"no ImageIO writer for $format")
     baos.toByteArray
   }
@@ -188,7 +192,6 @@ object Multimodal {
           g.drawImage(src, 0, 0, w, h, null)
         } finally g.dispose()
         val baos = new ByteArrayOutputStream()
-        ImageIO.setUseCache(false)
         require(ImageIO.write(dst, r.format, baos), s"no ImageIO writer for ${r.format}")
         ImageRow(r.doc_id, r.format, baos.toByteArray)
       }
@@ -221,7 +224,6 @@ object Multimodal {
   def encodeGif(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val baos = new ByteArrayOutputStream()
-    ImageIO.setUseCache(false)
     val out = ImageIO.createImageOutputStream(baos)
     try {
       writer.setOutput(out)

@@ -97,7 +97,6 @@ class EmptyInputSpec extends SparkSpec {
   }
 
   test("multimodal: empty frames stream through the batch codecs") {
-    import spark.implicits._
     assert(ext.Multimodal.decodeImages(ext.Multimodal.renderImages(emptyDocs)).count() === 0L)
     assert(ext.Multimodal.decodeAudio(ext.Multimodal.renderAudio(emptyDocs)).count() === 0L)
     assert(ext.Multimodal.sampleFrames(ext.Multimodal.renderClips(emptyDocs)).count() === 0L)

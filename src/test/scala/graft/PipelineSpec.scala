@@ -70,8 +70,8 @@ class PipelineSpec extends SparkSpec {
       def d(a: Int, b: Int, s: Int) = math.abs(((a >> s) & 0xff) - ((b >> s) & 0xff))
       d(rgb, c0, 16) < 64 && d(rgb, c0, 8) < 64 && d(rgb, c0, 0) < 64
     }
-    val inked = (for { x <- 0 until img.getWidth; y <- 0 until img.getHeight
-                       if near(img.getRGB(x, y)) } yield 1).sum
+    val inked = (for { x <- (0 until img.getWidth).iterator; y <- 0 until img.getHeight }
+      yield img.getRGB(x, y)).count(near)
     assert(inked > 50, s"expected a drawn close series, found $inked matching pixels")
     // the vector form stays available through the same sink
     p.renderReport("BTC-USD", "2024-01-03", s"$root/reports/BTC-USD_2024-01-03.svg")

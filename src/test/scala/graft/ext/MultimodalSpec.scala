@@ -20,6 +20,13 @@ class MultimodalSpec extends SparkSpec {
     assert(m(1).getAs[Int]("width") === 3 % 640 + 64)
   }
 
+  /** Mean of the deterministic raster pattern over doc `d`'s dims. */
+  private def analyticMean(d: Long): Double = {
+    val (w, h) = Multimodal.imageDims(d)
+    (for { x <- 0 until w; y <- 0 until h }
+      yield ((d * 31 + 7 * x + 13 * y) % 256).toDouble).sum / (w * h)
+  }
+
   test("decodeImages: PNG decode is bit-faithful to the analytic raster") {
     val d = 4L
     val src = Seq((d, "t", 1L)).toDF("doc_id", "text", "n_chars")
@@ -28,9 +35,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out.format === "png")
     assert(out.width === w && out.height === h)
     assert(out.n_bytes > 0L)
-    val expect = (for { x <- 0 until w; y <- 0 until h }
-      yield ((d * 31 + 7 * x + 13 * y) % 256).toDouble).sum / (w * h)
-    assert(out.mean_luma === expect) // PNG is lossless: exact equality
+    assert(out.mean_luma === analyticMean(d)) // PNG is lossless: exact equality
   }
 
   test("decodeImages: JPEG decode recovers dims exactly, luma approximately") {
@@ -40,10 +45,8 @@ class MultimodalSpec extends SparkSpec {
     val (w, h) = Multimodal.imageDims(d)
     assert(out.format === "jpeg")
     assert(out.width === w && out.height === h) // dims survive lossy coding
-    val expect = (for { x <- 0 until w; y <- 0 until h }
-      yield ((d * 31 + 7 * x + 13 * y) % 256).toDouble).sum / (w * h)
-    assert(math.abs(out.mean_luma - expect) < 16.0,
-      s"jpeg luma ${out.mean_luma} drifted too far from analytic $expect")
+    assert(math.abs(out.mean_luma - analyticMean(d)) < 16.0,
+      s"jpeg luma ${out.mean_luma} drifted too far from analytic ${analyticMean(d)}")
   }
 
   test("decodeImages: fails fast on an undecodable payload") {
