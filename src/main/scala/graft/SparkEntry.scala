@@ -1344,14 +1344,14 @@ object SparkEntry {
         |              1704067200 + i*211*60 AS start_s,
         |              1704067200 + i*211*60 + 97*60 AS end_s
         |            FROM range(200) t(i)),
-        |e AS (SELECT epoch(ts)::BIGINT AS p, user_id FROM events)
+        |e AS (SELECT floor(epoch(ts))::BIGINT AS p, user_id FROM events)
         |SELECT interval_id, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users
         |FROM e JOIN iv ON p BETWEEN start_s AND end_s
         |GROUP BY 1""".stripMargin,
     "q_hopping_window" ->
       """WITH e AS (SELECT event_type,
-        |             (epoch(ts)::BIGINT // 43200) * 43200 AS b FROM events),
+        |             (floor(epoch(ts))::BIGINT // 43200) * 43200 AS b FROM events),
         |w AS (SELECT event_type, unnest([b, b - 43200]) AS ws_epoch FROM e)
         |SELECT make_timestamp(ws_epoch * 1000000) AS ws, event_type, count(*) AS n
         |FROM w GROUP BY 1, 2""".stripMargin,
@@ -1839,13 +1839,15 @@ object SparkEntry {
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold
         |FROM documents""".stripMargin,
     "q_quality_gate" ->
+      // UNROUNDED score on both sides: the raw doubles are bit-identical
+      // (q_text_quality), a 6-dp round diverges on binary ties
       """WITH sc AS (SELECT doc_id, source,
-        |  round(least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
+        |  least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
         |    + len(list_filter(string_split(lower(text), ' '),
         |          t -> list_contains(['the','a','and','of','to','in','is','it'], t))) * 1.0
         |      / len(string_split(lower(text), ' ')) * 0.3
         |    + least(length(regexp_replace(text, ' ', '', 'g')) * 1.0
-        |            / len(string_split(lower(text), ' ')) / 10.0, 1.0) * 0.2, 6) AS score
+        |            / len(string_split(lower(text), ' ')) / 10.0, 1.0) * 0.2 AS score
         |  FROM documents),
         |r AS (SELECT *,
         |        row_number() OVER (PARTITION BY source

@@ -725,8 +725,13 @@ object TextAnalysis {
                            textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepFrac > 0.0 && keepFrac <= 1.0)
+    // the UNROUNDED score: the feature arithmetic is bit-identical
+    // across engines (q_text_quality hash-matches it raw), whereas a
+    // 6-dp round DIVERGES on binary ties — sf0.1's doc 720 scores
+    // 0.42843749999999997, which DuckDB's shortest-decimal round sends
+    // up and Spark's exact-binary BigDecimal round sends down
     val scored = qualityFeatures(df, textCol)
-      .withColumn("score", round(col("quality_score"), 6))
+      .withColumn("score", col("quality_score"))
     scored
       .withColumn("qrank", row_number().over(
         Window.partitionBy(sourceCol).orderBy(desc("score"), asc("doc_id"))))
