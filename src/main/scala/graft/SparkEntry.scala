@@ -129,6 +129,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     enriched(spark, "/root/testdata/sf0.001")
 
+  /** Force every once-per-JVM stage table eagerly. Bench calls this
+    * BEFORE its timed region so no query pays (or skips) staging cost
+    * depending on run order: without it the first pack key to run
+    * times pack+write while its sibling times a bare parquet scan
+    * (ADVICE r7). Harmless to call twice — staging is idempotent.
+    */
+  def prestage(s: SparkSession, dir: String): Unit =
+    packedDocs(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.4/§2.5 aggregations + windows (A1, W1-W4) ----

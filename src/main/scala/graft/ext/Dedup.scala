@@ -85,10 +85,15 @@ object Dedup {
                             idCol: String = "doc_id",
                             expectedKeys: Long = 1000000L,
                             fpp: Double = 0.01): DataFrame = {
-    val catKeys = catalog.select(key.as("dedup_key"))
-    // an EMPTY catalog (the first crawl cycle!) NPEs Spark's
-    // bloomFilter builder — and needs no screening at all: fall back
-    // to the exact form, whose anti-join against nothing is a no-op
+    // drop NULL catalog keys up front: bloom_filter_agg skips nulls
+    // anyway (an all-null catalog would otherwise build a zero-item
+    // filter and NPE just like an empty one), and a null key never
+    // matches the anti-join, so excluding it preserves semantics
+    val catKeys = catalog.select(key.as("dedup_key")).filter(col("dedup_key").isNotNull)
+    // an EMPTY (or all-null-key) catalog — the first crawl cycle! —
+    // NPEs Spark's bloomFilter builder, and needs no screening at
+    // all: fall back to the exact form, whose anti-join against
+    // nothing is a no-op
     if (catKeys.isEmpty) return incrementalDedup(incoming, catalog, key, idCol)
     // no distinct() before the build: Bloom insertion is idempotent
     // (same rationale as Contamination.flagBloom)

@@ -273,7 +273,11 @@ object Multimodal {
     clips.mapPartitions { rows =>
       rows.flatMap { r =>
         val in = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
-        val reader = ImageIO.getImageReaders(in).next()
+        val readers = ImageIO.getImageReaders(in)
+        // fail fast with the doc id, matching decodeImages — a bare
+        // NoSuchElementException from next() names nothing
+        require(readers.hasNext, s"undecodable clip payload for doc ${r.doc_id}")
+        val reader = readers.next()
         try {
           reader.setInput(in)
           val n = reader.getNumImages(true)
@@ -367,6 +371,13 @@ object Multimodal {
           s"unexpected decoded format $fmt for doc ${r.doc_id}")
         val n = ais.getFrameLength.toInt
         val buf = ais.readAllBytes()
+        // getFrameLength is NOT_SPECIFIED (-1) for unsized/streamed
+        // input, and a truncated payload can deliver fewer PCM bytes
+        // than the header promises — either would otherwise surface
+        // as a negative loop bound or ArrayIndexOutOfBounds instead
+        // of the format error this kernel promises
+        require(n >= 0 && buf.length >= 2 * n,
+          s"truncated/unsized PCM (frames=$n, bytes=${buf.length}) for doc ${r.doc_id}")
         var sumAbs = 0L
         var sumSq = 0L
         var i = 0
