@@ -70,6 +70,26 @@ object Contamination {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The benchmark's distinct shingle set, collected to the driver —
+    * bounded by the benchmark's nature (eval suites are thousands of
+    * docs; the corpus side is what's unbounded), exactly the set
+    * [[flag]] would broadcast as a join build side. Feeds the per-row
+    * probe form ([[graft.functions.native.sharesShingle]]): with the
+    * set riding the expression, "does this doc share a benchmark
+    * shingle?" is a scan-local codegen'd predicate — no corpus
+    * explode, no aggregate, no join, and it fuses into whatever
+    * projection already scans the text. Same memory constraint as the
+    * broadcast form; past ~10⁸ shingles switch to [[flagBloom]]
+    * (docs/SCALE.md), whose false positives make it a screening pass
+    * rather than a drop-in.
+    */
+  def benchShingleSet(benchmark: DataFrame, n: Int = 5): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    shingleRows(benchmark, n).select("s").distinct().collect()
+      .foreach(r => set.add(r.getString(0)))
+    set
+  }
+
   /** The clean corpus: drop flagged docs via a broadcast anti-join
     * (the flagged set is a vanishing fraction of the corpus).
     */

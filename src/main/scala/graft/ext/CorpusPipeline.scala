@@ -71,56 +71,69 @@ object CorpusPipeline {
     */
   def prepare(docs: DataFrame, benchmark: DataFrame,
               cfg: Config = Config()): DataFrame = {
-    // stages 1-2: one projection — normalize + quality + PII +
-    // repetition features, then the gates (shared with the streaming
-    // front door via hygieneGate)
-    val normalized = docs.withColumn("text", TextAnalysis.normalizeText(col("text")))
-    val hygienic = hygieneGate(docs, cfg).select("doc_id", "text", "quality_score")
-    // stage 3: decontaminate (corpus unshuffled; broadcast benchmark).
-    // The benchmark side gets the SAME normalization as the corpus —
-    // shingling raw benchmark text against normalized corpus text
-    // would miss contamination whose raw forms differ only in
-    // whitespace runs / adjacent-duplicate tokens (exactly what
-    // normalizeText folds), i.e. false negatives in the one stage
-    // that promises none.
+    // stage 3 FIRST, driver-side: the benchmark's distinct shingle
+    // set, collected once (bounded — eval suites are small by nature;
+    // it is byte-for-byte the set Contamination.flag would broadcast
+    // as a join build side). The benchmark side gets the SAME
+    // normalization as the corpus — shingling raw benchmark text
+    // against normalized corpus text would miss contamination whose
+    // raw forms differ only in whitespace runs / adjacent-duplicate
+    // tokens (exactly what normalizeText folds), i.e. false negatives
+    // in the one stage that promises none. Past ~10⁸ benchmark
+    // shingles the set no longer fits the expression; switch to
+    // Contamination.flagBloom as a screening pass (docs/SCALE.md).
     val normBench = benchmark.withColumn("text", TextAnalysis.normalizeText(col("text")))
-    // Stage boundary MATERIALIZED — the ONLY full-text materialization
-    // in the pipeline. Split and token counts are pure per-row hashes /
-    // kernels of (doc_id, text), independent of the dedup outcome, so
-    // they're computed here, inside the same projection, instead of in
-    // a second full-text checkpoint after the dedup (the r6 restructure:
-    // two text materializations + a recomputed pair build → one).
+    val benchShingles = Contamination.benchShingleSet(normBench, cfg.decontamNgram)
+
+    // stages 1-3: ONE projection + filter over the input scan —
+    // normalize + quality + PII + repetition gates, the per-row
+    // decontamination probe (an early-exit n-gram membership test
+    // against the expression-resident benchmark set — exact, so it
+    // keeps the join form's oracle), and the pure per-row split hash
+    // and token count. r7 ran decontamination as its own explode →
+    // broadcast-join → aggregate → anti-join subplan, which cost a
+    // second full normalize pass, its own checkpoint, and a broadcast
+    // build per downstream consumer; as a predicate it fuses into the
+    // projection Catalyst already collapses stages 1-2 into, and the
+    // whole hygiene-and-decontam front becomes zero-shuffle.
+    //
+    // Stage boundary MATERIALIZED — the ONLY full-text
+    // materialization in the pipeline: the three downstream consumers
+    // (pair build, thin packing pass, final text rejoin) re-run the
+    // whole kernel chain if this recomputes. Unconditional (not
+    // Mat.matBoundary): input bytes understate a kernel-chain
+    // recompute (A/B at sf0.1: gated 5.1 s vs forced 3.0 s).
     // localCheckpoint is the single-JVM form: eager, executor-local
-    // blocks, NOT fault-tolerant (an executor loss fails the downstream
-    // job). On a cluster, swap the boundary for persist(DISK_ONLY) or a
-    // staging-table write — same shape, same trade.
-    // A doc's shared-shingle count depends on nothing but its own
-    // text, so the flag probe runs on the PRE-GATE normalized text:
-    // flag(normalized) ∩ hygienic-ids = flag(hygienic), and the
-    // probe side skips re-evaluating the quality/PII/repetition
-    // kernels (r7 profile: the gate chain was the whole pipeline's
-    // single most re-executed subtree).
-    val contaminated = Contamination.flag(
-        normalized.select(col("doc_id"), col("text")), normBench, cfg.decontamNgram)
-      .select("doc_id")
+    // blocks, NOT fault-tolerant. On a cluster, swap for
+    // persist(DISK_ONLY) or a staging-table write — same shape, same
+    // trade.
+    //
+    // The decontam probe (n=5 grams) and the near-dup pair build
+    // (n=3) both tokenize the text but can NOT share one shingle
+    // frame: wordShingles emits per-doc DISTINCT shingles, so 5-grams
+    // are not derivable from deduplicated 3-grams, and materializing
+    // a combined (doc, n, shingle) exploded frame would write
+    // corpus×shingles rows — strictly more than the explode it saves.
     val corpus = TextAnalysis.splitAssign(
-        hygienic.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+        hygieneGate(docs, cfg).select("doc_id", "text", "quality_score"))
+      .filter(!graft.functions.native.sharesShingle(
+        col("text"), cfg.decontamNgram, benchShingles))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
-      // unconditionally materialized (not Mat.matBoundary): three
-      // consumers (pair build, thin packing pass, final text rejoin)
-      // each re-run the whole normalize→quality→decontam kernel chain
-      // if this recomputes — input bytes understate that cost, and the
-      // A/B at sf0.1 showed gated 5.1 s vs forced 3.0 s end-to-end
       .localCheckpoint(true)
-    // stage 4: near-dup keep-first. The loser set is materialized —
-    // it is O(#near-dup pairs), tiny next to the corpus — so the
-    // anti-join below reads a few ids instead of re-running the whole
-    // posting-list pair build (which a bare `dropNearDups(corpus,
-    // pairs)` would re-evaluate inside its own plan).
+    // stage 4: near-dup keep-first. The loser ids ride the thin
+    // frame's BROADCAST anti-join build side directly — exactly one
+    // consumer evaluates the pair build (the thin checkpoint below
+    // pins its result), so the r7 loser checkpoint + distinct were two
+    // jobs buying nothing: an anti-join probes existence, so duplicate
+    // b's in the build side are harmless, and the broadcast hash set
+    // dedups on build anyway. Loser cardinality is ≤ near-dup docs —
+    // a vanishing corpus fraction; if a pathologically duplicated
+    // corpus ever outgrew the broadcast, stage the loser ids to a
+    // table and shuffle-anti-join, same as every other switch point.
     val pairs =
       if (cfg.dedupMinhash) Dedup.minhashNearDups(corpus, cfg.dedupNgram, threshold = cfg.dedupJaccard)
       else Dedup.ngramJaccardPairs(corpus, cfg.dedupNgram, cfg.dedupJaccard)
-    val losers = pairs.select(col("b").as("doc_id")).distinct().localCheckpoint(true)
+    val losers = pairs.select(col("b").as("doc_id"))
     // stages 5-6: deterministic order + token-budget packing, PER SPLIT
     // — a pack must never straddle train/val/test (a mixed pack either
     // leaks val text into a train shard or has to be broken, voiding
@@ -133,7 +146,7 @@ object CorpusPipeline {
     // its input twice (per-partition totals, then the indexed pass) —
     // both passes must see identical partitions.
     val thin = corpus.select("doc_id", "quality_score", "split", "n_tokens")
-      .join(losers, Seq("doc_id"), "left_anti")
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val packed = graft.ops.TotalOrder.packSequencesPerGroup(thin, "split",
       Seq(md5(col("doc_id").cast("string")), col("doc_id")), "n_tokens", cfg.packTokens)

@@ -74,6 +74,43 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Does ANY word `n`-gram of `text` sit in `set`? The per-row,
+    * early-exit form of the decontamination probe: same tokenization
+    * as [[wordShingles]] (lowercase, split on ' ' with empties kept),
+    * but nothing is collected — each gram is tested as it is built
+    * and the first hit returns. Turns "flag docs sharing a benchmark
+    * shingle" into a scan-local predicate: no explode, no shuffle, no
+    * aggregate, no join.
+    */
+  def sharesShingle(text: UTF8String, n: Int, set: java.util.HashSet[String]): Boolean = {
+    if (set.isEmpty) return false
+    val s = text.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') { toks.add(s.substring(start, i)); start = i + 1 }
+      i += 1
+    }
+    toks.add(s.substring(start))
+    val m = toks.size
+    if (m < n) return false
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      if (set.contains(sb.toString)) return true
+      j += 1
+    }
+    false
+  }
+
   /** ALL word n-grams of `text` in order, repeats kept — the raw-count
     * twin of [[wordShingles]] (which emits per-doc DISTINCT grams for
     * dedup). Same tokenization: split lowercased text on ' ' with

@@ -473,6 +473,33 @@ case class PqAdcExpr(left: Expression, right: Expression, k: Int)
   * `BloomFilter.putString`'s encoding, so a filter built with
   * `df.stat.bloomFilter` agrees bit-for-bit.
   */
+/** Per-row decontamination probe: true iff any word n-gram of the text
+  * sits in the (driver-resident) benchmark shingle set. The set rides
+  * the expression as a reference object — the same shape as
+  * [[BloomMightContainExpr]]'s filter bits — so the probe is a
+  * scan-local codegen'd predicate: no explode, no shuffle, no join.
+  * Exact membership (unlike the Bloom form): no false positives, so
+  * it shares the broadcast-join variant's oracle.
+  */
+case class SharesShingleExpr(child: Expression, n: Int,
+    set: java.util.HashSet[String]) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = s"shares_shingle_$n"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "text", child)
+
+  override def nullSafeEval(t: Any): Any =
+    Kernels.sharesShingle(t.asInstanceOf[UTF8String], n, set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("benchShingles", set,
+      classOf[java.util.HashSet[String]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.sharesShingle($c, $n, $setRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class BloomMightContainExpr(child: Expression,
     bf: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
   override def dataType: DataType = BooleanType
@@ -607,6 +634,8 @@ object native {
     c(PqAdcExpr(e(table), e(code), k))
   def vectorMean(v: Column, dim: Int): Column =
     c(VectorMeanAgg(e(v), dim).toAggregateExpression())
+  def sharesShingle(text: Column, n: Int, set: java.util.HashSet[String]): Column =
+    c(SharesShingleExpr(e(text), n, set))
   def bloomMightContain(item: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =
     c(BloomMightContainExpr(e(item), bf))
   /** `SeededEwma(...) OVER (PARTITION BY .. ORDER BY .. ROWS UNBOUNDED

@@ -50,6 +50,25 @@ class NativeExpressionsSpec extends SparkSpec {
       .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1), s"for ${r}"))
   }
 
+  test("SharesShingleExpr ≡ arrays_overlap(wordShingles, set); null text → null; empty set → false") {
+    val texts = samples(Gen.listOf(Gen.oneOf("a", "b", "cc", "Dd", "", "e f")), 30)
+      .map(_.mkString(" ")) ++ Seq("", " ", "one two", "x y z x y z", "A  B C", "a b cc")
+    val benchSet = new java.util.HashSet[String]()
+    Seq("a b cc", "dd  e", "z x y").foreach(benchSet.add)
+    val setCol = typedLit(Seq("a b cc", "dd  e", "z x y"))
+    val df = texts.toDF("text")
+    df.select(native.sharesShingle($"text", 3, benchSet).as("k"),
+        arrays_overlap(native.wordShingles($"text", 3), setCol).as("h")).collect()
+      .foreach(r => assert(r.getBoolean(0) === r.getBoolean(1), s"for ${r}"))
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(native.sharesShingle($"text", 3, benchSet)).collect()
+    assert(nullRow(0).isNullAt(0))
+    val emptySet = new java.util.HashSet[String]()
+    val none = texts.toDF("text")
+      .select(native.sharesShingle($"text", 3, emptySet)).collect()
+    none.foreach(r => assert(!r.getBoolean(0)))
+  }
+
   test("WordNgramsExpr ≡ transform(sequence...) over split(lower), repeats kept") {
     val texts = samples(Gen.listOf(Gen.oneOf("a", "b", "cc", "Dd", "", "e f")), 30)
       .map(_.mkString(" ")) ++ Seq("", " ", "one two", "x y z x y z", "A  B C")

@@ -38,33 +38,26 @@ object ProfPrep {
 
     // stages — stage 1-2 IS the pipeline's own hygieneGate (extracted
     // precisely so this profile can't drift from the real gates)
-    val normalized = docs.withColumn("text", TextAnalysis.normalizeText(col("text")))
-    val hygienic = CorpusPipeline.hygieneGate(docs, cfg)
-      .select("doc_id", "text", "quality_score")
-    time("stage 1-2 gates (noop)") { noop(hygienic) }
-
     val normBench = bench.withColumn("text", TextAnalysis.normalizeText(col("text")))
+    var benchShingles: java.util.HashSet[String] = null
+    time("stage 3a bench shingle set collect") {
+      benchShingles = Contamination.benchShingleSet(normBench, cfg.decontamNgram)
+    }
     var corpus: DataFrame = null
-    time("stage 3 decontam+split+tokens + localCkpt") {
-      // mirrors prepare(): the flag probe runs on pre-gate normalized
-      // text so the gate kernels are not re-evaluated on the probe side
-      val contaminated = Contamination.flag(
-          normalized.select(col("doc_id"), col("text")), normBench, cfg.decontamNgram)
-        .select("doc_id")
+    time("stage 1-3 gates+decontam+split+tokens + ckpt") {
       corpus = TextAnalysis.splitAssign(
-          hygienic.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+          CorpusPipeline.hygieneGate(docs, cfg).select("doc_id", "text", "quality_score"))
+        .filter(!graft.functions.native.sharesShingle(
+          col("text"), cfg.decontamNgram, benchShingles))
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
         .localCheckpoint(true)
     }
-    var losers: DataFrame = null
-    time("stage 4 pair build + loser localCkpt") {
-      val pairs = Dedup.ngramJaccardPairs(corpus, cfg.dedupNgram, cfg.dedupJaccard)
-      losers = pairs.select(col("b").as("doc_id")).distinct().localCheckpoint(true)
-    }
     var thin: DataFrame = null
-    time("stage 5 thin anti-join + localCkpt") {
+    time("stage 4-5 pair build + thin anti-join + ckpt") {
+      val pairs = Dedup.ngramJaccardPairs(corpus, cfg.dedupNgram, cfg.dedupJaccard)
+      val losers = pairs.select(col("b").as("doc_id"))
       thin = corpus.select("doc_id", "quality_score", "split", "n_tokens")
-        .join(losers, Seq("doc_id"), "left_anti")
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
     }
     time("stage 6 pack + text rejoin (noop)") {
