@@ -177,4 +177,60 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.readSnapshot(spark, root).count() === 1L)
     intercept[Exception] { Warehouse.readSnapshot(spark, root, Some(1L)).collect() }
   }
+
+  test("commitSnapshot: stale writer fails retry-able; no lost update") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cas").toString + "/t"
+    val v1 = Warehouse.commitSnapshot(Seq((1L, "base")).toDF("id", "x"), root, 0L)
+    assert(v1 === 1L)
+    // two writers both derive from v1 — the second to claim v2 must
+    // fail with the retry-able conflict, not silently overwrite
+    val base = Warehouse.currentSnapshot(spark, root)
+    val winner = Warehouse.commitSnapshot(Seq((2L, "w1")).toDF("id", "x"), root, base)
+    assert(winner === 2L)
+    intercept[Warehouse.SnapshotConflictException] {
+      Warehouse.commitSnapshot(Seq((3L, "w2")).toDF("id", "x"), root, base)
+    }
+    // the loser's retry protocol: re-read the fresh version, commit again
+    val retry = Warehouse.commitSnapshot(
+      Seq((3L, "w2")).toDF("id", "x"), root, Warehouse.currentSnapshot(spark, root))
+    assert(retry === 3L)
+    // serializable history: all three versions present, each intact,
+    // loser's aborted attempt left no staging debris
+    assert(Warehouse.snapshots(spark, root) === Seq(1L, 2L, 3L))
+    assert(Warehouse.readSnapshot(spark, root, Some(2L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "w1")))
+    assert(Warehouse.readSnapshot(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((3L, "w2")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName.startsWith("_staging")))
+  }
+
+  test("commitSnapshot: genuinely concurrent writers — exactly one claim per version") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = java.nio.file.Files.createTempDirectory("graft_cas2").toString + "/t"
+    Warehouse.commitSnapshot(Seq((0L, "seed")).toDF("id", "x"), root, 0L)
+    // 4 writers race from the same read snapshot, retrying on conflict
+    // until committed: every writer must land in SOME version, and the
+    // final history must hold all 4 payloads exactly once
+    val results = Await.result(Future.sequence((1 to 4).map { w =>
+      Future {
+        var committed = -1L
+        while (committed < 0) {
+          try committed = Warehouse.commitSnapshot(
+            Seq((w.toLong, s"writer$w")).toDF("id", "x"), root,
+            Warehouse.currentSnapshot(spark, root))
+          catch { case _: Warehouse.SnapshotConflictException => () }
+        }
+        committed
+      }
+    }), 120.seconds)
+    assert(results.toSet.size === 4, s"two writers claimed one version: $results")
+    val payloads = Warehouse.snapshots(spark, root).drop(1).map(v =>
+      Warehouse.readSnapshot(spark, root, Some(v)).collect().head.getString(1))
+    assert(payloads.sorted === Seq("writer1", "writer2", "writer3", "writer4"))
+  }
 }
