@@ -627,8 +627,10 @@ object SparkEntry {
     "q_epoch_shuffle" -> ((s, dir) =>
       TotalOrder.epochShuffle(Tables.documents(s, dir), "doc_id", epochs = 3)),
     "q_bigram_logp" -> ((s, dir) => ext.TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
-    "q_bpe_learn" -> ((s, dir) => // rows-only: the merge fixpoint loop
-      // isn't ANSI SQL; the exact merge sequence is pinned in BpeSpec
+    "q_bpe_learn" -> ((s, dir) => // oracle-checked since r8: the fixed
+      // 8-round merge loop unrolls into chained SQL CTEs (see
+      // bpeLearnOracle); the greedy remerge semantics are additionally
+      // pinned in BpeSpec on a hand-computed corpus
       ext.Bpe.learn(Tables.documents(s, dir), merges = 8)),
     "q_bpe_encode" -> ((s, dir) => { // rows-only: piece counts derive
       // from the learned segmentation (merge loop); exact per-doc
@@ -766,10 +768,69 @@ object SparkEntry {
           col("open"), col("high"), col("low"), col("close"))
     }))
 
+  /** q_bpe_learn's oracle, generated: the merge loop is a FIXED
+    * `merges`-round iteration, so it unrolls into chained CTEs — one
+    * (argmax pair, guarded rule, re-segmented vocab) triple per round
+    * (the SURVEY's composed-mega-oracle trick, applied to a loop).
+    * The greedy left-to-right single-pass remerge is the only subtle
+    * part in SQL: matches of the winning pair (l,r) can only overlap
+    * in runs where l = r, so "merge every match the greedy scan
+    * takes" ≡ gaps-and-islands over match positions, keeping
+    * alternate members of each island of consecutive matches.
+    * Early-stop (minFreq) falls out for free: a round whose best pair
+    * is sub-threshold emits no rule row, and its pass-through LEFT
+    * JOIN leaves the segmentation untouched, so every later round
+    * finds the same sub-threshold argmax and also emits nothing.
+    * Verified bit-exact vs the engine at sf0.001/0.01/0.1.
+    */
+  private def bpeLearnOracle(merges: Int, minFreq: Long = 2L): String = {
+    def round(k: Int): String = {
+      val prev = s"seg${k - 1}"
+      s"""
+pr$k AS (
+  SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS c
+  FROM (SELECT freq, unnest([{'l': sym[i], 'r': sym[i+1]} for i in range(1, len(sym))]) AS p
+        FROM $prev WHERE len(sym) >= 2)
+  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+r$k AS (SELECT * FROM pr$k WHERE c >= $minFreq),
+seg$k AS (
+  SELECT word, any_value(freq) AS freq,
+         list(emit ORDER BY i) FILTER (WHERE emit IS NOT NULL) AS sym
+  FROM (
+    SELECT word, freq, i,
+           CASE WHEN taken THEN s || lead(s) OVER (PARTITION BY word ORDER BY i)
+                WHEN coalesce(lag(taken) OVER (PARTITION BY word ORDER BY i), false) THEN NULL
+                ELSE s END AS emit
+    FROM (
+      SELECT word, freq, i, s,
+             coalesce(is_match AND (i - min(i) OVER (PARTITION BY word, island)) % 2 = 0, false) AS taken
+      FROM (
+        SELECT word, freq, i, s, is_match,
+               CASE WHEN is_match THEN i - (row_number() OVER (PARTITION BY word, is_match ORDER BY i)) END AS island
+        FROM (
+          SELECT e.word, e.freq, e.i, e.s,
+                 coalesce(e.s = rule.l AND lead(e.s) OVER (PARTITION BY e.word ORDER BY e.i) = rule.r, false) AS is_match
+          FROM (SELECT word, freq, unnest(sym) AS s, unnest(range(1, len(sym)+1)) AS i FROM $prev) e
+          LEFT JOIN r$k rule ON TRUE)))
+  ) GROUP BY word)"""
+    }
+    val rounds = (1 to merges).map(round).mkString(",")
+    val union = (1 to merges)
+      .map(k => s"""SELECT $k AS step, l AS "left", r AS "right", c AS freq FROM r$k""")
+      .mkString(" UNION ALL ")
+    s"""WITH words AS (
+  SELECT token AS word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token <> '' GROUP BY 1),
+seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM words),$rounds
+$union ORDER BY step"""
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_learn" -> bpeLearnOracle(8),
     "q_ohlc" -> s"$dailyCte SELECT * FROM daily",
     "q_ret" -> s"$enrichedCte SELECT date, asset, close, ret FROM enriched",
     "q_ma7" -> s"$enrichedCte SELECT date, asset, close, ma7 FROM enriched",
