@@ -337,6 +337,29 @@ object Warehouse {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** S7's optional connector (SURVEY §2.1): scan a JDBC table — the
+    * direct analogue of the reference's `pd.read_sql` over SQLite
+    * (dag_btc_daily.py), kept thin over `spark.read.jdbc` because
+    * that source already does the two things that matter:
+    * filter/column pushdown into the remote query (verified in
+    * WarehouseSpec against an embedded Derby — `PushedFilters` reach
+    * the JDBCRelation scan) and, when a `partitionColumn` is given,
+    * a partition-parallel read (numPartitions range-predicate queries
+    * instead of one single-threaded cursor — the only shape that
+    * survives a big table; an unpartitioned JDBC scan is a one-task
+    * bottleneck by construction).
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               partitionColumn: Option[String] = None,
+               lowerBound: Long = 0L, upperBound: Long = 0L,
+               numPartitions: Int = 1,
+               properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    partitionColumn match {
+      case Some(pc) =>
+        spark.read.jdbc(url, table, pc, lowerBound, upperBound, numPartitions, properties)
+      case None => spark.read.jdbc(url, table, properties)
+    }
+
   /** JSONL (newline-delimited JSON) sink — the interchange format
     * training corpora ship in; one JSON object per line, splittable,
     * partition-parallel.

@@ -178,6 +178,39 @@ class WarehouseSpec extends SparkSpec {
     intercept[Exception] { Warehouse.readSnapshot(spark, root, Some(1L)).collect() }
   }
 
+  test("readJdbc: embedded Derby scan, filter pushdown, partition-parallel read") {
+    val url = s"jdbc:derby:memory:graftjdbc${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE prices (id BIGINT, asset VARCHAR(16), price DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO prices VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, if (i % 2 == 0) "BTC" else "ETH")
+        ps.setDouble(3, 100.0 + i); ps.executeUpdate()
+      }
+      // plain scan reads everything
+      val all = Warehouse.readJdbc(spark, url, "prices")
+      assert(all.count() === 100)
+      // predicate + projection reach the remote query, not a post-scan
+      // filter over a full fetch
+      val filtered = all.filter($"asset" === "BTC").select("id", "price")
+      val plan = filtered.queryExecution.executedPlan.toString
+      // Derby upcases unquoted identifiers, hence EqualTo(ASSET,BTC)
+      assert(plan.contains("PushedFilters") && plan.toUpperCase.contains("EQUALTO(ASSET"),
+        s"expected asset filter pushed into the JDBC scan:\n$plan")
+      assert(filtered.count() === 50)
+      // partitioned read: range predicates split the scan into
+      // parallel cursors and the union is still exactly the table
+      val par = Warehouse.readJdbc(spark, url, "prices",
+        partitionColumn = Some("id"), lowerBound = 1L, upperBound = 101L, numPartitions = 4)
+      assert(par.rdd.getNumPartitions === 4)
+      assert(par.count() === 100)
+      assert(par.agg(org.apache.spark.sql.functions.sum($"price")).head().getDouble(0) ===
+        all.agg(org.apache.spark.sql.functions.sum($"price")).head().getDouble(0))
+    } finally conn.close()
+  }
+
   test("commitSnapshot: stale writer fails retry-able; no lost update") {
     val root = java.nio.file.Files.createTempDirectory("graft_cas").toString + "/t"
     val v1 = Warehouse.commitSnapshot(Seq((1L, "base")).toDF("id", "x"), root, 0L)

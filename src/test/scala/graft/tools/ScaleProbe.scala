@@ -55,6 +55,34 @@ object ScaleProbe {
         graft.ext.CorpusPipeline.prepare(
           d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0)).count()
       }
+      // the Config switch SCALE.md documents for heavy duplication:
+      // MinHash banding replaces exact Σdf² pairs as the pipeline's
+      // pair source — same decision logic, near-linear pair build
+      time(s"corpus prepare minhash ($label)") {
+        graft.ext.CorpusPipeline.prepare(
+          d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0),
+          graft.ext.CorpusPipeline.Config(dedupMinhash = true)).count()
+      }
+      time(s"dedup cluster ($label)") {
+        graft.ext.Dedup.dropNearDupsByCluster(d,
+          graft.ext.Dedup.ngramJaccardPairs(d, 3, 0.8)).count()
+      }
+    }
+
+    // SymSpell fuzzy join: clone the customer names K× with shifted
+    // keys — every name gains K−1 exact copies, so candidate groups
+    // fatten by K and verified pairs by ~K² (the worst case for any
+    // blocking scheme; the deletion-neighborhood groups must absorb it
+    // without a cross join appearing)
+    val cust1 = Tables.tableWide(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val maxCk = cust1.agg(max(col("c_custkey"))).head().getLong(0) + 1
+    val custK = (0 until k).map(i =>
+        cust1.withColumn("c_custkey", col("c_custkey") + lit(i * maxCk)))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    for ((label, c) <- Seq("1x" -> cust1, s"${k}x" -> custK)) {
+      time(s"fuzzy join k=1 ($label)") {
+        graft.ops.FuzzyJoin.editDistancePairs(c, "c_custkey", "c_name", k = 1).count()
+      }
     }
 
     val emb1 = Tables.embeddings(spark, dir)
