@@ -632,9 +632,9 @@ object SparkEntry {
       // bpeLearnOracle); the greedy remerge semantics are additionally
       // pinned in BpeSpec on a hand-computed corpus
       ext.Bpe.learn(Tables.documents(s, dir), merges = 8)),
-    "q_bpe_encode" -> ((s, dir) => { // rows-only: piece counts derive
-      // from the learned segmentation (merge loop); exact per-doc
-      // fertility and OOV char-fallback are pinned in BpeSpec
+    "q_bpe_encode" -> ((s, dir) => { // oracle-checked since r8 via the
+      // same unrolled merge chain as q_bpe_learn (bpeEncodeOracle);
+      // OOV char-fallback additionally pinned in BpeSpec
       val docs = Tables.documents(s, dir)
       val (_, seg) = ext.Bpe.learnWithSegmentation(docs, merges = 8)
       ext.Bpe.encode(docs, seg).orderBy("doc_id")
@@ -784,6 +784,38 @@ object SparkEntry {
     * Verified bit-exact vs the engine at sf0.001/0.01/0.1.
     */
   private def bpeLearnOracle(merges: Int, minFreq: Long = 2L): String = {
+    val union = (1 to merges)
+      .map(k => s"""SELECT $k AS step, l AS "left", r AS "right", c AS freq FROM r$k""")
+      .mkString(" UNION ALL ")
+    s"""${bpeChain(merges, minFreq)}
+$union ORDER BY step"""
+  }
+
+  /** q_bpe_encode's oracle: the same unrolled merge chain, then the
+    * final segmentation (seg`merges`) joins back to per-doc term
+    * frequencies — n_pieces = Σ tf · |pieces(word)|, with the
+    * char-count fallback for any word outside the segmentation
+    * vocabulary (none here, since the vocab comes from the same
+    * corpus, but the COALESCE keeps the oracle honest to encode()'s
+    * OOV contract). Verified bit-exact at sf0.001/0.01/0.1.
+    */
+  private def bpeEncodeOracle(merges: Int): String =
+    s"""${bpeChain(merges)},
+enc AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1, 2)
+SELECT doc_id,
+       sum(tf)::BIGINT AS n_words,
+       sum(tf * coalesce(len(sym), len(word)))::BIGINT AS n_pieces,
+       round(sum(tf * coalesce(len(sym), len(word)))::DOUBLE / sum(tf)::DOUBLE, 6) AS fertility
+FROM enc LEFT JOIN seg$merges USING (word)
+GROUP BY doc_id ORDER BY doc_id"""
+
+  /** The words → seg0 → … → seg`merges` CTE chain shared by the two
+    * BPE oracles: one (argmax pair, guarded rule, re-segmentation)
+    * triple per round. */
+  private def bpeChain(merges: Int, minFreq: Long = 2L): String = {
     def round(k: Int): String = {
       val prev = s"seg${k - 1}"
       s"""
@@ -814,16 +846,11 @@ seg$k AS (
           LEFT JOIN r$k rule ON TRUE)))
   ) GROUP BY word)"""
     }
-    val rounds = (1 to merges).map(round).mkString(",")
-    val union = (1 to merges)
-      .map(k => s"""SELECT $k AS step, l AS "left", r AS "right", c AS freq FROM r$k""")
-      .mkString(" UNION ALL ")
     s"""WITH words AS (
   SELECT token AS word, count(*)::BIGINT AS freq
   FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
   WHERE token <> '' GROUP BY 1),
-seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM words),$rounds
-$union ORDER BY step"""
+seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM words),${(1 to merges).map(round).mkString(",")}"""
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -831,6 +858,7 @@ $union ORDER BY step"""
     */
   def oracleSql: Map[String, String] = Map(
     "q_bpe_learn" -> bpeLearnOracle(8),
+    "q_bpe_encode" -> bpeEncodeOracle(8),
     "q_ohlc" -> s"$dailyCte SELECT * FROM daily",
     "q_ret" -> s"$enrichedCte SELECT date, asset, close, ret FROM enriched",
     "q_ma7" -> s"$enrichedCte SELECT date, asset, close, ma7 FROM enriched",
