@@ -133,11 +133,15 @@ object Bench {
     // queries, leaving round-over-round diffs blind on the fast half
     // of the suite (VERDICT r7 #3). A committed bench_queries.json is
     // the durable full record; tools/bench_diff.py prefers it.
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_queries.json"),
-        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // best-effort: never fail the bench over a dump
+    // ONLY for full default-config runs: a SPARK_GRAFT_BENCH_ONLY
+    // subset or a SPARK_GRAFT_CONF A/B overlay would clobber the
+    // committed full record with a partial/incomparable map.
+    if (only.isEmpty && sys.env.get("SPARK_GRAFT_CONF").isEmpty)
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_queries.json"),
+          (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => () } // best-effort: never fail the bench over a dump
     // The LAST line must survive a bounded log-tail window (the driver
     // keeps ~2000 chars and parses JSON out of them; rounds 1-5 all
     // recorded parsed:null because the full per-query line is ~4.5 KB

@@ -120,20 +120,22 @@ object CorpusPipeline {
         col("text"), cfg.decontamNgram, benchShingles))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
       .localCheckpoint(true)
-    // stage 4: near-dup keep-first. The loser ids ride the thin
-    // frame's BROADCAST anti-join build side directly — exactly one
-    // consumer evaluates the pair build (the thin checkpoint below
-    // pins its result), so the r7 loser checkpoint + distinct were two
-    // jobs buying nothing: an anti-join probes existence, so duplicate
-    // b's in the build side are harmless, and the broadcast hash set
-    // dedups on build anyway. Loser cardinality is ≤ near-dup docs —
-    // a vanishing corpus fraction; if a pathologically duplicated
-    // corpus ever outgrew the broadcast, stage the loser ids to a
-    // table and shuffle-anti-join, same as every other switch point.
+    // stage 4: near-dup keep-first. The loser-id frame is MATERIALIZED
+    // before it rides the thin frame's broadcast anti-join: without
+    // the pin, the whole multi-stage pair build would execute inside
+    // the BroadcastExchange, i.e. on the broadcast thread under
+    // spark.sql.broadcastTimeout (300 s) — the 10× probe measured the
+    // exact pair source at 112 s, so a duplication-heavy corpus would
+    // convert a slow build into a hard timeout (r8 review). The
+    // checkpoint keeps the build a normal job; only the materialized
+    // ids (O(near-dup docs), a vanishing corpus fraction) enter the
+    // broadcast. r7's additional distinct() stays deleted — an
+    // anti-join probes existence, the broadcast hash set dedups on
+    // build, so the extra shuffle bought nothing.
     val pairs =
       if (cfg.dedupMinhash) Dedup.minhashNearDups(corpus, cfg.dedupNgram, threshold = cfg.dedupJaccard)
       else Dedup.ngramJaccardPairs(corpus, cfg.dedupNgram, cfg.dedupJaccard)
-    val losers = pairs.select(col("b").as("doc_id"))
+    val losers = pairs.select(col("b").as("doc_id")).localCheckpoint(true)
     // stages 5-6: deterministic order + token-budget packing, PER SPLIT
     // — a pack must never straddle train/val/test (a mixed pack either
     // leaks val text into a train shard or has to be broken, voiding

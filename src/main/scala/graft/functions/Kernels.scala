@@ -35,14 +35,15 @@ object Kernels {
     java.lang.Double.valueOf(acc)
   }
 
-  /** Distinct word n-gram shingles of `text`, reproducing exactly
-    * `array_distinct(transform(..., concat_ws(" ", tok[i..i+n-1])))`
-    * over `split(lower(text), " ")` (empty tokens kept, first-seen
-    * order, empty array when fewer than n tokens).
+  /** THE tokenization every word-gram kernel shares — lowercase, split
+    * on ' ' with empty tokens (incl. trailing) kept, ≡ `split(lower(s),
+    * " ", -1)`. One definition on purpose: [[wordShingles]],
+    * [[wordNgrams]] and [[sharesShingle]] must never drift, because
+    * the decontamination probe's oracle parity rests on its grams
+    * being exactly the shingle builder's grams (r8 review).
     */
-  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+  private def splitLowerTokens(text: UTF8String): java.util.ArrayList[String] = {
     val s = text.toLowerCase.toString
-    // manual split on ' ' with trailing empties kept == split(s, " ", -1)
     val toks = new java.util.ArrayList[String]()
     var start = 0
     var i = 0
@@ -51,20 +52,36 @@ object Kernels {
       i += 1
     }
     toks.add(s.substring(start))
+    toks
+  }
+
+  /** The `j`-th space-joined `n`-gram of `toks`, built into `sb`. */
+  private def gramAt(sb: java.lang.StringBuilder,
+                     toks: java.util.ArrayList[String], j: Int, n: Int): String = {
+    sb.setLength(0)
+    var k = 0
+    while (k < n) {
+      if (k > 0) sb.append(' ')
+      sb.append(toks.get(j + k))
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** Distinct word n-gram shingles of `text`, reproducing exactly
+    * `array_distinct(transform(..., concat_ws(" ", tok[i..i+n-1])))`
+    * over `split(lower(text), " ")` (empty tokens kept, first-seen
+    * order, empty array when fewer than n tokens).
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = splitLowerTokens(text)
     val m = toks.size
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder(64)
     var j = 0
     while (j <= m - n) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.get(j + k))
-        k += 1
-      }
-      seen.add(sb.toString)
+      seen.add(gramAt(sb, toks, j, n))
       j += 1
     }
     val out = new Array[Any](seen.size)
@@ -76,36 +93,20 @@ object Kernels {
 
   /** Does ANY word `n`-gram of `text` sit in `set`? The per-row,
     * early-exit form of the decontamination probe: same tokenization
-    * as [[wordShingles]] (lowercase, split on ' ' with empties kept),
-    * but nothing is collected — each gram is tested as it is built
-    * and the first hit returns. Turns "flag docs sharing a benchmark
-    * shingle" into a scan-local predicate: no explode, no shuffle, no
-    * aggregate, no join.
+    * and gram builder as [[wordShingles]], but nothing is collected —
+    * each gram is tested as it is built and the first hit returns.
+    * Turns "flag docs sharing a benchmark shingle" into a scan-local
+    * predicate: no explode, no shuffle, no aggregate, no join.
     */
   def sharesShingle(text: UTF8String, n: Int, set: java.util.HashSet[String]): Boolean = {
     if (set.isEmpty) return false
-    val s = text.toLowerCase.toString
-    val toks = new java.util.ArrayList[String]()
-    var start = 0
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == ' ') { toks.add(s.substring(start, i)); start = i + 1 }
-      i += 1
-    }
-    toks.add(s.substring(start))
+    val toks = splitLowerTokens(text)
     val m = toks.size
     if (m < n) return false
     val sb = new java.lang.StringBuilder(64)
     var j = 0
     while (j <= m - n) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.get(j + k))
-        k += 1
-      }
-      if (set.contains(sb.toString)) return true
+      if (set.contains(gramAt(sb, toks, j, n))) return true
       j += 1
     }
     false
@@ -113,33 +114,17 @@ object Kernels {
 
   /** ALL word n-grams of `text` in order, repeats kept — the raw-count
     * twin of [[wordShingles]] (which emits per-doc DISTINCT grams for
-    * dedup). Same tokenization: split lowercased text on ' ' with
-    * empty tokens kept; empty array when fewer than n tokens.
+    * dedup). Same tokenization; empty array when fewer than n tokens.
     */
   def wordNgrams(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toLowerCase.toString
-    val toks = new java.util.ArrayList[String]()
-    var start = 0
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == ' ') { toks.add(s.substring(start, i)); start = i + 1 }
-      i += 1
-    }
-    toks.add(s.substring(start))
+    val toks = splitLowerTokens(text)
     val m = toks.size
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](m - n + 1)
     val sb = new java.lang.StringBuilder(64)
     var j = 0
     while (j <= m - n) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.get(j + k))
-        k += 1
-      }
-      out(j) = UTF8String.fromString(sb.toString)
+      out(j) = UTF8String.fromString(gramAt(sb, toks, j, n))
       j += 1
     }
     new GenericArrayData(out)

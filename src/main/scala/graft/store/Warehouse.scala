@@ -150,25 +150,33 @@ object Warehouse {
     *     touch the same files (a direct `v=<n>` write would interleave
     *     two Spark committers' `_temporary` trees).
     *  3. The COMMIT POINT is one atomic exclusive create of the
-    *     `_commit-v<n+1>` marker (`FileSystem.create(overwrite=false)`
-    *     — atomic on HDFS and local; on S3 use a conditional PUT):
-    *     the compare-and-swap. A stale writer — someone else already
-    *     claimed n+1 — deletes its staging and throws.
+    *     `_commit-v<n+1>` marker: the compare-and-swap. On a `file://`
+    *     path this goes through NIO `Files.createFile` (O_EXCL —
+    *     Hadoop's RawLocalFileSystem implements `create(overwrite =
+    *     false)` as a non-atomic exists-then-create); on HDFS,
+    *     `FileSystem.create(overwrite=false)` is namenode-atomic; on
+    *     S3 substitute a conditional PUT. A stale writer — someone
+    *     else already claimed n+1 — deletes its staging and throws.
     *  4. Only the claim winner renames staging → `v=<n+1>` (no name
-    *     contention by construction) and advances `_latest`, guarded
-    *     so a slow v=n winner never regresses the pointer past a
-    *     faster v=n+1 commit that swapped first.
+    *     contention by construction, belt-and-braces-checked anyway)
+    *     and advances `_latest`, guarded so a slow v=n winner never
+    *     regresses the pointer past a faster v=n+1 commit.
     *
     * Readers keep snapshot isolation exactly as under single-writer
     * [[writeSnapshot]] (which remains the uncontended fast path — same
     * layout, so the two can be mixed as long as single-writer runs are
-    * actually single-writer). Crash between claim and rename leaves an
-    * orphan marker that permanently fails that version's claim; the
-    * next retry commits the following version — progress is preserved,
-    * at the cost of a version-number gap (the same hole Delta's
-    * transaction-log GC handles; acceptable for this warehouse).
+    * actually single-writer). Crash recovery: a writer that dies
+    * between claim and promote leaves an orphan `_commit-v<n>` marker
+    * with no `v=<n>` data. Retrying writers treat a marker older than
+    * `orphanGraceMs` whose data dir never appeared as abandoned —
+    * delete it and re-claim (a lease by modification time, the
+    * standard crash-recovery trade: a LIVE writer stalled past the
+    * grace loses its claim and fails its promote; it retries like any
+    * conflict loser). Within the grace the version stays reserved and
+    * retriers conflict onwards normally.
     */
-  def commitSnapshot(df: DataFrame, path: String, expectedVersion: Long): Long = {
+  def commitSnapshot(df: DataFrame, path: String, expectedVersion: Long,
+                     orphanGraceMs: Long = 600000L): Long = {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -177,14 +185,43 @@ object Warehouse {
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$next")
-    val claimed =
-      try { fs.create(marker, false).close(); true }
-      catch { case _: java.io.IOException => false }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    def atomicClaim(): Boolean =
+      if (marker.toUri.getScheme == null || marker.toUri.getScheme == "file")
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(
+            marker.toUri.getPath)); true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else
+        try { fs.create(marker, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    var claimed = atomicClaim()
+    if (!claimed && !fs.exists(dest)) {
+      // claim is held but its data never landed: crashed writer if the
+      // marker has outlived the grace — break its lease and re-claim
+      val st = try Some(fs.getFileStatus(marker)) catch {
+        case _: java.io.FileNotFoundException => None
+      }
+      val abandoned = st.forall(s =>
+        System.currentTimeMillis() - s.getModificationTime > orphanGraceMs)
+      if (abandoned) {
+        fs.delete(marker, false)
+        claimed = atomicClaim()
+      }
+    }
     if (!claimed) {
       fs.delete(staging, true)
       throw new SnapshotConflictException(path, next)
     }
-    require(fs.rename(staging, new org.apache.hadoop.fs.Path(s"$path/v=$next")),
+    // defense in depth for the lease-break race: if a stalled original
+    // writer already promoted while we were breaking its "orphan"
+    // lease, back off rather than letting a rename target an existing
+    // dir (Hadoop's local-FS rename fallback would nest into it)
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    require(fs.rename(staging, dest),
       s"cannot promote staging for v=$next under $path")
     // advance the pointer only forward: a slower v=n winner must not
     // clobber a faster v=n+1 writer's already-swapped pointer. The
@@ -219,15 +256,27 @@ object Warehouse {
   }
 
   /** Read a snapshot: the pinned `version`, or the `_latest` pointer's
-    * target when absent. */
+    * target when absent. The pointer swap is delete-then-rename, so an
+    * unpinned reader racing a committer can catch the gap where no
+    * `_latest` exists — fall back to max(v=*) then (never newer than
+    * the pointer would have been by more than the in-flight commit,
+    * and monotone, so snapshot isolation still holds for the reader's
+    * own scan: it resolves ONE concrete version directory either way).
+    */
   def readSnapshot(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse {
       val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
       val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.exists(ptr), s"no _latest pointer under $path")
-      val in = fs.open(ptr)
-      val s = scala.io.Source.fromInputStream(in).mkString.trim
-      in.close(); s.toLong
+      val fromPtr =
+        if (!fs.exists(ptr)) None
+        else
+          try {
+            val in = fs.open(ptr)
+            val s = scala.io.Source.fromInputStream(in).mkString.trim
+            in.close(); Some(s.toLong)
+          } catch { case _: java.io.FileNotFoundException => None }
+      fromPtr.orElse(snapshots(spark, path).lastOption)
+        .getOrElse(sys.error(s"no _latest pointer or v=* versions under $path"))
     }
     spark.read.parquet(s"$path/v=$v")
   }

@@ -64,6 +64,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(run(7) === run(7))
   }
 
+  test("empty benchmark: decontamination is a no-op, the contaminated doc survives") {
+    // guards the r8 per-row probe's empty-set short-circuit (the Bloom
+    // NPE family of bugs — see EmptyInputSpec — but for the HashSet form)
+    val out = CorpusPipeline.prepare(corpus, bench.limit(0),
+      CorpusPipeline.Config(minQuality = 0.2, maxDupTokenFrac = 0.5))
+    assert(out.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 5L, 6L))
+  }
+
+  test("hygiene + decontam + split + tokens front is ONE zero-shuffle projection") {
+    // the r8 shape: with decontamination folded into a scan-local
+    // predicate, everything upstream of the pipeline's checkpoint is a
+    // single Catalyst-collapsed projection+filter — no Exchange, no
+    // join, no aggregate may appear (they would mean the probe regressed
+    // to the explode→join→agg subplan this shape deleted)
+    val normBench = bench.withColumn("text", TextAnalysis.normalizeText(col("text")))
+    val benchSet = Contamination.benchShingleSet(normBench, 5)
+    val front = TextAnalysis.splitAssign(
+        CorpusPipeline.hygieneGate(corpus).select("doc_id", "text", "quality_score"))
+      .filter(!graft.functions.native.sharesShingle(col("text"), 5, benchSet))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val p = front.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"front shuffles:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"front joins:\n${p.take(1500)}")
+    assert(!p.toLowerCase.contains("aggregate"), s"front aggregates:\n${p.take(1500)}")
+  }
+
   test("prepared corpus round-trips the warehouse split-partitioned with pruned reads") {
     val dir = java.nio.file.Files.createTempDirectory("corpus_wh").toString
     val prepared = CorpusPipeline.prepare(corpus, bench)

@@ -15,6 +15,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *    output (the artifact the reference's savefig parity is judged
   *    on). If this one ever drifts alone (pixels green, bytes red),
   *    the JDK's encoder changed, not the chart — re-pin it.
+  * Like any golden-image test, BOTH pins also freeze the host's text
+  * rasterization: Font.SANS_SERIF resolves to whatever font stack the
+  * container ships, and glyph antialiasing varies by JDK build. On a
+  * font-stack or JDK change, both hashes fail together with the chart
+  * unchanged — that is environment drift, not a regression: eyeball
+  * one render, then re-pin both. Within one environment (this repo's
+  * pinned container/JDK) the pins are exact regression tripwires.
   * Pure JVM — no Spark; the renderer is driver-side by design.
   */
 class ChartSpec extends AnyFunSuite {

@@ -240,6 +240,37 @@ class WarehouseSpec extends SparkSpec {
       .exists(_.getPath.getName.startsWith("_staging")))
   }
 
+  test("commitSnapshot: orphan marker from a crashed writer is adopted after the grace") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cas3").toString + "/t"
+    Warehouse.commitSnapshot(Seq((1L, "base")).toDF("id", "x"), root, 0L)
+    // simulate a writer that claimed v2 then died before promoting:
+    // marker exists, v=2 data never appears
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_commit-v2"), false).close()
+    // within the grace the claim is honored: retriers conflict
+    intercept[Warehouse.SnapshotConflictException] {
+      Warehouse.commitSnapshot(Seq((2L, "w")).toDF("id", "x"), root, 1L)
+    }
+    // past the grace the lease is broken and progress resumes at v2
+    Thread.sleep(30)
+    val v = Warehouse.commitSnapshot(Seq((2L, "w")).toDF("id", "x"), root, 1L,
+      orphanGraceMs = 10L)
+    assert(v === 2L)
+    assert(Warehouse.readSnapshot(spark, root).collect().head.getString(1) === "w")
+  }
+
+  test("readSnapshot: missing _latest pointer falls back to the max version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cas4").toString + "/t"
+    Warehouse.commitSnapshot(Seq((1L, "a")).toDF("id", "x"), root, 0L)
+    Warehouse.commitSnapshot(Seq((2L, "b")).toDF("id", "x"), root, 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the delete half of a committer's delete-then-rename pointer swap
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_latest"), false)
+    assert(Warehouse.readSnapshot(spark, root).collect().head.getString(1) === "b")
+  }
+
   test("commitSnapshot: genuinely concurrent writers — exactly one claim per version") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

@@ -55,7 +55,7 @@ object ProfPrep {
     var thin: DataFrame = null
     time("stage 4-5 pair build + thin anti-join + ckpt") {
       val pairs = Dedup.ngramJaccardPairs(corpus, cfg.dedupNgram, cfg.dedupJaccard)
-      val losers = pairs.select(col("b").as("doc_id"))
+      val losers = pairs.select(col("b").as("doc_id")).localCheckpoint(true)
       thin = corpus.select("doc_id", "quality_score", "split", "n_tokens")
         .join(broadcast(losers), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
