@@ -193,7 +193,11 @@ object Similarity {
     // kernel doesn't run twice (cluster swap: persist(DISK_ONLY))
     val n = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nm"), pmod(hash(col("vec_id")), lit(B)).as("blk"))
-      .matBoundary
+      // unconditional (not Mat.matBoundary): the l2norm kernel scan
+      // feeds BOTH join sides and is arithmetic-heavy per input byte,
+      // the Mat doc's don't-gate case (A/B sf0.1: 0.77 s gated vs
+      // 0.65 s forced)
+      .localCheckpoint(true)
     // block pair (i, j), i <= j, packed as i*B + j. A row in block i
     // goes left for keys (i, i..B-1) and right for keys (0..j, j): a
     // pair with blocks (x, y), x < y, meets once (left from x, right

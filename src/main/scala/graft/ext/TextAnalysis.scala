@@ -343,11 +343,14 @@ object TextAnalysis {
     // per-row TF kernel — no corpus-wide groupBy(doc, token) shuffle.
     // tf feeds BOTH the df_t build and the scoring join: materialize it
     // once so the corpus explode doesn't run per consumer (cluster
-    // swap: persist(DISK_ONLY) or a stage table — it is corpus-sized)
+    // swap: persist(DISK_ONLY) or a stage table — it is corpus-sized).
+    // Unconditional (not Mat.matBoundary): kernel-heavy multi-consumer
+    // subtree, the Mat doc's don't-gate case (A/B sf0.1: 0.80 s gated
+    // vs 0.70 s forced)
     val tf = df.select(col("doc_id"),
         explode(graft.functions.native.tokenCounts(col(textCol))).as("tc"))
       .select(col("doc_id"), col("tc.token").as("token"), col("tc.tf").as("tf"))
-      .matBoundary
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
     val scored = tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(nDocs))
@@ -613,7 +616,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"),
         col("tc.token").as("token"), col("tc.tf").cast("double").as("tf"))
       .join(broadcast(qterms.select("token").distinct()), Seq("token"), "left_semi")
-      .matBoundary
+      // unconditional (not Mat.matBoundary): the subtree is the corpus
+      // tokenCounts explode — kernel-heavy, so leaf input bytes
+      // understate recompute and the size gate mis-fires small
+      // (A/B sf0.1: q_bm25 1.30 s gated vs 1.20 s forced)
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df_t"))
     tf.join(broadcast(qterms), Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
