@@ -250,6 +250,37 @@ object SparkEntry {
       Warehouse.upsert(existing, incoming, keys = Seq("date", "asset"),
         updateCols = Seq("open", "high", "low", "close"))
     }),
+    "q_merge" -> ((s, dir) => {
+      // multi-clause MERGE over the q_upsert scenario: restated OHLC
+      // for days 15+ against the enriched table's first 20 days.
+      // Clause order exercises every path: matched ≤16 deleted,
+      // matched ≥19 updated (OHLC only, ret preserved), matched 17-18
+      // fall through untouched, unmatched source inserts only ≥25.
+      val e = enriched(s, dir).select("date", "asset", "open", "high", "low", "close", "ret")
+      val target = e.filter(col("date") < lit("2024-01-21").cast("date"))
+      val source = dailyOhlc(s, dir)
+        .filter(col("date") >= lit("2024-01-15").cast("date"))
+        .select(col("date"), col("asset"), (col("open") * 2).as("open"),
+          (col("high") * 2).as("high"), (col("low") * 2).as("low"), (col("close") * 2).as("close"))
+      Warehouse.mergeInto(target, source, Seq("date", "asset"), Seq(
+        Warehouse.DeleteWhen(col("s.date") <= lit("2024-01-16").cast("date")),
+        Warehouse.UpdateWhen(col("s.date") >= lit("2024-01-19").cast("date"),
+          Map("open" -> col("s.open"), "high" -> col("s.high"),
+            "low" -> col("s.low"), "close" -> col("s.close"))),
+        Warehouse.InsertWhen(col("s.date") >= lit("2024-01-25").cast("date"))))
+    }),
+    "q_cdc_diff" -> ((s, dir) => {
+      // change feed between two table states: %3 keys only in new
+      // (insert), %5 keys only in old (delete), %7 keys restated
+      // (update); everything else unchanged and absent from the feed
+      val o = Tables.orders(s, dir)
+      val oldState = o.filter(col("o_orderkey") % 3 =!= 0)
+      val newState = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+      Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"))
+    }),
 
     // ---- north-star: dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir),
@@ -911,6 +942,49 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |       COALESCE(n.low, o.low) AS low, COALESCE(n.close, o.close) AS close,
         |       o.ret AS ret
         |FROM existing o FULL JOIN incoming n ON o.date = n.date AND o.asset = n.asset""".stripMargin),
+    "q_merge" -> (enrichedCte +
+      """, tgt AS (
+        |  SELECT date, asset, open, high, low, close, ret FROM enriched WHERE date < DATE '2024-01-21'
+        |), src AS (
+        |  SELECT date, asset, open * 2 AS open, high * 2 AS high, low * 2 AS low, close * 2 AS close
+        |  FROM daily WHERE date >= DATE '2024-01-15'
+        |)
+        |SELECT COALESCE(t.date, s.date) AS date, COALESCE(t.asset, s.asset) AS asset,
+        |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.open
+        |       WHEN t.date IS NULL THEN s.open ELSE t.open END AS open,
+        |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.high
+        |       WHEN t.date IS NULL THEN s.high ELSE t.high END AS high,
+        |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.low
+        |       WHEN t.date IS NULL THEN s.low ELSE t.low END AS low,
+        |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.close
+        |       WHEN t.date IS NULL THEN s.close ELSE t.close END AS close,
+        |  t.ret AS ret
+        |FROM tgt t FULL JOIN src s ON t.date = s.date AND t.asset = s.asset
+        |WHERE NOT (t.date IS NOT NULL AND s.date IS NOT NULL AND s.date <= DATE '2024-01-16')
+        |  AND NOT (t.date IS NULL AND s.date < DATE '2024-01-25')""".stripMargin),
+    "q_cdc_diff" ->
+      """WITH oldst AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |newst AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |                 o_orderdate, o_orderpriority
+        |          FROM orders WHERE o_orderkey % 5 <> 0),
+        |feed AS (
+        |  SELECT CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderkey ELSE o.o_orderkey END AS o_orderkey,
+        |         CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey ELSE o.o_custkey END AS o_custkey,
+        |         CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus ELSE o.o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice ELSE o.o_totalprice END AS o_totalprice,
+        |         CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderdate ELSE o.o_orderdate END AS o_orderdate,
+        |         CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderpriority ELSE o.o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |              WHEN n.o_orderkey IS NULL THEN 'delete'
+        |              WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+        |                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |                OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+        |                OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority THEN 'update'
+        |         END AS _change_type
+        |  FROM oldst o FULL JOIN newst n ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM feed WHERE _change_type IS NOT NULL""".stripMargin,
 
     // ---- north-star oracles ----
     "q_dedup_exact" ->

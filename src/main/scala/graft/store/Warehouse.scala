@@ -62,6 +62,203 @@ object Warehouse {
       preservedCols.map(c => col(s"old.$c").as(c)): _*)
   }
 
+  /** One ordered clause of a [[mergeInto]] — the Delta/Iceberg MERGE
+    * surface shape. Conditions are evaluated over the joined row with
+    * the target aliased `t` and the source aliased `s` (write
+    * `col("s.close") > col("t.close")`); among the clauses that apply
+    * to a row, the FIRST in sequence wins (SQL:2003 MERGE / Delta
+    * clause-order semantics).
+    */
+  sealed trait MergeClause
+  /** Matched rows satisfying `cond`: replace each column in `set` with
+    * its expression (over `t.*`/`s.*`); unlisted columns keep their
+    * target values.
+    */
+  final case class UpdateWhen(cond: org.apache.spark.sql.Column,
+                              set: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+  /** Matched rows satisfying `cond`: drop the target row. */
+  final case class DeleteWhen(cond: org.apache.spark.sql.Column) extends MergeClause
+  /** Source rows with no target match satisfying `cond`: insert, taking
+    * each target column from the same-named source column (NULL where
+    * the source lacks it). Reference only `s.*` in the condition — the
+    * `t` side is all-NULL here by construction.
+    */
+  final case class InsertWhen(cond: org.apache.spark.sql.Column) extends MergeClause
+
+  /** Multi-clause MERGE INTO — the general form S8/S9 are special
+    * cases of (insertIfAbsent = one unconditional InsertWhen; upsert =
+    * unconditional UpdateWhen + InsertWhen), completing the
+    * Delta/Iceberg-style write surface next to [[commitSnapshot]]:
+    * conditional update, conditional delete, and conditional insert in
+    * one relational pass. Pure function like its siblings: returns the
+    * merged table for the caller to land via [[rewriteAtomic]] /
+    * [[commitSnapshot]] / [[overwritePartitions]].
+    *
+    * Semantics (SQL:2003 MERGE / Delta):
+    *  - target rows with no source match are kept untouched;
+    *  - matched rows take the FIRST Update/Delete clause whose
+    *    condition holds (none → kept untouched);
+    *  - unmatched source rows take the first Insert clause whose
+    *    condition holds (none → dropped);
+    *  - a source with duplicate merge keys is rejected up front (the
+    *    multiple-match row would be non-deterministically updated —
+    *    the same error Delta raises), at the cost of one aggregate
+    *    pass over the SOURCE (the small side: a batch, not the table).
+    *
+    * Scale shape: one full-outer join keyed on the merge keys — same
+    * posture as [[upsert]] (no broadcast hint: BroadcastHashJoin
+    * cannot build full-outer, a hint would degrade to nested-loop).
+    * At 100 TB compose with partition pruning: merge only the
+    * partitions present in the source batch, then land them via
+    * [[overwritePartitions]] — the join never touches the rest of the
+    * table.
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+                clauses: Seq[MergeClause]): DataFrame = {
+    require(keys.nonEmpty && clauses.nonEmpty, "mergeInto needs keys and at least one clause")
+    require(source.groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty,
+      s"mergeInto: source is not unique on merge keys (${keys.mkString(", ")}); " +
+        "a target row would match multiple source rows non-deterministically")
+    // presence markers instead of key-null probes: NULL merge keys must
+    // read as "unmatched", not poison the matched test
+    val t = target.withColumn("__t", lit(true)).alias("t")
+    val s = source.withColumn("__s", lit(true)).alias("s")
+    val joined = t.join(s,
+      keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "full_outer")
+    val KEEP = -1
+    val DROP = -2
+    // first-clause-wins: fold right so earlier clauses sit outermost
+    val matchedAction = clauses.zipWithIndex.foldRight(lit(KEEP)) {
+      case ((UpdateWhen(c, _), i), els) => when(c, lit(i)).otherwise(els)
+      case ((DeleteWhen(c), i), els) => when(c, lit(i)).otherwise(els)
+      case (_, els) => els
+    }
+    val insertAction = clauses.zipWithIndex.foldRight(lit(DROP)) {
+      case ((InsertWhen(c), i), els) => when(c, lit(i)).otherwise(els)
+      case (_, els) => els
+    }
+    val action = when(col("t.__t").isNotNull && col("s.__s").isNotNull, matchedAction)
+      .when(col("t.__t").isNull, insertAction)
+      .otherwise(lit(KEEP))
+    val dropped = clauses.zipWithIndex.collect {
+      case (DeleteWhen(_), i) => col("__action") === i
+    }.foldLeft(col("__action") === DROP)(_ || _)
+    val out = target.schema.map { f =>
+      val fromSource =
+        if (source.columns.contains(f.name)) col(s"s.${f.name}").cast(f.dataType)
+        else lit(null).cast(f.dataType)
+      clauses.zipWithIndex.foldLeft(col(s"t.${f.name}")) {
+        case (acc, (UpdateWhen(_, set), i)) if set.contains(f.name) =>
+          when(col("__action") === i, set(f.name).cast(f.dataType)).otherwise(acc)
+        case (acc, (InsertWhen(_), i)) =>
+          when(col("__action") === i, fromSource).otherwise(acc)
+        case (acc, _) => acc
+      }.as(f.name)
+    }
+    joined.withColumn("__action", action).filter(!dropped).select(out: _*)
+  }
+
+  /** Row-level diff of two keyed table states — the change-data-feed
+    * shape (Delta CDF / Iceberg changelog): emits each row present in
+    * exactly one side, or present in both with any non-key column
+    * changed, tagged `_change_type` ∈ insert/update/delete. Inserts
+    * and updates carry the NEW values, deletes the OLD — the rows a
+    * downstream incremental consumer must apply to catch up, without
+    * rescanning the table. Unchanged rows are absent by construction.
+    *
+    * Scale shape: one full-outer join on the keys plus a null-safe
+    * struct comparison of the non-key columns — no row-level hashing
+    * pass, no second scan of either side. The change feed of a 100 TB
+    * table is one keyed join of two snapshots; partition-prune both
+    * sides first when the writer touches bounded partitions
+    * ([[overwritePartitions]] patterns).
+    */
+  def diffFrames(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffFrames needs at least one key column")
+    require(oldDf.schema == newDf.schema,
+      s"diffFrames: schemas differ (use appendEvolving/readEvolving conventions first): " +
+        s"${oldDf.schema.simpleString} vs ${newDf.schema.simpleString}")
+    val nonKeys = oldDf.columns.filterNot(keys.contains)
+    val o = oldDf.withColumn("__o", lit(true)).alias("o")
+    val n = newDf.withColumn("__n", lit(true)).alias("n")
+    val joined = o.join(n,
+      keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _), "full_outer")
+    val changed =
+      if (nonKeys.isEmpty) lit(false) // key-only table: presence IS the state
+      else !(struct(nonKeys.map(c => col(s"o.$c")): _*) <=>
+             struct(nonKeys.map(c => col(s"n.$c")): _*))
+    val changeType = when(col("o.__o").isNull, lit("insert"))
+      .when(col("n.__n").isNull, lit("delete"))
+      .when(changed, lit("update"))
+    val side = (c: String) => when(col("n.__n").isNotNull, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)
+    joined.withColumn("_change_type", changeType)
+      .filter(col("_change_type").isNotNull)
+      .select(oldDf.columns.map(side) :+ col("_change_type"): _*)
+  }
+
+  /** Change feed between two committed snapshot versions of a
+    * [[writeSnapshot]]/[[commitSnapshot]] table: [[diffFrames]] over
+    * the two pinned version reads.
+    */
+  def snapshotDiff(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long,
+                   keys: Seq[String]): DataFrame =
+    diffFrames(readSnapshot(spark, path, Some(fromVersion)),
+      readSnapshot(spark, path, Some(toVersion)), keys)
+
+  /** Reclaim the debris multi-writer operation leaves behind: staging
+    * dirs and pointer temps from crashed or conflict-losing
+    * [[commitSnapshot]]/[[writeSnapshot]] writers (`_staging-*`,
+    * `_latest.tmp-*`), older than `graceMs` (mirror of the commit
+    * protocol's orphan lease — never reap a LIVE writer's staging
+    * mid-flight). Committed `v=*` data, the `_latest` pointer, and
+    * commit markers are never touched — markers record claimed
+    * versions, deleting one would let a later writer re-claim history.
+    * Returns the deleted paths.
+    */
+  def vacuum(spark: SparkSession, path: String, graceMs: Long = 600000L): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).toSeq.filter { st =>
+      val name = st.getPath.getName
+      (name.startsWith("_staging-") || name.startsWith("_latest.tmp-")) &&
+        now - st.getModificationTime > graceMs
+    }.map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
+  /** Schema-evolution append: land a batch whose schema ADDS columns
+    * to (or drops columns from) the table's, failing fast when a
+    * SHARED column changed type — the incompatibility parquet
+    * `mergeSchema` would otherwise surface as a read error much later,
+    * on whichever query first touches the drifted files. Widening is
+    * the normal corpus-pipeline motion (a new quality signal, a new
+    * provenance tag); silent type drift is the operator error.
+    * Read back through [[readEvolving]]; old files' missing columns
+    * surface as NULL.
+    */
+  def appendEvolving(df: DataFrame, path: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dest)) {
+      val existing = df.sparkSession.read.option("mergeSchema", "true").parquet(path).schema
+      val incoming = df.schema
+      val drift = existing.flatMap(e => incoming.find(_.name == e.name)
+        .filter(_.dataType != e.dataType).map(i => s"${e.name}: ${e.dataType} -> ${i.dataType}"))
+      require(drift.isEmpty,
+        s"appendEvolving($path): shared columns changed type (${drift.mkString("; ")})")
+    }
+    df.write.mode(SaveMode.Append).parquet(path)
+    SchemaCache.invalidate(path)
+  }
+
+  /** Union-schema read of an evolved table: per-file footers merged,
+    * absent columns NULL-filled. Costs a footer read per file instead
+    * of per table — pair with [[compact]] to keep file counts sane.
+    */
+  def readEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S10: atomic full rewrite. */
   def overwrite(df: DataFrame, path: String): Unit = {
     df.write.mode(SaveMode.Overwrite).parquet(path)

@@ -297,4 +297,103 @@ class WarehouseSpec extends SparkSpec {
       Warehouse.readSnapshot(spark, root, Some(v)).collect().head.getString(1))
     assert(payloads.sorted === Seq("writer1", "writer2", "writer3", "writer4"))
   }
+
+  test("mergeInto: conditional update/delete/insert, fall-through keeps, first clause wins") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = Seq( // (k, v, tag) — tag is never updated, like q_upsert's ret
+      (1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")
+    ).toDF("k", "v", "tag")
+    val source = Seq( // k=1 delete, k=2 update, k=3 matched-no-clause, k=5 insert, k=6 filtered insert
+      (1, 111.0), (2, 222.0), (3, -1.0), (5, 555.0), (6, -5.0)
+    ).toDF("k", "v")
+    val out = Warehouse.mergeInto(target, source, Seq("k"), Seq(
+      Warehouse.DeleteWhen(col("s.k") === 1),
+      Warehouse.UpdateWhen(col("s.v") > 0, Map("v" -> col("s.v"))),
+      // first clause wins: k=2 hits the update above, never this delete
+      Warehouse.DeleteWhen(col("s.v") > 200),
+      Warehouse.InsertWhen(col("s.v") > 0)
+    )).collect().map(r => r.getInt(0) -> ((r.getDouble(1), Option(r.get(2))))).toMap
+    assert(out === Map(
+      2 -> ((222.0, Some("b"))),  // updated, tag preserved
+      3 -> ((30.0, Some("c"))),   // matched, no clause fired: untouched
+      4 -> ((40.0, Some("d"))),   // no source match: untouched
+      5 -> ((555.0, None))))      // inserted, missing col NULL
+  }
+
+  test("mergeInto: S8/S9 are special cases (unconditional insert; update+insert)") {
+    import org.apache.spark.sql.functions.lit
+    val existing = Seq(("d1", 1.0, 9.0), ("d2", 2.0, 8.0)).toDF("k", "close", "ret")
+    val incoming = Seq(("d2", 999.0), ("d3", 3.0)).toDF("k", "close")
+    val viaMerge = Warehouse.mergeInto(existing, incoming, Seq("k"), Seq(
+      Warehouse.UpdateWhen(lit(true), Map("close" -> org.apache.spark.sql.functions.col("s.close"))),
+      Warehouse.InsertWhen(lit(true))))
+    val viaUpsert = Warehouse.upsert(existing, incoming, Seq("k"), Seq("close"))
+    assert(viaMerge.orderBy("k").collect().toSeq === viaUpsert.orderBy("k").collect().toSeq)
+  }
+
+  test("mergeInto rejects a source with duplicate merge keys (Delta's multiple-match error)") {
+    import org.apache.spark.sql.functions.lit
+    val target = Seq((1, 1.0)).toDF("k", "v")
+    val dup = Seq((1, 2.0), (1, 3.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Warehouse.mergeInto(target, dup, Seq("k"), Seq(Warehouse.InsertWhen(lit(true))))
+    }
+  }
+
+  test("appendEvolving + readEvolving: widened schema reads back, old rows NULL-filled") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    Warehouse.appendEvolving(Seq((1, "x")).toDF("id", "a"), root)
+    Warehouse.appendEvolving(Seq((2, "y", 0.5)).toDF("id", "a", "quality"), root)
+    val back = Warehouse.readEvolving(spark, root)
+    assert(back.columns.toSet === Set("id", "a", "quality"))
+    val byId = back.collect().map(r => r.getInt(0) -> Option(r.get(2))).toMap
+    assert(byId === Map(1 -> None, 2 -> Some(0.5)))
+    // type drift on a shared column fails fast at WRITE time
+    intercept[IllegalArgumentException] {
+      Warehouse.appendEvolving(Seq((3L, "z")).toDF("id", "a"), root)
+    }
+  }
+
+  test("diffFrames: insert/update/delete feed, unchanged rows absent, null-safe compare") {
+    val oldSt = Seq((1, Some(10.0), "a"), (2, Some(20.0), "b"), (3, None: Option[Double], "c"))
+      .toDF("k", "v", "tag")
+    val newSt = Seq((1, Some(10.0), "a"),  // unchanged → absent
+      (2, Some(99.0), "b"),                // update
+      (3, None: Option[Double], "c"),      // unchanged incl. NULL v (null-safe) → absent
+      (4, Some(40.0), "d")                 // insert
+    ).toDF("k", "v", "tag")
+    val feed = Warehouse.diffFrames(oldSt, newSt, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(feed === Map(2 -> "update", 4 -> "insert"))
+    // delete: drop k=2 from the new side entirely
+    val feed2 = Warehouse.diffFrames(oldSt, newSt.filter($"k" =!= 2), Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(3), Option(r.get(1)))).toSet
+    assert(feed2 === Set((2, "delete", Some(20.0)), (4, "insert", Some(40.0))))
+  }
+
+  test("snapshotDiff: change feed between committed versions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/t"
+    Warehouse.commitSnapshot(Seq((1, "x"), (2, "y")).toDF("k", "v"), root, 0L)
+    Warehouse.commitSnapshot(Seq((1, "x"), (2, "Y"), (3, "z")).toDF("k", "v"), root, 1L)
+    val feed = Warehouse.snapshotDiff(spark, root, 1L, 2L, Seq("k"))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(feed === Map(2 -> (("Y", "update")), 3 -> (("z", "insert"))))
+  }
+
+  test("vacuum reclaims stale staging debris, never live data or commit markers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/t"
+    Warehouse.commitSnapshot(Seq((1, "x")).toDF("k", "v"), root, 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(s"$root/_staging-dead1")
+    fs.mkdirs(stale)
+    fs.setTimes(stale, System.currentTimeMillis() - 3600 * 1000, -1)
+    val fresh = new org.apache.hadoop.fs.Path(s"$root/_staging-live2")
+    fs.mkdirs(fresh) // a LIVE writer's staging: inside the grace, kept
+    val deleted = Warehouse.vacuum(spark, root, graceMs = 60000L)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) === Seq("_staging-dead1"))
+    assert(fs.exists(fresh) && fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_commit-v1")))
+    assert(Warehouse.readSnapshot(spark, root).count() === 1)
+  }
 }
