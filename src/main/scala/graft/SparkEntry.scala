@@ -281,6 +281,18 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"))
     }),
+    "q_incr_agg" -> ((s, dir) => {
+      // incremental MV refresh: per-user metrics as mergeable state —
+      // history's state merged with the new batch's, never a rescan of
+      // history; equals the direct full aggregation by associativity
+      val ev = Tables.events(s, dir)
+      val history = ev.filter(to_date(col("ts")) < lit("2024-01-21").cast("date"))
+      val delta = ev.filter(to_date(col("ts")) >= lit("2024-01-21").cast("date"))
+      ops.IncrementalAgg.finalizeState(ops.IncrementalAgg.merge(
+        ops.IncrementalAgg.state(history, Seq("user_id"), "value"),
+        ops.IncrementalAgg.state(delta, Seq("user_id"), "value"),
+        Seq("user_id")))
+    }),
 
     // ---- north-star: dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir),
@@ -985,6 +997,12 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |         END AS _change_type
         |  FROM oldst o FULL JOIN newst n ON o.o_orderkey = n.o_orderkey)
         |SELECT * FROM feed WHERE _change_type IS NOT NULL""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT user_id, count(value) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_v,
+        |       min(value) AS min_v, max(value) AS max_v,
+        |       CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(value) AS mean_v
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // ---- north-star oracles ----
     "q_dedup_exact" ->

@@ -478,6 +478,32 @@ object Warehouse {
     spark.read.parquet(s"$path/v=$v")
   }
 
+  /** Timestamp time travel: the highest version committed at or before
+    * `tsMillis` — "the table as of last night's run" without knowing
+    * the version number. Commit instants come from the commit marker's
+    * modification time (the CAS claim moment) when present, else the
+    * version directory's — data-landing resolution, adequate for
+    * as-of reads; for audit-grade ordering use version numbers, which
+    * are monotone by construction.
+    */
+  def snapshotVersionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val at = snapshots(spark, path).filter { v =>
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
+      val data = new org.apache.hadoop.fs.Path(s"$path/v=$v")
+      val t = if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+              else fs.getFileStatus(data).getModificationTime
+      t <= tsMillis
+    }
+    require(at.nonEmpty, s"no snapshot under $path committed at or before $tsMillis")
+    at.max
+  }
+
+  /** [[readSnapshot]] pinned to [[snapshotVersionAt]]'s resolution. */
+  def readSnapshotAt(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readSnapshot(spark, path, Some(snapshotVersionAt(spark, path, tsMillis)))
+
   /** Drop every version older than `keepLast` versions back (never the
     * latest). Readers pinned to an expired version fail on next scan —
     * the standard retention contract.

@@ -380,6 +380,20 @@ class WarehouseSpec extends SparkSpec {
     assert(feed === Map(2 -> (("Y", "update")), 3 -> (("z", "insert"))))
   }
 
+  test("snapshotVersionAt: timestamp time travel resolves the as-of version") {
+    val root = java.nio.file.Files.createTempDirectory("graft_asof").toString + "/t"
+    Warehouse.commitSnapshot(Seq((1, "v1")).toDF("k", "v"), root, 0L)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100) // local-FS mtime can be second-granular
+    Warehouse.commitSnapshot(Seq((1, "v2")).toDF("k", "v"), root, 1L)
+    assert(Warehouse.snapshotVersionAt(spark, root, between) === 1L)
+    assert(Warehouse.readSnapshotAt(spark, root, between).collect().head.getString(1) === "v1")
+    assert(Warehouse.snapshotVersionAt(spark, root, System.currentTimeMillis()) === 2L)
+    intercept[IllegalArgumentException] { // before the first commit: no as-of version
+      Warehouse.snapshotVersionAt(spark, root, 0L)
+    }
+  }
+
   test("vacuum reclaims stale staging debris, never live data or commit markers") {
     val root = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/t"
     Warehouse.commitSnapshot(Seq((1, "x")).toDF("k", "v"), root, 0L)
