@@ -286,4 +286,28 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p.take(2000))
     assert(exchanges(p) === 2, p.take(2000)) // stats agg + (group,bin) count agg
   }
+
+  test("merge into: ONE keyed full-outer join, no extra pass over either side") {
+    val p = plan("q_merge")
+    assert("FullOuter".r.findAllIn(p).size === 1, p.take(2500))
+    // the merge itself: both sides shuffle onto the merge keys (2);
+    // the other 2 belong to the scenario's inputs (enriched's
+    // indicator window, dailyOhlc's aggregate), not to mergeInto
+    assert(exchanges(p) <= 4, p.take(2500))
+  }
+
+  test("cdc diff: ONE keyed full-outer join + null-safe struct compare, no hashing pass") {
+    val p = plan("q_cdc_diff")
+    assert("FullOuter".r.findAllIn(p).size === 1, p.take(2500))
+    assert(exchanges(p) <= 2, p.take(2500))
+    assert(!p.toLowerCase.contains("md5") && !p.contains("xxhash"), p.take(2500))
+  }
+
+  test("incremental agg: states partial-combine map-side before their key shuffles") {
+    val p = plan("q_incr_agg")
+    // two batch states + the merge re-aggregate — each one exchange
+    assert(exchanges(p) <= 3, p.take(2500))
+    assert(p.contains("partial_count") || p.contains("partial count"), p.take(2500))
+    assert(!p.contains("Join"), p.take(2500)) // merge is union+agg, never a join
+  }
 }
