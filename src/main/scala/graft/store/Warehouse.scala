@@ -196,6 +196,26 @@ object Warehouse {
       .select(oldDf.columns.map(side) :+ col("_change_type"): _*)
   }
 
+  /** Consumer side of the change feed: apply a [[diffFrames]] output
+    * to a table state — deletes and updates retire their target rows
+    * (one anti-join on the BROADCAST feed keys: the feed is a batch,
+    * the target is the table), inserts and updates land their feed
+    * rows. Round-trip law, spec-pinned:
+    * `applyChangeFeed(old, diffFrames(old, new)) ≡ new` — the contract
+    * that lets a downstream 100 TB replica stay in sync reading only
+    * feeds. Merge keys must be non-null to carry identity (the
+    * standard CDC assumption, as in [[mergeInto]]): a NULL-keyed row
+    * can be fed as an insert but never matched for update/delete.
+    */
+  def applyChangeFeed(target: DataFrame, feed: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyChangeFeed needs at least one key column")
+    val retired = feed.filter(col("_change_type").isin("delete", "update"))
+      .select(keys.map(col): _*)
+    val landed = feed.filter(col("_change_type").isin("insert", "update"))
+      .drop("_change_type")
+    target.join(broadcast(retired), keys, "left_anti").unionByName(landed)
+  }
+
   /** Change feed between two committed snapshot versions of a
     * [[writeSnapshot]]/[[commitSnapshot]] table: [[diffFrames]] over
     * the two pinned version reads.

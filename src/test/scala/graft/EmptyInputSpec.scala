@@ -101,4 +101,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(ext.Multimodal.decodeAudio(ext.Multimodal.renderAudio(emptyDocs)).count() === 0L)
     assert(ext.Multimodal.sampleFrames(ext.Multimodal.renderClips(emptyDocs)).count() === 0L)
   }
+
+  test("warehouse merge/CDC/incremental-agg: empty batches are routine") {
+    import graft.store.Warehouse
+    val table = Seq((1, 1.0)).toDF("k", "v")
+    val empty = Seq.empty[(Int, Double)].toDF("k", "v")
+    // empty source: no clause can fire, target intact
+    val m = Warehouse.mergeInto(table, empty, Seq("k"),
+      Seq(Warehouse.UpdateWhen(lit(true), Map("v" -> col("s.v"))), Warehouse.InsertWhen(lit(true))))
+    assert(m.collect().toSeq === table.collect().toSeq)
+    // empty target: inserts land, nothing else exists
+    val m2 = Warehouse.mergeInto(empty, table, Seq("k"), Seq(Warehouse.InsertWhen(lit(true))))
+    assert(m2.collect().toSeq === table.collect().toSeq)
+    // diff against an empty side is all-deletes / all-inserts; empty feed applies as a no-op
+    assert(Warehouse.diffFrames(table, empty, Seq("k")).collect()
+      .map(_.getString(2)).toSeq === Seq("delete"))
+    assert(Warehouse.diffFrames(empty, table, Seq("k")).collect()
+      .map(_.getString(2)).toSeq === Seq("insert"))
+    assert(Warehouse.applyChangeFeed(table, Warehouse.diffFrames(table, table, Seq("k")), Seq("k"))
+      .collect().toSeq === table.collect().toSeq)
+    // incremental agg: merging an empty batch's state is the identity
+    val st = ops.IncrementalAgg.state(table, Seq("k"), "v")
+    val merged = ops.IncrementalAgg.merge(st, ops.IncrementalAgg.state(empty, Seq("k"), "v"), Seq("k"))
+    assert(merged.collect().toSeq === st.collect().toSeq)
+  }
 }

@@ -380,6 +380,31 @@ class WarehouseSpec extends SparkSpec {
     assert(feed === Map(2 -> (("Y", "update")), 3 -> (("z", "insert"))))
   }
 
+  test("applyChangeFeed round-trip law: apply(old, diff(old, new)) == new") {
+    val oldSt = Seq((1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")).toDF("k", "v", "tag")
+    val newSt = Seq((2, 99.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")).toDF("k", "v", "tag")
+    val replayed = Warehouse.applyChangeFeed(oldSt,
+      Warehouse.diffFrames(oldSt, newSt, Seq("k")), Seq("k"))
+    assert(replayed.orderBy("k").collect().toSeq === newSt.orderBy("k").collect().toSeq)
+  }
+
+  test("mergeInto/diffFrames: NULL merge keys carry no identity — never matched") {
+    import org.apache.spark.sql.functions.lit
+    val target = Seq((Some(1), 1.0), (None: Option[Int], 2.0)).toDF("k", "v")
+    val source = Seq((None: Option[Int], 9.0)).toDF("k", "v")
+    // a NULL-keyed source row matches NO target row (not even the
+    // NULL-keyed one): it goes down the insert path; the NULL-keyed
+    // target row is untouched
+    val merged = Warehouse.mergeInto(target, source, Seq("k"), Seq(
+      Warehouse.UpdateWhen(lit(true), Map("v" -> org.apache.spark.sql.functions.col("s.v"))),
+      Warehouse.InsertWhen(lit(true))))
+    assert(merged.collect().map(r => (Option(r.get(0)), r.getDouble(1))).toSet ===
+      Set((Some(1), 1.0), (None, 2.0), (None, 9.0)))
+    val feed = Warehouse.diffFrames(target, source, Seq("k"))
+      .collect().map(r => (Option(r.get(0)), r.getString(2))).toSet
+    assert(feed === Set((Some(1), "delete"), (None, "delete"), (None, "insert")))
+  }
+
   test("snapshotVersionAt: timestamp time travel resolves the as-of version") {
     val root = java.nio.file.Files.createTempDirectory("graft_asof").toString + "/t"
     Warehouse.commitSnapshot(Seq((1, "v1")).toDF("k", "v"), root, 0L)
