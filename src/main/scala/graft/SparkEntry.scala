@@ -281,6 +281,14 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"))
     }),
+    "q_quarantine" -> ((s, dir) => {
+      // dead-letter validation: ordered rules, first failure names the
+      // reason; error events with capped values prove first-wins
+      quality.Checks.annotateQuarantine(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        Seq("no_error_events" -> (col("event_type") =!= "error"),
+            "value_cap" -> (col("value") <= 400.0)))
+    }),
     "q_incr_agg" -> ((s, dir) => {
       // incremental MV refresh: per-user metrics as mergeable state —
       // history's state merged with the new batch's, never a rescan of
@@ -997,6 +1005,12 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |         END AS _change_type
         |  FROM oldst o FULL JOIN newst n ON o.o_orderkey = n.o_orderkey)
         |SELECT * FROM feed WHERE _change_type IS NOT NULL""".stripMargin,
+    "q_quarantine" ->
+      """SELECT event_id, event_type, value,
+        |       CASE WHEN NOT coalesce(event_type <> 'error', false) THEN 'no_error_events'
+        |            WHEN NOT coalesce(value <= 400.0, false) THEN 'value_cap'
+        |       END AS _quarantine_reason
+        |FROM events""".stripMargin,
     "q_incr_agg" ->
       """SELECT user_id, count(value) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sum_v,

@@ -61,6 +61,39 @@ object Checks {
     if (!bad.isEmpty) fail(s"indicator gaps past warm-up: ${bad.limit(5).collect().mkString(", ")}")
   }
 
+  /** Expectation-suite validation with quarantine — the dead-letter
+    * pattern the throwing checks above can't express: instead of
+    * failing the whole batch on the first bad row, ANNOTATE each row
+    * with the first rule it fails (`_quarantine_reason`, NULL = valid)
+    * so the good rows flow on and the bad ones land in a quarantine
+    * table with their reason attached. Rules are ordered (name,
+    * predicate) pairs; a predicate evaluating NULL counts as a FAILURE
+    * — validation must be closed-world (`value >= 0` on a NULL value
+    * is not a pass), which is why the rule is wrapped
+    * `!coalesce(pred, false)`, not `!pred`.
+    *
+    * Scale: the whole suite is one chained CASE in a single projection
+    * — zero shuffles, codegen'd, rule count only widens the
+    * expression. The split form ([[partitionQuarantine]]) shares the
+    * one annotated plan between both halves.
+    */
+  def annotateQuarantine(df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "annotateQuarantine needs at least one rule")
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((name, pred), els) => when(!coalesce(pred, lit(false)), lit(name)).otherwise(els)
+    }
+    df.withColumn("_quarantine_reason", reason)
+  }
+
+  /** (valid rows, unchanged schema; quarantined rows + reason). */
+  def partitionQuarantine(df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): (DataFrame, DataFrame) = {
+    val annotated = annotateQuarantine(df, rules)
+    (annotated.filter(col("_quarantine_reason").isNull).drop("_quarantine_reason"),
+     annotated.filter(col("_quarantine_reason").isNotNull))
+  }
+
   /** dag:394-395, 439-441 (S12) — file artifact exists and is non-empty. */
   def requireFileNonEmpty(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.store.Warehouse
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Streaming upsert into a versioned snapshot table — the r8 write
+  * surface composed into a `foreachBatch` sink: each micro-batch is
+  * MERGE'd (matched → update all non-key columns, unmatched → insert)
+  * against the current snapshot and committed with the
+  * optimistic-concurrency CAS, retrying on conflict so several streams
+  * (or a stream racing a batch restatement) can share one table with
+  * no lost update.
+  *
+  * Replay safety — the exactly-once-effect contract `foreachBatch`
+  * needs: identical full-row duplicates within a batch are folded
+  * before the merge, and a REPLAYED batch (post-failure re-delivery)
+  * upserts the same values onto themselves, so the final table state
+  * is identical whether a batch ran once or thrice. Duplicate keys
+  * with CONFLICTING values in one batch are the caller's bug and fail
+  * fast in [[Warehouse.mergeInto]] (nondeterministic last-wins is the
+  * silent-corruption alternative); pre-aggregate the batch if that is
+  * the intended semantics.
+  *
+  * Readers see snapshot isolation throughout: each micro-batch is one
+  * new immutable version, never a half-written table.
+  */
+object SnapshotMerge {
+
+  /** The sink function: `stream.writeStream.foreachBatch(SnapshotMerge
+    * .upsertBatch(root, keys) _)`. Bootstrap: an absent/empty table
+    * makes the first batch all-inserts.
+    */
+  def upsertBatch(root: String, keys: Seq[String], maxRetries: Int = 10)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val folded = batch.dropDuplicates()
+    val updateSet = folded.columns.filterNot(keys.contains)
+      .map(c => c -> col(s"s.$c")).toMap
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val cur = Warehouse.currentSnapshot(spark, root)
+      val target =
+        if (cur == 0L)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], folded.schema)
+        else Warehouse.readSnapshot(spark, root, Some(cur))
+      val merged = Warehouse.mergeInto(target, folded, keys, Seq(
+        Warehouse.UpdateWhen(lit(true), updateSet),
+        Warehouse.InsertWhen(lit(true))))
+      try {
+        Warehouse.commitSnapshot(merged, root, cur)
+        committed = true
+      } catch {
+        case e: Warehouse.SnapshotConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+}

@@ -32,4 +32,25 @@ class ChecksSpec extends SparkSpec {
     val bad = Checks.indicatorGaps(rows.toDF("date", "asset", "ma30", "vol30")).collect()
     assert(bad.map(_.getDate(0).toString).toSeq === Seq("2024-02-01")) // day 32 only
   }
+
+  test("quarantine: first failing rule names the reason; NULL predicate is a failure") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1, "click", Some(10.0)),  // valid
+      (2, "error", Some(500.0)), // fails BOTH rules → first wins
+      (3, "view", Some(500.0)),  // fails value_cap only
+      (4, "view", None)          // NULL value: closed-world failure
+    ).toDF("event_id", "event_type", "value")
+    val rules = Seq(
+      "no_error_events" -> (col("event_type") =!= "error"),
+      "value_cap" -> (col("value") <= 400.0))
+    val reasons = Checks.annotateQuarantine(rows, rules)
+      .collect().map(r => r.getInt(0) -> Option(r.getString(3))).toMap
+    assert(reasons === Map(1 -> None, 2 -> Some("no_error_events"),
+      3 -> Some("value_cap"), 4 -> Some("value_cap")))
+    val (valid, dead) = Checks.partitionQuarantine(rows, rules)
+    assert(valid.columns.toSeq === rows.columns.toSeq) // schema unchanged
+    assert(valid.collect().map(_.getInt(0)).toSeq === Seq(1))
+    assert(dead.count() === 3)
+  }
 }
