@@ -116,7 +116,12 @@ object Warehouse {
   def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
                 clauses: Seq[MergeClause]): DataFrame = {
     require(keys.nonEmpty && clauses.nonEmpty, "mergeInto needs keys and at least one clause")
-    require(source.groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty,
+    // uniqueness applies to IDENTITY-bearing rows only: NULL-keyed
+    // source rows match no target row (each is an unambiguous insert
+    // candidate), so two of them are not a multiple-match hazard —
+    // groupBy would wrongly fold them into one NULL group
+    require(source.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty,
       s"mergeInto: source is not unique on merge keys (${keys.mkString(", ")}); " +
         "a target row would match multiple source rows non-deterministically")
     // presence markers instead of key-null probes: NULL merge keys must
@@ -178,9 +183,18 @@ object Warehouse {
     require(oldDf.schema == newDf.schema,
       s"diffFrames: schemas differ (use appendEvolving/readEvolving conventions first): " +
         s"${oldDf.schema.simpleString} vs ${newDf.schema.simpleString}")
+    // the feed covers IDENTITY-BEARING rows only: a NULL merge key can
+    // be matched by nothing (not even another NULL), so including such
+    // rows would emit a phantom delete+insert pair for an UNCHANGED
+    // row on every diff — and the delete side could never retire
+    // anything in applyChangeFeed, duplicating the row once per
+    // diff/apply cycle. Excluded from BOTH sides, the round-trip law
+    // holds exactly on the keyed subspace and NULL-keyed rows are
+    // carried by neither feed nor retirement (spec-pinned).
+    val keyed = keys.map(col(_).isNotNull).reduce(_ && _)
     val nonKeys = oldDf.columns.filterNot(keys.contains)
-    val o = oldDf.withColumn("__o", lit(true)).alias("o")
-    val n = newDf.withColumn("__n", lit(true)).alias("n")
+    val o = oldDf.filter(keyed).withColumn("__o", lit(true)).alias("o")
+    val n = newDf.filter(keyed).withColumn("__n", lit(true)).alias("n")
     val joined = o.join(n,
       keys.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _), "full_outer")
     val changed =
@@ -203,9 +217,10 @@ object Warehouse {
     * rows. Round-trip law, spec-pinned:
     * `applyChangeFeed(old, diffFrames(old, new)) ≡ new` — the contract
     * that lets a downstream 100 TB replica stay in sync reading only
-    * feeds. Merge keys must be non-null to carry identity (the
-    * standard CDC assumption, as in [[mergeInto]]): a NULL-keyed row
-    * can be fed as an insert but never matched for update/delete.
+    * feeds. NULL merge keys carry no identity (the standard CDC
+    * assumption, as in [[mergeInto]]): [[diffFrames]] excludes
+    * NULL-keyed rows from the feed, and the retire join here cannot
+    * match them — such rows in the target simply persist untouched.
     */
   def applyChangeFeed(target: DataFrame, feed: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "applyChangeFeed needs at least one key column")
@@ -240,11 +255,22 @@ object Warehouse {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val now = System.currentTimeMillis()
+    // staleness from the NEWEST entry anywhere under the candidate, not
+    // the root dir's mtime: a long parquet write lands task files in
+    // nested _temporary attempt dirs without touching the root mtime,
+    // so a root-mtime lease would reap a LIVE writer's staging the
+    // moment its write outlives the grace
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +: fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+    }
     fs.listStatus(root).toSeq.filter { st =>
       val name = st.getPath.getName
-      (name.startsWith("_staging-") || name.startsWith("_latest.tmp-")) &&
-        now - st.getModificationTime > graceMs
-    }.map { st => fs.delete(st.getPath, true); st.getPath.toString }
+      (name.startsWith("_staging-") ||
+        name == "_latest.tmp" || name.startsWith("_latest.tmp-")) &&
+        now - newestMtime(st.getPath) > graceMs
+    }.filter(st => fs.delete(st.getPath, true)).map(_.getPath.toString)
   }
 
   /** Schema-evolution append: land a batch whose schema ADDS columns
@@ -261,7 +287,7 @@ object Warehouse {
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(dest)) {
-      val existing = df.sparkSession.read.option("mergeSchema", "true").parquet(path).schema
+      val existing = readEvolving(df.sparkSession, path).schema
       val incoming = df.schema
       val drift = existing.flatMap(e => incoming.find(_.name == e.name)
         .filter(_.dataType != e.dataType).map(i => s"${e.name}: ${e.dataType} -> ${i.dataType}"))

@@ -35,7 +35,9 @@ object SnapshotMerge {
                  (batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val folded = batch.dropDuplicates()
+    // materialized once: the fold's shuffle and mergeInto's uniqueness
+    // probe would otherwise re-run per conflict retry
+    val folded = batch.dropDuplicates().localCheckpoint(true)
     val updateSet = folded.columns.filterNot(keys.contains)
       .map(c => c -> col(s"s.$c")).toMap
     var attempt = 0

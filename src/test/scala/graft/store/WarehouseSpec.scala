@@ -391,7 +391,9 @@ class WarehouseSpec extends SparkSpec {
   test("mergeInto/diffFrames: NULL merge keys carry no identity — never matched") {
     import org.apache.spark.sql.functions.lit
     val target = Seq((Some(1), 1.0), (None: Option[Int], 2.0)).toDF("k", "v")
-    val source = Seq((None: Option[Int], 9.0)).toDF("k", "v")
+    // TWO NULL-keyed source rows: no multiple-match hazard (each is an
+    // unambiguous insert), so the uniqueness guard must not fire
+    val source = Seq((None: Option[Int], 9.0), (None: Option[Int], 8.0)).toDF("k", "v")
     // a NULL-keyed source row matches NO target row (not even the
     // NULL-keyed one): it goes down the insert path; the NULL-keyed
     // target row is untouched
@@ -399,10 +401,19 @@ class WarehouseSpec extends SparkSpec {
       Warehouse.UpdateWhen(lit(true), Map("v" -> org.apache.spark.sql.functions.col("s.v"))),
       Warehouse.InsertWhen(lit(true))))
     assert(merged.collect().map(r => (Option(r.get(0)), r.getDouble(1))).toSet ===
-      Set((Some(1), 1.0), (None, 2.0), (None, 9.0)))
+      Set((Some(1), 1.0), (None, 2.0), (None, 9.0), (None, 8.0)))
+    // the change feed covers the KEYED subspace only: NULL-keyed rows
+    // appear as neither phantom deletes nor inserts (a feed entry for
+    // them could never be applied), so diff/apply round-trips cleanly
     val feed = Warehouse.diffFrames(target, source, Seq("k"))
       .collect().map(r => (Option(r.get(0)), r.getString(2))).toSet
-    assert(feed === Set((Some(1), "delete"), (None, "delete"), (None, "insert")))
+    assert(feed === Set((Some(1), "delete")))
+    // round-trip on the keyed subspace: unchanged NULL-keyed rows are
+    // NOT duplicated by a diff/apply cycle
+    val same = Warehouse.applyChangeFeed(target,
+      Warehouse.diffFrames(target, target, Seq("k")), Seq("k"))
+    assert(same.collect().map(r => (Option(r.get(0)), r.getDouble(1)).toString).sorted.toSeq ===
+      target.collect().map(r => (Option(r.get(0)), r.getDouble(1)).toString).sorted.toSeq)
   }
 
   test("snapshotVersionAt: timestamp time travel resolves the as-of version") {
