@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality assertions — the reference's `quality_checks` task
@@ -78,7 +78,7 @@ object Checks {
     * one annotated plan between both halves.
     */
   def annotateQuarantine(df: DataFrame,
-      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+      rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "annotateQuarantine needs at least one rule")
     val reason = rules.foldRight(lit(null).cast("string")) {
       case ((name, pred), els) => when(!coalesce(pred, lit(false)), lit(name)).otherwise(els)
@@ -88,7 +88,7 @@ object Checks {
 
   /** (valid rows, unchanged schema; quarantined rows + reason). */
   def partitionQuarantine(df: DataFrame,
-      rules: Seq[(String, org.apache.spark.sql.Column)]): (DataFrame, DataFrame) = {
+      rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
     val annotated = annotateQuarantine(df, rules)
     (annotated.filter(col("_quarantine_reason").isNull).drop("_quarantine_reason"),
      annotated.filter(col("_quarantine_reason").isNotNull))

@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -74,16 +74,16 @@ object Warehouse {
     * its expression (over `t.*`/`s.*`); unlisted columns keep their
     * target values.
     */
-  final case class UpdateWhen(cond: org.apache.spark.sql.Column,
-                              set: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+  final case class UpdateWhen(cond: Column,
+                              set: Map[String, Column]) extends MergeClause
   /** Matched rows satisfying `cond`: drop the target row. */
-  final case class DeleteWhen(cond: org.apache.spark.sql.Column) extends MergeClause
+  final case class DeleteWhen(cond: Column) extends MergeClause
   /** Source rows with no target match satisfying `cond`: insert, taking
     * each target column from the same-named source column (NULL where
     * the source lacks it). Reference only `s.*` in the condition — the
     * `t` side is all-NULL here by construction.
     */
-  final case class InsertWhen(cond: org.apache.spark.sql.Column) extends MergeClause
+  final case class InsertWhen(cond: Column) extends MergeClause
 
   /** Multi-clause MERGE INTO — the general form S8/S9 are special
     * cases of (insertIfAbsent = one unconditional InsertWhen; upsert =
@@ -221,6 +221,9 @@ object Warehouse {
     * assumption, as in [[mergeInto]]): [[diffFrames]] excludes
     * NULL-keyed rows from the feed, and the retire join here cannot
     * match them — such rows in the target simply persist untouched.
+    * The broadcast hint assumes the batch-sized feed; for a
+    * table-sized backfill feed drop the hint and let the keyed
+    * shuffle join plan it.
     */
   def applyChangeFeed(target: DataFrame, feed: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "applyChangeFeed needs at least one key column")
@@ -243,9 +246,10 @@ object Warehouse {
   /** Reclaim the debris multi-writer operation leaves behind: staging
     * dirs and pointer temps from crashed or conflict-losing
     * [[commitSnapshot]]/[[writeSnapshot]] writers (`_staging-*`,
-    * `_latest.tmp-*`), older than `graceMs` (mirror of the commit
-    * protocol's orphan lease — never reap a LIVE writer's staging
-    * mid-flight). Committed `v=*` data, the `_latest` pointer, and
+    * `_latest.tmp` and tagged `_latest.tmp-*`), whose NEWEST content
+    * is older than `graceMs` (mirror of the commit protocol's orphan
+    * lease — never reap a LIVE writer's staging mid-flight).
+    * Committed `v=*` data, the `_latest` pointer, and
     * commit markers are never touched — markers record claimed
     * versions, deleting one would let a later writer re-claim history.
     * Returns the deleted paths.
