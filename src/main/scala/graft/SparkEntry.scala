@@ -281,6 +281,15 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"))
     }),
+    "q_incr_indicators" -> ((s, dir) => {
+      // incremental nightly refresh: days 21+ enriched from each
+      // asset's trailing 31-row tail only — must equal the full-table
+      // window recompute bit-exactly (the oracle IS that recompute)
+      val all = dailyOhlc(s, dir)
+      ops.Indicators.enrichIncremental(
+        all.filter(col("date") < lit("2024-01-21").cast("date")),
+        all.filter(col("date") >= lit("2024-01-21").cast("date")))
+    }),
     "q_quarantine" -> ((s, dir) => {
       // dead-letter validation: ordered rules, first failure names the
       // reason; error events with capped values prove first-wins
@@ -1005,6 +1014,8 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |         END AS _change_type
         |  FROM oldst o FULL JOIN newst n ON o.o_orderkey = n.o_orderkey)
         |SELECT * FROM feed WHERE _change_type IS NOT NULL""".stripMargin,
+    "q_incr_indicators" -> (enrichedCte +
+      " SELECT * FROM enriched WHERE date >= DATE '2024-01-21'"),
     "q_quarantine" ->
       """SELECT event_id, event_type, value,
         |       CASE WHEN NOT coalesce(event_type <> 'error', false) THEN 'no_error_events'

@@ -48,6 +48,36 @@ object Indicators {
   private def guarded(value: Column, cnt: Column, minPeriods: Int): Column =
     when(cnt >= minPeriods, value)
 
+  /** Incremental daily indicator refresh — the at-scale form of the
+    * reference's nightly full recompute (dag_btc_daily.py:254-267):
+    * enrich ONLY the new day(s) from each asset's trailing 31 rows of
+    * history, never the whole table. 31 is exact, not a heuristic:
+    * today's ma30/vol30 frame spans 29 prior rows, and the oldest of
+    * those needs ITS predecessor for `ret` — so a 31-row tail makes
+    * every window over the new rows see precisely the rows the full
+    * recompute would, and the output is bit-identical (oracle-checked
+    * against the full-table window). Assets with shorter history keep
+    * all their rows, reproducing the min_periods NULL warm-up.
+    *
+    * `newDaily` must be strictly AFTER `history` per asset (the normal
+    * append cadence; multi-day catch-up batches are fine — later new
+    * days window over earlier ones inside the union). Compose with
+    * [[graft.store.Warehouse.upsert]]/mergeInto to land the result.
+    *
+    * Scale: the tail is one per-asset window rank over the DAILY table
+    * (already tiny relative to raw data) and the enrich runs over
+    * |assets| × ≤31 + |new| rows — per-day cost is O(assets), not
+    * O(history).
+    */
+  def enrichIncremental(history: DataFrame, newDaily: DataFrame): DataFrame = {
+    val recent = Window.partitionBy("asset").orderBy(desc("date"))
+    val tail = history.withColumn("__rn", row_number().over(recent))
+      .filter(col("__rn") <= 31)
+      .select(newDaily.columns.map(col).toIndexedSeq: _*)
+    enrich(tail.unionByName(newDaily))
+      .join(newDaily.select("date", "asset"), Seq("date", "asset"), "left_semi")
+  }
+
   /** Exact rolling median of price over the trailing `window` rows per
     * asset (min_periods = window, same guard discipline as ma30) — the
     * robust-center sibling of the mean indicators: outlier ticks move

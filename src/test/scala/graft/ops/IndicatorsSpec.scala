@@ -312,4 +312,23 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.toSeq === Seq("2024-01-04" -> "death", "2024-01-05" -> "golden"))
   }
 
+  test("enrichIncremental equals the full recompute, including mid-warm-up history") {
+    import spark.implicits._
+    import java.sql.Date
+    // 40 days of history + 3 new days for asset A (past warm-up);
+    // 10 + 3 for asset B (ma30/vol30 still inside min_periods warm-up)
+    def days(asset: String, n: Int, from: Int) = (from until from + n).map { i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), asset,
+        100.0 + 3 * math.sin(i * 1.7) + i * 0.1)
+    }
+    val hist = (days("A", 40, 0) ++ days("B", 10, 30)).toDF("date", "asset", "close")
+    val fresh = (days("A", 3, 40) ++ days("B", 3, 40)).toDF("date", "asset", "close")
+    val incremental = Indicators.enrichIncremental(hist, fresh)
+      .orderBy("asset", "date").collect().toSeq
+    val full = Indicators.enrich(hist.unionByName(fresh))
+      .join(fresh.select("date", "asset"), Seq("date", "asset"), "left_semi")
+      .orderBy("asset", "date").collect().toSeq
+    assert(incremental === full) // bit-exact, NULL warm-up included
+    assert(incremental.size === 6)
+  }
 }
