@@ -281,6 +281,17 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"))
     }),
+    "q_enrich_affected" -> ((s, dir) => {
+      // restatement ripple: day 10's close corrected ×1.5 — recompute
+      // ONLY the rows whose windows see it (days 10..30 here); must
+      // equal the full recompute over the restated table bit-exactly
+      val d = dailyOhlc(s, dir)
+      val restated = d.withColumn("close",
+        when(col("date") === lit("2024-01-10").cast("date"), col("close") * 1.5)
+          .otherwise(col("close")))
+      ops.Indicators.enrichAffected(restated,
+        restated.filter(col("date") === lit("2024-01-10").cast("date")).select("date", "asset"))
+    }),
     "q_incr_indicators" -> ((s, dir) => {
       // incremental nightly refresh: days 21+ enriched from each
       // asset's trailing 31-row tail only — must equal the full-table
@@ -1016,6 +1027,30 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |SELECT * FROM feed WHERE _change_type IS NOT NULL""".stripMargin,
     "q_incr_indicators" -> (enrichedCte +
       " SELECT * FROM enriched WHERE date >= DATE '2024-01-21'"),
+    "q_enrich_affected" -> (dailyCte +
+      """, restated AS (
+        |  SELECT date, asset, open, high, low,
+        |         CASE WHEN date = DATE '2024-01-10' THEN close * 1.5 ELSE close END AS close
+        |  FROM daily
+        |), ret2 AS (
+        |  SELECT *, close / lag(close) OVER (PARTITION BY asset ORDER BY date) - 1 AS ret
+        |  FROM restated
+        |), enr2 AS (
+        |  -- ma7/ma30 via list_sum: DuckDB's sliding avg() is a segment
+        |  -- tree whose summation ORDER differs from Spark's linear
+        |  -- frame scan — agrees on natural closes (q_ma30) but the
+        |  -- restated day hit a 1-ulp boundary; list() pins frame order
+        |  SELECT *,
+        |    CASE WHEN count(close) OVER w7 >= 7
+        |         THEN list_sum(list(close) OVER w7) / count(close) OVER w7 END AS ma7,
+        |    CASE WHEN count(close) OVER w30 >= 30
+        |         THEN list_sum(list(close) OVER w30) / count(close) OVER w30 END AS ma30,
+        |    CASE WHEN count(ret) OVER w30 >= 30 THEN stddev_samp(ret) OVER w30 END AS vol30
+        |  FROM ret2
+        |  WINDOW w7 AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |         w30 AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT * FROM enr2 WHERE date >= DATE '2024-01-10'""".stripMargin),
     "q_quarantine" ->
       """SELECT event_id, event_type, value,
         |       CASE WHEN NOT coalesce(event_type <> 'error', false) THEN 'no_error_events'

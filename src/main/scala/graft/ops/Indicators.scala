@@ -78,6 +78,42 @@ object Indicators {
       .join(newDaily.select("date", "asset"), Seq("date", "asset"), "left_semi")
   }
 
+  /** The backward-looking half of incremental maintenance
+    * ([[enrichIncremental]] is the forward half): after a RESTATEMENT
+    * of historical closes, recompute indicators for exactly the rows
+    * whose windows can see a restated row — each restated row r
+    * touches ma7/ma30 of rows [r, r+29] and, through ret's one-row
+    * ripple, vol30 of rows [r, r+30]; everything else is provably
+    * unchanged and never recomputed. The enrich runs over each
+    * asset's contiguous [first−31, last+30] row envelope (windows
+    * inside a contiguous slice see the same trailing rows as over the
+    * full table, so the output is bit-identical to a full recompute —
+    * oracle-checked), and the output keeps only rows within 30 rows at
+    * or after a restated mark.
+    *
+    * `restated`: the already-corrected daily table; `restatedKeys`:
+    * the (date, asset) rows that changed. Compose with
+    * [[graft.store.Warehouse.upsert]] to land the corrections. Scale:
+    * per restatement the cost is O(assets touched × ~61 rows), not
+    * O(history) — the same bound as the forward refresh.
+    */
+  def enrichAffected(restated: DataFrame, restatedKeys: DataFrame): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    val withRn = restated.withColumn("__rn", row_number().over(w))
+    val marks = withRn.join(restatedKeys.select("date", "asset"), Seq("date", "asset"), "left_semi")
+      .select(col("asset").as("__m_asset"), col("__rn").as("__m_rn"))
+    val env = marks.groupBy("__m_asset")
+      .agg((min(col("__m_rn")) - 31).as("__lo"), (max(col("__m_rn")) + 30).as("__hi"))
+    val slice = withRn.join(broadcast(env),
+      col("asset") === col("__m_asset") && col("__rn").between(col("__lo"), col("__hi")))
+      .drop("__m_asset", "__lo", "__hi")
+    enrich(slice)
+      .join(broadcast(marks),
+        col("asset") === col("__m_asset") &&
+          col("__m_rn").between(col("__rn") - 30, col("__rn")), "left_semi")
+      .drop("__rn")
+  }
+
   /** Exact rolling median of price over the trailing `window` rows per
     * asset (min_periods = window, same guard discipline as ma30) — the
     * robust-center sibling of the mean indicators: outlier ticks move

@@ -331,4 +331,28 @@ class IndicatorsSpec extends SparkSpec {
     assert(incremental === full) // bit-exact, NULL warm-up included
     assert(incremental.size === 6)
   }
+
+  test("enrichAffected recomputes exactly the restatement's ripple — [mark, mark+30]") {
+    import spark.implicits._
+    import java.sql.Date
+    import org.apache.spark.sql.functions.{col, when, lit}
+    // 80 days; day index 40 restated. Affected rows = indices 40..70
+    // (ret ripples one row into vol30's frame); 0..39 and 71..79 are
+    // provably unchanged and must NOT be emitted
+    val base = (0 until 80).map { i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), "A",
+        100.0 + 5 * math.cos(i * 0.9))
+    }.toDF("date", "asset", "close")
+    val markDate = Date.valueOf("2024-02-10") // index 40
+    val restated = base.withColumn("close",
+      when(col("date") === lit(markDate), col("close") * 1.5).otherwise(col("close")))
+    val out = Indicators.enrichAffected(restated,
+      restated.filter(col("date") === lit(markDate)).select("date", "asset"))
+    val dates = out.orderBy("date").collect().map(_.getDate(0).toLocalDate.getDayOfYear)
+    assert(dates.head === 41 && dates.last === 71 && dates.length === 31) // Feb 10 = day 41
+    // bit-exact vs the full recompute over the restated table
+    val full = Indicators.enrich(restated)
+      .filter(col("date").between(lit(markDate), lit(Date.valueOf("2024-03-11"))))
+    assert(out.orderBy("date").collect().toSeq === full.orderBy("date").collect().toSeq)
+  }
 }
