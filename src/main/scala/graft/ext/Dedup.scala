@@ -234,25 +234,29 @@ object Dedup {
     * shingles (< n tokens) are absent, as in the pair builds.
     *
     * 100 TB shape: ONE corpus explode into thin (doc_id, s) rows,
-    * materialized once for its two consumers (first-seen agg and
-    * per-doc totals); first-seen is a shingle-grain min agg whose
-    * novel-count collapses straight to doc grain, then a doc-grain
-    * join. No joins or shuffles ever carry shingle strings past the
-    * two aggs.
+    * consumed by a SINGLE linear pipeline — a per-shingle window min
+    * tags each row with the first doc to carry that shingle, then one
+    * doc-grain aggregate computes total and novel counts together.
+    * Exactly two shuffles (by s, by doc_id), zero joins, and — because
+    * nothing branches — no shared subtree to materialize, so the
+    * operator needs no checkpoint policy at any scale. ([[shingles]]
+    * dedupes per doc, so (doc_id, s) rows are unique and the window
+    * form is row-for-row equivalent to the former first-seen-agg +
+    * join shape; r9 A/B at sf0.1: 1.01 s two-consumer recompute /
+    * 1.54 s two-consumer checkpointed / 0.60 s this.)
     */
   def shingleNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
-    import graft.ops.Mat.MatOps
     val ex = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-      .matBoundary
-    val totals = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val novel = ex.groupBy("s").agg(min(col("doc_id")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    totals.join(novel, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
-          col("n_shingles").cast("double"), 6).as("novelty"))
+    val firstSeen = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    ex.withColumn("first_doc", min(col("doc_id")).over(firstSeen))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("novelty"))
   }
 
   /** The keep/drop DECISION from near-dup pairs: drop every doc that
