@@ -1049,8 +1049,19 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM ret2
         |  WINDOW w7 AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
         |         w30 AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |), enr3 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY asset ORDER BY date) AS rn FROM enr2
+        |), marks AS (
+        |  SELECT asset, rn AS mrn FROM enr3 WHERE date = DATE '2024-01-10'
         |)
-        |SELECT * FROM enr2 WHERE date >= DATE '2024-01-10'""".stripMargin),
+        |-- bounded EXACTLY like enrichAffected: only rows within 30 ROWS
+        |-- at-or-after a restated mark (not "everything after the mark
+        |-- date", which agrees here only because daily spans 30 days —
+        |-- this form would catch an output-truncation regression at any
+        |-- data span, r8 advice)
+        |SELECT date, asset, open, high, low, close, ret, ma7, ma30, vol30
+        |FROM enr3 JOIN marks USING (asset)
+        |WHERE rn BETWEEN mrn AND mrn + 30""".stripMargin),
     "q_quarantine" ->
       """SELECT event_id, event_type, value,
         |       CASE WHEN NOT coalesce(event_type <> 'error', false) THEN 'no_error_events'

@@ -61,8 +61,16 @@ object Indicators {
     *
     * `newDaily` must be strictly AFTER `history` per asset (the normal
     * append cadence; multi-day catch-up batches are fine — later new
-    * days window over earlier ones inside the union). Compose with
-    * [[graft.store.Warehouse.upsert]]/mergeInto to land the result.
+    * days window over earlier ones inside the union). The precondition
+    * is ENFORCED, not just documented: a replayed or overlapping batch
+    * would put duplicate (date, asset) rows in the union and the
+    * windows would silently return wrong indicators — the one failure
+    * mode worse than failing. The guard compares per-asset
+    * max(tail.date) to min(newDaily.date), one eager aggregate over
+    * O(assets) rows (the 31-row tail, never the full history) —
+    * the same fail-fast posture as [[graft.store.Warehouse.mergeInto]].
+    * Compose with [[graft.store.Warehouse.upsert]]/mergeInto to land
+    * the result.
     *
     * Scale: the tail is one per-asset window rank over the DAILY table
     * (already tiny relative to raw data) and the enrich runs over
@@ -74,6 +82,16 @@ object Indicators {
     val tail = history.withColumn("__rn", row_number().over(recent))
       .filter(col("__rn") <= 31)
       .select(newDaily.columns.map(col).toIndexedSeq: _*)
+    val overlap = tail.groupBy("asset").agg(max(col("date")).as("__hmax"))
+      .join(newDaily.groupBy("asset").agg(min(col("date")).as("__nmin")), Seq("asset"))
+      .filter(col("__hmax") >= col("__nmin"))
+      .limit(1).collect()
+    require(overlap.isEmpty, {
+      val r = overlap.head
+      s"enrichIncremental: newDaily must be strictly after history per asset, but " +
+        s"asset ${r.get(0)} has history through ${r.get(1)} and new rows from ${r.get(2)} — " +
+        "a replay/overlap would silently corrupt the windows; upsert the batch instead"
+    })
     enrich(tail.unionByName(newDaily))
       .join(newDaily.select("date", "asset"), Seq("date", "asset"), "left_semi")
   }

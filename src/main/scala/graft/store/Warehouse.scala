@@ -102,8 +102,19 @@ object Warehouse {
     *    condition holds (none → dropped);
     *  - a source with duplicate merge keys is rejected up front (the
     *    multiple-match row would be non-deterministically updated —
-    *    the same error Delta raises), at the cost of one aggregate
+    *    the error Delta raises), at the cost of one aggregate
     *    pass over the SOURCE (the small side: a batch, not the table).
+    *    DELIBERATE DEVIATION from Delta, documented here: Delta errors
+    *    only when a duplicate key actually matches a target row
+    *    (unmatched duplicates insert as distinct rows); this check is
+    *    stricter and rejects unmatched duplicates too. Scoping it to
+    *    actual matches would need a semi-join against the TARGET —
+    *    an eager pass over the big side on every call — and a source
+    *    batch carrying the same key twice is virtually always an
+    *    upstream dedup bug, so the strict form both fails earlier and
+    *    costs less. The check repeats per call (each SnapshotMerge
+    *    conflict retry re-validates the same batch); dedup the source
+    *    once upstream if that pass matters.
     *
     * Scale shape: one full-outer join keyed on the merge keys — same
     * posture as [[upsert]] (no broadcast hint: BroadcastHashJoin
@@ -178,11 +189,20 @@ object Warehouse {
     * sides first when the writer touches bounded partitions
     * ([[overwritePartitions]] patterns).
     */
-  def diffFrames(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+  def diffFrames(oldDf: DataFrame, newDfIn: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diffFrames needs at least one key column")
-    require(oldDf.schema == newDf.schema,
-      s"diffFrames: schemas differ (use appendEvolving/readEvolving conventions first): " +
-        s"${oldDf.schema.simpleString} vs ${newDf.schema.simpleString}")
+    // schema compatibility = same column NAMES and TYPES — deliberately
+    // insensitive to nullability and field order, which routine
+    // operators flip without changing the data (union and outer join
+    // widen nullability, readEvolving reorders); requiring StructType
+    // equality rejected logically identical states spuriously (r8
+    // advice). catalogString prints nested types without nullable
+    // flags, so nested-struct nullability drift is tolerated too.
+    def typeMap(df: DataFrame) = df.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    require(typeMap(oldDf) == typeMap(newDfIn),
+      s"diffFrames: column names/types differ (use appendEvolving/readEvolving conventions first): " +
+        s"${oldDf.schema.simpleString} vs ${newDfIn.schema.simpleString}")
+    val newDf = newDfIn.select(oldDf.columns.map(col).toIndexedSeq: _*)
     // the feed covers IDENTITY-BEARING rows only: a NULL merge key can
     // be matched by nothing (not even another NULL), so including such
     // rows would emit a phantom delete+insert pair for an UNCHANGED
@@ -468,8 +488,7 @@ object Warehouse {
       fs.delete(staging, true)
       throw new SnapshotConflictException(path, next)
     }
-    require(fs.rename(staging, dest),
-      s"cannot promote staging for v=$next under $path")
+    promoteStaging(fs, staging, dest, path, next)
     // advance the pointer only forward: a slower v=n winner must not
     // clobber a faster v=n+1 writer's already-swapped pointer. The
     // read-then-swap window is benign — the pointer is a cache of
@@ -491,6 +510,35 @@ object Warehouse {
       require(fs.rename(tmp, ptr), s"cannot swap pointer for $path")
     }
     next
+  }
+
+  /** The promote step of [[commitSnapshot]]: staging → `v=<n>`. A
+    * failed rename AFTER a successful claim is the LEASE-LOSS case,
+    * not a programming error: a writer stalled past the grace has had
+    * its "orphan" staging vacuumed and/or its marker lease broken by a
+    * retrier — the commitSnapshot contract says it "retries like any
+    * conflict loser", so this throws the RETRYABLE
+    * [[SnapshotConflictException]] (SnapshotMerge.upsertBatch loops on
+    * exactly that type; the pre-r9 bare `require` propagated an
+    * IllegalArgumentException and killed the retry loop). The marker
+    * is left in place: it may no longer be ours (a lease-breaker can
+    * hold it now), and if it IS ours and orphaned, the grace mechanism
+    * reclaims it.
+    */
+  private[store] def promoteStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                    staging: org.apache.hadoop.fs.Path,
+                                    dest: org.apache.hadoop.fs.Path,
+                                    path: String, next: Long): Unit = {
+    // rename on a vacuumed staging THROWS (FileNotFoundException on
+    // the local FS, IOException variants elsewhere) rather than
+    // returning false — both forms are the same lease-loss outcome
+    val ok =
+      try fs.rename(staging, dest)
+      catch { case _: java.io.IOException => false }
+    if (!ok) {
+      try fs.delete(staging, true) catch { case _: java.io.IOException => () }
+      throw new SnapshotConflictException(path, next)
+    }
   }
 
   /** All snapshot versions present under `path`, ascending. */

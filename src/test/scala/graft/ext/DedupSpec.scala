@@ -233,6 +233,26 @@ class DedupSpec extends SparkSpec {
     assert(bloomN === exactN, "bloom form diverged on a null dedup key")
   }
 
+  test("incrementalDedupBloom: non-empty catalog with ALL-NULL keys is the first-crawl case") {
+    // bloom_filter_agg over zero non-null values yields NULL, which the
+    // pre-r8 guard (catalog.isEmpty) did not catch → NPE in the
+    // bloomFilter builder. The guard must key on non-null-key
+    // emptiness, and the result must equal the exact form's (an
+    // anti-join against nothing keeps everything).
+    val key = org.apache.spark.sql.functions.col("text")
+    val allNullCatalog = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val incoming = Seq((10L, "alpha"), (11L, "alpha"), (12L, "beta"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalDedup(incoming, allNullCatalog, key)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val bloom = Dedup.incrementalDedupBloom(incoming, allNullCatalog, key,
+        expectedKeys = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(exact === Set((10L, "alpha", 2L), (12L, "beta", 1L)))
+    assert(bloom === exact, "all-null-key catalog must behave like an empty one")
+  }
+
   test("containment: embedded doc scores ~1 on its side while jaccard stays low") {
     val small = "alpha beta gamma delta epsilon" // 3 shingles, all inside big
     val big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"

@@ -58,6 +58,34 @@ class MultimodalSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("undecodable")))
   }
 
+  test("sampleFrames: fails fast with the doc id on an undecodable clip payload") {
+    // ImageIO.getImageReaders on garbage yields an empty iterator; a
+    // bare next() threw NoSuchElementException naming nothing — the
+    // guard must surface which doc carried the bad container
+    val bad = Seq(Multimodal.ClipRow(42L, 3, Array[Byte](0, 1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(bad).collect()
+    }
+    val msgs = e.getMessage +: Option(e.getCause).map(_.getMessage).toSeq
+    assert(msgs.exists(m => m.contains("undecodable") && m.contains("42")),
+      s"error must name the doc id: $msgs")
+  }
+
+  test("decodeAudio: fails fast with the doc id on a truncated WAV payload") {
+    // a truncated body delivers fewer PCM bytes than the RIFF header
+    // promises; without the frame-count guard the sample loop indexed
+    // past the buffer (ArrayIndexOutOfBounds, no doc id)
+    val src = Seq((7L, "t", 1L)).toDF("doc_id", "text", "n_chars")
+    val good = Multimodal.renderAudio(src).collect().head
+    val cut = Multimodal.AudioRow(7L, good.payload.take(good.payload.length - 64))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudio(Seq(cut).toDS()).collect()
+    }
+    val msgs = e.getMessage +: Option(e.getCause).map(_.getMessage).toSeq
+    assert(msgs.exists(m => m.contains("truncated") && m.contains("7")),
+      s"error must name the doc id: $msgs")
+  }
+
   test("resizeImages: payload bytes genuinely rewritten, decode confirms new dims") {
     val src = Seq((4L, "t", 1L)).toDF("doc_id", "text", "n_chars")
     val orig = Multimodal.renderImages(src)

@@ -332,6 +332,26 @@ class IndicatorsSpec extends SparkSpec {
     assert(incremental.size === 6)
   }
 
+  test("enrichIncremental fails fast on a replayed/overlapping batch, naming the asset") {
+    import spark.implicits._
+    import java.sql.Date
+    def days(asset: String, n: Int, from: Int) = (from until from + n).map { i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), asset, 100.0 + i)
+    }
+    val hist = (days("A", 10, 0) ++ days("B", 10, 0)).toDF("date", "asset", "close")
+    // replayed batch: B's first "new" day overlaps its history — the
+    // union would hold duplicate (date, asset) rows and the windows
+    // would silently return wrong indicators (r8 advice)
+    val replay = (days("A", 2, 10) ++ days("B", 2, 9)).toDF("date", "asset", "close")
+    val e = intercept[IllegalArgumentException] {
+      Indicators.enrichIncremental(hist, replay)
+    }
+    assert(e.getMessage.contains("strictly after") && e.getMessage.contains("B"))
+    // the clean batch still passes the guard
+    val clean = (days("A", 2, 10) ++ days("B", 2, 10)).toDF("date", "asset", "close")
+    assert(Indicators.enrichIncremental(hist, clean).count() === 4)
+  }
+
   test("enrichAffected recomputes exactly the restatement's ripple — [mark, mark+30]") {
     import spark.implicits._
     import java.sql.Date

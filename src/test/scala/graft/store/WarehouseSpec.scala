@@ -371,6 +371,52 @@ class WarehouseSpec extends SparkSpec {
     assert(feed2 === Set((2, "delete", Some(20.0)), (4, "insert", Some(40.0))))
   }
 
+  test("diffFrames: tolerates nullability and field-order drift between logically equal schemas") {
+    // union/outer-join/readEvolving flip nullability or reorder fields
+    // without changing the data; requiring StructType equality rejected
+    // these spuriously (r8 advice)
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val oldSt = Seq((1, 10.0, "a"), (2, 20.0, "b")).toDF("k", "v", "tag")
+    // nullability drift: same columns declared all-nullable
+    val nullableNew = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1, 10.0, "a"), Row(2, 99.0, "b")),
+      StructType(Seq(StructField("k", IntegerType, nullable = true),
+        StructField("v", DoubleType, nullable = true),
+        StructField("tag", StringType, nullable = true))))
+    assert(oldSt.schema !== nullableNew.schema, "fixture must actually drift nullability")
+    val feed = Warehouse.diffFrames(oldSt, nullableNew, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(feed === Map(2 -> "update"))
+    // field-order drift: same columns, reordered — aligned, not rejected
+    val reordered = Seq(("b", 99.0, 2), ("c", 30.0, 3)).toDF("tag", "v", "k")
+    val feed2 = Warehouse.diffFrames(oldSt, reordered, Seq("k"))
+      .collect().map(r => (r.getInt(0), r.getString(3))).toSet
+    assert(feed2 === Set((1, "delete"), (2, "update"), (3, "insert")))
+    // a REAL type change must still be rejected
+    val drifted = Seq((1, "10.0", "a")).toDF("k", "v", "tag")
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.diffFrames(oldSt, drifted, Seq("k"))
+    }
+    assert(e.getMessage.contains("names/types"))
+  }
+
+  test("promoteStaging: lease loss after a successful claim stays on the retryable path") {
+    // a writer stalled past the grace finds its staging vacuumed (or
+    // its lease broken) when it finally promotes; the failure must be
+    // the retryable SnapshotConflictException — upsertBatch's loop
+    // catches exactly that — not a bare require failure (r8 advice)
+    val root = java.nio.file.Files.createTempDirectory("graft_promote").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val goneStaging = new org.apache.hadoop.fs.Path(s"$root/_staging-dead")
+    val dest = new org.apache.hadoop.fs.Path(s"$root/v=2")
+    intercept[Warehouse.SnapshotConflictException] {
+      Warehouse.promoteStaging(fs, goneStaging, dest, root, 2L)
+    }
+  }
+
   test("snapshotDiff: change feed between committed versions") {
     val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/t"
     Warehouse.commitSnapshot(Seq((1, "x"), (2, "y")).toDF("k", "v"), root, 0L)
