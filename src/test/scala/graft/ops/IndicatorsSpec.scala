@@ -343,10 +343,15 @@ class IndicatorsSpec extends SparkSpec {
     // union would hold duplicate (date, asset) rows and the windows
     // would silently return wrong indicators (r8 advice)
     val replay = (days("A", 2, 10) ++ days("B", 2, 9)).toDF("date", "asset", "close")
-    val e = intercept[IllegalArgumentException] {
-      Indicators.enrichIncremental(hist, replay)
+    // the guard is fused into the plan (no eager pre-check job), so it
+    // fires on the FIRST action — before any wrong row can be consumed
+    val e = intercept[Exception] {
+      Indicators.enrichIncremental(hist, replay).collect()
     }
-    assert(e.getMessage.contains("strictly after") && e.getMessage.contains("B"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).take(5).toSeq
+    assert(msgs.exists(m => m.contains("strictly after") && m.contains("B")),
+      s"error must name the precondition and the asset: $msgs")
     // the clean batch still passes the guard
     val clean = (days("A", 2, 10) ++ days("B", 2, 10)).toDF("date", "asset", "close")
     assert(Indicators.enrichIncremental(hist, clean).count() === 4)

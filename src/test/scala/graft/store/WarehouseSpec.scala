@@ -160,6 +160,71 @@ class WarehouseSpec extends SparkSpec {
     assert(siblings.toSeq === Seq("t"), s"leftovers: ${siblings.mkString(",")}")
   }
 
+  test("compact: a partitioned root keeps its layout and pruning (per-dir recursion)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compactp").toString + "/t"
+    val df = spark.range(4000).selectExpr(
+      "id", "CAST(date_add(DATE '2024-01-01', CAST(id % 3 AS INT)) AS DATE) AS date")
+    Warehouse.writePartitioned(df.repartition(8), dir, Seq("date"))
+    val before = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSeq
+    val n = Warehouse.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n === 3, "one output file per partition directory")
+    // the date= dirs survived — the flat rewrite would have flattened them
+    val children = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("date=")).sorted
+    assert(children.toSeq === Seq("date=2024-01-01", "date=2024-01-02", "date=2024-01-03"))
+    val after = spark.read.parquet(dir)
+    assert(after.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[java.sql.Date]("date").toString)).toSeq === before)
+    // pruning still works: the date predicate plans as a PartitionFilter
+    // (inputFiles reports the unpruned relation, so assert on the plan)
+    val pruned = after.filter($"date" === java.sql.Date.valueOf("2024-01-02"))
+    assert(pruned.count() === before.count(_._2 == "2024-01-02"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pf.exists(_.toLowerCase.contains("date")),
+      s"expected a date PartitionFilter after compaction:\n$plan")
+  }
+
+  test("snapshot manifest: pinned reads plan from the committed file list, not a dir listing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest").toString + "/t"
+    val v = Warehouse.writeSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "x").repartition(2), root)
+    // manifest exists and records the commit: files, bytes, row count
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = Warehouse.readManifest(fs, root, v)
+    assert(m.isDefined, "commit must publish a manifest")
+    assert(m.get.get("rowCount").asLong() === 2L)
+    assert(Warehouse.snapshotRowCount(spark, root) === Some(2L))
+    // a stray file landing AFTER commit (task-retry debris / a raced
+    // writer) is INVISIBLE to a manifest-planned read — the listing
+    // read would absorb it
+    val alien = Seq((99L, "zz")).toDF("id", "x")
+    alien.write.parquet(s"$root/v=$v/alien")
+    val alienFile = new java.io.File(s"$root/v=$v/alien").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(alienFile.toPath,
+      java.nio.file.Paths.get(s"$root/v=$v/part-alien.snappy.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$root/v=$v/alien"))
+    val viaManifest = Warehouse.readSnapshot(spark, root, Some(v))
+    assert(viaManifest.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    assert(viaManifest.inputFiles.length === 2 &&
+      !viaManifest.inputFiles.exists(_.contains("alien")),
+      "scan must touch only manifest-listed files")
+    // commitSnapshot publishes manifests too
+    val v2 = Warehouse.commitSnapshot(Seq((3L, "c")).toDF("id", "x"), root, v)
+    assert(Warehouse.snapshotRowCount(spark, root, Some(v2)) === Some(1L))
+    // fallback: a manifest-less version (crash between promote and
+    // publish, or a pre-manifest table) still reads via the listing
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifest-v$v2"), false)
+    assert(Warehouse.readSnapshot(spark, root, Some(v2)).collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+    // retention drops the manifest with the data
+    Warehouse.writeSnapshot(Seq((4L, "d")).toDF("id", "x"), root)
+    Warehouse.expireSnapshots(spark, root, keepLast = 1)
+    assert(Warehouse.readManifest(fs, root, v).isEmpty, "expired version's manifest must go")
+  }
+
   test("snapshots: versioned writes, time travel, pointer swap, retention") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
     val v1 = Warehouse.writeSnapshot(Seq((1L, "a")).toDF("id", "x"), root)
