@@ -330,6 +330,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.8, dfCap = Some(100))),
     "q_dedup_minhash" -> ((s, dir) => // approximate (hash-based): rows-only check
       Dedup.minhashNearDups(Tables.documents(s, dir), n = 3, numHashes = 128, bands = 16, threshold = 0.8)),
+    "q_dedup_minhash_md5" -> ((s, dir) => // md5-based construction: full oracle hash-match
+      Dedup.minhashNearDupsMd5(Tables.documents(s, dir), n = 3, threshold = 0.8)),
     "q_dedup_simhash" -> ((s, dir) => // hash-based: rows-only vs oracle; pair set
       // proven == brute-force hamming<=3 on sf0.001 (DedupSpec)
       Dedup.simhashNearDups(Tables.documents(s, dir), n = 3, maxHamming = 3)),
@@ -1092,6 +1094,44 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  GROUP BY 1, 2)
         |SELECT a, b, inter / (na + nb - inter) AS jaccard
         |FROM pairs WHERE inter / (na + nb - inter) >= 0.8""".stripMargin,
+    // the md5-MinHash construction recomposed verbatim: Horner-parse
+    // the first 15 md5 hex chars mod P (bit-identical to Spark's
+    // conv(·,16,10) % P), the same 8 universal hashes / 4 bands /
+    // exact-Jaccard verify — pins the LSH banding logic cross-engine
+    "q_dedup_minhash_md5" -> {
+      val P = "2147483647"
+      val horner = (2 to 15).foldLeft(
+        s"(strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1)::BIGINT") {
+        (acc, i) => s"(($acc * 16 + strpos('0123456789abcdef', substr(md5(s), $i, 1)) - 1) % $P)"
+      }
+      val params = graft.ext.Dedup.Md5MinhashParams
+      val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $P) AS m$i"
+      }.mkString(", ")
+      val bandSel = (0 until 4).map { k =>
+        s"SELECT doc_id, $k AS band, m${2 * k}::VARCHAR || ',' || m${2 * k + 1}::VARCHAR AS bk FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                                     for i in range(1, len(toks) - 1)]) AS shingles
+         |       FROM tok WHERE len(toks) >= 3),
+         |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |hashed AS (SELECT doc_id, $horner AS h FROM ex),
+         |sig AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
+         |bands AS ($bandSel),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT c.a, c.b, count(*) AS inter,
+         |         any_value(xa.n) AS na, any_value(xb.n) AS nb
+         |  FROM cand c
+         |  JOIN ex xa ON xa.doc_id = c.a
+         |  JOIN ex xb ON xb.doc_id = c.b AND xb.s = xa.s
+         |  GROUP BY 1, 2)
+         |SELECT a, b, inter / (na + nb - inter) AS jaccard
+         |FROM pairs WHERE inter / (na + nb - inter) >= 0.8""".stripMargin
+    },
     "q_embed_neardup" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm

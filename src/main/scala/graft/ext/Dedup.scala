@@ -451,6 +451,57 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** The ENGINE-PORTABLE MinHash companion (VERDICT r8 #6): same
+    * banding/bucket/verify logic as [[minhashNearDups]], but the base
+    * shingle hash is derived from md5 — computable bit-identically by
+    * any engine (md5 is specified; xxhash64's seed/variant is not), so
+    * this variant's output hash-matches a DuckDB recomposition and
+    * pins the LSH construction cross-engine. Construction, fixed by
+    * contract with the q_dedup_minhash_md5 oracle:
+    * base h = toLong(first 15 hex chars of md5(shingle)) mod P,
+    * P = 2^31−1; 8 universal hashes m_i = min((a_i·h + b_i) mod P)
+    * (params in [[Md5MinhashParams]] — all < P, so products stay under
+    * 2^62 and overflow semantics never diverge between engines);
+    * 4 bands × 2 rows, band key = "m_{2k},m_{2k+1}"; candidates from
+    * band-key equality, then exact-Jaccard verified like every other
+    * pair source (precision 1.0 — only recall is probabilistic, and
+    * at j=0.8 detection is 1−(1−0.64)⁴ ≈ 0.983 per true pair).
+    *
+    * Scale note: one corpus explode + one groupBy — the same
+    * Σ-bounded shape as the xxhash64 kernel path, minus the
+    * zero-shuffle signature expression; keep [[minhashNearDups]] as
+    * the performance path and this as the cross-engine-verifiable one.
+    */
+  val Md5MinhashParams: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1588635695L, 179426549L),
+    (784588716L, 899809343L), (894847L, 49979687L),
+    (982451653L, 32452843L), (472882027L, 86028121L),
+    (1500450271L, 694847539L), (198491317L, 15485863L))
+
+  def minhashNearDupsMd5(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val P = 2147483647L
+    val ex = docs.filter(hasShingles(n))
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
+    val hashed = ex.select(col("doc_id"), h.as("h"))
+    val sigCols = Md5MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"m$i")
+    }
+    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 4).map { k =>
+      struct(lit(k).as("band"),
+        concat_ws(",", col(s"m${2 * k}"), col(s"m${2 * k + 1}")).as("bk"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(docs, candidates, n, threshold)
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash fingerprints: (doc_id, simhash: long) — bit b is

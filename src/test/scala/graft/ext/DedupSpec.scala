@@ -253,6 +253,28 @@ class DedupSpec extends SparkSpec {
     assert(bloom === exact, "all-null-key catalog must behave like an empty one")
   }
 
+  test("md5 minhash: finds planted near-dups; every pair is exact-Jaccard true (precision 1.0)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearDup = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val unrelated = "one two three four five six seven eight nine ten"
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base + " extra"))
+    val md5Pairs = Dedup.minhashNearDupsMd5(d, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // candidates are exact-verified, so every emitted pair must appear
+    // in the brute-force exact pair set with the SAME jaccard
+    val exact = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(md5Pairs.toSet.subsetOf(exact), "md5-minhash pair outside the exact set")
+    // the planted high-jaccard pairs are found (recall at j>=0.7 with
+    // 4x2 banding is >0.9; these fixtures sit well above threshold)
+    assert(md5Pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(md5Pairs.exists(p => p._1 == 1L && p._2 == 4L))
+    // deterministic: a second run yields byte-identical output
+    val again = Dedup.minhashNearDupsMd5(d, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sorted.toSeq === md5Pairs.sorted.toSeq)
+  }
+
   test("containment: embedded doc scores ~1 on its side while jaccard stays low") {
     val small = "alpha beta gamma delta epsilon" // 3 shingles, all inside big
     val big = small + " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
