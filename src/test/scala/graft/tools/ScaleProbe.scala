@@ -85,6 +85,57 @@ object ScaleProbe {
       }
     }
 
+    // r9: the r8 WRITE surface (mergeInto / diffFrames / applyChangeFeed)
+    // under the same K× load. Keyed tables have UNIQUE join keys by
+    // construction, so the full-outer join cannot key-skew — the risk
+    // at scale is VOLUME (the join touches the whole table). The probe
+    // measures (a) the full-table forms growing linearly in K, and
+    // (b) the partition-prune composition SCALE.md prescribes (merge
+    // only the date partitions the batch touches, land them via
+    // dynamic overwrite) staying bounded by the TOUCHED partition —
+    // with the batch deliberately skewed onto one hot date.
+    val ev1 = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val maxEv = ev1.agg(max(col("event_id"))).head().getLong(0) + 1
+    val evK = (0 until k).map(i =>
+        ev1.withColumn("event_id", col("event_id") + lit(i * maxEv)))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    import graft.store.Warehouse
+    for ((label, t) <- Seq("1x" -> ev1, s"${k}x" -> evK)) {
+      // batch: update 1% of keys, insert 1% new — every row on ONE day
+      val batch = t.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") * 2)
+        .unionByName(t.filter(col("event_id") % 100 === 1)
+          .withColumn("event_id", -col("event_id") - 1))
+        .localCheckpoint(true)
+      time(s"mergeInto full table ($label)") {
+        Warehouse.mergeInto(t, batch, Seq("event_id"), Seq(
+          Warehouse.UpdateWhen(lit(true), Map("value" -> col("s.value"))),
+          Warehouse.InsertWhen(lit(true)))).count()
+      }
+      val restated = t.withColumn("value",
+        when(col("event_id") % 50 === 0, col("value") + 1).otherwise(col("value")))
+      time(s"diffFrames full table ($label)") {
+        Warehouse.diffFrames(t, restated, Seq("event_id")).count()
+      }
+      time(s"applyChangeFeed round-trip ($label)") {
+        Warehouse.applyChangeFeed(t,
+          Warehouse.diffFrames(t, restated, Seq("event_id")).localCheckpoint(true),
+          Seq("event_id")).count()
+      }
+      // partition-prune composition: the skewed batch lands on ONE of
+      // the ~30 event days; merge only that partition's slice
+      val hotDate = "2024-01-07"
+      val slice = t.filter(to_date(col("ts")) === lit(hotDate))
+      val hotBatch = slice.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") * 2).localCheckpoint(true)
+      time(s"mergeInto pruned to hot date ($label)") {
+        Warehouse.mergeInto(slice, hotBatch, Seq("event_id"), Seq(
+          Warehouse.UpdateWhen(lit(true), Map("value" -> col("s.value"))),
+          Warehouse.InsertWhen(lit(true)))).count()
+      }
+    }
+
     val emb1 = Tables.embeddings(spark, dir)
     val maxVid = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1
     val embK = (0 until k).map(i => emb1.withColumn("vec_id", col("vec_id") + lit(i * maxVid)))
