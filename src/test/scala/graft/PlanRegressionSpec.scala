@@ -303,6 +303,44 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("md5") && !p.contains("xxhash"), p.take(2500))
   }
 
+  test("AQE skew-join: a runtime-skewed sort-merge join is split (skew=true in the final plan)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one hot key carries ~75% of the fact side; thresholds lowered so
+    // test-sized partitions register as skewed (the defaults are tuned
+    // for 256 MB partitions). This pins the X35 contract: for a plain
+    // equi-JOIN, AQE's runtime split handles the hot key and the
+    // manual salt is unnecessary — saltedJoin remains for what AQE
+    // cannot split (hot AGGREGATION keys; a single key bigger than a
+    // task's build side).
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200000).toDF("id")
+        .withColumn("k", when($"id" % 4 =!= 0, lit(7L)).otherwise($"id" % 1000))
+        .withColumn("pad", md5($"id".cast("string")))
+      val dim = spark.range(1000).toDF("k").withColumn("tier", $"k" % 5)
+      val joined = fact.join(dim, Seq("k"))
+      // execute THIS QueryExecution (a write/count would plan a fresh
+      // one and leave this plan un-finalized) so AQE replans it
+      joined.queryExecution.toRdd.foreach(_ => ())
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected the runtime skew split in the final adaptive plan:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("incremental agg: states partial-combine map-side before their key shuffles") {
     val p = plan("q_incr_agg")
     // two batch states + the merge re-aggregate — each one exchange

@@ -136,6 +136,60 @@ object ScaleProbe {
       }
     }
 
+    // r9: AQE skew-join vs the manual salt (X35). One hot key carries
+    // half the fact side; the dim side forces a sort-merge join
+    // (broadcast disabled — at 100 TB the dim that matters doesn't
+    // broadcast). Three forms: plain join with AQE skew handling,
+    // plain join with AQE off (the victim a naive plan produces), and
+    // the explicit salt with AQE off.
+    {
+      // 16M rows, 3/4 on the hot key: the hot shuffle partition is
+      // ~480 MB — past AQE's DEFAULT 256 MB skew threshold, so the
+      // split fires exactly as it would on a production-sized skew
+      val n = 16000000L
+      val fact = spark.range(n).toDF("id")
+        .withColumn("user_id", when(col("id") % 4 =!= 0, lit(0L)).otherwise(col("id") % 100000))
+        .withColumn("payload", md5(col("id").cast("string")))
+        .localCheckpoint(true)
+      val dim = spark.range(100000).toDF("user_id")
+        .withColumn("tier", col("user_id") % 7)
+        .localCheckpoint(true)
+      def withConfs(confs: (String, String)*)(f: => Long): Long = {
+        val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try f finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      val noBroadcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+      time("skew join: AQE skew split") {
+        withConfs(noBroadcast,
+          "spark.sql.adaptive.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.enabled" -> "true") {
+          fact.join(dim, Seq("user_id")).count()
+        }
+      }
+      time("skew join: AQE off (victim)") {
+        withConfs(noBroadcast, "spark.sql.adaptive.enabled" -> "false") {
+          fact.join(dim, Seq("user_id")).count()
+        }
+      }
+      time("skew join: manual salt, AQE off") {
+        withConfs(noBroadcast, "spark.sql.adaptive.enabled" -> "false") {
+          graft.ops.Relational.saltedJoin(fact, dim, "user_id", buckets = 32).count()
+        }
+      }
+      // the case AQE can NOT split: the skew sits in an AGGREGATION
+      // key, not a join — partial aggregation absorbs it map-side when
+      // the aggregate is algebraic, which is the real mitigation
+      time("skew agg: hot groupBy key (partial agg absorbs)") {
+        withConfs("spark.sql.adaptive.enabled" -> "true") {
+          fact.groupBy("user_id").agg(count(lit(1)), sum(length(col("payload")))).count()
+        }
+      }
+    }
+
     val emb1 = Tables.embeddings(spark, dir)
     val maxVid = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1
     val embK = (0 until k).map(i => emb1.withColumn("vec_id", col("vec_id") + lit(i * maxVid)))
