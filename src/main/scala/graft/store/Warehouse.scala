@@ -426,8 +426,10 @@ object Warehouse {
     *     S3 substitute a conditional PUT. A stale writer — someone
     *     else already claimed n+1 — deletes its staging and throws.
     *  4. Only the claim winner renames staging → `v=<n+1>` (no name
-    *     contention by construction, belt-and-braces-checked anyway)
-    *     and advances `_latest`, guarded so a slow v=n winner never
+    *     contention by construction, belt-and-braces-checked anyway),
+    *     publishes the version's [[writeManifest manifest]] (file
+    *     list + row count + schema — listing-free reads), and
+    *     advances `_latest`, guarded so a slow v=n winner never
     *     regresses the pointer past a faster v=n+1 commit.
     *
     * Readers keep snapshot isolation exactly as under single-writer
