@@ -412,6 +412,14 @@ object SparkEntry {
       Contamination.flag(d.filter(col("doc_id") % 17 =!= 0),
         d.filter(col("doc_id") % 17 === 0), n = 5)
     }),
+    "q_decontam_attrib" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      // same corpus/benchmark fixture as q_decontam, pair-grain output
+      Contamination.attribute(d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0), n = 5)
+    }),
+    "q_split_leakage" -> ((s, dir) =>
+      ext.Dedup.splitLeakage(Tables.documentsWide(s, dir), n = 3, threshold = 0.5)),
     "q_lang_scores" -> ((s, dir) => { // the per-language feature vector
       // under langId — what threshold-based language filtering consumes
       val scores = TextAnalysis.langScores(col("text"))
@@ -1388,6 +1396,39 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |FROM ex JOIN bench USING (s)
         |WHERE doc_id % 17 <> 0
         |GROUP BY 1""".stripMargin,
+    "q_decontam_attrib" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                        toks[i+3] || ' ' || toks[i+4]
+        |                        for i in range(1, len(toks) - 3)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+        |FROM ex c JOIN ex b ON c.s = b.s
+        |WHERE c.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+        |GROUP BY 1, 2""".stripMargin,
+    "q_split_leakage" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                     for i in range(1, len(toks) - 1)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter,
+        |         any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT a, b, inter / (na + nb - inter) AS jaccard FROM pairs
+        |       WHERE inter / (na + nb - inter) >= 0.5),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |       FROM (SELECT doc_id,
+        |               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |             FROM documents))
+        |SELECT jp.a, jp.b, jp.jaccard, sa.split AS split_a, sb.split AS split_b
+        |FROM jp JOIN sp sa ON sa.doc_id = jp.a JOIN sp sb ON sb.doc_id = jp.b
+        |WHERE sa.split <> sb.split""".stripMargin,
     "q_global_index" ->
       """SELECT doc_id,
         |  (row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)::BIGINT AS idx

@@ -97,4 +97,32 @@ object Contamination {
             minShared: Int = 1): DataFrame =
     corpus.join(broadcast(flag(corpus, benchmark, n, minShared).select("doc_id")),
       Seq("doc_id"), "left_anti")
+
+  /** Contamination ATTRIBUTION — [[flag]] answers "is this doc
+    * contaminated?"; an auditor needs "by WHICH benchmark item, how
+    * strongly?" (to tell a verbatim test-set leak from one boilerplate
+    * n-gram, and to file the fix upstream). One row per contaminated
+    * (corpus doc, benchmark doc) pair: (doc_id, bench_id, n_shared) =
+    * the number of distinct `n`-grams the two share, pairs below
+    * `minShared` dropped.
+    *
+    * Shape: corpus shingles join the BROADCAST benchmark shingle
+    * index at (shingle, bench_id) grain — finer than [[flag]]'s
+    * distinct-set but still benchmark-bounded (eval suites are small;
+    * the corpus side is what's unbounded, and it still never
+    * shuffles: the aggregate's map-side combine reduces to pair grain
+    * before the one pair-grain exchange). Past the broadcast bound,
+    * switch the index side to a shuffle join semi-reduced by a Bloom
+    * screen first — same switch point as [[flagBloom]].
+    */
+  def attribute(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                minShared: Int = 1): DataFrame = {
+    val benchIndex = shingleRows(benchmark, n)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    shingleRows(corpus, n)
+      .join(broadcast(benchIndex), Seq("s"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles distinct per doc: count = |A∩B|
+      .filter(col("n_shared") >= minShared)
+  }
 }

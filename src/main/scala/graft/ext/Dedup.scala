@@ -259,6 +259,33 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** SPLIT-LEAKAGE audit: near-duplicate pairs that STRADDLE a
+    * train/val/test boundary — the pairs that silently inflate eval
+    * scores (the val doc's near-twin was trained on). Dedup-then-split
+    * prevents this by construction; this op is the AUDIT that proves
+    * it held (or finds the leaks when splits were assigned upstream of
+    * dedup, the common legacy mistake). One row per leaking pair:
+    * (a, b, jaccard, split_a, split_b), split_a ≠ split_b, both from
+    * the same deterministic hash assignment as
+    * [[TextAnalysis.splitAssign]] — so the audit reproduces the exact
+    * splits the pipeline shipped.
+    *
+    * Shape: the pair list (already collapsed to O(near-dup pairs) by
+    * the Σdf²-bounded build) joins the thin (doc_id, split) assignment
+    * twice — at 100 TB the assignment is a pure per-row expression on
+    * the pair ids' own frame, so the two joins are id-grain and the
+    * corpus text is never touched again. Swap the pair source for
+    * [[minhashNearDups]] at the same switch point as everything else.
+    */
+  def splitLeakage(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val splits = TextAnalysis.splitAssign(docs.select("doc_id")).select("doc_id", "split")
+    ngramJaccardPairs(docs, n, threshold)
+      .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
+      .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("a", "b", "jaccard", "split_a", "split_b")
+  }
+
   /** The keep/drop DECISION from near-dup pairs: drop every doc that
     * has a near-duplicate with a smaller doc_id (keep-first rule —
     * one anti-join against the pair list's `b` side). Not full

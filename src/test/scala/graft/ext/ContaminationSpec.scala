@@ -25,6 +25,25 @@ class ContaminationSpec extends SparkSpec {
     assert(flagged(10L) === 4L)
   }
 
+  test("attribute: names WHICH benchmark doc, with the shared-gram count per pair") {
+    // second benchmark item sharing a different overlap with doc 10
+    val bench2 = bench.union(docs(
+      (101L, "trivia dump: what is the capital of france answer")))
+    val pairs = Contamination.attribute(corpus, bench2, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 10 shares 4 distinct 5-grams with bench 100 (the 8-token
+    // run) and 5 with bench 101 (its full 9-token prefix); doc 12's
+    // reordered words share none; doc 11 shares none
+    assert(pairs.keySet === Set((10L, 100L), (10L, 101L)))
+    assert(pairs((10L, 100L)) === 4L)
+    assert(pairs((10L, 101L)) === 5L)
+    // the doc-grain flag is the attribution's a-side margin ON SHARED
+    // GRAMS — consistent fixture-wide for the single-bench case
+    val flagged = Contamination.flag(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged(10L) === pairs((10L, 100L)))
+  }
+
   test("minShared raises the bar") {
     assert(Contamination.flag(corpus, bench, n = 5, minShared = 5).count() === 0L)
   }

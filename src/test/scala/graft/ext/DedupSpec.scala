@@ -253,6 +253,28 @@ class DedupSpec extends SparkSpec {
     assert(bloom === exact, "all-null-key catalog must behave like an empty one")
   }
 
+  test("splitLeakage: exactly the near-dup pairs straddling a split boundary") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 40 near-identical docs: hash-split scatters them across
+    // train/val/test, so some pairs straddle boundaries and some don't
+    val d = (1L to 40L).map(i => (i, s"$base marker$i")).toDF("doc_id", "text")
+    val leaks = Dedup.splitLeakage(d, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4))).toSet
+    // independent recomposition: all pairs x the assignment
+    val splits = TextAnalysis.splitAssign(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expected = Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => splits(a) != splits(b) }
+      .map { case (a, b) => (a, b, splits(a), splits(b)) }.toSet
+    assert(leaks === expected)
+    assert(leaks.nonEmpty, "fixture must actually produce straddling pairs")
+    assert(leaks.forall { case (_, _, sa, sb) => sa != sb })
+    // and the fixture must also have NON-straddling near-dup pairs,
+    // or the filter was never exercised
+    assert(Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5).count() > leaks.size)
+  }
+
   test("md5 minhash: finds planted near-dups; every pair is exact-Jaccard true (precision 1.0)") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val nearDup = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
