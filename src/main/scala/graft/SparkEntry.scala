@@ -739,6 +739,9 @@ object SparkEntry {
     "q_embed_kmeans" -> ((s, dir) => // rows-only: cluster ids arbitrary
       // across runs; cohesion + determinism asserted in SimilaritySpec
       ext.Similarity.kmeansClusters(Tables.embeddings(s, dir), k = 8)),
+    "q_semantic_dedup" -> ((s, dir) => // rows-only: k-means fit not
+      // ANSI-expressible; precision/keep-first pinned in SimilaritySpec
+      ext.Similarity.semanticDedup(Tables.embeddings(s, dir), k = 8, threshold = 0.9)),
     "q_incr_dedup" -> ((s, dir) => {
       // incremental crawl cycle: newest 20% of ids arrive against the
       // accepted catalog (the other 80%); content key = md5(normalized

@@ -442,6 +442,47 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): drop
+    * documents whose EMBEDDINGS are near-identical — paraphrases and
+    * boilerplate rewrites that shingle/MinHash dedup cannot see (zero
+    * lexical overlap, same meaning). Cluster first, then compare only
+    * WITHIN clusters: k-means ([[kmeansClusters]], fixed seed) buckets
+    * the corpus so the pair stage is Σ(cluster size)² instead of n² —
+    * size k ≈ n/1000 keeps clusters ~10³ and the per-cluster pair work
+    * ~10⁶. Emits the keep/drop DECISION (vec_id, cluster, keep,
+    * dup_of): within a cluster every vector whose cosine to a
+    * SMALLER-id vector clears `threshold` is dropped (keep-first, the
+    * same survivor rule as every other dedup family); `dup_of` names
+    * the smallest such twin for auditability. Cosine is exact — the
+    * clustering only SCOPES the comparison, so precision is 1.0 by
+    * construction and only cross-cluster twins are missed (the
+    * SemDeDup trade; raise k for speed, lower it for recall).
+    *
+    * No SQL oracle by design: the k-means fit is not ANSI-expressible
+    * (rows-only check + SimilaritySpec planted fixtures, like the ANN
+    * family).
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int, threshold: Double = 0.95,
+                    maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+    val clusters = kmeansClusters(embeddings, k, maxIter, seed)
+    // one scan computes the norm; the frame feeds both join sides
+    // (same unconditional-materialization case as embeddingNearDups)
+    val e = embeddings.join(clusters, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        l2norm(col("embedding")).as("nm"))
+      .localCheckpoint(true)
+    val dups = e.as("x").hint("shuffle_hash").join(e.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") > col("y.vec_id"))
+      .filter(dot(col("x.embedding"), col("y.embedding")) /
+        (col("x.nm") * col("y.nm")) >= threshold)
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(min(col("y.vec_id")).as("dup_of"))
+    e.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
   def embeddingNearDupsApprox(embeddings: DataFrame, threshold: Double,
                               bands: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(64, dim)

@@ -233,6 +233,40 @@ class SimilaritySpec extends SparkSpec {
     assert(aClusters.head !== bClusters.head, "blobs merged into one cluster")
   }
 
+  test("semanticDedup: keep-first within clusters, exact cosine, cross-blob twins untouched") {
+    // two far-apart blobs; inside blob A, vectors 0..4 are
+    // near-parallel (cosine ~1 — paraphrase stand-ins) and 50..54 are
+    // a second distinct direction; blob B is a third direction with
+    // its own twin pair
+    def v(x: Double, y: Double, eps: Double) = Seq((x + eps).toFloat, (y - eps).toFloat)
+    val parA = (0 until 5).map(i => (i.toLong, v(10.0, 10.0, i * 0.001)))
+    val offA = (50 until 55).map(i => (i.toLong, v(10.0, -10.0, (i - 50) * 0.001)))
+    val parB = (100 until 103).map(i => (i.toLong, v(-10.0, -10.0, (i - 100) * 0.001)))
+    val df = (parA ++ offA ++ parB).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, k = 2, threshold = 0.9999)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out.size === 13, "one decision row per vector")
+    // smallest id of each parallel family survives; later twins drop
+    // and name their smallest twin
+    assert(out(0L) === ((true, None)))
+    (1L to 4L).foreach(i => assert(out(i) === ((false, Some(0L))), s"vec $i"))
+    assert(out(50L) === ((true, None)))
+    (51L to 54L).foreach(i => assert(out(i) === ((false, Some(50L))), s"vec $i"))
+    assert(out(100L) === ((true, None)))
+    (101L to 102L).foreach(i => assert(out(i) === ((false, Some(100L))), s"vec $i"))
+    // precision check: every dropped vector REALLY has cosine >=
+    // threshold to its named twin (driver-side exact recompute)
+    val vecs = (parA ++ offA ++ parB).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    out.collect { case (id, (false, Some(t))) =>
+      assert(cos(vecs(id), vecs(t)) >= 0.9999, s"$id -> $t not a true twin")
+    }
+  }
+
   test("centroidSimilarity: orthogonal/parallel/antipodal centroids score 0/1/-1") {
     val df = Seq(
       (1L, 0, Seq(2.0f, 0.0f)), (2L, 0, Seq(4.0f, 0.0f)),   // centroid (3, 0)
