@@ -379,7 +379,7 @@ object Warehouse {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = snapshots(spark, path).lastOption.getOrElse(0L) + 1
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next, df.schema.json)
+    publishManifestBestEffort(fs, spark, path, next, df.schema.json)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp")
     val out = fs.create(tmp, true)
     out.write(next.toString.getBytes("UTF-8")); out.close()
@@ -492,7 +492,7 @@ object Warehouse {
       throw new SnapshotConflictException(path, next)
     }
     promoteStaging(fs, staging, dest, path, next)
-    writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next, df.schema.json)
+    publishManifestBestEffort(fs, spark, path, next, df.schema.json)
     // advance the pointer only forward: a slower v=n winner must not
     // clobber a faster v=n+1 writer's already-swapped pointer. The
     // read-then-swap window is benign — the pointer is a cache of
@@ -557,9 +557,13 @@ object Warehouse {
     * data. Row count comes from parquet footers at commit time
     * (driver-side metadata reads, O(files), no Spark job), so
     * downstream `count()`-style checks can answer from the manifest.
-    * Written AFTER promote via write-to-tmp + rename: a writer that
-    * dies in the gap leaves a manifest-less version, and readers fall
-    * back to directory listing — pre-manifest tables read unchanged.
+    * Written AFTER promote via write-to-tmp + rename, and BEST-EFFORT
+    * by contract: the version's data is already durable when the
+    * manifest is published, so a manifest failure (quota, transient
+    * IO) must never fail the commit — the publish is wrapped at the
+    * call sites and a manifest-less version simply reads through the
+    * directory-listing fallback, exactly like a writer that died in
+    * the gap or a pre-manifest table.
     */
   private def manifestPath(path: String, v: Long) =
     new org.apache.hadoop.fs.Path(s"$path/_manifest-v$v")
@@ -591,6 +595,20 @@ object Warehouse {
     out.write(mapper.writeValueAsBytes(node)); out.close()
     require(fs.rename(tmp, manifestPath(path, v)), s"cannot publish manifest for v=$v")
   }
+
+  /** [[writeManifest]] wrapped per its best-effort contract: the data
+    * is durable before the manifest publishes, so a failed publish
+    * logs and returns — the version reads via the listing fallback.
+    */
+  private def publishManifestBestEffort(fs: org.apache.hadoop.fs.FileSystem,
+                                        spark: SparkSession, path: String,
+                                        v: Long, schemaJson: String): Unit =
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, v, schemaJson)
+    catch {
+      case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"manifest publish failed for v=$v under $path (reads fall back to listing)", e)
+    }
 
   /** The parsed manifest of `version`, if one was committed. */
   private[store] def readManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
