@@ -615,11 +615,21 @@ object Warehouse {
                                   v: Long): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val mf = manifestPath(path, v)
     if (!fs.exists(mf)) None
-    else {
-      val in = fs.open(mf)
-      try Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(in))
-      finally in.close()
-    }
+    else
+      // a manifest that cannot be read or parsed (bit rot, torn disk)
+      // degrades to the listing fallback, mirroring the best-effort
+      // publish: the manifest is an optimization, never a gate
+      try {
+        val in = fs.open(mf)
+        try Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(in))
+        finally in.close()
+      } catch {
+        case e @ (_: java.io.IOException |
+                  _: com.fasterxml.jackson.core.JacksonException) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"unreadable manifest for v=$v under $path (falling back to listing)", e)
+          None
+      }
   }
 
   /** The manifest's committed row count for `version` — an O(1) driver

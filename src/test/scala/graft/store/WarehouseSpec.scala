@@ -219,6 +219,15 @@ class WarehouseSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifest-v$v2"), false)
     assert(Warehouse.readSnapshot(spark, root, Some(v2)).collect()
       .map(_.getLong(0)).toSeq === Seq(3L))
+    // a CORRUPT manifest degrades to the listing fallback, not a
+    // read failure — the manifest is an optimization, never a gate
+    val v3 = Warehouse.writeSnapshot(Seq((9L, "i")).toDF("id", "x"), root)
+    val mfPath = new org.apache.hadoop.fs.Path(s"$root/_manifest-v$v3")
+    val out = fs.create(mfPath, true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    assert(Warehouse.readManifest(fs, root, v3).isEmpty, "corrupt manifest must read as absent")
+    assert(Warehouse.readSnapshot(spark, root, Some(v3)).collect()
+      .map(_.getLong(0)).toSeq === Seq(9L))
     // retention drops the manifest with the data
     Warehouse.writeSnapshot(Seq((4L, "d")).toDF("id", "x"), root)
     Warehouse.expireSnapshots(spark, root, keepLast = 1)
