@@ -198,7 +198,11 @@ object Warehouse {
     // equality rejected logically identical states spuriously (r8
     // advice). catalogString prints nested types without nullable
     // flags, so nested-struct nullability drift is tolerated too.
-    def typeMap(df: DataFrame) = df.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    // Sorted SEQ, not a Map: a Map keyed on name collapses duplicate
+    // column names, so frames differing in duplicate-column
+    // multiplicity slipped past the check and died later on an
+    // ambiguous-reference error instead of this message (r9 advice).
+    def typeMap(df: DataFrame) = df.schema.map(f => f.name -> f.dataType.catalogString).sorted
     require(typeMap(oldDf) == typeMap(newDfIn),
       s"diffFrames: column names/types differ (use appendEvolving/readEvolving conventions first): " +
         s"${oldDf.schema.simpleString} vs ${newDfIn.schema.simpleString}")
@@ -279,22 +283,94 @@ object Warehouse {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val now = System.currentTimeMillis()
-    // staleness from the NEWEST entry anywhere under the candidate, not
-    // the root dir's mtime: a long parquet write lands task files in
-    // nested _temporary attempt dirs without touching the root mtime,
-    // so a root-mtime lease would reap a LIVE writer's staging the
-    // moment its write outlives the grace
-    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
-      val st = fs.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +: fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
-    }
-    fs.listStatus(root).toSeq.filter { st =>
+    val debris = fs.listStatus(root).toSeq.filter { st =>
       val name = st.getPath.getName
       (name.startsWith("_staging-") ||
         name == "_latest.tmp" || name.startsWith("_latest.tmp-")) &&
-        now - newestMtime(st.getPath) > graceMs
+        now - newestMtime(fs, st.getPath) > graceMs
     }.filter(st => fs.delete(st.getPath, true)).map(_.getPath.toString)
+    // a file-sharing ([[deleteWhere]]) version that crashed between
+    // promote and manifest publish: `_partial` present, manifest
+    // absent. The version is unreadable by design (the manifest was
+    // its commit record) — reap it past the grace so currentSnapshot
+    // stops resolving to a dead end, and release its claim marker so
+    // the version number can be re-claimed.
+    val partials = fs.listStatus(root).toSeq.filter { st =>
+      st.isDirectory && st.getPath.getName.matches("v=\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_partial")) &&
+        !fs.exists(manifestPath(path, st.getPath.getName.drop(2).toLong)) &&
+        now - newestMtime(fs, st.getPath) > graceMs
+    }.filter { st =>
+      val ok = fs.delete(st.getPath, true)
+      if (ok) fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_commit-v${st.getPath.getName.drop(2)}"), false)
+      ok
+    }.map(_.getPath.toString)
+    debris ++ partials
+  }
+
+  // staleness from the NEWEST entry anywhere under the candidate, not
+  // the root dir's mtime: a long parquet write lands task files in
+  // nested _temporary attempt dirs without touching the root mtime,
+  // so a root-mtime lease would reap a LIVE writer's staging the
+  // moment its write outlives the grace
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Long = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) st.getModificationTime
+    else (st.getModificationTime +:
+      fs.listStatus(p).toSeq.map(c => newestMtime(fs, c.getPath))).max
+  }
+
+  /** Reap crashed-[[rewriteAtomic]] debris across a TABLE tree — the
+    * `<dir>.staging-<tag>` / `<dir>.retired-<tag>` siblings a crash
+    * leaves next to a rewrite destination (the table root's own
+    * siblings included, and partition dirs at any nesting) — after
+    * REPAIRING first: a crash between retire and promote leaves the
+    * destination missing and the retired dir holding the table's only
+    * data, so a stale `retired` whose destination is gone is RENAMED
+    * BACK (restore), never deleted; only then is stale staging/retired
+    * debris reaped. Everything respects `graceMs` measured from the
+    * newest entry under the candidate (same live-writer lease as
+    * [[vacuum]]) — a live rewrite's dirs are never touched. Distinct
+    * from [[vacuum]], which serves the snapshot layout's `_staging-*`
+    * protocol. Returns the reaped paths.
+    */
+  def vacuumTable(spark: SparkSession, path: String, graceMs: Long = 600000L): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    val debrisRe = """^(.+)\.(staging|retired)-[0-9a-f]{8}$""".r
+    val reaped = Seq.newBuilder[String]
+    def handle(st: org.apache.hadoop.fs.FileStatus, base: String, kind: String): Unit = {
+      if (now - newestMtime(fs, st.getPath) <= graceMs) return // live lease
+      val dest = new org.apache.hadoop.fs.Path(st.getPath.getParent, base)
+      if (kind == "retired" && !fs.exists(dest)) fs.rename(st.getPath, dest)
+      else if (fs.delete(st.getPath, true)) reaped += st.getPath.toString
+    }
+    def sweep(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) st.getPath.getName match {
+          case debrisRe(base, kind) => handle(st, base, kind)
+          case _ => sweep(st.getPath)
+        }
+      }
+    // the root's own crash debris lives NEXT TO `path`, in its parent;
+    // process `retired` before `staging` so the restore (if any) wins
+    if (root.getParent != null && fs.exists(root.getParent))
+      fs.listStatus(root.getParent).toSeq
+        .filter(st => st.isDirectory && (
+          st.getPath.getName.startsWith(s"${root.getName}.retired-") ||
+            st.getPath.getName.startsWith(s"${root.getName}.staging-")))
+        .sortBy(st => !st.getPath.getName.contains(".retired-"))
+        .foreach { st =>
+          st.getPath.getName match {
+            case debrisRe(base, kind) => handle(st, base, kind)
+            case _ => ()
+          }
+        }
+    if (fs.exists(root)) sweep(root)
+    reaped.result()
   }
 
   /** Schema-evolution append: land a batch whose schema ADDS columns
@@ -454,6 +530,31 @@ object Warehouse {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    // defense in depth for the lease-break race: if a stalled original
+    // writer already promoted while we were breaking its "orphan"
+    // lease, back off rather than letting a rename target an existing
+    // dir (Hadoop's local-FS rename fallback would nest into it)
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    publishManifestBestEffort(fs, spark, path, next, df.schema.json)
+    advancePointer(fs, path, next)
+    next
+  }
+
+  /** The CAS claim of [[commitSnapshot]] step 3, shared with
+    * [[deleteWhere]]: one atomic exclusive create of `_commit-v<next>`,
+    * with the orphan-lease break for a marker whose data never landed.
+    */
+  private def claimVersion(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                           next: Long, orphanGraceMs: Long): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$next")
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
     def atomicClaim(): Boolean =
@@ -479,25 +580,17 @@ object Warehouse {
         claimed = atomicClaim()
       }
     }
-    if (!claimed) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    // defense in depth for the lease-break race: if a stalled original
-    // writer already promoted while we were breaking its "orphan"
-    // lease, back off rather than letting a rename target an existing
-    // dir (Hadoop's local-FS rename fallback would nest into it)
-    if (fs.exists(dest)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    publishManifestBestEffort(fs, spark, path, next, df.schema.json)
-    // advance the pointer only forward: a slower v=n winner must not
-    // clobber a faster v=n+1 writer's already-swapped pointer. The
-    // read-then-swap window is benign — the pointer is a cache of
-    // max(v=*), monotone except for that window, and self-heals on the
-    // next commit; readers needing exactness can pin a version.
+    claimed
+  }
+
+  /** Advance `_latest` to `next`, FORWARD ONLY: a slower v=n winner
+    * must not clobber a faster v=n+1 writer's already-swapped pointer.
+    * The read-then-swap window is benign — the pointer is a cache of
+    * max(v=*), monotone except for that window, and self-heals on the
+    * next commit; readers needing exactness can pin a version.
+    */
+  private def advancePointer(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, next: Long): Unit = {
     val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
     val current =
       if (!fs.exists(ptr)) 0L
@@ -507,13 +600,13 @@ object Warehouse {
         in.close(); s.toLong
       }
     if (next > current) {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
       val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-$tag")
       val out = fs.create(tmp, true)
       out.write(next.toString.getBytes("UTF-8")); out.close()
       fs.delete(ptr, false)
       require(fs.rename(tmp, ptr), s"cannot swap pointer for $path")
     }
-    next
   }
 
   /** The promote step of [[commitSnapshot]]: staging → `v=<n>`. A
@@ -568,32 +661,142 @@ object Warehouse {
   private def manifestPath(path: String, v: Long) =
     new org.apache.hadoop.fs.Path(s"$path/_manifest-v$v")
 
+  /** Resolve one manifest file entry to its full path. Entries are
+    * root-relative when they contain a `/` (a [[deleteWhere]] version
+    * carrying an untouched file of an EARLIER version forward by
+    * reference — `v=3/part-…`), plain file names otherwise (all files
+    * live in this version's own dir — the only form pre-r10 manifests
+    * ever wrote, so old manifests read unchanged).
+    */
+  private def resolveEntry(path: String, v: Long, entry: String): String =
+    if (entry.contains("/")) s"$path/$entry" else s"$path/v=$v/$entry"
+
+  /** The manifest's file entries, in committed order. */
+  private def manifestEntries(m: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val it = m.get("files").elements()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next().asText()
+    b.result()
+  }
+
+  /** Parquet-footer metadata of one committed file: (rows, per-column
+    * min/max stats). Stats are recorded for the TOP-LEVEL columns whose
+    * parquet ordering matches Spark's predicate ordering — INT32/INT64
+    * (incl. DATE epoch-days and TIMESTAMP micros, which land as plain
+    * longs: the manifest schema carries the logical type), FLOAT/DOUBLE,
+    * and ASCII-only UTF8 strings (parquet orders binary stats by
+    * UNSIGNED bytes, which coincides with Java string order only inside
+    * ASCII — a non-ASCII min/max is dropped rather than trusted). A row
+    * group with stats disabled drops the column (bounds unknown); an
+    * all-null row group contributes nothing and is NOT a drop — nulls
+    * can never satisfy a range predicate, so the other groups' bounds
+    * stay valid. Driver-side, the same footer read that already
+    * supplies the manifest row count.
+    */
+  private def footerInfo(conf: org.apache.hadoop.conf.Configuration,
+                         st: org.apache.hadoop.fs.FileStatus,
+                         mapper: com.fasterxml.jackson.databind.ObjectMapper)
+    : (Long, com.fasterxml.jackson.databind.node.ObjectNode) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def cmpAny(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => 0
+    }
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rows = r.getRecordCount
+      val acc = scala.collection.mutable.LinkedHashMap[String, (Any, Any)]()
+      val dropped = scala.collection.mutable.Set[String]()
+      r.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          if (c.getPath.size == 1) {
+            val name = c.getPath.toDotString
+            val s = c.getStatistics
+            val pt = c.getPrimitiveType
+            def scalaVal(o: Any): Option[Any] = pt.getPrimitiveTypeName match {
+              case INT32 => Some(o.asInstanceOf[java.lang.Integer].longValue)
+              case INT64 => Some(o.asInstanceOf[java.lang.Long].longValue)
+              case FLOAT => Some(o.asInstanceOf[java.lang.Float].doubleValue)
+              case DOUBLE => Some(o.asInstanceOf[java.lang.Double].doubleValue)
+              case BINARY if pt.getLogicalTypeAnnotation.isInstanceOf[
+                org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                val str = o.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                if (str.forall(_ < 128)) Some(str) else None
+              case _ => None
+            }
+            if (s == null || s.isEmpty) dropped += name
+            else if (s.hasNonNullValue)
+              (scalaVal(s.genericGetMin), scalaVal(s.genericGetMax)) match {
+                case (Some(mn), Some(mx)) => acc.get(name) match {
+                  case None => acc(name) = (mn, mx)
+                  case Some((m0, m1)) => acc(name) = (
+                    if (cmpAny(mn, m0) < 0) mn else m0,
+                    if (cmpAny(mx, m1) > 0) mx else m1)
+                }
+                case _ => dropped += name
+              }
+          }
+        }
+      }
+      dropped.foreach(acc.remove)
+      val statsNode = mapper.createObjectNode()
+      acc.foreach { case (name, (mn, mx)) =>
+        val o = statsNode.putObject(name)
+        def put(field: String, v: Any): Unit = v match {
+          case l: Long => o.put(field, l)
+          case d: Double => o.put(field, d)
+          case str: String => o.put(field, str)
+        }
+        put("min", mn); put("max", mx)
+      }
+      (rows, statsNode)
+    } finally r.close()
+  }
+
   private[store] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                                    conf: org.apache.hadoop.conf.Configuration,
-                                   path: String, v: Long, schemaJson: String): Unit = {
-    val dataDir = new org.apache.hadoop.fs.Path(s"$path/v=$v")
-    val files = fs.listStatus(dataDir).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-    val rowCount = files.map { st =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+                                   path: String, v: Long, schemaJson: String,
+                                   entriesIn: Option[Seq[String]] = None): Unit = {
+    val entries: Seq[String] = entriesIn.getOrElse {
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.getName)
+    }.sorted
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val infos = entries.map { e =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(resolveEntry(path, v, e)))
+      val (rows, stats) = footerInfo(conf, st, mapper)
+      (st.getLen, rows, stats)
+    }
     val node = mapper.createObjectNode()
     node.put("version", v)
-    node.put("rowCount", rowCount)
-    node.put("bytes", files.map(_.getLen).sum)
+    node.put("rowCount", infos.map(_._2).sum)
+    node.put("bytes", infos.map(_._1).sum)
     node.set[com.fasterxml.jackson.databind.JsonNode]("schema", mapper.readTree(schemaJson))
     val arr = node.putArray("files")
-    files.foreach(st => arr.add(st.getPath.getName))
+    entries.foreach(arr.add)
+    // per-file column min/max, PARALLEL to `files` — the data-skipping
+    // record [[readSnapshotRange]] prunes from (absent in pre-r10
+    // manifests, which read fine: pruning just has nothing to use)
+    val starr = node.putArray("stats")
+    infos.foreach(i => starr.add(i._3))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-mf$tag")
     val out = fs.create(tmp, true)
     out.write(mapper.writeValueAsBytes(node)); out.close()
-    require(fs.rename(tmp, manifestPath(path, v)), s"cannot publish manifest for v=$v")
+    // clean the tmp up on a failed publish (r9 advice): the random tag
+    // means leaked tmps accrue per failure and nothing else reaps them
+    val ok =
+      try fs.rename(tmp, manifestPath(path, v))
+      catch { case e: java.io.IOException => fs.delete(tmp, false); throw e }
+    if (!ok) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"cannot publish manifest for v=$v under $path")
+    }
   }
 
   /** [[writeManifest]] wrapped per its best-effort contract: the data
@@ -644,13 +847,22 @@ object Warehouse {
     readManifest(fs, path, v).map(_.get("rowCount").asLong())
   }
 
-  /** All snapshot versions present under `path`, ascending. */
+  /** All LIVE snapshot versions under `path`, ascending. A version dir
+    * carrying an `_expired-v<n>` marker is excluded: [[expireSnapshots]]
+    * leaves such a dir behind only to host files still referenced by a
+    * later version's manifest ([[deleteWhere]] file sharing) — the
+    * version itself is retired and unreadable. One listing covers both
+    * the `v=` dirs and the markers.
+    */
   def snapshots(spark: SparkSession, path: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
+    val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val expired = names.filter(_.startsWith("_expired-v"))
+      .map(_.stripPrefix("_expired-v").toLong).toSet
+    names.filter(_.matches("v=\\d+")).map(_.drop(2).toLong)
+      .filterNot(expired).sorted
   }
 
   /** Read a snapshot: the pinned `version`, or the `_latest` pointer's
@@ -661,8 +873,9 @@ object Warehouse {
     * and monotone, so snapshot isolation still holds for the reader's
     * own scan: it resolves ONE concrete version directory either way).
     */
-  def readSnapshot(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse {
+  private def resolveVersion(spark: SparkSession, path: String,
+                             version: Option[Long]): Long =
+    version.getOrElse {
       val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
       val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val fromPtr =
@@ -676,6 +889,9 @@ object Warehouse {
       fromPtr.orElse(snapshots(spark, path).lastOption)
         .getOrElse(sys.error(s"no _latest pointer or v=* versions under $path"))
     }
+
+  def readSnapshot(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val v = resolveVersion(spark, path, version)
     // plan from the manifest when one was committed: the scan reads
     // EXACTLY the committed file list with the committed schema — zero
     // LIST calls against the version dir, and stray post-commit files
@@ -688,16 +904,26 @@ object Warehouse {
       case Some(m) =>
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(m.get("schema").toString).asInstanceOf[StructType]
-        val files = {
-          val it = m.get("files").elements()
-          val b = Seq.newBuilder[String]
-          while (it.hasNext) b += s"$path/v=$v/${it.next().asText()}"
-          b.result()
-        }
+        val files = manifestEntries(m).map(resolveEntry(path, v, _))
         if (files.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.schema(schema).parquet(files: _*)
-      case None => spark.read.parquet(s"$path/v=$v")
+      case None =>
+        // no manifest: two states must fail LOUDLY before the listing
+        // fallback, because a directory scan would return silently
+        // wrong data. An expired version's dir may survive only to
+        // host files a later manifest still references; a `_partial`-
+        // marked version ([[deleteWhere]]) holds only its REWRITTEN
+        // files — the untouched rows exist solely via its (lost)
+        // manifest's cross-version references.
+        require(!fsv.exists(new org.apache.hadoop.fs.Path(s"$path/_expired-v$v")),
+          s"snapshot v=$v under $path was expired (expireSnapshots); " +
+            "its surviving files only back later versions' manifests")
+        require(!fsv.exists(new org.apache.hadoop.fs.Path(s"$path/v=$v/_partial")),
+          s"snapshot v=$v under $path is a file-sharing version (deleteWhere) with a " +
+            "missing/unreadable manifest; a listing read would silently drop its " +
+            "carried-forward rows — restore the manifest or vacuum the partial version")
+        spark.read.parquet(s"$path/v=$v")
     }
   }
 
@@ -730,6 +956,19 @@ object Warehouse {
   /** Drop every version older than `keepLast` versions back (never the
     * latest). Readers pinned to an expired version fail on next scan —
     * the standard retention contract.
+    *
+    * REACHABILITY-AWARE ([[deleteWhere]] file sharing): a retained
+    * version's manifest may reference files physically living in an
+    * expired version's dir (`v=3/part-…` entries). Those files are the
+    * retained version's DATA — deleting them would corrupt a live
+    * snapshot — so an expiring dir sheds only its unreferenced files;
+    * if shared files remain, the dir stays behind under an
+    * `_expired-v<n>` marker (excluded from [[snapshots]], refused by
+    * [[readSnapshot]]) and is swept again on later expire runs, until
+    * nothing references it and it vanishes. The manifest is deleted
+    * FIRST (r9 advice): a concurrent reader loses the manifest before
+    * any file goes, failing over to the clear no-such-version error
+    * instead of planning a scan of deleted files.
     */
   def expireSnapshots(spark: SparkSession, path: String, keepLast: Int = 2): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
@@ -737,14 +976,255 @@ object Warehouse {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = snapshots(spark, path)
     val drop = all.dropRight(keepLast)
+    val retained = all.takeRight(keepLast)
+    // every root-relative (cross-version) file entry a RETAINED
+    // manifest still needs — the live set for the sweeps below
+    val referenced: Set[String] = retained.flatMap(rv =>
+      readManifest(fs, path, rv).toSeq.flatMap(m =>
+        manifestEntries(m).filter(_.contains("/")))).toSet
+    def sweepDir(v: Long): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/v=$v")
+      val refsHere = referenced.filter(_.startsWith(s"v=$v/"))
+      if (refsHere.isEmpty) {
+        fs.delete(dir, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_expired-v$v"), false)
+      } else {
+        fs.listStatus(dir).foreach { st =>
+          if (!refsHere.contains(s"v=$v/${st.getPath.getName}")) fs.delete(st.getPath, true)
+        }
+        fs.create(new org.apache.hadoop.fs.Path(s"$path/_expired-v$v"), true).close()
+      }
+    }
     drop.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true)
-      // retire the version's commit record with its data: a dangling
-      // manifest would otherwise point a reader at deleted files
       fs.delete(manifestPath(path, v), false)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$v"), false)
+      sweepDir(v)
     }
+    // re-sweep PREVIOUSLY expired dirs: a version that was keeping them
+    // alive may itself have just expired, releasing their files
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_expired-v")).map(_.stripPrefix("_expired-v").toLong)
+      .foreach { v =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$v")))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/_expired-v$v"), false)
+        else sweepDir(v)
+      }
     drop
+  }
+
+  /** Row-level DELETE on the snapshot warehouse — the compliance-erase
+    * path (GDPR-style: remove one user's rows without rewriting the
+    * table). Commits a NEW version through the [[commitSnapshot]] CAS
+    * in which ONLY the files that actually contain matching rows are
+    * rewritten (minus those rows); every untouched file is carried into
+    * the new version's manifest BY REFERENCE (a root-relative
+    * `v=<old>/part-…` entry) — zero bytes copied. At 100 TB an erase of
+    * one key therefore costs: one column-pruned scan to find the
+    * touched files, plus a rewrite of just those files — not a
+    * partition, not the table. Compose with [[expireSnapshots]] to
+    * erase history too (it is reachability-aware: shared files live
+    * exactly as long as a live manifest names them).
+    *
+    * Delete semantics are SQL `DELETE WHERE`: rows where `predicate`
+    * is TRUE go; NULL-predicate rows stay. Returns the new version —
+    * or the CURRENT version unchanged when nothing matches (no empty
+    * commit). Concurrency: same optimistic protocol as
+    * [[commitSnapshot]] — a concurrent commit between the version read
+    * and the claim loses with a retry-able
+    * [[SnapshotConflictException]].
+    *
+    * The new version's manifest is LOAD-BEARING, not best-effort: a
+    * directory listing of `v=<next>` sees only the rewritten files, so
+    * the untouched rows exist only through the manifest's references.
+    * A `_partial` marker is written into the version dir BEFORE
+    * promote; [[readSnapshot]]'s listing fallback refuses marked dirs,
+    * so a manifest loss fails loudly instead of silently dropping the
+    * carried-forward rows, and a crash between promote and manifest
+    * publish leaves a version that [[vacuum]] reaps after the grace.
+    * If the manifest publish itself fails, the version is unwound
+    * (data dir + marker deleted) and the error propagates.
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+                  orphanGraceMs: Long = 600000L): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"deleteWhere($path): no committed snapshot")
+    // the version's committed entries, root-relative; manifest when
+    // present, dir listing for pre-manifest versions
+    val (entries, schemaOpt) = readManifest(fs, path, v) match {
+      case Some(m) =>
+        (manifestEntries(m).map(e => if (e.contains("/")) e else s"v=$v/$e"),
+          Some(org.apache.spark.sql.types.DataType
+            .fromJson(m.get("schema").toString).asInstanceOf[StructType]))
+      case None =>
+        require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$v/_partial")),
+          s"deleteWhere($path): v=$v is a file-sharing version with no readable manifest")
+        (fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => s"v=$v/${st.getPath.getName}").sorted, None)
+    }
+    if (entries.isEmpty) return v
+    val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
+    val full = entries.map(e => s"$path/$e")
+    val schema = schemaOpt.getOrElse(reader.parquet(full: _*).schema)
+    // which committed files contain matching rows — ONE scan that reads
+    // only the predicate's columns (Catalyst prunes the projection down
+    // to input_file_name + predicate inputs); this is the erase's whole
+    // read cost over the untouched bulk of the table
+    val byPath = entries.map(e =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(s"$path/$e")).toUri.getPath -> e).toMap
+    val touched: Set[String] = reader.parquet(full: _*)
+      .where(predicate)
+      .select(input_file_name().as("__file")).distinct()
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+      .map(p => byPath.getOrElse(p,
+        sys.error(s"deleteWhere($path): scanned file $p not in committed entry list")))
+      .toSet
+    if (touched.isEmpty) return v
+    val untouched = entries.filterNot(touched)
+    val next = v + 1
+    val kept = reader.parquet(touched.toSeq.sorted.map(e => s"$path/$e"): _*)
+      .where(!coalesce(predicate, lit(false)))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    kept.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    // mark as file-sharing BEFORE the dir becomes visible (see Scaladoc)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    val rewritten = fs.listStatus(dest).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      schema.json, Some(rewritten ++ untouched))
+    catch {
+      case e: Throwable =>
+        // the manifest IS this version's commit record — unwind so the
+        // half-version can neither be read nor built upon
+        fs.delete(dest, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"deleteWhere($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    next
+  }
+
+  /** Manifest-stats-pruned snapshot read — the Delta/Iceberg
+    * data-skipping shape: `path` at `version`, filtered to
+    * `lower ≤ column ≤ upper` (either bound optional), planning ONLY
+    * the files whose committed per-file min/max can overlap the bound.
+    * The decision is driver-side against the manifest — zero file I/O
+    * for skipped files, which at 100 TB turns a date-ranged read into
+    * a scan of the handful of files whose ranges intersect. Files
+    * without usable stats for `column` (pre-stats manifests,
+    * unsupported types, non-ASCII string bounds) are KEPT — pruning is
+    * an optimization, never a correctness gate — and the residual
+    * predicate is applied either way, so the result is always exactly
+    * `readSnapshot(…).filter(bounds)`. Bounds take natural Scala
+    * values per the column's type: numbers, String, java.sql.Date /
+    * LocalDate / "yyyy-MM-dd" for DATE, java.sql.Timestamp / Instant
+    * for TIMESTAMP.
+    */
+  def readSnapshotRange(spark: SparkSession, path: String, column: String,
+                        lower: Option[Any] = None, upper: Option[Any] = None,
+                        version: Option[Long] = None): DataFrame = {
+    val v = resolveVersion(spark, path, version)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bounds(df: DataFrame, dt: org.apache.spark.sql.types.DataType): DataFrame = {
+      def boundLit(x: Any): Column = x match {
+        case s: String if dt == org.apache.spark.sql.types.DateType =>
+          lit(java.sql.Date.valueOf(s))
+        case d: java.time.LocalDate => lit(java.sql.Date.valueOf(d))
+        case other => lit(other)
+      }
+      val fs2 = lower.map(l => col(column) >= boundLit(l)) ++
+        upper.map(u => col(column) <= boundLit(u))
+      fs2.reduceOption(_ && _).fold(df)(df.filter)
+    }
+    readManifest(fs, path, v) match {
+      case Some(m) =>
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+        require(schema.fieldNames.contains(column),
+          s"readSnapshotRange($path): column '$column' not in snapshot schema")
+        val dt = schema(column).dataType
+        val lo = lower.map(statComparable(_, dt))
+        val hi = upper.map(statComparable(_, dt))
+        val entries = manifestEntries(m)
+        val stats = Option(m.get("stats"))
+        val keep = entries.indices.filter { i =>
+          val s = stats.map(_.get(i)).flatMap(n => Option(n).map(_.get(column)))
+            .flatMap(Option(_))
+          s match {
+            case Some(st) =>
+              val mn = jsonComparable(st.get("min"))
+              val mx = jsonComparable(st.get("max"))
+              // interval overlap in the shared comparable space; a
+              // kind mismatch compares equal → conservatively kept
+              hi.forall(h => cmpComparable(mn, h) <= 0) &&
+                lo.forall(l => cmpComparable(mx, l) >= 0)
+            case None => true
+          }
+        }
+        val files = keep.map(i => resolveEntry(path, v, entries(i)))
+        val base =
+          if (files.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema).parquet(files: _*)
+        bounds(base, dt)
+      case None =>
+        val df = readSnapshot(spark, path, Some(v))
+        bounds(df, df.schema(column).dataType)
+    }
+  }
+
+  /** A bound value lowered into the manifest-stats comparable space
+    * (numbers as BigDecimal, text as String) according to the COLUMN's
+    * Spark type — DATE stats are epoch-day longs, TIMESTAMP stats are
+    * epoch-micros longs (parquet physical values; see [[footerInfo]]).
+    */
+  private def statComparable(x: Any,
+                             dt: org.apache.spark.sql.types.DataType): Either[BigDecimal, String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType => Left(BigDecimal(x match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay
+        case s: String => java.time.LocalDate.parse(s).toEpochDay
+        case other => sys.error(s"unsupported DATE bound: $other")
+      }))
+      case TimestampType => Left(BigDecimal(x match {
+        case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+        case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+        case other => sys.error(s"unsupported TIMESTAMP bound: $other")
+      }))
+      case StringType => Right(x.toString)
+      case _ => Left(BigDecimal(x.toString))
+    }
+  }
+
+  private def jsonComparable(n: com.fasterxml.jackson.databind.JsonNode): Either[BigDecimal, String] =
+    if (n.isNumber) Left(BigDecimal(n.decimalValue)) else Right(n.asText)
+
+  private def cmpComparable(a: Either[BigDecimal, String],
+                            b: Either[BigDecimal, String]): Int = (a, b) match {
+    case (Left(x), Left(y)) => x.compare(y)
+    case (Right(x), Right(y)) => x.compareTo(y)
+    case _ => 0
   }
 
   /** Date-partitioned warehouse layout (`path/date=YYYY-MM-DD/…`) —
@@ -909,10 +1389,29 @@ object Warehouse {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partDirs = fs.listStatus(dest).toSeq.filter { st =>
+    val children = fs.listStatus(dest).toSeq
+    // SNAPSHOT-ROOT GUARD (r9 verdict #1): a writeSnapshot/
+    // commitSnapshot root also has `<col>=` children (`v=<n>`), but
+    // recursing into them would rewrite IMMUTABLE committed versions in
+    // place — every pinned reader's contract broken — and orphan their
+    // manifests, whose stale file lists would then plan reads of
+    // deleted files. Refuse, naming the snapshot-aware tool.
+    require(!children.exists { st =>
+      val n = st.getPath.getName
+      n == "_latest" || n.startsWith("_commit-v") || n.startsWith("_manifest-v")
+    }, s"compact($path): snapshot table root (writeSnapshot/commitSnapshot layout) — " +
+      "in-place compaction would rewrite immutable versions and invalidate their " +
+      "manifests; use compactSnapshot, which commits the compacted current version " +
+      "as a NEW version")
+    val partDirs = children.filter { st =>
       val name = st.getPath.getName
       st.isDirectory && name.contains("=") &&
-        !name.startsWith("_") && !name.startsWith(".")
+        !name.startsWith("_") && !name.startsWith(".") &&
+        // crashed-rewriteAtomic debris (`<dir>.staging-*`/`<dir>.retired-*`)
+        // still carries the partition dir's `=` (r9 verdict #2):
+        // treating it as a partition would rewrite garbage back into
+        // the table — it is vacuumTable's to repair/reap, never ours
+        !name.contains(".staging-") && !name.contains(".retired-")
     }
     if (partDirs.nonEmpty)
       return partDirs.map(d => compact(spark, d.getPath.toString, targetFileBytes)).sum
@@ -926,6 +1425,40 @@ object Warehouse {
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     rewriteAtomic(spark.read.parquet(path).repartition(n), path)
     n
+  }
+
+  /** Snapshot-aware compaction: lands the compacted CURRENT version as
+    * a NEW version through the [[commitSnapshot]] CAS — history stays
+    * immutable (pinned readers keep their bytes), the new version gets
+    * its own manifest, `_latest` advances, and old versions age out via
+    * [[expireSnapshots]] as usual. Sizing uses the manifest's committed
+    * byte total when present (zero I/O), the dir listing otherwise.
+    * This also FOLDS IN [[deleteWhere]] file sharing: the compacted
+    * version materializes every carried-forward reference into its own
+    * dir, letting the referenced old versions expire. Returns
+    * (newVersion, filesWritten).
+    */
+  def compactSnapshot(spark: SparkSession, path: String,
+                      targetFileBytes: Long = 128L << 20): (Long, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"compactSnapshot($path): no committed snapshot")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = readManifest(fs, path, v).map(_.get("bytes").asLong).getOrElse {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true)
+      var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) b += f.getLen
+      }
+      b
+    }
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val next = commitSnapshot(
+      readSnapshot(spark, path, Some(v)).repartition(n), path, expectedVersion = v)
+    (next, n)
   }
 
   /** ORC sink — the other columnar interchange format a warehouse

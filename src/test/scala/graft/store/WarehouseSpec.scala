@@ -566,4 +566,221 @@ class WarehouseSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_commit-v1")))
     assert(Warehouse.readSnapshot(spark, root).count() === 1)
   }
+
+  private def hfs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("compact refuses a snapshot table root; compactSnapshot commits a NEW version") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_csnap").toString + "/t"
+    val df = spark.range(0, 200).toDF("id").repartition(8)
+    Warehouse.writeSnapshot(df, root)
+    // in-place compact would rewrite the immutable v=1 and orphan its
+    // manifest (r9 verdict #1) — refused, naming the right tool
+    val e = intercept[IllegalArgumentException] { Warehouse.compact(spark, root) }
+    assert(e.getMessage.contains("compactSnapshot"))
+    val v1Files = hfs(root).listStatus(new org.apache.hadoop.fs.Path(s"$root/v=1"))
+      .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+    val (next, n) = Warehouse.compactSnapshot(spark, root)
+    assert(next === 2L && n === 1)
+    // old version: byte-identical files, still readable pinned, with a
+    // valid manifest
+    val v1After = hfs(root).listStatus(new org.apache.hadoop.fs.Path(s"$root/v=1"))
+      .filter(_.isFile).map(s => s.getPath.getName -> s.getLen).toMap
+    assert(v1After === v1Files, "compactSnapshot must not touch committed files")
+    assert(Warehouse.readSnapshot(spark, root, Some(1L)).count() === 200)
+    // new version: same data, fewer files, manifest matches the dir
+    val latest = Warehouse.readSnapshot(spark, root)
+    assert(latest.count() === 200)
+    assert(latest.agg(org.apache.spark.sql.functions.sum(col("id"))).head.getLong(0) === 199L * 200 / 2)
+    assert(latest.inputFiles.length === 1)
+    val listed = hfs(root).listStatus(new org.apache.hadoop.fs.Path(s"$root/v=2"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")).map(_.getPath.getName).toSet
+    assert(latest.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet === listed,
+      "manifest-planned file list must match the committed directory")
+  }
+
+  test("compact skips rewriteAtomic crash debris in a partitioned tree; vacuumTable reaps it") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_debris").toString + "/t"
+    val df = spark.range(0, 40).toDF("id").withColumn("grp", col("id") % 2)
+    Warehouse.writePartitioned(df, root, Seq("grp"))
+    val fs = hfs(root)
+    // crashed rewrite of partition dir grp=0: staging debris whose name
+    // still contains '=' — pre-r10 compact recursed into it as a
+    // "partition" and rewrote garbage back into the tree (r9 verdict #2)
+    val debris = new org.apache.hadoop.fs.Path(s"$root/grp=0.staging-deadbeef")
+    spark.range(0, 5).toDF("id").write.parquet(debris.toString)
+    def debrisListing() = fs.listStatus(debris)
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    val before = debrisListing()
+    Warehouse.compact(spark, root, targetFileBytes = 1L << 20)
+    assert(fs.exists(debris) && debrisListing() === before,
+      "compact must neither rewrite nor reap crash debris")
+    assert(spark.read.parquet(s"$root/grp=0").count() === 20)
+    assert(spark.read.parquet(s"$root/grp=1").count() === 20)
+    // vacuumTable reaps it once stale
+    Thread.sleep(150)
+    val reaped = Warehouse.vacuumTable(spark, root, graceMs = 100L)
+    assert(reaped.exists(_.endsWith("grp=0.staging-deadbeef")))
+    assert(!fs.exists(debris))
+    assert(spark.read.parquet(root).count() === 40)
+  }
+
+  test("vacuumTable repairs a crash between retire and promote (restore, never reap)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_repair").toString
+    val root = s"$dir/t"
+    spark.range(0, 10).toDF("id").write.parquet(root)
+    val fs = hfs(root)
+    // simulate rewriteAtomic crashing after retiring the live dir but
+    // before promoting staging: dest missing, retired holds the ONLY data
+    val retired = new org.apache.hadoop.fs.Path(s"$root.retired-deadbeef")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root), retired))
+    val staging = new org.apache.hadoop.fs.Path(s"$root.staging-deadbeef")
+    spark.range(0, 20).toDF("id").write.parquet(staging.toString)
+    Thread.sleep(150)
+    val reaped = Warehouse.vacuumTable(spark, root, graceMs = 100L)
+    // retired restored to the table path; staging (the uncommitted new
+    // write) reaped; the table reads its pre-rewrite state
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root)) && !fs.exists(retired))
+    assert(reaped.exists(_.endsWith(".staging-deadbeef")) && !fs.exists(staging))
+    assert(spark.read.parquet(root).count() === 10)
+  }
+
+  test("deleteWhere rewrites ONLY the touched files; untouched carried by reference") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_delw").toString + "/t"
+    val df = spark.range(0, 300).toDF("id").withColumn("user", concat(lit("u"), col("id") % 100))
+    Warehouse.writeSnapshot(df.repartitionByRange(3, col("id")), root)
+    val fs = hfs(root)
+    val v1Files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v=1"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => s.getPath.getName -> s.getLen).toMap
+    assert(v1Files.size === 3)
+    // erase one user (3 rows, all with id % 100 == 7 — ids 7, 107, 207
+    // land in DIFFERENT range files, so this touches all three; erase a
+    // single id instead to keep two files untouched)
+    val next = Warehouse.deleteWhere(spark, root, col("id") === 5)
+    assert(next === 2L)
+    val latest = Warehouse.readSnapshot(spark, root)
+    assert(latest.count() === 299 && latest.filter(col("id") === 5).isEmpty)
+    // pinned history intact
+    assert(Warehouse.readSnapshot(spark, root, Some(1L)).count() === 300)
+    // exactly one file rewritten; the other two carried by reference
+    // ("v=1/..." entries in the v=2 manifest) and byte-identical on disk
+    val m2 = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(s"$root/_manifest-v2"))
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(m2.toString)), "UTF-8")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(mf)
+    val entries = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+    val carried = entries.filter(_.startsWith("v=1/"))
+    assert(carried.size === 2, s"expected 2 carried references, got $entries")
+    carried.foreach { e =>
+      val name = e.stripPrefix("v=1/")
+      assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/$e")).getLen === v1Files(name),
+        s"carried file $e must be byte-identical")
+    }
+    assert(node.get("rowCount").asLong === 299L)
+    // latest read plans exactly the manifest's files (2 shared + rewritten)
+    assert(latest.inputFiles.length === entries.size)
+    // no-match predicate: no empty commit, version unchanged
+    assert(Warehouse.deleteWhere(spark, root, col("id") === 99999) === 2L)
+    // a second delete composes (against the file-sharing version)
+    assert(Warehouse.deleteWhere(spark, root, col("user") === "u7") === 3L)
+    val v3 = Warehouse.readSnapshot(spark, root)
+    assert(v3.count() === 296 && v3.filter(col("user") === "u7").isEmpty)
+  }
+
+  test("expireSnapshots is reachability-aware: shared files outlive their home version") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_reach").toString + "/t"
+    Warehouse.writeSnapshot(
+      spark.range(0, 300).toDF("id").repartitionByRange(3, col("id")), root)
+    Warehouse.deleteWhere(spark, root, col("id") === 5) // v2 shares 2 files of v1
+    val fs = hfs(root)
+    // expiring v1 keeps ONLY the files v2's manifest references
+    assert(Warehouse.expireSnapshots(spark, root, keepLast = 1) === Seq(1L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_expired-v1")))
+    assert(Warehouse.snapshots(spark, root) === Seq(2L))
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v=1"))
+      .filter(_.isFile).map(_.getPath.getName)
+    assert(leftover.length === 2 && leftover.forall(!_.startsWith("_")))
+    // the expired version refuses reads instead of returning partial data
+    intercept[IllegalArgumentException] { Warehouse.readSnapshot(spark, root, Some(1L)) }
+    // the live version still reads completely through the shared files
+    val v2 = Warehouse.readSnapshot(spark, root)
+    assert(v2.count() === 299)
+    // compactSnapshot materializes the references; the next expire
+    // releases v1's leftovers entirely (second-order sweep)
+    Warehouse.compactSnapshot(spark, root)
+    Warehouse.expireSnapshots(spark, root, keepLast = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=1")), "released shared files reaped")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_expired-v1")))
+    assert(Warehouse.readSnapshot(spark, root).count() === 299)
+  }
+
+  test("vacuum reaps a deleteWhere version that crashed before its manifest published") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_partial").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 10).toDF("id"), root)
+    val fs = hfs(root)
+    // simulate the crash window: v=2 promoted with its _partial marker,
+    // claim marker present, manifest never published
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v=2"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/v=2/_partial"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_commit-v2"), true).close()
+    // the listing fallback refuses the partial version LOUDLY
+    val e = intercept[IllegalArgumentException] { Warehouse.readSnapshot(spark, root, Some(2L)) }
+    assert(e.getMessage.contains("file-sharing"))
+    Thread.sleep(150)
+    val reaped = Warehouse.vacuum(spark, root, graceMs = 100L)
+    assert(reaped.exists(_.endsWith("v=2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_commit-v2")))
+    assert(Warehouse.currentSnapshot(spark, root) === 1L)
+    assert(Warehouse.readSnapshot(spark, root).count() === 10)
+  }
+
+  test("readSnapshotRange prunes files from manifest stats; results identical to full read") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/t"
+    val df = spark.range(0, 120).toDF("id")
+      .withColumn("d", date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("id").cast("int")))
+      .withColumn("name", concat(lit("doc-"), format_string("%03d", col("id"))))
+    Warehouse.writeSnapshot(df.repartitionByRange(3, col("d")), root)
+    val full = Warehouse.readSnapshot(spark, root)
+    assert(full.inputFiles.length === 3)
+    // long bound: only the file containing the max id survives
+    val hiId = Warehouse.readSnapshotRange(spark, root, "id", lower = Some(119L))
+    assert(hiId.inputFiles.length === 1, "stats must prune to the one overlapping file")
+    assert(hiId.collect().map(_.getLong(0)).toSeq === Seq(119L))
+    // date bound (epoch-day stats): strictly fewer files than the full
+    // read, same rows as the unpruned filtered read
+    val d0 = "2024-04-25" // day 115
+    val pruned = Warehouse.readSnapshotRange(spark, root, "d", lower = Some(d0))
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    val expected = full.filter(col("d") >= lit(java.sql.Date.valueOf(d0)))
+    assert(pruned.orderBy("id").collect().toSeq === expected.orderBy("id").collect().toSeq)
+    // string bound (ASCII stats), both ends
+    val mid = Warehouse.readSnapshotRange(spark, root, "name",
+      lower = Some("doc-115"), upper = Some("doc-117"))
+    assert(mid.inputFiles.length === 1)
+    assert(mid.orderBy("id").collect().map(_.getString(2)).toSeq ===
+      Seq("doc-115", "doc-116", "doc-117"))
+    // a range with no overlapping file reads empty without touching parquet
+    val none = Warehouse.readSnapshotRange(spark, root, "id", lower = Some(10000L))
+    assert(none.inputFiles.isEmpty && none.isEmpty)
+    // pruning respects pinned versions and deleteWhere file sharing
+    Warehouse.deleteWhere(spark, root, col("id") === 119)
+    val shared = Warehouse.readSnapshotRange(spark, root, "id", lower = Some(100L))
+    assert(shared.collect().map(_.getLong(0)).sorted.toSeq === (100L to 118L))
+  }
+
+  test("diffFrames rejects duplicate-column multiplicity drift with a clear message") {
+    val a = Seq((1, 2.0)).toDF("k", "v")
+    val b = a.select($"k", $"v", $"v") // two columns named v
+    val e = intercept[IllegalArgumentException] { Warehouse.diffFrames(a, b, Seq("k")) }
+    assert(e.getMessage.contains("names/types differ"))
+  }
 }
