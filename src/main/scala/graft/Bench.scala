@@ -81,6 +81,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // The heap-heavy keys whose in-suite numbers carry single-JVM
+    // contention noise (measured r8/r9: up to +35% from 167 neighbors'
+    // GC/JIT churn — SCALE.md "In-suite vs isolated"). An ISOLATED
+    // min-of-3 for each is measured FIRST, on the still-fresh JVM —
+    // the same state a SPARK_GRAFT_BENCH_ONLY run sees — and reported
+    // as a separate "isolated" map so real regressions on these keys
+    // stop hiding inside suite-contention drift (r9 verdict #5);
+    // tools/bench_diff.py diffs both maps.
+    val isolatedKeys = Seq("q_corpus_prepare", "q_bpe_encode", "q_dedup_keep",
+      "q_dedup_cluster", "q_stream_ohlc").filter(SparkEntry.queries.contains)
     // Stage the cross-key shared tables OUTSIDE the timed region: the
     // packed-documents stage table feeds both q_pack_sequences and
     // q_pack_util, and without this the FIRST of the two to run pays
@@ -89,13 +99,7 @@ object Bench {
     // (ADVICE r7). Eager staging makes both keys measure the same
     // thing: a scan of the checkpointed packing assignment.
     SparkEntry.prestage(spark, sfDir)
-    val best = scala.collection.mutable.LinkedHashMap[String, Double](names.map(_ -> Double.NaN): _*)
-    for (pass <- 1 to math.max(passes, 1); name <- names) {
-      // settle the heap OUTSIDE the timed section: a heap-churning
-      // query otherwise inflates whatever runs after it — and with a
-      // deterministic order, the SAME victims every pass, so
-      // min-of-passes can't see through it (measured: q_approx_distinct
-      // 2.4s contaminated vs 0.44s isolated)
+    def runOnce(name: String): Double = {
       System.gc()
       val t0 = System.nanoTime()
       val ok =
@@ -104,28 +108,47 @@ object Bench {
           true
         } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+      if (ok) dt else -1.0
+    }
+    // isolated block first (full default runs only): fresh JVM, no
+    // 168-query heap behind it; min-of-3 absorbs first-run codegen
+    val isolated: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else isolatedKeys.map { name =>
+        name -> (1 to 3).map(_ => runOnce(name)).filter(_ >= 0)
+          .reduceOption(math.min(_, _)).getOrElse(-1.0)
+      }.toMap
+    val best = scala.collection.mutable.LinkedHashMap[String, Double](names.map(_ -> Double.NaN): _*)
+    // runOnce already handles the heap settle BEFORE the timed section
+    // (a heap-churning query otherwise inflates whatever runs after it
+    // — with a deterministic order, the SAME victims every pass, so
+    // min-of-passes can't see through it; measured: q_approx_distinct
+    // 2.4s contaminated vs 0.44s isolated) and the block cleanup AFTER
+    // it (eager localCheckpoints persist executor-local RDD blocks that
+    // nothing unpersists once the noop write consumed them; left to
+    // ContextCleaner-via-GC they pile up across 168 queries × 3 passes
+    // — measured: the same pipeline query 6.8 s isolated vs 49.7 s in
+    // the full suite).
+    for (pass <- 1 to math.max(passes, 1); name <- names) {
+      val dt = runOnce(name)
       val prev = best(name)
       best(name) =
-        if (!ok) -1.0
+        if (dt < 0) -1.0
         else if (prev.isNaN || prev < 0 || dt < prev) dt
         else prev
-      // Free blocks the query left behind (eager localCheckpoints in
-      // the pipeline queries persist executor-local RDD blocks that
-      // nothing unpersists once the noop write has consumed them).
-      // Waiting for ContextCleaner-via-GC lets them pile up across
-      // 120 queries × 3 passes and the storage/execution memory
-      // contention inflates every LATER query — measured: the same
-      // pipeline query 6.8 s isolated vs 49.7 s in the full suite.
-      // Outside the timed section, like the GC settle.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.sharedState.cacheManager.clearCache()
     }
 
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
+    val iso =
+      if (isolated.isEmpty) ""
+      else isolated.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString(""","isolated":{""", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"floor":$floor,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$iso,"floor":$floor,"sf":"$sfDir"}"""
     // Full per-query line first, for humans reading the whole log.
     println(fullLine)
     // ALSO persist the complete map to a repo file: the driver's

@@ -742,6 +742,11 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) => // rows-only: k-means fit not
       // ANSI-expressible; precision/keep-first pinned in SimilaritySpec
       ext.Similarity.semanticDedup(Tables.embeddings(s, dir), k = 8, threshold = 0.9)),
+    "q_semantic_dedup_bucketed" -> ((s, dir) => // FULL oracle: the fixed
+      // vec_id-mod assignment makes the keep-first cosine decision
+      // ANSI-expressible — cross-engine pin of X158's survivor rule
+      ext.Similarity.semanticDedupBucketed(Tables.embeddings(s, dir),
+        buckets = 8, threshold = 0.4)),
     "q_incr_dedup" -> ((s, dir) => {
       // incremental crawl cycle: newest 20% of ids arrive against the
       // accepted catalog (the other 80%); content key = md5(normalized
@@ -1143,6 +1148,16 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
          |SELECT a, b, inter / (na + nb - inter) AS jaccard
          |FROM pairs WHERE inter / (na + nb - inter) >= 0.8""".stripMargin
     },
+    "q_semantic_dedup_bucketed" ->
+      """WITH e AS (SELECT vec_id, (vec_id % 8)::INT AS cluster, embedding::DOUBLE[] AS v,
+        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |           FROM embeddings),
+        |d AS (SELECT x.vec_id AS vec_id, min(y.vec_id) AS dup_of
+        |      FROM e x JOIN e y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+        |      WHERE list_dot_product(x.v, y.v) / (x.nm * y.nm) >= 0.4
+        |      GROUP BY x.vec_id)
+        |SELECT e.vec_id, e.cluster, d.dup_of IS NULL AS keep, d.dup_of
+        |FROM e LEFT JOIN d USING (vec_id)""".stripMargin,
     "q_embed_neardup" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm

@@ -456,29 +456,106 @@ object Similarity {
     * the smallest such twin for auditability. Cosine is exact — the
     * clustering only SCOPES the comparison, so precision is 1.0 by
     * construction and only cross-cluster twins are missed (the
-    * SemDeDup trade; raise k for speed, lower it for recall).
+    * SemDeDup trade; `overlap = 2` assigns each vector to its 2
+    * nearest centroids too, recovering boundary-straddling twins for
+    * ≤ overlap× pair work — recall measured in SimilaritySpec).
     *
     * No SQL oracle by design: the k-means fit is not ANSI-expressible
     * (rows-only check + SimilaritySpec planted fixtures, like the ANN
-    * family).
+    * family); [[semanticDedupBucketed]] pins the decision rule itself
+    * against a full DuckDB recomposition.
     */
   def semanticDedup(embeddings: DataFrame, k: Int, threshold: Double = 0.95,
-                    maxIter: Int = 10, seed: Long = 42L): DataFrame = {
-    val clusters = kmeansClusters(embeddings, k, maxIter, seed)
-    // one scan computes the norm; the frame feeds both join sides
-    // (same unconditional-materialization case as embeddingNearDups)
-    val e = embeddings.join(clusters, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("cluster"),
-        l2norm(col("embedding")).as("nm"))
+                    maxIter: Int = 10, seed: Long = 42L,
+                    overlap: Int = 1, maxClusterShare: Double = 0.5,
+                    guardMinPairWork: Long = 100000000L): DataFrame = {
+    require(overlap >= 1 && overlap <= k,
+      s"semanticDedup: overlap must be in [1, k], got $overlap")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = embeddings.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(feat)
+    // Euclidean top-`overlap` centroid ranking through the DOT-product
+    // probe kernel: argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2), so
+    // augmenting x with a trailing 1 and c with −‖c‖²/2 makes
+    // centroidProbes' dot ranking THE Euclidean ranking — probes(1) is
+    // the k-means assignment (modulo exact ties), probes(2..) the
+    // OVERLAP assignment (r9 verdict #3): each vector also joins its
+    // runner-up clusters, so a twin pair straddling a cluster boundary
+    // still meets (in either one's cluster) at ≤ overlap× pair work —
+    // the standard SemDeDup cross-cluster-recall mitigation.
+    val aug: Array[Array[Double]] = model.clusterCenters.map { c =>
+      val a = c.toArray; a :+ (-0.5 * a.map(x => x * x).sum)
+    }
+    val probes = graft.functions.native.centroidProbes(
+      concat(col("embedding"), array(lit(1.0f))), aug, overlap)
+    // one scan computes norm + probes; the frame feeds the guard and
+    // both join sides (same unconditional-materialization case as
+    // embeddingNearDups)
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+        probes.as("probes"), l2norm(col("embedding")).as("nm"))
+      .withColumn("cluster", element_at(col("probes"), 1))
       .localCheckpoint(true)
-    val dups = e.as("x").hint("shuffle_hash").join(e.as("y"),
+    // DEGENERATE-FIT GUARD (r9 verdict #4): the pair stage is
+    // Σ(cluster size)² — near-identical embeddings or a far-too-small k
+    // concentrate the corpus into one cluster and the "scoped" join
+    // quietly goes quadratic. Guard on the ASSIGNMENT-grain sizes
+    // (cluster-grain aggregate, k rows to the driver); below
+    // `guardMinPairWork` comparisons even a fully degenerate fit is
+    // trivial, so small corpora skip the check rather than carry a
+    // meaningless share bound. Fail-fast posture like mergeInto.
+    val sizes = e.select(explode(col("probes")).as("cl"))
+      .groupBy("cl").count().collect().map(_.getLong(1))
+    val pairWork = sizes.map(s => s * s).sum
+    if (pairWork >= guardMinPairWork) {
+      val share = sizes.max.toDouble / sizes.sum
+      require(share <= maxClusterShare,
+        f"semanticDedup: degenerate clustering — largest cluster holds ${share * 100}%.1f%% " +
+          f"of assignments (> ${maxClusterShare * 100}%.1f%%), pair stage would do " +
+          s"$pairWork comparisons; raise k (target ≈ corpus/1000) or maxClusterShare")
+    }
+    val a = e.select(col("vec_id"), col("embedding"), col("nm"),
+      explode(col("probes")).as("cluster"))
+    e.select(col("vec_id"), col("cluster"))
+      .join(keepFirstDups(a, threshold), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
+  /** The shared survivor DECISION of the semantic-dedup family: within
+    * each group of `assigned` (vec_id, embedding, nm, cluster; a
+    * vector may carry several rows under overlap assignment), every
+    * vector whose exact cosine to a SMALLER-id co-member clears
+    * `threshold` maps to its smallest such twin — (vec_id, dup_of).
+    * A pair meeting in two shared clusters folds in the min aggregate.
+    */
+  private def keepFirstDups(assigned: DataFrame, threshold: Double): DataFrame =
+    assigned.as("x").hint("shuffle_hash").join(assigned.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.vec_id") > col("y.vec_id"))
       .filter(dot(col("x.embedding"), col("y.embedding")) /
         (col("x.nm") * col("y.nm")) >= threshold)
       .groupBy(col("x.vec_id").as("vec_id"))
       .agg(min(col("y.vec_id")).as("dup_of"))
+
+  /** ORACLE-ELIGIBLE twin of [[semanticDedup]] (r9 verdict #8): the
+    * same within-group exact-cosine keep-first decision over a FIXED,
+    * ANSI-expressible assignment (`vec_id mod buckets`) instead of the
+    * fitted k-means — so DuckDB recomposes the ENTIRE output and the
+    * decision logic is pinned cross-engine (what the md5 MinHash key
+    * did for LSH banding), leaving the clustering fit as the only
+    * rows-only piece of the family. Not a semantic scoping (buckets
+    * are arbitrary) — a verification harness, same pair-stage shape.
+    */
+  def semanticDedupBucketed(embeddings: DataFrame, buckets: Int,
+                            threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+        (col("vec_id") % buckets).cast("int").as("cluster"),
+        l2norm(col("embedding")).as("nm"))
+      .localCheckpoint(true)
     e.select(col("vec_id"), col("cluster"))
-      .join(dups, Seq("vec_id"), "left")
+      .join(keepFirstDups(e, threshold), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         col("dup_of").isNull.as("keep"), col("dup_of"))
   }

@@ -267,6 +267,71 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup overlap assignment recovers cross-cluster twins (measured recall)") {
+    // three Euclidean blobs OFF the twin direction; the planted twin
+    // pair shares a direction (cosine ≈ 1) but differs in NORM, so
+    // k-means puts its two members in DIFFERENT clusters — invisible
+    // to the plain within-cluster pass, recovered by overlap = 2
+    def blob(base: Long, cx: Double, cy: Double) =
+      (0 until 20).map(i => (base + i,
+        Seq((cx + i * 0.05).toFloat, (cy - i * 0.05).toFloat)))
+    val blobA = blob(0L, 5.0, 4.0)
+    val blobB = blob(100L, 13.0, 10.0)
+    val blobC = blob(200L, -10.0, 10.0)
+    val twins = Seq((500L, Seq(6.0f, 6.0f)), (501L, Seq(12.0f, 12.0f)))
+    val df = (blobA ++ blobB ++ blobC ++ twins).toDF("vec_id", "embedding")
+    def decisions(overlap: Int) =
+      Similarity.semanticDedup(df, k = 3, threshold = 0.99999, overlap = overlap)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val planted = Set((500L, 501L))
+    def recall(out: Map[Long, (Boolean, Option[Long])]): Double =
+      planted.count { case (a, b) => out(b) == ((false, Some(a))) }.toDouble / planted.size
+    val plain = decisions(overlap = 1)
+    assert(plain(500L)._1 && plain(501L)._1,
+      "fixture must straddle clusters: both twins survive without overlap")
+    assert(recall(plain) === 0.0)
+    val ov = decisions(overlap = 2)
+    assert(recall(ov) === 1.0, s"overlap=2 must recover the straddling pair, got $ov")
+    assert(ov(500L) === ((true, None)), "keep-first: the smaller id survives")
+    assert(ov(501L) === ((false, Some(500L))))
+    // blob members are angularly spread below the threshold: untouched
+    assert(blobA.forall(v => ov(v._1)._1), "no false positives inside blob A")
+  }
+
+  test("semanticDedup fails fast on a degenerate clustering (cluster-size guard)") {
+    // identical embeddings: k-means collapses everything into ONE
+    // cluster and the "scoped" pair stage would silently go quadratic
+    val df = (0 until 200).map(i => (i.toLong, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(df, k = 4, threshold = 0.9, guardMinPairWork = 1000L)
+    }
+    assert(e.getMessage.contains("degenerate clustering"))
+    // below the pair-work floor the same fit is trivial, not dangerous:
+    // the guard skips and the dedup itself is still correct (keep-first)
+    val ok = Similarity.semanticDedup(df, k = 4, threshold = 0.9, guardMinPairWork = 100000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(ok.size === 200 && ok(0L) && (1L to 199L).forall(!ok(_)))
+  }
+
+  test("semanticDedupBucketed: keep-first decision under the fixed mod assignment") {
+    // buckets = 2 → bucket 0: {0, 2}, bucket 1: {1, 3}. 0∥2 same
+    // bucket (dedups), 0∥1 parallel but CROSS-bucket (untouched by
+    // construction — the assignment is a verification harness, not a
+    // semantic scope), 1⊥3 (kept)
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (1L, Seq(3.0f, 0.0f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupBucketed(df, buckets = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out(0L) === ((0, true, None)))
+    assert(out(2L) === ((0, false, Some(0L))))
+    assert(out(1L) === ((1, true, None)))
+    assert(out(3L) === ((1, true, None)))
+  }
+
   test("centroidSimilarity: orthogonal/parallel/antipodal centroids score 0/1/-1") {
     val df = Seq(
       (1L, 0, Seq(2.0f, 0.0f)), (2L, 0, Seq(4.0f, 0.0f)),   // centroid (3, 0)

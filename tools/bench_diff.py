@@ -17,29 +17,32 @@ import statistics
 import sys
 
 
-def load(path: str) -> dict:
+def load(path: str) -> tuple:
+    """Returns (queries, isolated) — isolated may be empty (pre-r10 runs)."""
     raw = open(path).read()
     try:
         d = json.loads(raw)
         if isinstance(d, dict) and "queries" in d:
-            return d["queries"]
+            return d["queries"], d.get("isolated", {})
         if isinstance(d, dict):  # driver artifact
             if d.get("parsed") and "queries" in d["parsed"]:
-                return d["parsed"]["queries"]
+                return d["parsed"]["queries"], d["parsed"].get("isolated", {})
             tail = d.get("tail", "")
             m = re.findall(r'\{"metric":"total".*?\}\}', tail)
             if m:
-                return json.loads(m[-1])["queries"]
+                p = json.loads(m[-1])
+                return p["queries"], p.get("isolated", {})
         raise ValueError("no queries found")
     except json.JSONDecodeError:
         for line in raw.splitlines():
             if '"metric":"total"' in line:
-                return json.loads(line[line.index('{'):])["queries"]
+                p = json.loads(line[line.index('{'):])
+                return p["queries"], p.get("isolated", {})
         raise
 
 
 def main(old_path: str, new_path: str) -> int:
-    old, new = load(old_path), load(new_path)
+    (old, old_iso), (new, new_iso) = load(old_path), load(new_path)
     common = sorted(set(old) & set(new))
     deltas = [new[k] - old[k] for k in common]
     med = statistics.median(deltas) if deltas else 0.0
@@ -59,6 +62,21 @@ def main(old_path: str, new_path: str) -> int:
         elif -d > 0.3 and -d > 0.25 * max(old[k], 0.01):
             print(f"  faster   {k:26s} {old[k]:6.2f} -> {new[k]:6.2f}  ({d:.2f} after drift)")
     print(f"{flagged} regressions flagged")
+    # isolated companion map (fresh-JVM min-of-3 for the heap-heavy
+    # keys): no drift correction — these numbers are suite-independent,
+    # so a delta here is a REAL per-query change, flagged tighter
+    iso_common = sorted(set(old_iso) & set(new_iso))
+    if iso_common:
+        print(f"isolated ({len(iso_common)} keys):")
+        for k in iso_common:
+            d = new_iso[k] - old_iso[k]
+            mark = ""
+            if d > 0.2 and d > 0.15 * max(old_iso[k], 0.01):
+                mark = "  SLOWER"
+                flagged += 1
+            elif -d > 0.2 and -d > 0.15 * max(old_iso[k], 0.01):
+                mark = "  faster"
+            print(f"  {k:26s} {old_iso[k]:6.2f} -> {new_iso[k]:6.2f}{mark}")
     return 1 if flagged else 0
 
 
