@@ -1031,7 +1031,12 @@ object Warehouse {
     * commit). Concurrency: same optimistic protocol as
     * [[commitSnapshot]] — a concurrent commit between the version read
     * and the claim loses with a retry-able
-    * [[SnapshotConflictException]].
+    * [[SnapshotConflictException]]. `scanBound = (column, lo, hi)` is
+    * the caller's promise that every matching row lies inside the
+    * bound: manifest stats (X162) then drop non-overlapping files from
+    * the discovery scan itself — on a [[compactSnapshot clustered]]
+    * table, erasing one key opens only the candidate files even for
+    * the find step.
     *
     * The new version's manifest is LOAD-BEARING, not best-effort: a
     * directory listing of `v=<next>` sees only the rewritten files, so
@@ -1045,35 +1050,49 @@ object Warehouse {
     * (data dir + marker deleted) and the error propagates.
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
-                  orphanGraceMs: Long = 600000L): Long = {
+                  orphanGraceMs: Long = 600000L,
+                  scanBound: Option[(String, Option[Any], Option[Any])] = None): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = currentSnapshot(spark, path)
     require(v >= 1, s"deleteWhere($path): no committed snapshot")
     // the version's committed entries, root-relative; manifest when
     // present, dir listing for pre-manifest versions
-    val (entries, schemaOpt) = readManifest(fs, path, v) match {
+    val (entries, schemaOpt, manifestOpt) = readManifest(fs, path, v) match {
       case Some(m) =>
         (manifestEntries(m).map(e => if (e.contains("/")) e else s"v=$v/$e"),
           Some(org.apache.spark.sql.types.DataType
-            .fromJson(m.get("schema").toString).asInstanceOf[StructType]))
+            .fromJson(m.get("schema").toString).asInstanceOf[StructType]), Some(m))
       case None =>
         require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$v/_partial")),
           s"deleteWhere($path): v=$v is a file-sharing version with no readable manifest")
         (fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith("."))
-          .map(st => s"v=$v/${st.getPath.getName}").sorted, None)
+          .map(st => s"v=$v/${st.getPath.getName}").sorted, None, None)
     }
     if (entries.isEmpty) return v
     val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
-    val full = entries.map(e => s"$path/$e")
-    val schema = schemaOpt.getOrElse(reader.parquet(full: _*).schema)
-    // which committed files contain matching rows — ONE scan that reads
+    val schema = schemaOpt.getOrElse(
+      spark.read.parquet(entries.map(e => s"$path/$e"): _*).schema)
+    // `scanBound` = (column, lower, upper): the caller's promise that
+    // every matching row lies inside the bound — manifest stats then
+    // drop non-overlapping files from the DISCOVERY scan itself, so an
+    // erase of one key on a clustered table opens only candidate files
+    // even for the find step. Skipped files are untouched by contract.
+    val candidates = (scanBound, manifestOpt) match {
+      case (Some((column, lo, hi)), Some(m)) =>
+        val keep = statsOverlap(m, schema, column, lo, hi).toSet
+        entries.zipWithIndex.collect { case (e, i) if keep(i) => e }
+      case _ => entries
+    }
+    if (candidates.isEmpty) return v
+    val full = candidates.map(e => s"$path/$e")
+    // which candidate files contain matching rows — ONE scan that reads
     // only the predicate's columns (Catalyst prunes the projection down
     // to input_file_name + predicate inputs); this is the erase's whole
     // read cost over the untouched bulk of the table
-    val byPath = entries.map(e =>
+    val byPath = candidates.map(e =>
       fs.makeQualified(new org.apache.hadoop.fs.Path(s"$path/$e")).toUri.getPath -> e).toMap
     val touched: Set[String] = reader.parquet(full: _*)
       .where(predicate)
@@ -1162,25 +1181,9 @@ object Warehouse {
         require(schema.fieldNames.contains(column),
           s"readSnapshotRange($path): column '$column' not in snapshot schema")
         val dt = schema(column).dataType
-        val lo = lower.map(statComparable(_, dt))
-        val hi = upper.map(statComparable(_, dt))
         val entries = manifestEntries(m)
-        val stats = Option(m.get("stats"))
-        val keep = entries.indices.filter { i =>
-          val s = stats.map(_.get(i)).flatMap(n => Option(n).map(_.get(column)))
-            .flatMap(Option(_))
-          s match {
-            case Some(st) =>
-              val mn = jsonComparable(st.get("min"))
-              val mx = jsonComparable(st.get("max"))
-              // interval overlap in the shared comparable space; a
-              // kind mismatch compares equal → conservatively kept
-              hi.forall(h => cmpComparable(mn, h) <= 0) &&
-                lo.forall(l => cmpComparable(mx, l) >= 0)
-            case None => true
-          }
-        }
-        val files = keep.map(i => resolveEntry(path, v, entries(i)))
+        val files = statsOverlap(m, schema, column, lower, upper)
+          .map(i => resolveEntry(path, v, entries(i)))
         val base =
           if (files.isEmpty) spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1189,6 +1192,36 @@ object Warehouse {
       case None =>
         val df = readSnapshot(spark, path, Some(v))
         bounds(df, df.schema(column).dataType)
+    }
+  }
+
+  /** Indices of the manifest's file entries whose recorded stats for
+    * `column` can overlap `[lower, upper]` — the shared data-skipping
+    * decision of [[readSnapshotRange]] and [[deleteWhere]]'s
+    * `scanBound`. Files without usable stats for the column are KEPT
+    * (pruning is an optimization, never a correctness gate); a kind
+    * mismatch in the comparable space compares equal → conservatively
+    * kept.
+    */
+  private def statsOverlap(m: com.fasterxml.jackson.databind.JsonNode,
+                           schema: StructType, column: String,
+                           lower: Option[Any], upper: Option[Any]): Seq[Int] = {
+    require(schema.fieldNames.contains(column),
+      s"statsOverlap: column '$column' not in snapshot schema")
+    val dt = schema(column).dataType
+    val lo = lower.map(statComparable(_, dt))
+    val hi = upper.map(statComparable(_, dt))
+    val entries = manifestEntries(m)
+    val stats = Option(m.get("stats"))
+    entries.indices.filter { i =>
+      stats.flatMap(s => Option(s.get(i))).flatMap(n => Option(n.get(column))) match {
+        case Some(st) =>
+          val mn = jsonComparable(st.get("min"))
+          val mx = jsonComparable(st.get("max"))
+          hi.forall(h => cmpComparable(mn, h) <= 0) &&
+            lo.forall(l => cmpComparable(mx, l) >= 0)
+        case None => true
+      }
     }
   }
 
@@ -1437,9 +1470,20 @@ object Warehouse {
     * version materializes every carried-forward reference into its own
     * dir, letting the referenced old versions expire. Returns
     * (newVersion, filesWritten).
+    *
+    * `clusterCols` turns it into `OPTIMIZE ZORDER BY`: the rewrite
+    * lays rows along the Morton curve over those columns
+    * ([[graft.ops.Layout.zorder]]), so each output file covers a small
+    * hyper-rectangle of the clustered space and the manifest's
+    * per-file min/max (X162) become TIGHT on every clustered column —
+    * [[readSnapshotRange]] and [[deleteWhere]]'s `scanBound` then skip
+    * most files for a filter on ANY of them. Compaction is exactly the
+    * right moment to buy that layout: the table is being rewritten
+    * anyway, and the curve costs one sampled range shuffle.
     */
   def compactSnapshot(spark: SparkSession, path: String,
-                      targetFileBytes: Long = 128L << 20): (Long, Int) = {
+                      targetFileBytes: Long = 128L << 20,
+                      clusterCols: Seq[String] = Seq.empty): (Long, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val v = currentSnapshot(spark, path)
     require(v >= 1, s"compactSnapshot($path): no committed snapshot")
@@ -1456,9 +1500,11 @@ object Warehouse {
       b
     }
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val next = commitSnapshot(
-      readSnapshot(spark, path, Some(v)).repartition(n), path, expectedVersion = v)
-    (next, n)
+    val current = readSnapshot(spark, path, Some(v))
+    val arranged =
+      if (clusterCols.isEmpty) current.repartition(n)
+      else graft.ops.Layout.zorder(current, clusterCols, n)
+    (commitSnapshot(arranged, path, expectedVersion = v), n)
   }
 
   /** ORC sink — the other columnar interchange format a warehouse

@@ -777,6 +777,51 @@ class WarehouseSpec extends SparkSpec {
     assert(shared.collect().map(_.getLong(0)).sorted.toSeq === (100L to 118L))
   }
 
+  test("clustered compactSnapshot makes manifest stats prune on EVERY clustered column") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_zopt").toString + "/t"
+    // x and y independent → a 1-D sort could only tighten one of them
+    val df = spark.range(0, 20000).toDF("id")
+      .withColumn("x", pmod(col("id") * 7919, lit(10000)))
+      .withColumn("y", pmod(col("id") * 104729, lit(10000)))
+      .repartition(8) // random layout: every file spans ~the full x/y range
+    Warehouse.writeSnapshot(df, root)
+    // random layout: a narrow range on x prunes (almost) nothing
+    val before = Warehouse.readSnapshotRange(spark, root, "x", Some(0L), Some(199L))
+    assert(before.inputFiles.length === 8, "unclustered files all overlap a narrow range")
+    val bytes = hfs(root).getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$root/v=1")).getLength
+    val (v2, n) = Warehouse.compactSnapshot(spark, root,
+      targetFileBytes = bytes / 8 + 1, clusterCols = Seq("x", "y"))
+    assert(v2 === 2L && n >= 4, s"want a multi-file clustered rewrite, got $n")
+    val expectedX = df.filter(col("x").between(0, 199)).orderBy("id").collect().toSeq
+    val prunedX = Warehouse.readSnapshotRange(spark, root, "x", Some(0L), Some(199L))
+    assert(prunedX.inputFiles.length < n, "z-order must prune x-ranged reads")
+    assert(prunedX.orderBy("id").collect().toSeq === expectedX)
+    val prunedY = Warehouse.readSnapshotRange(spark, root, "y", Some(0L), Some(199L))
+    assert(prunedY.inputFiles.length < n, "z-order must prune y-ranged reads too")
+    assert(prunedY.orderBy("id").collect().toSeq ===
+      df.filter(col("y").between(0, 199)).orderBy("id").collect().toSeq)
+  }
+
+  test("deleteWhere scanBound restricts the discovery scan via manifest stats") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_dwb").toString + "/t"
+    Warehouse.writeSnapshot(
+      spark.range(0, 300).toDF("id").repartitionByRange(3, col("id")), root)
+    // a bound that (deliberately, wrongly) excludes the file holding
+    // id=5 proves the bound actually gates the scan: nothing found
+    assert(Warehouse.deleteWhere(spark, root, col("id") === 5,
+      scanBound = Some(("id", Some(250L), Some(299L)))) === 1L)
+    assert(Warehouse.readSnapshot(spark, root).count() === 300)
+    // correct bound: the delete lands; files outside the bound are
+    // untouched-by-contract (carried by reference, never opened)
+    assert(Warehouse.deleteWhere(spark, root, col("id") === 5,
+      scanBound = Some(("id", Some(5L), Some(5L)))) === 2L)
+    val latest = Warehouse.readSnapshot(spark, root)
+    assert(latest.count() === 299 && latest.filter(col("id") === 5).isEmpty)
+  }
+
   test("diffFrames rejects duplicate-column multiplicity drift with a clear message") {
     val a = Seq((1, 2.0)).toDF("k", "v")
     val b = a.select($"k", $"v", $"v") // two columns named v
