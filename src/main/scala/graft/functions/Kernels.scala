@@ -680,4 +680,18 @@ object Kernels {
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** upper_bound over SORTED boundaries: count of boundaries <= v —
+    * the z-order rank-bucket id. NaN compares false everywhere and
+    * lands in bucket 0, matching the filter-count formulation.
+    */
+  def rankBucket(v: Double, boundaries: Array[Double]): Int = {
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (boundaries(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }

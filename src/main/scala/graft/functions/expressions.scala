@@ -299,6 +299,33 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Rank-bucket id of a double under SORTED sampled boundaries — the
+  * z-order layout's per-dimension quantizer ([[graft.ops.Layout]]).
+  * Binary search with upper_bound semantics (count of boundaries ≤ v,
+  * equals land in the higher bucket — exactly the higher-order
+  * `size(filter(array(...), b => v >= b))` formulation it replaces,
+  * which evaluated an interpreted lambda per boundary per row: 255
+  * compares/row/dim where this does ≤ 8). NaN and NULL both land in
+  * bucket 0 via the caller's coalesce, as before.
+  */
+case class RankBucketExpr(child: Expression, boundaries: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "rank_bucket"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, DoubleType, "v", child)
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.rankBucket(v.asInstanceOf[Double], boundaries)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("rankBoundaries", boundaries, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rankBucket($c, $bRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sign-bit LSH signature of an embedding under fixed hyperplanes. */
 case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
@@ -619,6 +646,8 @@ object native {
   def postingPairs(postings: Column): Column = c(PostingPairsExpr(e(postings)))
   def repetitionStats(text: Column): Column = c(RepetitionStatsExpr(e(text)))
   def simhash64(shingles: Column): Column = c(SimHash64Expr(e(shingles)))
+  def rankBucket(v: Column, boundaries: Array[Double]): Column =
+    c(RankBucketExpr(e(v), boundaries))
   def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
     c(HyperplaneSigExpr(e(v), planes))
   def lshKeys(v: Column, planes: Array[Array[Array[Double]]], multiprobe: Boolean): Column =

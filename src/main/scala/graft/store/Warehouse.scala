@@ -681,17 +681,21 @@ object Warehouse {
 
   /** Parquet-footer metadata of one committed file: (rows, per-column
     * min/max stats). Stats are recorded for the TOP-LEVEL columns whose
-    * parquet ordering matches Spark's predicate ordering — INT32/INT64
-    * (incl. DATE epoch-days and TIMESTAMP micros, which land as plain
-    * longs: the manifest schema carries the logical type), FLOAT/DOUBLE,
-    * and ASCII-only UTF8 strings (parquet orders binary stats by
-    * UNSIGNED bytes, which coincides with Java string order only inside
-    * ASCII — a non-ASCII min/max is dropped rather than trusted). A row
-    * group with stats disabled drops the column (bounds unknown); an
-    * all-null row group contributes nothing and is NOT a drop — nulls
-    * can never satisfy a range predicate, so the other groups' bounds
-    * stay valid. Driver-side, the same footer read that already
-    * supplies the manifest row count.
+    * parquet VALUES and ordering match Spark's predicate space —
+    * plain signed INT32/INT64, DATE (epoch-day longs), TIMESTAMP
+    * (normalized to epoch-micros longs whatever the file's unit),
+    * FLOAT/DOUBLE, and ASCII-only UTF8 strings (parquet orders binary
+    * stats by UNSIGNED bytes, which coincides with Java string order
+    * only inside ASCII — a non-ASCII min/max is dropped rather than
+    * trusted). Decimal-annotated ints (UNSCALED physical values) and
+    * unsigned ints (unsigned comparator) are deliberately skipped:
+    * recording their raw stats would prune wrongly, and pruning must
+    * only ever be an optimization. A row group with stats disabled
+    * drops the column (bounds unknown); an all-null row group
+    * contributes nothing and is NOT a drop — nulls can never satisfy a
+    * range predicate, so the other groups' bounds stay valid.
+    * Driver-side, the same footer read that already supplies the
+    * manifest row count.
     */
   private def footerInfo(conf: org.apache.hadoop.conf.Configuration,
                          st: org.apache.hadoop.fs.FileStatus,
@@ -716,20 +720,50 @@ object Warehouse {
             val name = c.getPath.toDotString
             val s = c.getStatistics
             val pt = c.getPrimitiveType
-            def scalaVal(o: Any): Option[Any] = pt.getPrimitiveTypeName match {
-              case INT32 => Some(o.asInstanceOf[java.lang.Integer].longValue)
-              case INT64 => Some(o.asInstanceOf[java.lang.Long].longValue)
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            val ann = pt.getLogicalTypeAnnotation
+            // integer annotations are a WHITELIST: a decimal-annotated
+            // INT32/64 stores UNSCALED values (1234 for 12.34) — raw
+            // stats would compare against scaled bounds and prune
+            // wrongly, so decimals (and unsigned ints, whose parquet
+            // comparator is unsigned) are skipped, not guessed at.
+            // Timestamps normalize to MICROS — the unit statComparable
+            // lowers bounds to; the lossy NANOS→micros floor is safe
+            // for min but must CEIL for max (understating max could
+            // wrongly prune a file whose tail rows sit past the floor).
+            def intOk = ann == null || ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+              (ann match {
+                case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+                case _ => false
+              })
+            def tsAdjust(v: Long, isMax: Boolean): Option[Long] = ann match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => Some(v)
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(v * 1000L)
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => // Java 17: no ceilDiv
+                    Some(if (isMax) Math.floorDiv(v + 999L, 1000L) else Math.floorDiv(v, 1000L))
+                  case _ => None
+                }
+              case _ => None
+            }
+            def scalaVal(o: Any, isMax: Boolean): Option[Any] = pt.getPrimitiveTypeName match {
+              case INT32 if intOk => Some(o.asInstanceOf[java.lang.Integer].longValue)
+              case INT64 if ann == null || ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                if (intOk) Some(o.asInstanceOf[java.lang.Long].longValue) else None
+              case INT64 if ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+                tsAdjust(o.asInstanceOf[java.lang.Long].longValue, isMax)
               case FLOAT => Some(o.asInstanceOf[java.lang.Float].doubleValue)
               case DOUBLE => Some(o.asInstanceOf[java.lang.Double].doubleValue)
-              case BINARY if pt.getLogicalTypeAnnotation.isInstanceOf[
-                org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+              case BINARY if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
                 val str = o.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
                 if (str.forall(_ < 128)) Some(str) else None
               case _ => None
             }
             if (s == null || s.isEmpty) dropped += name
             else if (s.hasNonNullValue)
-              (scalaVal(s.genericGetMin), scalaVal(s.genericGetMax)) match {
+              (scalaVal(s.genericGetMin, isMax = false),
+                scalaVal(s.genericGetMax, isMax = true)) match {
                 case (Some(mn), Some(mx)) => acc.get(name) match {
                   case None => acc(name) = (mn, mx)
                   case Some((m0, m1)) => acc(name) = (
@@ -1244,6 +1278,11 @@ object Warehouse {
         case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
         case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
         case other => sys.error(s"unsupported TIMESTAMP bound: $other")
+      }))
+      case TimestampNTZType => Left(BigDecimal(x match {
+        case d: java.time.LocalDateTime =>
+          d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+        case other => sys.error(s"unsupported TIMESTAMP_NTZ bound: $other")
       }))
       case StringType => Right(x.toString)
       case _ => Left(BigDecimal(x.toString))

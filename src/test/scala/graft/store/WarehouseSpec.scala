@@ -777,6 +777,39 @@ class WarehouseSpec extends SparkSpec {
     assert(shared.collect().map(_.getLong(0)).sorted.toSeq === (100L to 118L))
   }
 
+  test("manifest stats never prune on untrusted types (decimal) or timestamps' unit drift") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_stsafe").toString + "/t"
+    // decimal(9,2) lands as UNSCALED INT32/INT64 in parquet: raw stats
+    // (1234 for 12.34) must be SKIPPED, not compared against scaled
+    // bounds — the wrong-prune hazard this test pins
+    val df = spark.range(0, 90).toDF("id")
+      .withColumn("amt", (col("id") / lit(4)).cast("decimal(9,2)"))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("id") * 3600))
+    // Spark's default parquet timestamp encoding is legacy INT96, which
+    // carries no usable stats; annotated TIMESTAMP_MICROS is what a
+    // stats-pruning table should write (and what the normalizer reads)
+    val prevTs = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try Warehouse.writeSnapshot(df.repartitionByRange(3, col("id")), root)
+    finally prevTs match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val full = Warehouse.readSnapshot(spark, root)
+    // decimal bound: no stats recorded → nothing pruned, results exact
+    val amts = Warehouse.readSnapshotRange(spark, root, "amt",
+      lower = Some(new java.math.BigDecimal("20.00")))
+    assert(amts.inputFiles.length === full.inputFiles.length,
+      "decimal stats must be absent (conservative keep), never mis-pruned")
+    assert(amts.count() === full.filter(col("amt") >= lit(new java.math.BigDecimal("20.00"))).count())
+    // timestamp bound (micros-normalized stats): prunes AND stays exact
+    val cut = java.time.Instant.ofEpochSecond(1700000000L + 80 * 3600)
+    val late = Warehouse.readSnapshotRange(spark, root, "ts", lower = Some(cut))
+    assert(late.inputFiles.length < full.inputFiles.length, "timestamp stats must prune")
+    assert(late.count() === full.filter(col("ts") >= lit(java.sql.Timestamp.from(cut))).count())
+  }
+
   test("clustered compactSnapshot makes manifest stats prune on EVERY clustered column") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft_zopt").toString + "/t"
