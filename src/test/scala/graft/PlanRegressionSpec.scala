@@ -131,6 +131,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p.take(1500))
   }
 
+  test("bucketed semantic dedup: one materialized scan, shuffle-hash pair join, partial min") {
+    val p = plan("q_semantic_dedup_bucketed")
+    // the pair stage must be an equi-join on the bucket key, never a
+    // nested loop, and the keep-first min must combine map-side
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    assert("partial_min|HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(1500))
+  }
+
   test("repetition features: zero exchanges — pure per-row kernel, no corpus shuffle") {
     val p = plan("q_repetition")
     assert(exchanges(p) === 0, s"repetition must not shuffle:\n${p.take(1500)}")
