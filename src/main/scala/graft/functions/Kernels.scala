@@ -682,10 +682,15 @@ object Kernels {
   }
 
   /** upper_bound over SORTED boundaries: count of boundaries <= v —
-    * the z-order rank-bucket id. NaN compares false everywhere and
-    * lands in bucket 0, matching the filter-count formulation.
+    * the z-order rank-bucket id. NaN lands in the TOP bucket: Spark's
+    * SQL comparisons rank NaN greater than every double (unlike Java's
+    * IEEE `<=`, which is false everywhere), and the filter-count
+    * formulation this kernel replaced therefore counted ALL boundaries
+    * for a NaN row — binary search must preserve that, not silently
+    * move NaN rows to bucket 0 (review r10 #5).
     */
   def rankBucket(v: Double, boundaries: Array[Double]): Int = {
+    if (java.lang.Double.isNaN(v)) return boundaries.length
     var lo = 0
     var hi = boundaries.length
     while (lo < hi) {

@@ -305,8 +305,10 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   * equals land in the higher bucket — exactly the higher-order
   * `size(filter(array(...), b => v >= b))` formulation it replaces,
   * which evaluated an interpreted lambda per boundary per row: 255
-  * compares/row/dim where this does ≤ 8). NaN and NULL both land in
-  * bucket 0 via the caller's coalesce, as before.
+  * compares/row/dim where this does ≤ 8). NaN lands in the TOP bucket
+  * (Spark's total order ranks NaN greatest, so the predicate form
+  * counted every boundary); NULL in bucket 0 via the caller's
+  * coalesce — both as before.
   */
 case class RankBucketExpr(child: Expression, boundaries: Array[Double])
     extends UnaryExpression {

@@ -31,8 +31,9 @@ object Layout {
     * a codegen'd binary search ([[graft.functions.RankBucketExpr]]);
     * the pre-r10 higher-order `size(filter(array(...)))` form ran an
     * interpreted lambda per boundary per row (2^bits − 1 compares,
-    * measured ~20× slower on the 2M-row EraseProbe write). NULL (and
-    * NaN) sort to bucket 0, as before.
+    * measured ~20× slower on the 2M-row EraseProbe write). NULL sorts
+    * to bucket 0 (coalesce); NaN to the TOP bucket (Spark's total
+    * order ranks NaN greatest) — both as before.
     */
   private def bucketOf(c: Column, boundaries: Array[Double]): Column =
     coalesce(graft.functions.native.rankBucket(c.cast("double"), boundaries), lit(0))

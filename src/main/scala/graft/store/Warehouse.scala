@@ -294,17 +294,32 @@ object Warehouse {
     // absent. The version is unreadable by design (the manifest was
     // its commit record) — reap it past the grace so currentSnapshot
     // stops resolving to a dead end, and release its claim marker so
-    // the version number can be re-claimed.
-    val partials = fs.listStatus(root).toSeq.filter { st =>
+    // the version number can be re-claimed. EXCEPT when any LIVE
+    // manifest still references files inside the dir (review r10 #2:
+    // an expire that crashed after deleting an old version's manifest
+    // but before its sweep leaves `_partial` + no manifest on a dir a
+    // later version's data depends on — that dir is expire's to finish,
+    // never vacuum's to reap).
+    val partialCandidates = fs.listStatus(root).toSeq.filter { st =>
       st.isDirectory && st.getPath.getName.matches("v=\\d+") &&
         fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_partial")) &&
         !fs.exists(manifestPath(path, st.getPath.getName.drop(2).toLong)) &&
         now - newestMtime(fs, st.getPath) > graceMs
-    }.filter { st =>
-      val ok = fs.delete(st.getPath, true)
-      if (ok) fs.delete(new org.apache.hadoop.fs.Path(
-        s"$path/_commit-v${st.getPath.getName.drop(2)}"), false)
-      ok
+    }
+    val referenced: Set[String] =
+      if (partialCandidates.isEmpty) Set.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_manifest-v")).map(_.stripPrefix("_manifest-v").toLong)
+        .flatMap(mv => readManifest(fs, path, mv).toSeq.flatMap(m =>
+          manifestEntries(m).filter(_.contains("/")))).toSet
+    val partials = partialCandidates.filter { st =>
+      val name = st.getPath.getName
+      !referenced.exists(_.startsWith(s"$name/")) && {
+        val ok = fs.delete(st.getPath, true)
+        if (ok) fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/_commit-v${name.drop(2)}"), false)
+        ok
+      }
     }.map(_.getPath.toString)
     debris ++ partials
   }
@@ -793,7 +808,8 @@ object Warehouse {
   private[store] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                                    conf: org.apache.hadoop.conf.Configuration,
                                    path: String, v: Long, schemaJson: String,
-                                   entriesIn: Option[Seq[String]] = None): Unit = {
+                                   entriesIn: Option[Seq[String]] = None,
+                                   reuseFrom: Option[(com.fasterxml.jackson.databind.JsonNode, Long)] = None): Unit = {
     val entries: Seq[String] = entriesIn.getOrElse {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -801,10 +817,35 @@ object Warehouse {
         .map(_.getPath.getName)
     }.sorted
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // per-file (bytes, rows, stats) REUSE from the previous manifest —
+    // a carried-by-reference file's footer must not be re-read on every
+    // commit (review r10 #4: without this, each deleteWhere paid
+    // O(total table files) driver-side footer opens, defeating its
+    // touched-files-only cost contract). Keyed on the root-relative
+    // identity; a previous manifest without per-file arrays (pre-r10)
+    // yields no reuse and the footers are read once, upgrading it.
+    val reuse: Map[String, (Long, Long, com.fasterxml.jackson.databind.JsonNode)] =
+      reuseFrom match {
+        case Some((old, oldV)) =>
+          val oe = manifestEntries(old).map(e => if (e.contains("/")) e else s"v=$oldV/$e")
+          (Option(old.get("fileBytes")), Option(old.get("fileRows"))) match {
+            case (Some(b), Some(r)) =>
+              val os = Option(old.get("stats"))
+              oe.indices.map { i =>
+                oe(i) -> ((b.get(i).asLong, r.get(i).asLong,
+                  os.map(_.get(i)).getOrElse(
+                    mapper.createObjectNode(): com.fasterxml.jackson.databind.JsonNode)))
+              }.toMap
+            case _ => Map.empty
+          }
+        case None => Map.empty
+      }
     val infos = entries.map { e =>
-      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(resolveEntry(path, v, e)))
-      val (rows, stats) = footerInfo(conf, st, mapper)
-      (st.getLen, rows, stats)
+      reuse.getOrElse(e, {
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(resolveEntry(path, v, e)))
+        val (rows, stats) = footerInfo(conf, st, mapper)
+        (st.getLen, rows, stats: com.fasterxml.jackson.databind.JsonNode)
+      })
     }
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -815,9 +856,14 @@ object Warehouse {
     entries.foreach(arr.add)
     // per-file column min/max, PARALLEL to `files` — the data-skipping
     // record [[readSnapshotRange]] prunes from (absent in pre-r10
-    // manifests, which read fine: pruning just has nothing to use)
+    // manifests, which read fine: pruning just has nothing to use) —
+    // plus per-file bytes/rows, which make the reuse above possible
     val starr = node.putArray("stats")
     infos.foreach(i => starr.add(i._3))
+    val barr = node.putArray("fileBytes")
+    infos.foreach(i => barr.add(i._1))
+    val rarr = node.putArray("fileRows")
+    infos.foreach(i => rarr.add(i._2))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-mf$tag")
     val out = fs.create(tmp, true)
@@ -1011,6 +1057,22 @@ object Warehouse {
     val all = snapshots(spark, path)
     val drop = all.dropRight(keepLast)
     val retained = all.takeRight(keepLast)
+    // HARD STOP before anything is touched: a RETAINED file-sharing
+    // version (`_partial` present) whose manifest cannot be read holds
+    // its data ONLY through manifest references we cannot enumerate —
+    // proceeding would compute an incomplete live set below and delete
+    // files the current snapshot still needs (review r10 #1: the
+    // crash-gap state, or a transiently unreadable manifest, must make
+    // retention refuse, never silently lose the live version's rows).
+    // A manifest-less retained version WITHOUT `_partial` is safe: its
+    // dir is self-contained (pre-manifest table or plain crash gap).
+    retained.foreach { rv =>
+      require(readManifest(fs, path, rv).isDefined ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$rv/_partial")),
+        s"expireSnapshots($path): retained v=$rv is a file-sharing version with no " +
+          "readable manifest — its carried rows cannot be traced; vacuum or restore " +
+          "it before expiring history")
+    }
     // every root-relative (cross-version) file entry a RETAINED
     // manifest still needs — the live set for the sweeps below
     val referenced: Set[String] = retained.flatMap(rv =>
@@ -1018,6 +1080,11 @@ object Warehouse {
         manifestEntries(m).filter(_.contains("/")))).toSet
     def sweepDir(v: Long): Unit = {
       val dir = new org.apache.hadoop.fs.Path(s"$path/v=$v")
+      // idempotent teardown of the version's commit records — also
+      // covers an expire that crashed right after creating the marker
+      // (re-swept here with manifest/marker still present)
+      fs.delete(manifestPath(path, v), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$v"), false)
       val refsHere = referenced.filter(_.startsWith(s"v=$v/"))
       if (refsHere.isEmpty) {
         fs.delete(dir, true)
@@ -1029,9 +1096,16 @@ object Warehouse {
         fs.create(new org.apache.hadoop.fs.Path(s"$path/_expired-v$v"), true).close()
       }
     }
+    // (manifest/marker deletion is inside sweepDir; the drop loop below
+    // only adds the marker-first visibility fence)
     drop.foreach { v =>
-      fs.delete(manifestPath(path, v), false)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$v"), false)
+      // marker FIRST (review r10 #3): from this instant the version is
+      // excluded from snapshots() and the listing fallback refuses it,
+      // so a crash anywhere in the teardown — or a concurrent pinned
+      // reader arriving mid-sweep — hits a loud error, never a silent
+      // scan of a half-deleted directory. The marker comes off only
+      // after the dir is fully gone (sweepDir's empty-refs branch).
+      fs.create(new org.apache.hadoop.fs.Path(s"$path/_expired-v$v"), true).close()
       sweepDir(v)
     }
     // re-sweep PREVIOUSLY expired dirs: a version that was keeping them
@@ -1161,7 +1235,8 @@ object Warehouse {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath.getName)
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      schema.json, Some(rewritten ++ untouched))
+      schema.json, Some(rewritten ++ untouched),
+      reuseFrom = manifestOpt.map(m => (m, v)))
     catch {
       case e: Throwable =>
         // the manifest IS this version's commit record — unwind so the

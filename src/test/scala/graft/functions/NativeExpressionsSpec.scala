@@ -208,4 +208,25 @@ class NativeExpressionsSpec extends SparkSpec {
     Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v").createOrReplaceTempView("floats_v")
     assert(spark.sql("SELECT dot_f(v, v) FROM floats_v").head().getDouble(0) === 5.0)
   }
+
+  test("rankBucket: upper_bound semantics; NaN ranks TOP (Spark total order), matching the HOF form") {
+    val bs = Array(1.0, 2.0, 2.0, 5.0)
+    assert(Kernels.rankBucket(0.5, bs) === 0)
+    assert(Kernels.rankBucket(1.0, bs) === 1)  // equals land higher
+    assert(Kernels.rankBucket(2.0, bs) === 3)  // duplicate boundaries all count
+    assert(Kernels.rankBucket(4.9, bs) === 3)
+    assert(Kernels.rankBucket(99.0, bs) === 4)
+    // Spark SQL ranks NaN greater than every double — the replaced
+    // `size(filter(array(...), b => v >= b))` counted ALL boundaries
+    // for NaN, so the kernel must too (not IEEE's all-false compares)
+    assert(Kernels.rankBucket(Double.NaN, bs) === 4)
+    // cross-check the expression against the predicate formulation on
+    // a NaN-bearing column
+    import org.apache.spark.sql.functions._
+    val df = Seq(0.5, 1.0, 4.9, Double.NaN, 99.0).toDF("x")
+    val viaKernel = df.select(graft.functions.native.rankBucket(col("x"), bs)).collect().map(_.getInt(0))
+    val viaHof = df.select(size(filter(
+      array(bs.map(lit(_)): _*), b => col("x") >= b))).collect().map(_.getInt(0))
+    assert(viaKernel.toSeq === viaHof.toSeq)
+  }
 }

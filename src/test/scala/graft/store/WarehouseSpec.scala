@@ -855,6 +855,104 @@ class WarehouseSpec extends SparkSpec {
     assert(latest.count() === 299 && latest.filter(col("id") === 5).isEmpty)
   }
 
+  test("expireSnapshots refuses when a RETAINED file-sharing version has no readable manifest") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_expguard").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 50).toDF("id"), root)
+    val fs = hfs(root)
+    // crash-gap state AT THE HEAD: v=2 promoted with _partial, manifest
+    // never published. Its rows exist only via untraceable references —
+    // expiring v1 here would delete the only good data (review r10 #1)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v=2"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/v=2/_partial"), true).close()
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.expireSnapshots(spark, root, keepLast = 1)
+    }
+    assert(e.getMessage.contains("file-sharing"))
+    assert(Warehouse.readSnapshot(spark, root, Some(1L)).count() === 50, "v1 untouched")
+  }
+
+  test("vacuum never reaps a partial dir that live manifests still reference") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_vacref").toString + "/t"
+    Warehouse.writeSnapshot(
+      spark.range(0, 300).toDF("id").repartitionByRange(3, col("id")), root)
+    Warehouse.deleteWhere(spark, root, col("id") === 5)   // v2: refs v=1/B, v=1/C
+    Warehouse.deleteWhere(spark, root, col("id") === 150) // v3: refs v=2/A', v=1/C
+    val fs = hfs(root)
+    val v3refs = {
+      val mf = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+        new org.apache.hadoop.fs.Path(s"$root/_manifest-v3"))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(mf.toString)), "UTF-8"))
+      (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+    }
+    assert(v3refs.exists(_.startsWith("v=2/")), s"fixture needs a live ref into v=2: $v3refs")
+    // simulate an expire that crashed after deleting v2's manifest but
+    // before its sweep: v=2 now has `_partial` (every deleteWhere
+    // version does) and no manifest — the exact state vacuum's partial
+    // reap matches, but v3's data lives in that dir (review r10 #2)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_manifest-v2"), false)
+    Thread.sleep(150)
+    val reaped = Warehouse.vacuum(spark, root, graceMs = 100L)
+    assert(!reaped.exists(_.endsWith("v=2")), "referenced partial dir must survive vacuum")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=2")))
+    assert(Warehouse.readSnapshot(spark, root).count() === 298, "v3 reads completely")
+  }
+
+  test("a crashed expire (marker created, teardown unfinished) completes on the next run") {
+    val root = java.nio.file.Files.createTempDirectory("graft_expcrash").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 10).toDF("id"), root)
+    Warehouse.writeSnapshot(spark.range(0, 20).toDF("id"), root)
+    val fs = hfs(root)
+    // crash right after the marker fence: dir, manifest, commit marker
+    // all still present — but the version is already invisible and
+    // refused, never silently scanned (review r10 #3)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_expired-v1"), true).close()
+    assert(Warehouse.snapshots(spark, root) === Seq(2L))
+    // next expire finishes the teardown via the re-sweep
+    Warehouse.expireSnapshots(spark, root, keepLast = 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v=1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_manifest-v1")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_expired-v1")))
+    assert(Warehouse.readSnapshot(spark, root).count() === 20)
+  }
+
+  test("deleteWhere reuses carried files' manifest info — no footer re-reads, no file opens") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_reuse").toString + "/t"
+    Warehouse.writeSnapshot(
+      spark.range(0, 300).toDF("id").repartitionByRange(3, col("id")), root)
+    Warehouse.deleteWhere(spark, root, col("id") === 5) // v2: A' + refs v=1/B, v=1/C
+    val fs = hfs(root)
+    // physically remove a carried file: if the next deleteWhere touched
+    // it in ANY way — discovery scan, rewrite, or a manifest footer
+    // re-read (review r10 #4) — it would throw FileNotFound. With a
+    // scanBound restricting discovery to the A-range file and manifest
+    // reuse supplying the carried bytes/rows/stats, it must succeed.
+    // find which v=1 file holds the TOP id range (one the stats exclude
+    // for a bound at id=6): read each file's max id
+    val byMax = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v=1"))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")).map(_.getPath)
+      .map(p => p -> spark.read.parquet(p.toString).agg(max(col("id"))).head.getLong(0))
+    val topFile = byMax.maxBy(_._2)._1
+    fs.delete(topFile, false)
+    val next = Warehouse.deleteWhere(spark, root, col("id") === 6,
+      scanBound = Some(("id", Some(6L), Some(6L))))
+    assert(next === 3L, "commit must succeed without touching the deleted carried file")
+    // the new manifest still carries the (now missing) file by
+    // reference with its reused accounting intact
+    val mf = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(s"$root/_manifest-v3"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(mf.toString)), "UTF-8"))
+    val entries = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+    assert(entries.contains(s"v=1/${topFile.getName}"))
+    assert(node.get("rowCount").asLong === 298L, "reused per-file rows sum correctly")
+  }
+
   test("diffFrames rejects duplicate-column multiplicity drift with a clear message") {
     val a = Seq((1, 2.0)).toDF("k", "v")
     val b = a.select($"k", $"v", $"v") // two columns named v

@@ -61,7 +61,6 @@ def main(old_path: str, new_path: str) -> int:
             flagged += 1
         elif -d > 0.3 and -d > 0.25 * max(old[k], 0.01):
             print(f"  faster   {k:26s} {old[k]:6.2f} -> {new[k]:6.2f}  ({d:.2f} after drift)")
-    print(f"{flagged} regressions flagged")
     # isolated companion map (fresh-JVM min-of-3 for the heap-heavy
     # keys): no drift correction — these numbers are suite-independent,
     # so a delta here is a REAL per-query change, flagged tighter
@@ -77,6 +76,8 @@ def main(old_path: str, new_path: str) -> int:
             elif -d > 0.2 and -d > 0.15 * max(old_iso[k], 0.01):
                 mark = "  faster"
             print(f"  {k:26s} {old_iso[k]:6.2f} -> {new_iso[k]:6.2f}{mark}")
+    # summary LAST so it counts isolated regressions too
+    print(f"{flagged} regressions flagged")
     return 1 if flagged else 0
 
 
