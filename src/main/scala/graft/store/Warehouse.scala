@@ -1159,11 +1159,52 @@ object Warehouse {
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
                   orphanGraceMs: Long = 600000L,
+                  scanBound: Option[(String, Option[Any], Option[Any])] = None): Long =
+    rewriteMatchingFiles(spark, path, predicate, orphanGraceMs, scanBound,
+      "deleteWhere", (df, _) => df.where(!coalesce(predicate, lit(false))))
+
+  /** Row-level UPDATE on the snapshot warehouse — [[deleteWhere]]'s
+    * sibling (Delta-style `UPDATE t SET ... WHERE ...`), sharing its
+    * whole machinery: one column-pruned discovery scan finds the files
+    * containing matching rows, ONLY those files are rewritten (each
+    * matching row's `set` columns replaced, cast to their existing
+    * types so the schema never drifts; non-matching rows in touched
+    * files pass through unchanged), untouched files are carried into
+    * the new version's manifest by reference with their accounting
+    * reused. Same CAS concurrency, `_partial` manifest contract,
+    * no-match no-op, and `scanBound` candidate pruning. At 100 TB a
+    * point correction costs one pruned scan + a few file rewrites —
+    * the write path the reference's per-day UPSERT (S9) needs when
+    * the restated rows are scattered rather than partition-aligned.
+    */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+                  set: Map[String, Column],
+                  orphanGraceMs: Long = 600000L,
                   scanBound: Option[(String, Option[Any], Option[Any])] = None): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    rewriteMatchingFiles(spark, path, predicate, orphanGraceMs, scanBound,
+      "updateWhere", { (df, schema) =>
+        val unknown = set.keySet -- schema.fieldNames
+        require(unknown.isEmpty,
+          s"updateWhere: SET columns not in the table schema: ${unknown.mkString(", ")}")
+        val cond = coalesce(predicate, lit(false))
+        df.select(schema.map { f =>
+          if (set.contains(f.name))
+            when(cond, set(f.name).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          else col(f.name)
+        }: _*)
+      })
+  }
+
+  private def rewriteMatchingFiles(spark: SparkSession, path: String, predicate: Column,
+                                   orphanGraceMs: Long,
+                                   scanBound: Option[(String, Option[Any], Option[Any])],
+                                   op: String,
+                                   rewrite: (DataFrame, StructType) => DataFrame): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = currentSnapshot(spark, path)
-    require(v >= 1, s"deleteWhere($path): no committed snapshot")
+    require(v >= 1, s"$op($path): no committed snapshot")
     // the version's committed entries, root-relative; manifest when
     // present, dir listing for pre-manifest versions
     val (entries, schemaOpt, manifestOpt) = readManifest(fs, path, v) match {
@@ -1173,7 +1214,7 @@ object Warehouse {
             .fromJson(m.get("schema").toString).asInstanceOf[StructType]), Some(m))
       case None =>
         require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$v/_partial")),
-          s"deleteWhere($path): v=$v is a file-sharing version with no readable manifest")
+          s"$op($path): v=$v is a file-sharing version with no readable manifest")
         (fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith("."))
@@ -1208,13 +1249,12 @@ object Warehouse {
       .collect()
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
       .map(p => byPath.getOrElse(p,
-        sys.error(s"deleteWhere($path): scanned file $p not in committed entry list")))
+        sys.error(s"$op($path): scanned file $p not in committed entry list")))
       .toSet
     if (touched.isEmpty) return v
     val untouched = entries.filterNot(touched)
     val next = v + 1
-    val kept = reader.parquet(touched.toSeq.sorted.map(e => s"$path/$e"): _*)
-      .where(!coalesce(predicate, lit(false)))
+    val kept = rewrite(reader.parquet(touched.toSeq.sorted.map(e => s"$path/$e"): _*), schema)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     kept.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
@@ -1244,7 +1284,7 @@ object Warehouse {
         fs.delete(dest, true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
         throw new java.io.IOException(
-          s"deleteWhere($path): manifest publish failed for v=$next; version unwound", e)
+          s"$op($path): manifest publish failed for v=$next; version unwound", e)
     }
     advancePointer(fs, path, next)
     next

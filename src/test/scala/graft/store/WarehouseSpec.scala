@@ -855,6 +855,43 @@ class WarehouseSpec extends SparkSpec {
     assert(latest.count() === 299 && latest.filter(col("id") === 5).isEmpty)
   }
 
+  test("updateWhere rewrites only touched files, applies SET to matching rows, keeps schema") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_updw").toString + "/t"
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("v", (col("id") * 2).cast("double"))
+      .withColumn("tag", lit("keep"))
+    Warehouse.writeSnapshot(df.repartitionByRange(3, col("id")), root)
+    val next = Warehouse.updateWhere(spark, root, col("id") === 7,
+      set = Map("v" -> (col("v") + 1000), "tag" -> lit("fixed")))
+    assert(next === 2L)
+    val latest = Warehouse.readSnapshot(spark, root)
+    // names/types only: the parquet round-trip widens nullability
+    assert(latest.schema.map(f => f.name -> f.dataType) ===
+      df.schema.map(f => f.name -> f.dataType), "SET must not drift the schema")
+    val updated = latest.filter(col("id") === 7).head
+    assert(updated.getDouble(1) === 1014.0 && updated.getString(2) === "fixed")
+    // every other row untouched, incl. the touched file's neighbors
+    assert(latest.filter(col("id") =!= 7).filter(col("tag") =!= "keep").isEmpty)
+    assert(latest.count() === 300)
+    // only one file rewritten; two carried by reference
+    val mf = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(s"$root/_manifest-v2"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(mf.toString)), "UTF-8"))
+    val entries = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+    assert(entries.count(_.startsWith("v=1/")) === 2, s"expected 2 carried refs: $entries")
+    // pinned history intact; unknown SET column rejected; no-match no-op
+    assert(Warehouse.readSnapshot(spark, root, Some(1L))
+      .filter(col("id") === 7).head.getString(2) === "keep")
+    intercept[IllegalArgumentException] {
+      Warehouse.updateWhere(spark, root, col("id") === 1, Map("nope" -> lit(1)))
+    }
+    assert(Warehouse.updateWhere(spark, root, col("id") === 99999,
+      Map("tag" -> lit("x"))) === 2L)
+  }
+
   test("expireSnapshots refuses when a RETAINED file-sharing version has no readable manifest") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft_expguard").toString + "/t"
