@@ -990,6 +990,48 @@ class WarehouseSpec extends SparkSpec {
     assert(node.get("rowCount").asLong === 298L, "reused per-file rows sum correctly")
   }
 
+  test("deleteWhere loses a claim race retry-ably and leaves no staging debris") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_dwrace").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 50).toDF("id"), root)
+    val fs = hfs(root)
+    // another writer claimed v2 between our version read and our claim
+    // (fresh marker — no orphan lease to break)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_commit-v2"), true).close()
+    intercept[Warehouse.SnapshotConflictException] {
+      Warehouse.deleteWhere(spark, root, col("id") === 5)
+    }
+    // conflict loser cleans its staging; the table is untouched
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName.startsWith("_staging-")))
+    assert(Warehouse.readSnapshot(spark, root).count() === 50)
+  }
+
+  test("schema evolution across snapshot versions survives file-sharing commits") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_evosnap").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 100).toDF("id"), root)
+    // widened table state lands as a NEW version (each version owns its
+    // schema via the manifest)
+    val widened = spark.range(0, 100).toDF("id")
+      .withColumn("quality", (col("id") % 5).cast("double"))
+      .repartitionByRange(2, col("id"))
+    Warehouse.commitSnapshot(widened, root, expectedVersion = 1L)
+    // a file-sharing delete on the widened version carries its files
+    // and its WIDENED schema forward
+    val v3 = Warehouse.deleteWhere(spark, root, col("id") === 7)
+    assert(v3 === 3L)
+    val latest = Warehouse.readSnapshot(spark, root)
+    assert(latest.columns.toSeq === Seq("id", "quality") && latest.count() === 99)
+    // pinned reads see each version's own schema
+    assert(Warehouse.readSnapshot(spark, root, Some(1L)).columns.toSeq === Seq("id"))
+    assert(Warehouse.readSnapshot(spark, root, Some(2L)).columns.toSeq === Seq("id", "quality"))
+    // updateWhere on the widened column composes on top
+    Warehouse.updateWhere(spark, root, col("id") === 8, Map("quality" -> lit(99.0)))
+    assert(Warehouse.readSnapshot(spark, root)
+      .filter(col("id") === 8).head.getDouble(1) === 99.0)
+  }
+
   test("diffFrames rejects duplicate-column multiplicity drift with a clear message") {
     val a = Seq((1, 2.0)).toDF("k", "v")
     val b = a.select($"k", $"v", $"v") // two columns named v
