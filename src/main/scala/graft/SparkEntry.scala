@@ -418,6 +418,14 @@ object SparkEntry {
       Contamination.attribute(d.filter(col("doc_id") % 17 =!= 0),
         d.filter(col("doc_id") % 17 === 0), n = 5)
     }),
+    "q_decontam_semantic" -> ((s, dir) => {
+      // embedding-space leak screen: vecs 0-19 play the benchmark set,
+      // the rest the corpus — FULL oracle (exact cosine + window, the
+      // q_topk_cosine determinism recipe)
+      val e = Tables.embeddings(s, dir)
+      Contamination.semanticScreen(e.filter(col("vec_id") >= 20),
+        e.filter(col("vec_id") < 20), threshold = 0.4)
+    }),
     "q_split_leakage" -> ((s, dir) =>
       ext.Dedup.splitLeakage(Tables.documentsWide(s, dir), n = 3, threshold = 0.5)),
     "q_lang_scores" -> ((s, dir) => { // the per-language feature vector
@@ -1426,6 +1434,20 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |FROM ex c JOIN ex b ON c.s = b.s
         |WHERE c.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
         |GROUP BY 1, 2""".stripMargin,
+    "q_decontam_semantic" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |           FROM embeddings WHERE vec_id >= 20),
+        |b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |      FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT c.vec_id, b.bench_id,
+        |             list_dot_product(c.v, b.v) / (c.nm * b.nm) AS sim
+        |      FROM c, b
+        |      WHERE list_dot_product(c.v, b.v) / (c.nm * b.nm) >= 0.4),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+        |      FROM s)
+        |SELECT vec_id, bench_id, sim FROM r WHERE rn = 1""".stripMargin,
     "q_split_leakage" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]

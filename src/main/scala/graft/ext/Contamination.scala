@@ -125,4 +125,38 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared")) // shingles distinct per doc: count = |A∩B|
       .filter(col("n_shared") >= minShared)
   }
+
+  /** SEMANTIC contamination screen — the embedding-space member of the
+    * family: flags corpus documents whose EMBEDDING cosine to any
+    * benchmark document clears `threshold`, catching the paraphrased /
+    * translated / reformatted test-set leaks that n-gram overlap
+    * ([[flag]]/[[attribute]]) cannot see (zero lexical overlap, same
+    * content — the same blind spot SemDeDup covers for dedup). One row
+    * per CONTAMINATED corpus doc: (vec_id, bench_id, sim) with the
+    * STRONGEST benchmark match (ties → smallest bench_id); clean docs
+    * are absent. Cosine is exact — no LSH approximation at the
+    * decision, so precision against the threshold is 1.0.
+    *
+    * Scale shape: the benchmark side is broadcast (eval suites are
+    * tiny vs the corpus); the corpus is scanned ONCE, and — the part
+    * that matters at 100 TB — the `sim ≥ threshold` filter runs
+    * BEFORE the per-doc argmax shuffle, so the only rows that ever
+    * shuffle are the contaminated candidates (a vanishing fraction),
+    * as 3 scalars each, never embeddings and never the clean bulk.
+    */
+  def semanticScreen(corpus: DataFrame, benchmark: DataFrame,
+                     threshold: Double): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("cv"),
+      graft.ext.Similarity.l2norm(col("embedding")).as("cn"))
+    val b = broadcast(benchmark.select(col("vec_id").as("bench_id"),
+      col("embedding").as("bv"), graft.ext.Similarity.l2norm(col("embedding")).as("bn")))
+    val hits = c.crossJoin(b)
+      .select(col("vec_id"), col("bench_id"),
+        (graft.ext.Similarity.dot(col("cv"), col("bv")) / (col("cn") * col("bn"))).as("sim"))
+      .filter(col("sim") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("sim"), asc("bench_id"))
+    hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "bench_id", "sim")
+  }
 }

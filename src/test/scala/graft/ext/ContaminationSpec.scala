@@ -85,4 +85,29 @@ class ContaminationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(bigBloom2 === bigExact2)
   }
+
+  test("semanticScreen flags embedding-space leaks; clean docs absent; ties pick min bench_id") {
+    // a "paraphrase" shares the benchmark's direction with a different
+    // norm (the leak n-gram overlap can't see); an orthogonal doc and a
+    // 45-degree doc stay clean at threshold 0.9
+    val bench = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(2.0f, 0.01f)),  // ≈ bench 0's direction → flagged
+      (11L, Seq(1.0f, 1.0f)),   // 0.707 to both → clean at 0.9
+      (12L, Seq(-3.0f, 0.0f))   // antipodal → clean
+    ).toDF("vec_id", "embedding")
+    val out = Contamination.semanticScreen(corpus, bench, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(10L), s"only the paraphrase is contaminated: $out")
+    assert(out(10L)._1 === 0L && out(10L)._2 > 0.999)
+    // exact tie across two benchmark twins resolves to the SMALLEST
+    // bench id (deterministic audit output)
+    val twins = Seq((5L, Seq(1.0f, 0.0f)), (6L, Seq(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val tied = Contamination.semanticScreen(
+      Seq((20L, Seq(2.0f, 0.0f))).toDF("vec_id", "embedding"), twins, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(tied.toSeq === Seq((20L, 5L, 1.0)))
+  }
 }
