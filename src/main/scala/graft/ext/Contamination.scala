@@ -146,10 +146,17 @@ object Contamination {
     */
   def semanticScreen(corpus: DataFrame, benchmark: DataFrame,
                      threshold: Double): DataFrame = {
+    // zero-norm embeddings (empty/padding docs) have no direction:
+    // screened out of BOTH sides up front — under Spark's default ANSI
+    // mode the cosine division would otherwise abort the whole job
+    // with DIVIDE_BY_ZERO on one such row (review r10); a zero corpus
+    // vector reads as clean, a zero benchmark vector matches nothing
     val c = corpus.select(col("vec_id"), col("embedding").as("cv"),
       graft.ext.Similarity.l2norm(col("embedding")).as("cn"))
+      .filter(col("cn") > 0)
     val b = broadcast(benchmark.select(col("vec_id").as("bench_id"),
-      col("embedding").as("bv"), graft.ext.Similarity.l2norm(col("embedding")).as("bn")))
+      col("embedding").as("bv"), graft.ext.Similarity.l2norm(col("embedding")).as("bn"))
+      .filter(col("bn") > 0))
     val hits = c.crossJoin(b)
       .select(col("vec_id"), col("bench_id"),
         (graft.ext.Similarity.dot(col("cv"), col("bv")) / (col("cn") * col("bn"))).as("sim"))

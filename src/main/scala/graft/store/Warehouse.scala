@@ -1161,7 +1161,7 @@ object Warehouse {
                   orphanGraceMs: Long = 600000L,
                   scanBound: Option[(String, Option[Any], Option[Any])] = None): Long =
     rewriteMatchingFiles(spark, path, predicate, orphanGraceMs, scanBound,
-      "deleteWhere", (df, _) => df.where(!coalesce(predicate, lit(false))))
+      "deleteWhere", rewrite = (df, _) => df.where(!coalesce(predicate, lit(false))))
 
   /** Row-level UPDATE on the snapshot warehouse — [[deleteWhere]]'s
     * sibling (Delta-style `UPDATE t SET ... WHERE ...`), sharing its
@@ -1183,10 +1183,16 @@ object Warehouse {
                   scanBound: Option[(String, Option[Any], Option[Any])] = None): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
     rewriteMatchingFiles(spark, path, predicate, orphanGraceMs, scanBound,
-      "updateWhere", { (df, schema) =>
+      "updateWhere",
+      // EAGER validation, before the discovery scan runs and even when
+      // the predicate matches nothing (review r10: a typo'd SET column
+      // on a no-match call must throw, not report a successful no-op)
+      validate = schema => {
         val unknown = set.keySet -- schema.fieldNames
         require(unknown.isEmpty,
           s"updateWhere: SET columns not in the table schema: ${unknown.mkString(", ")}")
+      },
+      rewrite = { (df, schema) =>
         val cond = coalesce(predicate, lit(false))
         df.select(schema.map { f =>
           if (set.contains(f.name))
@@ -1200,7 +1206,8 @@ object Warehouse {
                                    orphanGraceMs: Long,
                                    scanBound: Option[(String, Option[Any], Option[Any])],
                                    op: String,
-                                   rewrite: (DataFrame, StructType) => DataFrame): Long = {
+                                   rewrite: (DataFrame, StructType) => DataFrame,
+                                   validate: StructType => Unit = _ => ()): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = currentSnapshot(spark, path)
@@ -1220,10 +1227,15 @@ object Warehouse {
             !st.getPath.getName.startsWith("."))
           .map(st => s"v=$v/${st.getPath.getName}").sorted, None, None)
     }
+    // validate against the committed schema BEFORE any scan or early
+    // return: a caller error (updateWhere SET typo) must throw even
+    // when the predicate matches nothing or the table is empty
+    schemaOpt.foreach(validate)
     if (entries.isEmpty) return v
     val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
     val schema = schemaOpt.getOrElse(
       spark.read.parquet(entries.map(e => s"$path/$e"): _*).schema)
+    if (schemaOpt.isEmpty) validate(schema) // inferred-schema (pre-manifest) path
     // `scanBound` = (column, lower, upper): the caller's promise that
     // every matching row lies inside the bound — manifest stats then
     // drop non-overlapping files from the DISCOVERY scan itself, so an

@@ -109,5 +109,14 @@ class ContaminationSpec extends SparkSpec {
       Seq((20L, Seq(2.0f, 0.0f))).toDF("vec_id", "embedding"), twins, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(tied.toSeq === Seq((20L, 5L, 1.0)))
+    // zero-norm embeddings (padding/empty docs) must not abort the job
+    // under ANSI division — zero corpus vectors read clean, zero bench
+    // vectors match nothing
+    val zeros = Contamination.semanticScreen(
+      Seq((30L, Seq(0.0f, 0.0f)), (31L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(2.0f, 0.0f))).toDF("vec_id", "embedding"),
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(zeros.toSeq === Seq((31L, 1L)))
   }
 }

@@ -888,6 +888,11 @@ class WarehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Warehouse.updateWhere(spark, root, col("id") === 1, Map("nope" -> lit(1)))
     }
+    // validation is EAGER: a typo'd SET column throws even when the
+    // predicate matches nothing (no silent "successful no-op")
+    intercept[IllegalArgumentException] {
+      Warehouse.updateWhere(spark, root, col("id") === 99999, Map("nope" -> lit(1)))
+    }
     assert(Warehouse.updateWhere(spark, root, col("id") === 99999,
       Map("tag" -> lit("x"))) === 2L)
   }
