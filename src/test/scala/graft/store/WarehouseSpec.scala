@@ -1037,6 +1037,47 @@ class WarehouseSpec extends SparkSpec {
       .filter(col("id") === 8).head.getDouble(1) === 99.0)
   }
 
+  test("pruning law: readSnapshotRange equals the unpruned filtered read over random bounds") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_prunelaw").toString + "/t"
+    val rnd = new scala.util.Random(777L)
+    // mixed-type table with values the stats machinery must compare in
+    // three spaces (long, double, ASCII string, date) — plus negatives
+    // and duplicated values at file boundaries
+    val rows = (0 until 500).map { _ =>
+      val k = rnd.nextInt(2000) - 1000
+      (k.toLong, k * 0.5 - 3.25, f"s${k + 1000}%04d",
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(365))))
+    }
+    val df = rows.toDF("l", "d", "s", "dt")
+    Warehouse.writeSnapshot(df.repartitionByRange(5, col("l")), root)
+    val full = Warehouse.readSnapshot(spark, root)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    for (i <- 1 to 15) {
+      val (column, lo, hi, loLit, hiLit) = rnd.nextInt(4) match {
+        case 0 =>
+          val a = rnd.nextInt(2400) - 1200; val b = a + rnd.nextInt(600)
+          ("l", a.toLong: Any, b.toLong: Any, lit(a.toLong), lit(b.toLong))
+        case 1 =>
+          val a = rnd.nextDouble() * 1000 - 500; val b = a + rnd.nextDouble() * 200
+          ("d", a: Any, b: Any, lit(a), lit(b))
+        case 2 =>
+          val a = rnd.nextInt(2000); val b = a + rnd.nextInt(500)
+          ("s", f"s$a%04d": Any, f"s$b%04d": Any, lit(f"s$a%04d"), lit(f"s$b%04d"))
+        case _ =>
+          val a = java.time.LocalDate.of(2024, 1, 1).plusDays(rnd.nextInt(400) - 20)
+          val b = a.plusDays(rnd.nextInt(120))
+          ("dt", a: Any, b: Any,
+            lit(java.sql.Date.valueOf(a)), lit(java.sql.Date.valueOf(b)))
+      }
+      val pruned = Warehouse.readSnapshotRange(spark, root, column, Some(lo), Some(hi))
+      val expected = full.filter(col(column) >= loLit && col(column) <= hiLit)
+      assert(pruned.collect().map(key).sorted.toSeq ===
+        expected.collect().map(key).sorted.toSeq,
+        s"iteration $i: $column in [$lo, $hi] diverged (pruning must be conservative)")
+    }
+  }
+
   test("diffFrames rejects duplicate-column multiplicity drift with a clear message") {
     val a = Seq((1, 2.0)).toDF("k", "v")
     val b = a.select($"k", $"v", $"v") // two columns named v
