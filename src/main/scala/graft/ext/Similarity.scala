@@ -20,6 +20,14 @@ import graft.ops.Mat.MatOps
   *
   * All arithmetic is double-accumulated in list order so results are
   * reproducible and comparable against the DuckDB oracle bit-for-bit.
+  *
+  * INPUT CONTRACT: embeddings must be non-zero vectors. A zero-norm
+  * embedding has no direction — cosine against it is undefined, and
+  * under Spark's default ANSI mode the norm division fails LOUDLY
+  * (DIVIDE_BY_ZERO aborts the job) rather than propagating NaN.
+  * Screen padding/empty-doc vectors upstream (`l2norm(...) > 0`, the
+  * filter [[graft.ext.Contamination.semanticScreen]] applies
+  * internally) before running the cosine family over raw corpora.
   */
 object Similarity {
 

@@ -129,4 +129,22 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("rankBucket law: binary search == naive boundary count under Spark ordering") {
+    import graft.functions.Kernels
+    // Spark's total order: NaN ranks greatest; everything else IEEE
+    def naive(v: Double, bs: Array[Double]): Int =
+      if (v.isNaN) bs.length else bs.count(_ <= v)
+    val boundariesGen = Gen.listOf(Gen.oneOf(
+      Gen.choose(-1e6, 1e6), Gen.oneOf(0.0, -0.0, 1.0, 1.0))).map(_.sorted.toArray)
+    val valueGen = Gen.oneOf(Gen.choose(-2e6, 2e6),
+      Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        0.0, -0.0, 1.0))
+    forAll2(boundariesGen, Gen.listOfN(20, valueGen)) { (bs, vs) =>
+      vs.foreach { v =>
+        assert(Kernels.rankBucket(v, bs) === naive(v, bs),
+          s"v=$v boundaries=${bs.mkString(",")}")
+      }
+    }
+  }
 }
