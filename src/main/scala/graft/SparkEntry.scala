@@ -1438,11 +1438,11 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
         |           FROM embeddings
-        |           WHERE vec_id >= 20 AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+        |           WHERE vec_id >= 20 AND nm > 0),
         |b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS v,
         |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
         |      FROM embeddings
-        |      WHERE vec_id < 20 AND sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0),
+        |      WHERE vec_id < 20 AND nm > 0),
         |s AS (SELECT c.vec_id, b.bench_id,
         |             list_dot_product(c.v, b.v) / (c.nm * b.nm) AS sim
         |      FROM c, b

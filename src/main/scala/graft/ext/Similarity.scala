@@ -41,7 +41,16 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(graft.functions.native.dotF(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Null-safe cosine: NULL when either vector has zero norm (no
+    * direction, no cosine) instead of an ANSI DIVIDE_BY_ZERO abort —
+    * the family-level safe entry point. The specialized ops
+    * (topK/near-dup/dedup) divide inline for codegen-fused plans and
+    * carry the non-zero input contract documented above instead.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
 
   /** Exact top-k neighbors for each query vector. Queries are
     * broadcast (small side); corpus is never shuffled until the final

@@ -1229,7 +1229,9 @@ object Warehouse {
     }
     // validate against the committed schema BEFORE any scan or early
     // return: a caller error (updateWhere SET typo) must throw even
-    // when the predicate matches nothing or the table is empty
+    // when the predicate matches nothing. One inherent gap: an EMPTY
+    // pre-manifest version has no schema source at all, so validation
+    // (like everything else) is a no-op there.
     schemaOpt.foreach(validate)
     if (entries.isEmpty) return v
     val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))

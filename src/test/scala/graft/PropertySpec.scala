@@ -136,7 +136,7 @@ class PropertySpec extends SparkSpec {
     def naive(v: Double, bs: Array[Double]): Int =
       if (v.isNaN) bs.length else bs.count(_ <= v)
     val boundariesGen = Gen.listOf(Gen.oneOf(
-      Gen.choose(-1e6, 1e6), Gen.oneOf(0.0, -0.0, 1.0, 1.0))).map(_.sorted.toArray)
+      Gen.choose(-1e6, 1e6), Gen.oneOf(0.0, -0.0, 1.0, -1.0))).map(_.sorted.toArray)
     val valueGen = Gen.oneOf(Gen.choose(-2e6, 2e6),
       Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
         0.0, -0.0, 1.0))
