@@ -1033,6 +1033,96 @@ object Warehouse {
   def readSnapshotAt(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
     readSnapshot(spark, path, Some(snapshotVersionAt(spark, path, tsMillis)))
 
+  /** Named snapshot TAG (Iceberg-tag shape): `_tag-<name>` pins a
+    * version under a stable name — "prod", "eval-2024-08" — so readers
+    * address meaning, not numbers. Written via tmp + atomic rename
+    * (last tag wins, like `_latest`); retagging moves the pin. A tag
+    * does NOT protect its version from [[expireSnapshots]] — retention
+    * is by version count, and a read through a dangling tag fails with
+    * the version's own clear error; [[snapshotTags]] lists dangling
+    * tags for cleanup.
+    */
+  def tagSnapshot(spark: SparkSession, path: String, name: String,
+                  version: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentSnapshot(spark, path))
+    require(snapshots(spark, path).contains(v),
+      s"tagSnapshot($path): no live snapshot v=$v to tag")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-tag$tag")
+    val out = fs.create(tmp, true)
+    out.write(v.toString.getBytes("UTF-8")); out.close()
+    val dest = new org.apache.hadoop.fs.Path(s"$path/_tag-$name")
+    fs.delete(dest, false)
+    require(fs.rename(tmp, dest), s"cannot publish tag '$name' for $path")
+    v
+  }
+
+  /** All tags: (name, version, live) — `live` false when the tagged
+    * version has been expired out from under the tag.
+    */
+  def snapshotTags(spark: SparkSession, path: String): Seq[(String, Long, Boolean)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val live = snapshots(spark, path).toSet
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_tag-")).sorted.map { n =>
+        val name = n.stripPrefix("_tag-")
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, n))
+        val v = scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        in.close()
+        (name, v, live.contains(v))
+      }
+  }
+
+  /** [[readSnapshot]] through a [[tagSnapshot tag]]. */
+  def readSnapshotTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val t = snapshotTags(spark, path).find(_._1 == name)
+      .getOrElse(sys.error(s"no tag '$name' under $path"))
+    readSnapshot(spark, path, Some(t._2))
+  }
+
+  /** Remove a tag (the version stays). Returns whether it existed. */
+  def dropSnapshotTag(spark: SparkSession, path: String, name: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tag-$name"), false)
+  }
+
+  /** Table history — the DESCRIBE HISTORY analog, one row per LIVE
+    * version, ascending: (version, committed_at, row_count, bytes,
+    * n_files, file_sharing). Driver-side from commit markers (the CAS
+    * claim instant; dir mtime for single-writer versions) and
+    * manifests — zero data I/O, zero Spark jobs beyond the local-frame
+    * build. NULL metrics for manifest-less (pre-manifest / crash-gap)
+    * versions; `file_sharing` marks [[deleteWhere]]/[[updateWhere]]
+    * versions whose manifest references earlier versions' files.
+    */
+  def snapshotHistory(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = snapshots(spark, path).map { v =>
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
+      val data = new org.apache.hadoop.fs.Path(s"$path/v=$v")
+      val ts = if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+               else fs.getFileStatus(data).getModificationTime
+      readManifest(fs, path, v) match {
+        case Some(m) =>
+          val entries = manifestEntries(m)
+          (v, new java.sql.Timestamp(ts), Some(m.get("rowCount").asLong),
+            Some(m.get("bytes").asLong), Some(entries.size),
+            Some(entries.exists(_.contains("/"))))
+        case None => (v, new java.sql.Timestamp(ts), None, None, None, None)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "row_count", "bytes", "n_files", "file_sharing")
+  }
+
   /** Drop every version older than `keepLast` versions back (never the
     * latest). Readers pinned to an expired version fail on next scan —
     * the standard retention contract.

@@ -1078,6 +1078,45 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("snapshot tags: named pins, retag moves, dangling after expiry, drop") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_tags").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 10).toDF("id"), root)
+    Warehouse.writeSnapshot(spark.range(0, 20).toDF("id"), root)
+    assert(Warehouse.tagSnapshot(spark, root, "prod", Some(1L)) === 1L)
+    assert(Warehouse.readSnapshotTag(spark, root, "prod").count() === 10)
+    // retag moves the pin; tagging a dead version refuses
+    assert(Warehouse.tagSnapshot(spark, root, "prod") === 2L) // defaults to current
+    assert(Warehouse.readSnapshotTag(spark, root, "prod").count() === 20)
+    intercept[IllegalArgumentException] { Warehouse.tagSnapshot(spark, root, "x", Some(9L)) }
+    intercept[IllegalArgumentException] { Warehouse.tagSnapshot(spark, root, "bad name!") }
+    // a tag does not protect its version: expiry leaves it dangling
+    Warehouse.tagSnapshot(spark, root, "old", Some(1L))
+    Warehouse.expireSnapshots(spark, root, keepLast = 1)
+    assert(Warehouse.snapshotTags(spark, root).toSet ===
+      Set(("old", 1L, false), ("prod", 2L, true)))
+    intercept[Exception] { Warehouse.readSnapshotTag(spark, root, "old").collect() }
+    assert(Warehouse.dropSnapshotTag(spark, root, "old"))
+    assert(!Warehouse.dropSnapshotTag(spark, root, "old"))
+    assert(Warehouse.snapshotTags(spark, root).map(_._1) === Seq("prod"))
+  }
+
+  test("snapshotHistory: one row per live version with manifest metrics and sharing flag") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_hist").toString + "/t"
+    Warehouse.writeSnapshot(
+      spark.range(0, 300).toDF("id").repartitionByRange(3, col("id")), root)
+    Warehouse.deleteWhere(spark, root, col("id") === 5)
+    val h = Warehouse.snapshotHistory(spark, root).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(h(0).getLong(2) === 300L && h(0).getInt(4) === 3 && !h(0).getBoolean(5))
+    assert(h(1).getLong(2) === 299L && h(1).getBoolean(5), "deleteWhere version is file-sharing")
+    assert(!h(0).isNullAt(1) && h(0).getTimestamp(1).getTime <= h(1).getTimestamp(1).getTime)
+    // expired versions drop out of history
+    Warehouse.expireSnapshots(spark, root, keepLast = 1)
+    assert(Warehouse.snapshotHistory(spark, root).collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("diffFrames rejects duplicate-column multiplicity drift with a clear message") {
     val a = Seq((1, 2.0)).toDF("k", "v")
     val b = a.select($"k", $"v", $"v") // two columns named v
