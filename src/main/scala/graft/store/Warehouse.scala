@@ -1093,6 +1093,68 @@ object Warehouse {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tag-$name"), false)
   }
 
+  /** ROLLBACK / RESTORE (Delta `RESTORE TABLE ... TO VERSION` shape):
+    * commits a NEW version whose content is exactly `toVersion`'s —
+    * the undo for a bad write that keeps history linear and auditable
+    * (nothing is deleted; the bad version stays pinned-readable until
+    * retention ages it out). ZERO-COPY via the file-sharing machinery:
+    * the new version dir holds only the `_partial` marker and its
+    * manifest references the target's files (root-relative entries),
+    * with per-file accounting reused — a 100 TB restore costs one
+    * manifest write. Same CAS concurrency as every commit; the target
+    * must be a LIVE version (not expired). A manifest-less target
+    * (pre-manifest table) restores by reference to its directory
+    * listing, paying one footer pass to build the new manifest.
+    */
+  def rollbackSnapshot(spark: SparkSession, path: String, toVersion: Long,
+                       orphanGraceMs: Long = 600000L): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(snapshots(spark, path).contains(toVersion),
+      s"rollbackSnapshot($path): no live snapshot v=$toVersion to restore")
+    if (toVersion == v) return v
+    val (entries, schemaJson, reuse) = readManifest(fs, path, toVersion) match {
+      case Some(m) =>
+        (manifestEntries(m).map(e => if (e.contains("/")) e else s"v=$toVersion/$e"),
+          m.get("schema").toString, Some((m, toVersion)))
+      case None =>
+        require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$toVersion/_partial")),
+          s"rollbackSnapshot($path): v=$toVersion is a file-sharing version with no readable manifest")
+        val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$toVersion")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => s"v=$toVersion/${st.getPath.getName}").sorted
+        (names, spark.read.parquet(s"$path/v=$toVersion").schema.json, None)
+    }
+    val next = v + 1
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    fs.mkdirs(staging)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      schemaJson, Some(entries), reuseFrom = reuse)
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"rollbackSnapshot($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    next
+  }
+
   /** Table history — the DESCRIBE HISTORY analog, one row per LIVE
     * version, ascending: (version, committed_at, row_count, bytes,
     * n_files, file_sharing). Driver-side from commit markers (the CAS

@@ -39,7 +39,7 @@ class SnapshotModelSpec extends SparkSpec {
     var live = 1L
 
     val ops = Seq("delete", "update", "deleteMany", "compact", "compactClustered",
-      "expire", "vacuum", "rewrite")
+      "expire", "vacuum", "rewrite", "rollback")
     for (step <- 1 to 60) {
       val op = ops(rnd.nextInt(ops.length))
       op match {
@@ -82,6 +82,16 @@ class SnapshotModelSpec extends SparkSpec {
           }
         case "vacuum" =>
           Warehouse.vacuum(spark, root, graceMs = 0L)
+        case "rollback" =>
+          // restore a random still-live historical version zero-copy
+          val targets = history.keys.toSeq.sorted
+          val target = targets(rnd.nextInt(targets.length))
+          val v = Warehouse.rollbackSnapshot(spark, root, target)
+          if (target == live) assert(v === live, s"step $step: self-restore is a no-op")
+          else {
+            model = history(target)
+            live = v; history += live -> model
+          }
         case "rewrite" =>
           // a fresh full write (the nightly-batch shape) — also
           // re-fragments the layout so later deletes touch subsets

@@ -1101,6 +1101,34 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.snapshotTags(spark, root).map(_._1) === Seq("prod"))
   }
 
+  test("rollbackSnapshot: zero-copy restore; history stays linear; composes with delete/expire") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_rollback").toString + "/t"
+    Warehouse.writeSnapshot(
+      spark.range(0, 300).toDF("id").repartitionByRange(3, col("id")), root)
+    Warehouse.writeSnapshot(spark.range(0, 5).toDF("id"), root) // the "bad write"
+    val v3 = Warehouse.rollbackSnapshot(spark, root, toVersion = 1L)
+    assert(v3 === 3L)
+    val restored = Warehouse.readSnapshot(spark, root)
+    assert(restored.count() === 300)
+    // ZERO-COPY: the restore version holds no data files of its own
+    val fs = hfs(root)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/v=3"))
+      .filter(_.isFile).map(_.getPath.getName).toSet === Set("_partial"))
+    // nothing deleted: the bad write stays pinned-readable
+    assert(Warehouse.readSnapshot(spark, root, Some(2L)).count() === 5)
+    // restore-to-current is a no-op; dead targets refuse
+    assert(Warehouse.rollbackSnapshot(spark, root, 3L) === 3L)
+    intercept[IllegalArgumentException] { Warehouse.rollbackSnapshot(spark, root, 99L) }
+    // composes: a delete on the restored state, then expiry — the
+    // shared v=1 files survive exactly as long as live manifests need
+    Warehouse.deleteWhere(spark, root, col("id") === 5)
+    assert(Warehouse.readSnapshot(spark, root).count() === 299)
+    Warehouse.expireSnapshots(spark, root, keepLast = 1)
+    assert(Warehouse.readSnapshot(spark, root).count() === 299)
+    assert(Warehouse.snapshots(spark, root) === Seq(4L))
+  }
+
   test("snapshotHistory: one row per live version with manifest metrics and sharing flag") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft_hist").toString + "/t"
