@@ -261,11 +261,46 @@ object Warehouse {
   /** Change feed between two committed snapshot versions of a
     * [[writeSnapshot]]/[[commitSnapshot]] table: [[diffFrames]] over
     * the two pinned version reads.
+    *
+    * MANIFEST-PRUNED (r10): a file both manifests reference under the
+    * same root-relative identity is byte-identical in both versions
+    * ([[deleteWhere]]/[[updateWhere]]/[[rollbackSnapshot]] carry
+    * untouched files by reference), so its rows can never appear in
+    * the feed — with per-version key uniqueness (the CDC contract
+    * [[diffFrames]] already assumes), a key living in a shared file
+    * lives NOWHERE else in either version. Both sides therefore read
+    * ONLY their non-shared files: after a one-key erase on a 100 TB
+    * table, the diff scans the one rewritten file and its
+    * predecessor, not the table — the feed costs what CHANGED. Falls
+    * back to full reads when either manifest is missing.
     */
   def snapshotDiff(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long,
-                   keys: Seq[String]): DataFrame =
-    diffFrames(readSnapshot(spark, path, Some(fromVersion)),
-      readSnapshot(spark, path, Some(toVersion)), keys)
+                   keys: Seq[String]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def side(v: Long, sharedOpt: Option[Set[String]]): DataFrame =
+      (readManifest(fs, path, v), sharedOpt) match {
+        case (Some(m), Some(shared)) =>
+          val schema = org.apache.spark.sql.types.DataType
+            .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+          val files = manifestEntries(m)
+            .map(e => if (e.contains("/")) e else s"v=$v/$e")
+            .filterNot(shared).map(e => s"$path/$e")
+          if (files.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema).parquet(files: _*)
+        case _ => readSnapshot(spark, path, Some(v))
+      }
+    val shared = for {
+      a <- readManifest(fs, path, fromVersion)
+      b <- readManifest(fs, path, toVersion)
+    } yield {
+      def norm(m: com.fasterxml.jackson.databind.JsonNode, v: Long) =
+        manifestEntries(m).map(e => if (e.contains("/")) e else s"v=$v/$e").toSet
+      norm(a, fromVersion) intersect norm(b, toVersion)
+    }
+    diffFrames(side(fromVersion, shared), side(toVersion, shared), keys)
+  }
 
   /** Reclaim the debris multi-writer operation leaves behind: staging
     * dirs and pointer temps from crashed or conflict-losing

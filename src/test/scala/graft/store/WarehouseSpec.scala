@@ -500,6 +500,27 @@ class WarehouseSpec extends SparkSpec {
     assert(feed === Map(2 -> (("Y", "update")), 3 -> (("z", "insert"))))
   }
 
+  test("snapshotDiff prunes shared files: the feed of an erase reads the changed files only") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcprune").toString + "/t"
+    Warehouse.writeSnapshot(
+      spark.range(0, 300).toDF("id").withColumn("v", col("id") * 2)
+        .repartitionByRange(3, col("id")), root)
+    Warehouse.deleteWhere(spark, root, col("id") === 5)
+    val feed = Warehouse.snapshotDiff(spark, root, 1L, 2L, Seq("id"))
+    // exact feed: the one deleted row
+    assert(feed.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((5L, "delete")))
+    // pruned plan: each side reads only its non-shared file (1+1), not
+    // both versions in full (3+3)
+    assert(feed.inputFiles.length === 2, s"expected 2 scanned files, got ${feed.inputFiles.toSeq}")
+    // a rollback's diff against its target is file-identical → EMPTY
+    // feed from an EMPTY scan
+    val v3 = Warehouse.rollbackSnapshot(spark, root, 1L)
+    val rb = Warehouse.snapshotDiff(spark, root, 1L, v3, Seq("id"))
+    assert(rb.isEmpty && rb.inputFiles.isEmpty)
+  }
+
   test("applyChangeFeed round-trip law: apply(old, diff(old, new)) == new") {
     val oldSt = Seq((1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")).toDF("k", "v", "tag")
     val newSt = Seq((2, 99.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")).toDF("k", "v", "tag")
