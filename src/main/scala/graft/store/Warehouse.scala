@@ -278,28 +278,22 @@ object Warehouse {
                    keys: Seq[String]): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def side(v: Long, sharedOpt: Option[Set[String]]): DataFrame =
-      (readManifest(fs, path, v), sharedOpt) match {
-        case (Some(m), Some(shared)) =>
-          val schema = org.apache.spark.sql.types.DataType
-            .fromJson(m.get("schema").toString).asInstanceOf[StructType]
-          val files = manifestEntries(m)
-            .map(e => if (e.contains("/")) e else s"v=$v/$e")
-            .filterNot(shared).map(e => s"$path/$e")
-          if (files.isEmpty) spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          else spark.read.schema(schema).parquet(files: _*)
-        case _ => readSnapshot(spark, path, Some(v))
-      }
-    val shared = for {
-      a <- readManifest(fs, path, fromVersion)
-      b <- readManifest(fs, path, toVersion)
-    } yield {
-      def norm(m: com.fasterxml.jackson.databind.JsonNode, v: Long) =
-        manifestEntries(m).map(e => if (e.contains("/")) e else s"v=$v/$e").toSet
-      norm(a, fromVersion) intersect norm(b, toVersion)
+    // each manifest read ONCE, pruning all-or-nothing (review r10: a
+    // transient re-read failure on one side falling back to a FULL
+    // read while the other stays pruned would emit a phantom feed row
+    // for every shared-file row — silent CDC corruption; parsed nodes
+    // are threaded through instead, and if either manifest is absent
+    // BOTH sides read full)
+    (readManifest(fs, path, fromVersion), readManifest(fs, path, toVersion)) match {
+      case (Some(a), Some(b)) =>
+        val shared = normEntries(a, fromVersion).toSet intersect
+          normEntries(b, toVersion).toSet
+        diffFrames(manifestPlannedRead(spark, path, fromVersion, a, shared),
+          manifestPlannedRead(spark, path, toVersion, b, shared), keys)
+      case _ =>
+        diffFrames(readSnapshot(spark, path, Some(fromVersion)),
+          readSnapshot(spark, path, Some(toVersion)), keys)
     }
-    diffFrames(side(fromVersion, shared), side(toVersion, shared), keys)
   }
 
   /** Reclaim the debris multi-writer operation leaves behind: staging
@@ -729,6 +723,31 @@ object Warehouse {
     b.result()
   }
 
+  /** The manifest's entries NORMALIZED to root-relative form (plain
+    * names become `v=<v>/name`) — the single copy of the rule every
+    * cross-version consumer (deleteWhere/rollback/diff/expire) keys on.
+    */
+  private def normEntries(m: com.fasterxml.jackson.databind.JsonNode,
+                          v: Long): Seq[String] =
+    manifestEntries(m).map(e => if (e.contains("/")) e else s"v=$v/$e")
+
+  /** Plan a read of version `v` from its parsed manifest: committed
+    * schema, committed file list (minus `exclude`, root-relative),
+    * empty-frame when nothing remains. The single manifest-planned
+    * scan construction, shared by [[readSnapshot]] and
+    * [[snapshotDiff]]'s pruned sides.
+    */
+  private def manifestPlannedRead(spark: SparkSession, path: String, v: Long,
+                                  m: com.fasterxml.jackson.databind.JsonNode,
+                                  exclude: Set[String] = Set.empty): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    val files = normEntries(m, v).filterNot(exclude).map(e => s"$path/$e")
+    if (files.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
   /** Parquet-footer metadata of one committed file: (rows, per-column
     * min/max stats). Stats are recorded for the TOP-LEVEL columns whose
     * parquet VALUES and ordering match Spark's predicate space —
@@ -1016,13 +1035,7 @@ object Warehouse {
     val fsv = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     readManifest(fsv, path, v) match {
-      case Some(m) =>
-        val schema = org.apache.spark.sql.types.DataType
-          .fromJson(m.get("schema").toString).asInstanceOf[StructType]
-        val files = manifestEntries(m).map(resolveEntry(path, v, _))
-        if (files.isEmpty) spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(files: _*)
+      case Some(m) => manifestPlannedRead(spark, path, v, m)
       case None =>
         // no manifest: two states must fail LOUDLY before the listing
         // fallback, because a directory scan would return silently
@@ -1053,15 +1066,20 @@ object Warehouse {
   def snapshotVersionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val at = snapshots(spark, path).filter { v =>
-      val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
-      val data = new org.apache.hadoop.fs.Path(s"$path/v=$v")
-      val t = if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-              else fs.getFileStatus(data).getModificationTime
-      t <= tsMillis
-    }
+    val at = snapshots(spark, path).filter(commitInstant(fs, path, _) <= tsMillis)
     require(at.nonEmpty, s"no snapshot under $path committed at or before $tsMillis")
     at.max
+  }
+
+  /** The version's commit instant: the CAS marker's mtime when
+    * present, else the version dir's — the one rule shared by
+    * [[snapshotVersionAt]] and [[snapshotHistory]].
+    */
+  private def commitInstant(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, v: Long): Long = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
+    if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+    else fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).getModificationTime
   }
 
   /** [[readSnapshot]] pinned to [[snapshotVersionAt]]'s resolution. */
@@ -1077,10 +1095,13 @@ object Warehouse {
     * the version's own clear error; [[snapshotTags]] lists dangling
     * tags for cleanup.
     */
-  def tagSnapshot(spark: SparkSession, path: String, name: String,
-                  version: Option[Long] = None): Long = {
+  private def requireTagName(name: String): Unit =
     require(name.matches("[A-Za-z0-9._-]+"),
       s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+
+  def tagSnapshot(spark: SparkSession, path: String, name: String,
+                  version: Option[Long] = None): Long = {
+    requireTagName(name)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.getOrElse(currentSnapshot(spark, path))
@@ -1105,24 +1126,46 @@ object Warehouse {
     if (!fs.exists(root)) return Seq.empty
     val live = snapshots(spark, path).toSet
     fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_tag-")).sorted.map { n =>
+      .filter(_.startsWith("_tag-")).sorted.flatMap { n =>
         val name = n.stripPrefix("_tag-")
-        val in = fs.open(new org.apache.hadoop.fs.Path(root, n))
-        val v = scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        in.close()
-        (name, v, live.contains(v))
+        // a concurrent retag/drop deletes-then-renames: a tag listed a
+        // moment ago may be mid-swap — skip it, don't crash the listing
+        // (the same FNFE window resolveVersion handles for _latest)
+        try {
+          val in = fs.open(new org.apache.hadoop.fs.Path(root, n))
+          val v = scala.io.Source.fromInputStream(in).mkString.trim.toLong
+          in.close()
+          Some((name, v, live.contains(v)))
+        } catch { case _: java.io.FileNotFoundException => None }
       }
   }
 
-  /** [[readSnapshot]] through a [[tagSnapshot tag]]. */
+  /** [[readSnapshot]] through a [[tagSnapshot tag]] — one GET of the
+    * tag file, not a listing of every tag.
+    */
   def readSnapshotTag(spark: SparkSession, path: String, name: String): DataFrame = {
-    val t = snapshotTags(spark, path).find(_._1 == name)
-      .getOrElse(sys.error(s"no tag '$name' under $path"))
-    readSnapshot(spark, path, Some(t._2))
+    requireTagName(name)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v =
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_tag-$name"))
+        val s = scala.io.Source.fromInputStream(in).mkString.trim
+        in.close(); s.toLong
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          sys.error(s"no tag '$name' under $path")
+      }
+    readSnapshot(spark, path, Some(v))
   }
 
-  /** Remove a tag (the version stays). Returns whether it existed. */
+  /** Remove a tag (the version stays). Returns whether it existed.
+    * Name validated like [[tagSnapshot]] — an unvalidated name with
+    * path segments would turn the delete into an arbitrary-file
+    * delete under the table root (review r10).
+    */
   def dropSnapshotTag(spark: SparkSession, path: String, name: String): Boolean = {
+    requireTagName(name)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tag-$name"), false)
@@ -1154,6 +1197,12 @@ object Warehouse {
         (manifestEntries(m).map(e => if (e.contains("/")) e else s"v=$toVersion/$e"),
           m.get("schema").toString, Some((m, toVersion)))
       case None =>
+        // same fences as readSnapshot's listing fallback: a rollback
+        // racing expireSnapshots (liveness checked a moment ago, sweep
+        // started since) must fail loudly, never restore from a
+        // half-swept directory (review r10)
+        require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_expired-v$toVersion")),
+          s"rollbackSnapshot($path): v=$toVersion was expired mid-call")
         require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$toVersion/_partial")),
           s"rollbackSnapshot($path): v=$toVersion is a file-sharing version with no readable manifest")
         val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$toVersion")).toSeq
@@ -1203,10 +1252,7 @@ object Warehouse {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rows = snapshots(spark, path).map { v =>
-      val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
-      val data = new org.apache.hadoop.fs.Path(s"$path/v=$v")
-      val ts = if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-               else fs.getFileStatus(data).getModificationTime
+      val ts = commitInstant(fs, path, v)
       readManifest(fs, path, v) match {
         case Some(m) =>
           val entries = manifestEntries(m)

@@ -1120,6 +1120,15 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.dropSnapshotTag(spark, root, "old"))
     assert(!Warehouse.dropSnapshotTag(spark, root, "old"))
     assert(Warehouse.snapshotTags(spark, root).map(_._1) === Seq("prod"))
+    // name validation on EVERY tag entry point: a path-segment name
+    // would otherwise delete/read arbitrary files under the table root
+    intercept[IllegalArgumentException] {
+      Warehouse.dropSnapshotTag(spark, root, "x/../_latest")
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.readSnapshotTag(spark, root, "x/../_latest")
+    }
+    assert(hfs(root).exists(new org.apache.hadoop.fs.Path(s"$root/_latest")))
   }
 
   test("rollbackSnapshot: zero-copy restore; history stays linear; composes with delete/expire") {
