@@ -273,9 +273,24 @@ object Warehouse {
     * table, the diff scans the one rewritten file and its
     * predecessor, not the table — the feed costs what CHANGED. Falls
     * back to full reads when either manifest is missing.
+    *
+    * SHARPENED CONTRACT (advice r10): pruning upgrades the per-version
+    * key-uniqueness assumption from "duplicate keys join-multiply the
+    * feed" (the unpruned failure mode, noisy and visible) to
+    * "duplicate keys can SILENTLY corrupt the feed": if a key has one
+    * copy in a shared carried-by-reference file and another in a
+    * rewritten file, both sides exclude the shared copy and the feed
+    * emits phantom insert/update/delete rows the unpruned diff would
+    * not. Tables that cannot guarantee per-version key uniqueness
+    * (e.g. raw append logs diffed on a business key) must pass
+    * `pruneShared = false` to force full-version reads — correct under
+    * duplicates at full-scan cost.
     */
   def snapshotDiff(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long,
-                   keys: Seq[String]): DataFrame = {
+                   keys: Seq[String], pruneShared: Boolean = true): DataFrame = {
+    if (!pruneShared)
+      return diffFrames(readSnapshot(spark, path, Some(fromVersion)),
+        readSnapshot(spark, path, Some(toVersion)), keys)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // each manifest read ONCE, pruning all-or-nothing (review r10: a
@@ -593,6 +608,143 @@ object Warehouse {
     next
   }
 
+  /** ZERO-REWRITE APPEND — the incremental-ingest commit the 100 TB
+    * table needs: a new version whose content is the previous
+    * version's rows PLUS `df`'s rows, where only `df`'s rows are
+    * written (new files in the version dir) and every previous file is
+    * carried into the new manifest BY REFERENCE (root-relative
+    * entries, per-file accounting reused — zero bytes copied, zero
+    * footer re-reads). Appending a day of data to a 100 TB table costs
+    * the day's files plus one manifest write; [[writeSnapshot]] /
+    * [[commitSnapshot]] would rewrite the table. This is the write
+    * path that makes the version history a LOG of arrivals — which is
+    * exactly what [[readSnapshotStream]] tails.
+    *
+    * Same optimistic CAS as [[commitSnapshot]] (`expectedVersion`
+    * read-before-write; a concurrent commit loses with a retryable
+    * [[SnapshotConflictException]]). The appended version is
+    * file-sharing, so its manifest is LOAD-BEARING (same contract as
+    * [[deleteWhere]]): `_partial` is stamped before promote — a
+    * manifest loss fails reads loudly instead of silently dropping the
+    * carried rows — and a failed manifest publish unwinds the version.
+    * Schema must match the committed schema exactly (names + types,
+    * any column order; use [[appendEvolving]] conventions upstream for
+    * widening). An EMPTY `df` returns the current version — no empty
+    * commit. Appending to an EMPTY table (expectedVersion 0) commits a
+    * self-contained v=1.
+    */
+  def appendSnapshot(df: DataFrame, path: String, expectedVersion: Long,
+                     orphanGraceMs: Long = 600000L): Long = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = expectedVersion
+    // the base version's committed entries + schema, resolved exactly
+    // like the row-level writes: manifest when present, dir listing
+    // for self-contained pre-manifest versions, refusal for a
+    // file-sharing version whose manifest cannot be read
+    val (baseEntries, baseSchema, reuse) =
+      if (base == 0L) (Seq.empty[String], None, None)
+      else readManifest(fs, path, base) match {
+        case Some(m) =>
+          (normEntries(m, base),
+            Some(org.apache.spark.sql.types.DataType
+              .fromJson(m.get("schema").toString).asInstanceOf[StructType]),
+            Some((m, base)))
+        case None =>
+          require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$base")),
+            s"appendSnapshot($path): no committed snapshot v=$base")
+          require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$base/_partial")),
+            s"appendSnapshot($path): v=$base is a file-sharing version with no readable manifest")
+          val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$base")).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .map(st => s"v=$base/${st.getPath.getName}").sorted
+          (names, None, None)
+      }
+    val committed = baseSchema.getOrElse(
+      if (base == 0L) df.schema
+      else spark.read.parquet(baseEntries.map(e => s"$path/$e"): _*).schema)
+    // exact-match schema gate BEFORE any write: silent casts here
+    // would corrupt the log a stream tail replays forever
+    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val want = committed.fields.map(f => f.name -> f.dataType).toMap
+    require(got == want,
+      s"appendSnapshot($path): batch schema must match the committed schema exactly; " +
+        s"committed=${committed.simpleString} batch=${df.schema.simpleString}")
+    if (df.isEmpty) return currentSnapshot(spark, path)
+    val aligned = df.select(committed.fieldNames.map(col).toIndexedSeq: _*)
+    val next = base + 1
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    aligned.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    // file-sharing marker BEFORE the dir becomes visible (when there
+    // is a base to share — an append onto empty is self-contained)
+    if (baseEntries.nonEmpty)
+      fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    val fresh = fs.listStatus(dest).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      committed.json, Some(fresh ++ baseEntries), reuseFrom = reuse)
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"appendSnapshot($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    next
+  }
+
+  /** STREAMING TAIL of the snapshot warehouse — the table as a
+    * Structured Streaming SOURCE (the Delta "streaming from a table"
+    * shape): each committed version's NEW data files become stream
+    * input as they appear, so an [[appendSnapshot]] log is consumed
+    * row-exactly-once end-to-end (Spark's file-source offset log +
+    * the sink's checkpoint give restart-safe progress; run with
+    * `Trigger.AvailableNow` for catch-up batches, continuous triggers
+    * for a live tail). Built on the built-in parquet file source over
+    * the `v=*` layout rather than a custom DSv2 source: version dirs
+    * appear atomically (staging + rename) and carried-by-reference
+    * files create no new paths, so "new file" = "newly committed
+    * rows" exactly when history is APPEND-ONLY.
+    *
+    * Contract: valid for append-only histories ([[writeSnapshot]] /
+    * [[commitSnapshot]] initial load + [[appendSnapshot]] batches).
+    * A file-sharing REWRITE version ([[deleteWhere]] /
+    * [[updateWhere]] / compactSnapshot) re-emits its rewritten files'
+    * surviving rows — the same restriction Delta's source has before
+    * `skipChangeCommits`; [[rollbackSnapshot]] emits nothing (its
+    * version holds no files). [[snapshotHistory]]'s `file_sharing`
+    * column audits whether a history is tail-safe. Schema is pinned
+    * to the CURRENT committed schema at call time (streams need a
+    * static schema); the table must have at least one version.
+    */
+  def readSnapshotStream(spark: SparkSession, path: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = readSnapshot(spark, path).schema
+    val r = spark.readStream.schema(schema)
+    // the glob matches DATA FILES directly (no partition inference:
+    // `v` stays a layout detail, not a column); `_partial`/`_SUCCESS`
+    // markers and root-level `_staging-*`/`_latest`/`_tag-*`/manifest
+    // protocol files all fall outside `v=*/part-*`
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$path/v=*/part-*")
+  }
+
   /** The CAS claim of [[commitSnapshot]] step 3, shared with
     * [[deleteWhere]]: one atomic exclusive create of `_commit-v<next>`,
     * with the orphan-lease break for a marker whose data never landed.
@@ -648,8 +800,52 @@ object Warehouse {
       val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-$tag")
       val out = fs.create(tmp, true)
       out.write(next.toString.getBytes("UTF-8")); out.close()
-      fs.delete(ptr, false)
-      require(fs.rename(tmp, ptr), s"cannot swap pointer for $path")
+      overwriteRename(fs, tmp, ptr, s"cannot swap pointer for $path")
+    }
+  }
+
+  /** Publish a pointer file by OVERWRITING rename — the destination is
+    * never absent, so concurrent readers see old-or-new, not a
+    * FileNotFoundException window (advice r10: the delete-then-rename
+    * publish made a tag briefly absent, failing concurrent reads and
+    * aborting the loser of two concurrent retags). Local FS gets the
+    * genuinely atomic `Files.move(ATOMIC_MOVE, REPLACE_EXISTING)`;
+    * elsewhere `FileContext.rename(OVERWRITE)` (atomic on HDFS); the
+    * last-resort delete+rename is retried once so a racing publisher
+    * re-creating the destination between the loser's delete and rename
+    * degrades to last-wins instead of an abort.
+    */
+  private def overwriteRename(fs: org.apache.hadoop.fs.FileSystem,
+                              tmp: org.apache.hadoop.fs.Path,
+                              dest: org.apache.hadoop.fs.Path,
+                              errMsg: => String): Unit = {
+    val scheme = dest.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // the NIO move bypasses ChecksumFileSystem, so its `.crc`
+      // sidecars must go first: a stale `._latest.crc` would make
+      // every later fs.open fail the checksum; with no sidecar the
+      // checksum layer reads raw (its documented fallback)
+      def crcOf(p: org.apache.hadoop.fs.Path) =
+        new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".crc")
+      fs.delete(crcOf(tmp), false)
+      fs.delete(crcOf(dest), false)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, fs.getConf)
+          .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          // FS without overwrite-rename: retried delete+rename, last
+          // publisher wins instead of the pre-r11 require-abort
+          var ok = { fs.delete(dest, false); fs.rename(tmp, dest) }
+          if (!ok) { fs.delete(dest, false); ok = fs.rename(tmp, dest) }
+          require(ok, errMsg)
+      }
     }
   }
 
@@ -1112,8 +1308,10 @@ object Warehouse {
     val out = fs.create(tmp, true)
     out.write(v.toString.getBytes("UTF-8")); out.close()
     val dest = new org.apache.hadoop.fs.Path(s"$path/_tag-$name")
-    fs.delete(dest, false)
-    require(fs.rename(tmp, dest), s"cannot publish tag '$name' for $path")
+    // overwriting publish (advice r10): a retag must never leave the
+    // tag absent mid-swap, and two concurrent retags must both land
+    // (last wins), not abort the loser
+    overwriteRename(fs, tmp, dest, s"cannot publish tag '$name' for $path")
     v
   }
 
@@ -1147,14 +1345,24 @@ object Warehouse {
     requireTagName(name)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readOnce(): Long = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_tag-$name"))
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close(); s.toLong
+    }
+    // one retry on FNFE (advice r10): publishes are overwriting-atomic
+    // on local FS/HDFS, but the last-resort delete+rename fallback (and
+    // any pre-r11 writer) has a brief absent window — re-read once
+    // before concluding the tag does not exist
     val v =
-      try {
-        val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_tag-$name"))
-        val s = scala.io.Source.fromInputStream(in).mkString.trim
-        in.close(); s.toLong
-      } catch {
+      try readOnce()
+      catch {
         case _: java.io.FileNotFoundException =>
-          sys.error(s"no tag '$name' under $path")
+          try readOnce()
+          catch {
+            case _: java.io.FileNotFoundException =>
+              sys.error(s"no tag '$name' under $path")
+          }
       }
     readSnapshot(spark, path, Some(v))
   }
@@ -1235,8 +1443,43 @@ object Warehouse {
         throw new java.io.IOException(
           s"rollbackSnapshot($path): manifest publish failed for v=$next; version unwound", e)
     }
+    // POST-PUBLISH expiry fence (advice r10): the manifest-present path
+    // reuses per-file bytes/rows/stats from the target manifest, so
+    // writeManifest never stats the referenced files — a concurrent
+    // expireSnapshots dropping toVersion between the liveness check
+    // above and this point would let the restore commit a current
+    // version whose manifest points at files the sweep just deleted,
+    // silent until scans fail. From the manifest-publish instant the
+    // new version's references are visible to expire's reachability
+    // pass, so a clean re-check here (expire stamps `_expired-v` FIRST,
+    // before touching any file) means the referenced files survive.
+    // The manifest-less fallback re-checks the same marker before
+    // listing; this closes the asymmetry on the reuse path.
+    fenceRestoreAgainstExpiry(fs, path, toVersion, next, dest)
     advancePointer(fs, path, next)
     next
+  }
+
+  /** [[rollbackSnapshot]]'s post-publish fence, factored for direct
+    * spec coverage (the race it guards cannot be interleaved
+    * deterministically through the public API): if the restore target
+    * carries an `_expired-v` marker or its version dir is gone, the
+    * freshly published restore version is UNWOUND — manifest first
+    * (readers degrade to the no-such-version error, never a scan of
+    * the dead file list), then dir, then CAS marker — and the call
+    * fails loudly before `_latest` ever points at it.
+    */
+  private[store] def fenceRestoreAgainstExpiry(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      toVersion: Long, next: Long, dest: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_expired-v$toVersion")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$toVersion"))) {
+      fs.delete(manifestPath(path, next), false)
+      fs.delete(dest, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+      sys.error(s"rollbackSnapshot($path): v=$toVersion was expired mid-call; " +
+        s"restore v=$next unwound")
+    }
   }
 
   /** Table history — the DESCRIBE HISTORY analog, one row per LIVE

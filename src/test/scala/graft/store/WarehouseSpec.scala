@@ -1159,6 +1159,89 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.snapshots(spark, root) === Seq(4L))
   }
 
+  test("rollbackSnapshot post-publish fence: a restore racing expiry unwinds, never advances (advice r10)") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_rbfence").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 10).toDF("id"), root)
+    Warehouse.writeSnapshot(spark.range(0, 20).toDF("id"), root)
+    val fs = hfs(root)
+    // construct the mid-call state the fence guards (the interleaving
+    // cannot be hit deterministically through the public API): a
+    // restore of v=1 has published v=3's dir/marker/manifest but not
+    // yet advanced `_latest`, and expiry has just stamped v=1
+    fs.mkdirs(new Path(s"$root/v=3"))
+    fs.create(new Path(s"$root/v=3/_partial"), true).close()
+    fs.create(new Path(s"$root/_commit-v3"), true).close()
+    val mOut = fs.create(new Path(s"$root/_manifest-v3"), true)
+    mOut.write("{}".getBytes("UTF-8")); mOut.close()
+    fs.create(new Path(s"$root/_expired-v1"), true).close()
+    val e = intercept[RuntimeException] {
+      Warehouse.fenceRestoreAgainstExpiry(fs, root, 1L, 3L, new Path(s"$root/v=3"))
+    }
+    assert(e.getMessage.contains("expired mid-call"))
+    // unwound completely: no manifest pointing at dead files, no dir,
+    // no CAS marker — and the table is untouched at v=2
+    assert(!fs.exists(new Path(s"$root/_manifest-v3")))
+    assert(!fs.exists(new Path(s"$root/v=3")))
+    assert(!fs.exists(new Path(s"$root/_commit-v3")))
+    assert(Warehouse.currentSnapshot(spark, root) === 2L)
+    assert(Warehouse.readSnapshot(spark, root).count() === 20)
+    // and when the target is alive, the fence is a no-op
+    fs.delete(new Path(s"$root/_expired-v1"), false)
+    Warehouse.fenceRestoreAgainstExpiry(fs, root, 1L, 3L, new Path(s"$root/v=3"))
+    assert(Warehouse.currentSnapshot(spark, root) === 2L)
+  }
+
+  test("tag publish has no absent window: concurrent reads during retag storms never miss (advice r10)") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_tagatomic").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 10).toDF("id"), root)
+    Warehouse.writeSnapshot(spark.range(0, 20).toDF("id"), root)
+    Warehouse.tagSnapshot(spark, root, "prod", Some(1L))
+    val fs = hfs(root)
+    val tagFile = new Path(s"$root/_tag-prod")
+    val missed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val probe = new Thread(() => {
+      while (!stop.get()) if (!fs.exists(tagFile)) missed.incrementAndGet()
+    })
+    probe.start()
+    // a retag storm: pre-r11 each retag deleted the tag before
+    // renaming the replacement in, so the probe would observe absence
+    for (i <- 1 to 201) Warehouse.tagSnapshot(spark, root, "prod", Some(1L + (i % 2)))
+    stop.set(true); probe.join()
+    assert(missed.get() === 0, s"tag was absent ${missed.get()} times mid-retag")
+    // the swap also lands: the final pin (i=201 → v=2) resolves and reads
+    assert(Warehouse.readSnapshotTag(spark, root, "prod").count() === 20)
+  }
+
+  test("snapshotDiff pruneShared=false: correct under duplicate keys where the pruned feed phantoms (advice r10)") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcdup").toString + "/t"
+    // duplicate key k=1 with its copies in DIFFERENT files: file A
+    // holds (1,"a"); file B holds (1,"b") and (2,"c") — parallelize
+    // with 2 slices pins placement positionally (a union of local
+    // relations would be folded back into one partition by Catalyst)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq((1, "a"), (1, "b"), (2, "c")), 2))
+      .toDF("k", "v")
+    Warehouse.writeSnapshot(df, root)
+    // erase the (1,"b") copy: file B is rewritten, file A carried by
+    // reference — the exact advice scenario
+    Warehouse.deleteWhere(spark, root, col("v") === "b")
+    // pruned diff excludes the shared file A from BOTH sides, so it
+    // cannot see the surviving (1,"a") copy and emits a phantom
+    // delete for k=1 (this documents the sharpened contract)
+    val pruned = Warehouse.snapshotDiff(spark, root, 1L, 2L, Seq("k"))
+      .filter(col("_change_type") === "delete" && col("k") === 1)
+    assert(!pruned.isEmpty, "expected the documented phantom under duplicate keys")
+    // the opt-out reads both versions in FULL: k=1 still has a live
+    // copy, so no delete is emitted
+    val full = Warehouse.snapshotDiff(spark, root, 1L, 2L, Seq("k"), pruneShared = false)
+    assert(full.filter(col("_change_type") === "delete" && col("k") === 1).isEmpty)
+    assert(full.inputFiles.length === 3, "opt-out must read every file of both versions")
+  }
+
   test("snapshotHistory: one row per live version with manifest metrics and sharing flag") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft_hist").toString + "/t"
