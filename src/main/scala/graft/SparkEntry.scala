@@ -345,6 +345,10 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8, dfCap = Some(100)))
         .select("doc_id", "lang", "n_chars")
     }),
+    "q_dedup_passage" -> ((s, dir) =>
+      // corpus-wide k-word chunk dedup with document reassembly (C4
+      // span-rule shape); exact decision → full oracle hash-match
+      Dedup.passageDedup(Tables.documents(s, dir), k = 16)),
     "q_dedup_cluster" -> ((s, dir) => {
       // transitive-merge policy: one survivor per connected component
       // of the near-dup graph (min-label propagation, Dedup)
@@ -1105,6 +1109,18 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, substr(text, 1, 50) AS dedup_key, count(*) AS n_dups
         |FROM documents GROUP BY 2""".stripMargin,
+    "q_dedup_passage" ->
+      """WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, CAST(ceil(len(toks) / 16.0) AS INT) AS nc, toks FROM tk),
+        |e AS (SELECT doc_id, unnest(range(nc)) AS idx, toks FROM c),
+        |ch AS (SELECT doc_id, idx,
+        |         array_to_string(toks[idx * 16 + 1 : idx * 16 + 16], ' ') AS chunk FROM e),
+        |kept AS (SELECT doc_id, idx, chunk,
+        |           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       count(*) FILTER (rn = 1) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '') AS text_deduped
+        |FROM kept GROUP BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]

@@ -636,4 +636,50 @@ object Dedup {
         when(col("n_distinct") > 0,
           col("dup_windows").cast("double") / col("n_distinct")).otherwise(lit(0.0)))
   }
+
+  /** Corpus-wide passage dedup — the REWRITE member of the family
+    * (C4's three-sentence-span rule, RefinedWeb's line dedup, both at
+    * a fixed k-word chunk grain): every document is cut into
+    * consecutive k-token chunks, each distinct chunk survives at its
+    * FIRST corpus occurrence only (ordered by (doc_id, chunk_idx) —
+    * intra-doc repeats dedup under the same rule), and each document
+    * is reassembled from its surviving chunks in original order. This
+    * is what strips boilerplate headers/footers and licence blocks
+    * that repeat across a crawl WITHOUT dropping the documents that
+    * carry them — [[exact]]/[[minhashNearDups]] decide which DOCS
+    * die; this decides which PASSAGES do.
+    *
+    * Returns (doc_id, n_chunks, n_kept, text_deduped) — every input
+    * doc kept, `text_deduped` empty when all its chunks lost.
+    *
+    * Scale shape: chunk grain throughout, never pairs. One shuffle
+    * partitioned on the chunk text for the keep-first window (the
+    * text must cross the wire once anyway — reassembly needs it),
+    * one doc-grain shuffle to rebuild; both linear in corpus size.
+    * Spark's range-partitions the window on the chunk itself, so
+    * boilerplate-heavy corpora skew a partition only when ONE chunk
+    * value dominates — exact-key grouping cannot salt without
+    * breaking the global first-occurrence rule, but the per-group
+    * state is one row_number counter, so a hot group costs wire, not
+    * memory. The decision is exact (no hashing), so the output is
+    * engine-portable — the DuckDB oracle recomposes it in full.
+    */
+  def passageDedup(docs: DataFrame, k: Int = 16, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val nc = ceil(size(toks) / lit(k.toDouble)).cast("int")
+    val ch = docs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), nc - 1),
+        i => array_join(slice(toks, i * k + 1, lit(k)), " "))).as(Seq("idx", "chunk")))
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk")).orderBy(col(idCol), col("idx"))
+    ch.withColumn("keep", row_number().over(firstWin) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          filter(sort_array(collect_list(struct(col("idx"), col("keep"), col("chunk")))),
+            s => s.getField("keep")),
+          s => s.getField("chunk")), " ").as("text_deduped"))
+  }
 }

@@ -634,11 +634,32 @@ object Warehouse {
     * self-contained v=1.
     */
   def appendSnapshot(df: DataFrame, path: String, expectedVersion: Long,
-                     orphanGraceMs: Long = 600000L): Long = {
+                     orphanGraceMs: Long = 600000L,
+                     changeFeed: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    appendVersionFrom(df, path, base = expectedVersion,
+      next = expectedVersion + 1, orphanGraceMs, changeFeed) match {
+      case None => currentSnapshot(spark, path) // empty batch: no commit
+      case Some(v) => advancePointer(fs, path, v); v
+    }
+  }
+
+  /** Shared core of [[appendSnapshot]]/[[appendToBranch]]: commit
+    * version `next` whose content is version `base`'s rows plus
+    * `df`'s, new files only, base carried by manifest reference. The
+    * two numbers are decoupled because a branch append extends the
+    * BRANCH head while the number is allocated globally. Returns None
+    * for an empty batch (no commit), the committed version otherwise;
+    * no pointer is touched — that's the caller's half.
+    */
+  private def appendVersionFrom(df: DataFrame, path: String, base: Long,
+                                next: Long, orphanGraceMs: Long,
+                                changeFeed: Boolean = false): Option[Long] = {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = expectedVersion
     // the base version's committed entries + schema, resolved exactly
     // like the row-level writes: manifest when present, dir listing
     // for self-contained pre-manifest versions, refusal for a
@@ -672,9 +693,8 @@ object Warehouse {
     require(got == want,
       s"appendSnapshot($path): batch schema must match the committed schema exactly; " +
         s"committed=${committed.simpleString} batch=${df.schema.simpleString}")
-    if (df.isEmpty) return currentSnapshot(spark, path)
+    if (df.isEmpty) return None
     val aligned = df.select(committed.fieldNames.map(col).toIndexedSeq: _*)
-    val next = base + 1
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     aligned.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
@@ -682,16 +702,30 @@ object Warehouse {
     // is a base to share — an append onto empty is self-contained)
     if (baseEntries.nonEmpty)
       fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+    // change capture (X172): an append's feed is its own batch as
+    // 'insert' rows — staged with the data, published after promote
+    val cdfStaging = if (!changeFeed) None else Some {
+      val st = new org.apache.hadoop.fs.Path(s"$path/_staging-${tag}cdf")
+      aligned.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(next))
+        .write.mode(SaveMode.ErrorIfExists).parquet(st.toString)
+      st
+    }
+    def unwindStaging(): Unit = {
       fs.delete(staging, true)
+      cdfStaging.foreach(fs.delete(_, true))
+    }
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      unwindStaging()
       throw new SnapshotConflictException(path, next)
     }
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
     if (fs.exists(dest)) {
-      fs.delete(staging, true)
+      unwindStaging()
       throw new SnapshotConflictException(path, next)
     }
     promoteStaging(fs, staging, dest, path, next)
+    cdfStaging.foreach(st => publishChangeFiles(fs, path, next, st))
     val fresh = fs.listStatus(dest).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
@@ -701,12 +735,12 @@ object Warehouse {
     catch {
       case e: Throwable =>
         fs.delete(dest, true)
+        fs.delete(cdfDir(path, next), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
         throw new java.io.IOException(
           s"appendSnapshot($path): manifest publish failed for v=$next; version unwound", e)
     }
-    advancePointer(fs, path, next)
-    next
+    Some(next)
   }
 
   /** STREAMING TAIL of the snapshot warehouse — the table as a
@@ -1379,6 +1413,226 @@ object Warehouse {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tag-$name"), false)
   }
 
+  // ---------------------------------------------------------------------------
+  // Branches — WRITE-AUDIT-PUBLISH (Iceberg branch / WAP shape).
+  //
+  // The version history is ONE global sequence (every commit — main,
+  // branch, restore — claims the next number through the same
+  // [[claimVersion]] CAS, so no two commits ever share a number or a
+  // file path); `_latest` and `_branch-<name>` are NAMED REFS into
+  // that sequence, exactly git refs over one object store. A branch
+  // commit is therefore a full first-class version — manifest,
+  // history row, pinned-readable — that unaudited readers simply
+  // never see, because [[readSnapshot]] resolves through `_latest`.
+  //
+  // The WAP discipline this enables: stage tonight's batch on a
+  // branch ([[commitToBranch]]/[[appendToBranch]]), run the audit
+  // queries against [[readSnapshotBranch]], then [[publishBranch]] —
+  // ONE pointer write — to make it the table, or [[dropBranch]] to
+  // abandon it with nothing to clean up (retention ages the orphaned
+  // versions out normally). While a branch is ahead of main, route
+  // ALL writes through branches: a main-side
+  // [[commitSnapshot]]/[[appendSnapshot]] CASes against
+  // `expectedVersion + 1`, which a branch commit may already hold —
+  // the writer fails with a retryable conflict (never corruption),
+  // but the clean pattern is branch-everything, publish-to-promote.
+  // [[readSnapshotStream]]'s "new file = new main rows" equivalence
+  // also assumes no branch is being written concurrently — a branch
+  // commit's files land under `v=*` before any audit passes.
+  // ---------------------------------------------------------------------------
+
+  private def branchFile(path: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_branch-$name")
+
+  private def readPointerFile(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path): Option[Long] =
+    try {
+      val in = fs.open(p)
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close(); Some(s.toLong)
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Create branch `name` at `fromVersion` (default: the `_latest`
+    * target). Fails if the branch already exists — a branch is a
+    * lineage, not a tag; re-pointing it silently would orphan
+    * in-flight audit work. Exclusive create (O_EXCL through the same
+    * local-FS path [[claimVersion]] uses) so two concurrent creates
+    * cannot both win.
+    */
+  def createBranch(spark: SparkSession, path: String, name: String,
+                   fromVersion: Option[Long] = None): Long = {
+    requireTagName(name)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = fromVersion.getOrElse(resolveVersion(spark, path, None))
+    require(snapshots(spark, path).contains(v),
+      s"createBranch($path): no live snapshot v=$v to branch from")
+    val dest = branchFile(path, name)
+    val created =
+      if (dest.toUri.getScheme == null || dest.toUri.getScheme == "file")
+        try {
+          java.nio.file.Files.write(java.nio.file.Paths.get(dest.toUri.getPath),
+            v.toString.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else
+        try {
+          val out = fs.create(dest, false)
+          out.write(v.toString.getBytes("UTF-8")); out.close(); true
+        } catch { case _: java.io.IOException => false }
+    require(created, s"createBranch($path): branch '$name' already exists")
+    v
+  }
+
+  /** The branch's current head version. */
+  def branchHead(spark: SparkSession, path: String, name: String): Long = {
+    requireTagName(name)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same one-retry-on-absent as readSnapshotTag: the advance swap is
+    // overwriting-atomic, but tolerate a last-resort-fallback window
+    readPointerFile(fs, branchFile(path, name))
+      .orElse(readPointerFile(fs, branchFile(path, name)))
+      .getOrElse(sys.error(s"no branch '$name' under $path"))
+  }
+
+  /** All branches: (name, head version, live). */
+  def snapshotBranches(spark: SparkSession, path: String): Seq[(String, Long, Boolean)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val live = snapshots(spark, path).toSet
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_branch-")).sorted.flatMap { n =>
+        readPointerFile(fs, new org.apache.hadoop.fs.Path(root, n))
+          .map(v => (n.stripPrefix("_branch-"), v, live.contains(v)))
+      }
+  }
+
+  /** [[readSnapshot]] at the branch head — the audit query's input. */
+  def readSnapshotBranch(spark: SparkSession, path: String, name: String): DataFrame =
+    readSnapshot(spark, path, Some(branchHead(spark, path, name)))
+
+  /** Full-content commit onto a branch: `df` becomes the branch's new
+    * head, `_latest` untouched. Optimistic concurrency at TWO levels:
+    * the global [[claimVersion]] CAS allocates the version number
+    * (loser → retryable conflict, like every commit), and
+    * `expectedBranchVersion` is the branch-lineage CAS — the head the
+    * writer read before deriving `df`; a branch that moved since
+    * fails the same way. One writer per branch is the intended
+    * discipline (WAP stages are serial); the branch-pointer re-check
+    * before the swap narrows, not closes, a simultaneous-advance race
+    * two disciplined writers never enter.
+    */
+  def commitToBranch(df: DataFrame, path: String, name: String,
+                     expectedBranchVersion: Long,
+                     orphanGraceMs: Long = 600000L): Long = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = branchHead(spark, path, name)
+    if (head != expectedBranchVersion)
+      throw new SnapshotConflictException(path, head)
+    val next = currentSnapshot(spark, path) + 1
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    publishManifestBestEffort(fs, spark, path, next, df.schema.json)
+    advanceBranch(fs, path, name, expectedBranchVersion, next)
+    next
+  }
+
+  /** [[appendSnapshot]] onto a branch: content extends the BRANCH
+    * head (files carried by reference), while the version number is
+    * allocated globally — the two are decoupled here exactly because
+    * main may have advanced past the branch point. Same contracts as
+    * [[appendSnapshot]] (exact schema gate, empty batch = no commit,
+    * load-bearing manifest) plus the branch-lineage CAS of
+    * [[commitToBranch]].
+    */
+  def appendToBranch(df: DataFrame, path: String, name: String,
+                     expectedBranchVersion: Long,
+                     orphanGraceMs: Long = 600000L): Long = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = branchHead(spark, path, name)
+    if (head != expectedBranchVersion)
+      throw new SnapshotConflictException(path, head)
+    val next = currentSnapshot(spark, path) + 1
+    appendVersionFrom(df, path, base = head, next = next, orphanGraceMs) match {
+      case None => head // empty batch: branch unchanged
+      case Some(v) =>
+        advanceBranch(fs, path, name, expectedBranchVersion, v); v
+    }
+  }
+
+  /** Branch-pointer CAS-advance: re-read, unwind the freshly promoted
+    * version and conflict if the branch moved since the caller's read,
+    * else swap the pointer (overwriting-atomic — no absent window).
+    * The unwound version was never referenced by any pointer, so no
+    * reader can have planned from it.
+    */
+  private def advanceBranch(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                            name: String, expected: Long, next: Long): Unit = {
+    val nowHead = readPointerFile(fs, branchFile(path, name))
+    if (!nowHead.contains(expected)) {
+      fs.delete(manifestPath(path, next), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$next"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+      throw new SnapshotConflictException(path, nowHead.getOrElse(-1L))
+    }
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-br$tag")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8")); out.close()
+    overwriteRename(fs, tmp, branchFile(path, name),
+      s"cannot advance branch '$name' for $path")
+  }
+
+  /** PUBLISH — the one-pointer-write promote that completes
+    * write-audit-publish: `_latest` fast-forwards to the branch head,
+    * and every audited version the branch accumulated becomes the
+    * table's history in one atomic swap. The branch stays (publish
+    * again after more commits, or [[dropBranch]] when done). Fails
+    * loudly if `_latest` is AHEAD of the branch head — someone wrote
+    * main directly since the branch point; re-branch from latest and
+    * replay rather than silently un-publishing their commit
+    * ([[advancePointer]] is forward-only, so the swap would no-op).
+    */
+  def publishBranch(spark: SparkSession, path: String, name: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = branchHead(spark, path, name)
+    val mainV = resolveVersion(spark, path, None)
+    require(mainV <= head,
+      s"publishBranch($path): _latest is at v=$mainV, ahead of branch '$name' " +
+        s"head v=$head — re-branch from latest and replay the branch's changes")
+    advancePointer(fs, path, head)
+    head
+  }
+
+  /** Remove a branch pointer (versions stay; retention ages them out
+    * once unreferenced). Returns whether it existed.
+    */
+  def dropBranch(spark: SparkSession, path: String, name: String): Boolean = {
+    requireTagName(name)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(branchFile(path, name), false)
+  }
+
   /** ROLLBACK / RESTORE (Delta `RESTORE TABLE ... TO VERSION` shape):
     * commits a NEW version whose content is exactly `toVersion`'s —
     * the undo for a bad write that keeps history linear and auditable
@@ -1531,8 +1785,16 @@ object Warehouse {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = snapshots(spark, path)
-    val drop = all.dropRight(keepLast)
-    val retained = all.takeRight(keepLast)
+    // branch heads are RETENTION ROOTS (unlike tags, which dangle by
+    // design): a branch is unpublished in-flight work — expiring its
+    // head out from under the audit would silently lose the staged
+    // batch. Intermediate branch versions age out normally; the head's
+    // manifest references keep any files it still needs alive below.
+    val branchHeads = snapshotBranches(spark, path)
+      .collect { case (_, v, true) => v }.toSet
+    val drop = all.dropRight(keepLast).filterNot(branchHeads)
+    val dropSet = drop.toSet
+    val retained = all.filterNot(dropSet)
     // HARD STOP before anything is touched: a RETAINED file-sharing
     // version (`_partial` present) whose manifest cannot be read holds
     // its data ONLY through manifest references we cannot enumerate —
@@ -1558,8 +1820,11 @@ object Warehouse {
       val dir = new org.apache.hadoop.fs.Path(s"$path/v=$v")
       // idempotent teardown of the version's commit records — also
       // covers an expire that crashed right after creating the marker
-      // (re-swept here with manifest/marker still present)
+      // (re-swept here with manifest/marker still present); recorded
+      // change files age out with their version (the feed's retention
+      // IS the table's retention, as in Delta CDF)
       fs.delete(manifestPath(path, v), false)
+      fs.delete(cdfDir(path, v), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$v"), false)
       val refsHere = referenced.filter(_.startsWith(s"v=$v/"))
       if (refsHere.isEmpty) {
@@ -1635,9 +1900,13 @@ object Warehouse {
     */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
                   orphanGraceMs: Long = 600000L,
-                  scanBound: Option[(String, Option[Any], Option[Any])] = None): Long =
+                  scanBound: Option[(String, Option[Any], Option[Any])] = None,
+                  changeFeed: Boolean = false): Long =
     rewriteMatchingFiles(spark, path, predicate, orphanGraceMs, scanBound,
-      "deleteWhere", rewrite = (df, _) => df.where(!coalesce(predicate, lit(false))))
+      "deleteWhere", rewrite = (df, _) => df.where(!coalesce(predicate, lit(false))),
+      changes = if (!changeFeed) None else Some((df, _) =>
+        df.where(coalesce(predicate, lit(false)))
+          .withColumn("_change_type", lit("delete"))))
 
   /** Row-level UPDATE on the snapshot warehouse — [[deleteWhere]]'s
     * sibling (Delta-style `UPDATE t SET ... WHERE ...`), sharing its
@@ -1656,10 +1925,20 @@ object Warehouse {
   def updateWhere(spark: SparkSession, path: String, predicate: Column,
                   set: Map[String, Column],
                   orphanGraceMs: Long = 600000L,
-                  scanBound: Option[(String, Option[Any], Option[Any])] = None): Long = {
+                  scanBound: Option[(String, Option[Any], Option[Any])] = None,
+                  changeFeed: Boolean = false): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    def applySet(df: DataFrame, schema: StructType, cond: Column): DataFrame =
+      df.select(schema.map { f =>
+        if (set.contains(f.name))
+          when(cond, set(f.name).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        else col(f.name)
+      }: _*)
     rewriteMatchingFiles(spark, path, predicate, orphanGraceMs, scanBound,
       "updateWhere",
+      changes = if (!changeFeed) None else Some((df, schema) =>
+        applySet(df.where(coalesce(predicate, lit(false))), schema, lit(true))
+          .withColumn("_change_type", lit("update"))),
       // EAGER validation, before the discovery scan runs and even when
       // the predicate matches nothing (review r10: a typo'd SET column
       // on a no-match call must throw, not report a successful no-op)
@@ -1668,14 +1947,7 @@ object Warehouse {
         require(unknown.isEmpty,
           s"updateWhere: SET columns not in the table schema: ${unknown.mkString(", ")}")
       },
-      rewrite = { (df, schema) =>
-        val cond = coalesce(predicate, lit(false))
-        df.select(schema.map { f =>
-          if (set.contains(f.name))
-            when(cond, set(f.name).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          else col(f.name)
-        }: _*)
-      })
+      rewrite = (df, schema) => applySet(df, schema, coalesce(predicate, lit(false))))
   }
 
   private def rewriteMatchingFiles(spark: SparkSession, path: String, predicate: Column,
@@ -1683,7 +1955,8 @@ object Warehouse {
                                    scanBound: Option[(String, Option[Any], Option[Any])],
                                    op: String,
                                    rewrite: (DataFrame, StructType) => DataFrame,
-                                   validate: StructType => Unit = _ => ()): Long = {
+                                   validate: StructType => Unit = _ => (),
+                                   changes: Option[(DataFrame, StructType) => DataFrame] = None): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = currentSnapshot(spark, path)
@@ -1750,16 +2023,32 @@ object Warehouse {
     kept.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // mark as file-sharing BEFORE the dir becomes visible (see Scaladoc)
     fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+    // change capture (X172): the feed rows are STAGED before the claim
+    // (the `_staging-` prefix keeps crash debris inside vacuum's sweep)
+    // and renamed into `_cdf/v=<next>` only after promote — one extra
+    // scan of the TOUCHED files only, never the table
+    val cdfStaging = changes.map { mk =>
+      val st = new org.apache.hadoop.fs.Path(s"$path/_staging-${tag}cdf")
+      mk(reader.parquet(touched.toSeq.sorted.map(e => s"$path/$e"): _*), schema)
+        .withColumn("_commit_version", lit(next))
+        .write.mode(SaveMode.ErrorIfExists).parquet(st.toString)
+      st
+    }
+    def unwindStaging(): Unit = {
       fs.delete(staging, true)
+      cdfStaging.foreach(fs.delete(_, true))
+    }
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      unwindStaging()
       throw new SnapshotConflictException(path, next)
     }
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
     if (fs.exists(dest)) {
-      fs.delete(staging, true)
+      unwindStaging()
       throw new SnapshotConflictException(path, next)
     }
     promoteStaging(fs, staging, dest, path, next)
+    cdfStaging.foreach(st => publishChangeFiles(fs, path, next, st))
     val rewritten = fs.listStatus(dest).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
@@ -1772,12 +2061,103 @@ object Warehouse {
         // the manifest IS this version's commit record — unwind so the
         // half-version can neither be read nor built upon
         fs.delete(dest, true)
+        fs.delete(cdfDir(path, next), true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
         throw new java.io.IOException(
           s"$op($path): manifest publish failed for v=$next; version unwound", e)
     }
     advancePointer(fs, path, next)
     next
+  }
+
+  // ---------------------------------------------------------------------------
+  // Change data feed (X172) — Delta-CDF shape: writes made with
+  // `changeFeed = true` PERSIST their row-level changes next to the
+  // commit, under `_cdf/v=<n>`, as table rows plus `_change_type`
+  // ('insert' | 'update' | 'delete' — [[diffFrames]]' vocabulary, so
+  // [[applyChangeFeed]] consumes the recorded feed directly) and
+  // `_commit_version`. Recording costs only what changed: an append
+  // records its batch, a deleteWhere/updateWhere scans its TOUCHED
+  // files once more — never the table. Contrast [[snapshotDiff]],
+  // which RECONSTRUCTS a feed after the fact by diffing two versions:
+  // the recorded feed is the push model a 100 TB downstream replica
+  // tails continuously, the diff is the pull-model backfill for
+  // commits that didn't record (they compose: gaps in the recording
+  // are exactly the versions [[changeFeedVersions]] omits).
+  //
+  // Durability contract: the feed is staged before the version's CAS
+  // claim and unwound with the version on every failure path, so a
+  // recorded feed never describes a version that doesn't exist. The
+  // converse crash window (version promoted, feed rename lost) is one
+  // rename wide; consumers needing completeness treat a missing
+  // version in [[changeFeedVersions]] as a [[snapshotDiff]] backfill.
+  // ---------------------------------------------------------------------------
+
+  private def cdfDir(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(s"$path/_cdf/v=$v")
+
+  private def publishChangeFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String, v: Long,
+                                 staged: org.apache.hadoop.fs.Path): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_cdf"))
+    val dest = cdfDir(path, v)
+    fs.delete(dest, true) // claim exclusivity makes live contention impossible; clear debris
+    require(fs.rename(staged, dest),
+      s"cannot publish change files for v=$v under $path")
+  }
+
+  /** Versions with recorded change files, ascending. */
+  def changeFeedVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_cdf")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v=\\d+")).map(_.drop(2).toLong).sorted
+  }
+
+  /** The recorded change rows for commits `fromVersion..toVersion`
+    * (inclusive): table columns + `_change_type` + `_commit_version`.
+    * Only RECORDED versions are read ([[changeFeedVersions]]); by
+    * default the range must be fully recorded — `allowGaps = true`
+    * opts into partial coverage (the caller backfills the gaps via
+    * [[snapshotDiff]]). Feed-apply law, spec-pinned: for a recorded
+    * commit `n`, `applyChangeFeed(readSnapshot(n-1),
+    * readChangeFeed(n, n)) ≡ readSnapshot(n)` on keyed tables.
+    */
+  def readChangeFeed(spark: SparkSession, path: String, fromVersion: Long,
+                     toVersion: Long, allowGaps: Boolean = false): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readChangeFeed($path): empty range $fromVersion..$toVersion")
+    val recorded = changeFeedVersions(spark, path)
+      .filter(v => v >= fromVersion && v <= toVersion)
+    val missing = (fromVersion to toVersion).filterNot(recorded.contains)
+    require(allowGaps || missing.isEmpty,
+      s"readChangeFeed($path): no recorded changes for version(s) " +
+        s"${missing.mkString(", ")} — commit with changeFeed = true, backfill via " +
+        "snapshotDiff, or pass allowGaps = true")
+    require(recorded.nonEmpty,
+      s"readChangeFeed($path): nothing recorded in $fromVersion..$toVersion")
+    spark.read.parquet(recorded.map(v => cdfDir(path, v).toString): _*)
+  }
+
+  /** The change feed as a Structured Streaming SOURCE — the
+    * continuous-consumption twin of [[readChangeFeed]], and the CDC
+    * counterpart of [[readSnapshotStream]] (which tails ROWS of an
+    * append-only history; this tails CHANGES of any recorded history,
+    * deletes and updates included). Same construction and the same
+    * exactly-once/restart contract: the parquet file source over
+    * `_cdf/v=*`, new commit = new files, offsets in the stream
+    * checkpoint. Feed a downstream replica by applying each
+    * micro-batch with [[applyChangeFeed]] in `foreachBatch`.
+    */
+  def readChangeFeedStream(spark: SparkSession, path: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = readSnapshot(spark, path).schema
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$path/_cdf/v=*/part-*")
   }
 
   /** Manifest-stats-pruned snapshot read — the Delta/Iceberg

@@ -322,4 +322,26 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === ((3L, 0L, 0.0)))
     assert(out(3L) === ((3L, 2L, 0.666667)))
   }
+
+  test("passageDedup: first corpus occurrence survives, docs reassembled in order") {
+    // k=2 chunks — doc 1: [a b][c d], doc 2: [a b][x y], doc 3: [x y][a b][z]
+    val d = docs(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "x y a b z"))
+    val out = Dedup.passageDedup(d, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 owns "a b" and "c d"; doc 2 loses "a b" but owns "x y";
+    // doc 3 loses both and keeps only its odd-length tail chunk "z"
+    assert(out(1L) === ((2L, 2L, "a b c d")))
+    assert(out(2L) === ((2L, 1L, "x y")))
+    assert(out(3L) === ((3L, 1L, "z")))
+    // intra-doc repeats dedup under the same first-occurrence rule,
+    // and a doc whose chunks ALL lose reassembles to the empty string
+    val d2 = docs((1L, "p q p q"), (2L, "p q"))
+    val out2 = Dedup.passageDedup(d2, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out2(1L) === ((2L, 1L, "p q")))
+    assert(out2(2L) === ((1L, 0L, "")))
+  }
 }
