@@ -94,6 +94,30 @@ object SparkEntry {
       |         w30 AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
       |)""".stripMargin
 
+  /** Shared oracle for q_merge and q_merge_snapshot — identical MERGE
+    * clause semantics; the snapshot variant exercises the file-grain
+    * committed-table write path against the same recomposition. */
+  private val mergeOracleSql = enrichedCte +
+    """, tgt AS (
+      |  SELECT date, asset, open, high, low, close, ret FROM enriched WHERE date < DATE '2024-01-21'
+      |), src AS (
+      |  SELECT date, asset, open * 2 AS open, high * 2 AS high, low * 2 AS low, close * 2 AS close
+      |  FROM daily WHERE date >= DATE '2024-01-15'
+      |)
+      |SELECT COALESCE(t.date, s.date) AS date, COALESCE(t.asset, s.asset) AS asset,
+      |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.open
+      |       WHEN t.date IS NULL THEN s.open ELSE t.open END AS open,
+      |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.high
+      |       WHEN t.date IS NULL THEN s.high ELSE t.high END AS high,
+      |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.low
+      |       WHEN t.date IS NULL THEN s.low ELSE t.low END AS low,
+      |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.close
+      |       WHEN t.date IS NULL THEN s.close ELSE t.close END AS close,
+      |  t.ret AS ret
+      |FROM tgt t FULL JOIN src s ON t.date = s.date AND t.asset = s.asset
+      |WHERE NOT (t.date IS NOT NULL AND s.date IS NOT NULL AND s.date <= DATE '2024-01-16')
+      |  AND NOT (t.date IS NULL AND s.date < DATE '2024-01-25')""".stripMargin
+
   /** `dailyCte` under a RECURSIVE with-clause — DuckDB applies the
     * RECURSIVE keyword to the whole WITH list, so the recursive
     * indicator oracles share the same daily CTE text verbatim. */
@@ -268,6 +292,28 @@ object SparkEntry {
           Map("open" -> col("s.open"), "high" -> col("s.high"),
             "low" -> col("s.low"), "close" -> col("s.close"))),
         Warehouse.InsertWhen(col("s.date") >= lit("2024-01-25").cast("date"))))
+    }),
+    "q_merge_snapshot" -> ((s, dir) => {
+      // the q_merge scenario routed through the snapshot warehouse's
+      // file-grain MERGE (X173): identical clause semantics (shared
+      // oracle), but exercised against a COMMITTED table where only
+      // the files carrying source keys rewrite and inserts land as
+      // new files in the same commit
+      val e = enriched(s, dir).select("date", "asset", "open", "high", "low", "close", "ret")
+      val target = e.filter(col("date") < lit("2024-01-21").cast("date"))
+      val source = dailyOhlc(s, dir)
+        .filter(col("date") >= lit("2024-01-15").cast("date"))
+        .select(col("date"), col("asset"), (col("open") * 2).as("open"),
+          (col("high") * 2).as("high"), (col("low") * 2).as("low"), (col("close") * 2).as("close"))
+      val root = java.nio.file.Files.createTempDirectory("graft_qms").toString + "/t"
+      Warehouse.writeSnapshot(target.repartitionByRange(4, col("date")), root)
+      Warehouse.mergeIntoSnapshot(s, root, source, Seq("date", "asset"), Seq(
+        Warehouse.DeleteWhen(col("s.date") <= lit("2024-01-16").cast("date")),
+        Warehouse.UpdateWhen(col("s.date") >= lit("2024-01-19").cast("date"),
+          Map("open" -> col("s.open"), "high" -> col("s.high"),
+            "low" -> col("s.low"), "close" -> col("s.close"))),
+        Warehouse.InsertWhen(col("s.date") >= lit("2024-01-25").cast("date"))))
+      Warehouse.readSnapshot(s, root)
     }),
     "q_cdc_diff" -> ((s, dir) => {
       // change feed between two table states: %3 keys only in new
@@ -1012,26 +1058,10 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |       COALESCE(n.low, o.low) AS low, COALESCE(n.close, o.close) AS close,
         |       o.ret AS ret
         |FROM existing o FULL JOIN incoming n ON o.date = n.date AND o.asset = n.asset""".stripMargin),
-    "q_merge" -> (enrichedCte +
-      """, tgt AS (
-        |  SELECT date, asset, open, high, low, close, ret FROM enriched WHERE date < DATE '2024-01-21'
-        |), src AS (
-        |  SELECT date, asset, open * 2 AS open, high * 2 AS high, low * 2 AS low, close * 2 AS close
-        |  FROM daily WHERE date >= DATE '2024-01-15'
-        |)
-        |SELECT COALESCE(t.date, s.date) AS date, COALESCE(t.asset, s.asset) AS asset,
-        |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.open
-        |       WHEN t.date IS NULL THEN s.open ELSE t.open END AS open,
-        |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.high
-        |       WHEN t.date IS NULL THEN s.high ELSE t.high END AS high,
-        |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.low
-        |       WHEN t.date IS NULL THEN s.low ELSE t.low END AS low,
-        |  CASE WHEN t.date IS NOT NULL AND s.date IS NOT NULL AND s.date >= DATE '2024-01-19' THEN s.close
-        |       WHEN t.date IS NULL THEN s.close ELSE t.close END AS close,
-        |  t.ret AS ret
-        |FROM tgt t FULL JOIN src s ON t.date = s.date AND t.asset = s.asset
-        |WHERE NOT (t.date IS NOT NULL AND s.date IS NOT NULL AND s.date <= DATE '2024-01-16')
-        |  AND NOT (t.date IS NULL AND s.date < DATE '2024-01-25')""".stripMargin),
+    "q_merge" -> mergeOracleSql,
+    // X173 file-grain snapshot MERGE: same clause semantics, same
+    // recomposition — the Spark side exercises the committed-table path
+    "q_merge_snapshot" -> mergeOracleSql,
     "q_cdc_diff" ->
       """WITH oldst AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
         |newst AS (SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -1902,7 +1902,9 @@ object Warehouse {
                   orphanGraceMs: Long = 600000L,
                   scanBound: Option[(String, Option[Any], Option[Any])] = None,
                   changeFeed: Boolean = false): Long =
-    rewriteMatchingFiles(spark, path, predicate, orphanGraceMs, scanBound,
+    rewriteMatchingFiles(spark, path,
+      _.where(predicate).select(input_file_name().as("__file")),
+      orphanGraceMs, scanBound,
       "deleteWhere", rewrite = (df, _) => df.where(!coalesce(predicate, lit(false))),
       changes = if (!changeFeed) None else Some((df, _) =>
         df.where(coalesce(predicate, lit(false)))
@@ -1934,7 +1936,9 @@ object Warehouse {
           when(cond, set(f.name).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         else col(f.name)
       }: _*)
-    rewriteMatchingFiles(spark, path, predicate, orphanGraceMs, scanBound,
+    rewriteMatchingFiles(spark, path,
+      _.where(predicate).select(input_file_name().as("__file")),
+      orphanGraceMs, scanBound,
       "updateWhere",
       changes = if (!changeFeed) None else Some((df, schema) =>
         applySet(df.where(coalesce(predicate, lit(false))), schema, lit(true))
@@ -1950,13 +1954,86 @@ object Warehouse {
       rewrite = (df, schema) => applySet(df, schema, coalesce(predicate, lit(false))))
   }
 
-  private def rewriteMatchingFiles(spark: SparkSession, path: String, predicate: Column,
+  /** MERGE INTO over the snapshot warehouse — the file-grain Delta
+    * `MERGE` that completes the row-level write family
+    * ([[deleteWhere]] erases, [[updateWhere]] corrects, this UPSERTS a
+    * batch): [[mergeInto]]'s clause semantics (first-clause-wins
+    * update/delete/insert, source-duplicate rejection) applied so that
+    * ONLY the files containing a source key are rewritten, unmatched
+    * source rows land as NEW files in the same commit, and every
+    * untouched file is carried by reference — at 100 TB a nightly
+    * upsert batch costs one key-pruned discovery scan plus a rewrite
+    * of the files its keys actually live in, not the table.
+    *
+    * Discovery is a BROADCAST left-semi join of the table scan against
+    * the source's distinct keys (the batch side; NULL-keyed source
+    * rows match nothing and are excluded) — the scan reads key columns
+    * only, and a plan that lost the broadcast (and with it
+    * `input_file_name`'s stream-side meaning) fails the entry-list
+    * lookup loudly rather than rewriting wrong files. `scanBound` is
+    * the same caller promise as [[deleteWhere]]'s: every MATCHED key
+    * lies inside the bound, so manifest stats prune the discovery scan
+    * itself (insert-only rows are unaffected — they touch no existing
+    * file). A merge whose keys all miss commits just the inserts; a
+    * merge that neither matches nor inserts is a no-op (current
+    * version returned, no empty commit). `changeFeed = true` records
+    * the version's row-level feed as [[diffFrames]] of the touched
+    * rows against their merged replacement — insert/update/delete
+    * exactly, touched-files grain, assuming key-unique table rows
+    * (the same contract [[applyChangeFeed]] consumes under).
+    *
+    * Same CAS/`_partial`/manifest/unwind contract as the siblings;
+    * `source` is evaluated per pass (discovery, rewrite, feed) — cache
+    * it upstream if that matters for a large batch.
+    */
+  def mergeIntoSnapshot(spark: SparkSession, path: String, source: DataFrame,
+                        keys: Seq[String], clauses: Seq[MergeClause],
+                        orphanGraceMs: Long = 600000L,
+                        scanBound: Option[(String, Option[Any], Option[Any])] = None,
+                        changeFeed: Boolean = false): Long = {
+    require(keys.nonEmpty && clauses.nonEmpty,
+      "mergeIntoSnapshot needs keys and at least one clause")
+    val srcKeys = source.select(keys.map(col): _*)
+      .where(keys.map(col(_).isNotNull).reduce(_ && _)).distinct()
+    val hasInsert = clauses.exists(_.isInstanceOf[InsertWhen])
+    rewriteMatchingFiles(spark, path,
+      // `__file` is stamped in a projection DIRECTLY over the scan (its
+      // subtree has exactly one file source, so the plan stays legal
+      // even when the batch is itself parquet-backed), and the semi
+      // join runs above it; column pruning still narrows the scan to
+      // the key columns
+      discover = _.select(input_file_name().as("__file") +: keys.map(col): _*)
+        .join(broadcast(srcKeys), keys, "left_semi"),
+      orphanGraceMs, scanBound, "mergeIntoSnapshot",
+      rewrite = (df, _) => mergeInto(df, source, keys, clauses),
+      changes = if (!changeFeed) None else Some((df, _) =>
+        diffFrames(df, mergeInto(df, source, keys, clauses), keys)),
+      commitOnNoMatch = hasInsert)
+  }
+
+  /** Shared core of the row-level write paths ([[deleteWhere]] /
+    * [[updateWhere]] / [[mergeIntoSnapshot]]): `discover` maps the raw
+    * candidate scan to a frame with a `__file` column naming each file
+    * that must be rewritten — a filter-then-`input_file_name`
+    * projection for predicate ops (filter pushes to the scan), or an
+    * `input_file_name`-first projection then semi-join for merge
+    * (keeps the expression's subtree single-source when the batch is
+    * itself file-backed). `rewrite` produces the touched files'
+    * replacement rows, `changes` optionally records the version's
+    * change feed. `commitOnNoMatch` lets an op that can CREATE rows
+    * (merge with insert clauses) commit even when no existing file
+    * matches — `rewrite` then runs on an empty frame and an empty
+    * result is still a no-op.
+    */
+  private def rewriteMatchingFiles(spark: SparkSession, path: String,
+                                   discover: DataFrame => DataFrame,
                                    orphanGraceMs: Long,
                                    scanBound: Option[(String, Option[Any], Option[Any])],
                                    op: String,
                                    rewrite: (DataFrame, StructType) => DataFrame,
                                    validate: StructType => Unit = _ => (),
-                                   changes: Option[(DataFrame, StructType) => DataFrame] = None): Long = {
+                                   changes: Option[(DataFrame, StructType) => DataFrame] = None,
+                                   commitOnNoMatch: Boolean = false): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = currentSnapshot(spark, path)
@@ -1982,7 +2059,9 @@ object Warehouse {
     // pre-manifest version has no schema source at all, so validation
     // (like everything else) is a no-op there.
     schemaOpt.foreach(validate)
-    if (entries.isEmpty) return v
+    // an empty version without a manifest has no schema source at all —
+    // even an insert-only merge has nothing to anchor its types to
+    if (entries.isEmpty && !(commitOnNoMatch && schemaOpt.isDefined)) return v
     val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
     val schema = schemaOpt.getOrElse(
       spark.read.parquet(entries.map(e => s"$path/$e"): _*).schema)
@@ -1998,26 +2077,37 @@ object Warehouse {
         entries.zipWithIndex.collect { case (e, i) if keep(i) => e }
       case _ => entries
     }
-    if (candidates.isEmpty) return v
+    if (candidates.isEmpty && !commitOnNoMatch) return v
     val full = candidates.map(e => s"$path/$e")
     // which candidate files contain matching rows — ONE scan that reads
-    // only the predicate's columns (Catalyst prunes the projection down
-    // to input_file_name + predicate inputs); this is the erase's whole
-    // read cost over the untouched bulk of the table
+    // only the matching columns (Catalyst prunes the projection down
+    // to input_file_name + the filter/join inputs); this is the op's
+    // whole read cost over the untouched bulk of the table. A shuffled
+    // `matching` would surface as "" file names and fail the entry-list
+    // lookup loudly — never silently touch the wrong files.
     val byPath = candidates.map(e =>
       fs.makeQualified(new org.apache.hadoop.fs.Path(s"$path/$e")).toUri.getPath -> e).toMap
-    val touched: Set[String] = reader.parquet(full: _*)
-      .where(predicate)
-      .select(input_file_name().as("__file")).distinct()
-      .collect()
-      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
-      .map(p => byPath.getOrElse(p,
-        sys.error(s"$op($path): scanned file $p not in committed entry list")))
-      .toSet
-    if (touched.isEmpty) return v
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else discover(reader.parquet(full: _*))
+        .select(col("__file")).distinct()
+        .collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
+        .map(p => byPath.getOrElse(p,
+          sys.error(s"$op($path): scanned file $p not in committed entry list")))
+        .toSet
+    if (touched.isEmpty && !commitOnNoMatch) return v
     val untouched = entries.filterNot(touched)
     val next = v + 1
-    val kept = rewrite(reader.parquet(touched.toSeq.sorted.map(e => s"$path/$e"): _*), schema)
+    def touchedDf: DataFrame =
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else reader.parquet(touched.toSeq.sorted.map(e => s"$path/$e"): _*)
+    val kept = rewrite(touchedDf, schema)
+    // no matching files AND nothing created (insert clauses that all
+    // miss): no empty commit — the isEmpty probe runs only on the
+    // cheap no-touched path (source-side rows only)
+    if (touched.isEmpty && kept.isEmpty) return v
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     kept.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
@@ -2029,7 +2119,7 @@ object Warehouse {
     // scan of the TOUCHED files only, never the table
     val cdfStaging = changes.map { mk =>
       val st = new org.apache.hadoop.fs.Path(s"$path/_staging-${tag}cdf")
-      mk(reader.parquet(touched.toSeq.sorted.map(e => s"$path/$e"): _*), schema)
+      mk(touchedDf, schema)
         .withColumn("_commit_version", lit(next))
         .write.mode(SaveMode.ErrorIfExists).parquet(st.toString)
       st
