@@ -327,6 +327,26 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"))
     }),
+    "q_incr_agg_cdf" -> ((s, dir) => {
+      // X177 incremental view maintenance: a materialized per-status
+      // (count, sum) rollup of the OLD state is caught up to the NEW
+      // state purely from the change feed (preimage-recording diff) —
+      // the maintained result must equal the direct recompute, which is
+      // exactly what the oracle computes. Integer measure → bit-exact
+      // algebra in both engines.
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_custkey")
+      val oldState = o.filter(col("o_orderkey") % 5 =!= 0)
+      val newState = o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000L)
+            .otherwise(col("o_custkey")))
+      val aggOld = oldState.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
+      val feed = Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"),
+        preImages = true)
+      store.IncrementalAgg.maintainAggregate(aggOld, feed, Seq("o_orderstatus"),
+        Map("s" -> "o_custkey"), "n")
+    }),
     "q_enrich_affected" -> ((s, dir) => {
       // restatement ripple: day 10's close corrected ×1.5 — recompute
       // ONLY the rows whose windows see it (days 10..30 here); must
@@ -766,6 +786,9 @@ object SparkEntry {
     "q_epoch_shuffle" -> ((s, dir) =>
       TotalOrder.epochShuffle(Tables.documents(s, dir), "doc_id", epochs = 3)),
     "q_bigram_logp" -> ((s, dir) => ext.TextAnalysis.bigramLogProb(Tables.documents(s, dir))),
+    "q_perplexity_bucket" -> ((s, dir) =>
+      // CCNet-style within-language head/middle/tail LM-quality split
+      ext.TextAnalysis.perplexityBucket(Tables.documents(s, dir))),
     "q_bpe_learn" -> ((s, dir) => // oracle-checked since r8: the fixed
       // 8-round merge loop unrolls into chained SQL CTEs (see
       // bpeLearnOracle); the greedy remerge semantics are additionally
@@ -1085,6 +1108,16 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |         END AS _change_type
         |  FROM oldst o FULL JOIN newst n ON o.o_orderkey = n.o_orderkey)
         |SELECT * FROM feed WHERE _change_type IS NOT NULL""".stripMargin,
+    // X177: the oracle recomputes the NEW state's rollup directly —
+    // the Spark side must reach the identical table purely by applying
+    // the change feed to the OLD state's materialized rollup
+    "q_incr_agg_cdf" ->
+      """WITH newst AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000 ELSE o_custkey END AS o_custkey
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS s
+        |FROM newst GROUP BY o_orderstatus""".stripMargin,
     "q_incr_indicators" -> (enrichedCte +
       " SELECT * FROM enriched WHERE date >= DATE '2024-01-21'"),
     "q_enrich_affected" -> (dailyCte +
@@ -2310,6 +2343,28 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  round(avg(log10((c + 1.0) / (cc + 1.0 * vs))), 6) AS avg_logp
         |FROM bgn JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin,
+    // reuses q_bigram_logp's model CTEs; ntile(3) per language over
+    // (avg_logp DESC, doc_id) — the deterministic CCNet bucket cut
+    "q_perplexity_bucket" ->
+      """WITH arr AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+        |idx AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i
+        |        FROM arr WHERE len(a) >= 2),
+        |bgn AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2 FROM idx),
+        |bc AS (SELECT w1, w2, count(*) AS c FROM bgn GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS cc FROM bgn GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS vs FROM
+        |       (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)),
+        |scored AS (
+        |  SELECT doc_id, round(avg(log10((c + 1.0) / (cc + 1.0 * vs))), 6) AS avg_logp
+        |  FROM bgn JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id),
+        |tiled AS (
+        |  SELECT s.doc_id, d.lang, s.avg_logp,
+        |         ntile(3) OVER (PARTITION BY d.lang ORDER BY s.avg_logp DESC, s.doc_id) AS t
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, avg_logp,
+        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM tiled""".stripMargin,
     "q_oov_rate" ->
       """WITH vocab AS (
         |  SELECT token FROM (

@@ -299,6 +299,38 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** CCNet-style LM-quality bucketing (Wenzek et al. 2020): score
+    * every doc with the corpus bigram LM ([[bigramLogProb]]), then
+    * WITHIN EACH LANGUAGE split the corpus into equal head/middle/tail
+    * buckets by score — head = most natural text, tail = the
+    * boilerplate/scramble end. CCNet buckets by Wikipedia-LM
+    * perplexity per language; the within-language ntile is the exact
+    * analog with the in-corpus model standing in for the external LM.
+    * Ordering is (avg_logp DESC, doc_id) so ties cut deterministically
+    * — the bucket boundary at rank N/3 must not be engine-dependent.
+    * Docs with <2 tokens have no bigrams and emit no row, as in the
+    * scorer.
+    *
+    * Shape: the scorer's one corpus pass + broadcast model joins, then
+    * a doc-grain `lang` join (doc-grain rows only — text never
+    * re-shuffles) and one ntile window per language. Language
+    * cardinality is tiny and fixed, so the window's per-partition sort
+    * is the n·log n a 3-quantile split costs anywhere; a skewed
+    * language at 100 TB swaps ntile for approx percentile cutpoints
+    * (two scans, no full sort) at the cost of exact thirds.
+    */
+  def perplexityBucket(df: DataFrame, k: Double = 1.0,
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLogProb(df, k, textCol)
+      .join(df.select(col("doc_id"), col("lang")), "doc_id")
+    val tercile = ntile(3).over(
+      Window.partitionBy(col("lang")).orderBy(col("avg_logp").desc, col("doc_id")))
+    scored.select(col("doc_id"), col("lang"), col("avg_logp"),
+      when(tercile === 1, lit("head")).when(tercile === 2, lit("middle"))
+        .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Per-document lexical statistics: token count, type (distinct
     * token) count, type-token ratio, and the Shannon entropy (bits) of
     * the document's own unigram distribution — the standard lexical

@@ -189,7 +189,8 @@ object Warehouse {
     * sides first when the writer touches bounded partitions
     * ([[overwritePartitions]] patterns).
     */
-  def diffFrames(oldDf: DataFrame, newDfIn: DataFrame, keys: Seq[String]): DataFrame = {
+  def diffFrames(oldDf: DataFrame, newDfIn: DataFrame, keys: Seq[String],
+                 preImages: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "diffFrames needs at least one key column")
     // schema compatibility = same column NAMES and TYPES — deliberately
     // insensitive to nullability and field order, which routine
@@ -229,9 +230,30 @@ object Warehouse {
       .when(col("n.__n").isNull, lit("delete"))
       .when(changed, lit("update"))
     val side = (c: String) => when(col("n.__n").isNotNull, col(s"n.$c")).otherwise(col(s"o.$c")).as(c)
-    joined.withColumn("_change_type", changeType)
-      .filter(col("_change_type").isNotNull)
-      .select(oldDf.columns.map(side) :+ col("_change_type"): _*)
+    if (!preImages)
+      joined.withColumn("_change_type", changeType)
+        .filter(col("_change_type").isNotNull)
+        .select(oldDf.columns.map(side) :+ col("_change_type"): _*)
+    else {
+      // Delta-CDF 4-type vocabulary: each update additionally emits its
+      // OLD row as `update_preimage` — the row an ALGEBRAIC consumer
+      // (sum/count maintenance, [[IncrementalAgg.maintainAggregate]])
+      // must SUBTRACT, which the post-only feed cannot supply. Emitted
+      // in the same single join pass via a 2-element explode (two
+      // projections of one joined frame would compute the join twice);
+      // non-update rows' second element carries a NULL type and is
+      // filtered. [[applyChangeFeed]] ignores preimage rows by
+      // construction (it filters on the other three types).
+      val changeRow = struct(
+        oldDf.columns.map(side) :+ changeType.as("_change_type"): _*)
+      val preRow = struct(
+        oldDf.columns.map(c => col(s"o.$c").as(c)) :+
+          when(changeType === "update", lit("update_preimage"))
+            .as("_change_type"): _*)
+      joined.select(explode(array(changeRow, preRow)).as("r"))
+        .filter(col("r._change_type").isNotNull)
+        .select(col("r.*"))
+    }
   }
 
   /** Consumer side of the change feed: apply a [[diffFrames]] output
@@ -628,19 +650,24 @@ object Warehouse {
     * manifest loss fails reads loudly instead of silently dropping the
     * carried rows — and a failed manifest publish unwinds the version.
     * Schema must match the committed schema exactly (names + types,
-    * any column order; use [[appendEvolving]] conventions upstream for
-    * widening). An EMPTY `df` returns the current version — no empty
-    * commit. Appending to an EMPTY table (expectedVersion 0) commits a
-    * self-contained v=1.
+    * any column order) unless `evolveSchema` is set, which permits
+    * ADDITIVE evolution: the batch's new columns extend the committed
+    * schema (nullable — carried files read them as null), committed
+    * columns missing from the batch fill with typed nulls, shared
+    * columns must keep their exact type. An EMPTY `df` returns the
+    * current version — no empty commit. Appending to an EMPTY table
+    * (expectedVersion 0) commits a self-contained v=1.
     */
   def appendSnapshot(df: DataFrame, path: String, expectedVersion: Long,
                      orphanGraceMs: Long = 600000L,
-                     changeFeed: Boolean = false): Long = {
+                     changeFeed: Boolean = false,
+                     txn: Option[(String, Long)] = None,
+                     evolveSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     appendVersionFrom(df, path, base = expectedVersion,
-      next = expectedVersion + 1, orphanGraceMs, changeFeed) match {
+      next = expectedVersion + 1, orphanGraceMs, changeFeed, txn, evolveSchema) match {
       case None => currentSnapshot(spark, path) // empty batch: no commit
       case Some(v) => advancePointer(fs, path, v); v
     }
@@ -656,7 +683,9 @@ object Warehouse {
     */
   private def appendVersionFrom(df: DataFrame, path: String, base: Long,
                                 next: Long, orphanGraceMs: Long,
-                                changeFeed: Boolean = false): Option[Long] = {
+                                changeFeed: Boolean = false,
+                                txn: Option[(String, Long)] = None,
+                                evolveSchema: Boolean = false): Option[Long] = {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -686,15 +715,36 @@ object Warehouse {
     val committed = baseSchema.getOrElse(
       if (base == 0L) df.schema
       else spark.read.parquet(baseEntries.map(e => s"$path/$e"): _*).schema)
-    // exact-match schema gate BEFORE any write: silent casts here
-    // would corrupt the log a stream tail replays forever
-    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val want = committed.fields.map(f => f.name -> f.dataType).toMap
-    require(got == want,
-      s"appendSnapshot($path): batch schema must match the committed schema exactly; " +
-        s"committed=${committed.simpleString} batch=${df.schema.simpleString}")
+    // the version's schema: exact-match gate by default (silent casts
+    // here would corrupt the log a stream tail replays forever);
+    // `evolveSchema` relaxes it to ADDITIVE evolution — the committed
+    // schema grows the batch's new columns (nullable: carried files
+    // read them as null), shared columns must keep their exact type
+    // (widening is a rewrite, not an append), and committed columns
+    // missing from the batch land as typed nulls. Pinned reads of old
+    // versions keep their own manifests' narrower schema.
+    val target: StructType =
+      if (!evolveSchema) {
+        val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        require(got == want,
+          s"appendSnapshot($path): batch schema must match the committed schema exactly; " +
+            s"committed=${committed.simpleString} batch=${df.schema.simpleString}")
+        committed
+      } else {
+        val drift = df.schema.fields
+          .filter(f => want.get(f.name).exists(_ != f.dataType))
+          .map(f => s"${f.name}: committed ${want(f.name).simpleString} vs batch ${f.dataType.simpleString}")
+        require(drift.isEmpty,
+          s"appendSnapshot($path): shared columns changed type (${drift.mkString("; ")})")
+        val fresh = df.schema.fields.filterNot(f => want.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(committed.fields ++ fresh)
+      }
     if (df.isEmpty) return None
-    val aligned = df.select(committed.fieldNames.map(col).toIndexedSeq: _*)
+    val aligned = df.select(target.fields.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     aligned.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
@@ -731,7 +781,7 @@ object Warehouse {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath.getName)
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      committed.json, Some(fresh ++ baseEntries), reuseFrom = reuse)
+      target.json, Some(fresh ++ baseEntries), reuseFrom = reuse, txn = txn)
     catch {
       case e: Throwable =>
         fs.delete(dest, true)
@@ -778,6 +828,90 @@ object Warehouse {
     maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
       .parquet(s"$path/v=*/part-*")
   }
+
+  /** The highest epoch writer `appId` has committed to the table
+    * (None if it never committed): the read half of the Delta-style
+    * idempotent-writes protocol — [[appendSnapshot]] with `txn =
+    * Some((appId, epoch))` stamps the pair into the version's
+    * manifest, so "did my batch land?" is answered by the COMMITTED
+    * history itself, not a side marker a crash could lose. Scans live
+    * manifests newest-first, driver-side, zero data I/O; retention
+    * caveat: the app's last-commit version must stay inside
+    * [[expireSnapshots]]'s keep window for at least the stream's
+    * maximum replay horizon (one version, for Spark's foreachBatch
+    * replay-last-batch-on-restart contract).
+    */
+  def lastCommittedEpoch(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshots(spark, path).reverseIterator
+      .flatMap(v => readManifest(fs, path, v))
+      .collectFirst {
+        case m if m.has("txnApp") && m.get("txnApp").asText == appId =>
+          m.get("txnEpoch").asLong
+      }
+  }
+
+  /** One exactly-once streaming micro-batch into the table — the body
+    * [[writeSnapshotStream]] runs per epoch, factored out so the
+    * replay path is directly testable. Skips when `epoch` is already
+    * committed by `appId` (foreachBatch replays the last batch after a
+    * restart); otherwise appends under the CAS, retrying
+    * [[SnapshotConflictException]] against the fresh version so a
+    * concurrent foreign writer (compaction, another stream) never
+    * kills the stream — the append's content is version-independent,
+    * so the retry re-reads nothing but the number. Returns the version
+    * holding the batch's rows (current version for a skip/empty
+    * batch).
+    */
+  def commitStreamBatch(batch: DataFrame, path: String, appId: String, epoch: Long,
+                        changeFeed: Boolean = false,
+                        orphanGraceMs: Long = 600000L): Long = {
+    val spark = batch.sparkSession
+    if (lastCommittedEpoch(spark, path, appId).exists(_ >= epoch))
+      return currentSnapshot(spark, path)
+    // bounded CAS retry: each loss means a foreign commit advanced the
+    // version, so progress is global even when this writer spins
+    var attempts = 0
+    while (true) {
+      val cur = currentSnapshot(spark, path)
+      try return appendSnapshot(batch, path, cur, orphanGraceMs, changeFeed,
+        txn = Some((appId, epoch)))
+      catch {
+        case e: SnapshotConflictException =>
+          attempts += 1
+          if (attempts >= 20) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** STREAMING SINK into the snapshot warehouse — [[readSnapshotStream]]'s
+    * write-side twin, closing the loop: a Structured Streaming query
+    * lands each micro-batch as one [[appendSnapshot]] version,
+    * EXACTLY-ONCE end-to-end. Spark's checkpoint gives at-least-once
+    * epochs (the last batch replays after a crash); idempotence comes
+    * from the Delta txn shape — the (appId, epoch) pair rides the
+    * version's own manifest, so a replayed epoch is recognized and
+    * skipped no matter where the crash fell. Table versions become the
+    * stream's batch log: tail it with [[readSnapshotStream]], audit it
+    * with [[snapshotHistory]], expire it with the same retention as
+    * any table (keeping ≥ the replay horizon, see
+    * [[lastCommittedEpoch]]).
+    *
+    * Returns the configured writer — caller picks trigger and calls
+    * `.start()`; `appId` must be unique per logical stream into the
+    * table (two streams sharing an id would skip each other's epochs).
+    */
+  def writeSnapshotStream(source: DataFrame, path: String, checkpoint: String,
+                          appId: String, changeFeed: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        commitStreamBatch(batch, path, appId, epoch, changeFeed)
+        ()
+      }
 
   /** The CAS claim of [[commitSnapshot]] step 3, shared with
     * [[deleteWhere]]: one atomic exclusive create of `_commit-v<next>`,
@@ -1093,7 +1227,8 @@ object Warehouse {
                                    conf: org.apache.hadoop.conf.Configuration,
                                    path: String, v: Long, schemaJson: String,
                                    entriesIn: Option[Seq[String]] = None,
-                                   reuseFrom: Option[(com.fasterxml.jackson.databind.JsonNode, Long)] = None): Unit = {
+                                   reuseFrom: Option[(com.fasterxml.jackson.databind.JsonNode, Long)] = None,
+                                   txn: Option[(String, Long)] = None): Unit = {
     val entries: Seq[String] = entriesIn.getOrElse {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -1135,6 +1270,12 @@ object Warehouse {
     node.put("version", v)
     node.put("rowCount", infos.map(_._2).sum)
     node.put("bytes", infos.map(_._1).sum)
+    // Delta txn-action shape: the writer's (appId, epoch) rides the
+    // COMMIT itself, so idempotence survives any crash window — there
+    // is no separate marker whose loss could double-apply a batch
+    txn.foreach { case (app, epoch) =>
+      node.put("txnApp", app); node.put("txnEpoch", epoch)
+    }
     node.set[com.fasterxml.jackson.databind.JsonNode]("schema", mapper.readTree(schemaJson))
     val arr = node.putArray("files")
     entries.foreach(arr.add)
@@ -1940,9 +2081,15 @@ object Warehouse {
       _.where(predicate).select(input_file_name().as("__file")),
       orphanGraceMs, scanBound,
       "updateWhere",
-      changes = if (!changeFeed) None else Some((df, schema) =>
-        applySet(df.where(coalesce(predicate, lit(false))), schema, lit(true))
-          .withColumn("_change_type", lit("update"))),
+      changes = if (!changeFeed) None else Some((df, schema) => {
+        // post-images as `update`, old rows as `update_preimage` (the
+        // Delta-CDF pair): algebraic consumers subtract the pre and add
+        // the post; applyChangeFeed ignores preimages. Both legs scan
+        // the TOUCHED files only.
+        val pre = df.where(coalesce(predicate, lit(false)))
+        applySet(pre, schema, lit(true)).withColumn("_change_type", lit("update"))
+          .unionByName(pre.withColumn("_change_type", lit("update_preimage")))
+      }),
       // EAGER validation, before the discovery scan runs and even when
       // the predicate matches nothing (review r10: a typo'd SET column
       // on a no-match call must throw, not report a successful no-op)
@@ -2007,7 +2154,7 @@ object Warehouse {
       orphanGraceMs, scanBound, "mergeIntoSnapshot",
       rewrite = (df, _) => mergeInto(df, source, keys, clauses),
       changes = if (!changeFeed) None else Some((df, _) =>
-        diffFrames(df, mergeInto(df, source, keys, clauses), keys)),
+        diffFrames(df, mergeInto(df, source, keys, clauses), keys, preImages = true)),
       commitOnNoMatch = hasInsert)
   }
 

@@ -30,7 +30,10 @@ class ChangeFeedSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     assert(feed.toSet === Set(
       (1000L, 1L, "insert", 2L), (1001L, 2L, "insert", 2L),
-      (7L, 70L, "delete", 3L), (9L, -1L, "update", 4L)))
+      (7L, 70L, "delete", 3L),
+      // updates carry the Delta-CDF pair: post-image + preimage (r11,
+      // the rows IncrementalAgg's algebra subtracts)
+      (9L, -1L, "update", 4L), (9L, 90L, "update_preimage", 4L)))
     // the feed-apply law: each recorded commit's feed replays the
     // version transition exactly (the downstream-replica contract)
     for (v <- 2L to 4L) {
@@ -46,7 +49,7 @@ class ChangeFeedSpec extends SparkSpec {
       Warehouse.readChangeFeed(spark, root, 1L, 4L)
     }
     assert(e.getMessage.contains("version(s) 1"))
-    assert(Warehouse.readChangeFeed(spark, root, 1L, 4L, allowGaps = true).count() === 4)
+    assert(Warehouse.readChangeFeed(spark, root, 1L, 4L, allowGaps = true).count() === 5)
   }
 
   test("no-op writes record nothing; a conflict-losing append leaves no feed debris") {
@@ -88,9 +91,11 @@ class ChangeFeedSpec extends SparkSpec {
     Warehouse.updateWhere(spark, root, col("id") === 5L, Map("v" -> lit(0L)), changeFeed = true)
     drain()
     val second = spark.read.parquet(s"$dir/out")
-    assert(second.count() === 3)
+    assert(second.count() === 4) // update post-image + its preimage
     assert(second.where(col("_change_type") === "update")
       .select("_commit_version").as[Long].head() === 4L)
+    assert(second.where(col("_change_type") === "update_preimage")
+      .select("v").as[Long].head() === 50L)
   }
 
   test("expireSnapshots ages recorded feeds out with their versions") {

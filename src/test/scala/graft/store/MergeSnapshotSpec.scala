@@ -85,7 +85,8 @@ class MergeSnapshotSpec extends SparkSpec {
       Warehouse.InsertWhen(lit(true))), changeFeed = true)
     val feed = Warehouse.readChangeFeed(spark, root, next, next)
     val byType = feed.groupBy("_change_type").count().as[(String, Long)].collect().toMap
-    assert(byType === Map("insert" -> 1L, "update" -> 1L, "delete" -> 1L))
+    assert(byType === Map("insert" -> 1L, "update" -> 1L,
+      "update_preimage" -> 1L, "delete" -> 1L))
     assert(feed.filter(col("_change_type") === "update")
       .select("v").as[Long].head() === -3L)
     // apply(read(n-1), feed(n)) ≡ read(n)
