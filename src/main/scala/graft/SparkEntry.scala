@@ -401,6 +401,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => // hash-based: rows-only vs oracle; pair set
       // proven == brute-force hamming<=3 on sf0.001 (DedupSpec)
       Dedup.simhashNearDups(Tables.documents(s, dir), n = 3, maxHamming = 3)),
+    "q_dedup_simhash_md5" -> ((s, dir) => // md5-based construction: full oracle hash-match
+      Dedup.simhashNearDupsMd5(Tables.documents(s, dir), n = 3, maxHamming = 3)),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.4)),
     "q_embed_neardup_lsh" -> ((s, dir) => // approximate (banded-signature candidates): rows-only
@@ -1234,6 +1236,34 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
          |  GROUP BY 1, 2)
          |SELECT a, b, inter / (na + nb - inter) AS jaccard
          |FROM pairs WHERE inter / (na + nb - inter) >= 0.8""".stripMargin
+    },
+    // X179: md5-based SimHash — the whole construction (60-bit md5
+    // fingerprint, per-bit majority votes, 4x15-bit pigeonhole bands,
+    // exact hamming verify) recomposed in SQL; hamming <= 3 makes the
+    // band recall pigeonhole-EXACT, so the pair set is deterministic
+    "q_dedup_simhash_md5" -> {
+      val horner60 = (2 to 15).foldLeft(
+        "(strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1)::BIGINT") {
+        (acc, i) => s"($acc * 16 + strpos('0123456789abcdef', substr(md5(s), $i, 1)) - 1)"
+      }
+      s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                                     for i in range(1, len(toks) - 1)]) AS shingles
+         |       FROM tok WHERE len(toks) >= 3),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |hashed AS (SELECT doc_id, $horner60 AS h FROM ex),
+         |votes AS (SELECT doc_id, j,
+         |            sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM hashed CROSS JOIN range(60) t(j) GROUP BY 1, 2),
+         |fp AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS f
+         |       FROM votes GROUP BY 1),
+         |bands AS (SELECT doc_id, k AS band, (f >> (15 * k)::INT) & 32767 AS bk
+         |          FROM fp CROSS JOIN range(4) t(k)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+         |         ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT c.a, c.b, CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS hamming
+         |FROM cand c JOIN fp fa ON fa.doc_id = c.a JOIN fp fb ON fb.doc_id = c.b
+         |WHERE bit_count(xor(fa.f, fb.f)) <= 3""".stripMargin
     },
     "q_semantic_dedup_bucketed" ->
       """WITH e AS (SELECT vec_id, (vec_id % 8)::INT AS cluster, embedding::DOUBLE[] AS v,

@@ -529,6 +529,60 @@ object Dedup {
     verifyJaccard(docs, candidates, n, threshold)
   }
 
+  /** The ENGINE-PORTABLE SimHash companion — [[minhashNearDupsMd5]]'s
+    * move applied to the SimHash family: same pigeonhole banding and
+    * exact hamming verify as [[simhashNearDups]], but the fingerprint
+    * construction is fixed by md5 so any engine recomposes it
+    * bit-identically and the full pipeline hash-matches a DuckDB
+    * recomposition (q_dedup_simhash_md5), leaving the xxhash64 kernel
+    * path as the performance variant. Construction, by contract with
+    * the oracle: base h = toLong(first 15 hex chars of md5(shingle)) —
+    * a 60-bit value, so every shift stays inside a signed long in both
+    * engines; vote_j = Σ over the doc's DISTINCT shingles of ±1 on
+    * hash bit j; fingerprint bit j = 1 iff vote_j > 0 (tie → 0);
+    * 4 bands × 15 bits — pigeonhole-EXACT for hamming ≤ 3 (a pair
+    * within 3 flips agrees on ≥1 of 4 bands), so unlike the MinHash
+    * LSH this variant's recall is 1.0 at the default threshold, not
+    * probabilistic.
+    *
+    * Shape: one corpus explode → ONE doc-grain hash-agg carrying 60
+    * codegen'd ±1 sums (the fingerprint never leaves the aggregate as
+    * per-bit rows) → 4 thin band rows per doc → band-bucket equi-join
+    * → exact `bit_count(xor)` verify on the fingerprint pairs.
+    */
+  def simhashNearDupsMd5(docs: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit banding is pigeonhole-exact only for maxHamming <= 3")
+    val ex = docs.filter(hasShingles(n))
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+    val hashed = ex.select(col("doc_id"), h.as("h"))
+    val voteCols = (0 until 60).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    val votes = hashed.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val fp = (0 until 60).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fps = votes.select(col("doc_id"), fp.as("f"))
+    val bandCols = (0 until 4).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(col("f"), k * 15).bitwiseAND(lit(32767L)).as("bk"))
+    }
+    val banded = fps.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    candidates
+      .join(fps.select(col("doc_id").as("a"), col("f").as("fa")), Seq("a"))
+      .join(fps.select(col("doc_id").as("b"), col("f").as("fb")), Seq("b"))
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash fingerprints: (doc_id, simhash: long) — bit b is

@@ -154,6 +154,35 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("md5-simhash pair set equals brute-force hamming<=3 over its own fingerprints") {
+    // X179's pigeonhole-exactness claim: 4x15-bit banding finds EVERY
+    // pair within 3 flips of the 60-bit md5 fingerprint (recall 1.0,
+    // unlike the probabilistic MinHash LSH) — so the banded result
+    // must equal the all-pairs scan. Fingerprints recomputed here
+    // independently from the same md5 construction.
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    val ex = d.select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fps = ex.groupBy(_._1).map { case (id, rows) =>
+      val bits = (0 until 60).map { j =>
+        val vote = rows.map(r => if (((r._2 >> j) & 1L) == 1L) 1L else -1L).sum
+        if (vote > 0) 1L << j else 0L
+      }.sum
+      (id, bits)
+    }.toArray
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashNearDupsMd5(d, 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain md5-simhash near-dups")
+    assert(got === brute)
+  }
+
   test("simhash near-dups: small edit stays within hamming 3, unrelated text does not") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val edited = ((1 to 39).map(i => s"tok$i") :+ "tokX").mkString(" ")
