@@ -2768,6 +2768,92 @@ object Warehouse {
     (commitSnapshot(arranged, path, expectedVersion = v), n)
   }
 
+  /** Small-file OPTIMIZE — the Delta `OPTIMIZE` bin-packing shape, and
+    * the auto-compaction policy in one: coalesce ONLY the current
+    * version's files smaller than `targetFileBytes / 2`, carrying
+    * every right-sized file into the new manifest BY REFERENCE. The
+    * DECISION costs zero I/O (per-file bytes come from the manifest
+    * accounting X162 already records) and the REWRITE costs the small
+    * files' bytes — never the table. This is the maintenance loop a
+    * streaming-ingest table needs: [[writeSnapshotStream]] lands one
+    * version per micro-batch (small files by construction), and a
+    * periodic `optimizeSnapshot` folds them into target-sized files
+    * while [[compactSnapshot]]'s full rewrite stays reserved for
+    * re-clustering. Below `minSmallFiles` small files it's a no-op
+    * returning None — safe to call on every maintenance tick. Same
+    * CAS/`_partial`/manifest/unwind contract as every file-sharing
+    * commit; pinned readers of old versions untouched; returns
+    * (newVersion, filesWritten).
+    */
+  def optimizeSnapshot(spark: SparkSession, path: String,
+                       targetFileBytes: Long = 128L << 20,
+                       minSmallFiles: Int = 2,
+                       orphanGraceMs: Long = 600000L): Option[(Long, Int)] = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"optimizeSnapshot($path): no committed snapshot")
+    val (entries, bytes, schemaJson, reuse) = readManifest(fs, path, v) match {
+      case Some(m) if m.has("fileBytes") =>
+        val es = normEntries(m, v)
+        val bs = es.indices.map(m.get("fileBytes").get(_).asLong)
+        (es, bs, m.get("schema").toString, Some((m, v)))
+      case other =>
+        require(other.isDefined ||
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$v/_partial")),
+          s"optimizeSnapshot($path): v=$v is a file-sharing version with no readable manifest")
+        val sts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+        (sts.map(st => s"v=$v/${st.getPath.getName}"), sts.map(_.getLen),
+          spark.read.parquet(s"$path/v=$v").schema.json, None)
+    }
+    val smallIdx = entries.indices.filter(i => bytes(i) < targetFileBytes / 2)
+    if (smallIdx.size < minSmallFiles) return None
+    val small = smallIdx.map(entries).toSet
+    val carried = entries.filterNot(small)
+    val n = math.max(1L,
+      (smallIdx.map(bytes).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaJson).asInstanceOf[StructType]
+    val packed = spark.read.schema(schema)
+      .parquet(small.toSeq.sorted.map(e => s"$path/$e"): _*).repartition(n)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    packed.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    if (carried.nonEmpty)
+      fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    val next = v + 1
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    val fresh = fs.listStatus(dest).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      schemaJson, Some(fresh ++ carried), reuseFrom = reuse)
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"optimizeSnapshot($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    Some((next, fs.listStatus(dest).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))))
+  }
+
   /** ORC sink — the other columnar interchange format a warehouse
     * migration meets (Hive-era tables). Same columnar/codec virtues as
     * parquet; pushdown and pruning work identically through the scan.

@@ -1,0 +1,64 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** X180 optimizeSnapshot — small-file bin-packing: only sub-threshold
+  * files rewrite, right-sized files carry by reference, the decision
+  * reads manifest accounting only.
+  */
+class OptimizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def manifestEntries(root: String, v: Long): Seq[String] = {
+    val p = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(s"$root/_manifest-v$v"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.toString)), "UTF-8"))
+    (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+  }
+
+  test("small append files coalesce; the big base file is carried by reference") {
+    val root = java.nio.file.Files.createTempDirectory("graft_opt").toString + "/t"
+    // v1: one big file (~800 KB); v2..v5: four tiny append files
+    Warehouse.writeSnapshot(
+      spark.range(0, 100000).toDF("id").withColumn("p", md5(col("id").cast("string")))
+        .coalesce(1), root)
+    (1L to 4L).foreach { i =>
+      Warehouse.appendSnapshot(
+        Seq((1000000L + i, "x")).toDF("id", "p").coalesce(1), root, i)
+    }
+    val before = Warehouse.readSnapshot(spark, root)
+    assert(before.count() === 100004)
+    val res = Warehouse.optimizeSnapshot(spark, root, targetFileBytes = 256 << 10)
+    assert(res.isDefined)
+    val (v6, written) = res.get
+    assert(v6 === 6L && written === 1, s"4 tiny files should pack into 1, got $written")
+    // the big v1 file is referenced, not rewritten; the packed file is new
+    val entries = manifestEntries(root, 6L)
+    assert(entries.count(_.startsWith("v=1/")) === 1, s"big file must carry: $entries")
+    // same-version files are stored bare by manifest convention
+    assert(entries.count(!_.contains("/")) === 1, s"one packed file expected: $entries")
+    assert(entries.size === 2)
+    // content identical; pinned history intact
+    val after = Warehouse.readSnapshot(spark, root)
+    assert(after.count() === 100004)
+    assert(after.exceptAll(before).isEmpty)
+    assert(Warehouse.readSnapshot(spark, root, Some(3L)).count() === 100002)
+    // second call: only one small-ish file class left -> no-op
+    assert(Warehouse.optimizeSnapshot(spark, root, targetFileBytes = 256 << 10).isEmpty)
+    assert(Warehouse.currentSnapshot(spark, root) === 6L)
+  }
+
+  test("all files small -> self-contained compacted version; expiry then reaps history") {
+    val root = java.nio.file.Files.createTempDirectory("graft_opt2").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 10).toDF("id").repartition(4), root)
+    val res = Warehouse.optimizeSnapshot(spark, root, targetFileBytes = 128L << 20)
+    assert(res.isDefined && res.get._2 === 1)
+    val entries = manifestEntries(root, 2L)
+    assert(entries.forall(!_.contains("/")), "self-contained when nothing carried")
+    Warehouse.expireSnapshots(spark, root, keepLast = 1)
+    assert(Warehouse.readSnapshot(spark, root).count() === 10)
+  }
+}
