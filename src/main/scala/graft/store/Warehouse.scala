@@ -714,7 +714,7 @@ object Warehouse {
       }
     val committed = baseSchema.getOrElse(
       if (base == 0L) df.schema
-      else spark.read.parquet(baseEntries.map(e => s"$path/$e"): _*).schema)
+      else spark.read.parquet(baseEntries.map(entryPath(path, _)): _*).schema)
     val want = committed.fields.map(f => f.name -> f.dataType).toMap
     // the version's schema: exact-match gate by default (silent casts
     // here would corrupt the log a stream tail replays forever);
@@ -1077,7 +1077,22 @@ object Warehouse {
     * ever wrote, so old manifests read unchanged).
     */
   private def resolveEntry(path: String, v: Long, entry: String): String =
-    if (entry.contains("/")) s"$path/$entry" else s"$path/v=$v/$entry"
+    if (isAbsoluteEntry(entry)) entry
+    else if (entry.contains("/")) s"$path/$entry" else s"$path/v=$v/$entry"
+
+  /** An ABSOLUTE manifest entry — a rooted path or full URI pointing
+    * OUTSIDE the table root, written only by [[cloneSnapshot]] (the
+    * shallow-clone form): the clone's manifest references the source
+    * table's bytes in place. Root-relative entries stay the norm;
+    * absolute ones resolve verbatim everywhere entries resolve.
+    */
+  private def isAbsoluteEntry(e: String): Boolean =
+    e.startsWith("/") || e.contains("://")
+
+  /** Root-relative entry `e` of table `path` resolved to a readable
+    * path — identity for absolute (clone) entries. */
+  private def entryPath(path: String, e: String): String =
+    if (isAbsoluteEntry(e)) e else s"$path/$e"
 
   /** The manifest's file entries, in committed order. */
   private def manifestEntries(m: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
@@ -1106,7 +1121,7 @@ object Warehouse {
                                   exclude: Set[String] = Set.empty): DataFrame = {
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(m.get("schema").toString).asInstanceOf[StructType]
-    val files = normEntries(m, v).filterNot(exclude).map(e => s"$path/$e")
+    val files = normEntries(m, v).filterNot(exclude).map(entryPath(path, _))
     if (files.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)
@@ -2211,7 +2226,7 @@ object Warehouse {
     if (entries.isEmpty && !(commitOnNoMatch && schemaOpt.isDefined)) return v
     val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
     val schema = schemaOpt.getOrElse(
-      spark.read.parquet(entries.map(e => s"$path/$e"): _*).schema)
+      spark.read.parquet(entries.map(entryPath(path, _)): _*).schema)
     if (schemaOpt.isEmpty) validate(schema) // inferred-schema (pre-manifest) path
     // `scanBound` = (column, lower, upper): the caller's promise that
     // every matching row lies inside the bound — manifest stats then
@@ -2225,7 +2240,7 @@ object Warehouse {
       case _ => entries
     }
     if (candidates.isEmpty && !commitOnNoMatch) return v
-    val full = candidates.map(e => s"$path/$e")
+    val full = candidates.map(entryPath(path, _))
     // which candidate files contain matching rows — ONE scan that reads
     // only the matching columns (Catalyst prunes the projection down
     // to input_file_name + the filter/join inputs); this is the op's
@@ -2233,7 +2248,7 @@ object Warehouse {
     // `matching` would surface as "" file names and fail the entry-list
     // lookup loudly — never silently touch the wrong files.
     val byPath = candidates.map(e =>
-      fs.makeQualified(new org.apache.hadoop.fs.Path(s"$path/$e")).toUri.getPath -> e).toMap
+      fs.makeQualified(new org.apache.hadoop.fs.Path(entryPath(path, e))).toUri.getPath -> e).toMap
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else discover(reader.parquet(full: _*))
@@ -2249,7 +2264,7 @@ object Warehouse {
     def touchedDf: DataFrame =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else reader.parquet(touched.toSeq.sorted.map(e => s"$path/$e"): _*)
+      else reader.parquet(touched.toSeq.sorted.map(entryPath(path, _)): _*)
     val kept = rewrite(touchedDf, schema)
     // no matching files AND nothing created (insert clauses that all
     // miss): no empty commit — the isEmpty probe runs only on the
@@ -2768,6 +2783,102 @@ object Warehouse {
     (commitSnapshot(arranged, path, expectedVersion = v), n)
   }
 
+  /** SHALLOW CLONE — Delta `CREATE TABLE ... SHALLOW CLONE` / Iceberg
+    * snapshot-ref shape: a NEW table at `dst` whose v=1 manifest
+    * references the source version's files IN PLACE (absolute
+    * entries), with per-file accounting copied — cloning a 100 TB
+    * table costs ONE manifest write and zero data bytes. The
+    * dev/test-on-prod move: the clone is a fully independent table —
+    * appends, row-level writes, optimize, branches, its own history —
+    * whose NEW versions write into `dst` while untouched source bytes
+    * stay referenced; the source never sees any of it.
+    *
+    * The shallow-clone caveat, same as Delta's: the SOURCE's retention
+    * does not know about clones — `expireSnapshots`/`vacuum` on the
+    * source can delete bytes a clone still references, after which the
+    * clone's affected reads fail with missing-file errors (loud, never
+    * silent). Pin the source version with a tag/branch for the clone's
+    * lifetime, or materialize the clone (one `compactSnapshot(dst)`
+    * rewrites it self-contained, severing all source references).
+    * Stream-sink idempotence records (`txnApp`/`txnEpoch`) are
+    * deliberately NOT copied — the clone is a different table and
+    * sinks into it start their own epoch history. `version` pins a
+    * historical source version (time-travel clone).
+    */
+  def cloneSnapshot(spark: SparkSession, src: String, dst: String,
+                    version: Option[Long] = None,
+                    orphanGraceMs: Long = 600000L): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+    val v = resolveVersion(spark, src, version)
+    require(snapshots(spark, dst).isEmpty,
+      s"cloneSnapshot: destination $dst already holds a committed table")
+    def absolutize(e: String): String =
+      srcFs.makeQualified(new org.apache.hadoop.fs.Path(resolveEntry(src, v, e)))
+        .toUri.getPath
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$dst/_staging-$tag")
+    fs.mkdirs(staging)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    if (!claimVersion(fs, dst, 1L, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(dst, 1L)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$dst/v=1")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(dst, 1L)
+    }
+    promoteStaging(fs, staging, dest, dst, 1L)
+    def unwind(e: Throwable): Nothing = {
+      fs.delete(manifestPath(dst, 1L), false)
+      fs.delete(dest, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dst/_commit-v1"), false)
+      throw new java.io.IOException(
+        s"cloneSnapshot($dst): manifest publish failed; clone unwound", e)
+    }
+    readManifest(srcFs, src, v) match {
+      case Some(m) =>
+        // copy the source manifest VERBATIM — files absolutized in
+        // committed order so the stats/fileBytes/fileRows arrays stay
+        // parallel — and publish with the same tmp+rename protocol
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = m.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+        node.put("version", 1L)
+        node.remove("txnApp"); node.remove("txnEpoch")
+        val arr = mapper.createArrayNode()
+        manifestEntries(m).foreach(e => arr.add(absolutize(e)))
+        node.set[com.fasterxml.jackson.databind.JsonNode]("files", arr)
+        try {
+          val tmp = new org.apache.hadoop.fs.Path(s"$dst/_latest.tmp-mf$tag")
+          val out = fs.create(tmp, true)
+          out.write(mapper.writeValueAsBytes(node)); out.close()
+          val ok =
+            try fs.rename(tmp, manifestPath(dst, 1L))
+            catch { case e: java.io.IOException => fs.delete(tmp, false); throw e }
+          if (!ok) {
+            fs.delete(tmp, false)
+            throw new java.io.IOException(s"cannot publish manifest for v=1 under $dst")
+          }
+        } catch { case e: Throwable => unwind(e) }
+      case None =>
+        // a manifest-less source version must be self-contained to be
+        // cloneable (same rule as every reader of the listing fallback)
+        require(!srcFs.exists(new org.apache.hadoop.fs.Path(s"$src/v=$v/_partial")),
+          s"cloneSnapshot($src): v=$v is a file-sharing version with no readable manifest")
+        val names = srcFs.listStatus(new org.apache.hadoop.fs.Path(s"$src/v=$v")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => s"v=$v/${st.getPath.getName}").sorted
+        try writeManifest(fs, conf, dst, 1L,
+          spark.read.parquet(s"$src/v=$v").schema.json, Some(names.map(absolutize)))
+        catch { case e: Throwable => unwind(e) }
+    }
+    advancePointer(fs, dst, 1L)
+    1L
+  }
+
   /** Small-file OPTIMIZE — the Delta `OPTIMIZE` bin-packing shape, and
     * the auto-compaction policy in one: coalesce ONLY the current
     * version's files smaller than `targetFileBytes / 2`, carrying
@@ -2819,7 +2930,7 @@ object Warehouse {
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaJson).asInstanceOf[StructType]
     val packed = spark.read.schema(schema)
-      .parquet(small.toSeq.sorted.map(e => s"$path/$e"): _*).repartition(n)
+      .parquet(small.toSeq.sorted.map(entryPath(path, _)): _*).repartition(n)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     packed.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
