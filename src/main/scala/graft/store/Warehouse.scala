@@ -1936,6 +1936,34 @@ object Warehouse {
     * any file goes, failing over to the clear no-such-version error
     * instead of planning a scan of deleted files.
     */
+  /** Age-based retention — the Delta `delta.logRetentionDuration` /
+    * Iceberg `expire_snapshots(older_than)` shape: expire versions
+    * whose COMMIT INSTANT (CAS-marker mtime; dir mtime for
+    * single-writer versions) is older than `maxAgeMs`, always keeping
+    * at least `keepLast`. Versions commit in instant order, so the
+    * young ones form a suffix of the history; the call reduces to
+    * [[expireSnapshots]] with the suffix length — inheriting every
+    * fence (branch-head roots, reachability, unreadable-manifest hard
+    * stop) rather than duplicating the sweep. The time policy a
+    * streaming-ingest table wants: [[writeSnapshotStream]] makes
+    * version COUNT meaningless (one per micro-batch), but "7 days of
+    * replay/time-travel" is a contract humans can hold.
+    */
+  def expireSnapshotsOlderThan(spark: SparkSession, path: String, maxAgeMs: Long,
+                               keepLast: Int = 1): Seq[Long] = {
+    require(maxAgeMs >= 0, s"maxAgeMs must be >= 0, got $maxAgeMs")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    def instant(v: Long): Long = {
+      val mk = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
+      if (fs.exists(mk)) fs.getFileStatus(mk).getModificationTime
+      else fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).getModificationTime
+    }
+    val young = snapshots(spark, path).reverse.takeWhile(instant(_) >= cutoff).size
+    expireSnapshots(spark, path, math.max(keepLast, math.max(1, young)))
+  }
+
   def expireSnapshots(spark: SparkSession, path: String, keepLast: Int = 2): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val root = new org.apache.hadoop.fs.Path(path)
@@ -2430,39 +2458,62 @@ object Warehouse {
     */
   def readSnapshotRange(spark: SparkSession, path: String, column: String,
                         lower: Option[Any] = None, upper: Option[Any] = None,
+                        version: Option[Long] = None): DataFrame =
+    readSnapshotWhere(spark, path, Seq((column, lower, upper)), version)
+
+  /** [[readSnapshotRange]] over a CONJUNCTION of column ranges: the
+    * file list is pruned by the INTERSECTION of each range's
+    * stats-overlap set — on a [[graft.ops.Layout.zorder]]-clustered
+    * table, where every clustered column's per-file min/max is tight,
+    * a 2-D box read (`date` × `key`) opens only the files whose
+    * hyper-rectangle intersects the box, which is exactly what the
+    * Morton layout was bought for. Same contract as the single-column
+    * form: pruning is never a correctness gate, residual predicates
+    * always apply, result ≡ `readSnapshot(…).filter(every bound)`.
+    */
+  def readSnapshotWhere(spark: SparkSession, path: String,
+                        ranges: Seq[(String, Option[Any], Option[Any])],
                         version: Option[Long] = None): DataFrame = {
+    require(ranges.nonEmpty, "readSnapshotWhere needs at least one column range")
     val v = resolveVersion(spark, path, version)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def bounds(df: DataFrame, dt: org.apache.spark.sql.types.DataType): DataFrame = {
-      def boundLit(x: Any): Column = x match {
-        case s: String if dt == org.apache.spark.sql.types.DateType =>
-          lit(java.sql.Date.valueOf(s))
-        case d: java.time.LocalDate => lit(java.sql.Date.valueOf(d))
-        case other => lit(other)
+    def bounds(df: DataFrame, schema: StructType): DataFrame = {
+      val preds = ranges.flatMap { case (column, lower, upper) =>
+        val dt = schema(column).dataType
+        def boundLit(x: Any): Column = x match {
+          case s: String if dt == org.apache.spark.sql.types.DateType =>
+            lit(java.sql.Date.valueOf(s))
+          case d: java.time.LocalDate => lit(java.sql.Date.valueOf(d))
+          case other => lit(other)
+        }
+        lower.map(l => col(column) >= boundLit(l)) ++
+          upper.map(u => col(column) <= boundLit(u))
       }
-      val fs2 = lower.map(l => col(column) >= boundLit(l)) ++
-        upper.map(u => col(column) <= boundLit(u))
-      fs2.reduceOption(_ && _).fold(df)(df.filter)
+      preds.reduceOption(_ && _).fold(df)(df.filter)
     }
     readManifest(fs, path, v) match {
       case Some(m) =>
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(m.get("schema").toString).asInstanceOf[StructType]
-        require(schema.fieldNames.contains(column),
-          s"readSnapshotRange($path): column '$column' not in snapshot schema")
-        val dt = schema(column).dataType
+        ranges.foreach { case (column, _, _) =>
+          require(schema.fieldNames.contains(column),
+            s"readSnapshotWhere($path): column '$column' not in snapshot schema")
+        }
         val entries = manifestEntries(m)
-        val files = statsOverlap(m, schema, column, lower, upper)
+        val keep = ranges
+          .map { case (c, lo, hi) => statsOverlap(m, schema, c, lo, hi).toSet }
+          .reduce(_ intersect _)
+        val files = entries.indices.filter(keep)
           .map(i => resolveEntry(path, v, entries(i)))
         val base =
           if (files.isEmpty) spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           else spark.read.schema(schema).parquet(files: _*)
-        bounds(base, dt)
+        bounds(base, schema)
       case None =>
         val df = readSnapshot(spark, path, Some(v))
-        bounds(df, df.schema(column).dataType)
+        bounds(df, df.schema)
     }
   }
 
