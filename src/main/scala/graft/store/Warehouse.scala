@@ -913,6 +913,94 @@ object Warehouse {
         ()
       }
 
+  /** One exactly-once streaming MERGE micro-batch — [[commitStreamBatch]]'s
+    * upsert-shaped sibling, and why the txn gate matters MORE here: a
+    * replayed append would merely duplicate rows, but a replayed merge
+    * is not naturally idempotent (its first run's inserts become the
+    * replay's matches and take the update clause), so the epoch skip
+    * is the correctness of the restart, not an optimization. Same
+    * bounded CAS retry against foreign writers; the batch must be
+    * deterministic per epoch (Spark's replay contract).
+    */
+  def commitStreamMerge(batch: DataFrame, path: String, appId: String, epoch: Long,
+                        keys: Seq[String], clauses: Seq[MergeClause],
+                        changeFeed: Boolean = false,
+                        orphanGraceMs: Long = 600000L): Long = {
+    val spark = batch.sparkSession
+    if (lastCommittedEpoch(spark, path, appId).exists(_ >= epoch))
+      return currentSnapshot(spark, path)
+    var attempts = 0
+    while (true) {
+      try return mergeIntoSnapshot(spark, path, batch, keys, clauses,
+        orphanGraceMs, changeFeed = changeFeed, txn = Some((appId, epoch)))
+      catch {
+        case e: SnapshotConflictException =>
+          attempts += 1
+          if (attempts >= 20) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** STREAMING UPSERT SINK — the Delta "streaming MERGE via
+    * foreachBatch" pattern as a first-class sink: each micro-batch
+    * (e.g. a CDC feed, a dedup-keyed event stream) MERGEs into the
+    * table file-grain ([[mergeIntoSnapshot]]: only files holding the
+    * batch's keys rewrite), exactly-once via the same manifest-carried
+    * (appId, epoch) gate as [[writeSnapshotStream]]. The standard
+    * clause set for at-least-once upsert streams is update-all +
+    * insert-all; pass a delete clause for tombstone-bearing feeds.
+    */
+  def writeSnapshotMergeStream(source: DataFrame, path: String, checkpoint: String,
+                               appId: String, keys: Seq[String],
+                               clauses: Seq[MergeClause],
+                               changeFeed: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        commitStreamMerge(batch, path, appId, epoch, keys, clauses, changeFeed)
+        ()
+      }
+
+  /** REPLICA APPLY — close the CDC loop: take the recorded change feed
+    * of `src` for versions `fromVersion..toVersion` and apply it to
+    * `dst` as ONE file-grain merge, so a downstream replica catches up
+    * across N commits reading only the feeds and rewriting only the
+    * files its keys live in — never rescanning either table. Feed rows
+    * fold to per-key LAST state first (delete/update/insert vocabulary,
+    * `_commit_version` then change-type rank orders same-version
+    * delete+insert pairs), then one [[mergeIntoSnapshot]]: delete rows
+    * drop, everything else upserts. Requires per-version key
+    * uniqueness on `src` (the standing CDC contract) and a recorded
+    * feed for every version in the range ([[readChangeFeed]]'s gap
+    * rule). Law, spec-pinned: if `dst` ≡ `src@(fromVersion-1)`, then
+    * after replication `dst` ≡ `src@toVersion`.
+    */
+  def replicateChanges(spark: SparkSession, src: String, dst: String,
+                       keys: Seq[String], fromVersion: Long, toVersion: Long,
+                       orphanGraceMs: Long = 600000L): Long = {
+    val feed = readChangeFeed(spark, src, fromVersion, toVersion)
+      .filter(col("_change_type") =!= "update_preimage")
+    // last state per key across the range: later commit wins; within a
+    // commit a delete can only co-exist with a later re-insert of the
+    // same key via a SEPARATE version (per-version key uniqueness), so
+    // (_commit_version, insert/update over delete) is a total order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "delete", 0).otherwise(1).desc)
+    val last = feed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "_commit_version")
+    val schemaCols = last.columns.filterNot(_ == "_change_type")
+    mergeIntoSnapshot(spark, dst, last, keys, Seq(
+      DeleteWhen(col("s._change_type") === "delete"),
+      UpdateWhen(lit(true),
+        schemaCols.filterNot(keys.contains).map(c => c -> col(s"s.$c")).toMap),
+      InsertWhen(col("s._change_type") =!= "delete")),
+      orphanGraceMs)
+  }
+
   /** The CAS claim of [[commitSnapshot]] step 3, shared with
     * [[deleteWhere]]: one atomic exclusive create of `_commit-v<next>`,
     * with the orphan-lease break for a marker whose data never landed.
@@ -2180,7 +2268,8 @@ object Warehouse {
                         keys: Seq[String], clauses: Seq[MergeClause],
                         orphanGraceMs: Long = 600000L,
                         scanBound: Option[(String, Option[Any], Option[Any])] = None,
-                        changeFeed: Boolean = false): Long = {
+                        changeFeed: Boolean = false,
+                        txn: Option[(String, Long)] = None): Long = {
     require(keys.nonEmpty && clauses.nonEmpty,
       "mergeIntoSnapshot needs keys and at least one clause")
     val srcKeys = source.select(keys.map(col): _*)
@@ -2198,7 +2287,7 @@ object Warehouse {
       rewrite = (df, _) => mergeInto(df, source, keys, clauses),
       changes = if (!changeFeed) None else Some((df, _) =>
         diffFrames(df, mergeInto(df, source, keys, clauses), keys, preImages = true)),
-      commitOnNoMatch = hasInsert)
+      commitOnNoMatch = hasInsert, txn = txn)
   }
 
   /** Shared core of the row-level write paths ([[deleteWhere]] /
@@ -2223,7 +2312,8 @@ object Warehouse {
                                    rewrite: (DataFrame, StructType) => DataFrame,
                                    validate: StructType => Unit = _ => (),
                                    changes: Option[(DataFrame, StructType) => DataFrame] = None,
-                                   commitOnNoMatch: Boolean = false): Long = {
+                                   commitOnNoMatch: Boolean = false,
+                                   txn: Option[(String, Long)] = None): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = currentSnapshot(spark, path)
@@ -2335,7 +2425,7 @@ object Warehouse {
       .map(_.getPath.getName)
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
       schema.json, Some(rewritten ++ untouched),
-      reuseFrom = manifestOpt.map(m => (m, v)))
+      reuseFrom = manifestOpt.map(m => (m, v)), txn = txn)
     catch {
       case e: Throwable =>
         // the manifest IS this version's commit record — unwind so the
