@@ -530,12 +530,111 @@ object Warehouse {
     * Snapshot isolation for free: a reader holding version n is
     * unaffected by writer progress to n+1.
     */
+  /** Delta-style CHECK constraints on a snapshot table — declared
+    * once, enforced on every row-writing commit path
+    * ([[writeSnapshot]]/[[commitSnapshot]]/[[appendSnapshot]] and the
+    * [[deleteWhere]]/[[updateWhere]]/[[mergeIntoSnapshot]] rewrites)
+    * by a `raise_error` filter FUSED INTO the write plan — zero extra
+    * jobs, zero extra scans: the batch is validated by the same pass
+    * that writes it, and a violating row aborts the write before any
+    * commit with the constraint name and the row as JSON. SQL-standard
+    * NULL semantics: a constraint fails only when its predicate is
+    * FALSE (NULL passes). Stored as one root-level `_constraints`
+    * JSON, overwrite-renamed (last writer wins, never absent
+    * mid-swap); [[optimizeSnapshot]]/[[rollbackSnapshot]]/
+    * [[compactSnapshot]]'s inputs are already-committed rows, but the
+    * two rewriters route through [[commitSnapshot]] and revalidate —
+    * the belt Delta also wears.
+    */
+  def setSnapshotConstraint(spark: SparkSession, path: String,
+                            name: String, predicateSql: String): Unit = {
+    requireTagName(name)
+    // parse eagerly: a typo'd expression must fail HERE, not inside
+    // someone else's write a week later
+    spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    (snapshotConstraints(spark, path) + (name -> predicateSql)).toSeq.sortBy(_._1)
+      .foreach { case (n, p) => node.put(n, p) }
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-ct$tag")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsBytes(node)); out.close()
+    overwriteRename(fs, tmp, new org.apache.hadoop.fs.Path(s"$path/_constraints"),
+      s"cannot publish constraints for $path")
+  }
+
+  /** Remove a named constraint; returns whether it existed. */
+  def dropSnapshotConstraint(spark: SparkSession, path: String, name: String): Boolean = {
+    val existing = snapshotConstraints(spark, path)
+    if (!existing.contains(name)) return false
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rest = existing - name
+    if (rest.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(s"$path/_constraints"), false)
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.createObjectNode()
+      rest.toSeq.sortBy(_._1).foreach { case (n, p) => node.put(n, p) }
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-ct$tag")
+      val out = fs.create(tmp, true)
+      out.write(mapper.writeValueAsBytes(node)); out.close()
+      overwriteRename(fs, tmp, new org.apache.hadoop.fs.Path(s"$path/_constraints"),
+        s"cannot publish constraints for $path")
+    }
+    true
+  }
+
+  /** The table's declared CHECK constraints, name -> predicate SQL. */
+  def snapshotConstraints(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(s"$path/_constraints")
+    if (!fs.exists(f)) return Map.empty
+    try {
+      val in = fs.open(f)
+      val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+      val it = node.fieldNames()
+      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+        .takeWhile(_.isDefined).flatten
+        .map(n => n -> node.get(n).asText()).toMap
+    } catch {
+      // an unreadable constraints file must FAIL writes, not silently
+      // skip enforcement — unlike manifests, this file is a gate
+      case e @ (_: java.io.IOException |
+                _: com.fasterxml.jackson.core.JacksonException) =>
+        throw new java.io.IOException(
+          s"unreadable _constraints under $path — refusing to write unvalidated", e)
+    }
+  }
+
+  /** The fused enforcement filter: per row, each constraint predicate
+    * evaluates inside the write's own plan; a FALSE aborts the pass
+    * via `raise_error` with the row as JSON. No-op when the table has
+    * no constraints.
+    */
+  private def constraintGuard(df: DataFrame, path: String, op: String): DataFrame =
+    snapshotConstraints(df.sparkSession, path).toSeq.sortBy(_._1)
+      .foldLeft(df) { case (d, (name, sql)) =>
+        d.filter(when(!coalesce(expr(sql), lit(true)),
+          raise_error(concat(
+            lit(s"$op($path): CHECK constraint '$name' ($sql) violated by row "),
+            to_json(struct(d.columns.map(col).toIndexedSeq: _*)))))
+          .otherwise(lit(true)))
+      }
+
   def writeSnapshot(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = snapshots(spark, path).lastOption.getOrElse(0L) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    constraintGuard(df, path, "writeSnapshot")
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
     publishManifestBestEffort(fs, spark, path, next, df.schema.json)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp")
     val out = fs.create(tmp, true)
@@ -610,7 +709,8 @@ object Warehouse {
     val next = expectedVersion + 1
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    constraintGuard(df, path, "commitSnapshot")
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
       fs.delete(staging, true)
@@ -747,7 +847,8 @@ object Warehouse {
       else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
-    aligned.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    constraintGuard(aligned, path, "appendSnapshot")
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // file-sharing marker BEFORE the dir becomes visible (when there
     // is a base to share — an append onto empty is self-contained)
     if (baseEntries.nonEmpty)
@@ -2383,7 +2484,7 @@ object Warehouse {
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else reader.parquet(touched.toSeq.sorted.map(entryPath(path, _)): _*)
-    val kept = rewrite(touchedDf, schema)
+    val kept = constraintGuard(rewrite(touchedDf, schema), path, op)
     // no matching files AND nothing created (insert clauses that all
     // miss): no empty commit — the isEmpty probe runs only on the
     // cheap no-touched path (source-side rows only)
