@@ -523,6 +523,13 @@ object SparkEntry {
       Contamination.flagBloom(d.filter(col("doc_id") % 17 =!= 0),
         d.filter(col("doc_id") % 17 === 0), n = 5)
     }),
+    "q_decontam_bloom_md5" -> ((s, dir) => { // md5-lane Bloom: the same
+      // screen with a construction any engine recomputes bit-identically
+      // (deterministic FPs) — full oracle hash-match
+      val d = Tables.documents(s, dir)
+      Contamination.flagBloomMd5(d.filter(col("doc_id") % 17 =!= 0),
+        d.filter(col("doc_id") % 17 === 0), n = 5)
+    }),
     "q_global_index" -> ((s, dir) => TotalOrder.globalIndex(
       Tables.documentsWide(s, dir).select("doc_id"),
       // md5 of the id = deterministic corpus shuffle order; id breaks ties
@@ -1531,6 +1538,26 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |FROM ex JOIN bench USING (s)
         |WHERE doc_id % 17 <> 0
         |GROUP BY 1""".stripMargin,
+    // X187: the Bloom screen recomposed — 4 md5 32-bit lanes mod m,
+    // bench bit set, all-4-lanes-set membership; FPs are deterministic
+    // so even the over-count hash-matches
+    "q_decontam_bloom_md5" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                        toks[i+3] || ' ' || toks[i+4]
+        |                        for i in range(1, len(toks) - 3)]) AS shingles
+        |       FROM tok WHERE len(toks) >= 5),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |hx AS (SELECT doc_id, md5(s) AS h FROM ex),
+        |bits AS (SELECT DISTINCT (('0x' || substr(h, 8*i + 1, 8))::BIGINT % 1048576) AS b
+        |         FROM hx CROSS JOIN range(4) t(i) WHERE doc_id % 17 = 0),
+        |probe AS (SELECT doc_id, h, (('0x' || substr(h, 8*i + 1, 8))::BIGINT % 1048576) AS b
+        |          FROM hx CROSS JOIN range(4) t(i) WHERE doc_id % 17 <> 0),
+        |hits AS (SELECT doc_id, h, count(*) AS k
+        |         FROM probe JOIN bits USING (b) GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM hits WHERE k = 4 GROUP BY 1""".stripMargin,
     "q_decontam_attrib" ->
       """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |sh AS (SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share word
@@ -67,6 +67,46 @@ object Contamination {
       .filter(graft.functions.native.bloomMightContain(col("s"), bf))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The ENGINE-PORTABLE Bloom screen — the md5 move
+    * ([[graft.ext.Dedup.minhashNearDupsMd5]]) applied to
+    * [[flagBloom]]: the filter's construction is fixed by contract so
+    * any engine recomputes the SAME bits and the SAME false positives,
+    * making the screening pass fully oracle-verifiable
+    * (q_decontam_bloom_md5) where Spark's `bloomFilter` bit layout is
+    * internal. Construction: k = 4 positions per shingle, position_i =
+    * toLong(hex chars [8i+1, 8i+8] of md5(shingle)) mod `mBits`
+    * (non-overlapping 32-bit lanes of one md5 — the standard
+    * partition-the-digest Bloom recipe); the bit set is the distinct
+    * positions over the BENCHMARK's shingles; a corpus shingle "might
+    * contain" iff ALL 4 of its positions are set. Same screening
+    * contract as [[flagBloom]]: no false negatives by construction,
+    * `n_shared` over-counts by the (deterministic) FP rate
+    * (≈ (bits-set/m)⁴ per probe).
+    *
+    * Shape: the bit-set frame is ≤ min(4·|bench shingles|, mBits) rows
+    * of one long — broadcast to a scan-side hash join, so the corpus
+    * explodes to thin (doc, h, position) rows but never shuffles wide;
+    * the per-shingle all-4 count and doc rollup are two slim
+    * hash-aggs. [[flagBloom]] (zero-explode codegen probe) stays the
+    * performance path.
+    */
+  def flagBloomMd5(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                   minShared: Int = 1, mBits: Long = 1L << 20): DataFrame = {
+    require(mBits > 0, s"mBits must be positive, got $mBits")
+    def positions(h: Column): Column = array((0 until 4).map(i =>
+      conv(substring(h, i * 8 + 1, 8), 16, 10).cast("long") % mBits): _*)
+    val bits = shingleRows(benchmark, n)
+      .select(explode(positions(md5(col("s")))).as("b")).distinct()
+    shingleRows(corpus, n)
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .select(col("doc_id"), col("h"), explode(positions(col("h"))).as("b"))
+      .join(broadcast(bits), Seq("b"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("k"))
+      .filter(col("k") === 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 

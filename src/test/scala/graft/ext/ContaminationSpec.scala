@@ -86,6 +86,30 @@ class ContaminationSpec extends SparkSpec {
     assert(bigBloom2 === bigExact2)
   }
 
+  test("flagBloomMd5: no false negatives vs exact flag (sf0.001 documents)") {
+    // X187's screening law on real corpus data: the md5-lane bit set
+    // can only ADD shared-shingle counts (deterministic FPs), never
+    // lose one — every exactly-contaminated doc survives with
+    // n_shared at least its exact count
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val c = d.filter(org.apache.spark.sql.functions.col("doc_id") % 17 =!= 0)
+    val b = d.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 0)
+    val exact = Contamination.flag(c, b, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Contamination.flagBloomMd5(c, b, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "fixture should contain contamination")
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id) && bloom(id) >= n, s"doc $id lost by md5 bloom")
+    }
+    // tiny m forces dense bits: the screen degrades to flagging MORE,
+    // never fewer — the no-false-negatives direction under pressure
+    val dense = Contamination.flagBloomMd5(c, b, n = 5, mBits = 64L)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.keySet.subsetOf(dense))
+    assert(dense.size >= bloom.size)
+  }
+
   test("semanticScreen flags embedding-space leaks; clean docs absent; ties pick min bench_id") {
     // a "paraphrase" shares the benchmark's direction with a different
     // norm (the leak n-gram overlap can't see); an orthogonal doc and a
