@@ -344,7 +344,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
       val feed = Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"),
         preImages = true)
-      store.IncrementalAgg.maintainAggregate(aggOld, feed, Seq("o_orderstatus"),
+      store.Ivm.maintainAggregate(aggOld, feed, Seq("o_orderstatus"),
         Map("s" -> "o_custkey"), "n")
     }),
     "q_enrich_affected" -> ((s, dir) => {

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * with ONLY null measures reads 0 here where a recompute reads NULL
   * (document-level caveat; count is always exact).
   */
-object IncrementalAgg {
+object Ivm {
 
   /** Apply one feed to a materialized aggregate.
     *

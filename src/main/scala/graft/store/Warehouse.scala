@@ -237,7 +237,7 @@ object Warehouse {
     else {
       // Delta-CDF 4-type vocabulary: each update additionally emits its
       // OLD row as `update_preimage` — the row an ALGEBRAIC consumer
-      // (sum/count maintenance, [[IncrementalAgg.maintainAggregate]])
+      // (sum/count maintenance, [[Ivm.maintainAggregate]])
       // must SUBTRACT, which the post-only feed cannot supply. Emitted
       // in the same single join pass via a 2-element explode (two
       // projections of one joined frame would compute the join twice);

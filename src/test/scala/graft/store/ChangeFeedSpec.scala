@@ -32,7 +32,7 @@ class ChangeFeedSpec extends SparkSpec {
       (1000L, 1L, "insert", 2L), (1001L, 2L, "insert", 2L),
       (7L, 70L, "delete", 3L),
       // updates carry the Delta-CDF pair: post-image + preimage (r11,
-      // the rows IncrementalAgg's algebra subtracts)
+      // the rows Ivm's algebra subtracts)
       (9L, -1L, "update", 4L), (9L, 90L, "update_preimage", 4L)))
     // the feed-apply law: each recorded commit's feed replays the
     // version transition exactly (the downstream-replica contract)

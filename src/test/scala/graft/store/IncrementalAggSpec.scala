@@ -48,12 +48,12 @@ class IncrementalAggSpec extends SparkSpec {
     var agg = agg1
     (2L to 5L).foreach { v =>
       val feed = Warehouse.readChangeFeed(spark, root, v, v).drop("_commit_version")
-      agg = IncrementalAgg.maintainAggregate(agg, feed, Seq("g"), Map("s" -> "v"), "n")
+      agg = Ivm.maintainAggregate(agg, feed, Seq("g"), Map("s" -> "v"), "n")
       assertSame(agg, aggOf(Warehouse.readSnapshot(spark, root, Some(v))))
     }
     // whole-range fold in one pass (telescoping signs)
     assertSame(
-      IncrementalAgg.maintainFromWarehouse(agg1, root, Seq("g"), 2L, 5L,
+      Ivm.maintainFromWarehouse(agg1, root, Seq("g"), 2L, 5L,
         Map("s" -> "v"), "n"),
       aggOf(Warehouse.readSnapshot(spark, root)))
     // the update feed really carries balanced preimages
@@ -69,14 +69,14 @@ class IncrementalAggSpec extends SparkSpec {
     val old = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)).toDF("id", "g", "v")
     val neu = Seq((3L, "b", 5L), (9L, "a", 99L)).toDF("id", "g", "v")
     val feed = Warehouse.diffFrames(old, neu, Seq("id"), preImages = true)
-    val maintained = IncrementalAgg.maintainAggregate(
+    val maintained = Ivm.maintainAggregate(
       aggOf(old), feed, Seq("g"), Map("s" -> "v"), "n")
     assertSame(maintained, aggOf(neu))
     // drop 'a' entirely: the group vanishes from the maintained state
     val gone = Warehouse.diffFrames(neu, neu.filter(col("g") =!= "a"), Seq("id"),
       preImages = true)
     assertSame(
-      IncrementalAgg.maintainAggregate(maintained, gone, Seq("g"), Map("s" -> "v"), "n"),
+      Ivm.maintainAggregate(maintained, gone, Seq("g"), Map("s" -> "v"), "n"),
       aggOf(neu.filter(col("g") =!= "a")))
   }
 
@@ -85,11 +85,11 @@ class IncrementalAggSpec extends SparkSpec {
     val neu = Seq((1L, "a", 11L)).toDF("id", "g", "v")
     val postOnly = Warehouse.diffFrames(old, neu, Seq("id")) // no preimages
     intercept[IllegalArgumentException] {
-      IncrementalAgg.maintainAggregate(aggOf(old), postOnly, Seq("g"),
+      Ivm.maintainAggregate(aggOf(old), postOnly, Seq("g"),
         Map("s" -> "v"), "n").collect()
     }
     intercept[IllegalArgumentException] { // count-only is refused too
-      IncrementalAgg.maintainAggregate(aggOf(old), postOnly, Seq("g")).collect()
+      Ivm.maintainAggregate(aggOf(old), postOnly, Seq("g")).collect()
     }
   }
 }

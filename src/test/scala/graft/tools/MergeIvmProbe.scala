@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.store.{IncrementalAgg, Warehouse}
+import graft.store.{Ivm, Warehouse}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *     (`writeSnapshot(mergeInto(...))`) grows linearly.
   *  2. With `scanBound` on the clustered key, discovery itself opens
   *     only stat-overlapping files — the whole merge goes flat.
-  *  3. `IncrementalAgg.maintainAggregate` catches a rollup up from the
+  *  3. `Ivm.maintainAggregate` catches a rollup up from the
   *     feed at cost proportional to the FEED, flat in table size; the
   *     recompute it replaces grows linearly.
   *
@@ -92,7 +92,7 @@ object MergeIvmProbe {
           Map("v" -> (col("v") + 5)), changeFeed = true)
       }
       time(s"IVM maintainFromWarehouse ($label)") {
-        IncrementalAgg.maintainFromWarehouse(preAgg, root, Seq("g"),
+        Ivm.maintainFromWarehouse(preAgg, root, Seq("g"),
           vNext, vNext, Map("s" -> "v"), "n").count()
       }
       time(s"rollup full recompute reference ($label)") {
