@@ -3025,6 +3025,46 @@ object Warehouse {
     (commitSnapshot(arranged, path, expectedVersion = v), n)
   }
 
+  /** Metadata table — the Iceberg `table$files` analog: one row per
+    * committed data file of `version`, straight from the manifest
+    * (zero data I/O): (file, bytes, rows, shared), `shared` marking
+    * entries carried from another version (or another table — a
+    * [[cloneSnapshot]] reference) rather than owned by this version's
+    * dir. NULL bytes/rows for pre-accounting manifests. The input
+    * [[optimizeSnapshot]]'s policy reads and the audit for clone/
+    * file-sharing provenance.
+    */
+  def snapshotFiles(spark: SparkSession, path: String,
+                    version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = resolveVersion(spark, path, version)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, path, v) match {
+      case Some(m) =>
+        val es = manifestEntries(m)
+        val bytes = Option(m.get("fileBytes"))
+        val rows = Option(m.get("fileRows"))
+        es.indices.map { i =>
+          val e = es(i)
+          (e,
+            bytes.map(_.get(i).asLong),
+            rows.map(_.get(i).asLong),
+            isAbsoluteEntry(e) || (e.contains("/") && !e.startsWith(s"v=$v/")))
+        }.toDF("file", "bytes", "rows", "shared")
+      case None =>
+        require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$v/_partial")),
+          s"snapshotFiles($path): v=$v is a file-sharing version with no readable manifest")
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+          .map(st => (s"v=$v/${st.getPath.getName}",
+            Option(st.getLen), Option.empty[Long], false))
+          .toDF("file", "bytes", "rows", "shared")
+    }
+  }
+
   /** SHALLOW CLONE — Delta `CREATE TABLE ... SHALLOW CLONE` / Iceberg
     * snapshot-ref shape: a NEW table at `dst` whose v=1 manifest
     * references the source version's files IN PLACE (absolute

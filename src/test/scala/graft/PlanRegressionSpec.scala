@@ -358,4 +358,17 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count"), p.take(2500))
     assert(!p.contains("Join"), p.take(2500)) // merge is union+agg, never a join
   }
+
+  test("md5 bloom screen: the bit set is broadcast — the corpus probe never sort-merges") {
+    val p = plan("q_decontam_bloom_md5")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("perplexity bucket: LM model joins stay broadcast; the cut is one ntile window") {
+    val p = plan("q_perplexity_bucket")
+    // bigram counts, context counts, vocab (cross), doc-grain lang join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2500))
+    assert(p.contains("ntile(3)"), p.take(2500))
+  }
 }

@@ -51,6 +51,21 @@ class OptimizeSpec extends SparkSpec {
     assert(Warehouse.currentSnapshot(spark, root) === 6L)
   }
 
+  test("snapshotFiles metadata table: accounting + shared flags, zero data I/O") {
+    val root = java.nio.file.Files.createTempDirectory("graft_files").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 100).toDF("id").coalesce(1), root)
+    Warehouse.appendSnapshot(Seq(1000L).toDF("id"), root, 1L)
+    val files = Warehouse.snapshotFiles(spark, root).collect()
+    assert(files.length === 2)
+    val byShared = files.map(r => r.getBoolean(3) -> r).toMap
+    assert(byShared.contains(true) && byShared.contains(false))
+    assert(byShared(true).getString(0).startsWith("v=1/"), "carried entry from v=1")
+    assert(files.map(_.getLong(2)).sum === 101, "per-file rows must sum to the table")
+    // pinned version: v=1's own file is not shared
+    val v1 = Warehouse.snapshotFiles(spark, root, Some(1L)).collect()
+    assert(v1.length === 1 && !v1.head.getBoolean(3))
+  }
+
   test("all files small -> self-contained compacted version; expiry then reaps history") {
     val root = java.nio.file.Files.createTempDirectory("graft_opt2").toString + "/t"
     Warehouse.writeSnapshot(spark.range(0, 10).toDF("id").repartition(4), root)
