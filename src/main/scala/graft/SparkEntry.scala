@@ -315,6 +315,22 @@ object SparkEntry {
         Warehouse.InsertWhen(col("s.date") >= lit("2024-01-25").cast("date"))))
       Warehouse.readSnapshot(s, root)
     }),
+    "q_delete_dv" -> ((s, dir) => {
+      // X189 deletion vectors: the merge-on-read DELETE — positions
+      // recorded in a _dv sidecar, ZERO data files rewritten (every
+      // entry carried by reference), the read subtracts them. Two
+      // overlapping dv commits exercise accumulation and the
+      // already-deleted-rows-never-rematch rule; the oracle is the
+      // plain residue the two deletes leave behind.
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      val root = java.nio.file.Files.createTempDirectory("graft_qdv").toString + "/t"
+      Warehouse.writeSnapshot(li.repartition(4), root)
+      Warehouse.deleteWhereDv(s, root, col("l_returnflag") === "R")
+      Warehouse.deleteWhereDv(s, root,
+        col("l_returnflag").isin("R", "A") && col("l_quantity") < 10.0)
+      Warehouse.readSnapshot(s, root)
+    }),
     "q_cdc_diff" -> ((s, dir) => {
       // change feed between two table states: %3 keys only in new
       // (insert), %5 keys only in old (delete), %7 keys restated
@@ -1094,6 +1110,14 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     // X173 file-grain snapshot MERGE: same clause semantics, same
     // recomposition — the Spark side exercises the committed-table path
     "q_merge_snapshot" -> mergeOracleSql,
+    // X189 deletion vectors: merge-on-read DELETE — the oracle is the
+    // residue after both delete predicates (rows where either matched
+    // are gone; the overlap must not double-apply)
+    "q_delete_dv" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'R'
+        |           OR (l_returnflag IN ('R', 'A') AND l_quantity < 10.0))""".stripMargin,
     "q_cdc_diff" ->
       """WITH oldst AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
         |newst AS (SELECT o_orderkey, o_custkey, o_orderstatus,

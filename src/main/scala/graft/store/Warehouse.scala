@@ -323,8 +323,18 @@ object Warehouse {
     // BOTH sides read full)
     (readManifest(fs, path, fromVersion), readManifest(fs, path, toVersion)) match {
       case (Some(a), Some(b)) =>
-        val shared = normEntries(a, fromVersion).toSet intersect
+        val shared0 = normEntries(a, fromVersion).toSet intersect
           normEntries(b, toVersion).toSet
+        // deletion vectors (X189) break "shared entry = identical
+        // rows": a dv commit carries every file by reference but
+        // changes their EFFECTIVE rows. When the two versions' dv
+        // state differs, every dv-touched entry is demoted from the
+        // shared set — both sides then read it dv-aware and the diff
+        // sees its true rows (conservative, driver-side, zero I/O).
+        val (dvA, dvB) = (readDvState(a), readDvState(b))
+        val shared =
+          if (dvA == dvB) shared0
+          else shared0 -- (dvA.toSeq ++ dvB.toSeq).flatMap(_.files.map(_._1))
         diffFrames(manifestPlannedRead(spark, path, fromVersion, a, shared),
           manifestPlannedRead(spark, path, toVersion, b, shared), keys)
       case _ =>
@@ -882,7 +892,10 @@ object Warehouse {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath.getName)
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      target.json, Some(fresh ++ baseEntries), reuseFrom = reuse, txn = txn)
+      target.json, Some(fresh ++ baseEntries), reuseFrom = reuse, txn = txn,
+      // an append rewrites nothing, so the base's deletion vectors
+      // (X189) carry forward verbatim — the new files have none
+      dv = reuse.flatMap { case (m, _) => readDvState(m) })
     catch {
       case e: Throwable =>
         fs.delete(dest, true)
@@ -1310,10 +1323,144 @@ object Warehouse {
                                   exclude: Set[String] = Set.empty): DataFrame = {
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(m.get("schema").toString).asInstanceOf[StructType]
-    val files = normEntries(m, v).filterNot(exclude).map(entryPath(path, _))
-    if (files.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    dvPlannedRead(spark, path, m, schema, normEntries(m, v).filterNot(exclude))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Deletion vectors (X189) — merge-on-read row-level DELETE, the
+  // Delta-DV / Iceberg-positional-delete shape: [[deleteWhereDv]]
+  // records the matched rows' (file, row position) pairs in a `_dv`
+  // sidecar inside its OWN version dir and rewrites NOTHING — every
+  // data file is carried by reference, so erasing k scattered rows of
+  // a 100 TB table costs one discovery scan plus a k-row parquet
+  // write, where even the file-grain [[deleteWhere]] pays the touched
+  // files' full bytes. Reads subtract the positions with an anti-join
+  // on (normalized file path, `_metadata.row_index`) applied ONLY to
+  // the files that carry positions — the clean bulk of the table scans
+  // exactly as before (the manifest's `dvFiles` makes the split a
+  // driver-side decision, zero extra I/O). Every rewrite of a dv'd
+  // file (deleteWhere / updateWhere / merge / optimize / compact /
+  // [[materializeDeletes]]) MATERIALIZES its deletions — the rewritten
+  // file's positions die with its old path (position entries key on
+  // the path, so a stale entry can never match a new file). The
+  // position frame broadcasts while the manifest's live-position count
+  // stays under [[DvBroadcastMaxRows]]; past that the anti-join
+  // shuffles only the dv'd files' rows.
+  // ---------------------------------------------------------------------------
+
+  /** The manifest's deletion-vector state: `refs` names the `_dv`
+    * sidecar dirs whose positions apply (root-relative `v=<n>/_dv`, or
+    * absolute for a [[cloneSnapshot]] reference), `files` the touched
+    * entries with their LIVE deleted-position count. Stale positions
+    * (referencing since-rewritten paths) may persist inside kept refs;
+    * they are inert in the anti-join and excluded from this count.
+    */
+  private[store] case class DvState(refs: Seq[String], files: Seq[(String, Long)]) {
+    def rows: Long = files.map(_._2).sum
+    def fileSet: Set[String] = files.map(_._1).toSet
+  }
+
+  private val DvBroadcastMaxRows = 262144L
+
+  private def readDvState(m: com.fasterxml.jackson.databind.JsonNode): Option[DvState] =
+    Option(m.get("dvRefs")).map { r =>
+      val refs = (0 until r.size).map(r.get(_).asText)
+      val fl = m.get("dvFiles"); val cl = m.get("dvFileRows")
+      DvState(refs, (0 until fl.size).map(i => (fl.get(i).asText, cl.get(i).asLong)))
+    }.filter(_.files.nonEmpty)
+
+  /** `file:/x`, `file:///x`, `s3a://bucket/x` → scheme-and-authority-
+    * stripped path — the one normalization both sides of the DV
+    * anti-join share (`_metadata.file_path` carries the scheme; stored
+    * positions and manifest entries do not).
+    */
+  private def stripSchemeCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
+
+  /** The table root as the scheme-less qualified path every stored DV
+    * position is relative to. */
+  private def qualifiedRoot(fs: org.apache.hadoop.fs.FileSystem, path: String): String =
+    fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toUri.getPath
+
+  private val dvRowSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType)))
+
+  /** The live position frame of `refs`, resolved to (`__p` scheme-less
+    * absolute path, `__pos`). Each ref's rows are relative to the root
+    * that RECORDED them — the table root for `v=<n>/_dv` refs, the ref's
+    * own grandparent for an absolute (clone) ref — so positions keep
+    * matching after a table is cloned or relocated.
+    */
+  private def dvFrame(spark: SparkSession, path: String, q: String,
+                      refs: Seq[String]): DataFrame =
+    refs.map { ref =>
+      val root =
+        if (!isAbsoluteEntry(ref))
+          q
+        else new org.apache.hadoop.fs.Path(ref).getParent.getParent.toString
+      spark.read.schema(dvRowSchema).parquet(entryPath(path, ref))
+        .select(
+          when(col("file").startsWith("/"), col("file"))
+            .otherwise(concat(lit(root + "/"), col("file"))).as("__p"),
+          col("pos").as("__pos"))
+    }.reduce(_ unionAll _)
+
+  /** Stamp each scanned row's physical identity: `__p` (normalized
+    * file path) + `__pos` (`_metadata.row_index`, the in-file row
+    * ordinal the vectorized parquet reader maintains across row-group
+    * and page skipping — the same primitive Delta's DVs key on).
+    */
+  private def withRowId(scan: DataFrame): DataFrame =
+    scan.withColumn("__p", stripSchemeCol(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+
+  /** Subtract the DV positions from `scan` (which must sit DIRECTLY
+    * over a parquet file source — `_metadata` is stamped here). The
+    * anti-join broadcasts under the manifest-recorded live count,
+    * shuffles the dv'd files' rows otherwise. `__p`/`__pos` survive
+    * for callers that need the row identity; project them away
+    * otherwise.
+    */
+  private def antiDv(scan: DataFrame, dv: DataFrame, bcast: Boolean): DataFrame =
+    withRowId(scan)
+      .join(if (bcast) broadcast(dv) else dv, Seq("__p", "__pos"), "left_anti")
+
+  /** Build the read of a version over an explicit (possibly pruned)
+    * normalized entry list, applying the manifest's deletion vectors:
+    * entries without positions scan plainly (one untouched parquet
+    * scan — the 100 TB bulk), entries in `dvFiles` scan through the
+    * anti-join, and the two legs union. The single dv-aware scan
+    * construction behind [[readSnapshot]], [[readSnapshotWhere]],
+    * [[snapshotDiff]] and [[optimizeSnapshot]].
+    */
+  private def dvPlannedRead(spark: SparkSession, path: String,
+                            m: com.fasterxml.jackson.databind.JsonNode,
+                            schema: StructType, entries: Seq[String]): DataFrame = {
+    if (entries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dv = readDvState(m)
+    val dvd = dv.map(_.fileSet).getOrElse(Set.empty)
+    val (hit, plain) = entries.partition(dvd)
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(plain.map(entryPath(path, _)): _*))
+    val hitDf =
+      if (hit.isEmpty) None
+      else {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val scan = spark.read.schema(schema).parquet(hit.map(entryPath(path, _)): _*)
+        Some(antiDv(scan, dvFrame(spark, path, qualifiedRoot(fs, path), dv.get.refs),
+          bcast = dv.get.rows <= DvBroadcastMaxRows)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+      }
+    (plainDf, hitDf) match {
+      case (Some(a), Some(b)) => a.unionAll(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case _                  => throw new IllegalStateException("unreachable: entries nonEmpty")
+    }
   }
 
   /** Parquet-footer metadata of one committed file: (rows, per-column
@@ -1432,7 +1579,8 @@ object Warehouse {
                                    path: String, v: Long, schemaJson: String,
                                    entriesIn: Option[Seq[String]] = None,
                                    reuseFrom: Option[(com.fasterxml.jackson.databind.JsonNode, Long)] = None,
-                                   txn: Option[(String, Long)] = None): Unit = {
+                                   txn: Option[(String, Long)] = None,
+                                   dv: Option[DvState] = None): Unit = {
     val entries: Seq[String] = entriesIn.getOrElse {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -1472,7 +1620,10 @@ object Warehouse {
     }
     val node = mapper.createObjectNode()
     node.put("version", v)
-    node.put("rowCount", infos.map(_._2).sum)
+    // rowCount is the version's EFFECTIVE count: physical footer rows
+    // minus live deletion-vector positions — [[snapshotRowCount]] stays
+    // an O(1) truthful answer on a merge-on-read table
+    node.put("rowCount", infos.map(_._2).sum - dv.map(_.rows).getOrElse(0L))
     node.put("bytes", infos.map(_._1).sum)
     // Delta txn-action shape: the writer's (appId, epoch) rides the
     // COMMIT itself, so idempotence survives any crash window — there
@@ -1493,6 +1644,15 @@ object Warehouse {
     infos.foreach(i => barr.add(i._1))
     val rarr = node.putArray("fileRows")
     infos.foreach(i => rarr.add(i._2))
+    // deletion-vector record (X189): the dv dirs whose positions apply
+    // to this version, the entries they touch (normalized form, a
+    // subset of `files`) and the live deleted-row count per entry —
+    // `dvFiles`/`dvFileRows` are parallel arrays like the accounting
+    dv.filter(_.files.nonEmpty).foreach { d =>
+      val dra = node.putArray("dvRefs"); d.refs.foreach(dra.add)
+      val dfa = node.putArray("dvFiles"); d.files.foreach { case (f, _) => dfa.add(f) }
+      val dca = node.putArray("dvFileRows"); d.files.foreach { case (_, c) => dca.add(c) }
+    }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-mf$tag")
     val out = fs.create(tmp, true)
@@ -2034,7 +2194,10 @@ object Warehouse {
     }
     promoteStaging(fs, staging, dest, path, next)
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      schemaJson, Some(entries), reuseFrom = reuse)
+      schemaJson, Some(entries), reuseFrom = reuse,
+      // a restore references the target's files verbatim, so its
+      // deletion-vector state (X189) must restore with them
+      dv = reuse.flatMap { case (m, _) => readDvState(m) })
     catch {
       case e: Throwable =>
         fs.delete(dest, true)
@@ -2185,10 +2348,14 @@ object Warehouse {
           "it before expiring history")
     }
     // every root-relative (cross-version) file entry a RETAINED
-    // manifest still needs — the live set for the sweeps below
+    // manifest still needs — the live set for the sweeps below. A
+    // retained manifest's deletion-vector refs (X189) count too: the
+    // `v=<n>/_dv` sidecar must outlive its home version for exactly
+    // as long as a live manifest subtracts its positions.
     val referenced: Set[String] = retained.flatMap(rv =>
       readManifest(fs, path, rv).toSeq.flatMap(m =>
-        manifestEntries(m).filter(_.contains("/")))).toSet
+        manifestEntries(m).filter(_.contains("/")) ++
+          readDvState(m).toSeq.flatMap(_.refs.filterNot(isAbsoluteEntry)))).toSet
     def sweepDir(v: Long): Unit = {
       val dir = new org.apache.hadoop.fs.Path(s"$path/v=$v")
       // idempotent teardown of the version's commit records — also
@@ -2276,7 +2443,7 @@ object Warehouse {
                   scanBound: Option[(String, Option[Any], Option[Any])] = None,
                   changeFeed: Boolean = false): Long =
     rewriteMatchingFiles(spark, path,
-      _.where(predicate).select(input_file_name().as("__file")),
+      _.where(predicate).select(col("__file")),
       orphanGraceMs, scanBound,
       "deleteWhere", rewrite = (df, _) => df.where(!coalesce(predicate, lit(false))),
       changes = if (!changeFeed) None else Some((df, _) =>
@@ -2310,7 +2477,7 @@ object Warehouse {
         else col(f.name)
       }: _*)
     rewriteMatchingFiles(spark, path,
-      _.where(predicate).select(input_file_name().as("__file")),
+      _.where(predicate).select(col("__file")),
       orphanGraceMs, scanBound,
       "updateWhere",
       changes = if (!changeFeed) None else Some((df, schema) => {
@@ -2377,12 +2544,12 @@ object Warehouse {
       .where(keys.map(col(_).isNotNull).reduce(_ && _)).distinct()
     val hasInsert = clauses.exists(_.isInstanceOf[InsertWhen])
     rewriteMatchingFiles(spark, path,
-      // `__file` is stamped in a projection DIRECTLY over the scan (its
-      // subtree has exactly one file source, so the plan stays legal
-      // even when the batch is itself parquet-backed), and the semi
-      // join runs above it; column pruning still narrows the scan to
-      // the key columns
-      discover = _.select(input_file_name().as("__file") +: keys.map(col): _*)
+      // `__file` arrives pre-stamped from `_metadata.file_path` in a
+      // projection directly over the scan (fixed per-row before any
+      // join, so the plan stays legal even when the batch is itself
+      // parquet-backed); the semi join runs above it and column
+      // pruning still narrows the scan to the key columns
+      discover = _.select(col("__file") +: keys.map(col): _*)
         .join(broadcast(srcKeys), keys, "left_semi"),
       orphanGraceMs, scanBound, "mergeIntoSnapshot",
       rewrite = (df, _) => mergeInto(df, source, keys, clauses),
@@ -2459,18 +2626,41 @@ object Warehouse {
       case _ => entries
     }
     if (candidates.isEmpty && !commitOnNoMatch) return v
-    val full = candidates.map(entryPath(path, _))
+    // each row's `__file` is pre-stamped from `_metadata.file_path` in
+    // a projection directly over its scan (fixed per-row before any
+    // join the discover function adds), and the version's deletion
+    // vectors (X189) are subtracted up front: discovery and rewrite
+    // must see LIVE rows only, or a dv-deleted row would resurrect
+    // through the rewrite. Files without positions scan plainly.
+    val dvState = manifestOpt.flatMap(readDvState)
+    def liveScanWithFile(es: Seq[String]): DataFrame = {
+      val dvd = dvState.map(_.fileSet).getOrElse(Set.empty)
+      val (hit, plain) = es.partition(dvd)
+      def leg(ps: Seq[String], anti: Boolean): Option[DataFrame] =
+        if (ps.isEmpty) None
+        else {
+          val base = reader.parquet(ps.map(entryPath(path, _)): _*)
+            .withColumn("__file", col("_metadata.file_path"))
+          Some(
+            if (!anti) base
+            else antiDv(base, dvFrame(spark, path, qualifiedRoot(fs, path), dvState.get.refs),
+              bcast = dvState.get.rows <= DvBroadcastMaxRows))
+        }
+      Seq(leg(plain, anti = false), leg(hit, anti = true)).flatten
+        .map(_.select((schema.fieldNames.map(col) :+ col("__file")).toIndexedSeq: _*))
+        .reduce(_ unionAll _)
+    }
     // which candidate files contain matching rows — ONE scan that reads
     // only the matching columns (Catalyst prunes the projection down
-    // to input_file_name + the filter/join inputs); this is the op's
-    // whole read cost over the untouched bulk of the table. A shuffled
-    // `matching` would surface as "" file names and fail the entry-list
-    // lookup loudly — never silently touch the wrong files.
+    // to the metadata stamp + the filter/join inputs); this is the
+    // op's whole read cost over the untouched bulk of the table. A
+    // shuffled `matching` would surface as "" file names and fail the
+    // entry-list lookup loudly — never silently touch the wrong files.
     val byPath = candidates.map(e =>
       fs.makeQualified(new org.apache.hadoop.fs.Path(entryPath(path, e))).toUri.getPath -> e).toMap
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else discover(reader.parquet(full: _*))
+      else discover(liveScanWithFile(candidates))
         .select(col("__file")).distinct()
         .collect()
         .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath)
@@ -2479,11 +2669,18 @@ object Warehouse {
         .toSet
     if (touched.isEmpty && !commitOnNoMatch) return v
     val untouched = entries.filterNot(touched)
+    // rewritten files MATERIALIZE their deletions: their positions die
+    // with the old path; positions on untouched files carry forward
+    val newDv: Option[DvState] = dvState.flatMap { d =>
+      val rem = d.files.filterNot { case (f, _) => touched(f) }
+      if (rem.isEmpty) None else Some(DvState(d.refs, rem))
+    }
     val next = v + 1
     def touchedDf: DataFrame =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else reader.parquet(touched.toSeq.sorted.map(entryPath(path, _)): _*)
+      else liveScanWithFile(touched.toSeq.sorted)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val kept = constraintGuard(rewrite(touchedDf, schema), path, op)
     // no matching files AND nothing created (insert clauses that all
     // miss): no empty commit — the isEmpty probe runs only on the
@@ -2526,7 +2723,7 @@ object Warehouse {
       .map(_.getPath.getName)
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
       schema.json, Some(rewritten ++ untouched),
-      reuseFrom = manifestOpt.map(m => (m, v)), txn = txn)
+      reuseFrom = manifestOpt.map(m => (m, v)), txn = txn, dv = newDv)
     catch {
       case e: Throwable =>
         // the manifest IS this version's commit record — unwind so the
@@ -2539,6 +2736,207 @@ object Warehouse {
     }
     advancePointer(fs, path, next)
     next
+  }
+
+  /** Merge-on-read row-level DELETE — deletion vectors (X189), the
+    * Delta-DV / Iceberg-positional-delete shape and [[deleteWhere]]'s
+    * cheaper sibling: instead of rewriting every file that contains a
+    * matching row, the matched rows' (file, `_metadata.row_index`)
+    * pairs are RECORDED in a `_dv` parquet sidecar inside the new
+    * version's dir and every data file is carried by reference —
+    * erasing k scattered rows of a 100 TB table costs one
+    * column-pruned discovery scan plus a k-row parquet write, where
+    * even the file-grain [[deleteWhere]] pays the touched files' full
+    * bytes back out. Reads subtract the positions with an anti-join
+    * applied ONLY to the files that carry them (a driver-side split
+    * from the manifest's `dvFiles`); the clean bulk of the table
+    * scans exactly as before. Deletions accumulate across dv commits
+    * and MATERIALIZE whenever their file is rewritten ([[deleteWhere]]
+    * / [[updateWhere]] / [[mergeIntoSnapshot]] / [[optimizeSnapshot]]
+    * / [[compactSnapshot]]) or swept wholesale by
+    * [[materializeDeletes]] — a position keys on its file's PATH, so
+    * a rewritten file's positions can never touch its replacement.
+    *
+    * The trade against [[deleteWhere]] is the standard merge-on-read
+    * one: O(matches) write cost now, an anti-join over the dv'd
+    * files' rows at every read until materialization (broadcast while
+    * the manifest's live count stays under [[DvBroadcastMaxRows]]).
+    * Same CAS/`_partial`/unwind/no-match-no-op contract as the
+    * file-grain writes; `scanBound` prunes the discovery scan via
+    * manifest stats (X162); `changeFeed = true` records the deleted
+    * rows (X172) from the matched files only. Requires a readable
+    * manifest (the DV record rides it) — on a manifest-less table use
+    * [[deleteWhere]]. [[snapshotRowCount]] stays truthful (the
+    * manifest's rowCount is EFFECTIVE rows); a [[readSnapshotStream]]
+    * tail sees no event for a dv commit (deletes are invisible to an
+    * append-only consumer — the restriction rewrite versions already
+    * carry, in the opposite direction).
+    */
+  def deleteWhereDv(spark: SparkSession, path: String, predicate: Column,
+                    orphanGraceMs: Long = 600000L,
+                    scanBound: Option[(String, Option[Any], Option[Any])] = None,
+                    changeFeed: Boolean = false): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"deleteWhereDv($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"deleteWhereDv($path): v=$v has no readable manifest — the DV record rides the " +
+        "manifest; use deleteWhere (file rewrite) on manifest-less tables"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    val entries = normEntries(m, v)
+    if (entries.isEmpty) return v
+    val dvState = readDvState(m)
+    val candidates = scanBound match {
+      case Some((column, lo, hi)) =>
+        val keep = statsOverlap(m, schema, column, lo, hi).toSet
+        entries.zipWithIndex.collect { case (e, i) if keep(i) => e }
+      case None => entries
+    }
+    if (candidates.isEmpty) return v
+    val q = qualifiedRoot(fs, path)
+    // live candidate rows WITH their row identity: dv'd files subtract
+    // their existing positions first (an already-deleted row must not
+    // re-match and double-count), plain files just take the stamp
+    def liveWithId(es: Seq[String]): DataFrame = {
+      val dvd = dvState.map(_.fileSet).getOrElse(Set.empty)
+      val (hit, plain) = es.partition(dvd)
+      def leg(ps: Seq[String], anti: Boolean): Option[DataFrame] =
+        if (ps.isEmpty) None
+        else {
+          val scan = spark.read.schema(schema).parquet(ps.map(entryPath(path, _)): _*)
+          Some(
+            if (!anti) withRowId(scan)
+            else antiDv(scan, dvFrame(spark, path, q, dvState.get.refs),
+              bcast = dvState.get.rows <= DvBroadcastMaxRows))
+        }
+      Seq(leg(plain, anti = false), leg(hit, anti = true)).flatten
+        .map(_.select((schema.fieldNames.toSeq ++ Seq("__p", "__pos")).map(col): _*))
+        .reduce(_ unionAll _)
+    }
+    // matched positions, normalized back to entry form (root-relative
+    // inside the table, scheme-less absolute for clone references)
+    val matched = liveWithId(candidates).where(predicate).select(
+      when(col("__p").startsWith(q + "/"),
+        col("__p").substr(lit(q.length + 2), lit(Int.MaxValue)))
+        .otherwise(col("__p")).as("file"),
+      col("__pos").as("pos"))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    matched.write.mode(SaveMode.ErrorIfExists).parquet(s"$staging/_dv")
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    val perFile = spark.read.schema(dvRowSchema).parquet(s"$staging/_dv")
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    if (perFile.isEmpty) { fs.delete(staging, true); return v }
+    val entrySet = entries.toSet
+    perFile.foreach { case (f, _) => require(entrySet.contains(f),
+      s"deleteWhereDv($path): matched file $f not in committed entry list") }
+    val next = v + 1
+    val merged: Seq[(String, Long)] = {
+      val base = dvState.map(_.files).getOrElse(Seq.empty).toMap
+      val add = perFile.toMap
+      (base.keySet ++ add.keySet).toSeq.sorted
+        .map(f => f -> (base.getOrElse(f, 0L) + add.getOrElse(f, 0L)))
+    }
+    val newDv = DvState(dvState.map(_.refs).getOrElse(Seq.empty) :+ s"v=$next/_dv", merged)
+    // change capture (X172): the deleted rows, re-read from the
+    // MATCHED files only — staged before the claim like every sibling
+    val cdfStaging = if (!changeFeed) None else Some {
+      val st = new org.apache.hadoop.fs.Path(s"$path/_staging-${tag}cdf")
+      liveWithId(perFile.map(_._1)).where(predicate)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(next))
+        .write.mode(SaveMode.ErrorIfExists).parquet(st.toString)
+      st
+    }
+    def unwindStaging(): Unit = {
+      fs.delete(staging, true)
+      cdfStaging.foreach(fs.delete(_, true))
+    }
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      unwindStaging()
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      unwindStaging()
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    cdfStaging.foreach(st => publishChangeFiles(fs, path, next, st))
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      m.get("schema").toString, Some(entries), reuseFrom = Some((m, v)), dv = Some(newDv))
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(cdfDir(path, next), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"deleteWhereDv($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    next
+  }
+
+  /** Purge the table's deletion vectors — the Delta `REORG TABLE …
+    * APPLY (PURGE)` shape: rewrite ONLY the files that carry live DV
+    * positions (their surviving rows land as fresh files), carry every
+    * clean file by reference with its accounting reused, and commit a
+    * version with no dv state at all — the read-side anti-join
+    * disappears and retention ages the `_dv` sidecars out with their
+    * versions. The file-grain middle ground between letting positions
+    * ride and a full [[compactSnapshot]] rewrite. None (no commit)
+    * when the current version has no deletion vectors; otherwise
+    * (newVersion, filesWritten).
+    */
+  def materializeDeletes(spark: SparkSession, path: String,
+                         orphanGraceMs: Long = 600000L): Option[(Long, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"materializeDeletes($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(return None)
+    val dvState = readDvState(m).getOrElse(return None)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    val entries = normEntries(m, v)
+    val touched = dvState.fileSet
+    val untouched = entries.filterNot(touched)
+    val rewrittenDf = dvPlannedRead(spark, path, m, schema, entries.filter(touched))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    rewrittenDf.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    if (untouched.nonEmpty)
+      fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    val next = v + 1
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    val fresh = fs.listStatus(dest).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      m.get("schema").toString, Some(fresh ++ untouched), reuseFrom = Some((m, v)))
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"materializeDeletes($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    Some((next, fresh.size))
   }
 
   // ---------------------------------------------------------------------------
@@ -2691,17 +3089,16 @@ object Warehouse {
           require(schema.fieldNames.contains(column),
             s"readSnapshotWhere($path): column '$column' not in snapshot schema")
         }
-        val entries = manifestEntries(m)
+        val entries = normEntries(m, v)
         val keep = ranges
           .map { case (c, lo, hi) => statsOverlap(m, schema, c, lo, hi).toSet }
           .reduce(_ intersect _)
-        val files = entries.indices.filter(keep)
-          .map(i => resolveEntry(path, v, entries(i)))
-        val base =
-          if (files.isEmpty) spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          else spark.read.schema(schema).parquet(files: _*)
-        bounds(base, schema)
+        // dv-aware (X189): the surviving files read through the same
+        // deletion-vector subtraction as readSnapshot — stats stay
+        // valid bounds on a dv'd file (a superset's min/max), so
+        // pruning composes with merge-on-read unchanged
+        bounds(dvPlannedRead(spark, path, m, schema,
+          entries.indices.filter(keep).map(entries)), schema)
       case None =>
         val df = readSnapshot(spark, path, Some(v))
         bounds(df, df.schema)
@@ -3045,13 +3442,18 @@ object Warehouse {
         val es = manifestEntries(m)
         val bytes = Option(m.get("fileBytes"))
         val rows = Option(m.get("fileRows"))
+        // live deletion-vector positions per entry (X189) — straight
+        // from the manifest's parallel arrays, still zero data I/O
+        val dvByFile = readDvState(m).map(_.files.toMap).getOrElse(Map.empty)
         es.indices.map { i =>
           val e = es(i)
+          val norm = if (e.contains("/")) e else s"v=$v/$e"
           (e,
             bytes.map(_.get(i).asLong),
             rows.map(_.get(i).asLong),
-            isAbsoluteEntry(e) || (e.contains("/") && !e.startsWith(s"v=$v/")))
-        }.toDF("file", "bytes", "rows", "shared")
+            isAbsoluteEntry(e) || (e.contains("/") && !e.startsWith(s"v=$v/")),
+            dvByFile.getOrElse(norm, 0L))
+        }.toDF("file", "bytes", "rows", "shared", "dv_rows")
       case None =>
         require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/v=$v/_partial")),
           s"snapshotFiles($path): v=$v is a file-sharing version with no readable manifest")
@@ -3060,8 +3462,8 @@ object Warehouse {
             !st.getPath.getName.startsWith("."))
           .sortBy(_.getPath.getName)
           .map(st => (s"v=$v/${st.getPath.getName}",
-            Option(st.getLen), Option.empty[Long], false))
-          .toDF("file", "bytes", "rows", "shared")
+            Option(st.getLen), Option.empty[Long], false, 0L))
+          .toDF("file", "bytes", "rows", "shared", "dv_rows")
     }
   }
 
@@ -3132,6 +3534,18 @@ object Warehouse {
         val arr = mapper.createArrayNode()
         manifestEntries(m).foreach(e => arr.add(absolutize(e)))
         node.set[com.fasterxml.jackson.databind.JsonNode]("files", arr)
+        // deletion-vector state (X189) clones by reference too: refs
+        // and touched entries absolutize (dvFileRows deep-copied in
+        // order stays parallel); positions inside an absolutized ref
+        // resolve against ITS root, so they keep matching the
+        // absolutized file paths
+        readDvState(m).foreach { d =>
+          val ra = mapper.createArrayNode(); d.refs.foreach(r => ra.add(absolutize(r)))
+          node.set[com.fasterxml.jackson.databind.JsonNode]("dvRefs", ra)
+          val fa = mapper.createArrayNode()
+          d.files.foreach { case (f, _) => fa.add(absolutize(f)) }
+          node.set[com.fasterxml.jackson.databind.JsonNode]("dvFiles", fa)
+        }
         try {
           val tmp = new org.apache.hadoop.fs.Path(s"$dst/_latest.tmp-mf$tag")
           val out = fs.create(tmp, true)
@@ -3211,8 +3625,20 @@ object Warehouse {
       (smallIdx.map(bytes).sum + targetFileBytes - 1) / targetFileBytes).toInt
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(schemaJson).asInstanceOf[StructType]
-    val packed = spark.read.schema(schema)
-      .parquet(small.toSeq.sorted.map(entryPath(path, _)): _*).repartition(n)
+    // dv-aware packed read (X189): a small file carrying deletion-
+    // vector positions materializes them here (live rows only); its
+    // positions die with the old path. Carried files keep theirs.
+    val packed = (reuse match {
+      case Some((m, _)) => dvPlannedRead(spark, path, m, schema, small.toSeq.sorted)
+      case None => spark.read.schema(schema)
+        .parquet(small.toSeq.sorted.map(entryPath(path, _)): _*)
+    }).repartition(n)
+    val packedDv: Option[DvState] = reuse.flatMap { case (m, _) =>
+      readDvState(m).flatMap { d =>
+        val rem = d.files.filterNot { case (f, _) => small(f) }
+        if (rem.isEmpty) None else Some(DvState(d.refs, rem))
+      }
+    }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     packed.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
@@ -3234,7 +3660,7 @@ object Warehouse {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath.getName)
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      schemaJson, Some(fresh ++ carried), reuseFrom = reuse)
+      schemaJson, Some(fresh ++ carried), reuseFrom = reuse, dv = packedDv)
     catch {
       case e: Throwable =>
         fs.delete(dest, true)

@@ -365,6 +365,12 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2500))
   }
 
+  test("dv delete read: position subtraction is a broadcast anti-join, never sort-merge") {
+    val p = plan("q_delete_dv")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
   test("perplexity bucket: LM model joins stay broadcast; the cut is one ntile window") {
     val p = plan("q_perplexity_bucket")
     // bigram counts, context counts, vocab (cross), doc-grain lang join
