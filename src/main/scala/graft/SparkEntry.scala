@@ -363,6 +363,39 @@ object SparkEntry {
       store.Ivm.maintainAggregate(aggOld, feed, Seq("o_orderstatus"),
         Map("s" -> "o_custkey"), "n")
     }),
+    "q_incr_join_cdf" -> ((s, dir) => {
+      // X191 join IVM: a materialized rollup of A ⋈ B maintained from
+      // the two tables' PERSISTED change feeds alone — delta-join rule
+      // ΔV = ΔA⋈B_old ∪ A_new⋈ΔB, both deltas broadcast so neither
+      // table shuffles. A starts as the even-orderkey lineitem half,
+      // gains the odd half by append, then loses small quantities via
+      // a DELETION-VECTOR delete (X189's feed composing in); B's
+      // update shifts some group keys (preimage subtracts the old
+      // group). Whole-number double measure → bit-exact algebra; the
+      // oracle recomputes the final join directly.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val or = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("okey"), col("o_custkey"))
+      val rootA = java.nio.file.Files.createTempDirectory("graft_qja").toString + "/t"
+      val rootB = java.nio.file.Files.createTempDirectory("graft_qjb").toString + "/t"
+      Warehouse.writeSnapshot(li.filter(col("okey") % 2 === 0).repartition(3), rootA)
+      Warehouse.writeSnapshot(or.repartition(3), rootB)
+      val agg0 = Warehouse.readSnapshot(s, rootA)
+        .join(Warehouse.readSnapshot(s, rootB), "okey")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+      Warehouse.appendSnapshot(li.filter(col("okey") % 2 === 1), rootA, 1L,
+        changeFeed = true)                                               // A v2
+      Warehouse.deleteWhereDv(s, rootA, col("l_quantity") < 5.0,
+        changeFeed = true)                                               // A v3
+      Warehouse.updateWhere(s, rootB, col("okey") % 10 === 0,
+        Map("o_custkey" -> (col("o_custkey") + 100000L)),
+        changeFeed = true)                                               // B v2
+      store.Ivm.maintainJoinAggregate(agg0,
+        (rootA, 2L, 3L), (rootB, 2L, 2L),
+        Seq("okey"), Seq("o_custkey"), Map("qty" -> "l_quantity"), "n")
+    }),
     "q_enrich_affected" -> ((s, dir) => {
       // restatement ripple: day 10's close corrected ×1.5 — recompute
       // ONLY the rows whose windows see it (days 10..30 here); must
@@ -1151,6 +1184,20 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS s
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X191 join IVM: the maintained rollup must equal the direct
+    // recompute of the FINAL join — A ends as all lineitem minus the
+    // dv-deleted small quantities, B as orders with shifted group keys
+    "q_incr_join_cdf" ->
+      """WITH a AS (
+        |  SELECT l_orderkey AS okey, l_quantity FROM lineitem
+        |  WHERE NOT (l_quantity < 5.0)),
+        |b AS (
+        |  SELECT o_orderkey AS okey,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 100000 ELSE o_custkey END AS o_custkey
+        |  FROM orders)
+        |SELECT b.o_custkey, count(*) AS n, sum(a.l_quantity) AS qty
+        |FROM a JOIN b USING (okey)
+        |GROUP BY b.o_custkey""".stripMargin,
     "q_incr_indicators" -> (enrichedCte +
       " SELECT * FROM enriched WHERE date >= DATE '2024-01-21'"),
     "q_enrich_affected" -> (dailyCte +

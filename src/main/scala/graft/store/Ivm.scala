@@ -30,6 +30,26 @@ import org.apache.spark.sql.functions._
   */
 object Ivm {
 
+  /** The feed algebra's sign: `insert`/`update` post-images +1,
+    * `delete`/`update_preimage` −1; unknown types NULL (filtered). */
+  private val signExpr = when(col("_change_type").isin("insert", "update"), lit(1L))
+    .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+
+  /** Refuse a post-only update feed BEFORE producing drifted state: an
+    * update without its preimage would count (and sum) the post row as
+    * if it were an insert. One cheap driver-side probe on the
+    * batch-sized feed.
+    */
+  private def requirePreimageParity(feed: DataFrame, ctx: String): Unit = {
+    val Array(ups, pres) = feed.agg(
+      sum(when(col("_change_type") === "update", 1L).otherwise(0L)),
+      sum(when(col("_change_type") === "update_preimage", 1L).otherwise(0L)))
+      .collect().head.toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+    require(ups == pres,
+      s"$ctx: feed has $ups update rows but $pres preimages — " +
+        "maintenance needs preimage-recording feeds (diffFrames(..., preImages = true))")
+  }
+
   /** Apply one feed to a materialized aggregate.
     *
     * @param agg      the materialized state: `keys ++ countCol ++ sums.keys`
@@ -49,19 +69,8 @@ object Ivm {
     sums.keys.foreach(c => require(agg.columns.contains(c),
       s"maintainAggregate: aggregate state lacks sum column '$c'"))
     val aggTypes = agg.schema.fields.map(f => f.name -> f.dataType).toMap
-    val sign = when(col("_change_type").isin("insert", "update"), lit(1L))
-      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
-    // refuse a post-only update feed BEFORE producing drifted state: an
-    // update without its preimage would count (and sum) the post row as
-    // if it were an insert. One cheap driver-side probe on the
-    // batch-sized feed.
-    val Array(ups, pres) = feed.agg(
-      sum(when(col("_change_type") === "update", 1L).otherwise(0L)),
-      sum(when(col("_change_type") === "update_preimage", 1L).otherwise(0L)))
-      .collect().head.toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
-    require(ups == pres,
-      s"maintainAggregate: feed has $ups update rows but $pres preimages — " +
-        "maintenance needs preimage-recording feeds (diffFrames(..., preImages = true))")
+    val sign = signExpr
+    requirePreimageParity(feed, "maintainAggregate")
     val deltaAggs =
       sum(col("__sign")).as("__dn") +:
         sums.toSeq.map { case (aggCol, src) =>
@@ -103,4 +112,92 @@ object Ivm {
       .drop("_commit_version")
     maintainAggregate(agg, feed, keys, sums, countCol)
   }
+
+  /** Signed change feed of the INNER equi-join `A ⋈ B` across one
+    * commit bracket of each warehouse table — the classic delta-join
+    * maintenance rule with the cross term folded in once:
+    *
+    *   Δ(A ⋈ B)  =  ΔA ⋈ B_old   ∪   A_new ⋈ ΔB        (signs multiply)
+    *
+    * where `A_new = A_old + ΔA`, so `ΔA ⋈ ΔB` lands exactly once and
+    * intra-bracket interleaving is irrelevant (the algebra is linear
+    * over signed multisets — only the bracket endpoints matter). Each
+    * side is `(path, fromVersion, toVersion)`: the recorded feeds of
+    * `from..to` fold into the delta, the "old" state is `from − 1`,
+    * and `from = to + 1` declares an unchanged side (empty delta at
+    * state `to`). Output rows are `joinKeys ++ A's other columns ++
+    * B's other columns + _change_type` in the pure insert/delete
+    * vocabulary (an update decomposes into its ± pair), directly
+    * consumable by [[maintainAggregate]].
+    *
+    * At 100 TB this is the whole point: both deltas are batch-sized
+    * and BROADCAST, so `B_old` and `A_new` are each read once through
+    * their manifest-planned scans and NEITHER table ever shuffles —
+    * incremental view maintenance of a join costs two broadcast
+    * hash-joins against pinned snapshots, where the recompute pays a
+    * full table-x-table sort-merge. (A bracket whose feeds are
+    * themselves table-sized should recompute instead; the broadcast is
+    * the small-delta design point, as with [[Warehouse.mergeIntoSnapshot]].)
+    *
+    * Correctness contracts: join keys must be common column names with
+    * disjoint non-key columns; NULL join keys never match (inner-join
+    * semantics, identical to the recompute); update feeds need their
+    * preimages (refused loudly otherwise); every version in each
+    * bracket must have a recorded feed (the [[Warehouse.readChangeFeed]]
+    * gap rule — backfill gaps via [[Warehouse.snapshotDiff]]).
+    */
+  def joinFeed(spark: org.apache.spark.sql.SparkSession,
+               a: (String, Long, Long), b: (String, Long, Long),
+               joinKeys: Seq[String]): DataFrame = {
+    require(joinKeys.nonEmpty, "joinFeed needs join keys")
+    val (pathA, fromA, toA) = a
+    val (pathB, fromB, toB) = b
+    require(fromA >= 1 && fromA <= toA + 1,
+      s"joinFeed: A bracket [$fromA, $toA] is not a version range")
+    require(fromB >= 1 && fromB <= toB + 1,
+      s"joinFeed: B bracket [$fromB, $toB] is not a version range")
+    // old/new states pinned as snapshot versions; a side created
+    // inside its bracket (from = 1) has an EMPTY old state
+    def state(path: String, v: Long): DataFrame =
+      if (v >= 1) Warehouse.readSnapshot(spark, path, Some(v))
+      else Warehouse.readSnapshot(spark, path, Some(1L)).limit(0)
+    val aNew = state(pathA, math.max(toA, fromA - 1))
+    val bOld = state(pathB, fromB - 1)
+    def feedOf(path: String, from: Long, to: Long, schemaSrc: DataFrame): DataFrame =
+      if (from > to) schemaSrc.limit(0).withColumn("_change_type", lit("insert"))
+      else Warehouse.readChangeFeed(spark, path, from, to).drop("_commit_version")
+    val dA = feedOf(pathA, fromA, toA, aNew)
+    val dB = feedOf(pathB, fromB, toB, bOld)
+    requirePreimageParity(dA, "joinFeed(A)")
+    requirePreimageParity(dB, "joinFeed(B)")
+    joinKeys.foreach { k =>
+      require(aNew.columns.contains(k) && bOld.columns.contains(k),
+        s"joinFeed: join key '$k' must exist on both sides")
+    }
+    val aCols = aNew.columns.filterNot(joinKeys.contains).toSeq
+    val bCols = bOld.columns.filterNot(joinKeys.contains).toSeq
+    val clash = aCols.toSet intersect bCols.toSet
+    require(clash.isEmpty,
+      s"joinFeed: non-key columns present on both sides: ${clash.mkString(", ")}")
+    val outCols = (joinKeys ++ aCols ++ bCols).map(col) :+
+      when(col("__sign") === 1L, lit("insert")).otherwise(lit("delete"))
+        .as("_change_type")
+    val sA = dA.withColumn("__sign", signExpr).filter(col("__sign").isNotNull)
+    val sB = dB.withColumn("__sign", signExpr).filter(col("__sign").isNotNull)
+    broadcast(sA).join(bOld, joinKeys, "inner").select(outCols: _*)
+      .unionByName(aNew.join(broadcast(sB), joinKeys, "inner").select(outCols: _*))
+  }
+
+  /** [[maintainAggregate]] over [[joinFeed]]: keep a materialized
+    * `GROUP BY` rollup of `A ⋈ B` current across one commit bracket of
+    * each side — the join-view member of the self-maintainable family.
+    * `groupKeys`/`sums` name columns of the JOINED row (either side).
+    */
+  def maintainJoinAggregate(agg: DataFrame,
+                            a: (String, Long, Long), b: (String, Long, Long),
+                            joinKeys: Seq[String], groupKeys: Seq[String],
+                            sums: Map[String, String] = Map.empty,
+                            countCol: String = "n"): DataFrame =
+    maintainAggregate(agg, joinFeed(agg.sparkSession, a, b, joinKeys),
+      groupKeys, sums, countCol)
 }

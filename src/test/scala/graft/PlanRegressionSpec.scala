@@ -371,6 +371,11 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2500))
   }
 
+  test("join IVM: both delta joins broadcast the feed side") {
+    val p = plan("q_incr_join_cdf")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2500))
+  }
+
   test("perplexity bucket: LM model joins stay broadcast; the cut is one ntile window") {
     val p = plan("q_perplexity_bucket")
     // bigram counts, context counts, vocab (cross), doc-grain lang join
