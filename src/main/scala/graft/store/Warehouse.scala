@@ -1653,6 +1653,17 @@ object Warehouse {
       val dfa = node.putArray("dvFiles"); d.files.foreach { case (f, _) => dfa.add(f) }
       val dca = node.putArray("dvFileRows"); d.files.foreach { case (_, c) => dca.add(c) }
     }
+    // reader-feature record (X192, the Delta protocol/table-features
+    // shape): name every feature a reader MUST understand to produce
+    // correct rows from this manifest. A version with live deletion
+    // vectors read by a dv-ignorant build would silently resurrect
+    // deleted rows; the feature gate in [[readManifest]] turns that
+    // into a loud refusal. Absent array = plain manifest, readable by
+    // every build.
+    val feats = if (dv.exists(_.files.nonEmpty)) Seq("deletion-vectors") else Nil
+    if (feats.nonEmpty) {
+      val farr = node.putArray("readerFeatures"); feats.foreach(farr.add)
+    }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-mf$tag")
     val out = fs.create(tmp, true)
@@ -1682,26 +1693,48 @@ object Warehouse {
           s"manifest publish failed for v=$v under $path (reads fall back to listing)", e)
     }
 
+  /** Reader features THIS build understands — the gate below refuses
+    * manifests demanding more, because "degrade to listing" on an
+    * incomprehensible commit record means silently wrong rows. */
+  private val SupportedReaderFeatures = Set("deletion-vectors")
+
   /** The parsed manifest of `version`, if one was committed. */
   private[store] def readManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
                                   v: Long): Option[com.fasterxml.jackson.databind.JsonNode] = {
     val mf = manifestPath(path, v)
     if (!fs.exists(mf)) None
-    else
+    else {
       // a manifest that cannot be read or parsed (bit rot, torn disk)
       // degrades to the listing fallback, mirroring the best-effort
       // publish: the manifest is an optimization, never a gate
-      try {
-        val in = fs.open(mf)
-        try Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(in))
-        finally in.close()
-      } catch {
-        case e @ (_: java.io.IOException |
-                  _: com.fasterxml.jackson.core.JacksonException) =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"unreadable manifest for v=$v under $path (falling back to listing)", e)
-          None
+      val parsed =
+        try {
+          val in = fs.open(mf)
+          try Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(in))
+          finally in.close()
+        } catch {
+          case e @ (_: java.io.IOException |
+                    _: com.fasterxml.jackson.core.JacksonException) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"unreadable manifest for v=$v under $path (falling back to listing)", e)
+            None
+        }
+      // …but a PARSED manifest naming a reader feature this build does
+      // not implement is the one case that must NOT degrade (X192):
+      // the listing fallback would return confidently wrong rows
+      // (e.g. dv-deleted rows resurrected). Loud stop, never silent.
+      parsed.foreach { node =>
+        Option(node.get("readerFeatures")).foreach { fa =>
+          val unknown = (0 until fa.size).map(fa.get(_).asText)
+            .filterNot(SupportedReaderFeatures)
+          if (unknown.nonEmpty) throw new IllegalStateException(
+            s"snapshot v=$v under $path requires reader features this build does not " +
+              s"support: ${unknown.mkString(", ")} — upgrade the reader; a listing " +
+              "fallback would return incorrect rows")
+        }
       }
+      parsed
+    }
   }
 
   /** The manifest's committed row count for `version` — an O(1) driver

@@ -62,13 +62,33 @@ object EraseProbe {
           graft.ops.Layout.zorder(t, Seq("user_id"), 32), root)
       }
       val victims = t.select("user_id").distinct().orderBy("user_id")
-        .limit(3).collect().map(_.getLong(0))
+        .limit(5).collect().map(_.getLong(0))
       time(s"deleteWhere, unbounded discovery ($label)") {
         Warehouse.deleteWhere(spark, root, col("user_id") === victims(0))
       }
       time(s"deleteWhere, scanBound candidates ($label)") {
         Warehouse.deleteWhere(spark, root, col("user_id") === victims(1),
           scanBound = Some(("user_id", Some(victims(1)), Some(victims(1)))))
+      }
+      // r11 deletion vectors: same erase, no file rewritten at all —
+      // the write half drops from touched-file bytes to matched rows
+      time(s"deleteWhereDv, unbounded discovery ($label)") {
+        Warehouse.deleteWhereDv(spark, root, col("user_id") === victims(2))
+      }
+      time(s"deleteWhereDv, scanBound candidates ($label)") {
+        Warehouse.deleteWhereDv(spark, root, col("user_id") === victims(3),
+          scanBound = Some(("user_id", Some(victims(3)), Some(victims(3)))))
+      }
+      // the merge-on-read tax: full-scan count with the position
+      // anti-join live, vs after the purge materializes it away
+      time(s"full read count, dv live ($label)") {
+        Warehouse.readSnapshot(spark, root).count()
+      }
+      time(s"materializeDeletes, file-grain purge ($label)") {
+        Warehouse.materializeDeletes(spark, root).map(_._1).getOrElse(0L)
+      }
+      time(s"full read count, post-purge ($label)") {
+        Warehouse.readSnapshot(spark, root).count()
       }
       time(s"compactSnapshot, full rewrite ref ($label)") {
         Warehouse.compactSnapshot(spark, root)._1
