@@ -315,6 +315,19 @@ object SparkEntry {
         Warehouse.InsertWhen(col("s.date") >= lit("2024-01-25").cast("date"))))
       Warehouse.readSnapshot(s, root)
     }),
+    "q_point_lookup_indexed" -> ((s, dir) => {
+      // X193 bloom index: point lookup routed through the file-grain
+      // bloom — the index commit carries every data file by reference,
+      // the probe prunes files driver-side, the residual filter
+      // resolves false positives; result ≡ the plain filtered read,
+      // which is exactly the oracle.
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val root = java.nio.file.Files.createTempDirectory("graft_qbi").toString + "/t"
+      Warehouse.writeSnapshot(li.repartition(8), root)
+      Warehouse.indexSnapshot(s, root, "l_orderkey")
+      Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
+    }),
     "q_delete_dv" -> ((s, dir) => {
       // X189 deletion vectors: the merge-on-read DELETE — positions
       // recorded in a _dv sidecar, ZERO data files rewritten (every
@@ -1143,6 +1156,11 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     // X173 file-grain snapshot MERGE: same clause semantics, same
     // recomposition — the Spark side exercises the committed-table path
     "q_merge_snapshot" -> mergeOracleSql,
+    // X193 bloom index: the pruned point lookup must equal the plain
+    // filtered read
+    "q_point_lookup_indexed" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
     // X189 deletion vectors: merge-on-read DELETE — the oracle is the
     // residue after both delete predicates (rows where either matched
     // are gone; the overlap must not double-apply)

@@ -1362,6 +1362,22 @@ object Warehouse {
 
   private val DvBroadcastMaxRows = 262144L
 
+  /** The manifest's bloom-index state (X193): one indexed `column`,
+    * the filter width in `bits`, the `_idx` sidecar ref, and the
+    * entries the index covers. Coverage is advisory: entries outside
+    * `files` (later appends, rewritten files — whose new paths simply
+    * aren't listed) are kept by every probe.
+    */
+  private[store] case class IdxState(column: String, bits: Long, ref: String,
+                                     files: Seq[String])
+
+  private def readIdxState(m: com.fasterxml.jackson.databind.JsonNode): Option[IdxState] =
+    Option(m.get("idxRef")).map { r =>
+      val fl = m.get("idxFiles")
+      IdxState(m.get("idxCol").asText, m.get("idxBits").asLong, r.asText,
+        (0 until fl.size).map(fl.get(_).asText))
+    }
+
   private def readDvState(m: com.fasterxml.jackson.databind.JsonNode): Option[DvState] =
     Option(m.get("dvRefs")).map { r =>
       val refs = (0 until r.size).map(r.get(_).asText)
@@ -1414,6 +1430,15 @@ object Warehouse {
   private def withRowId(scan: DataFrame): DataFrame =
     scan.withColumn("__p", stripSchemeCol(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
+
+  /** Normalize a scheme-less physical path back to entry form:
+    * root-relative inside the table (`v=<n>/part-…`), scheme-less
+    * absolute for clone references — the inverse of [[entryPath]]
+    * under root `q`, shared by the DV recorder and the bloom indexer.
+    */
+  private def entryFormCol(q: String, p: Column): Column =
+    when(p.startsWith(q + "/"), p.substr(lit(q.length + 2), lit(Int.MaxValue)))
+      .otherwise(p)
 
   /** Subtract the DV positions from `scan` (which must sit DIRECTLY
     * over a parquet file source — `_metadata` is stamped here). The
@@ -1580,7 +1605,8 @@ object Warehouse {
                                    entriesIn: Option[Seq[String]] = None,
                                    reuseFrom: Option[(com.fasterxml.jackson.databind.JsonNode, Long)] = None,
                                    txn: Option[(String, Long)] = None,
-                                   dv: Option[DvState] = None): Unit = {
+                                   dv: Option[DvState] = None,
+                                   idx: Option[IdxState] = None): Unit = {
     val entries: Seq[String] = entriesIn.getOrElse {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -1663,6 +1689,18 @@ object Warehouse {
     val feats = if (dv.exists(_.files.nonEmpty)) Seq("deletion-vectors") else Nil
     if (feats.nonEmpty) {
       val farr = node.putArray("readerFeatures"); feats.foreach(farr.add)
+    }
+    // bloom-index record (X193): explicit on an [[indexSnapshot]]
+    // commit, CARRIED from the previous manifest otherwise — the index
+    // is passively conservative (an uncovered or rewritten file is
+    // simply kept by every probe), so unlike dv state it needs no
+    // per-write maintenance. NOT a reader feature: an index-ignorant
+    // reader returns correct rows, just unpruned.
+    idx.orElse(reuseFrom.flatMap { case (old, _) => readIdxState(old) }).foreach { s =>
+      node.put("idxCol", s.column)
+      node.put("idxBits", s.bits)
+      node.put("idxRef", s.ref)
+      val ia = node.putArray("idxFiles"); s.files.foreach(ia.add)
     }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-mf$tag")
@@ -2388,7 +2426,8 @@ object Warehouse {
     val referenced: Set[String] = retained.flatMap(rv =>
       readManifest(fs, path, rv).toSeq.flatMap(m =>
         manifestEntries(m).filter(_.contains("/")) ++
-          readDvState(m).toSeq.flatMap(_.refs.filterNot(isAbsoluteEntry)))).toSet
+          readDvState(m).toSeq.flatMap(_.refs.filterNot(isAbsoluteEntry)) ++
+          readIdxState(m).map(_.ref).filterNot(isAbsoluteEntry))).toSet
     def sweepDir(v: Long): Unit = {
       val dir = new org.apache.hadoop.fs.Path(s"$path/v=$v")
       // idempotent teardown of the version's commit records — also
@@ -2851,9 +2890,7 @@ object Warehouse {
     // matched positions, normalized back to entry form (root-relative
     // inside the table, scheme-less absolute for clone references)
     val matched = liveWithId(candidates).where(predicate).select(
-      when(col("__p").startsWith(q + "/"),
-        col("__p").substr(lit(q.length + 2), lit(Int.MaxValue)))
-        .otherwise(col("__p")).as("file"),
+      entryFormCol(q, col("__p")).as("file"),
       col("__pos").as("pos"))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
@@ -2970,6 +3007,136 @@ object Warehouse {
     }
     advancePointer(fs, path, next)
     Some((next, fresh.size))
+  }
+
+  /** FILE-GRAIN BLOOM INDEX (X193) — the Delta bloom-filter-index
+    * shape: point-lookup file skipping for a column the clustering
+    * does NOT cover. Min/max stats (X162) prune beautifully on the
+    * z-ordered columns and not at all on a high-cardinality unordered
+    * key (every file's [min,max] spans the domain); a per-file bloom
+    * answers "could this file contain v?" regardless of layout.
+    *
+    * ZERO-REWRITE commit, the X189 pattern: one scan of the current
+    * version computes each file's distinct set-bit positions (4
+    * md5-lane bloom, X187's engine-portable contract: lane i = 32-bit
+    * hex window i of md5(value-as-string) mod `mBits`), lands them as
+    * a `_idx` parquet sidecar inside the new version's dir, and
+    * carries every data file by reference. Index size per file is
+    * `min(4·distinct values, mBits)` positions. [[readSnapshotPoint]]
+    * consults the sidecar; appended or rewritten files fall outside
+    * the recorded coverage and are KEPT by every probe (conservative
+    * — reads stay correct, pruning just decays until the next
+    * `indexSnapshot` refreshes it; no per-write maintenance, unlike
+    * dv state). One index per table (a refresh replaces); dv-deleted
+    * rows may contribute bits — a bloom over a superset only adds
+    * false positives. Retention keeps the sidecar alive exactly as
+    * long as a live manifest references it. Deliberately NOT a
+    * reader feature: ignoring the index is correct, just slower.
+    */
+  def indexSnapshot(spark: SparkSession, path: String, column: String,
+                    mBits: Long = 1L << 17,
+                    orphanGraceMs: Long = 600000L): Long = {
+    require(mBits > 0, s"mBits must be positive, got $mBits")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"indexSnapshot($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"indexSnapshot($path): v=$v has no readable manifest — the index record rides it"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(column),
+      s"indexSnapshot($path): column '$column' not in snapshot schema")
+    val entries = normEntries(m, v)
+    require(entries.nonEmpty, s"indexSnapshot($path): v=$v holds no files")
+    val q = qualifiedRoot(fs, path)
+    val scan = spark.read.schema(schema).parquet(entries.map(entryPath(path, _)): _*)
+    val idxRows = scan
+      .select(entryFormCol(q, stripSchemeCol(col("_metadata.file_path"))).as("file"),
+        md5(col(column).cast("string")).as("h"))
+      .where(col("h").isNotNull)
+      .select(col("file"), explode(array((0 until 4).map(i =>
+        conv(substring(col("h"), i * 8 + 1, 8), 16, 10).cast("long") % mBits): _*)).as("pos"))
+      .distinct()
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    idxRows.write.mode(SaveMode.ErrorIfExists).parquet(s"$staging/_idx")
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    val next = v + 1
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      m.get("schema").toString, Some(entries), reuseFrom = Some((m, v)),
+      dv = readDvState(m),
+      idx = Some(IdxState(column, mBits, s"v=$next/_idx", entries)))
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"indexSnapshot($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    next
+  }
+
+  /** Point lookup through the [[indexSnapshot bloom index]]: files
+    * whose bloom rules `value` out are skipped DRIVER-side before any
+    * data file opens; uncovered files (no index, later appends,
+    * rewrites) and bloom false positives are read and resolved by the
+    * residual filter — result ALWAYS ≡
+    * `readSnapshot(...).filter(col(column) === value)` (the index is
+    * an optimization, never a correctness gate, like every pruning in
+    * this store). Composes with deletion vectors (the surviving files
+    * read dv-aware). On an unindexed table or a different column this
+    * IS the plain filtered read.
+    */
+  def readSnapshotPoint(spark: SparkSession, path: String, column: String,
+                        value: Any, version: Option[Long] = None): DataFrame = {
+    val v = resolveVersion(spark, path, version)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, path, v) match {
+      case Some(m) =>
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+        require(schema.fieldNames.contains(column),
+          s"readSnapshotPoint($path): column '$column' not in snapshot schema")
+        val entries = normEntries(m, v)
+        val files = readIdxState(m).filter(_.column == column) match {
+          case None => entries
+          case Some(s) =>
+            val covered = s.files.toSet intersect entries.toSet
+            // the probe's 4 lane positions, driver-side, under the
+            // identical md5 contract the index was built with
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(String.valueOf(value).getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            val probes = (0 until 4)
+              .map(i => java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16) % s.bits)
+              .distinct
+            val keep: Set[String] = spark.read.schema(dvRowSchema)
+              .parquet(entryPath(path, s.ref))
+              .where(col("pos").isin(probes: _*))
+              .groupBy("file").agg(countDistinct("pos").as("k"))
+              .where(col("k") === probes.size)
+              .collect().map(_.getString(0)).toSet
+            entries.filter(e => !covered(e) || keep(e))
+        }
+        dvPlannedRead(spark, path, m, schema, files)
+          .filter(col(column) === lit(value))
+      case None =>
+        val df = readSnapshot(spark, path, Some(v))
+        df.filter(col(column) === lit(value))
+    }
   }
 
   // ---------------------------------------------------------------------------
@@ -3564,6 +3731,12 @@ object Warehouse {
         val node = m.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
         node.put("version", 1L)
         node.remove("txnApp"); node.remove("txnEpoch")
+        // the bloom index (X193) does NOT clone: its rows name
+        // source-root-relative files the clone's entries no longer
+        // match. Dropping it is purely conservative (unpruned reads
+        // stay correct); re-index the clone to restore pruning.
+        node.remove("idxCol"); node.remove("idxBits")
+        node.remove("idxRef"); node.remove("idxFiles")
         val arr = mapper.createArrayNode()
         manifestEntries(m).foreach(e => arr.add(absolutize(e)))
         node.set[com.fasterxml.jackson.databind.JsonNode]("files", arr)
