@@ -376,6 +376,27 @@ object SparkEntry {
       store.Ivm.maintainAggregate(aggOld, feed, Seq("o_orderstatus"),
         Map("s" -> "o_custkey"), "n")
     }),
+    "q_incr_minmax_cdf" -> ((s, dir) => {
+      // X194 min/max IVM: maintain per-status (count, min, max) of
+      // o_totalprice through a bracket whose deletes KILL some groups'
+      // extrema — those groups (and only those) rescan the new state;
+      // the maintained result must equal the direct recompute, which
+      // the oracle computes. Extrema are copied values (no arithmetic)
+      // → bit-exact in both engines.
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val oldState = o.filter(col("o_orderkey") % 5 =!= 0)
+      val newState = o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 0.5)
+            .otherwise(col("o_totalprice")))
+      val aggOld = oldState.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min("o_totalprice").as("mn"),
+          max("o_totalprice").as("mx"))
+      val feed = Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"),
+        preImages = true)
+      store.Ivm.maintainMinMax(aggOld, feed, newState, Seq("o_orderstatus"),
+        mins = Map("mn" -> "o_totalprice"), maxs = Map("mx" -> "o_totalprice"), "n")
+    }),
     "q_incr_join_cdf" -> ((s, dir) => {
       // X191 join IVM: a materialized rollup of A ⋈ B maintained from
       // the two tables' PERSISTED change feeds alone — delta-join rule
@@ -1201,6 +1222,15 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |         CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000 ELSE o_custkey END AS o_custkey
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS s
+        |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X194 min/max IVM: the maintained extrema must equal the direct
+    // recompute of the new state
+    "q_incr_minmax_cdf" ->
+      """WITH newst AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
     // X191 join IVM: the maintained rollup must equal the direct
     // recompute of the FINAL join — A ends as all lineitem minus the

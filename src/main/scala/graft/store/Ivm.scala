@@ -188,6 +188,91 @@ object Ivm {
       .unionByName(aNew.join(broadcast(sB), joinKeys, "inner").select(outCols: _*))
   }
 
+  /** MIN/MAX maintenance with a BOUNDED rescan — the practical form of
+    * the classic negative result. MIN/MAX are not self-maintainable
+    * under deletes (a deleted extremum's replacement lives only in the
+    * base data), which is why [[maintainAggregate]] refuses them. But
+    * the rescan is only ever needed for the groups whose CURRENT
+    * extremum might have died: inserts maintain algebraically
+    * (`least(old, min(inserted))`), and a delete strictly above the
+    * group's running min (below its max) provably cannot move it. So:
+    * maintain every group algebraically, mark DIRTY exactly the groups
+    * where a deleted value ties-or-beats the merged candidate extremum
+    * (conservative — duplicate extrema resolve in the rescan), and
+    * recompute ONLY those groups from `newState` via a broadcast
+    * left-semi join on the dirty keys.
+    *
+    * At 100 TB: append-dominated feeds touch zero base data; a feed
+    * that kills k groups' extrema costs one semi-pruned scan whose
+    * join side is k keys — pass a pre-pruned `newState` (e.g.
+    * [[Warehouse.readSnapshotWhere]] on a clustered table) to turn the
+    * scan itself into a file-skipping read. COUNT stays exact and
+    * algebraic throughout and remains the group-liveness signal;
+    * emptied groups drop before any rescan.
+    *
+    * @param agg      materialized state: `keys ++ countCol ++ mins.keys ++ maxs.keys`
+    * @param feed     CDF rows (update preimages required, as ever)
+    * @param newState the POST-bracket table, consulted only for dirty groups
+    * @param mins     aggregate column -> source measure column (MIN)
+    * @param maxs     aggregate column -> source measure column (MAX)
+    */
+  def maintainMinMax(agg: DataFrame, feed: DataFrame, newState: DataFrame,
+                     keys: Seq[String],
+                     mins: Map[String, String] = Map.empty,
+                     maxs: Map[String, String] = Map.empty,
+                     countCol: String = "n"): DataFrame = {
+    require(keys.nonEmpty, "maintainMinMax needs group-by keys")
+    require(mins.nonEmpty || maxs.nonEmpty, "maintainMinMax needs MIN or MAX columns")
+    (mins.keys ++ maxs.keys ++ Seq(countCol)).foreach(c =>
+      require(agg.columns.contains(c), s"maintainMinMax: state lacks column '$c'"))
+    requirePreimageParity(feed, "maintainMinMax")
+    val pos = col("__sign") === 1L
+    val deltaAggs =
+      sum(col("__sign")).as("__dn") +:
+        (mins.toSeq.map { case (c, src) =>
+          Seq(min(when(pos, col(src))).as(s"__ins_$c"),
+            min(when(!pos, col(src))).as(s"__del_$c"))
+        } ++ maxs.toSeq.map { case (c, src) =>
+          Seq(max(when(pos, col(src))).as(s"__ins_$c"),
+            max(when(!pos, col(src))).as(s"__del_$c"))
+        }).flatten
+    val delta = feed.withColumn("__sign", signExpr)
+      .filter(col("__sign").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val cand = mins.keys.toSeq.map(c => least(col(c), col(s"__ins_$c")).as(s"__cand_$c")) ++
+      maxs.keys.toSeq.map(c => greatest(col(c), col(s"__ins_$c")).as(s"__cand_$c"))
+    val nCol = (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+      .cast(agg.schema(countCol).dataType).as(countCol)
+    // candidate extrema land under their final names (the `__cand`
+    // alias only disambiguates against agg's own column in the join)
+    val live = agg.join(delta, keys, "full_outer")
+      .select((keys.map(col) :+ nCol) ++ cand ++
+        (mins.keys ++ maxs.keys).toSeq.flatMap(c =>
+          Seq(col(s"__ins_$c"), col(s"__del_$c"))): _*)
+      .withColumnsRenamed((mins.keys ++ maxs.keys).map(c => s"__cand_$c" -> c).toMap)
+      .filter(col(countCol) > 0)
+    val dirtyExpr = (
+      mins.keys.toSeq.map(c => col(s"__del_$c").isNotNull &&
+        (col(c).isNull || col(s"__del_$c") <= col(c))) ++
+        maxs.keys.toSeq.map(c => col(s"__del_$c").isNotNull &&
+          (col(c).isNull || col(s"__del_$c") >= col(c)))
+      ).reduce(_ || _)
+    val clean = live.filter(!coalesce(dirtyExpr, lit(false)))
+      .select(agg.columns.map(col).toIndexedSeq: _*)
+    val dirty = live.filter(coalesce(dirtyExpr, lit(false)))
+    val rescanAggs = mins.toSeq.map { case (c, src) => min(col(src)).as(c) } ++
+      maxs.toSeq.map { case (c, src) => max(col(src)).as(c) }
+    val rescanned = newState
+      .join(broadcast(dirty.select(keys.map(col): _*)), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(rescanAggs.head, rescanAggs.tail: _*)
+    val dirtyFixed = dirty.select((keys :+ countCol).map(col): _*)
+      .join(rescanned, keys, "inner")
+      .select(agg.columns.map(col).toIndexedSeq: _*)
+    clean.unionByName(dirtyFixed)
+  }
+
   /** [[maintainAggregate]] over [[joinFeed]]: keep a materialized
     * `GROUP BY` rollup of `A ⋈ B` current across one commit bracket of
     * each side — the join-view member of the self-maintainable family.
