@@ -315,6 +315,24 @@ object SparkEntry {
         Warehouse.InsertWhen(col("s.date") >= lit("2024-01-25").cast("date"))))
       Warehouse.readSnapshot(s, root)
     }),
+    "q_rename_column" -> ((s, dir) => {
+      // X195 column mapping: RENAME COLUMN as a pure manifest commit —
+      // the physical files keep their frozen names, the append lands
+      // THROUGH the map, the dv-delete predicates on the NEW name, and
+      // the final read aliases back. The oracle recomposes the end
+      // state with a plain AS.
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val root = java.nio.file.Files.createTempDirectory("graft_qrn").toString + "/t"
+      Warehouse.writeSnapshot(
+        li.filter(col("l_orderkey") % 2 === 0).repartition(4), root)
+      Warehouse.renameSnapshotColumn(s, root, "l_quantity", "qty")
+      Warehouse.appendSnapshot(
+        li.filter(col("l_orderkey") % 2 === 1).withColumnRenamed("l_quantity", "qty"),
+        root, 2L)
+      Warehouse.deleteWhereDv(s, root, col("qty") < 3.0)
+      Warehouse.readSnapshot(s, root)
+    }),
     "q_point_lookup_indexed" -> ((s, dir) => {
       // X193 bloom index: point lookup routed through the file-grain
       // bloom — the index commit carries every data file by reference,
@@ -1177,6 +1195,11 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     // X173 file-grain snapshot MERGE: same clause semantics, same
     // recomposition — the Spark side exercises the committed-table path
     "q_merge_snapshot" -> mergeOracleSql,
+    // X195 column mapping: end state after rename + append-through-map
+    // + dv-delete on the new name
+    "q_rename_column" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty
+        |FROM lineitem WHERE NOT (l_quantity < 3.0)""".stripMargin,
     // X193 bloom index: the pruned point lookup must equal the plain
     // filtered read
     "q_point_lookup_indexed" ->

@@ -857,7 +857,10 @@ object Warehouse {
       else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
-    constraintGuard(aligned, path, "appendSnapshot")
+    // mapped table (X195): the batch lands in the files' physical
+    // layout (evolution columns have no map entry — identity)
+    val cmap = reuse.map { case (mm, _) => columnMapOf(mm) }.getOrElse(Map.empty)
+    toPhysical(constraintGuard(aligned, path, "appendSnapshot"), cmap)
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // file-sharing marker BEFORE the dir becomes visible (when there
     // is a base to share — an append onto empty is self-contained)
@@ -934,13 +937,21 @@ object Warehouse {
   def readSnapshotStream(spark: SparkSession, path: String,
                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = readSnapshot(spark, path).schema
-    val r = spark.readStream.schema(schema)
+    // mapped table (X195): the files carry the physical layout — tail
+    // physically, alias back to the committed logical names (a
+    // map-ignorant physical tail would read renamed columns as NULLs)
+    val fsv = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cmap = readManifest(fsv, path, currentSnapshot(spark, path))
+      .map(columnMapOf).getOrElse(Map.empty)
+    val r = spark.readStream.schema(physicalize(schema, cmap))
     // the glob matches DATA FILES directly (no partition inference:
     // `v` stays a layout detail, not a column); `_partial`/`_SUCCESS`
     // markers and root-level `_staging-*`/`_latest`/`_tag-*`/manifest
     // protocol files all fall outside `v=*/part-*`
     maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
       .parquet(s"$path/v=*/part-*")
+      .select(toLogicalCols(schema, cmap): _*)
   }
 
   /** The highest epoch writer `appId` has committed to the table
@@ -1378,6 +1389,46 @@ object Warehouse {
         (0 until fl.size).map(fl.get(_).asText))
     }
 
+  // ---------------------------------------------------------------------------
+  // Column mapping (X195) — Delta column-mapping shape: the manifest's
+  // `columnMap` carries {logical name -> physical name}, where the
+  // physical name is the column's name at FIRST write, frozen forever
+  // inside the parquet files. [[renameSnapshotColumn]] is then a pure
+  // manifest commit — ALTER TABLE RENAME COLUMN on a 100 TB table
+  // costs one manifest write, zero file rewrites. Every scan reads the
+  // PHYSICAL schema and aliases back to logical; every data-file write
+  // renames logical -> physical first, so all files of a mapped table
+  // share one physical layout. Full rewrites (commitSnapshot /
+  // compactSnapshot) write logical names and drop the map. Mapping is
+  // a READER FEATURE (X192): a map-ignorant scan would silently read
+  // the renamed column as all-NULLs — the gate turns that into a loud
+  // refusal.
+  // ---------------------------------------------------------------------------
+
+  private def columnMapOf(m: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Option(m.get("columnMap")).map { node =>
+      val it = node.fieldNames(); val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asText }
+      b.result()
+    }.getOrElse(Map.empty)
+
+  private def physicalName(map: Map[String, String], c: String): String =
+    map.getOrElse(c, c)
+
+  private def physicalize(schema: StructType, map: Map[String, String]): StructType =
+    if (map.isEmpty) schema
+    else StructType(schema.fields.map(f => f.copy(name = physicalName(map, f.name))))
+
+  /** Rename a logical frame's columns to their physical names before a
+    * data-file write into a mapped table. */
+  private def toPhysical(df: DataFrame, map: Map[String, String]): DataFrame =
+    if (map.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(physicalName(map, c))).toIndexedSeq: _*)
+
+  /** The physical->logical projection closing every mapped scan. */
+  private def toLogicalCols(schema: StructType, map: Map[String, String]): Seq[Column] =
+    schema.fields.map(f => col(physicalName(map, f.name)).as(f.name)).toSeq
+
   private def readDvState(m: com.fasterxml.jackson.databind.JsonNode): Option[DvState] =
     Option(m.get("dvRefs")).map { r =>
       val refs = (0 until r.size).map(r.get(_).asText)
@@ -1464,21 +1515,30 @@ object Warehouse {
                             schema: StructType, entries: Seq[String]): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // column mapping (X195): scan the files' PHYSICAL layout, alias
+    // back to the committed logical names as the scan's closing
+    // projection (pushdown sees the physical scan; the alias is free)
+    val cmap = columnMapOf(m)
+    val phys = physicalize(schema, cmap)
+    val back = toLogicalCols(schema, cmap)
     val dv = readDvState(m)
     val dvd = dv.map(_.fileSet).getOrElse(Set.empty)
     val (hit, plain) = entries.partition(dvd)
     val plainDf =
       if (plain.isEmpty) None
-      else Some(spark.read.schema(schema).parquet(plain.map(entryPath(path, _)): _*))
+      else {
+        val scan = spark.read.schema(phys).parquet(plain.map(entryPath(path, _)): _*)
+        Some(if (cmap.isEmpty) scan else scan.select(back: _*))
+      }
     val hitDf =
       if (hit.isEmpty) None
       else {
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val scan = spark.read.schema(schema).parquet(hit.map(entryPath(path, _)): _*)
+        val scan = spark.read.schema(phys).parquet(hit.map(entryPath(path, _)): _*)
         Some(antiDv(scan, dvFrame(spark, path, qualifiedRoot(fs, path), dv.get.refs),
           bcast = dv.get.rows <= DvBroadcastMaxRows)
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+          .select(back: _*))
       }
     (plainDf, hitDf) match {
       case (Some(a), Some(b)) => a.unionAll(b)
@@ -1606,7 +1666,8 @@ object Warehouse {
                                    reuseFrom: Option[(com.fasterxml.jackson.databind.JsonNode, Long)] = None,
                                    txn: Option[(String, Long)] = None,
                                    dv: Option[DvState] = None,
-                                   idx: Option[IdxState] = None): Unit = {
+                                   idx: Option[IdxState] = None,
+                                   columnMap: Option[Map[String, String]] = None): Unit = {
     val entries: Seq[String] = entriesIn.getOrElse {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -1686,7 +1747,21 @@ object Warehouse {
     // deleted rows; the feature gate in [[readManifest]] turns that
     // into a loud refusal. Absent array = plain manifest, readable by
     // every build.
-    val feats = if (dv.exists(_.files.nonEmpty)) Seq("deletion-vectors") else Nil
+    // column mapping (X195): explicit on a rename commit, carried from
+    // the previous manifest otherwise (a carried file's physical
+    // layout never changes); identity entries are dropped so an
+    // all-identity map canonicalizes to "no map"
+    val cmap = columnMap
+      .orElse(reuseFrom.map { case (old, _) => columnMapOf(old) })
+      .getOrElse(Map.empty)
+      .filter { case (l, p) => l != p }
+    if (cmap.nonEmpty) {
+      val cm = node.putObject("columnMap")
+      cmap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
+    val feats =
+      (if (dv.exists(_.files.nonEmpty)) Seq("deletion-vectors") else Nil) ++
+        (if (cmap.nonEmpty) Seq("column-mapping") else Nil)
     if (feats.nonEmpty) {
       val farr = node.putArray("readerFeatures"); feats.foreach(farr.add)
     }
@@ -1734,7 +1809,7 @@ object Warehouse {
   /** Reader features THIS build understands — the gate below refuses
     * manifests demanding more, because "degrade to listing" on an
     * incomprehensible commit record means silently wrong rows. */
-  private val SupportedReaderFeatures = Set("deletion-vectors")
+  private val SupportedReaderFeatures = Set("deletion-vectors", "column-mapping")
 
   /** The parsed manifest of `version`, if one was committed. */
   private[store] def readManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
@@ -2682,7 +2757,6 @@ object Warehouse {
     // an empty version without a manifest has no schema source at all —
     // even an insert-only merge has nothing to anchor its types to
     if (entries.isEmpty && !(commitOnNoMatch && schemaOpt.isDefined)) return v
-    val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
     val schema = schemaOpt.getOrElse(
       spark.read.parquet(entries.map(entryPath(path, _)): _*).schema)
     if (schemaOpt.isEmpty) validate(schema) // inferred-schema (pre-manifest) path
@@ -2705,13 +2779,18 @@ object Warehouse {
     // must see LIVE rows only, or a dv-deleted row would resurrect
     // through the rewrite. Files without positions scan plainly.
     val dvState = manifestOpt.flatMap(readDvState)
+    // column mapping (X195): scans read the files' physical layout and
+    // alias back to logical, so `discover`/`rewrite` see committed
+    // names; the staged write renames back to physical below
+    val cmap = manifestOpt.map(columnMapOf).getOrElse(Map.empty)
+    val physReader = spark.read.schema(physicalize(schema, cmap))
     def liveScanWithFile(es: Seq[String]): DataFrame = {
       val dvd = dvState.map(_.fileSet).getOrElse(Set.empty)
       val (hit, plain) = es.partition(dvd)
       def leg(ps: Seq[String], anti: Boolean): Option[DataFrame] =
         if (ps.isEmpty) None
         else {
-          val base = reader.parquet(ps.map(entryPath(path, _)): _*)
+          val base = physReader.parquet(ps.map(entryPath(path, _)): _*)
             .withColumn("__file", col("_metadata.file_path"))
           Some(
             if (!anti) base
@@ -2719,7 +2798,7 @@ object Warehouse {
               bcast = dvState.get.rows <= DvBroadcastMaxRows))
         }
       Seq(leg(plain, anti = false), leg(hit, anti = true)).flatten
-        .map(_.select((schema.fieldNames.map(col) :+ col("__file")).toIndexedSeq: _*))
+        .map(_.select((toLogicalCols(schema, cmap) :+ col("__file")).toIndexedSeq: _*))
         .reduce(_ unionAll _)
     }
     // which candidate files contain matching rows — ONE scan that reads
@@ -2760,7 +2839,9 @@ object Warehouse {
     if (touched.isEmpty && kept.isEmpty) return v
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
-    kept.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    // physical layout on disk (X195): every file of a mapped table
+    // shares the frozen physical names, rewrites included
+    toPhysical(kept, cmap).write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // mark as file-sharing BEFORE the dir becomes visible (see Scaladoc)
     fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
     // change capture (X172): the feed rows are STAGED before the claim
@@ -2872,19 +2953,21 @@ object Warehouse {
     // their existing positions first (an already-deleted row must not
     // re-match and double-count), plain files just take the stamp
     def liveWithId(es: Seq[String]): DataFrame = {
+      val cmap = columnMapOf(m)
+      val phys = physicalize(schema, cmap)
       val dvd = dvState.map(_.fileSet).getOrElse(Set.empty)
       val (hit, plain) = es.partition(dvd)
       def leg(ps: Seq[String], anti: Boolean): Option[DataFrame] =
         if (ps.isEmpty) None
         else {
-          val scan = spark.read.schema(schema).parquet(ps.map(entryPath(path, _)): _*)
+          val scan = spark.read.schema(phys).parquet(ps.map(entryPath(path, _)): _*)
           Some(
             if (!anti) withRowId(scan)
             else antiDv(scan, dvFrame(spark, path, q, dvState.get.refs),
               bcast = dvState.get.rows <= DvBroadcastMaxRows))
         }
       Seq(leg(plain, anti = false), leg(hit, anti = true)).flatten
-        .map(_.select((schema.fieldNames.toSeq ++ Seq("__p", "__pos")).map(col): _*))
+        .map(_.select(toLogicalCols(schema, cmap) ++ Seq("__p", "__pos").map(col): _*))
         .reduce(_ unionAll _)
     }
     // matched positions, normalized back to entry form (root-relative
@@ -2978,7 +3061,8 @@ object Warehouse {
     val rewrittenDf = dvPlannedRead(spark, path, m, schema, entries.filter(touched))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
-    rewrittenDf.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    toPhysical(rewrittenDf, columnMapOf(m))
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     if (untouched.nonEmpty)
       fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
     val next = v + 1
@@ -3007,6 +3091,88 @@ object Warehouse {
     }
     advancePointer(fs, path, next)
     Some((next, fresh.size))
+  }
+
+  /** ALTER TABLE RENAME COLUMN without rewriting a byte (X195) — the
+    * Delta column-mapping shape: the manifest carries {logical →
+    * physical} where the physical name is the column's name at FIRST
+    * write, frozen inside the parquet files forever. This commit
+    * carries every data file by reference and publishes a manifest
+    * whose schema bears the new logical name plus the updated map —
+    * at 100 TB the rename costs ONE manifest write. Every reader
+    * scans the physical layout and aliases back (pushdown unaffected
+    * — the alias is the scan's closing projection); every writer
+    * (append / deleteWhere / updateWhere / merge / dv-delete /
+    * optimize / purge) renames logical → physical before landing
+    * files, so one version always means one physical layout. Full
+    * rewrites ([[commitSnapshot]]/[[compactSnapshot]]) write logical
+    * names and DROP the map — compaction doubles as mapping cleanup.
+    *
+    * Mapping is a READER FEATURE (X192): a map-ignorant build would
+    * silently read the renamed column as all-NULLs; the gate refuses
+    * instead. Renames chain (a→b→c keeps one map entry to the
+    * original physical name) and compose with deletion vectors and
+    * manifest stats (stats live under physical names; [[statsOverlap]]
+    * translates). Known sharp edges, loud by construction:
+    * [[snapshotDiff]]/[[readChangeFeed]] ACROSS a rename fail on the
+    * schema mismatch (diff within either side works), and a
+    * [[setSnapshotConstraint]] naming the old column fails analysis
+    * at the next write — re-declare it under the new name. The bloom
+    * index survives: an index on the renamed column is re-keyed to
+    * the new logical name in the same commit.
+    */
+  def renameSnapshotColumn(spark: SparkSession, path: String,
+                           from: String, to: String,
+                           orphanGraceMs: Long = 600000L): Long = {
+    require(to.nonEmpty && to != from,
+      s"renameSnapshotColumn: invalid target name '$to'")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"renameSnapshotColumn($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"renameSnapshotColumn($path): v=$v has no readable manifest — the column map " +
+        "rides it; rewrite the table (commitSnapshot) to rename on a manifest-less table"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(from),
+      s"renameSnapshotColumn($path): no column '$from' in the committed schema")
+    require(!schema.fieldNames.contains(to),
+      s"renameSnapshotColumn($path): column '$to' already exists")
+    val entries = normEntries(m, v)
+    val cmap = columnMapOf(m)
+    val newMap = (cmap - from) + (to -> physicalName(cmap, from))
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    fs.mkdirs(staging)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    val next = v + 1
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      newSchema.json, Some(entries), reuseFrom = Some((m, v)),
+      dv = readDvState(m),
+      idx = readIdxState(m).map(s => if (s.column == from) s.copy(column = to) else s),
+      columnMap = Some(newMap))
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"renameSnapshotColumn($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    next
   }
 
   /** FILE-GRAIN BLOOM INDEX (X193) — the Delta bloom-filter-index
@@ -3050,10 +3216,12 @@ object Warehouse {
     val entries = normEntries(m, v)
     require(entries.nonEmpty, s"indexSnapshot($path): v=$v holds no files")
     val q = qualifiedRoot(fs, path)
-    val scan = spark.read.schema(schema).parquet(entries.map(entryPath(path, _)): _*)
+    val cmap = columnMapOf(m)
+    val scan = spark.read.schema(physicalize(schema, cmap))
+      .parquet(entries.map(entryPath(path, _)): _*)
     val idxRows = scan
       .select(entryFormCol(q, stripSchemeCol(col("_metadata.file_path"))).as("file"),
-        md5(col(column).cast("string")).as("h"))
+        md5(col(physicalName(cmap, column)).cast("string")).as("h"))
       .where(col("h").isNotNull)
       .select(col("file"), explode(array((0 until 4).map(i =>
         conv(substring(col("h"), i * 8 + 1, 8), 16, 10).cast("long") % mBits): _*)).as("pos"))
@@ -3323,8 +3491,10 @@ object Warehouse {
     val hi = upper.map(statComparable(_, dt))
     val entries = manifestEntries(m)
     val stats = Option(m.get("stats"))
+    // footer stats live under the files' PHYSICAL column name (X195)
+    val phys = physicalName(columnMapOf(m), column)
     entries.indices.filter { i =>
-      stats.flatMap(s => Option(s.get(i))).flatMap(n => Option(n.get(column))) match {
+      stats.flatMap(s => Option(s.get(i))).flatMap(n => Option(n.get(phys))) match {
         case Some(st) =>
           val mn = jsonComparable(st.get("min"))
           val mx = jsonComparable(st.get("max"))
@@ -3847,7 +4017,10 @@ object Warehouse {
     }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
-    packed.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    // packed files keep the table's physical layout (X195) — carried
+    // files can't change theirs, and one version means one layout
+    toPhysical(packed, reuse.map { case (mm, _) => columnMapOf(mm) }.getOrElse(Map.empty))
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     if (carried.nonEmpty)
       fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
     val next = v + 1
