@@ -333,6 +333,35 @@ object SparkEntry {
       Warehouse.deleteWhereDv(s, root, col("qty") < 3.0)
       Warehouse.readSnapshot(s, root)
     }),
+    "q_update_dv" -> ((s, dir) => {
+      // X197 merge-on-read UPDATE: old copies dv'd out, post-images in
+      // a fresh file, zero rewrites — composed after a dv-DELETE so
+      // the oracle pins position accumulation across both write kinds.
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_qud").toString + "/t"
+      Warehouse.writeSnapshot(li.repartition(4), root)
+      Warehouse.deleteWhereDv(s, root, col("l_quantity") >= 45.0)
+      Warehouse.updateWhereDv(s, root, col("l_quantity") < 5.0,
+        Map("l_extendedprice" -> (col("l_extendedprice") * 2)))
+      Warehouse.readSnapshot(s, root)
+    }),
+    "q_evolve_columns" -> ((s, dir) => {
+      // X196 drop/add column: DROP tombstones the physical name, the
+      // same-name re-ADD mints a fresh one, so old rows read NULL (no
+      // resurrection) while the post-add append carries real values.
+      // The oracle recomposes the end state with a CASE on provenance.
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      val root = java.nio.file.Files.createTempDirectory("graft_qec").toString + "/t"
+      Warehouse.writeSnapshot(
+        li.filter(col("l_orderkey") % 2 === 0).repartition(4), root)
+      Warehouse.dropSnapshotColumn(s, root, "l_discount")
+      Warehouse.addSnapshotColumn(s, root, "l_discount",
+        org.apache.spark.sql.types.DoubleType)
+      Warehouse.appendSnapshot(li.filter(col("l_orderkey") % 2 === 1), root, 3L)
+      Warehouse.readSnapshot(s, root)
+    }),
     "q_point_lookup_indexed" -> ((s, dir) => {
       // X193 bloom index: point lookup routed through the file-grain
       // bloom — the index commit carries every data file by reference,
@@ -393,6 +422,46 @@ object SparkEntry {
         preImages = true)
       store.Ivm.maintainAggregate(aggOld, feed, Seq("o_orderstatus"),
         Map("s" -> "o_custkey"), "n")
+    }),
+    "q_incr_distinct_cdf" -> ((s, dir) => {
+      // X198 COUNT DISTINCT IVM: the support relation (status, custkey)
+      // -> multiplicity is itself a COUNT rollup, so it maintains
+      // algebraically; the distinct count is live support rows per
+      // group. Must equal the direct recompute (the oracle).
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_custkey")
+      val oldState = o.filter(col("o_orderkey") % 5 =!= 0)
+      val newState = o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000L)
+            .otherwise(col("o_custkey")))
+      val support0 = oldState.groupBy("o_orderstatus", "o_custkey")
+        .agg(count(lit(1)).as("m"))
+      val feed = Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"),
+        preImages = true)
+      store.Ivm.distinctCounts(
+        store.Ivm.maintainDistinctSupport(support0, feed,
+          Seq("o_orderstatus"), "o_custkey"),
+        Seq("o_orderstatus"))
+    }),
+    "q_incr_moments_cdf" -> ((s, dir) => {
+      // X199 moments IVM: (count, non-null count, sum, sum-of-squares)
+      // maintained from the feed — the sufficient statistics behind
+      // AVG/VAR. Integer measure → bit-exact algebra in both engines;
+      // the oracle recomputes the four moments directly.
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_custkey")
+      val oldState = o.filter(col("o_orderkey") % 5 =!= 0)
+      val newState = o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 7 === 0, col("o_custkey") + 1000L)
+            .otherwise(col("o_custkey")))
+      val agg0 = oldState.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"), count(col("o_custkey")).as("c_cnt"),
+        sum(col("o_custkey")).as("c_sum"),
+        sum(col("o_custkey") * col("o_custkey")).as("c_sq"))
+      val feed = Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"),
+        preImages = true)
+      store.Ivm.maintainMoments(agg0, feed, Seq("o_orderstatus"),
+        Map("c" -> "o_custkey"), "n")
     }),
     "q_incr_minmax_cdf" -> ((s, dir) => {
       // X194 min/max IVM: maintain per-status (count, min, max) of
@@ -1200,6 +1269,19 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_rename_column" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty
         |FROM lineitem WHERE NOT (l_quantity < 3.0)""".stripMargin,
+    // X197 merge-on-read UPDATE after a dv-DELETE: end state is the
+    // filtered table with the SET applied where the predicate held
+    "q_update_dv" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_quantity < 5.0 THEN l_extendedprice * 2
+        |       ELSE l_extendedprice END AS l_extendedprice
+        |FROM lineitem WHERE NOT (l_quantity >= 45.0)""".stripMargin,
+    // X196 drop/add column: old rows read the re-added column as NULL
+    // (the drop tombstoned its physical name), appended rows carry it
+    "q_evolve_columns" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_orderkey % 2 = 1 THEN l_discount ELSE NULL END AS l_discount
+        |FROM lineitem""".stripMargin,
     // X193 bloom index: the pruned point lookup must equal the plain
     // filtered read
     "q_point_lookup_indexed" ->
@@ -1245,6 +1327,26 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |         CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000 ELSE o_custkey END AS o_custkey
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS s
+        |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X198 COUNT DISTINCT IVM: the maintained distinct counts must
+    // equal the direct recompute of the new state
+    "q_incr_distinct_cdf" ->
+      """WITH newst AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000 ELSE o_custkey END AS o_custkey
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus, count(DISTINCT o_custkey) AS nd
+        |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X199 moments IVM: the four maintained moments must equal the
+    // direct recompute of the new state (integer-exact)
+    "q_incr_moments_cdf" ->
+      """WITH newst AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000 ELSE o_custkey END AS o_custkey
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus, count(*) AS n, count(o_custkey) AS c_cnt,
+        |       CAST(sum(o_custkey) AS BIGINT) AS c_sum,
+        |       CAST(sum(o_custkey * o_custkey) AS BIGINT) AS c_sq
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
     // X194 min/max IVM: the maintained extrema must equal the direct
     // recompute of the new state

@@ -273,6 +273,106 @@ object Ivm {
     clean.unionByName(dirtyFixed)
   }
 
+  /** Exact COUNT(DISTINCT value) maintenance (X198) via the classic
+    * SUPPORT relation — the other textbook non-self-maintainable
+    * aggregate, made maintainable by the right auxiliary state: a
+    * distinct count cannot be maintained from the count alone (does
+    * deleting one 'x' remove the LAST 'x'?), but the (group, value) →
+    * multiplicity relation is itself a COUNT rollup and therefore
+    * fully algebraic under the signed feed. Maintain the support at
+    * feed cost; the distinct count is `rows per group` of the support
+    * ([[distinctCounts]]), a driver-free aggregate of state that is
+    * bounded by DISTINCT PAIRS, not table rows.
+    *
+    * At 100 TB: the delta is one batch-sized hash-aggregate on
+    * (keys, value); the merge is one keyed join of the support against
+    * that batch — the base table is never consulted. The support's
+    * size is the true cost of exactness (Σ per-group distinct values);
+    * where that itself is table-scale, the approximate-distinct sketch
+    * (X35) is the right tool instead. SQL semantics: NULL values are
+    * skipped (COUNT(DISTINCT x) ignores NULLs); values whose
+    * multiplicity reaches 0 drop from the support, so emptied groups
+    * disappear from [[distinctCounts]] exactly like the recompute.
+    *
+    * @param support materialized state: `keys ++ valueCol ++ multCol`
+    *                (seed with `groupBy(keys, value).count()`)
+    * @param feed    CDF rows (update preimages required, as ever)
+    */
+  def maintainDistinctSupport(support: DataFrame, feed: DataFrame,
+                              keys: Seq[String], valueCol: String,
+                              multCol: String = "m"): DataFrame = {
+    require(keys.nonEmpty, "maintainDistinctSupport needs group-by keys")
+    Seq(valueCol, multCol).foreach(c => require(support.columns.contains(c),
+      s"maintainDistinctSupport: support state lacks column '$c'"))
+    requirePreimageParity(feed, "maintainDistinctSupport")
+    val delta = feed.withColumn("__sign", signExpr)
+      .filter(col("__sign").isNotNull && col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(sum(col("__sign")).as("__dm"))
+    support.join(delta, keys :+ valueCol, "full_outer")
+      .select((keys :+ valueCol).map(col) :+
+        (coalesce(col(multCol), lit(0L)) + coalesce(col("__dm"), lit(0L)))
+          .cast(support.schema(multCol).dataType).as(multCol): _*)
+      .filter(col(multCol) > 0)
+  }
+
+  /** The view a [[maintainDistinctSupport]] support relation backs:
+    * `COUNT(DISTINCT value)` per group = live support rows per group. */
+  def distinctCounts(support: DataFrame, keys: Seq[String],
+                     distinctCol: String = "nd"): DataFrame =
+    support.groupBy(keys.map(col): _*).agg(count(lit(1)).as(distinctCol))
+
+  /** Second-moment maintenance (X199): keep `(count, non-null count,
+    * sum, sum of squares)` per group current from the feed — the
+    * sufficient statistics from which AVG / VAR / STDDEV derive in
+    * closed form ([[momentStats]]), so the non-linear aggregates
+    * become self-maintainable by maintaining their LINEAR parts.
+    * Pure composition over [[maintainAggregate]]: the squared measure
+    * and the non-null indicator are feed-side derived columns, so
+    * moments inherit the whole algebra (signs, preimage refusal,
+    * group-key-changing updates, liveness drop) with zero new
+    * maintenance code. Integer measures stay bit-exact; double
+    * measures carry the usual streaming-moment caveat (catastrophic
+    * cancellation when var ≪ mean² — recompute those groups if it
+    * matters).
+    *
+    * @param measures state-column prefix -> source measure column;
+    *                 state must hold `<p>_cnt`, `<p>_sum`, `<p>_sq`
+    *                 (seed: `count(src)`, `sum(src)`, `sum(src*src)`)
+    */
+  def maintainMoments(agg: DataFrame, feed: DataFrame, keys: Seq[String],
+                      measures: Map[String, String],
+                      countCol: String = "n"): DataFrame = {
+    require(measures.nonEmpty, "maintainMoments needs at least one measure")
+    measures.keys.foreach(p =>
+      Seq(s"${p}_cnt", s"${p}_sum", s"${p}_sq").foreach(c =>
+        require(agg.columns.contains(c), s"maintainMoments: state lacks column '$c'")))
+    val feed2 = measures.foldLeft(feed) { case (f, (p, src)) =>
+      f.withColumn(s"__sq_$p", col(src) * col(src))
+        .withColumn(s"__nn_$p", when(col(src).isNotNull, lit(1L)).otherwise(lit(0L)))
+    }
+    maintainAggregate(agg, feed2, keys,
+      measures.flatMap { case (p, src) =>
+        Map(s"${p}_cnt" -> s"__nn_$p", s"${p}_sum" -> src, s"${p}_sq" -> s"__sq_$p")
+      }, countCol)
+  }
+
+  /** Derive AVG / sample-VAR / sample-STDDEV from maintained moments:
+    * `avg = sum/cnt`, `var = (sq − sum²/cnt) / (cnt − 1)` (NULL when
+    * cnt < 2, matching SQL `var_samp`). Adds `<p>_avg`, `<p>_var`,
+    * `<p>_std` per prefix. */
+  def momentStats(state: DataFrame, prefixes: Seq[String]): DataFrame =
+    prefixes.foldLeft(state) { (df, p) =>
+      val cnt = col(s"${p}_cnt").cast("double")
+      val s1 = col(s"${p}_sum").cast("double")
+      val s2 = col(s"${p}_sq").cast("double")
+      val varExpr = when(col(s"${p}_cnt") >= 2L,
+        (s2 - s1 * s1 / cnt) / (cnt - 1d))
+      df.withColumn(s"${p}_avg", when(col(s"${p}_cnt") >= 1L, s1 / cnt))
+        .withColumn(s"${p}_var", varExpr)
+        .withColumn(s"${p}_std", sqrt(varExpr))
+    }
+
   /** [[maintainAggregate]] over [[joinFeed]]: keep a materialized
     * `GROUP BY` rollup of `A ⋈ B` current across one commit bracket of
     * each side — the join-view member of the self-maintainable family.

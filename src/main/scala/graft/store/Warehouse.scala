@@ -834,13 +834,15 @@ object Warehouse {
     // (widening is a rewrite, not an append), and committed columns
     // missing from the batch land as typed nulls. Pinned reads of old
     // versions keep their own manifests' narrower schema.
-    val target: StructType =
+    val cmap0 = reuse.map { case (mm, _) => columnMapOf(mm) }.getOrElse(Map.empty)
+    val tombstones = reuse.map { case (mm, _) => droppedColumnsOf(mm) }.getOrElse(Seq.empty)
+    val (target: StructType, minted: Map[String, String]) =
       if (!evolveSchema) {
         val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
         require(got == want,
           s"appendSnapshot($path): batch schema must match the committed schema exactly; " +
             s"committed=${committed.simpleString} batch=${df.schema.simpleString}")
-        committed
+        (committed, Map.empty[String, String])
       } else {
         val drift = df.schema.fields
           .filter(f => want.get(f.name).exists(_ != f.dataType))
@@ -849,7 +851,17 @@ object Warehouse {
           s"appendSnapshot($path): shared columns changed type (${drift.mkString("; ")})")
         val fresh = df.schema.fields.filterNot(f => want.contains(f.name))
           .map(_.copy(nullable = true))
-        StructType(committed.fields ++ fresh)
+        // resurrection guard (X196): a fresh column whose name matches
+        // a PHYSICAL name still frozen in carried files (renamed-away
+        // or tombstoned) must land under a minted physical name, or
+        // the old bytes would read back into the new column
+        val used0 = usedPhysicalNames(committed, cmap0, tombstones)
+        val m = fresh.map(_.name).foldLeft((Map.empty[String, String], used0)) {
+          case ((acc, used), n) =>
+            if (!used(n)) (acc, used + n)
+            else { val p = mintPhysical(n, used); (acc + (n -> p), used + p) }
+        }._1
+        (StructType(committed.fields ++ fresh), m)
       }
     if (df.isEmpty) return None
     val aligned = df.select(target.fields.map(f =>
@@ -858,8 +870,9 @@ object Warehouse {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     // mapped table (X195): the batch lands in the files' physical
-    // layout (evolution columns have no map entry — identity)
-    val cmap = reuse.map { case (mm, _) => columnMapOf(mm) }.getOrElse(Map.empty)
+    // layout (evolution columns map per the minting above — identity
+    // unless the name collides with frozen bytes)
+    val cmap = cmap0 ++ minted
     toPhysical(constraintGuard(aligned, path, "appendSnapshot"), cmap)
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // file-sharing marker BEFORE the dir becomes visible (when there
@@ -898,7 +911,8 @@ object Warehouse {
       target.json, Some(fresh ++ baseEntries), reuseFrom = reuse, txn = txn,
       // an append rewrites nothing, so the base's deletion vectors
       // (X189) carry forward verbatim — the new files have none
-      dv = reuse.flatMap { case (m, _) => readDvState(m) })
+      dv = reuse.flatMap { case (m, _) => readDvState(m) },
+      columnMap = if (minted.isEmpty) None else Some(cmap))
     catch {
       case e: Throwable =>
         fs.delete(dest, true)
@@ -1429,6 +1443,32 @@ object Warehouse {
   private def toLogicalCols(schema: StructType, map: Map[String, String]): Seq[Column] =
     schema.fields.map(f => col(physicalName(map, f.name)).as(f.name)).toSeq
 
+  /** Physical-name tombstones (X196): every physical column name a
+    * [[dropSnapshotColumn]] retired. The dropped column's bytes stay
+    * frozen inside carried files, so a LATER column of the same name
+    * must map to a fresh physical name or the old bytes would
+    * resurrect into it. Cleared by full rewrites — compaction leaves
+    * no file carrying the tombstoned bytes.
+    */
+  private def droppedColumnsOf(m: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    Option(m.get("droppedColumns")).map(a =>
+      (0 until a.size).map(a.get(_).asText)).getOrElse(Seq.empty)
+
+  /** Every physical column name the current files may carry bytes
+    * under: the live schema's physical names plus the tombstones. A
+    * NEW column (add / evolveSchema append) whose name hits this set
+    * must be minted a fresh physical name.
+    */
+  private def usedPhysicalNames(schema: StructType, map: Map[String, String],
+                                dropped: Seq[String]): Set[String] =
+    schema.fieldNames.map(physicalName(map, _)).toSet ++ dropped
+
+  /** A deterministic fresh physical name for logical `name`: the
+    * first `name__p<k>` not yet used by any live or tombstoned
+    * physical column. */
+  private def mintPhysical(name: String, used: Set[String]): String =
+    Iterator.from(0).map(k => s"${name}__p$k").find(!used(_)).get
+
   private def readDvState(m: com.fasterxml.jackson.databind.JsonNode): Option[DvState] =
     Option(m.get("dvRefs")).map { r =>
       val refs = (0 until r.size).map(r.get(_).asText)
@@ -1667,7 +1707,9 @@ object Warehouse {
                                    txn: Option[(String, Long)] = None,
                                    dv: Option[DvState] = None,
                                    idx: Option[IdxState] = None,
-                                   columnMap: Option[Map[String, String]] = None): Unit = {
+                                   columnMap: Option[Map[String, String]] = None,
+                                   droppedColumns: Option[Seq[String]] = None,
+                                   idxDrop: Boolean = false): Unit = {
     val entries: Seq[String] = entriesIn.getOrElse {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -1759,9 +1801,20 @@ object Warehouse {
       val cm = node.putObject("columnMap")
       cmap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
     }
+    // physical-name tombstones (X196): explicit on a drop commit,
+    // carried otherwise — they guard every FUTURE same-name column
+    // against resurrecting the frozen bytes, so they live exactly as
+    // long as some carried file might still hold them
+    val dropped = droppedColumns
+      .orElse(reuseFrom.map { case (old, _) => droppedColumnsOf(old) })
+      .getOrElse(Seq.empty).distinct.sorted
+    if (dropped.nonEmpty) {
+      val da = node.putArray("droppedColumns"); dropped.foreach(da.add)
+    }
     val feats =
       (if (dv.exists(_.files.nonEmpty)) Seq("deletion-vectors") else Nil) ++
-        (if (cmap.nonEmpty) Seq("column-mapping") else Nil)
+        (if (cmap.nonEmpty) Seq("column-mapping") else Nil) ++
+        (if (dropped.nonEmpty) Seq("dropped-columns") else Nil)
     if (feats.nonEmpty) {
       val farr = node.putArray("readerFeatures"); feats.foreach(farr.add)
     }
@@ -1771,7 +1824,8 @@ object Warehouse {
     // simply kept by every probe), so unlike dv state it needs no
     // per-write maintenance. NOT a reader feature: an index-ignorant
     // reader returns correct rows, just unpruned.
-    idx.orElse(reuseFrom.flatMap { case (old, _) => readIdxState(old) }).foreach { s =>
+    (if (idxDrop) None
+     else idx.orElse(reuseFrom.flatMap { case (old, _) => readIdxState(old) })).foreach { s =>
       node.put("idxCol", s.column)
       node.put("idxBits", s.bits)
       node.put("idxRef", s.ref)
@@ -1809,7 +1863,8 @@ object Warehouse {
   /** Reader features THIS build understands — the gate below refuses
     * manifests demanding more, because "degrade to listing" on an
     * incomprehensible commit record means silently wrong rows. */
-  private val SupportedReaderFeatures = Set("deletion-vectors", "column-mapping")
+  private val SupportedReaderFeatures =
+    Set("deletion-vectors", "column-mapping", "dropped-columns")
 
   /** The parsed manifest of `version`, if one was committed. */
   private[store] def readManifest(fs: org.apache.hadoop.fs.FileSystem, path: String,
@@ -3034,6 +3089,155 @@ object Warehouse {
     next
   }
 
+  /** Merge-on-read row-level UPDATE (X197) — [[updateWhere]]'s
+    * deletion-vector sibling, completing the DV write family: the
+    * matched rows' positions are RECORDED (their old copies stop being
+    * read, exactly [[deleteWhereDv]]) and their post-SET copies land
+    * as NEW files in the SAME commit — updating k scattered rows of a
+    * 100 TB table costs one column-pruned discovery scan, a k-row
+    * sidecar and a k-row data file, where the file-grain
+    * [[updateWhere]] pays every touched file's full bytes back out.
+    * Every existing data file is carried by reference.
+    *
+    * Same contracts as [[deleteWhereDv]]: positions accumulate and
+    * materialize on rewrite, `scanBound` prunes discovery via manifest
+    * stats, no-match is a no-op (no empty commit), requires a readable
+    * manifest, CHECK constraints validate the post-image rows inside
+    * their write plan, and the column map applies (SET names logical
+    * columns; the fresh file lands physical). The effective rowCount
+    * is conserved by construction: the fresh file's footer rows equal
+    * the new positions. `changeFeed = true` records the Delta-CDF
+    * `update_preimage`/`update` pair from the matched files only. A
+    * second update can re-match the first's post-images (they live in
+    * a clean fresh file) — updates compose across commits.
+    */
+  def updateWhereDv(spark: SparkSession, path: String, predicate: Column,
+                    set: Map[String, Column],
+                    orphanGraceMs: Long = 600000L,
+                    scanBound: Option[(String, Option[Any], Option[Any])] = None,
+                    changeFeed: Boolean = false): Long = {
+    require(set.nonEmpty, "updateWhereDv needs at least one SET column")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"updateWhereDv($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"updateWhereDv($path): v=$v has no readable manifest — the DV record rides the " +
+        "manifest; use updateWhere (file rewrite) on manifest-less tables"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    // eager SET validation — a typo'd column must throw even on no-match
+    val unknown = set.keySet -- schema.fieldNames
+    require(unknown.isEmpty,
+      s"updateWhereDv: SET columns not in the table schema: ${unknown.mkString(", ")}")
+    def applySet(df: DataFrame): DataFrame =
+      df.select(schema.map { f =>
+        if (set.contains(f.name)) set(f.name).cast(f.dataType).as(f.name)
+        else col(f.name)
+      }: _*)
+    val entries = normEntries(m, v)
+    if (entries.isEmpty) return v
+    val dvState = readDvState(m)
+    val cmap = columnMapOf(m)
+    val candidates = scanBound match {
+      case Some((column, lo, hi)) =>
+        val keep = statsOverlap(m, schema, column, lo, hi).toSet
+        entries.zipWithIndex.collect { case (e, i) if keep(i) => e }
+      case None => entries
+    }
+    if (candidates.isEmpty) return v
+    val q = qualifiedRoot(fs, path)
+    def liveWithId(es: Seq[String]): DataFrame = {
+      val phys = physicalize(schema, cmap)
+      val dvd = dvState.map(_.fileSet).getOrElse(Set.empty)
+      val (hit, plain) = es.partition(dvd)
+      def leg(ps: Seq[String], anti: Boolean): Option[DataFrame] =
+        if (ps.isEmpty) None
+        else {
+          val scan = spark.read.schema(phys).parquet(ps.map(entryPath(path, _)): _*)
+          Some(
+            if (!anti) withRowId(scan)
+            else antiDv(scan, dvFrame(spark, path, q, dvState.get.refs),
+              bcast = dvState.get.rows <= DvBroadcastMaxRows))
+        }
+      Seq(leg(plain, anti = false), leg(hit, anti = true)).flatten
+        .map(_.select(toLogicalCols(schema, cmap) ++ Seq("__p", "__pos").map(col): _*))
+        .reduce(_ unionAll _)
+    }
+    val matched = liveWithId(candidates).where(predicate).select(
+      entryFormCol(q, col("__p")).as("file"),
+      col("__pos").as("pos"))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    matched.write.mode(SaveMode.ErrorIfExists).parquet(s"$staging/_dv")
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    val perFile = spark.read.schema(dvRowSchema).parquet(s"$staging/_dv")
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    if (perFile.isEmpty) { fs.delete(staging, true); return v }
+    val entrySet = entries.toSet
+    perFile.foreach { case (f, _) => require(entrySet.contains(f),
+      s"updateWhereDv($path): matched file $f not in committed entry list") }
+    // post-images: re-read the MATCHED files only, apply SET, land as
+    // fresh data files beside the sidecar. SaveMode.Append because the
+    // sidecar write above already created the (private) staging dir.
+    val matchedFiles = perFile.map(_._1)
+    val post = applySet(liveWithId(matchedFiles).where(predicate)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    toPhysical(constraintGuard(post, path, "updateWhereDv"), cmap)
+      .write.mode(SaveMode.Append).parquet(staging.toString)
+    val next = v + 1
+    val merged: Seq[(String, Long)] = {
+      val base = dvState.map(_.files).getOrElse(Seq.empty).toMap
+      val add = perFile.toMap
+      (base.keySet ++ add.keySet).toSeq.sorted
+        .map(f => f -> (base.getOrElse(f, 0L) + add.getOrElse(f, 0L)))
+    }
+    val newDv = DvState(dvState.map(_.refs).getOrElse(Seq.empty) :+ s"v=$next/_dv", merged)
+    val cdfStaging = if (!changeFeed) None else Some {
+      val st = new org.apache.hadoop.fs.Path(s"$path/_staging-${tag}cdf")
+      val pre = liveWithId(matchedFiles).where(predicate)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      applySet(pre).withColumn("_change_type", lit("update"))
+        .unionByName(pre.withColumn("_change_type", lit("update_preimage")))
+        .withColumn("_commit_version", lit(next))
+        .write.mode(SaveMode.ErrorIfExists).parquet(st.toString)
+      st
+    }
+    def unwindStaging(): Unit = {
+      fs.delete(staging, true)
+      cdfStaging.foreach(fs.delete(_, true))
+    }
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      unwindStaging()
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      unwindStaging()
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    cdfStaging.foreach(st => publishChangeFiles(fs, path, next, st))
+    val fresh = fs.listStatus(dest).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      m.get("schema").toString, Some(fresh ++ entries),
+      reuseFrom = Some((m, v)), dv = Some(newDv))
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(cdfDir(path, next), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"updateWhereDv($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    next
+  }
+
   /** Purge the table's deletion vectors — the Delta `REORG TABLE …
     * APPLY (PURGE)` shape: rewrite ONLY the files that carry live DV
     * positions (their surviving rows land as fresh files), carry every
@@ -3139,11 +3343,112 @@ object Warehouse {
       s"renameSnapshotColumn($path): no column '$from' in the committed schema")
     require(!schema.fieldNames.contains(to),
       s"renameSnapshotColumn($path): column '$to' already exists")
-    val entries = normEntries(m, v)
     val cmap = columnMapOf(m)
     val newMap = (cmap - from) + (to -> physicalName(cmap, from))
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
+    commitMetadataOnly(spark, path, v, m, newSchema, columnMap = Some(newMap),
+      idx = readIdxState(m).map(s => if (s.column == from) s.copy(column = to) else s),
+      op = "renameSnapshotColumn", orphanGraceMs = orphanGraceMs)
+  }
+
+  /** ALTER TABLE DROP COLUMN without rewriting a byte (X196) — the
+    * second metadata-only schema change: the commit carries every data
+    * file by reference and publishes a manifest whose schema no longer
+    * bears the column. The column's bytes stay frozen inside the
+    * carried files and simply stop being projected (scans plan an
+    * explicit physical schema, so an extra parquet column is never
+    * read). The dropped column's PHYSICAL name is recorded as a
+    * tombstone: a later column of the same name ([[addSnapshotColumn]]
+    * or an `evolveSchema` append) is minted a FRESH physical name, so
+    * the dead bytes can never resurrect into it — old rows read the
+    * re-added column as NULL, exactly Delta's drop-then-add contract.
+    * Tombstones ride the manifest (gated as the `dropped-columns`
+    * reader feature — an ignorant WRITER's evolution append would
+    * otherwise re-bind the name to the frozen bytes) and clear on full
+    * rewrites: after [[commitSnapshot]]/[[compactSnapshot]] no live
+    * file carries the bytes. A bloom index on the dropped column is
+    * dropped with it; a CHECK constraint naming it fails analysis at
+    * the next write — re-declare or drop the constraint.
+    */
+  def dropSnapshotColumn(spark: SparkSession, path: String, name: String,
+                         orphanGraceMs: Long = 600000L): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"dropSnapshotColumn($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"dropSnapshotColumn($path): v=$v has no readable manifest — the column map " +
+        "rides it; rewrite the table (commitSnapshot) to drop on a manifest-less table"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"dropSnapshotColumn($path): no column '$name' in the committed schema")
+    require(schema.size > 1,
+      s"dropSnapshotColumn($path): cannot drop the only column '$name'")
+    val cmap = columnMapOf(m)
+    val idx0 = readIdxState(m)
+    commitMetadataOnly(spark, path, v, m,
+      StructType(schema.fields.filterNot(_.name == name)),
+      columnMap = Some(cmap - name),
+      droppedColumns = Some(droppedColumnsOf(m) :+ physicalName(cmap, name)),
+      idx = idx0.filterNot(_.column == name),
+      idxDrop = idx0.exists(_.column == name),
+      op = "dropSnapshotColumn", orphanGraceMs = orphanGraceMs)
+  }
+
+  /** ALTER TABLE ADD COLUMN (X196): a metadata-only commit growing the
+    * schema by one nullable column — carried files read it as NULL
+    * (the planned physical schema names a column their footers lack).
+    * If the name collides with a physical name still frozen in the
+    * files (tombstoned by a drop, or freed by a rename), the new
+    * column is minted a fresh physical name via the column map, so old
+    * bytes never resurrect. Nullable by construction: every committed
+    * row predates the column.
+    */
+  def addSnapshotColumn(spark: SparkSession, path: String, name: String,
+                        dataType: org.apache.spark.sql.types.DataType,
+                        orphanGraceMs: Long = 600000L): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"addSnapshotColumn($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"addSnapshotColumn($path): v=$v has no readable manifest — the column map " +
+        "rides it; rewrite the table (commitSnapshot) to evolve a manifest-less table"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(name),
+      s"addSnapshotColumn($path): column '$name' already exists")
+    val cmap = columnMapOf(m)
+    val used = usedPhysicalNames(schema, cmap, droppedColumnsOf(m))
+    val newMap = if (used(name)) cmap + (name -> mintPhysical(name, used)) else cmap
+    commitMetadataOnly(spark, path, v, m,
+      StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true)),
+      columnMap = Some(newMap),
+      op = "addSnapshotColumn", orphanGraceMs = orphanGraceMs)
+  }
+
+  /** The shared protocol of every METADATA-ONLY commit (rename / drop
+    * / add column): an empty file-sharing version — staging dir holds
+    * only the `_partial` marker, every data file of `v` carries by
+    * reference — published under the same CAS + unwind contract as a
+    * data commit. DV state always carries (positions are column-
+    * agnostic). Returns the committed version.
+    */
+  private def commitMetadataOnly(spark: SparkSession, path: String, v: Long,
+                                 m: com.fasterxml.jackson.databind.JsonNode,
+                                 newSchema: StructType,
+                                 columnMap: Option[Map[String, String]] = None,
+                                 droppedColumns: Option[Seq[String]] = None,
+                                 idx: Option[IdxState] = None,
+                                 idxDrop: Boolean = false,
+                                 op: String = "alterSnapshot",
+                                 orphanGraceMs: Long = 600000L): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = normEntries(m, v)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     fs.mkdirs(staging)
@@ -3161,15 +3466,14 @@ object Warehouse {
     promoteStaging(fs, staging, dest, path, next)
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
       newSchema.json, Some(entries), reuseFrom = Some((m, v)),
-      dv = readDvState(m),
-      idx = readIdxState(m).map(s => if (s.column == from) s.copy(column = to) else s),
-      columnMap = Some(newMap))
+      dv = readDvState(m), idx = idx, idxDrop = idxDrop,
+      columnMap = columnMap, droppedColumns = droppedColumns)
     catch {
       case e: Throwable =>
         fs.delete(dest, true)
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
         throw new java.io.IOException(
-          s"renameSnapshotColumn($path): manifest publish failed for v=$next; version unwound", e)
+          s"$op($path): manifest publish failed for v=$next; version unwound", e)
     }
     advancePointer(fs, path, next)
     next

@@ -2,61 +2,150 @@ package graft.store
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
-/** X175 appendSnapshot schema evolution — additive column evolution
-  * on the snapshot warehouse: the committed schema grows the batch's
-  * new columns, carried files read them as null, pinned old versions
-  * keep their narrower schema.
+/** X196 DROP/ADD COLUMN — metadata-only schema evolution over the
+  * column map: drops tombstone the physical name, adds mint around
+  * frozen bytes, and nothing ever resurrects.
   */
 class SchemaEvolveSpec extends SparkSpec {
   import spark.implicits._
 
-  test("append with a new column evolves the schema; old rows read null; history pinned") {
-    val root = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+  private def tmpRoot(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def manifestNode(root: String, v: Long) = {
+    val p = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(s"$root/_manifest-v$v"))
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.toString)), "UTF-8"))
+  }
+
+  private def entriesOf(root: String, v: Long): Seq[String] = {
+    val node = manifestNode(root, v)
+    (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+  }
+
+  test("drop: zero files rewritten, column invisible, tombstone + feature recorded") {
+    val root = tmpRoot("graft_se1")
     Warehouse.writeSnapshot(
-      spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2), root)
-    val batch = Seq((1000L, 0L, "a"), (1001L, 2L, "b")).toDF("id", "v", "q")
-    val v2 = Warehouse.appendSnapshot(batch, root, 1L, evolveSchema = true)
+      spark.range(0, 200).toDF("id")
+        .withColumn("val", col("id") * 2).withColumn("w", col("id") + 1)
+        .repartition(3), root)
+    val before = entriesOf(root, 1L)
+    val v2 = Warehouse.dropSnapshotColumn(spark, root, "val")
     assert(v2 === 2L)
-    val latest = Warehouse.readSnapshot(spark, root)
-    assert(latest.columns.toSeq === Seq("id", "v", "q"))
-    assert(latest.count() === 102)
-    // carried v=1 files read the new column as null
-    assert(latest.filter(col("id") < 100 && col("q").isNull).count() === 100)
-    assert(latest.filter(col("id") === 1000L).select("q").as[String].head() === "a")
-    // pinned read of v=1 keeps the pre-evolution schema
-    assert(Warehouse.readSnapshot(spark, root, Some(1L)).columns.toSeq === Seq("id", "v"))
-    // a later exact-schema append must now match the EVOLVED schema
-    intercept[IllegalArgumentException] {
-      Warehouse.appendSnapshot(Seq((5L, 5L)).toDF("id", "v"), root, 2L)
-    }
-    // ... but an evolving append missing a committed column null-fills it
-    val v3 = Warehouse.appendSnapshot(
-      Seq((2000L, "c")).toDF("id", "q"), root, 2L, evolveSchema = true)
-    assert(v3 === 3L)
-    val r = Warehouse.readSnapshot(spark, root).filter(col("id") === 2000L)
-    assert(r.select("q").as[String].head() === "c")
-    assert(r.select("v").isEmpty === false && r.filter(col("v").isNull).count() === 1)
+    assert(entriesOf(root, 2L).toSet === before.map(e => s"v=1/$e").toSet,
+      "every data file carried by reference")
+    val got = Warehouse.readSnapshot(spark, root)
+    assert(got.columns.toSeq === Seq("id", "w"))
+    // pinned pre-drop version still sees the column
+    assert(Warehouse.readSnapshot(spark, root, Some(1L)).columns.contains("val"))
+    val m2 = manifestNode(root, 2L)
+    assert(m2.get("droppedColumns").get(0).asText === "val")
+    val feats = (0 until m2.get("readerFeatures").size)
+      .map(m2.get("readerFeatures").get(_).asText)
+    assert(feats.contains("dropped-columns"))
   }
 
-  test("shared-column type drift is refused even under evolveSchema") {
-    val root = java.nio.file.Files.createTempDirectory("graft_evolve_t").toString + "/t"
-    Warehouse.writeSnapshot(spark.range(0, 10).toDF("id").withColumn("v", col("id")), root)
-    intercept[IllegalArgumentException] {
-      Warehouse.appendSnapshot(
-        Seq((1L, "x")).toDF("id", "v"), root, 1L, evolveSchema = true)
-    }
-    assert(Warehouse.currentSnapshot(spark, root) === 1L)
-  }
-
-  test("stats pruning still prunes on pre-evolution columns after an evolving append") {
-    val root = java.nio.file.Files.createTempDirectory("graft_evolve_p").toString + "/t"
+  test("drop then add the same name: old rows NULL, new rows carry values — no resurrection") {
+    val root = tmpRoot("graft_se2")
     Warehouse.writeSnapshot(
-      spark.range(0, 1000).toDF("id").repartitionByRange(4, col("id")), root)
+      spark.range(0, 100).toDF("id").withColumn("score", col("id").cast("double")), root)
+    Warehouse.dropSnapshotColumn(spark, root, "score")
+    Warehouse.addSnapshotColumn(spark, root, "score", DoubleType)
+    // the re-added column maps to a minted physical name
+    val cm = manifestNode(root, 3L).get("columnMap")
+    assert(cm.get("score").asText === "score__p0")
+    val afterAdd = Warehouse.readSnapshot(spark, root)
+    assert(afterAdd.columns.toSeq === Seq("id", "score"))
+    assert(afterAdd.where(col("score").isNotNull).count() === 0,
+      "frozen bytes must not resurrect into the re-added column")
+    // appended rows land values under the minted physical name
     Warehouse.appendSnapshot(
-      Seq((5000L, "z")).toDF("id", "q"), root, 1L, evolveSchema = true)
-    val pruned = Warehouse.readSnapshotRange(spark, root, "id", Some(0L), Some(10L))
-    assert(pruned.inputFiles.length < 5, "manifest stats must still prune carried files")
-    assert(pruned.count() === 11)
+      Seq((1000L, 1.5), (1001L, 2.5)).toDF("id", "score"), root, 3L)
+    val got = Warehouse.readSnapshot(spark, root)
+    assert(got.where(col("score").isNotNull).count() === 2)
+    assert(got.where(col("id") < 100L && col("score").isNotNull).count() === 0)
+    // the appended file physically carries score__p0, never score
+    val raw = spark.read.parquet(s"$root/v=4")
+    assert(raw.columns.contains("score__p0") && !raw.columns.contains("score"))
+  }
+
+  test("evolveSchema append mints around a renamed-away physical name") {
+    val root = tmpRoot("graft_se3")
+    Warehouse.writeSnapshot(
+      spark.range(0, 50).toDF("id").withColumn("val", col("id") * 7), root)
+    Warehouse.renameSnapshotColumn(spark, root, "val", "amount")
+    // a NEW column named 'val' — the physical 'val' still holds the
+    // old bytes inside v=1's files; identity mapping would read them
+    Warehouse.appendSnapshot(
+      Seq((2000L, 9L, 42L)).toDF("id", "amount", "val"), root, 2L,
+      evolveSchema = true)
+    val got = Warehouse.readSnapshot(spark, root)
+    assert(got.columns.toSeq === Seq("id", "amount", "val"))
+    assert(got.where(col("id") < 50L && col("val").isNotNull).count() === 0,
+      "old rows must read the fresh 'val' as NULL, not the frozen bytes")
+    assert(got.where(col("id") === 2000L).select("val").as[Long].head() === 42L)
+    val cm = manifestNode(root, 3L).get("columnMap")
+    assert(cm.get("val").asText === "val__p0")
+    assert(cm.get("amount").asText === "val")
+  }
+
+  test("drop on the indexed column drops the index; other drops carry it") {
+    val root = tmpRoot("graft_se4")
+    Warehouse.writeSnapshot(
+      spark.range(0, 100).toDF("id")
+        .withColumn("k", col("id") * 13).withColumn("w", lit(1L)), root)
+    Warehouse.indexSnapshot(spark, root, "k")
+    assert(manifestNode(root, 2L).get("idxCol").asText === "k")
+    Warehouse.dropSnapshotColumn(spark, root, "w")
+    assert(manifestNode(root, 3L).get("idxCol").asText === "k", "unrelated drop carries the index")
+    Warehouse.dropSnapshotColumn(spark, root, "k")
+    assert(manifestNode(root, 4L).get("idxCol") === null, "index dies with its column")
+    assert(Warehouse.readSnapshot(spark, root).columns.toSeq === Seq("id"))
+  }
+
+  test("compact clears tombstones; a post-compact re-add is identity and stays NULL") {
+    val root = tmpRoot("graft_se5")
+    Warehouse.writeSnapshot(
+      spark.range(0, 60).toDF("id").withColumn("x", col("id") * 3), root)
+    Warehouse.dropSnapshotColumn(spark, root, "x")
+    Warehouse.compactSnapshot(spark, root)
+    val m3 = manifestNode(root, 3L)
+    assert(m3.get("droppedColumns") === null, "full rewrite clears tombstones")
+    assert(m3.get("readerFeatures") === null)
+    // physically no file carries 'x' any more, so re-add is identity
+    Warehouse.addSnapshotColumn(spark, root, "x", LongType)
+    assert(manifestNode(root, 4L).get("columnMap") === null)
+    val got = Warehouse.readSnapshot(spark, root)
+    assert(got.where(col("x").isNotNull).count() === 0)
+  }
+
+  test("drop composes with deletion vectors: carried dv state keeps subtracting") {
+    val root = tmpRoot("graft_se6")
+    Warehouse.writeSnapshot(
+      spark.range(0, 100).toDF("id").withColumn("val", col("id") * 2), root)
+    Warehouse.deleteWhereDv(spark, root, col("id") < 10L)
+    Warehouse.dropSnapshotColumn(spark, root, "val")
+    val got = Warehouse.readSnapshot(spark, root)
+    assert(got.columns.toSeq === Seq("id"))
+    assert(got.count() === 90)
+    assert(got.where(col("id") < 10L).count() === 0)
+  }
+
+  test("refusals: only column, missing column, existing name") {
+    val root = tmpRoot("graft_se7")
+    Warehouse.writeSnapshot(spark.range(0, 10).toDF("id"), root)
+    intercept[IllegalArgumentException] {
+      Warehouse.dropSnapshotColumn(spark, root, "id")
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.dropSnapshotColumn(spark, root, "nope")
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.addSnapshotColumn(spark, root, "id", LongType)
+    }
   }
 }
