@@ -375,6 +375,24 @@ object SparkEntry {
       Warehouse.indexSnapshot(s, root, "l_orderkey")
       Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
     }),
+    "q_point_lookup_refreshed" -> ((s, dir) => {
+      // X200 incremental index refresh: coverage decayed by an append
+      // is restored by a refresh tick that scans ONLY the new files
+      // (covered files' positions carry from the recorded sidecar);
+      // the post-refresh lookup must still equal the plain filtered
+      // read over the whole table — which is exactly the oracle.
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val root = java.nio.file.Files.createTempDirectory("graft_qbr").toString + "/t"
+      Warehouse.writeSnapshot(
+        li.filter(col("l_orderkey") % 2 === 0).repartition(6), root)
+      Warehouse.indexSnapshot(s, root, "l_orderkey")
+      Warehouse.appendSnapshot(
+        li.filter(col("l_orderkey") % 2 === 1).repartition(2), root, 2L)
+      Warehouse.refreshIndexSnapshot(s, root)
+      Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
+        .unionAll(Warehouse.readSnapshotPoint(s, root, "l_orderkey", 2L))
+    }),
     "q_delete_dv" -> ((s, dir) => {
       // X189 deletion vectors: the merge-on-read DELETE — positions
       // recorded in a _dv sidecar, ZERO data files rewritten (every
@@ -1287,6 +1305,11 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_point_lookup_indexed" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
+    // X200 refreshed-index lookup: post-refresh pruning must still
+    // answer exactly like the plain filter, old and appended files both
+    "q_point_lookup_refreshed" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey IN (1, 2)""".stripMargin,
     // X189 deletion vectors: merge-on-read DELETE — the oracle is the
     // residue after both delete predicates (rows where either matched
     // are gone; the overlap must not double-apply)

@@ -3560,6 +3560,87 @@ object Warehouse {
     next
   }
 
+  /** Incremental refresh of the [[indexSnapshot bloom index]] (X200):
+    * coverage decays as appends and rewrites land files outside the
+    * recorded set — a full re-index pays the whole table's bytes back
+    * for every refresh tick, which defeats the point on an
+    * append-dominated 100 TB table. This refresh PLANS FROM THE
+    * SIDECAR instead: positions for still-live covered files are
+    * carried from the recorded `_idx` rows (a semi-join against the
+    * covered file list — the data files themselves are immutable, so
+    * their bitsets cannot have changed), and ONLY the uncovered files
+    * are scanned with the same md5-lane kernel under the SAME `mBits`
+    * (probes stay consistent). The refresh tick costs the NEW files'
+    * bytes plus a position-grain sidecar rewrite — the index analog of
+    * the X180 maintenance loop. Positions for files no longer in the
+    * entry list simply don't carry (their files are gone; a stale row
+    * would be inert anyway, positions key on the file path). None (no
+    * commit) when coverage is already complete; requires an existing
+    * index ([[indexSnapshot]] seeds it and remains the full-rebuild
+    * path, e.g. to change `mBits`).
+    */
+  def refreshIndexSnapshot(spark: SparkSession, path: String,
+                           orphanGraceMs: Long = 600000L): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    require(v >= 1, s"refreshIndexSnapshot($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"refreshIndexSnapshot($path): v=$v has no readable manifest"))
+    val s0 = readIdxState(m).getOrElse(sys.error(
+      s"refreshIndexSnapshot($path): no index on v=$v — seed one with indexSnapshot"))
+    val entries = normEntries(m, v)
+    val covered = s0.files.toSet intersect entries.toSet
+    val newFiles = entries.filterNot(covered)
+    if (newFiles.isEmpty && covered == entries.toSet) return None
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    val cmap = columnMapOf(m)
+    val q = qualifiedRoot(fs, path)
+    import spark.implicits._
+    val carried = spark.read.schema(dvRowSchema).parquet(entryPath(path, s0.ref))
+      .join(broadcast(covered.toSeq.toDF("file")), Seq("file"), "left_semi")
+    val freshRows =
+      if (newFiles.isEmpty) None
+      else Some(spark.read.schema(physicalize(schema, cmap))
+        .parquet(newFiles.map(entryPath(path, _)): _*)
+        .select(entryFormCol(q, stripSchemeCol(col("_metadata.file_path"))).as("file"),
+          md5(col(physicalName(cmap, s0.column)).cast("string")).as("h"))
+        .where(col("h").isNotNull)
+        .select(col("file"), explode(array((0 until 4).map(i =>
+          conv(substring(col("h"), i * 8 + 1, 8), 16, 10).cast("long") % s0.bits): _*)).as("pos"))
+        .distinct())
+    val idxRows = freshRows.fold(carried)(carried.unionByName(_))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
+    idxRows.write.mode(SaveMode.ErrorIfExists).parquet(s"$staging/_idx")
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
+    val next = v + 1
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      fs.delete(staging, true)
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      m.get("schema").toString, Some(entries), reuseFrom = Some((m, v)),
+      dv = readDvState(m),
+      idx = Some(IdxState(s0.column, s0.bits, s"v=$next/_idx", entries)))
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"refreshIndexSnapshot($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    advancePointer(fs, path, next)
+    Some(next)
+  }
+
   /** Point lookup through the [[indexSnapshot bloom index]]: files
     * whose bloom rules `value` out are skipped DRIVER-side before any
     * data file opens; uncovered files (no index, later appends,

@@ -81,6 +81,52 @@ class BloomIndexSpec extends SparkSpec {
     assert(!miss.queryExecution.executedPlan.toString.contains("Scan parquet"))
   }
 
+  test("incremental refresh: coverage restored, new values indexed, misses prune to zero scans") {
+    val root = tmpRoot("graft_bi4")
+    keyedTable(root)                                                       // v1
+    Warehouse.indexSnapshot(spark, root, "uid")                            // v2
+    Warehouse.appendSnapshot(
+      Seq((100000L, "fresh-uid", 0L)).toDF("id", "uid", "x"), root, 2L)    // v3
+    // fully-covered table: refresh is a no-op only AFTER a refresh tick
+    val r = Warehouse.refreshIndexSnapshot(spark, root)
+    assert(r === Some(4L))
+    // the refreshed index covers the appended file too: a miss plans
+    // zero scans, present values (old and new files) are found
+    val miss = Warehouse.readSnapshotPoint(spark, root, "uid", "still-not-real")
+    assert(!miss.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    assert(Warehouse.readSnapshotPoint(spark, root, "uid", "fresh-uid").count() === 1)
+    assert(Warehouse.readSnapshotPoint(spark, root, "uid", uidOf(77L)).count() === 1)
+    // complete coverage -> None, no empty commit
+    assert(Warehouse.refreshIndexSnapshot(spark, root) === None)
+  }
+
+  test("refresh plans from the sidecar: covered files' positions carry, not rescan (poison pin)") {
+    val root = tmpRoot("graft_bi5")
+    keyedTable(root)                                                       // v1
+    Warehouse.indexSnapshot(spark, root, "uid")                            // v2
+    // POISON the recorded sidecar: drop every recorded position. A
+    // refresh that rescanned the covered files would regenerate them;
+    // a refresh that carries (the contract) inherits the empty set and
+    // prunes covered files on every probe — observable as a wrong
+    // (empty) lookup, proving no rescan happened.
+    val idx = s"$root/v=2/_idx"
+    val poisoned = spark.read.parquet(idx).limit(0)
+    val tmp = tmpRoot("graft_bi5tmp")
+    poisoned.write.parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(idx)))
+    Warehouse.appendSnapshot(
+      Seq((100000L, "fresh-uid", 0L)).toDF("id", "uid", "x"), root, 2L)    // v3
+    Warehouse.refreshIndexSnapshot(spark, root)                            // v4
+    // carried (poisoned) coverage prunes the old files...
+    assert(Warehouse.readSnapshotPoint(spark, root, "uid", uidOf(5L)).isEmpty,
+      "old files' positions must come from the sidecar — a rescan would have found this")
+    // ...while the freshly scanned file answers correctly
+    assert(Warehouse.readSnapshotPoint(spark, root, "uid", "fresh-uid").count() === 1)
+  }
+
   test("retention keeps the _idx sidecar alive while referenced; clone drops the index") {
     val root = tmpRoot("graft_bi3")
     keyedTable(root)                                                       // v1
