@@ -3110,6 +3110,13 @@ object Warehouse {
     * `update_preimage`/`update` pair from the matched files only. A
     * second update can re-match the first's post-images (they live in
     * a clean fresh file) — updates compose across commits.
+    *
+    * Streaming-tail caveat: an append-only [[readSnapshotStream]]
+    * consumer sees this version's FRESH post-image file as new rows
+    * (the dv'd old copies are invisible to it) — the same restriction
+    * rewrite versions carry; the version is `_partial`-marked, so
+    * [[snapshotHistory]]'s `file_sharing` column audits tail safety
+    * here exactly as for the file-grain writes.
     */
   def updateWhereDv(spark: SparkSession, path: String, predicate: Column,
                     set: Map[String, Column],
