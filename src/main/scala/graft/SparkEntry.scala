@@ -375,6 +375,26 @@ object SparkEntry {
       Warehouse.indexSnapshot(s, root, "l_orderkey")
       Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
     }),
+    "q_diff_bridged" -> ((s, dir) => {
+      // X201 diff across a rename: the CDC feed of v1..v4 lands in the
+      // CURRENT logical names — the from-side bridges through the
+      // frozen physical names, so a rename mid-history neither breaks
+      // the diff nor phantoms a single row. The oracle recomposes the
+      // feed from the two end states directly. orders: o_orderkey is
+      // the unique CDC key (synthetic lineitem's PK pair is not).
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_qdb").toString + "/t"
+      Warehouse.writeSnapshot(
+        o.filter(col("o_orderkey") % 2 === 0).repartition(4), root)      // v1
+      Warehouse.renameSnapshotColumn(s, root, "o_totalprice", "price")   // v2
+      Warehouse.appendSnapshot(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumnRenamed("o_totalprice", "price"), root, 2L)         // v3
+      Warehouse.updateWhere(s, root, col("price") < 30000.0,
+        Map("price" -> (col("price") + 1000000.0)))                      // v4
+      Warehouse.snapshotDiff(s, root, 1L, 4L, Seq("o_orderkey"))
+    }),
     "q_point_lookup_refreshed" -> ((s, dir) => {
       // X200 incremental index refresh: coverage decayed by an append
       // is restored by a refresh tick that scans ONLY the new files
@@ -1305,6 +1325,15 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_point_lookup_indexed" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
+    // X201 diff bridged across a rename: inserts are the appended odd
+    // half (post-update values), updates the even rows the v4 update
+    // actually changed — all under the CURRENT name
+    "q_diff_bridged" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CASE WHEN o_totalprice < 30000.0 THEN o_totalprice + 1000000.0 ELSE o_totalprice END AS price,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN 'insert' ELSE 'update' END AS _change_type
+        |FROM orders
+        |WHERE o_orderkey % 2 = 1 OR o_totalprice < 30000.0""".stripMargin,
     // X200 refreshed-index lookup: post-refresh pruning must still
     // answer exactly like the plain filter, old and appended files both
     "q_point_lookup_refreshed" ->

@@ -310,9 +310,6 @@ object Warehouse {
     */
   def snapshotDiff(spark: SparkSession, path: String, fromVersion: Long, toVersion: Long,
                    keys: Seq[String], pruneShared: Boolean = true): DataFrame = {
-    if (!pruneShared)
-      return diffFrames(readSnapshot(spark, path, Some(fromVersion)),
-        readSnapshot(spark, path, Some(toVersion)), keys)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // each manifest read ONCE, pruning all-or-nothing (review r10: a
@@ -323,8 +320,10 @@ object Warehouse {
     // BOTH sides read full)
     (readManifest(fs, path, fromVersion), readManifest(fs, path, toVersion)) match {
       case (Some(a), Some(b)) =>
-        val shared0 = normEntries(a, fromVersion).toSet intersect
-          normEntries(b, toVersion).toSet
+        val shared0 =
+          if (!pruneShared) Set.empty[String]
+          else normEntries(a, fromVersion).toSet intersect
+            normEntries(b, toVersion).toSet
         // deletion vectors (X189) break "shared entry = identical
         // rows": a dv commit carries every file by reference but
         // changes their EFFECTIVE rows. When the two versions' dv
@@ -335,12 +334,52 @@ object Warehouse {
         val shared =
           if (dvA == dvB) shared0
           else shared0 -- (dvA.toSeq ++ dvB.toSeq).flatMap(_.files.map(_._1))
-        diffFrames(manifestPlannedRead(spark, path, fromVersion, a, shared),
+        diffFrames(
+          bridgeAcrossSchema(
+            manifestPlannedRead(spark, path, fromVersion, a, shared),
+            a, b, keys, s"snapshotDiff($path, $fromVersion..$toVersion)"),
           manifestPlannedRead(spark, path, toVersion, b, shared), keys)
       case _ =>
         diffFrames(readSnapshot(spark, path, Some(fromVersion)),
           readSnapshot(spark, path, Some(toVersion)), keys)
     }
+  }
+
+  /** Diff across a schema change (X201): the from-side frame projected
+    * into the TO manifest's logical schema through the one identity
+    * both sides share — the PHYSICAL column name frozen in the files.
+    * A renamed column bridges (same physical, new logical); a column
+    * added after `from` reads NULL on the from side (so its values
+    * surface as updates, exactly what a recompute would say); a
+    * column dropped before `to` leaves the feed with the schema it no
+    * longer has. Diff keys must bridge — a key column that did not
+    * exist at `from` would make every old row a phantom, so it is
+    * refused loudly. No schema change = the frame unchanged.
+    */
+  private def bridgeAcrossSchema(fromDf: DataFrame,
+                                 mFrom: com.fasterxml.jackson.databind.JsonNode,
+                                 mTo: com.fasterxml.jackson.databind.JsonNode,
+                                 keys: Seq[String], ctx: String): DataFrame = {
+    val schemaFrom = org.apache.spark.sql.types.DataType
+      .fromJson(mFrom.get("schema").toString).asInstanceOf[StructType]
+    val schemaTo = org.apache.spark.sql.types.DataType
+      .fromJson(mTo.get("schema").toString).asInstanceOf[StructType]
+    val (mapFrom, mapTo) = (columnMapOf(mFrom), columnMapOf(mTo))
+    if (schemaFrom == schemaTo && mapFrom == mapTo) return fromDf
+    val physToLogicalFrom: Map[String, String] =
+      schemaFrom.fieldNames.map(n => physicalName(mapFrom, n) -> n).toMap
+    val bridged = schemaTo.fields.map { f =>
+      physToLogicalFrom.get(physicalName(mapTo, f.name)) match {
+        case Some(oldName) => col(oldName).cast(f.dataType).as(f.name)
+        case None =>
+          require(!keys.contains(f.name),
+            s"$ctx: diff key '${f.name}' did not exist at the from-version " +
+              "(its physical column is absent) — every old row would be a phantom; " +
+              "diff within each schema era instead")
+          lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    fromDf.select(bridged.toIndexedSeq: _*)
   }
 
   /** Reclaim the debris multi-writer operation leaves behind: staging
@@ -3324,13 +3363,17 @@ object Warehouse {
     * instead. Renames chain (a→b→c keeps one map entry to the
     * original physical name) and compose with deletion vectors and
     * manifest stats (stats live under physical names; [[statsOverlap]]
-    * translates). Known sharp edges, loud by construction:
-    * [[snapshotDiff]]/[[readChangeFeed]] ACROSS a rename fail on the
-    * schema mismatch (diff within either side works), and a
-    * [[setSnapshotConstraint]] naming the old column fails analysis
-    * at the next write — re-declare it under the new name. The bloom
-    * index survives: an index on the renamed column is re-keyed to
-    * the new logical name in the same commit.
+    * translates). [[snapshotDiff]] BRIDGES a rename (X201): the
+    * from-side projects into the to-side's logical schema through the
+    * shared physical names, so the feed lands in the current names.
+    * Known sharp edges, loud by construction: [[readChangeFeed]]
+    * ACROSS a rename fails on the recorded feeds' schema mismatch
+    * (each feed carries its commit-time names — replay per schema era,
+    * or pull via the bridged diff), and a [[setSnapshotConstraint]]
+    * naming the old column fails analysis at the next write —
+    * re-declare it under the new name. The bloom index survives: an
+    * index on the renamed column is re-keyed to the new logical name
+    * in the same commit.
     */
   def renameSnapshotColumn(spark: SparkSession, path: String,
                            from: String, to: String,

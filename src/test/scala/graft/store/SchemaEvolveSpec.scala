@@ -135,6 +135,51 @@ class SchemaEvolveSpec extends SparkSpec {
     assert(got.where(col("id") < 10L).count() === 0)
   }
 
+  test("snapshotDiff bridges a rename: feed lands in the TO schema, no phantoms") {
+    val root = tmpRoot("graft_se8")
+    Warehouse.writeSnapshot(
+      spark.range(0, 100).toDF("id").withColumn("val", col("id") * 2)
+        .repartition(2), root)                                             // v1
+    Warehouse.renameSnapshotColumn(spark, root, "val", "amount")           // v2
+    Warehouse.appendSnapshot(Seq((1000L, 7L)).toDF("id", "amount"), root, 2L) // v3
+    Warehouse.updateWhere(spark, root, col("id") === 5L,
+      Map("amount" -> lit(-5L)))                                           // v4
+    val feed = Warehouse.snapshotDiff(spark, root, 1L, 4L, Seq("id"))
+    assert(feed.columns.toSet === Set("id", "amount", "_change_type"))
+    val rows = feed.select("id", "amount", "_change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows === Set((1000L, 7L, "insert"), (5L, -5L, "update")),
+      s"got $rows")
+    // unpruned diff bridges identically
+    val full = Warehouse.snapshotDiff(spark, root, 1L, 4L, Seq("id"), pruneShared = false)
+    assert(full.select("id", "amount", "_change_type")
+      .as[(Long, Long, String)].collect().toSet === rows)
+  }
+
+  test("snapshotDiff across add/drop: added columns surface as NULL-backed updates; added keys refuse") {
+    val root = tmpRoot("graft_se9")
+    Warehouse.writeSnapshot(
+      spark.range(0, 50).toDF("id").withColumn("x", col("id")), root)      // v1
+    Warehouse.addSnapshotColumn(spark, root, "tag",
+      org.apache.spark.sql.types.LongType)                                 // v2
+    // metadata-only add: nothing changed row-wise
+    assert(Warehouse.snapshotDiff(spark, root, 1L, 2L, Seq("id")).isEmpty)
+    Warehouse.updateWhere(spark, root, col("id") === 3L, Map("tag" -> lit(9L))) // v3
+    val feed = Warehouse.snapshotDiff(spark, root, 1L, 3L, Seq("id"))
+      .select("id", "x", "tag", "_change_type").as[(Long, Long, Option[Long], String)]
+      .collect().toSet
+    assert(feed === Set((3L, 3L, Some(9L), "update")))
+    // a key that did not exist at the from-version refuses loudly
+    intercept[IllegalArgumentException] {
+      Warehouse.snapshotDiff(spark, root, 1L, 3L, Seq("tag"))
+    }
+    // across a drop: the feed simply has the surviving schema
+    Warehouse.dropSnapshotColumn(spark, root, "tag")                       // v4
+    assert(Warehouse.snapshotDiff(spark, root, 3L, 4L, Seq("id")).isEmpty)
+    assert(Warehouse.snapshotDiff(spark, root, 1L, 4L, Seq("id"))
+      .columns.toSet === Set("id", "x", "_change_type"))
+  }
+
   test("refusals: only column, missing column, existing name") {
     val root = tmpRoot("graft_se7")
     Warehouse.writeSnapshot(spark.range(0, 10).toDF("id"), root)
