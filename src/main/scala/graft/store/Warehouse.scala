@@ -3809,7 +3809,50 @@ object Warehouse {
         "snapshotDiff, or pass allowGaps = true")
     require(recorded.nonEmpty,
       s"readChangeFeed($path): nothing recorded in $fromVersion..$toVersion")
-    spark.read.parquet(recorded.map(v => cdfDir(path, v).toString): _*)
+    // schema-era bridging (X202): each recorded feed carries its
+    // COMMIT-TIME column names, so a range spanning a rename holds
+    // files with different schemas — and a naive multi-path read
+    // would infer ONE schema and silently NULL the renamed column in
+    // every other era (worse than failing). Detect eras from the
+    // versions' manifests (driver-side, zero data I/O); a single era
+    // reads exactly as before, a multi-era range reads each era with
+    // its own explicit schema and bridges into the LAST era's logical
+    // names through the frozen physical names (X201's rule: renamed
+    // columns bridge, later-added columns read NULL in older feeds,
+    // dropped columns leave the feed).
+    def eraOf(m: com.fasterxml.jackson.databind.JsonNode): (StructType, Map[String, String]) =
+      (org.apache.spark.sql.types.DataType
+        .fromJson(m.get("schema").toString).asInstanceOf[StructType], columnMapOf(m))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eras = recorded.map(v => readManifest(fs, path, v).map(eraOf))
+    val distinctEras = eras.flatten.map { case (s, cm) => (s.json, cm) }.distinct
+    if (distinctEras.size <= 1)
+      return spark.read.parquet(recorded.map(v => cdfDir(path, v).toString): _*)
+    require(eras.forall(_.isDefined),
+      s"readChangeFeed($path): $fromVersion..$toVersion spans a schema change but " +
+        "some version's manifest is unreadable — the era bridge needs every manifest; " +
+        "replay per schema era, or pull via snapshotDiff")
+    val (toSchema, toMap) = readManifest(fs, path, toVersion).map(eraOf)
+      .getOrElse(eras.last.get)
+    recorded.zip(eras.map(_.get))
+      .groupBy { case (_, (s, cm)) => (s.json, cm) }.toSeq
+      .map { case (_, group) =>
+        val (fromSchema, fromMap) = group.head._2
+        val feedSchema = fromSchema
+          .add("_change_type", org.apache.spark.sql.types.StringType)
+          .add("_commit_version", org.apache.spark.sql.types.LongType)
+        val df = spark.read.schema(feedSchema)
+          .parquet(group.map(g => cdfDir(path, g._1).toString): _*)
+        val physToLogicalFrom =
+          fromSchema.fieldNames.map(n => physicalName(fromMap, n) -> n).toMap
+        df.select(toSchema.fields.map { f =>
+          physToLogicalFrom.get(physicalName(toMap, f.name)) match {
+            case Some(old) => col(old).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toIndexedSeq ++ Seq(col("_change_type"), col("_commit_version")): _*)
+      }.reduce(_ unionByName _)
   }
 
   /** The change feed as a Structured Streaming SOURCE — the
@@ -3821,6 +3864,14 @@ object Warehouse {
     * `_cdf/v=*`, new commit = new files, offsets in the stream
     * checkpoint. Feed a downstream replica by applying each
     * micro-batch with [[applyChangeFeed]] in `foreachBatch`.
+    *
+    * Schema-era caveat: the stream pins the CURRENT schema at call
+    * time; feed files recorded BEFORE a column rename carry the old
+    * name and would read that column as NULL through this source (the
+    * file source cannot bridge per-file). Start the stream's
+    * checkpoint AFTER the rename commit, or catch up across the
+    * rename with the batch [[readChangeFeed]] (which bridges eras,
+    * X202) before going continuous.
     */
   def readChangeFeedStream(spark: SparkSession, path: String,
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {

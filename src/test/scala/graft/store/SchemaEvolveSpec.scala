@@ -180,6 +180,37 @@ class SchemaEvolveSpec extends SparkSpec {
       .columns.toSet === Set("id", "x", "_change_type"))
   }
 
+  test("readChangeFeed bridges schema eras: a range spanning a rename replays in current names") {
+    val root = tmpRoot("graft_se10")
+    Warehouse.writeSnapshot(
+      spark.range(0, 20).toDF("id").withColumn("val", col("id")), root)   // v1
+    Warehouse.appendSnapshot(Seq((100L, 1L)).toDF("id", "val"), root, 1L,
+      changeFeed = true)                                                  // v2 (old era)
+    Warehouse.renameSnapshotColumn(spark, root, "val", "amount")          // v3
+    Warehouse.appendSnapshot(Seq((200L, 2L)).toDF("id", "amount"), root, 3L,
+      changeFeed = true)                                                  // v4 (new era)
+    // the naive glob would silently NULL one era's renamed column;
+    // the bridge lands every row under the CURRENT name
+    val feed = Warehouse.readChangeFeed(spark, root, 2L, 4L, allowGaps = true)
+    assert(feed.columns.toSet === Set("id", "amount", "_change_type", "_commit_version"))
+    val rows = feed.select("id", "amount", "_change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows === Set((100L, 1L, "insert"), (200L, 2L, "insert")),
+      s"old-era feed row must bridge val->amount with its VALUE intact, got $rows")
+    // maintenance across the rename: apply the bridged feed
+    val agg0 = spark.range(0, 20).toDF("id").withColumn("amount", col("id"))
+      .agg(count(lit(1)).as("n"), sum("amount").as("s"))
+      .withColumn("g", lit(1)).select("g", "n", "s")
+    val maintained = Ivm.maintainAggregate(agg0,
+      feed.drop("_commit_version").withColumn("g", lit(1)),
+      Seq("g"), Map("s" -> "amount"), "n")
+    val r = maintained.select("n", "s").as[(Long, Long)].head()
+    assert(r === ((22L, (0L until 20L).sum + 3L)))
+    // a single-era range stays on the fast path (exact same rows)
+    val one = Warehouse.readChangeFeed(spark, root, 4L, 4L)
+    assert(one.select("id").as[Long].collect().toSeq === Seq(200L))
+  }
+
   test("refusals: only column, missing column, existing name") {
     val root = tmpRoot("graft_se7")
     Warehouse.writeSnapshot(spark.range(0, 10).toDF("id"), root)
