@@ -375,6 +375,17 @@ object SparkEntry {
       Warehouse.indexSnapshot(s, root, "l_orderkey")
       Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
     }),
+    "q_snapshot_extremes" -> ((s, dir) => {
+      // X203 manifest min/max: range-clustered files answer from their
+      // committed stats driver-side; the one file whose recorded
+      // extremum a dv-delete killed re-scans dv-aware — the combined
+      // answer must equal the plain aggregate over live rows.
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      val root = java.nio.file.Files.createTempDirectory("graft_qse").toString + "/t"
+      Warehouse.writeSnapshot(li.repartitionByRange(6, col("l_quantity")), root)
+      Warehouse.deleteWhereDv(s, root, col("l_quantity") >= 49.0)
+      Warehouse.snapshotExtremes(s, root, "l_quantity")
+    }),
     "q_diff_bridged" -> ((s, dir) => {
       // X201 diff across a rename: the CDC feed of v1..v4 lands in the
       // CURRENT logical names — the from-side bridges through the
@@ -1325,6 +1336,10 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_point_lookup_indexed" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
+    // X203 manifest extremes after a dv-delete killed the recorded max
+    "q_snapshot_extremes" ->
+      """SELECT min(l_quantity) AS mn, max(l_quantity) AS mx
+        |FROM lineitem WHERE NOT (l_quantity >= 49.0)""".stripMargin,
     // X201 diff bridged across a rename: inserts are the appended odd
     // half (post-update values), updates the even rows the v4 update
     // actually changed — all under the CURRENT name

@@ -3883,6 +3883,100 @@ object Warehouse {
       .parquet(s"$path/_cdf/v=*/part-*")
   }
 
+  /** O(1) global MIN/MAX from the manifest (X203) — the
+    * aggregate-pushdown answer: `SELECT min(c), max(c)` over a 100 TB
+    * table costs ZERO data I/O when every file's committed stats can
+    * answer truthfully, and a scan of ONLY the files that can't
+    * otherwise. Returns a one-row frame `(mn, mx)` in the column's
+    * type, always ≡ `readSnapshot(…).agg(min, max)`.
+    *
+    * A file answers from stats only when ALL of: its stats carry the
+    * column (a file whose column is all-NULL records none — it cannot
+    * hold the extremum, but neither can we distinguish it from a
+    * stats-less footer, so it scans); the column's type is in the
+    * EXACT-safe set (integers, floating point, DATE — timestamp stats
+    * ceil their NANOS max for pruning safety and string stats may be
+    * writer-truncated, so both always scan rather than risk an
+    * off-by-one answer); and the file carries no deletion-vector
+    * positions (a dv'd row may BE the recorded extremum — those files
+    * re-scan dv-aware, the file-grain price of merge-on-read). The
+    * zero-I/O path is spec-pinned on the executed plan (no parquet
+    * scan at all); stats live under physical names, so renames
+    * compose.
+    */
+  def snapshotExtremes(spark: SparkSession, path: String, column: String,
+                       version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = resolveVersion(spark, path, version)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def full(): DataFrame = readSnapshot(spark, path, Some(v))
+      .agg(min(col(column)).as("mn"), max(col(column)).as("mx"))
+    readManifest(fs, path, v) match {
+      case None => full()
+      case Some(m) =>
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+        require(schema.fieldNames.contains(column),
+          s"snapshotExtremes($path): column '$column' not in snapshot schema")
+        val dt = schema(column).dataType
+        val exactSafe = dt match {
+          case LongType | IntegerType | ShortType | ByteType |
+               DoubleType | FloatType | DateType => true
+          case _ => false
+        }
+        if (!exactSafe) return full()
+        val entries = normEntries(m, v)
+        if (entries.isEmpty) return full()
+        val phys = physicalName(columnMapOf(m), column)
+        val stats = Option(m.get("stats"))
+        val dvd = readDvState(m).map(_.fileSet).getOrElse(Set.empty)
+        val statOf: Int => Option[com.fasterxml.jackson.databind.JsonNode] =
+          i => stats.flatMap(s => Option(s.get(i))).flatMap(n => Option(n.get(phys)))
+        val (statIdx, scanIdx) = entries.indices.partition(i =>
+          !dvd(entries(i)) && statOf(i).isDefined)
+        // driver-side fold of the answering files' extremes
+        val folded: Option[(Either[BigDecimal, String], Either[BigDecimal, String])] =
+          statIdx.map(statOf(_).get)
+            .map(n => (jsonComparable(n.get("min")), jsonComparable(n.get("max"))))
+            .reduceOption { (a, b) =>
+              (if (cmpComparable(a._1, b._1) <= 0) a._1 else b._1,
+                if (cmpComparable(a._2, b._2) >= 0) a._2 else b._2)
+            }
+        // stats for a whitelisted type must be numeric JSON; anything
+        // else (forged/legacy manifest) falls back to the full scan
+        if (folded.exists(p => p._1.isRight || p._2.isRight)) return full()
+        // the folded pair lifted back into the column's type: stats
+        // store integral families as long, floats as double, DATE as
+        // epoch-day (see footerInfo) — exact round trips by whitelist
+        val statRow: Option[DataFrame] = folded.collect { case (Left(a), Left(b)) =>
+          dt match {
+            case DoubleType | FloatType =>
+              spark.createDataFrame(Seq((a.toDouble, b.toDouble))).toDF("mn", "mx")
+                .select(col("mn").cast(dt).as("mn"), col("mx").cast(dt).as("mx"))
+            case DateType =>
+              spark.createDataFrame(Seq((a.toLongExact, b.toLongExact))).toDF("mn", "mx")
+                .select(date_from_unix_date(col("mn").cast("int")).as("mn"),
+                  date_from_unix_date(col("mx").cast("int")).as("mx"))
+            case _ =>
+              spark.createDataFrame(Seq((a.toLongExact, b.toLongExact))).toDF("mn", "mx")
+                .select(col("mn").cast(dt).as("mn"), col("mx").cast(dt).as("mx"))
+          }
+        }
+        val scanRow: Option[DataFrame] =
+          if (scanIdx.isEmpty) None
+          else Some(dvPlannedRead(spark, path, m, schema, scanIdx.map(entries))
+            .agg(min(col(column)).as("mn"), max(col(column)).as("mx")))
+        (statRow, scanRow) match {
+          case (Some(s), Some(r)) =>
+            s.unionAll(r).agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+          case (Some(s), None) => s
+          case (None, Some(r)) => r
+          case (None, None) => full()
+        }
+    }
+  }
+
   /** Manifest-stats-pruned snapshot read — the Delta/Iceberg
     * data-skipping shape: `path` at `version`, filtered to
     * `lower ≤ column ≤ upper` (either bound optional), planning ONLY
