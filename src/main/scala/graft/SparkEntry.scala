@@ -375,6 +375,20 @@ object SparkEntry {
       Warehouse.indexSnapshot(s, root, "l_orderkey")
       Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
     }),
+    "q_replace_where" -> ((s, dir) => {
+      // X204 replaceWhere: one-commit predicate-scoped overwrite — the
+      // 'R' slice is reloaded with restated quantities; only files
+      // holding 'R' rows rewrite, the rest carry by reference. The
+      // oracle recomposes the end state with a CASE.
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val root = java.nio.file.Files.createTempDirectory("graft_qrw").toString + "/t"
+      Warehouse.writeSnapshot(li.repartitionByRange(4, col("l_returnflag")), root)
+      Warehouse.replaceWhere(s, root, col("l_returnflag") === "R",
+        li.filter(col("l_returnflag") === "R")
+          .withColumn("l_quantity", col("l_quantity") + 1000.0))
+      Warehouse.readSnapshot(s, root)
+    }),
     "q_snapshot_extremes" -> ((s, dir) => {
       // X203 manifest min/max: range-clustered files answer from their
       // committed stats driver-side; the one file whose recorded
@@ -1336,6 +1350,12 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_point_lookup_indexed" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
+    // X204 replaceWhere: the 'R' slice reloaded with restated values
+    "q_replace_where" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_returnflag = 'R' THEN l_quantity + 1000.0 ELSE l_quantity END AS l_quantity,
+        |       l_returnflag
+        |FROM lineitem""".stripMargin,
     // X203 manifest extremes after a dv-delete killed the recorded max
     "q_snapshot_extremes" ->
       """SELECT min(l_quantity) AS mn, max(l_quantity) AS mx

@@ -2813,6 +2813,67 @@ object Warehouse {
     * matches — `rewrite` then runs on an empty frame and an empty
     * result is still a no-op.
     */
+  /** Predicate-scoped overwrite (X204) — the Delta
+    * `INSERT OVERWRITE … replaceWhere` shape, the idempotent-reload
+    * primitive the row-level family was missing: in ONE commit, rows
+    * matching `predicate` are deleted and `batch` lands in their
+    * place. File-grain like its siblings: only files CONTAINING a
+    * matching row rewrite (their non-matching rows re-land beside the
+    * batch), every untouched file carries by reference — re-loading
+    * one day of a 100 TB date-clustered table costs that day's files,
+    * and re-running the same reload converges instead of duplicating
+    * (the property a delete-then-append pair loses if the job dies
+    * between the two commits, and the reason this is one commit).
+    *
+    * Delta's replaceWhere contract is enforced the fused way: every
+    * batch row must satisfy `predicate`, validated by a `raise_error`
+    * guard inside the write's own plan (zero extra jobs) — a row
+    * outside the predicate would silently survive the NEXT reload of
+    * the same predicate. Batch schema must match the committed schema
+    * exactly (names and types; this is a reload, not an evolution).
+    * CHECK constraints, the column map, deletion vectors (matched
+    * rows already dv-deleted don't double-count; rewritten files
+    * materialize their positions), and `scanBound` discovery pruning
+    * all compose exactly as in [[deleteWhere]]/[[updateWhere]]. A
+    * predicate matching nothing still commits the batch (that IS the
+    * reload of an empty slice); `changeFeed = true` records deletes
+    * of the replaced rows + inserts of the batch.
+    */
+  def replaceWhere(spark: SparkSession, path: String, predicate: Column,
+                   batch: DataFrame,
+                   orphanGraceMs: Long = 600000L,
+                   scanBound: Option[(String, Option[Any], Option[Any])] = None,
+                   changeFeed: Boolean = false): Long = {
+    def aligned(schema: StructType): DataFrame = {
+      val got = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+      val want = schema.fields.map(f => f.name -> f.dataType).toMap
+      require(got == want,
+        s"replaceWhere($path): batch schema must match the committed schema exactly; " +
+          s"committed=${schema.simpleString} batch=${batch.schema.simpleString}")
+      val a = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      // the replaceWhere contract, fused into the write plan: a batch
+      // row OUTSIDE the predicate would silently survive the next
+      // reload of the same slice — refuse it before any commit
+      a.filter(when(!coalesce(predicate, lit(false)),
+        raise_error(concat(
+          lit(s"replaceWhere($path): batch row outside the predicate: "),
+          to_json(struct(a.columns.map(col).toIndexedSeq: _*)))))
+        .otherwise(lit(true)))
+    }
+    rewriteMatchingFiles(spark, path,
+      discover = _.where(predicate).select(col("__file")),
+      orphanGraceMs = orphanGraceMs, scanBound = scanBound,
+      op = "replaceWhere",
+      rewrite = (touched, schema) =>
+        touched.filter(!coalesce(predicate, lit(false))).unionByName(aligned(schema)),
+      commitOnNoMatch = true,
+      changes = if (!changeFeed) None else Some((touched, schema) =>
+        touched.where(coalesce(predicate, lit(false)))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete"))
+          .unionByName(aligned(schema).withColumn("_change_type", lit("insert")))))
+  }
+
   private def rewriteMatchingFiles(spark: SparkSession, path: String,
                                    discover: DataFrame => DataFrame,
                                    orphanGraceMs: Long,
