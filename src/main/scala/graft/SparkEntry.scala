@@ -375,6 +375,19 @@ object SparkEntry {
       Warehouse.indexSnapshot(s, root, "l_orderkey")
       Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
     }),
+    "q_generated_column" -> ((s, dir) => {
+      // X205 generated columns: the writers supply business columns
+      // only — the table derives qty_bucket on BOTH the initial write
+      // and the append, and the oracle recomposes the derivation.
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val root = java.nio.file.Files.createTempDirectory("graft_qgc").toString + "/t"
+      Warehouse.setGeneratedColumn(s, root, "qty_bucket",
+        "CAST(FLOOR(l_quantity / 10) AS BIGINT)")
+      Warehouse.writeSnapshot(li.filter(col("l_orderkey") % 2 === 0), root)
+      Warehouse.appendSnapshot(li.filter(col("l_orderkey") % 2 === 1), root, 1L)
+      Warehouse.readSnapshot(s, root)
+    }),
     "q_replace_where" -> ((s, dir) => {
       // X204 replaceWhere: one-commit predicate-scoped overwrite — the
       // 'R' slice is reloaded with restated quantities; only files
@@ -1350,6 +1363,11 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_point_lookup_indexed" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
+    // X205 generated columns: both writes derive qty_bucket
+    "q_generated_column" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket
+        |FROM lineitem""".stripMargin,
     // X204 replaceWhere: the 'R' slice reloaded with restated values
     "q_replace_where" ->
       """SELECT l_orderkey, l_linenumber,

@@ -677,14 +677,140 @@ object Warehouse {
           .otherwise(lit(true)))
       }
 
+  /** Declare `column` GENERATED AS `exprSql` (X205) — the Delta
+    * generated-column shape: from now on every write either FILLS the
+    * column (when the incoming frame lacks it — the common case: the
+    * writer supplies business columns, the table derives `date` from
+    * `ts`) or VALIDATES it (when the frame supplies it, a fused
+    * `raise_error` guard aborts on any row where the value differs
+    * from the expression — a silently-divergent derived column would
+    * poison every downstream prune). The payoff at 100 TB is
+    * data-skipping on the DERIVED column: generate an event-date from
+    * a timestamp, cluster on it, and X162's stats prune date-ranged
+    * reads without the writer ever computing the column. Declarations
+    * ride a `_generated` root file under the same
+    * parse-eagerly/unreadable-fails-writes contract as CHECK
+    * constraints; expressions must be deterministic (enforced at
+    * declaration — a rand() fill would break replays and the
+    * validate-vs-fill equivalence). Dropping the SOURCE column leaves
+    * a declaration that fails analysis at the next write — drop the
+    * generation rule first.
+    */
+  def setGeneratedColumn(spark: SparkSession, path: String,
+                         column: String, exprSql: String): Unit = {
+    require(column.nonEmpty, "setGeneratedColumn: empty column name")
+    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+    // determinism gate: the PARSED tree is unresolved (an unresolved
+    // function defaults to deterministic), so resolve the expression
+    // against a probe frame carrying its referenced names as NULLs and
+    // inspect the analyzed tree. Best-effort — a probe that fails
+    // analysis on the null typing doesn't reject the rule (the parse
+    // gate above remains hard, and the real write resolves properly).
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }.distinct
+    scala.util.Try {
+      val probe = refs.foldLeft(spark.range(1).toDF())((d, n) => d.withColumn(n, lit(null)))
+      probe.select(expr(exprSql).as("__g")).queryExecution.analyzed
+    }.foreach(analyzed => require(analyzed.expressions.forall(_.deterministic),
+      s"setGeneratedColumn($path): '$exprSql' is non-deterministic — a generated " +
+        "column must re-derive to the same value on every write and validation"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    writeGeneratedFile(fs, path, snapshotGenerated(spark, path) + (column -> exprSql))
+  }
+
+  /** Remove a generation rule; returns whether it existed. */
+  def dropGeneratedColumn(spark: SparkSession, path: String, column: String): Boolean = {
+    val existing = snapshotGenerated(spark, path)
+    if (!existing.contains(column)) return false
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rest = existing - column
+    if (rest.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(s"$path/_generated"), false)
+    else writeGeneratedFile(fs, path, rest)
+    true
+  }
+
+  private def writeGeneratedFile(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                                 rules: Map[String, String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    rules.toSeq.sortBy(_._1).foreach { case (c, e) => node.put(c, e) }
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-gc$tag")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsBytes(node)); out.close()
+    overwriteRename(fs, tmp, new org.apache.hadoop.fs.Path(s"$path/_generated"),
+      s"cannot publish generated-column rules for $path")
+  }
+
+  /** The table's declared generation rules, column -> expression SQL. */
+  def snapshotGenerated(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(s"$path/_generated")
+    if (!fs.exists(f)) return Map.empty
+    try {
+      val in = fs.open(f)
+      val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+      val it = node.fieldNames()
+      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+        .takeWhile(_.isDefined).flatten
+        .map(n => n -> node.get(n).asText()).toMap
+    } catch {
+      // like _constraints: this file is a write gate, never best-effort
+      case e @ (_: java.io.IOException |
+                _: com.fasterxml.jackson.core.JacksonException) =>
+        throw new java.io.IOException(
+          s"unreadable _generated under $path — refusing to write unvalidated", e)
+    }
+  }
+
+  /** Fill-or-validate the declared generated columns: a frame that
+    * LACKS the column gains it from the expression (zero extra jobs —
+    * the projection rides the write plan); a frame that SUPPLIES it is
+    * validated row-by-row with a fused `raise_error` (null-safe
+    * equality, so a NULL-yielding expression validates a NULL value).
+    */
+  private def generatedAlign(df: DataFrame, path: String, op: String): DataFrame =
+    snapshotGenerated(df.sparkSession, path).toSeq.sortBy(_._1)
+      .foldLeft(df) { case (d, (c, sql)) =>
+        if (!d.columns.contains(c)) d.withColumn(c, expr(sql))
+        else generatedCheck(d, c, sql, path, op)
+      }
+
+  /** Validation-only twin for the row-level REWRITES: rewritten rows
+    * always carry the committed schema, so a rule whose column the
+    * schema lacks (declared but never backfilled — a full-write /
+    * append evolution concern) must not sneak an extra column into a
+    * rewritten file and drift it from the manifest schema.
+    */
+  private def generatedValidate(df: DataFrame, path: String, op: String): DataFrame =
+    snapshotGenerated(df.sparkSession, path).toSeq.sortBy(_._1)
+      .foldLeft(df) { case (d, (c, sql)) =>
+        if (!d.columns.contains(c)) d else generatedCheck(d, c, sql, path, op)
+      }
+
+  private def generatedCheck(d: DataFrame, c: String, sql: String,
+                             path: String, op: String): DataFrame =
+    d.filter(when(!(col(c) <=> expr(sql)),
+      raise_error(concat(
+        lit(s"$op($path): generated column '$c' (= $sql) violated by row "),
+        to_json(struct(d.columns.map(col).toIndexedSeq: _*)))))
+      .otherwise(lit(true)))
+
   def writeSnapshot(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = snapshots(spark, path).lastOption.getOrElse(0L) + 1
-    constraintGuard(df, path, "writeSnapshot")
+    val g = generatedAlign(df, path, "writeSnapshot")
+    constraintGuard(g, path, "writeSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    publishManifestBestEffort(fs, spark, path, next, df.schema.json)
+    publishManifestBestEffort(fs, spark, path, next, g.schema.json)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp")
     val out = fs.create(tmp, true)
     out.write(next.toString.getBytes("UTF-8")); out.close()
@@ -758,7 +884,8 @@ object Warehouse {
     val next = expectedVersion + 1
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
-    constraintGuard(df, path, "commitSnapshot")
+    val g = generatedAlign(df, path, "commitSnapshot")
+    constraintGuard(g, path, "commitSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
@@ -774,7 +901,7 @@ object Warehouse {
       throw new SnapshotConflictException(path, next)
     }
     promoteStaging(fs, staging, dest, path, next)
-    publishManifestBestEffort(fs, spark, path, next, df.schema.json)
+    publishManifestBestEffort(fs, spark, path, next, g.schema.json)
     advancePointer(fs, path, next)
     next
   }
@@ -830,11 +957,14 @@ object Warehouse {
     * for an empty batch (no commit), the committed version otherwise;
     * no pointer is touched — that's the caller's half.
     */
-  private def appendVersionFrom(df: DataFrame, path: String, base: Long,
+  private def appendVersionFrom(dfIn: DataFrame, path: String, base: Long,
                                 next: Long, orphanGraceMs: Long,
                                 changeFeed: Boolean = false,
                                 txn: Option[(String, Long)] = None,
                                 evolveSchema: Boolean = false): Option[Long] = {
+    // generated columns (X205) fill BEFORE the schema gate: the common
+    // writer supplies business columns only, the table derives the rest
+    val df = generatedAlign(dfIn, path, "appendSnapshot")
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2987,7 +3117,8 @@ object Warehouse {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else liveScanWithFile(touched.toSeq.sorted)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val kept = constraintGuard(rewrite(touchedDf, schema), path, op)
+    val kept = constraintGuard(
+      generatedValidate(rewrite(touchedDf, schema), path, op), path, op)
     // no matching files AND nothing created (insert clauses that all
     // miss): no empty commit — the isEmpty probe runs only on the
     // cheap no-touched path (source-side rows only)
@@ -3291,7 +3422,8 @@ object Warehouse {
     val matchedFiles = perFile.map(_._1)
     val post = applySet(liveWithId(matchedFiles).where(predicate)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*))
-    toPhysical(constraintGuard(post, path, "updateWhereDv"), cmap)
+    toPhysical(constraintGuard(
+      generatedValidate(post, path, "updateWhereDv"), path, "updateWhereDv"), cmap)
       .write.mode(SaveMode.Append).parquet(staging.toString)
     val next = v + 1
     val merged: Seq[(String, Long)] = {
