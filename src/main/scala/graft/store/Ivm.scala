@@ -50,6 +50,23 @@ object Ivm {
         "maintenance needs preimage-recording feeds (diffFrames(..., preImages = true))")
   }
 
+  /** Null-safe keyed merge of `state` with `delta` (review r11): SQL
+    * GROUP BY puts every NULL key in ONE group, so the maintenance
+    * merge must too — a plain using-columns join never matches NULL
+    * keys, which would fork the NULL group (its delta lands as a
+    * second row, deletes never decrement it). Joins with `<=>` per
+    * key and coalesces the key columns back together.
+    */
+  private def mergeOnKeys(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                          joinType: String): DataFrame = {
+    val renamed = delta.columns.map(c => if (keys.contains(c)) s"__k_$c" else c)
+    val d = delta.toDF(renamed.toIndexedSeq: _*)
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    state.join(d, cond, joinType)
+      .withColumns(keys.map(k => k -> coalesce(col(k), col(s"__k_$k"))).toMap)
+      .drop(keys.map(k => s"__k_$k"): _*)
+  }
+
   /** Apply one feed to a materialized aggregate.
     *
     * @param agg      the materialized state: `keys ++ countCol ++ sums.keys`
@@ -83,7 +100,7 @@ object Ivm {
       .groupBy(keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
     val zero = lit(0L).cast(aggTypes(countCol))
-    val merged = agg.join(delta, keys, "full_outer")
+    val merged = mergeOnKeys(agg, delta, keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col(countCol), zero) + coalesce(col("__dn"), lit(0L)))
           .cast(aggTypes(countCol)).as(countCol)) ++
@@ -246,7 +263,7 @@ object Ivm {
       .cast(agg.schema(countCol).dataType).as(countCol)
     // candidate extrema land under their final names (the `__cand`
     // alias only disambiguates against agg's own column in the join)
-    val live = agg.join(delta, keys, "full_outer")
+    val live = mergeOnKeys(agg, delta, keys, "full_outer")
       .select((keys.map(col) :+ nCol) ++ cand ++
         (mins.keys ++ maxs.keys).toSeq.flatMap(c =>
           Seq(col(s"__ins_$c"), col(s"__del_$c"))): _*)
@@ -263,12 +280,16 @@ object Ivm {
     val dirty = live.filter(coalesce(dirtyExpr, lit(false)))
     val rescanAggs = mins.toSeq.map { case (c, src) => min(col(src)).as(c) } ++
       maxs.toSeq.map { case (c, src) => max(col(src)).as(c) }
+    // null-safe semi join: a NULL-keyed dirty group must still rescan
+    val dirtyKeys = dirty.select(keys.map(col): _*)
+      .toDF(keys.map(k => s"__k_$k").toIndexedSeq: _*)
     val rescanned = newState
-      .join(broadcast(dirty.select(keys.map(col): _*)), keys, "left_semi")
+      .join(broadcast(dirtyKeys),
+        keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _), "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(rescanAggs.head, rescanAggs.tail: _*)
-    val dirtyFixed = dirty.select((keys :+ countCol).map(col): _*)
-      .join(rescanned, keys, "inner")
+    val dirtyFixed = mergeOnKeys(
+      dirty.select((keys :+ countCol).map(col): _*), rescanned, keys, "inner")
       .select(agg.columns.map(col).toIndexedSeq: _*)
     clean.unionByName(dirtyFixed)
   }
@@ -309,7 +330,12 @@ object Ivm {
       .filter(col("__sign").isNotNull && col(valueCol).isNotNull)
       .groupBy((keys :+ valueCol).map(col): _*)
       .agg(sum(col("__sign")).as("__dm"))
-    support.join(delta, keys :+ valueCol, "full_outer")
+    // NULL values are not distinct values (review r11): a support
+    // seeded with a raw groupBy carries a (group, NULL, m) row that no
+    // delta could ever decrement — drop it here so the recipe in the
+    // Scaladoc is safe as written. Group KEYS merge null-safely.
+    mergeOnKeys(support.filter(col(valueCol).isNotNull), delta,
+      keys :+ valueCol, "full_outer")
       .select((keys :+ valueCol).map(col) :+
         (coalesce(col(multCol), lit(0L)) + coalesce(col("__dm"), lit(0L)))
           .cast(support.schema(multCol).dataType).as(multCol): _*)

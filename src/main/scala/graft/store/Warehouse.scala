@@ -366,8 +366,7 @@ object Warehouse {
       .fromJson(mTo.get("schema").toString).asInstanceOf[StructType]
     val (mapFrom, mapTo) = (columnMapOf(mFrom), columnMapOf(mTo))
     if (schemaFrom == schemaTo && mapFrom == mapTo) return fromDf
-    val physToLogicalFrom: Map[String, String] =
-      schemaFrom.fieldNames.map(n => physicalName(mapFrom, n) -> n).toMap
+    val physToLogicalFrom = physToLogical(schemaFrom, mapFrom)
     val bridged = schemaTo.fields.map { f =>
       physToLogicalFrom.get(physicalName(mapTo, f.name)) match {
         case Some(oldName) => col(oldName).cast(f.dataType).as(f.name)
@@ -678,13 +677,18 @@ object Warehouse {
       }
 
   /** Declare `column` GENERATED AS `exprSql` (X205) — the Delta
-    * generated-column shape: from now on every write either FILLS the
+    * generated-column shape: from now on every full write, append and
+    * replaceWhere batch either FILLS the
     * column (when the incoming frame lacks it — the common case: the
     * writer supplies business columns, the table derives `date` from
     * `ts`) or VALIDATES it (when the frame supplies it, a fused
     * `raise_error` guard aborts on any row where the value differs
     * from the expression — a silently-divergent derived column would
-    * poison every downstream prune). The payoff at 100 TB is
+    * poison every downstream prune); row-level rewrites
+    * (update/merge/dv-update) RE-DERIVE instead, Delta's UPDATE
+    * behavior — a SET on a source column recomputes the derived
+    * column rather than aborting on the stale value (see
+    * [[generatedRederive]]). The payoff at 100 TB is
     * data-skipping on the DERIVED column: generate an event-date from
     * a timestamp, cluster on it, and X162's stats prune date-ranged
     * reads without the writer ever computing the column. Declarations
@@ -782,16 +786,22 @@ object Warehouse {
         else generatedCheck(d, c, sql, path, op)
       }
 
-  /** Validation-only twin for the row-level REWRITES: rewritten rows
-    * always carry the committed schema, so a rule whose column the
-    * schema lacks (declared but never backfilled — a full-write /
-    * append evolution concern) must not sneak an extra column into a
-    * rewritten file and drift it from the manifest schema.
+  /** Row-level REWRITES re-derive (Delta's UPDATE behavior, review
+    * r11): rewritten rows originate from committed — already valid —
+    * rows, so the only divergence source is a SET/merge-update on a
+    * SOURCE column; validating would abort every such write, so the
+    * rule is recomputed instead — the SET wins on the sources, the
+    * rule wins on the derived column (an explicit divergent SET of the
+    * derived column itself is overwritten by its definition). A rule
+    * whose column the schema lacks (declared but never backfilled — a
+    * full-write/append evolution concern) is skipped: no fill may
+    * drift a rewritten file from the manifest schema.
     */
-  private def generatedValidate(df: DataFrame, path: String, op: String): DataFrame =
+  private def generatedRederive(df: DataFrame, path: String, op: String): DataFrame =
     snapshotGenerated(df.sparkSession, path).toSeq.sortBy(_._1)
       .foldLeft(df) { case (d, (c, sql)) =>
-        if (!d.columns.contains(c)) d else generatedCheck(d, c, sql, path, op)
+        if (!d.columns.contains(c)) d
+        else d.withColumn(c, expr(sql).cast(d.schema(c).dataType))
       }
 
   private def generatedCheck(d: DataFrame, c: String, sql: String,
@@ -1611,6 +1621,11 @@ object Warehouse {
   /** The physical->logical projection closing every mapped scan. */
   private def toLogicalCols(schema: StructType, map: Map[String, String]): Seq[Column] =
     schema.fields.map(f => col(physicalName(map, f.name)).as(f.name)).toSeq
+
+  /** X201's bridge lookup in one place: physical name -> logical name
+    * for a schema era — the one identity two versions share. */
+  private def physToLogical(schema: StructType, cmap: Map[String, String]): Map[String, String] =
+    schema.fieldNames.map(n => physicalName(cmap, n) -> n).toMap
 
   /** Physical-name tombstones (X196): every physical column name a
     * [[dropSnapshotColumn]] retired. The dropped column's bytes stay
@@ -2975,12 +2990,16 @@ object Warehouse {
                    scanBound: Option[(String, Option[Any], Option[Any])] = None,
                    changeFeed: Boolean = false): Long = {
     def aligned(schema: StructType): DataFrame = {
-      val got = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+      // generated columns (X205) fill before the schema gate, exactly
+      // as in appendSnapshot — the reload writer supplies business
+      // columns only (review r11)
+      val b = generatedAlign(batch, path, "replaceWhere")
+      val got = b.schema.fields.map(f => f.name -> f.dataType).toMap
       val want = schema.fields.map(f => f.name -> f.dataType).toMap
       require(got == want,
         s"replaceWhere($path): batch schema must match the committed schema exactly; " +
-          s"committed=${schema.simpleString} batch=${batch.schema.simpleString}")
-      val a = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          s"committed=${schema.simpleString} batch=${b.schema.simpleString}")
+      val a = b.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       // the replaceWhere contract, fused into the write plan: a batch
       // row OUTSIDE the predicate would silently survive the next
       // reload of the same slice — refuse it before any commit
@@ -3118,7 +3137,7 @@ object Warehouse {
       else liveScanWithFile(touched.toSeq.sorted)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val kept = constraintGuard(
-      generatedValidate(rewrite(touchedDf, schema), path, op), path, op)
+      generatedRederive(rewrite(touchedDf, schema), path, op), path, op)
     // no matching files AND nothing created (insert clauses that all
     // miss): no empty commit — the isEmpty probe runs only on the
     // cheap no-touched path (source-side rows only)
@@ -3175,6 +3194,37 @@ object Warehouse {
     }
     advancePointer(fs, path, next)
     next
+  }
+
+  /** Live rows of entries `es` WITH their row identity (`__p` file
+    * path, `__pos` row index) — the shared discovery scan of the DV
+    * writes: dv'd files subtract their existing positions first (an
+    * already-deleted row must not re-match), plain files just take
+    * the stamp; output in logical column names through the map.
+    */
+  private def dvLiveWithId(spark: SparkSession, path: String,
+                           m: com.fasterxml.jackson.databind.JsonNode,
+                           schema: StructType, es: Seq[String]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = qualifiedRoot(fs, path)
+    val dvState = readDvState(m)
+    val cmap = columnMapOf(m)
+    val phys = physicalize(schema, cmap)
+    val dvd = dvState.map(_.fileSet).getOrElse(Set.empty)
+    val (hit, plain) = es.partition(dvd)
+    def leg(ps: Seq[String], anti: Boolean): Option[DataFrame] =
+      if (ps.isEmpty) None
+      else {
+        val scan = spark.read.schema(phys).parquet(ps.map(entryPath(path, _)): _*)
+        Some(
+          if (!anti) withRowId(scan)
+          else antiDv(scan, dvFrame(spark, path, q, dvState.get.refs),
+            bcast = dvState.get.rows <= DvBroadcastMaxRows))
+      }
+    Seq(leg(plain, anti = false), leg(hit, anti = true)).flatten
+      .map(_.select(toLogicalCols(schema, cmap) ++ Seq("__p", "__pos").map(col): _*))
+      .reduce(_ unionAll _)
   }
 
   /** Merge-on-read row-level DELETE — deletion vectors (X189), the
@@ -3235,27 +3285,7 @@ object Warehouse {
     }
     if (candidates.isEmpty) return v
     val q = qualifiedRoot(fs, path)
-    // live candidate rows WITH their row identity: dv'd files subtract
-    // their existing positions first (an already-deleted row must not
-    // re-match and double-count), plain files just take the stamp
-    def liveWithId(es: Seq[String]): DataFrame = {
-      val cmap = columnMapOf(m)
-      val phys = physicalize(schema, cmap)
-      val dvd = dvState.map(_.fileSet).getOrElse(Set.empty)
-      val (hit, plain) = es.partition(dvd)
-      def leg(ps: Seq[String], anti: Boolean): Option[DataFrame] =
-        if (ps.isEmpty) None
-        else {
-          val scan = spark.read.schema(phys).parquet(ps.map(entryPath(path, _)): _*)
-          Some(
-            if (!anti) withRowId(scan)
-            else antiDv(scan, dvFrame(spark, path, q, dvState.get.refs),
-              bcast = dvState.get.rows <= DvBroadcastMaxRows))
-        }
-      Seq(leg(plain, anti = false), leg(hit, anti = true)).flatten
-        .map(_.select(toLogicalCols(schema, cmap) ++ Seq("__p", "__pos").map(col): _*))
-        .reduce(_ unionAll _)
-    }
+    def liveWithId(es: Seq[String]): DataFrame = dvLiveWithId(spark, path, m, schema, es)
     // matched positions, normalized back to entry form (root-relative
     // inside the table, scheme-less absolute for clone references)
     val matched = liveWithId(candidates).where(predicate).select(
@@ -3385,23 +3415,7 @@ object Warehouse {
     }
     if (candidates.isEmpty) return v
     val q = qualifiedRoot(fs, path)
-    def liveWithId(es: Seq[String]): DataFrame = {
-      val phys = physicalize(schema, cmap)
-      val dvd = dvState.map(_.fileSet).getOrElse(Set.empty)
-      val (hit, plain) = es.partition(dvd)
-      def leg(ps: Seq[String], anti: Boolean): Option[DataFrame] =
-        if (ps.isEmpty) None
-        else {
-          val scan = spark.read.schema(phys).parquet(ps.map(entryPath(path, _)): _*)
-          Some(
-            if (!anti) withRowId(scan)
-            else antiDv(scan, dvFrame(spark, path, q, dvState.get.refs),
-              bcast = dvState.get.rows <= DvBroadcastMaxRows))
-        }
-      Seq(leg(plain, anti = false), leg(hit, anti = true)).flatten
-        .map(_.select(toLogicalCols(schema, cmap) ++ Seq("__p", "__pos").map(col): _*))
-        .reduce(_ unionAll _)
-    }
+    def liveWithId(es: Seq[String]): DataFrame = dvLiveWithId(spark, path, m, schema, es)
     val matched = liveWithId(candidates).where(predicate).select(
       entryFormCol(q, col("__p")).as("file"),
       col("__pos").as("pos"))
@@ -3423,7 +3437,7 @@ object Warehouse {
     val post = applySet(liveWithId(matchedFiles).where(predicate)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*))
     toPhysical(constraintGuard(
-      generatedValidate(post, path, "updateWhereDv"), path, "updateWhereDv"), cmap)
+      generatedRederive(post, path, "updateWhereDv"), path, "updateWhereDv"), cmap)
       .write.mode(SaveMode.Append).parquet(staging.toString)
     val next = v + 1
     val merged: Seq[(String, Long)] = {
@@ -3835,7 +3849,7 @@ object Warehouse {
     val entries = normEntries(m, v)
     val covered = s0.files.toSet intersect entries.toSet
     val newFiles = entries.filterNot(covered)
-    if (newFiles.isEmpty && covered == entries.toSet) return None
+    if (newFiles.isEmpty) return None // every entry covered
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(m.get("schema").toString).asInstanceOf[StructType]
     val cmap = columnMapOf(m)
@@ -4020,12 +4034,24 @@ object Warehouse {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val eras = recorded.map(v => readManifest(fs, path, v).map(eraOf))
     val distinctEras = eras.flatten.map { case (s, cm) => (s.json, cm) }.distinct
-    if (distinctEras.size <= 1)
+    // ordering matters (review r11): the fast path may only fire when
+    // EVERY manifest is readable (or there is a single version) — a
+    // rotted old-era manifest must not let a spanning range slip onto
+    // the naive read and silently NULL the renamed column. With
+    // missing manifests the feed FILES' own schemas decide: all equal
+    // → one schema, the naive read is safe; unequal → refuse loudly.
+    if (recorded.size == 1 ||
+        (eras.forall(_.isDefined) && distinctEras.size <= 1))
       return spark.read.parquet(recorded.map(v => cdfDir(path, v).toString): _*)
-    require(eras.forall(_.isDefined),
-      s"readChangeFeed($path): $fromVersion..$toVersion spans a schema change but " +
-        "some version's manifest is unreadable — the era bridge needs every manifest; " +
-        "replay per schema era, or pull via snapshotDiff")
+    if (!eras.forall(_.isDefined)) {
+      val fileSchemas = recorded
+        .map(v => spark.read.parquet(cdfDir(path, v).toString).schema.json).distinct
+      require(fileSchemas.size == 1,
+        s"readChangeFeed($path): $fromVersion..$toVersion spans a schema change but " +
+          "some version's manifest is unreadable — the era bridge needs every manifest; " +
+          "replay per schema era, or pull via snapshotDiff")
+      return spark.read.parquet(recorded.map(v => cdfDir(path, v).toString): _*)
+    }
     val (toSchema, toMap) = readManifest(fs, path, toVersion).map(eraOf)
       .getOrElse(eras.last.get)
     recorded.zip(eras.map(_.get))
@@ -4037,8 +4063,7 @@ object Warehouse {
           .add("_commit_version", org.apache.spark.sql.types.LongType)
         val df = spark.read.schema(feedSchema)
           .parquet(group.map(g => cdfDir(path, g._1).toString): _*)
-        val physToLogicalFrom =
-          fromSchema.fieldNames.map(n => physicalName(fromMap, n) -> n).toMap
+        val physToLogicalFrom = physToLogical(fromSchema, fromMap)
         df.select(toSchema.fields.map { f =>
           physToLogicalFrom.get(physicalName(toMap, f.name)) match {
             case Some(old) => col(old).cast(f.dataType).as(f.name)

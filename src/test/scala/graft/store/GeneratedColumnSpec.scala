@@ -42,22 +42,37 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(Warehouse.currentSnapshot(spark, root) === vBefore)
   }
 
-  test("row-level writes validate: a SET that breaks the derivation aborts") {
+  test("row-level writes re-derive: a SET on the source recomputes the derived column") {
     val root = tmpRoot("graft_gc3")
     Warehouse.setGeneratedColumn(spark, root, "dbl", "v * 2")
     Warehouse.writeSnapshot(
       spark.range(0, 50).toDF("id").withColumn("v", col("id")), root)
-    // consistent SET (both columns updated together) passes
-    Warehouse.updateWhere(spark, root, col("id") === 3L,
-      Map("v" -> lit(100L), "dbl" -> lit(200L)))
-    assert(Warehouse.readSnapshot(spark, root).where(col("id") === 3L)
+    // SET the source only — the rule recomputes (Delta UPDATE behavior)
+    Warehouse.updateWhere(spark, root, col("id") === 4L, Map("v" -> lit(100L)))
+    assert(Warehouse.readSnapshot(spark, root).where(col("id") === 4L)
       .select("dbl").as[Long].head() === 200L)
-    // a SET that leaves the derived column stale aborts
-    val vBefore = Warehouse.currentSnapshot(spark, root)
-    intercept[Exception] {
-      Warehouse.updateWhere(spark, root, col("id") === 4L, Map("v" -> lit(100L)))
-    }
-    assert(Warehouse.currentSnapshot(spark, root) === vBefore)
+    // an explicit divergent SET of the derived column is overwritten
+    // by its definition — the rule wins on the derived column
+    Warehouse.updateWhereDv(spark, root, col("id") === 5L,
+      Map("v" -> lit(7L), "dbl" -> lit(999L)))
+    assert(Warehouse.readSnapshot(spark, root).where(col("id") === 5L)
+      .select("dbl").as[Long].head() === 14L)
+    // untouched rows keep their (already valid) derivation
+    assert(Warehouse.readSnapshot(spark, root)
+      .where(col("dbl") =!= col("v") * 2).count() === 0)
+  }
+
+  test("replaceWhere fills the derived column like appends do") {
+    val root = tmpRoot("graft_gc3b")
+    Warehouse.setGeneratedColumn(spark, root, "dbl", "v * 2")
+    Warehouse.writeSnapshot(
+      spark.range(0, 20).toDF("id").withColumn("v", col("id")), root)
+    Warehouse.replaceWhere(spark, root, col("id") < 5L,
+      Seq((100L, 3L)).toDF("id", "v").filter(col("id") < 5L).unionByName(
+        Seq((1L, 50L)).toDF("id", "v")))
+    val got = Warehouse.readSnapshot(spark, root)
+    assert(got.where(col("id") === 1L).select("dbl").as[Long].head() === 100L)
+    assert(got.where(col("dbl") =!= col("v") * 2).count() === 0)
   }
 
   test("stats pruning on the derived column: the writer never computes it, reads skip by it") {

@@ -85,6 +85,47 @@ class IvmDistinctMomentsSpec extends SparkSpec {
     assert(r === ((3L, 2L, 5.0)))
   }
 
+  test("NULL group keys stay ONE group, exactly like SQL GROUP BY (null-safe merge)") {
+    val old2 = Seq((Some("a"), 1L, 10L), (None: Option[String], 2L, 20L),
+      (None: Option[String], 3L, 30L)).toDF("g", "id", "v")
+    val new2 = Seq((Some("a"), 1L, 10L), (None: Option[String], 3L, 30L),
+      (None: Option[String], 4L, 30L)).toDF("g", "id", "v")
+    val f = Warehouse.diffFrames(old2, new2, Seq("id"), preImages = true)
+    // count/sum: the NULL group's delete must land in the NULL group
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    same(Ivm.maintainAggregate(aggOf(old2), f, Seq("g"), Map("s" -> "v"), "n"),
+      aggOf(new2))
+    // distinct support under a NULL group key
+    val support0 = old2.groupBy("g", "v").agg(count(lit(1)).as("m"))
+    same(Ivm.distinctCounts(
+      Ivm.maintainDistinctSupport(support0, f, Seq("g"), "v"), Seq("g")),
+      new2.groupBy("g").agg(countDistinct(col("v")).as("nd")))
+    // min/max: the NULL group's extremum dies (the delete of v=20 kills
+    // its min) — the dirty rescan must find the NULL group null-safely
+    def mmOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"),
+        min("v").as("mn"), max("v").as("mx"))
+    val old3 = Seq((None: Option[String], 2L, 20L),
+      (None: Option[String], 3L, 30L), (Some("a"), 4L, 1L)).toDF("g", "id", "v")
+    val new3 = Seq((None: Option[String], 3L, 30L), (Some("a"), 4L, 1L)).toDF("g", "id", "v")
+    val f3 = Warehouse.diffFrames(old3, new3, Seq("id"), preImages = true)
+    same(Ivm.maintainMinMax(mmOf(old3), f3, new3, Seq("g"),
+      mins = Map("mn" -> "v"), maxs = Map("mx" -> "v"), "n"), mmOf(new3))
+  }
+
+  test("a support seeded with raw groupBy (NULL value rows included) still obeys the law") {
+    val old2 = Seq(("a", 1L, Some(10L)), ("a", 2L, None: Option[Long])).toDF("g", "id", "v")
+    val new2 = Seq(("a", 1L, Some(10L))).toDF("g", "id", "v")
+    // the naive seed carries an (a, NULL, 1) row — maintenance must
+    // drop it rather than let it inflate the distinct count forever
+    val support0 = old2.groupBy("g", "v").agg(count(lit(1)).as("m"))
+    val f = Warehouse.diffFrames(old2, new2, Seq("id"), preImages = true)
+    same(Ivm.distinctCounts(
+      Ivm.maintainDistinctSupport(support0, f, Seq("g"), "v"), Seq("g")),
+      new2.groupBy("g").agg(countDistinct(col("v")).as("nd")))
+  }
+
   test("post-only update feeds are refused (inherited preimage parity)") {
     val postOnly = Seq(("a", 1L, 99L)).toDF("g", "id", "v")
       .withColumn("_change_type", lit("update"))
