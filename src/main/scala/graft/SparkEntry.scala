@@ -375,6 +375,24 @@ object SparkEntry {
       Warehouse.indexSnapshot(s, root, "l_orderkey")
       Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
     }),
+    "q_symlink_export" -> ((s, dir) => {
+      // X206 symlink export: the exported file list must BE the pinned
+      // snapshot — the query reads the table back EXCLUSIVELY through
+      // the exported list (a missing file loses rows, a stray file
+      // adds them; either breaks the oracle hash).
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val root = java.nio.file.Files.createTempDirectory("graft_qsx").toString + "/t"
+      Warehouse.writeSnapshot(
+        li.filter(col("l_orderkey") % 2 === 0).repartition(3), root)
+      Warehouse.appendSnapshot(li.filter(col("l_orderkey") % 2 === 1), root, 1L)
+      val mf = Warehouse.exportSymlinkManifest(s, root)
+      val p = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+        new org.apache.hadoop.fs.Path(mf))
+      val files = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.toString)), "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+      s.read.parquet(files: _*)
+    }),
     "q_generated_column" -> ((s, dir) => {
       // X205 generated columns: the writers supply business columns
       // only — the table derives qty_bucket on BOTH the initial write
@@ -1363,6 +1381,9 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_point_lookup_indexed" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
+    // X206 symlink export consumed externally ≡ the whole table
+    "q_symlink_export" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem""",
     // X205 generated columns: both writes derive qty_bucket
     "q_generated_column" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

@@ -3372,6 +3372,12 @@ object Warehouse {
     * second update can re-match the first's post-images (they live in
     * a clean fresh file) — updates compose across commits.
     *
+    * Cost note: `changeFeed = true` re-reads the MATCHED files a third
+    * time for the pre/post pair (positions, post-images, feed — the
+    * same per-write shape as [[deleteWhereDv]]'s feed leg); the
+    * predicate must be deterministic, as for every discovery-based
+    * write — each extra evaluation is the same contract, not a new one.
+    *
     * Streaming-tail caveat: an append-only [[readSnapshotStream]]
     * consumer sees this version's FRESH post-image file as new rows
     * (the dv'd old copies are invisible to it) — the same restriction
@@ -4193,6 +4199,61 @@ object Warehouse {
           case (None, None) => full()
         }
     }
+  }
+
+  /** Export the Delta `symlink_format_manifest` analog (X206): one
+    * plain-text file listing the version's ABSOLUTE data-file paths,
+    * so an external engine that only speaks parquet (DuckDB, Trino,
+    * Hive, Athena) reads the committed snapshot without understanding
+    * the layout — `read_parquet(<the listed files>)` IS the pinned
+    * version, stray files and other versions invisible. Lands under
+    * `_symlink/v=<n>/manifest.txt` (tmp+rename), beside a
+    * `schema.json` sidecar carrying the logical schema and the column
+    * map (X195) — a mapped table's files hold PHYSICAL names, and the
+    * sidecar is what lets the consumer alias back; re-export after new
+    * commits (the export names one immutable version, it does not
+    * follow the pointer). REFUSES a version with live deletion
+    * vectors: an external reader would resurrect the deleted rows —
+    * [[materializeDeletes]] first, then export.
+    */
+  def exportSymlinkManifest(spark: SparkSession, path: String,
+                            version: Option[Long] = None): String = {
+    val v = resolveVersion(spark, path, version)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"exportSymlinkManifest($path): v=$v has no readable manifest"))
+    require(readDvState(m).isEmpty,
+      s"exportSymlinkManifest($path): v=$v carries live deletion vectors — an " +
+        "external parquet reader would resurrect deleted rows; run " +
+        "materializeDeletes first")
+    val entries = normEntries(m, v)
+    val q = qualifiedRoot(fs, path)
+    val lines = entries.map(e => fs.makeQualified(
+      new org.apache.hadoop.fs.Path(entryPath(path, e))).toString).sorted
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_symlink/v=$v")
+    fs.mkdirs(dir)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    def publish(name: String, bytes: Array[Byte]): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-$tag-$name")
+      val out = fs.create(tmp, true)
+      out.write(bytes); out.close()
+      overwriteRename(fs, tmp, new org.apache.hadoop.fs.Path(dir, name),
+        s"cannot publish symlink manifest for v=$v under $path")
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val side = mapper.createObjectNode()
+    side.put("version", v)
+    side.set[com.fasterxml.jackson.databind.JsonNode]("schema",
+      mapper.readTree(m.get("schema").toString))
+    val cmap = columnMapOf(m)
+    if (cmap.nonEmpty) {
+      val cm = side.putObject("columnMap")
+      cmap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
+    publish("schema.json", mapper.writeValueAsBytes(side))
+    publish("manifest.txt", (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    s"$path/_symlink/v=$v/manifest.txt"
   }
 
   /** Manifest-stats-pruned snapshot read — the Delta/Iceberg
