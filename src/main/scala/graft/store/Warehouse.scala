@@ -420,12 +420,19 @@ object Warehouse {
         !fs.exists(manifestPath(path, st.getPath.getName.drop(2).toLong)) &&
         now - newestMtime(fs, st.getPath) > graceMs
     }
+    // "referenced" includes SIDECARS, not just data entries (review
+    // r11): a dv-commit version owns no data files, so a reference
+    // check on manifestEntries alone would let vacuum reap a `_dv`
+    // (or `_idx`) dir that live manifests still subtract/probe —
+    // unrecoverable position loss. Same reachability rule expire uses.
     val referenced: Set[String] =
       if (partialCandidates.isEmpty) Set.empty
       else fs.listStatus(root).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("_manifest-v")).map(_.stripPrefix("_manifest-v").toLong)
         .flatMap(mv => readManifest(fs, path, mv).toSeq.flatMap(m =>
-          manifestEntries(m).filter(_.contains("/")))).toSet
+          manifestEntries(m).filter(_.contains("/")) ++
+            readDvState(m).toSeq.flatMap(_.refs) ++
+            readIdxState(m).map(_.ref).toSeq)).toSet
     val partials = partialCandidates.filter { st =>
       val name = st.getPath.getName
       !referenced.exists(_.startsWith(s"$name/")) && {
@@ -594,6 +601,52 @@ object Warehouse {
     * two rewriters route through [[commitSnapshot]] and revalidate —
     * the belt Delta also wears.
     */
+  /** Serialize the read-modify-write of a root RULES file (review
+    * r11): `_constraints`/`_generated` are single gate files with no
+    * CAS of their own, so two concurrent ALTERs would silently drop
+    * one rule from the enforcement gate (last rename wins). Exclusive
+    * create of `_ddl-lock`, bounded wait, stale locks broken past the
+    * grace (a crashed ALTER must not wedge DDL forever).
+    */
+  private def withDdlLock[T](fs: org.apache.hadoop.fs.FileSystem, path: String,
+                             graceMs: Long = 600000L)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_ddl-lock")
+    val deadline = System.currentTimeMillis() + 30000L
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try { val o = fs.create(lock, false); o.close(); true }
+        catch {
+          case _: java.io.IOException =>
+            val stale =
+              try System.currentTimeMillis() -
+                fs.getFileStatus(lock).getModificationTime > graceMs
+              catch { case _: java.io.FileNotFoundException => false }
+            if (stale) fs.delete(lock, false)
+            else if (System.currentTimeMillis() > deadline)
+              throw new java.io.IOException(
+                s"DDL lock busy under $path — a concurrent ALTER holds it")
+            else Thread.sleep(100L)
+            false
+        }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Shared tmp+rename publisher for the root rules files. */
+  private def writeRulesFile(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                             fileName: String, rules: Map[String, String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    rules.toSeq.sortBy(_._1).foreach { case (n, p) => node.put(n, p) }
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-ct$tag")
+    val out = fs.create(tmp, true)
+    out.write(mapper.writeValueAsBytes(node)); out.close()
+    overwriteRename(fs, tmp, new org.apache.hadoop.fs.Path(s"$path/$fileName"),
+      s"cannot publish $fileName for $path")
+  }
+
   def setSnapshotConstraint(spark: SparkSession, path: String,
                             name: String, predicateSql: String): Unit = {
     requireTagName(name)
@@ -603,38 +656,27 @@ object Warehouse {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.createObjectNode()
-    (snapshotConstraints(spark, path) + (name -> predicateSql)).toSeq.sortBy(_._1)
-      .foreach { case (n, p) => node.put(n, p) }
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-ct$tag")
-    val out = fs.create(tmp, true)
-    out.write(mapper.writeValueAsBytes(node)); out.close()
-    overwriteRename(fs, tmp, new org.apache.hadoop.fs.Path(s"$path/_constraints"),
-      s"cannot publish constraints for $path")
+    withDdlLock(fs, path) {
+      writeRulesFile(fs, path, "_constraints",
+        snapshotConstraints(spark, path) + (name -> predicateSql))
+    }
   }
 
   /** Remove a named constraint; returns whether it existed. */
   def dropSnapshotConstraint(spark: SparkSession, path: String, name: String): Boolean = {
-    val existing = snapshotConstraints(spark, path)
-    if (!existing.contains(name)) return false
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rest = existing - name
-    if (rest.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(s"$path/_constraints"), false)
-    else {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = mapper.createObjectNode()
-      rest.toSeq.sortBy(_._1).foreach { case (n, p) => node.put(n, p) }
-      val tag = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-ct$tag")
-      val out = fs.create(tmp, true)
-      out.write(mapper.writeValueAsBytes(node)); out.close()
-      overwriteRename(fs, tmp, new org.apache.hadoop.fs.Path(s"$path/_constraints"),
-        s"cannot publish constraints for $path")
+    withDdlLock(fs, path) {
+      val existing = snapshotConstraints(spark, path)
+      if (!existing.contains(name)) false
+      else {
+        val rest = existing - name
+        if (rest.isEmpty)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/_constraints"), false)
+        else writeRulesFile(fs, path, "_constraints", rest)
+        true
+      }
     }
-    true
   }
 
   /** The table's declared CHECK constraints, name -> predicate SQL. */
@@ -722,32 +764,27 @@ object Warehouse {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
-    writeGeneratedFile(fs, path, snapshotGenerated(spark, path) + (column -> exprSql))
+    withDdlLock(fs, path) {
+      writeRulesFile(fs, path, "_generated",
+        snapshotGenerated(spark, path) + (column -> exprSql))
+    }
   }
 
   /** Remove a generation rule; returns whether it existed. */
   def dropGeneratedColumn(spark: SparkSession, path: String, column: String): Boolean = {
-    val existing = snapshotGenerated(spark, path)
-    if (!existing.contains(column)) return false
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rest = existing - column
-    if (rest.isEmpty) fs.delete(new org.apache.hadoop.fs.Path(s"$path/_generated"), false)
-    else writeGeneratedFile(fs, path, rest)
-    true
-  }
-
-  private def writeGeneratedFile(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                                 rules: Map[String, String]): Unit = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.createObjectNode()
-    rules.toSeq.sortBy(_._1).foreach { case (c, e) => node.put(c, e) }
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-gc$tag")
-    val out = fs.create(tmp, true)
-    out.write(mapper.writeValueAsBytes(node)); out.close()
-    overwriteRename(fs, tmp, new org.apache.hadoop.fs.Path(s"$path/_generated"),
-      s"cannot publish generated-column rules for $path")
+    withDdlLock(fs, path) {
+      val existing = snapshotGenerated(spark, path)
+      if (!existing.contains(column)) false
+      else {
+        val rest = existing - column
+        if (rest.isEmpty)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/_generated"), false)
+        else writeRulesFile(fs, path, "_generated", rest)
+        true
+      }
+    }
   }
 
   /** The table's declared generation rules, column -> expression SQL. */
@@ -846,6 +883,32 @@ object Warehouse {
     */
   def currentSnapshot(spark: SparkSession, path: String): Long =
     snapshots(spark, path).lastOption.getOrElse(0L)
+
+  /** The MAIN lineage's write base: the `_latest` target when the
+    * pointer exists, else the newest live version (0 on an empty
+    * table). Deliberately NOT [[currentSnapshot]] — that is the
+    * highest live version NUMBER, which includes unpublished branch
+    * heads (X171): a main-side write that based itself on a branch
+    * head would adopt — and its pointer advance would silently
+    * PUBLISH — unaudited branch content (review r11). Every main-side
+    * write below reads its content base here and allocates its
+    * version number via [[nextVersionAbove]].
+    */
+  private def mainWriteBase(spark: SparkSession, path: String): Long = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readPointerFile(fs, ptr)
+      .orElse(snapshots(spark, path).lastOption)
+      .getOrElse(0L)
+  }
+
+  /** The next globally-free version number: versions are ONE sequence
+    * shared with branch heads, so a main-side commit allocates ABOVE
+    * every live version even when its content base is behind (a
+    * branch is ahead); the manifest's carried entries keep the
+    * content's lineage regardless of the number's gap. */
+  private def nextVersionAbove(spark: SparkSession, path: String, base: Long): Long =
+    math.max(base, currentSnapshot(spark, path)) + 1
 
   /** Optimistic-concurrency snapshot commit — the minimal
     * Delta/Iceberg-style multi-writer protocol over the [[writeSnapshot]]
@@ -1159,15 +1222,34 @@ object Warehouse {
     * maximum replay horizon (one version, for Spark's foreachBatch
     * replay-last-batch-on-restart contract).
     */
+  /** Driver-side scan cache (review r11): manifests are immutable and
+    * an appId's stamp only moves FORWARD, so each call needs to parse
+    * only the versions that appeared since the last scan — without
+    * this, an idle stream (empty batches never stamp) re-read the
+    * whole version history's manifests on every trigger. Keyed
+    * (path, appId) -> (scanned-through version, last epoch); a cold
+    * cache or another driver's writes degrade to the full scan, never
+    * to a wrong answer.
+    */
+  private val epochScanCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Option[Long])]()
+
   def lastCommittedEpoch(spark: SparkSession, path: String, appId: String): Option[Long] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snapshots(spark, path).reverseIterator
+    val vs = snapshots(spark, path)
+    val key = (new org.apache.hadoop.fs.Path(path).toString, appId)
+    val cached = Option(epochScanCache.get(key))
+    val floor = cached.map(_._1).getOrElse(0L)
+    val fresh = vs.reverseIterator.takeWhile(_ > floor)
       .flatMap(v => readManifest(fs, path, v))
       .collectFirst {
         case m if m.has("txnApp") && m.get("txnApp").asText == appId =>
           m.get("txnEpoch").asLong
       }
+    val result = fresh.orElse(cached.flatMap(_._2))
+    epochScanCache.put(key, (vs.lastOption.getOrElse(0L), result))
+    result
   }
 
   /** One exactly-once streaming micro-batch into the table — the body
@@ -1186,15 +1268,29 @@ object Warehouse {
                         changeFeed: Boolean = false,
                         orphanGraceMs: Long = 600000L): Long = {
     val spark = batch.sparkSession
-    if (lastCommittedEpoch(spark, path, appId).exists(_ >= epoch))
-      return currentSnapshot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // bounded CAS retry: each loss means a foreign commit advanced the
     // version, so progress is global even when this writer spins
     var attempts = 0
     while (true) {
-      val cur = currentSnapshot(spark, path)
-      try return appendSnapshot(batch, path, cur, orphanGraceMs, changeFeed,
-        txn = Some((appId, epoch)))
+      // the epoch gate re-checks INSIDE the retry loop (review r11): a
+      // zombie driver that loses the CAS to its replacement must see
+      // the replacement's epoch stamp — a single pre-loop check would
+      // let the zombie re-append an already-committed epoch
+      if (lastCommittedEpoch(spark, path, appId).exists(_ >= epoch))
+        return mainWriteBase(spark, path)
+      // content base = the MAIN lineage (review r11: currentSnapshot
+      // includes unpublished branch heads — a stream basing itself on
+      // one would silently publish it); version number allocated above
+      // every live version
+      val base = mainWriteBase(spark, path)
+      val next = nextVersionAbove(spark, path, base)
+      try return appendVersionFrom(batch, path, base, next, orphanGraceMs,
+        changeFeed, txn = Some((appId, epoch))) match {
+        case None => base // empty batch: no commit
+        case Some(v) => advancePointer(fs, path, v); v
+      }
       catch {
         case e: SnapshotConflictException =>
           attempts += 1
@@ -1245,10 +1341,11 @@ object Warehouse {
                         changeFeed: Boolean = false,
                         orphanGraceMs: Long = 600000L): Long = {
     val spark = batch.sparkSession
-    if (lastCommittedEpoch(spark, path, appId).exists(_ >= epoch))
-      return currentSnapshot(spark, path)
     var attempts = 0
     while (true) {
+      // epoch gate inside the retry loop — see [[commitStreamBatch]]
+      if (lastCommittedEpoch(spark, path, appId).exists(_ >= epoch))
+        return mainWriteBase(spark, path)
       try return mergeIntoSnapshot(spark, path, batch, keys, clauses,
         orphanGraceMs, changeFeed = changeFeed, txn = Some((appId, epoch)))
       catch {
@@ -2334,6 +2431,26 @@ object Warehouse {
   private def branchFile(path: String, name: String) =
     new org.apache.hadoop.fs.Path(s"$path/_branch-$name")
 
+  /** The branch's LINEAGE anchor (review r11): the main version the
+    * branch's pending work is based on — written at create, advanced
+    * to the published head on every publish. [[publishBranch]] guards
+    * on THIS, not on version numbers: main commits made after the
+    * branch point can carry numbers below the branch head, and a
+    * numeric `mainV <= head` check would silently un-publish them.
+    */
+  private def branchBaseFile(path: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_branchbase-$name")
+
+  private def writeBranchBase(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                              name: String, v: Long): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp-bb$tag")
+    val out = fs.create(tmp, true)
+    out.write(v.toString.getBytes("UTF-8")); out.close()
+    overwriteRename(fs, tmp, branchBaseFile(path, name),
+      s"cannot record base for branch '$name' under $path")
+  }
+
   private def readPointerFile(fs: org.apache.hadoop.fs.FileSystem,
                               p: org.apache.hadoop.fs.Path): Option[Long] =
     try {
@@ -2370,8 +2487,18 @@ object Warehouse {
         try {
           val out = fs.create(dest, false)
           out.write(v.toString.getBytes("UTF-8")); out.close(); true
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          // only exists-already means exists-already (review r11): a
+          // transient I/O or permission failure misreported as "branch
+          // exists" sends the operator to drop a branch that was never
+          // created — let the real error surface
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
     require(created, s"createBranch($path): branch '$name' already exists")
+    // the lineage anchor publishBranch guards on; creation was
+    // exclusive, so this write has no competitor
+    writeBranchBase(fs, path, name, v)
     v
   }
 
@@ -2427,7 +2554,13 @@ object Warehouse {
     val next = currentSnapshot(spark, path) + 1
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    // branch commits validate like EVERY row-writing path (review
+    // r11): the WAP stage is where validation is supposed to happen —
+    // skipping the CHECK/generated gates here would let publishBranch
+    // promote unvalidated rows to main
+    val g = generatedAlign(df, path, "commitToBranch")
+    constraintGuard(g, path, "commitToBranch")
+      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
       fs.delete(staging, true)
       throw new SnapshotConflictException(path, next)
@@ -2438,7 +2571,7 @@ object Warehouse {
       throw new SnapshotConflictException(path, next)
     }
     promoteStaging(fs, staging, dest, path, next)
-    publishManifestBestEffort(fs, spark, path, next, df.schema.json)
+    publishManifestBestEffort(fs, spark, path, next, g.schema.json)
     advanceBranch(fs, path, name, expectedBranchVersion, next)
     next
   }
@@ -2506,10 +2639,25 @@ object Warehouse {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = branchHead(spark, path, name)
     val mainV = resolveVersion(spark, path, None)
-    require(mainV <= head,
-      s"publishBranch($path): _latest is at v=$mainV, ahead of branch '$name' " +
-        s"head v=$head — re-branch from latest and replay the branch's changes")
+    // LINEAGE guard, not a numeric one (review r11): the branch's work
+    // extends its recorded base; if main moved off that base since —
+    // regardless of the version NUMBERS involved — fast-forwarding
+    // would silently un-publish main's commit. Legacy branches without
+    // a base record fall back to the numeric check.
+    readPointerFile(fs, branchBaseFile(path, name)) match {
+      case Some(base) =>
+        require(mainV == base || mainV == head,
+          s"publishBranch($path): main moved to v=$mainV since branch '$name' " +
+            s"based itself on v=$base — publishing head v=$head would un-publish " +
+            "main's commit; re-branch from latest and replay the branch's changes")
+      case None =>
+        require(mainV <= head,
+          s"publishBranch($path): _latest is at v=$mainV, ahead of branch '$name' " +
+            s"head v=$head — re-branch from latest and replay the branch's changes")
+    }
     advancePointer(fs, path, head)
+    // future publishes of this branch extend from the published head
+    writeBranchBase(fs, path, name, head)
     head
   }
 
@@ -2520,6 +2668,7 @@ object Warehouse {
     requireTagName(name)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(branchBaseFile(path, name), false)
     fs.delete(branchFile(path, name), false)
   }
 
@@ -2540,7 +2689,7 @@ object Warehouse {
                        orphanGraceMs: Long = 600000L): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(snapshots(spark, path).contains(toVersion),
       s"rollbackSnapshot($path): no live snapshot v=$toVersion to restore")
     if (toVersion == v) return v
@@ -2563,7 +2712,7 @@ object Warehouse {
           .map(st => s"v=$toVersion/${st.getPath.getName}").sorted
         (names, spark.read.parquet(s"$path/v=$toVersion").schema.json, None)
     }
-    val next = v + 1
+    val next = nextVersionAbove(spark, path, v)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     fs.mkdirs(staging)
@@ -3035,7 +3184,7 @@ object Warehouse {
                                    txn: Option[(String, Long)] = None): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"$op($path): no committed snapshot")
     // the version's committed entries, root-relative; manifest when
     // present, dir listing for pre-manifest versions
@@ -3130,7 +3279,7 @@ object Warehouse {
       val rem = d.files.filterNot { case (f, _) => touched(f) }
       if (rem.isEmpty) None else Some(DvState(d.refs, rem))
     }
-    val next = v + 1
+    val next = nextVersionAbove(spark, path, v)
     def touchedDf: DataFrame =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -3267,7 +3416,7 @@ object Warehouse {
                     changeFeed: Boolean = false): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"deleteWhereDv($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"deleteWhereDv($path): v=$v has no readable manifest — the DV record rides the " +
@@ -3302,7 +3451,7 @@ object Warehouse {
     val entrySet = entries.toSet
     perFile.foreach { case (f, _) => require(entrySet.contains(f),
       s"deleteWhereDv($path): matched file $f not in committed entry list") }
-    val next = v + 1
+    val next = nextVersionAbove(spark, path, v)
     val merged: Seq[(String, Long)] = {
       val base = dvState.map(_.files).getOrElse(Seq.empty).toMap
       val add = perFile.toMap
@@ -3393,7 +3542,7 @@ object Warehouse {
     require(set.nonEmpty, "updateWhereDv needs at least one SET column")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"updateWhereDv($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"updateWhereDv($path): v=$v has no readable manifest — the DV record rides the " +
@@ -3445,7 +3594,7 @@ object Warehouse {
     toPhysical(constraintGuard(
       generatedRederive(post, path, "updateWhereDv"), path, "updateWhereDv"), cmap)
       .write.mode(SaveMode.Append).parquet(staging.toString)
-    val next = v + 1
+    val next = nextVersionAbove(spark, path, v)
     val merged: Seq[(String, Long)] = {
       val base = dvState.map(_.files).getOrElse(Seq.empty).toMap
       val add = perFile.toMap
@@ -3512,7 +3661,7 @@ object Warehouse {
                          orphanGraceMs: Long = 600000L): Option[(Long, Int)] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"materializeDeletes($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(return None)
     val dvState = readDvState(m).getOrElse(return None)
@@ -3528,7 +3677,7 @@ object Warehouse {
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     if (untouched.nonEmpty)
       fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
-    val next = v + 1
+    val next = nextVersionAbove(spark, path, v)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
       fs.delete(staging, true)
       throw new SnapshotConflictException(path, next)
@@ -3595,7 +3744,7 @@ object Warehouse {
       s"renameSnapshotColumn: invalid target name '$to'")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"renameSnapshotColumn($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"renameSnapshotColumn($path): v=$v has no readable manifest — the column map " +
@@ -3638,7 +3787,7 @@ object Warehouse {
                          orphanGraceMs: Long = 600000L): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"dropSnapshotColumn($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"dropSnapshotColumn($path): v=$v has no readable manifest — the column map " +
@@ -3674,7 +3823,7 @@ object Warehouse {
                         orphanGraceMs: Long = 600000L): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"addSnapshotColumn($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"addSnapshotColumn($path): v=$v has no readable manifest — the column map " +
@@ -3716,7 +3865,7 @@ object Warehouse {
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     fs.mkdirs(staging)
     fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
-    val next = v + 1
+    val next = nextVersionAbove(spark, path, v)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
       fs.delete(staging, true)
       throw new SnapshotConflictException(path, next)
@@ -3772,7 +3921,7 @@ object Warehouse {
     require(mBits > 0, s"mBits must be positive, got $mBits")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"indexSnapshot($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"indexSnapshot($path): v=$v has no readable manifest — the index record rides it"))
@@ -3797,7 +3946,7 @@ object Warehouse {
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     idxRows.write.mode(SaveMode.ErrorIfExists).parquet(s"$staging/_idx")
     fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
-    val next = v + 1
+    val next = nextVersionAbove(spark, path, v)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
       fs.delete(staging, true)
       throw new SnapshotConflictException(path, next)
@@ -3846,7 +3995,7 @@ object Warehouse {
                            orphanGraceMs: Long = 600000L): Option[Long] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"refreshIndexSnapshot($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"refreshIndexSnapshot($path): v=$v has no readable manifest"))
@@ -3878,7 +4027,7 @@ object Warehouse {
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     idxRows.write.mode(SaveMode.ErrorIfExists).parquet(s"$staging/_idx")
     fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
-    val next = v + 1
+    val next = nextVersionAbove(spark, path, v)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
       fs.delete(staging, true)
       throw new SnapshotConflictException(path, next)
@@ -3932,9 +4081,18 @@ object Warehouse {
           case Some(s) =>
             val covered = s.files.toSet intersect entries.toSet
             // the probe's 4 lane positions, driver-side, under the
-            // identical md5 contract the index was built with
+            // identical md5 contract the index was built with — the
+            // string form must be SPARK'S cast of the value, not
+            // String.valueOf (review r11: Timestamp.toString keeps a
+            // fractional digit Spark's cast drops; a diverging
+            // representation would prune files that contain the value)
+            val probeStr = spark.range(1)
+              .select(lit(value).cast("string")).collect()(0).getString(0)
+            if (probeStr == null)
+              return dvPlannedRead(spark, path, m, schema, entries)
+                .filter(col(column) === lit(value))
             val md = java.security.MessageDigest.getInstance("MD5")
-            val hex = md.digest(String.valueOf(value).getBytes("UTF-8"))
+            val hex = md.digest(probeStr.getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
             val probes = (0 until 4)
               .map(i => java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16) % s.bits)
@@ -4629,7 +4787,7 @@ object Warehouse {
                       targetFileBytes: Long = 128L << 20,
                       clusterCols: Seq[String] = Seq.empty): (Long, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"compactSnapshot($path): no committed snapshot")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4834,7 +4992,7 @@ object Warehouse {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = currentSnapshot(spark, path)
+    val v = mainWriteBase(spark, path)
     require(v >= 1, s"optimizeSnapshot($path): no committed snapshot")
     val (entries, bytes, schemaJson, reuse) = readManifest(fs, path, v) match {
       case Some(m) if m.has("fileBytes") =>
@@ -4882,7 +5040,7 @@ object Warehouse {
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     if (carried.nonEmpty)
       fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
-    val next = v + 1
+    val next = nextVersionAbove(spark, path, v)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
       fs.delete(staging, true)
       throw new SnapshotConflictException(path, next)

@@ -79,7 +79,8 @@ class BranchSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Warehouse.publishBranch(spark, root, "b")
     }
-    assert(e.getMessage.contains("ahead of branch"))
+    assert(e.getMessage.contains("un-publish main's commit"),
+      s"lineage refusal expected, got: ${e.getMessage}")
     // main's write was never un-published
     assert(Warehouse.readSnapshot(spark, root).count() === 30)
   }
