@@ -1130,39 +1130,14 @@ object Warehouse {
         .write.mode(SaveMode.ErrorIfExists).parquet(st.toString)
       st
     }
-    def unwindStaging(): Unit = {
-      fs.delete(staging, true)
-      cdfStaging.foreach(fs.delete(_, true))
-    }
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      unwindStaging()
-      throw new SnapshotConflictException(path, next)
-    }
-    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      unwindStaging()
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    cdfStaging.foreach(st => publishChangeFiles(fs, path, next, st))
-    val fresh = fs.listStatus(dest).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.getName)
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      target.json, Some(fresh ++ baseEntries), reuseFrom = reuse, txn = txn,
-      // an append rewrites nothing, so the base's deletion vectors
-      // (X189) carry forward verbatim — the new files have none
+    // an append rewrites nothing, so the base's deletion vectors
+    // (X189) carry forward verbatim — the new files have none
+    commitStagedVersion(spark, fs, path, staging, next, target.json,
+      baseEntries, reuse, op = "appendSnapshot",
+      orphanGraceMs = orphanGraceMs, txn = txn,
       dv = reuse.flatMap { case (m, _) => readDvState(m) },
-      columnMap = if (minted.isEmpty) None else Some(cmap))
-    catch {
-      case e: Throwable =>
-        fs.delete(dest, true)
-        fs.delete(cdfDir(path, next), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"appendSnapshot($path): manifest publish failed for v=$next; version unwound", e)
-    }
+      columnMap = if (minted.isEmpty) None else Some(cmap),
+      cdfStaging = cdfStaging, advance = false)
     Some(next)
   }
 
@@ -2717,28 +2692,14 @@ object Warehouse {
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
     fs.mkdirs(staging)
     fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
+    // a restore references the target's files verbatim, so its
+    // deletion-vector state (X189) must restore with them
+    commitStagedVersion(spark, fs, path, staging, next, schemaJson,
+      entries, reuse, op = "rollbackSnapshot",
+      orphanGraceMs = orphanGraceMs,
+      dv = reuse.flatMap { case (m, _) => readDvState(m) },
+      advance = false)
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      schemaJson, Some(entries), reuseFrom = reuse,
-      // a restore references the target's files verbatim, so its
-      // deletion-vector state (X189) must restore with them
-      dv = reuse.flatMap { case (m, _) => readDvState(m) })
-    catch {
-      case e: Throwable =>
-        fs.delete(dest, true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"rollbackSnapshot($path): manifest publish failed for v=$next; version unwound", e)
-    }
     // POST-PUBLISH expiry fence (advice r10): the manifest-present path
     // reuses per-file bytes/rows/stats from the target manifest, so
     // writeManifest never stats the referenced files — a concurrent
@@ -3309,39 +3270,10 @@ object Warehouse {
         .write.mode(SaveMode.ErrorIfExists).parquet(st.toString)
       st
     }
-    def unwindStaging(): Unit = {
-      fs.delete(staging, true)
-      cdfStaging.foreach(fs.delete(_, true))
-    }
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      unwindStaging()
-      throw new SnapshotConflictException(path, next)
-    }
-    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      unwindStaging()
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    cdfStaging.foreach(st => publishChangeFiles(fs, path, next, st))
-    val rewritten = fs.listStatus(dest).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.getName)
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      schema.json, Some(rewritten ++ untouched),
-      reuseFrom = manifestOpt.map(m => (m, v)), txn = txn, dv = newDv)
-    catch {
-      case e: Throwable =>
-        // the manifest IS this version's commit record — unwind so the
-        // half-version can neither be read nor built upon
-        fs.delete(dest, true)
-        fs.delete(cdfDir(path, next), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"$op($path): manifest publish failed for v=$next; version unwound", e)
-    }
-    advancePointer(fs, path, next)
+    commitStagedVersion(spark, fs, path, staging, next, schema.json,
+      untouched, manifestOpt.map(m => (m, v)), op = op,
+      orphanGraceMs = orphanGraceMs, txn = txn, dv = newDv,
+      cdfStaging = cdfStaging)
     next
   }
 
@@ -3374,6 +3306,69 @@ object Warehouse {
     Seq(leg(plain, anti = false), leg(hit, anti = true)).flatten
       .map(_.select(toLogicalCols(schema, cmap) ++ Seq("__p", "__pos").map(col): _*))
       .reduce(_ unionAll _)
+  }
+
+  /** The shared tail of every LOAD-BEARING-manifest commit (review
+    * r11: this choreography existed in nine hand-copies with visible
+    * drift): CAS-claim `next`, back off if the dest exists (lease-
+    * break defense), promote the prepared staging dir, publish the
+    * staged change files, write the manifest — entries = the promoted
+    * dir's fresh data files + `carried` references — and on a
+    * manifest failure unwind the half-version (it IS the commit
+    * record; a lost one must leave nothing readable or claimable),
+    * then advance the pointer. The staging dir arrives complete:
+    * data/sidecar content and the `_partial` marker when sharing.
+    * Returns the fresh file names.
+    */
+  private def commitStagedVersion(spark: SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String,
+                                  staging: org.apache.hadoop.fs.Path,
+                                  next: Long, schemaJson: String,
+                                  carried: Seq[String],
+                                  reuseFrom: Option[(com.fasterxml.jackson.databind.JsonNode, Long)],
+                                  op: String, orphanGraceMs: Long,
+                                  txn: Option[(String, Long)] = None,
+                                  dv: Option[DvState] = None,
+                                  idx: Option[IdxState] = None,
+                                  idxDrop: Boolean = false,
+                                  columnMap: Option[Map[String, String]] = None,
+                                  droppedColumns: Option[Seq[String]] = None,
+                                  cdfStaging: Option[org.apache.hadoop.fs.Path] = None,
+                                  advance: Boolean = true): Seq[String] = {
+    def unwindStaging(): Unit = {
+      fs.delete(staging, true)
+      cdfStaging.foreach(fs.delete(_, true))
+    }
+    if (!claimVersion(fs, path, next, orphanGraceMs)) {
+      unwindStaging()
+      throw new SnapshotConflictException(path, next)
+    }
+    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+    if (fs.exists(dest)) {
+      unwindStaging()
+      throw new SnapshotConflictException(path, next)
+    }
+    promoteStaging(fs, staging, dest, path, next)
+    cdfStaging.foreach(st => publishChangeFiles(fs, path, next, st))
+    val fresh = fs.listStatus(dest).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
+      schemaJson, Some(fresh ++ carried), reuseFrom = reuseFrom, txn = txn,
+      dv = dv, idx = idx, idxDrop = idxDrop, columnMap = columnMap,
+      droppedColumns = droppedColumns)
+    catch {
+      case e: Throwable =>
+        fs.delete(dest, true)
+        fs.delete(cdfDir(path, next), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
+        throw new java.io.IOException(
+          s"$op($path): manifest publish failed for v=$next; version unwound", e)
+    }
+    if (advance) advancePointer(fs, path, next)
+    fresh
   }
 
   /** Merge-on-read row-level DELETE — deletion vectors (X189), the
@@ -3470,32 +3465,10 @@ object Warehouse {
         .write.mode(SaveMode.ErrorIfExists).parquet(st.toString)
       st
     }
-    def unwindStaging(): Unit = {
-      fs.delete(staging, true)
-      cdfStaging.foreach(fs.delete(_, true))
-    }
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      unwindStaging()
-      throw new SnapshotConflictException(path, next)
-    }
-    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      unwindStaging()
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    cdfStaging.foreach(st => publishChangeFiles(fs, path, next, st))
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      m.get("schema").toString, Some(entries), reuseFrom = Some((m, v)), dv = Some(newDv))
-    catch {
-      case e: Throwable =>
-        fs.delete(dest, true)
-        fs.delete(cdfDir(path, next), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"deleteWhereDv($path): manifest publish failed for v=$next; version unwound", e)
-    }
-    advancePointer(fs, path, next)
+    commitStagedVersion(spark, fs, path, staging, next,
+      m.get("schema").toString, entries, Some((m, v)),
+      op = "deleteWhereDv", orphanGraceMs = orphanGraceMs,
+      dv = Some(newDv), cdfStaging = cdfStaging)
     next
   }
 
@@ -3612,37 +3585,10 @@ object Warehouse {
         .write.mode(SaveMode.ErrorIfExists).parquet(st.toString)
       st
     }
-    def unwindStaging(): Unit = {
-      fs.delete(staging, true)
-      cdfStaging.foreach(fs.delete(_, true))
-    }
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      unwindStaging()
-      throw new SnapshotConflictException(path, next)
-    }
-    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      unwindStaging()
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    cdfStaging.foreach(st => publishChangeFiles(fs, path, next, st))
-    val fresh = fs.listStatus(dest).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.getName)
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      m.get("schema").toString, Some(fresh ++ entries),
-      reuseFrom = Some((m, v)), dv = Some(newDv))
-    catch {
-      case e: Throwable =>
-        fs.delete(dest, true)
-        fs.delete(cdfDir(path, next), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"updateWhereDv($path): manifest publish failed for v=$next; version unwound", e)
-    }
-    advancePointer(fs, path, next)
+    commitStagedVersion(spark, fs, path, staging, next,
+      m.get("schema").toString, entries, Some((m, v)),
+      op = "updateWhereDv", orphanGraceMs = orphanGraceMs,
+      dv = Some(newDv), cdfStaging = cdfStaging)
     next
   }
 
@@ -3678,30 +3624,9 @@ object Warehouse {
     if (untouched.nonEmpty)
       fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
     val next = nextVersionAbove(spark, path, v)
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    val fresh = fs.listStatus(dest).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.getName)
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      m.get("schema").toString, Some(fresh ++ untouched), reuseFrom = Some((m, v)))
-    catch {
-      case e: Throwable =>
-        fs.delete(dest, true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"materializeDeletes($path): manifest publish failed for v=$next; version unwound", e)
-    }
-    advancePointer(fs, path, next)
+    val fresh = commitStagedVersion(spark, fs, path, staging, next,
+      m.get("schema").toString, untouched, Some((m, v)),
+      op = "materializeDeletes", orphanGraceMs = orphanGraceMs)
     Some((next, fresh.size))
   }
 
@@ -3866,28 +3791,10 @@ object Warehouse {
     fs.mkdirs(staging)
     fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
     val next = nextVersionAbove(spark, path, v)
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      newSchema.json, Some(entries), reuseFrom = Some((m, v)),
+    commitStagedVersion(spark, fs, path, staging, next, newSchema.json,
+      entries, Some((m, v)), op = op, orphanGraceMs = orphanGraceMs,
       dv = readDvState(m), idx = idx, idxDrop = idxDrop,
       columnMap = columnMap, droppedColumns = droppedColumns)
-    catch {
-      case e: Throwable =>
-        fs.delete(dest, true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"$op($path): manifest publish failed for v=$next; version unwound", e)
-    }
-    advancePointer(fs, path, next)
     next
   }
 
@@ -3947,28 +3854,11 @@ object Warehouse {
     idxRows.write.mode(SaveMode.ErrorIfExists).parquet(s"$staging/_idx")
     fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
     val next = nextVersionAbove(spark, path, v)
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      m.get("schema").toString, Some(entries), reuseFrom = Some((m, v)),
+    commitStagedVersion(spark, fs, path, staging, next,
+      m.get("schema").toString, entries, Some((m, v)),
+      op = "indexSnapshot", orphanGraceMs = orphanGraceMs,
       dv = readDvState(m),
       idx = Some(IdxState(column, mBits, s"v=$next/_idx", entries)))
-    catch {
-      case e: Throwable =>
-        fs.delete(dest, true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"indexSnapshot($path): manifest publish failed for v=$next; version unwound", e)
-    }
-    advancePointer(fs, path, next)
     next
   }
 
@@ -4028,28 +3918,11 @@ object Warehouse {
     idxRows.write.mode(SaveMode.ErrorIfExists).parquet(s"$staging/_idx")
     fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
     val next = nextVersionAbove(spark, path, v)
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      m.get("schema").toString, Some(entries), reuseFrom = Some((m, v)),
+    commitStagedVersion(spark, fs, path, staging, next,
+      m.get("schema").toString, entries, Some((m, v)),
+      op = "refreshIndexSnapshot", orphanGraceMs = orphanGraceMs,
       dv = readDvState(m),
       idx = Some(IdxState(s0.column, s0.bits, s"v=$next/_idx", entries)))
-    catch {
-      case e: Throwable =>
-        fs.delete(dest, true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"refreshIndexSnapshot($path): manifest publish failed for v=$next; version unwound", e)
-    }
-    advancePointer(fs, path, next)
     Some(next)
   }
 
@@ -5041,32 +4914,10 @@ object Warehouse {
     if (carried.nonEmpty)
       fs.create(new org.apache.hadoop.fs.Path(staging, "_partial"), true).close()
     val next = nextVersionAbove(spark, path, v)
-    if (!claimVersion(fs, path, next, orphanGraceMs)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
-    if (fs.exists(dest)) {
-      fs.delete(staging, true)
-      throw new SnapshotConflictException(path, next)
-    }
-    promoteStaging(fs, staging, dest, path, next)
-    val fresh = fs.listStatus(dest).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.getName)
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
-      schemaJson, Some(fresh ++ carried), reuseFrom = reuse, dv = packedDv)
-    catch {
-      case e: Throwable =>
-        fs.delete(dest, true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commit-v$next"), false)
-        throw new java.io.IOException(
-          s"optimizeSnapshot($path): manifest publish failed for v=$next; version unwound", e)
-    }
-    advancePointer(fs, path, next)
-    Some((next, fs.listStatus(dest).count(st => st.isFile &&
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))))
+    val fresh = commitStagedVersion(spark, fs, path, staging, next,
+      schemaJson, carried, reuse, op = "optimizeSnapshot",
+      orphanGraceMs = orphanGraceMs, dv = packedDv)
+    Some((next, fresh.size))
   }
 
   /** ORC sink — the other columnar interchange format a warehouse
