@@ -485,6 +485,27 @@ object SparkEntry {
         col("l_returnflag").isin("R", "A") && col("l_quantity") < 10.0)
       Warehouse.readSnapshot(s, root)
     }),
+    "q_sql_snapshot" -> ((s, dir) => {
+      // X207 SQL table-valued functions: the lakehouse loop driven
+      // from pure SQL — graft_snapshot carries the FULL read plan
+      // (manifest pinning + dv anti-join), so the post-delete current
+      // read and the pinned pre-delete v=1 read both answer exactly;
+      // the oracle recomposes both states from the raw table.
+      graft.functions.TableFunctions.registerAll(s)
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val root = java.nio.file.Files.createTempDirectory("graft_qtvf").toString + "/t"
+      Warehouse.writeSnapshot(li.repartition(4), root)
+      Warehouse.deleteWhereDv(s, root, col("l_returnflag") === "R")
+      s.sql(
+        s"""SELECT 'current' AS src, l_returnflag, count(*) AS n,
+           |       sum(l_orderkey) AS key_sum
+           |FROM graft_snapshot('$root') GROUP BY l_returnflag
+           |UNION ALL
+           |SELECT 'v1' AS src, l_returnflag, count(*) AS n,
+           |       sum(l_orderkey) AS key_sum
+           |FROM graft_snapshot('$root', 1) GROUP BY l_returnflag""".stripMargin)
+    }),
     "q_cdc_diff" -> ((s, dir) => {
       // change feed between two table states: %3 keys only in new
       // (insert), %5 keys only in old (delete), %7 keys restated
@@ -1421,6 +1442,16 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R'
         |           OR (l_returnflag IN ('R', 'A') AND l_quantity < 10.0))""".stripMargin,
+    // X207 SQL TVFs: current state (post dv-delete of 'R') plus the
+    // pinned v=1 state, both recomposed from the raw table
+    "q_sql_snapshot" ->
+      """SELECT 'current' AS src, l_returnflag, count(*) AS n,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'v1' AS src, l_returnflag, count(*) AS n,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_cdc_diff" ->
       """WITH oldst AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
         |newst AS (SELECT o_orderkey, o_custkey, o_orderstatus,

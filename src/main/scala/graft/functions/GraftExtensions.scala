@@ -17,10 +17,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * arguments resolved at plan time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Registry.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    TableFunctions.functions.foreach { case (name, info, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
 }
 
 object Registry {

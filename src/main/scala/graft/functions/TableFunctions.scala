@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.store.Warehouse
+
+/** SQL TABLE-VALUED FUNCTIONS over the snapshot warehouse (X207) —
+  * the Delta `table_changes('t', 2, 5)` shape generalized: pure-SQL
+  * users get time travel, change feeds and the files/history metadata
+  * tables without touching the Scala API.
+  *
+  * A TVF resolves to a LOGICAL PLAN, not a leaf relation — which is
+  * exactly why this surface can carry the warehouse's full read
+  * semantics where a `format("graft")` DSv1 relation could not: the
+  * returned plan is [[Warehouse.readSnapshot]]'s own (manifest-pinned
+  * file list, deletion-vector anti-join, column-map aliasing, the
+  * X192 reader-feature gate), so `SELECT * FROM graft_snapshot(p)`
+  * and the Scala call are the SAME plan by construction. Catalyst
+  * then optimizes through it — predicates on top push into the
+  * parquet scan like any subquery.
+  *
+  * Arguments must be literals (path strings, version numbers): the
+  * builder runs at analysis time, where a non-foldable argument has
+  * no value yet — refused with a named error, matching the scalar
+  * registry's literal-argument contract.
+  *
+  * Functions:
+  *  - `graft_snapshot(path)` / `graft_snapshot(path, version)` —
+  *    [[Warehouse.readSnapshot]]: current or pinned version.
+  *  - `graft_snapshot_at(path, ts)` — [[Warehouse.snapshotVersionAt]]
+  *    time travel; `ts` is epoch millis or a `'yyyy-MM-dd HH:mm:ss'`
+  *    string (session-local clock, same rule as the Scala API).
+  *  - `graft_changes(path, from, to)` — [[Warehouse.readChangeFeed]]:
+  *    the recorded CDC rows of the version bracket (Delta
+  *    `table_changes`), era-bridged across renames per X202.
+  *  - `graft_files(path)` / `graft_files(path, version)` —
+  *    [[Warehouse.snapshotFiles]] metadata table (X188).
+  *  - `graft_history(path)` — [[Warehouse.snapshotHistory]]: one row
+  *    per live version with commit instant and accounting.
+  */
+object TableFunctions {
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Epoch millis from a long literal, a timestamp literal, or a
+    * `'yyyy-MM-dd HH:mm:ss[.fff]'` string literal.
+    */
+  private def tsMillis(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Long, TimestampType) => v / 1000L // micros → millis
+    case Literal(v: UTF8String, StringType) =>
+      java.sql.Timestamp.valueOf(v.toString).getTime
+    case other => throw new IllegalArgumentException(
+      s"$what must be epoch millis or a 'yyyy-MM-dd HH:mm:ss' string literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[TableFunctions.type].getName, null, name, usage, "")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** (name, info, builder) for every SQL-exposed table function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    ("graft_snapshot", info("graft_snapshot",
+      "graft_snapshot(path[, version]) - snapshot-warehouse table read, current or pinned version"),
+      (es: Seq[Expression]) => {
+        require(es.size == 1 || es.size == 2,
+          s"graft_snapshot(path[, version]) takes 1 or 2 arguments, got ${es.size}")
+        val spark = SparkSession.active
+        val v = if (es.size > 1) Some(longLit(es(1), "version")) else None
+        plan(Warehouse.readSnapshot(spark, strLit(es.head, "path"), v))
+      }),
+    ("graft_snapshot_at", info("graft_snapshot_at",
+      "graft_snapshot_at(path, ts) - time travel: the snapshot as of epoch millis or 'yyyy-MM-dd HH:mm:ss'"),
+      (es: Seq[Expression]) => {
+        require(es.size == 2,
+          s"graft_snapshot_at(path, ts) takes 2 arguments, got ${es.size}")
+        val spark = SparkSession.active
+        val path = strLit(es.head, "path")
+        val v = Warehouse.snapshotVersionAt(spark, path, tsMillis(es(1), "ts"))
+        plan(Warehouse.readSnapshot(spark, path, Some(v)))
+      }),
+    ("graft_changes", info("graft_changes",
+      "graft_changes(path, fromVersion, toVersion) - recorded change-feed rows of the version bracket"),
+      (es: Seq[Expression]) => {
+        require(es.size == 3,
+          s"graft_changes(path, from, to) takes 3 arguments, got ${es.size}")
+        plan(Warehouse.readChangeFeed(SparkSession.active, strLit(es.head, "path"),
+          longLit(es(1), "fromVersion"), longLit(es(2), "toVersion")))
+      }),
+    ("graft_files", info("graft_files",
+      "graft_files(path[, version]) - per-file accounting of a committed version (bytes/rows/shared/dv_rows)"),
+      (es: Seq[Expression]) => {
+        require(es.size == 1 || es.size == 2,
+          s"graft_files(path[, version]) takes 1 or 2 arguments, got ${es.size}")
+        val v = if (es.size > 1) Some(longLit(es(1), "version")) else None
+        plan(Warehouse.snapshotFiles(SparkSession.active, strLit(es.head, "path"), v))
+      }),
+    ("graft_history", info("graft_history",
+      "graft_history(path) - one row per live version: commit instant, operation accounting"),
+      (es: Seq[Expression]) => {
+        require(es.size == 1, s"graft_history(path) takes 1 argument, got ${es.size}")
+        plan(Warehouse.snapshotHistory(SparkSession.active, strLit(es.head, "path")))
+      }))
+
+  /** Register everything on a live session (idempotent) — the
+    * already-running-session twin of the extensions injection, same
+    * split as [[Registry.registerAll]].
+    */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

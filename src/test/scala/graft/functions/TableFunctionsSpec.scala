@@ -1,0 +1,114 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.store.Warehouse
+import org.apache.spark.sql.functions._
+
+/** X207 SQL table-valued functions — the Delta `table_changes` shape:
+  * the TVF surface must return the SAME plan as the Scala API, so
+  * every warehouse semantic (pinning, deletion vectors, column map,
+  * time travel) rides through pure SQL.
+  */
+class TableFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  TableFunctions.registerAll(spark)
+
+  private def tmpRoot(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def base(root: String): Unit =
+    Warehouse.writeSnapshot(
+      spark.range(0, 100).toDF("id").withColumn("grp", col("id") % 5)
+        .repartition(3), root)
+
+  test("graft_snapshot ≡ readSnapshot, current and pinned; dv subtraction rides through SQL") {
+    val root = tmpRoot("graft_tvf1")
+    base(root)
+    Warehouse.deleteWhereDv(spark, root, col("id") % 10 === 0)
+
+    val sqlNow = spark.sql(s"SELECT * FROM graft_snapshot('$root')")
+    assert(sqlNow.count() === 90, "deletion vectors must subtract in the SQL read")
+    assert(sqlNow.orderBy("id").collect().toSeq ===
+      Warehouse.readSnapshot(spark, root).orderBy("id").collect().toSeq)
+
+    val sqlV1 = spark.sql(s"SELECT * FROM graft_snapshot('$root', 1)")
+    assert(sqlV1.count() === 100, "pinned v=1 predates the delete")
+
+    // an aggregate over the TVF is just SQL over a subquery
+    // every deleted id is a multiple of 10, i.e. grp 0 — the other
+    // groups keep their full 20
+    val g = spark.sql(
+      s"SELECT grp, count(*) AS n FROM graft_snapshot('$root') GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.toSeq === Seq((0L, 10L), (1L, 20L), (2L, 20L), (3L, 20L), (4L, 20L)))
+  }
+
+  test("column-map aliasing rides through SQL: renamed column queryable by its new name") {
+    val root = tmpRoot("graft_tvf2")
+    base(root)
+    Warehouse.renameSnapshotColumn(spark, root, "grp", "bucket")
+    val out = spark.sql(
+      s"SELECT bucket, sum(id) AS s FROM graft_snapshot('$root') GROUP BY bucket ORDER BY bucket")
+    assert(out.columns.toSeq === Seq("bucket", "s"))
+    assert(out.count() === 5)
+  }
+
+  test("graft_snapshot_at time travel: a ts between commits reads the earlier version") {
+    val root = tmpRoot("graft_tvf3")
+    base(root)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    Warehouse.appendSnapshot(
+      spark.range(100, 150).toDF("id").withColumn("grp", col("id") % 5), root, 1L)
+    assert(spark.sql(s"SELECT * FROM graft_snapshot_at('$root', $mid)").count() === 100)
+    val fmt = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    assert(spark.sql(s"SELECT * FROM graft_snapshot_at('$root', '$fmt')").count() === 150)
+  }
+
+  test("graft_changes ≡ readChangeFeed; graft_files and graft_history expose the metadata tables") {
+    val root = tmpRoot("graft_tvf4")
+    Warehouse.writeSnapshot(spark.range(0, 50).toDF("id"), root)
+    Warehouse.appendSnapshot(spark.range(50, 60).toDF("id"), root, 1L,
+      changeFeed = true)
+    Warehouse.deleteWhereDv(spark, root, col("id") < 5, changeFeed = true)
+
+    val sqlFeed = spark.sql(s"SELECT * FROM graft_changes('$root', 2, 3)")
+      .orderBy("_commit_version", "id")
+    val apiFeed = Warehouse.readChangeFeed(spark, root, 2L, 3L)
+      .orderBy("_commit_version", "id")
+    assert(sqlFeed.collect().toSeq === apiFeed.collect().toSeq)
+    assert(sqlFeed.where(col("_change_type") === "delete").count() === 5)
+
+    val files = spark.sql(s"SELECT * FROM graft_files('$root', 3)")
+    assert(files.where(col("shared")).count() > 0, "dv commit carries files by reference")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_history('$root')").head().getLong(0) === 3L)
+  }
+
+  test("predicates on top of the TVF push into the parquet scan") {
+    val root = tmpRoot("graft_tvf5")
+    base(root)
+    val q = spark.sql(s"SELECT id FROM graft_snapshot('$root') WHERE id = 7")
+    assert(q.count() === 1)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)]"),
+      s"filter must reach the scan, got:\n$physical")
+  }
+
+  test("non-literal and wrong-arity arguments are refused with named errors") {
+    val root = tmpRoot("graft_tvf6")
+    base(root)
+    // a non-literal expression (even a foldable one — the builder
+    // runs before constant folding) is refused by name
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_snapshot('$root', 1 + 1)").collect()
+    }
+    assert(e1.getMessage.contains("integer literal"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$root', 1)").collect()
+    }
+    assert(e2.getMessage.contains("3 arguments"))
+  }
+}
