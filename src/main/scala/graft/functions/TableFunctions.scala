@@ -42,6 +42,11 @@ import graft.store.Warehouse
   *    [[Warehouse.snapshotFiles]] metadata table (X188).
   *  - `graft_history(path)` — [[Warehouse.snapshotHistory]]: one row
   *    per live version with commit instant and accounting.
+  *  - `graft_snapshot_where(path, col, lo, hi[, version])` —
+  *    [[Warehouse.readSnapshotWhere]]: the stats-pruned data-skipping
+  *    read (X182); NULL = open bound; the range is also the filter.
+  *  - `graft_snapshot_tag(path, tag)` / `graft_snapshot_branch(path,
+  *    branch)` — pinned reads at a named tag / WAP branch head.
   */
 object TableFunctions {
 
@@ -69,6 +74,19 @@ object TableFunctions {
       java.sql.Timestamp.valueOf(v.toString).getTime
     case other => throw new IllegalArgumentException(
       s"$what must be epoch millis or a 'yyyy-MM-dd HH:mm:ss' string literal, got $other")
+  }
+
+  /** A range bound for the stats-pruned read: NULL = open, else the
+    * literal's plain Scala value (the range read wraps it in `lit`).
+    */
+  private def boundLit(e: Expression, what: String): Option[Any] = e match {
+    case Literal(null, _) => None
+    case Literal(v: UTF8String, StringType) => Some(v.toString)
+    case Literal(v: Int, IntegerType) => Some(v)
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Double, _) => Some(v)
+    case other => throw new IllegalArgumentException(
+      s"$what must be a NULL, string, integer or double literal, got $other")
   }
 
   private def info(name: String, usage: String) =
@@ -119,6 +137,32 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         require(es.size == 1, s"graft_history(path) takes 1 argument, got ${es.size}")
         plan(Warehouse.snapshotHistory(SparkSession.active, strLit(es.head, "path")))
+      }),
+    ("graft_snapshot_where", info("graft_snapshot_where",
+      "graft_snapshot_where(path, column, lo, hi[, version]) - stats-pruned read: only files " +
+        "whose [min,max] intersects [lo,hi] open; NULL = open bound; result ≡ the filtered full read"),
+      (es: Seq[Expression]) => {
+        require(es.size == 4 || es.size == 5,
+          s"graft_snapshot_where(path, column, lo, hi[, version]) takes 4 or 5 arguments, got ${es.size}")
+        val v = if (es.size > 4) Some(longLit(es(4), "version")) else None
+        plan(Warehouse.readSnapshotWhere(SparkSession.active, strLit(es.head, "path"),
+          Seq((strLit(es(1), "column"), boundLit(es(2), "lo"), boundLit(es(3), "hi"))), v))
+      }),
+    ("graft_snapshot_tag", info("graft_snapshot_tag",
+      "graft_snapshot_tag(path, tag) - the snapshot a named tag pins"),
+      (es: Seq[Expression]) => {
+        require(es.size == 2,
+          s"graft_snapshot_tag(path, tag) takes 2 arguments, got ${es.size}")
+        plan(Warehouse.readSnapshotTag(SparkSession.active,
+          strLit(es.head, "path"), strLit(es(1), "tag")))
+      }),
+    ("graft_snapshot_branch", info("graft_snapshot_branch",
+      "graft_snapshot_branch(path, branch) - the snapshot at a branch head (WAP audit read)"),
+      (es: Seq[Expression]) => {
+        require(es.size == 2,
+          s"graft_snapshot_branch(path, branch) takes 2 arguments, got ${es.size}")
+        plan(Warehouse.readSnapshotBranch(SparkSession.active,
+          strLit(es.head, "path"), strLit(es(1), "branch")))
       }))
 
   /** Register everything on a live session (idempotent) — the

@@ -87,6 +87,31 @@ class TableFunctionsSpec extends SparkSpec {
       s"SELECT count(*) AS n FROM graft_history('$root')").head().getLong(0) === 3L)
   }
 
+  test("stats-pruned, tag and branch reads from SQL ≡ their Scala twins") {
+    val root = tmpRoot("graft_tvf7")
+    base(root)
+    Warehouse.tagSnapshot(spark, root, "rel1")
+    Warehouse.appendSnapshot(
+      spark.range(100, 120).toDF("id").withColumn("grp", col("id") % 5), root, 1L)
+    Warehouse.createBranch(spark, root, "audit")
+    Warehouse.commitToBranch(
+      spark.range(0, 10).toDF("id").withColumn("grp", col("id") % 5),
+      root, "audit", 2L)
+
+    assert(spark.sql(s"SELECT * FROM graft_snapshot_tag('$root', 'rel1')")
+      .count() === 100, "tag pins the pre-append version")
+    assert(spark.sql(s"SELECT * FROM graft_snapshot_branch('$root', 'audit')")
+      .count() === 10, "branch head is the WAP commit, main untouched")
+    assert(spark.sql(s"SELECT * FROM graft_snapshot('$root')").count() === 120)
+
+    val pruned = spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$root', 'id', 95, NULL)").orderBy("id")
+    val full = Warehouse.readSnapshot(spark, root)
+      .where(col("id") >= 95).orderBy("id")
+    assert(pruned.collect().toSeq === full.collect().toSeq,
+      "stats-pruned SQL read ≡ filtered full read (the range IS the filter)")
+  }
+
   test("predicates on top of the TVF push into the parquet scan") {
     val root = tmpRoot("graft_tvf5")
     base(root)
