@@ -64,20 +64,27 @@ object TableFunctions {
   }
 
   /** Epoch millis from a long literal, a timestamp literal, or a
-    * `'yyyy-MM-dd HH:mm:ss[.fff]'` string literal.
+    * `'yyyy-MM-dd HH:mm:ss[.fff]'` string literal. String wall-clock
+    * times resolve in the SESSION timezone — the same instant a
+    * `TIMESTAMP` literal of that wall-clock time names (review r11:
+    * `Timestamp.valueOf` would read the JVM default zone instead).
     */
   private def tsMillis(e: Expression, what: String): Long = e match {
     case Literal(v: Int, IntegerType) => v.toLong
     case Literal(v: Long, LongType) => v
     case Literal(v: Long, TimestampType) => v / 1000L // micros → millis
     case Literal(v: UTF8String, StringType) =>
-      java.sql.Timestamp.valueOf(v.toString).getTime
+      Warehouse.parseSessionInstant(v.toString).toEpochMilli
     case other => throw new IllegalArgumentException(
       s"$what must be epoch millis or a 'yyyy-MM-dd HH:mm:ss' string literal, got $other")
   }
 
   /** A range bound for the stats-pruned read: NULL = open, else the
     * literal's plain Scala value (the range read wraps it in `lit`).
+    * `TIMESTAMP`/`DATE` literals carry as Instant/LocalDate (what the
+    * stats comparison accepts for those column types); SQL decimal
+    * literals like `3.5` — which Spark parses as DecimalType, not
+    * Double — carry as their double value (review r11).
     */
   private def boundLit(e: Expression, what: String): Option[Any] = e match {
     case Literal(null, _) => None
@@ -85,8 +92,13 @@ object TableFunctions {
     case Literal(v: Int, IntegerType) => Some(v)
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Double, _) => Some(v)
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => Some(v.toDouble)
+    case Literal(v: Long, TimestampType) => Some(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
+    case Literal(v: Int, org.apache.spark.sql.types.DateType) =>
+      Some(java.time.LocalDate.ofEpochDay(v.toLong))
     case other => throw new IllegalArgumentException(
-      s"$what must be a NULL, string, integer or double literal, got $other")
+      s"$what must be a NULL, string, integer, double, DATE or TIMESTAMP literal, got $other")
   }
 
   private def info(name: String, usage: String) =

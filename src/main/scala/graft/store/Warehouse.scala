@@ -4331,6 +4331,8 @@ object Warehouse {
         def boundLit(x: Any): Column = x match {
           case s: String if dt == org.apache.spark.sql.types.DateType =>
             lit(java.sql.Date.valueOf(s))
+          case s: String if dt == org.apache.spark.sql.types.TimestampType =>
+            lit(parseSessionInstant(s))
           case d: java.time.LocalDate => lit(java.sql.Date.valueOf(d))
           case other => lit(other)
         }
@@ -4413,6 +4415,9 @@ object Warehouse {
       case TimestampType => Left(BigDecimal(x match {
         case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
         case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+        case s: String =>
+          val i = parseSessionInstant(s)
+          i.getEpochSecond * 1000000L + i.getNano / 1000
         case other => sys.error(s"unsupported TIMESTAMP bound: $other")
       }))
       case TimestampNTZType => Left(BigDecimal(x match {
@@ -4423,6 +4428,23 @@ object Warehouse {
       case StringType => Right(x.toString)
       case _ => Left(BigDecimal(x.toString))
     }
+  }
+
+  /** A wall-clock string (`yyyy-MM-dd[ HH:mm:ss[.fff]]`) as an
+    * instant in the SESSION timezone — the rule every SQL-facing
+    * timestamp argument shares, so a string bound and a `TIMESTAMP`
+    * literal of the same wall-clock time always name the same
+    * instant (review r11: `Timestamp.valueOf` reads the JVM default
+    * zone, which can disagree with `spark.sql.session.timeZone`).
+    */
+  private[graft] def parseSessionInstant(s: String): java.time.Instant = {
+    val zone = java.time.ZoneId.of(org.apache.spark.sql.SparkSession.active
+      .sessionState.conf.sessionLocalTimeZone)
+    val t = s.trim.replace(' ', 'T')
+    val ldt =
+      if (t.contains("T")) java.time.LocalDateTime.parse(t)
+      else java.time.LocalDate.parse(t).atStartOfDay()
+    ldt.atZone(zone).toInstant
   }
 
   private def jsonComparable(n: com.fasterxml.jackson.databind.JsonNode): Either[BigDecimal, String] =

@@ -122,6 +122,54 @@ class TableFunctionsSpec extends SparkSpec {
       s"filter must reach the scan, got:\n$physical")
   }
 
+  test("string timestamps resolve in the SESSION timezone, not the JVM default") {
+    val root = tmpRoot("graft_tvf8")
+    base(root)
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    Warehouse.appendSnapshot(
+      spark.range(100, 110).toDF("id").withColumn("grp", col("id") % 5), root, 1L)
+    // express `mid` as a wall-clock string in the session zone (UTC);
+    // under a skewed JVM default zone the old Timestamp.valueOf parse
+    // would shift it hours away and pin the wrong version
+    val wallClock = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(mid), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("GMT-08:00"))
+      assert(spark.sql(
+        s"SELECT * FROM graft_snapshot_at('$root', '$wallClock')").count() === 100)
+      assert(spark.sql(
+        s"SELECT * FROM graft_snapshot_at('$root', TIMESTAMP '$wallClock')").count() === 100,
+        "string and TIMESTAMP spellings of the same wall-clock time must pin the same version")
+    } finally java.util.TimeZone.setDefault(prev)
+  }
+
+  test("timestamp-column, decimal and DATE-literal bounds work in graft_snapshot_where") {
+    val root = tmpRoot("graft_tvf9")
+    Warehouse.writeSnapshot(
+      spark.range(0, 48).toDF("id")
+        .withColumn("ts", expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id)"))
+        .withColumn("d", expr("date'2024-01-01' + CAST(id / 24 AS INT)"))
+        .withColumn("x", col("id") / 10.0)
+        .repartition(4), root)
+    val full = Warehouse.readSnapshot(spark, root)
+
+    val byTs = spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$root', 'ts', '2024-01-02 00:00:00', NULL)")
+    assert(byTs.count() === full.where(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp")).count())
+
+    val byDate = spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$root', 'd', DATE '2024-01-02', NULL)")
+    assert(byDate.count() === 24)
+
+    val byDec = spark.sql(
+      s"SELECT * FROM graft_snapshot_where('$root', 'x', 3.5, NULL)")
+    assert(byDec.count() === full.where(col("x") >= 3.5).count())
+  }
+
   test("non-literal and wrong-arity arguments are refused with named errors") {
     val root = tmpRoot("graft_tvf6")
     base(root)
