@@ -599,6 +599,33 @@ object SparkEntry {
       store.Ivm.maintainMinMax(aggOld, feed, newState, Seq("o_orderstatus"),
         mins = Map("mn" -> "o_totalprice"), maxs = Map("mx" -> "o_totalprice"), "n")
     }),
+    "q_incr_topk_cdf" -> ((s, dir) => {
+      // X208 top-k IVM: maintain each status's 5 highest prices
+      // through a bracket whose deletes evict retained values (those
+      // groups rescan, bounded) and whose updates restate prices
+      // (preimage subtracts the old copy). Values are COPIED, never
+      // combined (×2.0 is exact in binary) → bit-exact; the maintained
+      // arrays explode to (group, rank, value) rows so the compare is
+      // order-robust, and must equal the direct top-5 of the new state.
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val oldState = o.filter(col("o_orderkey") % 5 =!= 0)
+      val newState = o.filter(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2.0)
+            .otherwise(col("o_totalprice")))
+      val aggOld = oldState.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          slice(sort_array(collect_list(col("o_totalprice")), asc = false), 1, 5)
+            .as("topk"))
+      val feed = Warehouse.diffFrames(oldState, newState, Seq("o_orderkey"),
+        preImages = true)
+      store.Ivm.maintainTopK(aggOld, feed, newState, Seq("o_orderstatus"),
+        "o_totalprice", 5)
+        .select(col("o_orderstatus"), col("n"),
+          posexplode(col("topk")).as(Seq("pos", "price")))
+        .select(col("o_orderstatus"), col("n"),
+          (col("pos") + 1).cast("int").as("rk"), col("price"))
+    }),
     "q_incr_join_cdf" -> ((s, dir) => {
       // X191 join IVM: a materialized rollup of A ⋈ B maintained from
       // the two tables' PERSISTED change feeds alone — delta-join rule
@@ -1514,6 +1541,20 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X208 top-k IVM: the maintained per-group top-5 (exploded to
+    // rank rows) must equal the direct top-5 of the new state
+    "q_incr_topk_cdf" ->
+      """WITH newst AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |ranked AS (
+        |  SELECT o_orderstatus, price,
+        |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY price DESC) AS rk,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM newst)
+        |SELECT o_orderstatus, n, CAST(rk AS INT) AS rk, price
+        |FROM ranked WHERE rk <= 5""".stripMargin,
     // X191 join IVM: the maintained rollup must equal the direct
     // recompute of the FINAL join — A ends as all lineitem minus the
     // dv-deleted small quantities, B as orders with shifted group keys

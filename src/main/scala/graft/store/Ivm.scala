@@ -294,6 +294,100 @@ object Ivm {
     clean.unionByName(dirtyFixed)
   }
 
+  /** TOP-K maintenance with a BOUNDED rescan (X208) — the k-extremum
+    * generalization of [[maintainMinMax]] (which is the k = 1 case).
+    * State holds each group's k LARGEST non-null values as a
+    * descending array (seed:
+    * `groupBy(keys).agg(count(lit(1)).as(n),
+    * slice(sort_array(collect_list(v), asc = false), 1, k).as(topk))`).
+    *
+    * The same asymmetry as MIN/MAX drives the design: inserts maintain
+    * ALGEBRAICALLY (merge the batch's own top-k into the stored array,
+    * truncate to k — the (k+1)-th value can only leave), while a
+    * delete may promote a value the state never stored, so the groups
+    * where that is POSSIBLE are marked dirty and recomputed from
+    * `newState` via a broadcast left-semi join on the dirty keys. A
+    * group is dirty iff some deleted value ties-or-beats its k-th
+    * retained candidate, or its array holds fewer than k values (then
+    * every group value is in the array, so any delete hits it);
+    * deletes strictly below a FULL array's cut provably cannot change
+    * the top-k — with same-batch inserts already merged, so an insert
+    * that pushes the threshold above the deleted value keeps the group
+    * clean. The rescan reads only dirty groups' rows (window top-k,
+    * never a whole-group collect) — pass a pruned `newState` to make
+    * it file-skipping too. COUNT stays exact/algebraic as the
+    * liveness signal; NULL values are not ranked (SQL ORDER BY ...
+    * LIMIT k semantics over non-null measures), so a group with rows
+    * but no non-null values keeps an empty array, like the seed.
+    *
+    * @param agg      materialized state: `keys ++ countCol ++ topCol`
+    * @param feed     CDF rows (update preimages required, as ever)
+    * @param newState the POST-bracket table, consulted only for dirty groups
+    * @param valueCol the ranked measure column in feed/newState
+    * @param k        how many largest values each group retains
+    */
+  def maintainTopK(agg: DataFrame, feed: DataFrame, newState: DataFrame,
+                   keys: Seq[String], valueCol: String, k: Int,
+                   topCol: String = "topk", countCol: String = "n"): DataFrame = {
+    require(keys.nonEmpty, "maintainTopK needs group-by keys")
+    require(k >= 1, s"maintainTopK needs k >= 1, got $k")
+    Seq(topCol, countCol).foreach(c => require(agg.columns.contains(c),
+      s"maintainTopK: state lacks column '$c'"))
+    requirePreimageParity(feed, "maintainTopK")
+    val topType = agg.schema(topCol).dataType
+    val pos = col("__sign") === 1L
+    val delta = feed.withColumn("__sign", signExpr)
+      .filter(col("__sign").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("__sign")).as("__dn"),
+        // collect_list skips nulls, so null-valued rows never rank
+        slice(sort_array(collect_list(when(pos, col(valueCol))), asc = false),
+          1, k).as("__ins"),
+        max(when(!pos, col(valueCol))).as("__delmax"))
+    val nCol = (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+      .cast(agg.schema(countCol).dataType).as(countCol)
+    // candidate = stored ⊕ inserted, truncated to k; null-safe so a
+    // brand-new group (no state) and an untouched group (no delta)
+    // both land without empty-array type gymnastics
+    val mergedTop = when(col("__ins").isNull, col(topCol))
+      .when(col(topCol).isNull, col("__ins"))
+      .otherwise(slice(sort_array(concat(col(topCol), col("__ins")), asc = false), 1, k))
+      .cast(topType)
+    val live = mergeOnKeys(agg, delta, keys, "full_outer")
+      .select((keys.map(col) :+ nCol) ++
+        Seq(mergedTop.as(topCol), col("__delmax")): _*)
+      .filter(col(countCol) > 0)
+    // the k-th retained candidate (null-guarded: an empty/missing
+    // array is handled by the size predicate, never an element_at(0))
+    val cut = when(size(col(topCol)) > 0, element_at(col(topCol), size(col(topCol))))
+    val dirtyExpr = col("__delmax").isNotNull &&
+      (col(topCol).isNull || size(col(topCol)) < k || col("__delmax") >= cut)
+    val clean = live.filter(!coalesce(dirtyExpr, lit(false)))
+      .select(agg.columns.map(col).toIndexedSeq: _*)
+    val dirty = live.filter(coalesce(dirtyExpr, lit(false)))
+    // null-safe semi join: a NULL-keyed dirty group must still rescan
+    val dirtyKeys = dirty.select(keys.map(col): _*)
+      .toDF(keys.map(kk => s"__k_$kk").toIndexedSeq: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(valueCol).desc)
+    val rescanned = newState.filter(col(valueCol).isNotNull)
+      .join(broadcast(dirtyKeys),
+        keys.map(kk => col(kk) <=> col(s"__k_$kk")).reduce(_ && _), "left_semi")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(valueCol)), asc = false)
+        .cast(topType).as(topCol))
+    // left merge: a dirty group whose non-null values all died keeps
+    // its row with an EMPTY array, exactly like the seed would
+    val dirtyFixed = mergeOnKeys(
+      dirty.select((keys :+ countCol).map(col): _*), rescanned, keys, "left_outer")
+      .withColumn(topCol, coalesce(col(topCol), array().cast(topType)))
+      .select(agg.columns.map(col).toIndexedSeq: _*)
+    clean.unionByName(dirtyFixed)
+  }
+
   /** Exact COUNT(DISTINCT value) maintenance (X198) via the classic
     * SUPPORT relation — the other textbook non-self-maintainable
     * aggregate, made maintainable by the right auxiliary state: a
