@@ -129,12 +129,27 @@ object TableFunctions {
         plan(Warehouse.readSnapshot(spark, path, Some(v)))
       }),
     ("graft_changes", info("graft_changes",
-      "graft_changes(path, fromVersion, toVersion) - recorded change-feed rows of the version bracket"),
+      "graft_changes(path, fromVersion, toVersion) - recorded change-feed rows of the version bracket; " +
+        "string/TIMESTAMP bounds resolve to versions by commit instant (Delta table_changes parity)"),
       (es: Seq[Expression]) => {
         require(es.size == 3,
           s"graft_changes(path, from, to) takes 3 arguments, got ${es.size}")
-        plan(Warehouse.readChangeFeed(SparkSession.active, strLit(es.head, "path"),
-          longLit(es(1), "fromVersion"), longLit(es(2), "toVersion")))
+        val spark = SparkSession.active
+        val path = strLit(es.head, "path")
+        // timestamp bounds: FROM = the first version committed at or
+        // after it, TO = the last committed at or before it — so a
+        // wall-clock bracket replays exactly the commits inside it
+        def bound(e: Expression, what: String, from: Boolean): Long = e match {
+          case Literal(v: Int, IntegerType) => v.toLong
+          case Literal(v: Long, LongType) => v
+          case _ =>
+            val at = Warehouse.snapshotVersionAt(spark, path, tsMillis(e, what),
+              ceil = from)
+            at
+        }
+        plan(Warehouse.readChangeFeed(spark, path,
+          bound(es(1), "fromVersion", from = true),
+          bound(es(2), "toVersion", from = false)))
       }),
     ("graft_files", info("graft_files",
       "graft_files(path[, version]) - per-file accounting of a committed version (bytes/rows/shared/dv_rows)"),

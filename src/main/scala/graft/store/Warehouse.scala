@@ -2255,12 +2255,21 @@ object Warehouse {
     * as-of reads; for audit-grade ordering use version numbers, which
     * are monotone by construction.
     */
-  def snapshotVersionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+  def snapshotVersionAt(spark: SparkSession, path: String, tsMillis: Long,
+                        ceil: Boolean = false): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val at = snapshots(spark, path).filter(commitInstant(fs, path, _) <= tsMillis)
-    require(at.nonEmpty, s"no snapshot under $path committed at or before $tsMillis")
-    at.max
+    if (ceil) {
+      // the FROM side of a wall-clock change-feed bracket: the first
+      // version committed at or after the instant
+      val at = snapshots(spark, path).filter(commitInstant(fs, path, _) >= tsMillis)
+      require(at.nonEmpty, s"no snapshot under $path committed at or after $tsMillis")
+      at.min
+    } else {
+      val at = snapshots(spark, path).filter(commitInstant(fs, path, _) <= tsMillis)
+      require(at.nonEmpty, s"no snapshot under $path committed at or before $tsMillis")
+      at.max
+    }
   }
 
   /** The version's commit instant: the CAS marker's mtime when

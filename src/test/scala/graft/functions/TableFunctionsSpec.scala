@@ -122,6 +122,28 @@ class TableFunctionsSpec extends SparkSpec {
       s"filter must reach the scan, got:\n$physical")
   }
 
+  test("graft_changes accepts wall-clock bounds: the bracket is the commits inside it") {
+    val root = tmpRoot("graft_tvf10")
+    Warehouse.writeSnapshot(spark.range(0, 50).toDF("id"), root)
+    Thread.sleep(30)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(30)
+    Warehouse.appendSnapshot(spark.range(50, 60).toDF("id"), root, 1L, changeFeed = true)
+    Warehouse.deleteWhereDv(spark, root, col("id") < 5, changeFeed = true)
+    Thread.sleep(30)
+    val t1 = System.currentTimeMillis()
+    def fmt(ms: Long) = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val byTs = spark.sql(
+      s"SELECT * FROM graft_changes('$root', '${fmt(t0)}', '${fmt(t1)}')")
+      .orderBy("_commit_version", "id")
+    val byV = Warehouse.readChangeFeed(spark, root, 2L, 3L)
+      .orderBy("_commit_version", "id")
+    assert(byTs.collect().toSeq === byV.collect().toSeq,
+      "wall-clock bracket [before-v2, after-v3] must replay exactly v2..v3")
+  }
+
   test("string timestamps resolve in the SESSION timezone, not the JVM default") {
     val root = tmpRoot("graft_tvf8")
     base(root)
