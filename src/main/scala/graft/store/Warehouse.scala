@@ -2005,6 +2005,13 @@ object Warehouse {
     }
     val node = mapper.createObjectNode()
     node.put("version", v)
+    // IN-COMMIT timestamp (X209, the Delta inCommitTimestamps shape):
+    // the commit instant rides the commit record itself, so time
+    // travel and history survive anything that refreshes file mtimes
+    // (a distcp/rsync table copy, an FS migration). Always the WRITE
+    // time — a restore/rollback is a NEW commit at its own instant,
+    // never the restored version's.
+    node.put("committedAtMs", System.currentTimeMillis())
     // rowCount is the version's EFFECTIVE count: physical footer rows
     // minus live deletion-vector positions — [[snapshotRowCount]] stays
     // an O(1) truthful answer on a merge-on-read table
@@ -2278,9 +2285,20 @@ object Warehouse {
     */
   private def commitInstant(fs: org.apache.hadoop.fs.FileSystem,
                             path: String, v: Long): Long = {
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
-    if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
-    else fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).getModificationTime
+    // the manifest's in-commit timestamp (X209) is authoritative:
+    // unlike mtimes it survives table copies and FS migrations.
+    // Pre-X209 manifests (no field) and unreadable manifests fall back
+    // to the mtime rule — a TIMESTAMP resolution should degrade to the
+    // old behavior there, not refuse a read the version gate allows
+    val recorded =
+      try readManifest(fs, path, v)
+        .flatMap(m => Option(m.get("committedAtMs")).map(_.asLong))
+      catch { case _: Throwable => None }
+    recorded.getOrElse {
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
+      if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
+      else fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).getModificationTime
+    }
   }
 
   /** [[readSnapshot]] pinned to [[snapshotVersionAt]]'s resolution. */
@@ -2811,12 +2829,12 @@ object Warehouse {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    def instant(v: Long): Long = {
-      val mk = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
-      if (fs.exists(mk)) fs.getFileStatus(mk).getModificationTime
-      else fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).getModificationTime
-    }
-    val young = snapshots(spark, path).reverse.takeWhile(instant(_) >= cutoff).size
+    // shares commitInstant's rule (X209): the manifest's in-commit
+    // timestamp when recorded, mtimes otherwise — so "7 days of
+    // replay" keeps meaning commit age after a table copy refreshed
+    // every mtime (where the mtime rule would retain EVERYTHING young)
+    val young = snapshots(spark, path).reverse
+      .takeWhile(commitInstant(fs, path, _) >= cutoff).size
     expireSnapshots(spark, path, math.max(keepLast, math.max(1, young)))
   }
 
@@ -4821,6 +4839,9 @@ object Warehouse {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val node = m.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
         node.put("version", 1L)
+        // the clone is a NEW commit at its own instant (X209) — the
+        // verbatim copy must not inherit the source's commit time
+        node.put("committedAtMs", System.currentTimeMillis())
         node.remove("txnApp"); node.remove("txnEpoch")
         // the bloom index (X193) does NOT clone: its rows name
         // source-root-relative files the clone's entries no longer

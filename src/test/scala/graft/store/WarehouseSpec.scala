@@ -571,6 +571,29 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("in-commit timestamps: time travel survives refreshed file mtimes (X209)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ict").toString + "/t"
+    Warehouse.commitSnapshot(Seq((1, "v1")).toDF("k", "v"), root, 0L)
+    val between = System.currentTimeMillis()
+    Thread.sleep(50) // manifest-recorded instants are millisecond-exact
+    Warehouse.commitSnapshot(Seq((1, "v2")).toDF("k", "v"), root, 1L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a table copy that refreshed every mtime (distcp/rsync):
+    // markers and version dirs all claim "now" — the recorded
+    // committedAtMs must still resolve the bracket correctly
+    val future = System.currentTimeMillis() + 3600 * 1000
+    Seq(s"$root/_commit-v1", s"$root/_commit-v2", s"$root/v=1", s"$root/v=2")
+      .foreach(p => fs.setTimes(new org.apache.hadoop.fs.Path(p), future, -1))
+    assert(Warehouse.snapshotVersionAt(spark, root, between) === 1L,
+      "mtime-based resolution would see no version at or before `between`")
+    assert(Warehouse.snapshotVersionAt(spark, root, between, ceil = true) === 2L)
+    // restore commits at its OWN instant, not the restored version's
+    Warehouse.rollbackSnapshot(spark, root, 1L)
+    assert(Warehouse.snapshotVersionAt(spark, root, System.currentTimeMillis()) === 3L)
+    assert(Warehouse.snapshotVersionAt(spark, root, between) === 1L)
+  }
+
   test("vacuum reclaims stale staging debris, never live data or commit markers") {
     val root = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/t"
     Warehouse.commitSnapshot(Seq((1, "x")).toDF("k", "v"), root, 0L)
