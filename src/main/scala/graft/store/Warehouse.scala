@@ -787,6 +787,149 @@ object Warehouse {
     }
   }
 
+  /** Declare `column` as the table's IDENTITY column (X210, the Delta
+    * `GENERATED BY DEFAULT AS IDENTITY` shape): every full write and
+    * append whose frame LACKS the column mints each new row a unique
+    * ascending Long — the row id a training-data pipeline wants
+    * without a table-wide sort. A frame that SUPPLIES the column is
+    * trusted (BY DEFAULT semantics — this is what lets compaction,
+    * replaceWhere reloads and CDC replicas restate committed ids
+    * verbatim), with a fused NULL guard: an unset id in a supplied
+    * column aborts the write, because a NULL id silently breaks the
+    * uniqueness every downstream join on it assumes.
+    *
+    * The contract is Delta's: ids are UNIQUE and INCREASING per fill,
+    * GAPS ALLOWED. Minting is one projection in the write's own plan
+    * (`hwm + 1 + monotonically_increasing_id()` — per-partition id
+    * spaces, no shuffle, no count pass), and the new high-water mark
+    * costs ZERO extra jobs: the manifest's own footer pass already
+    * records each fresh file's column max, so `idHwm` = max over the
+    * committed stats — the next fill starts above everything actually
+    * written, whether minted or supplied. Within one commit the
+    * per-partition spacing leaves large gaps; across commits the hwm
+    * snaps back to the true max. One identity column per table.
+    * Declarations ride an `_identity` root file under the same
+    * DDL-lock / unreadable-fails-writes contract as constraints.
+    * Caveat (also Delta's): a task retry that reorders upstream rows
+    * can change WHICH row gets WHICH id within the failed partition —
+    * ids are stable once committed, not across speculative replays.
+    */
+  def setIdentityColumn(spark: SparkSession, path: String,
+                        column: String, startAt: Long = 1L): Unit = {
+    require(column.nonEmpty, "setIdentityColumn: empty column name")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    withDdlLock(fs, path) {
+      identityRule(fs, path).foreach { case (c, _) =>
+        require(c == column,
+          s"setIdentityColumn($path): '$c' is already the identity column — " +
+            "one per table; drop it first")
+      }
+      writeRulesFile(fs, path, "_identity", Map(column -> startAt.toString))
+    }
+  }
+
+  /** Remove the identity rule; returns whether it existed. Committed
+    * ids stay in the data — only minting stops. */
+  def dropIdentityColumn(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withDdlLock(fs, path) {
+      val had = identityRule(fs, path).isDefined
+      if (had) fs.delete(new org.apache.hadoop.fs.Path(s"$path/_identity"), false)
+      had
+    }
+  }
+
+  /** The declared identity column and its start, if any. */
+  def snapshotIdentity(spark: SparkSession, path: String): Option[(String, Long)] =
+    identityRule(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+
+  private def identityRule(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String): Option[(String, Long)] = {
+    val f = new org.apache.hadoop.fs.Path(s"$path/_identity")
+    if (!fs.exists(f)) return None
+    try {
+      val in = fs.open(f)
+      val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+      val it = node.fieldNames()
+      if (!it.hasNext) None
+      else { val c = it.next(); Some((c, node.get(c).asText().toLong)) }
+    } catch {
+      // like _constraints: a write gate, never best-effort
+      case e @ (_: java.io.IOException |
+                _: com.fasterxml.jackson.core.JacksonException) =>
+        throw new java.io.IOException(
+          s"unreadable _identity under $path — refusing to write unminted", e)
+    }
+  }
+
+  /** The id to mint ABOVE: the manifest's recorded `idHwm` when
+    * present; else the stats-derived max of the identity column over
+    * the manifest's files (a declaration on an existing table
+    * bootstraps from the footer record, zero data I/O); else
+    * `startAt - 1`.
+    */
+  private def identityHwm(m: Option[com.fasterxml.jackson.databind.JsonNode],
+                          column: String, startAt: Long): Long =
+    m.flatMap { mm =>
+      Option(mm.get("idHwm")).map(_.asLong).orElse {
+        val phys = physicalName(columnMapOf(mm), column)
+        Option(mm.get("stats")).map { starr =>
+          (0 until starr.size).foldLeft(startAt - 1L) { (acc, i) =>
+            Option(starr.get(i).get(phys)).flatMap(s => Option(s.get("max")))
+              .map(mx => math.max(acc, mx.asLong)).getOrElse(acc)
+          }
+        }
+      }
+    }.getOrElse(startAt - 1L)
+
+  /** [[identityHwm]] for a committed version: manifest when readable,
+    * else ONE column-pruned scan of the pinned version (a best-effort
+    * manifest may be lost — minting below the true max would mint
+    * duplicates, so the fallback pays the scan; a version whose schema
+    * predates the column reads as `startAt - 1`).
+    */
+  private def identityHwmAt(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, v: Long, column: String,
+                            startAt: Long): Long =
+    if (v < 1) startAt - 1L
+    else readManifest(fs, path, v) match {
+      case some @ Some(_) => identityHwm(some, column, startAt)
+      case None =>
+        try {
+          val row = readSnapshot(spark, path, Some(v))
+            .agg(max(col(column).cast("long"))).head()
+          if (row.isNullAt(0)) startAt - 1L else math.max(startAt - 1L, row.getLong(0))
+        } catch { case _: org.apache.spark.sql.AnalysisException => startAt - 1L }
+    }
+
+  /** Mint-or-guard the identity column: a frame that lacks it gains
+    * `hwm + 1 + monotonically_increasing_id()` (one projection in the
+    * write plan); a frame that supplies it is trusted but NULL-guarded.
+    * `hwmOf` is by-name — only a frame that actually needs minting
+    * pays the manifest read behind it.
+    */
+  private def identityAlign(df: DataFrame, path: String, op: String,
+                            hwmOf: => Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    identityRule(fs, path) match {
+      case None => df
+      case Some((c, _)) if !df.columns.contains(c) =>
+        df.withColumn(c, (lit(hwmOf + 1L) + monotonically_increasing_id()).cast("long"))
+      case Some((c, _)) =>
+        df.filter(when(col(c).isNull,
+          raise_error(concat(
+            lit(s"$op($path): identity column '$c' supplied but NULL in row "),
+            to_json(struct(df.columns.map(col).toIndexedSeq: _*)))))
+          .otherwise(lit(true)))
+    }
+  }
+
   /** The table's declared generation rules, column -> expression SQL. */
   def snapshotGenerated(spark: SparkSession, path: String): Map[String, String] = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -854,7 +997,11 @@ object Warehouse {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = snapshots(spark, path).lastOption.getOrElse(0L) + 1
-    val g = generatedAlign(df, path, "writeSnapshot")
+    val idd = identityAlign(df, path, "writeSnapshot", {
+      val (c, st) = identityRule(fs, path).get
+      identityHwmAt(spark, fs, path, next - 1, c, st)
+    })
+    val g = generatedAlign(idd, path, "writeSnapshot")
     constraintGuard(g, path, "writeSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
     publishManifestBestEffort(fs, spark, path, next, g.schema.json)
@@ -957,7 +1104,11 @@ object Warehouse {
     val next = expectedVersion + 1
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
-    val g = generatedAlign(df, path, "commitSnapshot")
+    val idd = identityAlign(df, path, "commitSnapshot", {
+      val (c, st) = identityRule(fs, path).get
+      identityHwmAt(spark, fs, path, expectedVersion, c, st)
+    })
+    val g = generatedAlign(idd, path, "commitSnapshot")
     constraintGuard(g, path, "commitSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
@@ -1064,8 +1215,19 @@ object Warehouse {
             .map(st => s"v=$base/${st.getPath.getName}").sorted
           (names, None, None)
       }
+    // identity minting (X210) BEFORE the schema gate: the batch must
+    // carry the column the committed schema has; the hwm is the BASE
+    // manifest's record (or its scan fallback), so appended ids land
+    // above everything the lineage committed
+    val dfI = identityAlign(df, path, "appendSnapshot", {
+      val (c, st) = identityRule(fs, path).get
+      reuse match {
+        case Some((m, _)) => identityHwm(Some(m), c, st)
+        case None => identityHwmAt(spark, fs, path, base, c, st)
+      }
+    })
     val committed = baseSchema.getOrElse(
-      if (base == 0L) df.schema
+      if (base == 0L) dfI.schema
       else spark.read.parquet(baseEntries.map(entryPath(path, _)): _*).schema)
     val want = committed.fields.map(f => f.name -> f.dataType).toMap
     // the version's schema: exact-match gate by default (silent casts
@@ -1080,18 +1242,18 @@ object Warehouse {
     val tombstones = reuse.map { case (mm, _) => droppedColumnsOf(mm) }.getOrElse(Seq.empty)
     val (target: StructType, minted: Map[String, String]) =
       if (!evolveSchema) {
-        val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val got = dfI.schema.fields.map(f => f.name -> f.dataType).toMap
         require(got == want,
           s"appendSnapshot($path): batch schema must match the committed schema exactly; " +
-            s"committed=${committed.simpleString} batch=${df.schema.simpleString}")
+            s"committed=${committed.simpleString} batch=${dfI.schema.simpleString}")
         (committed, Map.empty[String, String])
       } else {
-        val drift = df.schema.fields
+        val drift = dfI.schema.fields
           .filter(f => want.get(f.name).exists(_ != f.dataType))
           .map(f => s"${f.name}: committed ${want(f.name).simpleString} vs batch ${f.dataType.simpleString}")
         require(drift.isEmpty,
           s"appendSnapshot($path): shared columns changed type (${drift.mkString("; ")})")
-        val fresh = df.schema.fields.filterNot(f => want.contains(f.name))
+        val fresh = dfI.schema.fields.filterNot(f => want.contains(f.name))
           .map(_.copy(nullable = true))
         // resurrection guard (X196): a fresh column whose name matches
         // a PHYSICAL name still frozen in carried files (renamed-away
@@ -1105,9 +1267,9 @@ object Warehouse {
         }._1
         (StructType(committed.fields ++ fresh), m)
       }
-    if (df.isEmpty) return None
-    val aligned = df.select(target.fields.map(f =>
-      if (df.columns.contains(f.name)) col(f.name)
+    if (dfI.isEmpty) return None
+    val aligned = dfI.select(target.fields.map(f =>
+      if (dfI.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_staging-$tag")
@@ -2017,6 +2179,24 @@ object Warehouse {
     // an O(1) truthful answer on a merge-on-read table
     node.put("rowCount", infos.map(_._2).sum - dv.map(_.rows).getOrElse(0L))
     node.put("bytes", infos.map(_._1).sum)
+    // identity high-water mark (X210): derived from the SAME per-file
+    // stats this manifest records — zero extra jobs; the max over all
+    // committed files (fresh footers + carried reuse) bounds every id
+    // actually written, minted or supplied
+    identityRule(fs, path).foreach { case (c, startAt) =>
+      val effMap = columnMap
+        .orElse(reuseFrom.map { case (m, _) => columnMapOf(m) })
+        .getOrElse(Map.empty)
+      val phys = physicalName(effMap, c)
+      val fromStats = infos.foldLeft(startAt - 1L) { (acc, i) =>
+        Option(i._3.get(phys)).flatMap(s => Option(s.get("max")))
+          .map(mx => math.max(acc, mx.asLong)).getOrElse(acc)
+      }
+      val carried = reuseFrom
+        .flatMap { case (m, _) => Option(m.get("idHwm")).map(_.asLong) }
+        .getOrElse(startAt - 1L)
+      node.put("idHwm", math.max(fromStats, carried))
+    }
     // Delta txn-action shape: the writer's (appId, epoch) rides the
     // COMMIT itself, so idempotence survives any crash window — there
     // is no separate marker whose loss could double-apply a batch
@@ -3273,8 +3453,24 @@ object Warehouse {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else liveScanWithFile(touched.toSeq.sorted)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val kept = constraintGuard(
+    val kept0 = constraintGuard(
       generatedRederive(rewrite(touchedDf, schema), path, op), path, op)
+    // identity NULL guard (X210): rewritten rows carry their committed
+    // ids, but a merge INSERT clause that doesn't set the identity
+    // column lands NULL — which silently breaks id uniqueness
+    // downstream. Mint via append instead, or supply ids explicitly
+    // (BY DEFAULT semantics). Schema-lacking tables skip (declared but
+    // never backfilled — no fill may drift a rewritten file's schema).
+    val kept = identityRule(fs, path) match {
+      case Some((c, _)) if kept0.columns.contains(c) =>
+        kept0.filter(when(col(c).isNull,
+          raise_error(concat(
+            lit(s"$op($path): identity column '$c' is NULL in a written row — " +
+              "merge inserts must supply ids (or land new rows via append) "),
+            to_json(struct(kept0.columns.map(col).toIndexedSeq: _*)))))
+          .otherwise(lit(true)))
+      case _ => kept0
+    }
     // no matching files AND nothing created (insert clauses that all
     // miss): no empty commit — the isEmpty probe runs only on the
     // cheap no-touched path (source-side rows only)
