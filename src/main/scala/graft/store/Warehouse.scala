@@ -819,6 +819,20 @@ object Warehouse {
     require(column.nonEmpty, "setIdentityColumn: empty column name")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // declaring over an EXISTING column validates it NULL-free once,
+    // here (one column-pruned count — a DDL-time cost): the write-path
+    // guards assume committed ids are non-null, so a legacy NULL would
+    // otherwise brick every later row-level rewrite touching its file
+    // (review r11) — refuse at the declaration, where the fix is clear
+    if (snapshots(spark, path).nonEmpty) {
+      val cur = readSnapshot(spark, path)
+      if (cur.columns.contains(column)) {
+        val nulls = cur.filter(col(column).isNull).limit(1).count()
+        require(nulls == 0L,
+          s"setIdentityColumn($path): committed column '$column' holds NULLs — " +
+            "backfill ids first (identity assumes committed ids are non-null and unique)")
+      }
+    }
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
     withDdlLock(fs, path) {
       identityRule(fs, path).foreach { case (c, _) =>
@@ -867,25 +881,36 @@ object Warehouse {
     }
   }
 
-  /** The id to mint ABOVE: the manifest's recorded `idHwm` when
-    * present; else the stats-derived max of the identity column over
-    * the manifest's files (a declaration on an existing table
-    * bootstraps from the footer record, zero data I/O); else
-    * `startAt - 1`.
+  /** The id to mint ABOVE, when the manifest can answer: the recorded
+    * `idHwm`; else the stats-derived max of the identity column —
+    * trusted ONLY when EVERY file records a stat for it (a single
+    * stats-less file could hide the true max, and minting below it
+    * mints duplicates — review r11: a readable pre-stats manifest must
+    * fall to the scan, not to `startAt - 1`); a schema without the
+    * column, or an empty file list, answers `startAt - 1` exactly.
+    * None = the manifest cannot answer — callers scan.
     */
   private def identityHwm(m: Option[com.fasterxml.jackson.databind.JsonNode],
-                          column: String, startAt: Long): Long =
+                          column: String, startAt: Long): Option[Long] =
     m.flatMap { mm =>
       Option(mm.get("idHwm")).map(_.asLong).orElse {
-        val phys = physicalName(columnMapOf(mm), column)
-        Option(mm.get("stats")).map { starr =>
-          (0 until starr.size).foldLeft(startAt - 1L) { (acc, i) =>
-            Option(starr.get(i).get(phys)).flatMap(s => Option(s.get("max")))
-              .map(mx => math.max(acc, mx.asLong)).getOrElse(acc)
-          }
+        val inSchema = scala.util.Try(org.apache.spark.sql.types.DataType
+          .fromJson(mm.get("schema").toString).asInstanceOf[StructType]
+          .fieldNames.contains(column)).getOrElse(true)
+        val n = Option(mm.get("files")).map(_.size).getOrElse(0)
+        if (!inSchema || n == 0) Some(startAt - 1L)
+        else {
+          val phys = physicalName(columnMapOf(mm), column)
+          val maxes = Option(mm.get("stats")).toSeq.flatMap(starr =>
+            (0 until starr.size).map(i =>
+              Option(starr.get(i).get(phys)).flatMap(s => Option(s.get("max")))
+                .map(_.asLong)))
+          if (maxes.size == n && maxes.forall(_.isDefined))
+            Some(math.max(startAt - 1L, maxes.flatten.max))
+          else None
         }
       }
-    }.getOrElse(startAt - 1L)
+    }
 
   /** [[identityHwm]] for a committed version: manifest when readable,
     * else ONE column-pruned scan of the pinned version (a best-effort
@@ -897,14 +922,12 @@ object Warehouse {
                             path: String, v: Long, column: String,
                             startAt: Long): Long =
     if (v < 1) startAt - 1L
-    else readManifest(fs, path, v) match {
-      case some @ Some(_) => identityHwm(some, column, startAt)
-      case None =>
-        try {
-          val row = readSnapshot(spark, path, Some(v))
-            .agg(max(col(column).cast("long"))).head()
-          if (row.isNullAt(0)) startAt - 1L else math.max(startAt - 1L, row.getLong(0))
-        } catch { case _: org.apache.spark.sql.AnalysisException => startAt - 1L }
+    else identityHwm(readManifest(fs, path, v), column, startAt).getOrElse {
+      try {
+        val row = readSnapshot(spark, path, Some(v))
+          .agg(max(col(column).cast("long"))).head()
+        if (row.isNullAt(0)) startAt - 1L else math.max(startAt - 1L, row.getLong(0))
+      } catch { case _: org.apache.spark.sql.AnalysisException => startAt - 1L }
     }
 
   /** Mint-or-guard the identity column: a frame that lacks it gains
@@ -1215,20 +1238,33 @@ object Warehouse {
             .map(st => s"v=$base/${st.getPath.getName}").sorted
           (names, None, None)
       }
-    // identity minting (X210) BEFORE the schema gate: the batch must
-    // carry the column the committed schema has; the hwm is the BASE
-    // manifest's record (or its scan fallback), so appended ids land
-    // above everything the lineage committed
-    val dfI = identityAlign(df, path, "appendSnapshot", {
-      val (c, st) = identityRule(fs, path).get
-      reuse match {
-        case Some((m, _)) => identityHwm(Some(m), c, st)
-        case None => identityHwmAt(spark, fs, path, base, c, st)
-      }
-    })
-    val committed = baseSchema.getOrElse(
-      if (base == 0L) dfI.schema
-      else spark.read.parquet(baseEntries.map(entryPath(path, _)): _*).schema)
+    // an empty batch commits nothing — probed BEFORE the identity hwm
+    // resolution (review r11: an empty streaming batch must not pay a
+    // manifest read, let alone the lost-manifest max scan, for ids it
+    // will never mint). The schema gate below is skipped for empty
+    // batches by construction — there are no rows it could protect.
+    if (df.isEmpty) return None
+    val committed0: Option[StructType] = baseSchema.orElse(
+      if (base == 0L) None
+      else Some(spark.read.parquet(baseEntries.map(entryPath(path, _)): _*).schema))
+    // identity minting (X210) BEFORE the schema gate: the batch gains
+    // the column the committed schema carries; the hwm is the BASE
+    // manifest's record (scan fallback when it cannot answer), so
+    // appended ids land above everything the lineage committed. A
+    // declared-but-never-backfilled column (committed schema lacks it,
+    // review r11) does NOT mint on a plain append — the batch must
+    // match the committed schema; backfill via a full write, or append
+    // with evolveSchema to land it as an evolution column.
+    val dfI = identityRule(fs, path) match {
+      case Some((c, _)) if !df.columns.contains(c) && base != 0L &&
+        !committed0.exists(_.fieldNames.contains(c)) && !evolveSchema => df
+      case _ => identityAlign(df, path, "appendSnapshot", {
+        val (c, st) = identityRule(fs, path).get
+        reuse.flatMap { case (m, _) => identityHwm(Some(m), c, st) }
+          .getOrElse(identityHwmAt(spark, fs, path, base, c, st))
+      })
+    }
+    val committed = committed0.getOrElse(dfI.schema)
     val want = committed.fields.map(f => f.name -> f.dataType).toMap
     // the version's schema: exact-match gate by default (silent casts
     // here would corrupt the log a stream tail replays forever);
@@ -1267,7 +1303,6 @@ object Warehouse {
         }._1
         (StructType(committed.fields ++ fresh), m)
       }
-    if (dfI.isEmpty) return None
     val aligned = dfI.select(target.fields.map(f =>
       if (dfI.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
@@ -2464,22 +2499,53 @@ object Warehouse {
     * [[snapshotVersionAt]] and [[snapshotHistory]].
     */
   private def commitInstant(fs: org.apache.hadoop.fs.FileSystem,
-                            path: String, v: Long): Long = {
-    // the manifest's in-commit timestamp (X209) is authoritative:
-    // unlike mtimes it survives table copies and FS migrations.
-    // Pre-X209 manifests (no field) and unreadable manifests fall back
-    // to the mtime rule — a TIMESTAMP resolution should degrade to the
-    // old behavior there, not refuse a read the version gate allows
-    val recorded =
-      try readManifest(fs, path, v)
-        .flatMap(m => Option(m.get("committedAtMs")).map(_.asLong))
-      catch { case _: Throwable => None }
-    recorded.getOrElse {
+                            path: String, v: Long): Long =
+    readCommittedAtMs(fs, path, v).getOrElse {
       val marker = new org.apache.hadoop.fs.Path(s"$path/_commit-v$v")
       if (fs.exists(marker)) fs.getFileStatus(marker).getModificationTime
       else fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).getModificationTime
     }
-  }
+
+  /** The manifest's in-commit timestamp (X209), STREAMED: the field is
+    * written second, so a token-level scan returns after a handful of
+    * tokens without materializing the per-file stats arrays —
+    * `snapshotVersionAt`/`expireSnapshotsOlderThan` filter over EVERY
+    * version, and a tree parse per version would turn a metadata
+    * lookup into driver-side JSON churn on a long streaming history
+    * (review r11). Deliberately does NOT route through readManifest:
+    * this answers "when", not "what" — the reader-feature gate guards
+    * content, and a timestamp resolution should degrade to the mtime
+    * rule on a pre-field or unreadable manifest, not refuse. The catch
+    * is the narrow IO/Jackson pair — fatal errors propagate.
+    */
+  private def readCommittedAtMs(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String, v: Long): Option[Long] =
+    try {
+      val f = manifestPath(path, v)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        try {
+          val p = new com.fasterxml.jackson.core.JsonFactory()
+            .createParser(in: java.io.InputStream)
+          if (p.nextToken() != com.fasterxml.jackson.core.JsonToken.START_OBJECT) None
+          else {
+            var out: Option[Long] = None
+            var tok = p.nextToken()
+            while (out.isEmpty &&
+              tok == com.fasterxml.jackson.core.JsonToken.FIELD_NAME) {
+              val name = p.currentName()
+              p.nextToken()
+              if (name == "committedAtMs") out = Some(p.getLongValue)
+              else { p.skipChildren(); tok = p.nextToken() }
+            }
+            out
+          }
+        } finally in.close()
+      }
+    } catch {
+      case _: java.io.IOException | _: com.fasterxml.jackson.core.JacksonException => None
+    }
 
   /** [[readSnapshot]] pinned to [[snapshotVersionAt]]'s resolution. */
   def readSnapshotAt(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
@@ -3907,9 +3973,21 @@ object Warehouse {
     val newMap = (cmap - from) + (to -> physicalName(cmap, from))
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    commitMetadataOnly(spark, path, v, m, newSchema, columnMap = Some(newMap),
+    val committed = commitMetadataOnly(spark, path, v, m, newSchema,
+      columnMap = Some(newMap),
       idx = readIdxState(m).map(s => if (s.column == from) s.copy(column = to) else s),
       op = "renameSnapshotColumn", orphanGraceMs = orphanGraceMs)
+    // the identity rule (X210) re-keys with the column, like the bloom
+    // index above — a rule left on the stale name would mint a ROGUE
+    // column under it at the next write (review r11). After the
+    // version commit: the rule rides a root file, not the manifest, so
+    // the re-key is keyed to the rename's success.
+    identityRule(fs, path).foreach { case (c, st) =>
+      if (c == from) withDdlLock(fs, path) {
+        writeRulesFile(fs, path, "_identity", Map(to -> st.toString))
+      }
+    }
+    committed
   }
 
   /** ALTER TABLE DROP COLUMN without rewriting a byte (X196) — the
@@ -3946,6 +4024,11 @@ object Warehouse {
       s"dropSnapshotColumn($path): no column '$name' in the committed schema")
     require(schema.size > 1,
       s"dropSnapshotColumn($path): cannot drop the only column '$name'")
+    // a dropped identity column would leave a rule that re-mints it at
+    // the next write (review r11) — the rule goes first, explicitly
+    require(!identityRule(fs, path).exists(_._1 == name),
+      s"dropSnapshotColumn($path): '$name' is the identity column — " +
+        "dropIdentityColumn first")
     val cmap = columnMapOf(m)
     val idx0 = readIdxState(m)
     commitMetadataOnly(spark, path, v, m,

@@ -63,7 +63,13 @@ class TableFunctionsSpec extends SparkSpec {
     Warehouse.appendSnapshot(
       spark.range(100, 150).toDF("id").withColumn("grp", col("id") % 5), root, 1L)
     assert(spark.sql(s"SELECT * FROM graft_snapshot_at('$root', $mid)").count() === 100)
-    val fmt = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    // wall-clock string rendered in the SESSION zone (UTC) — the zone
+    // parseSessionInstant reads it in; Timestamp.toString would render
+    // the JVM default zone and break on any non-UTC machine
+    val fmt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(System.currentTimeMillis()),
+      java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
     assert(spark.sql(s"SELECT * FROM graft_snapshot_at('$root', '$fmt')").count() === 150)
   }
 
