@@ -175,6 +175,15 @@ object TableFunctions {
         plan(Warehouse.readSnapshotWhere(SparkSession.active, strLit(es.head, "path"),
           Seq((strLit(es(1), "column"), boundLit(es(2), "lo"), boundLit(es(3), "hi"))), v))
       }),
+    ("graft_describe", info("graft_describe",
+      "graft_describe(path[, version]) - DESCRIBE TABLE: schema, accounting, column map, " +
+        "dv/index state, constraints, generated/identity rules, tags and branches"),
+      (es: Seq[Expression]) => {
+        require(es.size == 1 || es.size == 2,
+          s"graft_describe(path[, version]) takes 1 or 2 arguments, got ${es.size}")
+        val v = if (es.size > 1) Some(longLit(es(1), "version")) else None
+        plan(Warehouse.describeSnapshot(SparkSession.active, strLit(es.head, "path"), v))
+      }),
     ("graft_snapshot_tag", info("graft_snapshot_tag",
       "graft_snapshot_tag(path, tag) - the snapshot a named tag pins"),
       (es: Seq[Expression]) => {

@@ -320,15 +320,20 @@ object Ivm {
     * LIMIT k semantics over non-null measures), so a group with rows
     * but no non-null values keeps an empty array, like the seed.
     *
-    * @param agg      materialized state: `keys ++ countCol ++ topCol`
-    * @param feed     CDF rows (update preimages required, as ever)
-    * @param newState the POST-bracket table, consulted only for dirty groups
-    * @param valueCol the ranked measure column in feed/newState
-    * @param k        how many largest values each group retains
+    * @param agg       materialized state: `keys ++ countCol ++ topCol`
+    * @param feed      CDF rows (update preimages required, as ever)
+    * @param newState  the POST-bracket table, consulted only for dirty groups
+    * @param valueCol  the ranked measure column in feed/newState
+    * @param k         how many extreme values each group retains
+    * @param ascending false (default) keeps each group's k LARGEST
+    *                  values, descending array; true keeps the k
+    *                  SMALLEST, ascending array (bottom-k — every
+    *                  comparison, sort and threat direction flips)
     */
   def maintainTopK(agg: DataFrame, feed: DataFrame, newState: DataFrame,
                    keys: Seq[String], valueCol: String, k: Int,
-                   topCol: String = "topk", countCol: String = "n"): DataFrame = {
+                   topCol: String = "topk", countCol: String = "n",
+                   ascending: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "maintainTopK needs group-by keys")
     require(k >= 1, s"maintainTopK needs k >= 1, got $k")
     Seq(topCol, countCol).foreach(c => require(agg.columns.contains(c),
@@ -336,15 +341,20 @@ object Ivm {
     requirePreimageParity(feed, "maintainTopK")
     val topType = agg.schema(topCol).dataType
     val pos = col("__sign") === 1L
+    // the deleted value that THREATENS the retained set: for largest-k
+    // the biggest delete, for smallest-k the smallest
+    val delThreat =
+      if (ascending) min(when(!pos, col(valueCol)))
+      else max(when(!pos, col(valueCol)))
     val delta = feed.withColumn("__sign", signExpr)
       .filter(col("__sign").isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col("__sign")).as("__dn"),
         // collect_list skips nulls, so null-valued rows never rank
-        slice(sort_array(collect_list(when(pos, col(valueCol))), asc = false),
+        slice(sort_array(collect_list(when(pos, col(valueCol))), asc = ascending),
           1, k).as("__ins"),
-        max(when(!pos, col(valueCol))).as("__delmax"))
+        delThreat.as("__delmax"))
     val nCol = (coalesce(col(countCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
       .cast(agg.schema(countCol).dataType).as(countCol)
     // candidate = stored ⊕ inserted, truncated to k; null-safe so a
@@ -352,7 +362,7 @@ object Ivm {
     // both land without empty-array type gymnastics
     val mergedTop = when(col("__ins").isNull, col(topCol))
       .when(col(topCol).isNull, col("__ins"))
-      .otherwise(slice(sort_array(concat(col(topCol), col("__ins")), asc = false), 1, k))
+      .otherwise(slice(sort_array(concat(col(topCol), col("__ins")), asc = ascending), 1, k))
       .cast(topType)
     val live = mergeOnKeys(agg, delta, keys, "full_outer")
       .select((keys.map(col) :+ nCol) ++
@@ -361,8 +371,10 @@ object Ivm {
     // the k-th retained candidate (null-guarded: an empty/missing
     // array is handled by the size predicate, never an element_at(0))
     val cut = when(size(col(topCol)) > 0, element_at(col(topCol), size(col(topCol))))
+    val threatens =
+      if (ascending) col("__delmax") <= cut else col("__delmax") >= cut
     val dirtyExpr = col("__delmax").isNotNull &&
-      (col(topCol).isNull || size(col(topCol)) < k || col("__delmax") >= cut)
+      (col(topCol).isNull || size(col(topCol)) < k || threatens)
     val clean = live.filter(!coalesce(dirtyExpr, lit(false)))
       .select(agg.columns.map(col).toIndexedSeq: _*)
     val dirty = live.filter(coalesce(dirtyExpr, lit(false)))
@@ -370,14 +382,15 @@ object Ivm {
     val dirtyKeys = dirty.select(keys.map(col): _*)
       .toDF(keys.map(kk => s"__k_$kk").toIndexedSeq: _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col(valueCol).desc)
+      .partitionBy(keys.map(col): _*)
+      .orderBy(if (ascending) col(valueCol).asc else col(valueCol).desc)
     val rescanned = newState.filter(col(valueCol).isNotNull)
       .join(broadcast(dirtyKeys),
         keys.map(kk => col(kk) <=> col(s"__k_$kk")).reduce(_ && _), "left_semi")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(col(valueCol)), asc = false)
+      .agg(sort_array(collect_list(col(valueCol)), asc = ascending)
         .cast(topType).as(topCol))
     // left merge: a dirty group whose non-null values all died keeps
     // its row with an EMPTY array, exactly like the seed would

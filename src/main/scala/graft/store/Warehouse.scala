@@ -2469,6 +2469,63 @@ object Warehouse {
     }
   }
 
+  /** DESCRIBE TABLE (X211) — one (property, value) frame collecting
+    * everything a table declares and carries: version accounting from
+    * the manifest (zero data I/O), the committed schema, the column
+    * map and tombstones, deletion-vector and bloom-index state, reader
+    * features, CHECK constraints, generated/identity rules, tags and
+    * branches. The operational "what am I looking at" answer the
+    * scattered readers individually provide — composed, never
+    * recomputed (every line comes from an existing metadata surface).
+    */
+  def describeSnapshot(spark: SparkSession, path: String,
+                       version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = resolveVersion(spark, path, version)
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    rows += (("version", v.toString))
+    rows += (("committed_at", new java.sql.Timestamp(commitInstant(fs, path, v)).toString))
+    readManifest(fs, path, v).foreach { m =>
+      rows += (("row_count", m.get("rowCount").asLong.toString))
+      rows += (("bytes", m.get("bytes").asLong.toString))
+      val entries = manifestEntries(m)
+      rows += (("n_files", entries.size.toString))
+      rows += (("n_shared_files",
+        entries.count(e => e.contains("/") && !e.startsWith(s"v=$v/")).toString))
+      rows += (("schema", org.apache.spark.sql.types.DataType
+        .fromJson(m.get("schema").toString).asInstanceOf[StructType].simpleString))
+      columnMapOf(m).toSeq.sortBy(_._1).foreach { case (l, p) =>
+        rows += ((s"column_map.$l", p)) }
+      val tomb = droppedColumnsOf(m)
+      if (tomb.nonEmpty) rows += (("dropped_physical", tomb.mkString(", ")))
+      readDvState(m).foreach { d =>
+        rows += (("deletion_vectors.files", d.files.size.toString))
+        rows += (("deletion_vectors.rows", d.rows.toString))
+      }
+      readIdxState(m).foreach { s =>
+        rows += (("bloom_index",
+          s"${s.column} (${s.bits} bits, ${s.files.size}/${entries.size} files covered)"))
+      }
+      Option(m.get("readerFeatures")).foreach { rf =>
+        rows += (("reader_features",
+          (0 until rf.size).map(rf.get(_).asText()).mkString(", ")))
+      }
+    }
+    snapshotConstraints(spark, path).toSeq.sortBy(_._1).foreach { case (n, sql) =>
+      rows += ((s"constraint.$n", sql)) }
+    snapshotGenerated(spark, path).toSeq.sortBy(_._1).foreach { case (c, sql) =>
+      rows += ((s"generated.$c", sql)) }
+    snapshotIdentity(spark, path).foreach { case (c, st) =>
+      rows += (("identity", s"$c (starts at $st)")) }
+    snapshotTags(spark, path).foreach { case (n, tv, live) =>
+      rows += ((s"tag.$n", s"v=$tv${if (live) "" else " (expired)"}")) }
+    snapshotBranches(spark, path).foreach { case (n, bv, live) =>
+      rows += ((s"branch.$n", s"v=$bv${if (live) "" else " (expired)"}")) }
+    rows.toSeq.toDF("property", "value")
+  }
+
   /** Timestamp time travel: the highest version committed at or before
     * `tsMillis` — "the table as of last night's run" without knowing
     * the version number. Commit instants come from the commit marker's

@@ -198,6 +198,24 @@ class TableFunctionsSpec extends SparkSpec {
     assert(byDec.count() === full.where(col("x") >= 3.5).count())
   }
 
+  test("graft_describe surfaces the table's declarations and accounting") {
+    val root = tmpRoot("graft_tvf11")
+    Warehouse.setSnapshotConstraint(spark, root, "pos_id", "id >= 0")
+    Warehouse.setIdentityColumn(spark, root, "rid")
+    base(root)
+    Warehouse.deleteWhereDv(spark, root, col("id") === 3)
+    Warehouse.tagSnapshot(spark, root, "rel")
+    val d = spark.sql(s"SELECT * FROM graft_describe('$root')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("version") === "2")
+    assert(d("row_count") === "99", "dv-effective count")
+    assert(d("deletion_vectors.rows") === "1")
+    assert(d("constraint.pos_id") === "id >= 0")
+    assert(d("identity").startsWith("rid"))
+    assert(d("tag.rel") === "v=2")
+    assert(d("schema").contains("grp"))
+  }
+
   test("non-literal and wrong-arity arguments are refused with named errors") {
     val root = tmpRoot("graft_tvf6")
     base(root)

@@ -104,6 +104,31 @@ class TopKIvmSpec extends SparkSpec {
     assertSame(got, seed(newState))
   }
 
+  test("bottom-k: ascending=true maintains the k smallest, threat direction flipped") {
+    val oldState = Seq(("a", 1L, 1L), ("a", 3L, 2L), ("a", 5L, 3L), ("a", 7L, 4L), ("a", 9L, 5L))
+      .toDF("g", "x", "id")
+    // the smallest value dies (rescan pulls 7 up from past the cut);
+    // an insert of 2 lands inside the retained set
+    val newState = Seq(("a", 3L, 2L), ("a", 5L, 3L), ("a", 7L, 4L), ("a", 9L, 5L), ("a", 2L, 6L))
+      .toDF("g", "x", "id")
+    def seedAsc(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n"),
+        slice(sort_array(collect_list(col("x")), asc = true), 1, K).as("topk"))
+    val feed = Warehouse.diffFrames(oldState, newState, Seq("id"), preImages = true)
+      .drop("id")
+    val got = Ivm.maintainTopK(seedAsc(oldState.drop("id")), feed,
+      newState.drop("id"), Seq("g"), "x", K, ascending = true)
+    assertSame(got, seedAsc(newState.drop("id")))
+    // deleting the LARGEST value of a full bottom-k array stays
+    // algebraic: poison pin on the base
+    val st2 = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 9L)).toDF("g", "x")
+    val feed2 = Seq(("a", 9L, "delete")).toDF("g", "x", "_change_type")
+    val poison = Seq(("a", -999L)).toDF("g", "x")
+    val got2 = Ivm.maintainTopK(seedAsc(st2), feed2, poison, Seq("g"), "x", K,
+      ascending = true)
+    assertSame(got2, seedAsc(Seq(("a", 1L), ("a", 2L), ("a", 3L)).toDF("g", "x")))
+  }
+
   test("post-only update feeds are refused loudly") {
     val oldState = Seq(("a", 5L)).toDF("g", "x")
     val feed = Seq(("a", 9L, "update")).toDF("g", "x", "_change_type")
