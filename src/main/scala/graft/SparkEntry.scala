@@ -599,6 +599,20 @@ object SparkEntry {
       store.Ivm.maintainMinMax(aggOld, feed, newState, Seq("o_orderstatus"),
         mins = Map("mn" -> "o_totalprice"), maxs = Map("mx" -> "o_totalprice"), "n")
     }),
+    "q_graph_triangles" -> ((s, dir) => {
+      // X212 graph analytics: parts-co-ordered-together co-occurrence
+      // graph (10% of orders — the wedge stage is Σ outdeg², so the
+      // benchmark bounds degree like any co-occurrence miner bounds
+      // its stopwords) → exact triangle count + structural summary.
+      // Pure integer results → hash-exact against the same SQL
+      // recomposition.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val edges = ops.Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 10)
+      ops.Graphs.graphSummary(edges)
+    }),
     "q_incr_topk_cdf" -> ((s, dir) => {
       // X208 top-k IVM: maintain each status's 5 highest prices
       // through a bracket whose deletes evict retained values (those
@@ -1541,6 +1555,29 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X212 graph analytics: co-occurrence triangle count — exact
+    // integers, same wedge-close recomposition
+    "q_graph_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |sized AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM items) t
+        |  WHERE gs <= 10),
+        |edges AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i),
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges) u
+        |  GROUP BY node)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM edges) AS n_edges,
+        |       (SELECT count(*) FROM edges e1
+        |          JOIN edges e2 ON e1.b = e2.a
+        |          JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles,
+        |       (SELECT max(degree) FROM deg) AS max_degree""".stripMargin,
     // X208 top-k IVM: the maintained per-group top-5 (exploded to
     // rank rows) must equal the direct top-5 of the new state
     "q_incr_topk_cdf" ->
