@@ -599,6 +599,19 @@ object SparkEntry {
       store.Ivm.maintainMinMax(aggOld, feed, newState, Seq("o_orderstatus"),
         mins = Map("mn" -> "o_totalprice"), maxs = Map("mx" -> "o_totalprice"), "n")
     }),
+    "q_heavy_hitters_cm" -> ((s, dir) => {
+      // X213 Count-Min: frequency estimates for a fixed probe set from
+      // a 4-lane md5 sketch (engine-portable contract — DuckDB rebuilds
+      // the SAME counters and the SAME collisions, so even the
+      // overestimates hash-match), joined against the true counts.
+      val li = Tables.lineitem(s, dir).select("l_partkey")
+      val sk = ext.Sketches.countMinSketch(li, "l_partkey", width = 1024L)
+      val probes = li.filter(col("l_partkey") <= 20)
+      val est = ext.Sketches.countMinEstimate(sk, probes, "l_partkey", width = 1024L)
+      val truth = probes.groupBy("l_partkey").agg(count(lit(1)).as("true_count"))
+      est.join(truth, Seq("l_partkey"))
+        .select(col("l_partkey"), col("true_count"), col("cm_estimate"))
+    }),
     "q_graph_triangles" -> ((s, dir) => {
       // X212 graph analytics: parts-co-ordered-together co-occurrence
       // graph (10% of orders — the wedge stage is Σ outdeg², so the
@@ -1555,6 +1568,30 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X213 Count-Min: same md5-lane counters, same collisions — the
+    // estimates (overestimates included) recompose exactly
+    "q_heavy_hitters_cm" ->
+      """WITH hx AS (
+        |  SELECT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+        |sketch AS (
+        |  SELECT i AS lane,
+        |         ('0x' || substr(h, 8*i + 1, 8))::BIGINT % 1024 AS bucket,
+        |         count(*) AS c
+        |  FROM hx CROSS JOIN range(4) t(i) GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey <= 20),
+        |pb AS (
+        |  SELECT l_partkey, i AS lane,
+        |         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 8*i + 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM probes CROSS JOIN range(4) t(i)),
+        |est AS (
+        |  SELECT l_partkey, CAST(min(coalesce(c, 0)) AS BIGINT) AS cm_estimate
+        |  FROM pb LEFT JOIN sketch USING (lane, bucket) GROUP BY 1),
+        |truth AS (
+        |  SELECT l_partkey, count(*) AS true_count FROM lineitem
+        |  WHERE l_partkey <= 20 GROUP BY 1)
+        |SELECT e.l_partkey, t.true_count, e.cm_estimate
+        |FROM est e JOIN truth t USING (l_partkey)""".stripMargin,
     // X212 graph analytics: co-occurrence triangle count — exact
     // integers, same wedge-close recomposition
     "q_graph_triangles" ->

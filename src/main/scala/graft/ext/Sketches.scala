@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (X213) — frequency estimation in FIXED memory:
+  * `lanes × width` counters regardless of key cardinality, the
+  * structure that answers "how often does key x appear in 100 TB"
+  * without a key-grain aggregate. Overestimate-only by construction
+  * (collisions add, never subtract): estimate ≥ true count always,
+  * and ≤ true + ε·N with probability 1−δ for ε = e/width, δ = e^−lanes
+  * (Cormode & Muthukrishnan 2005).
+  *
+  * ENGINE-PORTABLE by the X187 md5-lane contract: lane i hashes a key
+  * to `32-bit md5 hex window i mod width`, so any engine recomputes
+  * the SAME counters and the SAME collisions — the estimates
+  * hash-match a DuckDB recomposition exactly, where a JVM-seeded hash
+  * would be internal. The sketch is a (lane, bucket) → count frame:
+  * built by one hash-aggregate over the data (map-side combine, no
+  * key-grain shuffle — the aggregate domain is lanes × width), merged
+  * across shards/days by ADDITION ([[mergeSketches]] — the linearity
+  * that makes it a streaming/partitioned-ingest citizen), probed by a
+  * broadcast join (the sketch is tiny by construction).
+  */
+object Sketches {
+
+  private def laneBuckets(h: org.apache.spark.sql.Column, width: Long, lanes: Int) =
+    explode(array((0 until lanes).map(i =>
+      struct(lit(i).as("lane"),
+        (conv(substring(h, i * 8 + 1, 8), 16, 10).cast("long") % width)
+          .as("bucket"))): _*)).as("lb")
+
+  /** Build the sketch: (lane, bucket, c) with c = rows whose key
+    * hashes there. NULL keys are skipped (they are not a frequency).
+    */
+  def countMinSketch(df: DataFrame, keyCol: String,
+                     width: Long = 1L << 11, lanes: Int = 4): DataFrame = {
+    require(width >= 2, s"width must be >= 2, got $width")
+    require(lanes >= 1 && lanes <= 4,
+      s"lanes must be 1..4 (md5 yields four 32-bit windows), got $lanes")
+    df.select(md5(col(keyCol).cast("string")).as("h"))
+      .where(col("h").isNotNull)
+      .select(laneBuckets(col("h"), width, lanes))
+      .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge sketches built with the SAME (width, lanes): counters add.
+    * The linearity is the point — per-shard/per-day sketches fold into
+    * the global one without touching the data again.
+    */
+  def mergeSketches(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "mergeSketches needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("lane", "bucket").agg(sum(col("c")).as("c"))
+  }
+
+  /** Point estimates for the probe frame's keys: min over the key's
+    * lane counters (an empty bucket reads 0 — the key never appeared).
+    * The sketch side broadcasts: ≤ lanes × width rows by construction.
+    */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                       width: Long = 1L << 11, lanes: Int = 4): DataFrame =
+    probes.select(col(keyCol)).distinct()
+      .withColumn("h", md5(col(keyCol).cast("string")))
+      .select(col(keyCol), laneBuckets(col("h"), width, lanes))
+      .select(col(keyCol), col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("lane", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))
+}

@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** X213 Count-Min sketch — fixed-memory frequency estimation with the
+  * engine-portable md5-lane contract; overestimate-only, linear under
+  * merge.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val data = ((1 to 100).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i")))
+    .toDF("k") // k_i appears (i % 5 + 1) times
+
+  test("estimates never underestimate; a wide sketch is exact") {
+    val truth = data.groupBy("k").agg(count(lit(1)).as("t"))
+    val sk = Sketches.countMinSketch(data, "k", width = 1L << 16)
+    val est = Sketches.countMinEstimate(sk, truth, "k", width = 1L << 16)
+    val joined = est.join(truth, "k")
+      .select(col("t"), col("cm_estimate")).collect()
+    assert(joined.forall(r => r.getLong(1) >= r.getLong(0)),
+      "Count-Min can only overestimate")
+    // 100 keys in 4 × 65536 buckets: collisions are practically absent
+    assert(joined.forall(r => r.getLong(1) === r.getLong(0)),
+      "a sketch much wider than the key set is exact")
+  }
+
+  test("a tight sketch overestimates some keys but never loses a count") {
+    val truth = data.groupBy("k").agg(count(lit(1)).as("t"))
+    val sk = Sketches.countMinSketch(data, "k", width = 16, lanes = 2)
+    val est = Sketches.countMinEstimate(sk, truth, "k", width = 16, lanes = 2)
+    val joined = est.join(truth, "k").select(col("t"), col("cm_estimate")).collect()
+    assert(joined.forall(r => r.getLong(1) >= r.getLong(0)))
+    assert(joined.exists(r => r.getLong(1) > r.getLong(0)),
+      "100 keys in 16 buckets must collide somewhere")
+  }
+
+  test("merge linearity: sketch(A) + sketch(B) == sketch(A ++ B); absent key reads 0") {
+    val a = data.filter(col("k") < "k5")
+    val b = data.filter(col("k") >= "k5")
+    val merged = Sketches.mergeSketches(
+      Sketches.countMinSketch(a, "k", width = 64),
+      Sketches.countMinSketch(b, "k", width = 64))
+    val direct = Sketches.countMinSketch(data, "k", width = 64)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "counters must add exactly")
+    val ghost = Sketches.countMinEstimate(direct, Seq("never-seen").toDF("k"), "k",
+      width = 64)
+    // an unseen key can still collide into occupied buckets in a tight
+    // sketch — but with every lane empty it must read 0; assert the
+    // weaker overestimate-only contract plus the wide-sketch zero
+    val wide = Sketches.countMinEstimate(
+      Sketches.countMinSketch(data, "k", width = 1L << 16),
+      Seq("never-seen").toDF("k"), "k", width = 1L << 16)
+    assert(ghost.head().getLong(1) >= 0L)
+    assert(wide.head().getLong(1) === 0L, "empty lanes read zero")
+  }
+}
