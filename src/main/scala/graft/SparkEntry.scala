@@ -599,6 +599,16 @@ object SparkEntry {
       store.Ivm.maintainMinMax(aggOld, feed, newState, Seq("o_orderstatus"),
         mins = Map("mn" -> "o_totalprice"), maxs = Map("mx" -> "o_totalprice"), "n")
     }),
+    "q_consistent_sample" -> ((s, dir) => {
+      // X214 consistent (bottom-k priority) sampling: the 50 customers
+      // with the smallest md5 priority, then every one of their order
+      // rows — the same keys in ANY engine, table or run, which is
+      // what makes cross-table samples joinable. Deterministic by
+      // construction → exact oracle.
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      ext.Sketches.consistentKeySample(o, "o_custkey", 50)
+    }),
     "q_heavy_hitters_cm" -> ((s, dir) => {
       // X213 Count-Min: frequency estimates for a fixed probe set from
       // a 4-lane md5 sketch (engine-portable contract — DuckDB rebuilds
@@ -1568,6 +1578,14 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X214 consistent sampling: the same bottom-k-by-md5 key choice in
+    // any engine — the sampled rows recompose exactly
+    "q_consistent_sample" ->
+      """WITH keys AS (
+        |  SELECT o_custkey FROM (SELECT DISTINCT o_custkey FROM orders) t
+        |  ORDER BY md5(CAST(o_custkey AS VARCHAR)), o_custkey LIMIT 50)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_custkey IN (SELECT o_custkey FROM keys)""".stripMargin,
     // X213 Count-Min: same md5-lane counters, same collisions — the
     // estimates (overestimates included) recompose exactly
     "q_heavy_hitters_cm" ->

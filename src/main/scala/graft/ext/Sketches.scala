@@ -68,4 +68,30 @@ object Sketches {
       .join(broadcast(sketch), Seq("lane", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))
+
+  /** CONSISTENT (bottom-k priority) key sample (X214): the k distinct
+    * keys with the smallest md5 priority, then every row of those keys
+    * — coordinated sampling. A key's priority depends on NOTHING but
+    * the key, which is the property random sampling lacks: the same
+    * key draws the same priority in every table, every day, every
+    * engine, so per-table samples of a shared key domain are JOINABLE
+    * (sample customers once, and the orders/lineitem samples built the
+    * same way contain exactly those customers' rows), re-runs are
+    * reproducible, and growing k only ADDS keys (nested samples). At
+    * scale: the key ranking is a distributed top-k
+    * (TakeOrderedAndProject — no global sort), the row pull a
+    * broadcast semi-join on k keys; at 100 TB the pull prunes files
+    * when the table clusters on the key. md5 ties are broken by the
+    * key itself, so the sample is total-order deterministic even under
+    * (astronomically unlikely) digest collisions.
+    */
+  def consistentKeySample(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val keys = df.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+      .withColumn("__pri", md5(col(keyCol).cast("string")))
+      .orderBy(col("__pri"), col(keyCol))
+      .limit(k)
+      .drop("__pri")
+    df.join(broadcast(keys), Seq(keyCol), "left_semi")
+  }
 }

@@ -36,6 +36,20 @@ class SketchesSpec extends SparkSpec {
       "100 keys in 16 buckets must collide somewhere")
   }
 
+  test("consistent sample: coordinated across tables, nested in k, all rows of a key") {
+    val orders = (1 to 200).map(i => (i.toLong, s"o$i")).toDF("ck", "o")
+    val items = (1 to 200).flatMap(i => Seq.fill(3)((i.toLong, s"i$i"))).toDF("ck", "it")
+    val sampledO = Sketches.consistentKeySample(orders, "ck", 20)
+    val sampledI = Sketches.consistentKeySample(items, "ck", 20)
+    val keysO = sampledO.select("ck").distinct().collect().map(_.getLong(0)).toSet
+    val keysI = sampledI.select("ck").distinct().collect().map(_.getLong(0)).toSet
+    assert(keysO === keysI, "same key domain -> same sampled keys (joinable samples)")
+    assert(sampledI.count() === 60, "every row of a sampled key comes along")
+    val keys30 = Sketches.consistentKeySample(orders, "ck", 30)
+      .select("ck").distinct().collect().map(_.getLong(0)).toSet
+    assert(keysO.subsetOf(keys30), "growing k only adds keys (nested samples)")
+  }
+
   test("merge linearity: sketch(A) + sketch(B) == sketch(A ++ B); absent key reads 0") {
     val a = data.filter(col("k") < "k5")
     val b = data.filter(col("k") >= "k5")
