@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   * to `32-bit md5 hex window i mod width`, so any engine recomputes
   * the SAME counters and the SAME collisions — the estimates
   * hash-match a DuckDB recomposition exactly, where a JVM-seeded hash
-  * would be internal. The sketch is a (lane, bucket) → count frame:
+  * would be internal. The relationship to
+  * [[graft.ops.Relational.countMinSketchOf]] mirrors X187's
+  * flagBloom/flagBloomMd5 split: that one wraps Spark's built-in
+  * `count_min_sketch` aggregate into a DRIVER-side probe object
+  * (fast, JVM-internal layout); this one is a DataFrame all the way —
+  * portable bits, distributed probes, and the cross-engine oracle.
+  * The sketch is a (lane, bucket) → count frame:
   * built by one hash-aggregate over the data (map-side combine, no
   * key-grain shuffle — the aggregate domain is lanes × width), merged
   * across shards/days by ADDITION ([[mergeSketches]] — the linearity

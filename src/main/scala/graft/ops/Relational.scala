@@ -505,7 +505,11 @@ object Relational {
     * counters regardless of data size; estimates overestimate by at
     * most eps·N with probability ≥ confidence (never underestimate).
     * Returned to the driver — the sketch IS a bounded summary; probe
-    * it for any candidate key without another scan.
+    * it for any candidate key without another scan. The
+    * ENGINE-PORTABLE twin is [[graft.ext.Sketches.countMinSketch]]
+    * (X213): md5-lane counters as a DataFrame — distributed probes,
+    * mergeable by union, and a cross-engine oracle, where this form's
+    * bit layout is Spark-internal.
     */
   def countMinSketchOf(df: DataFrame, keyCol: String, eps: Double = 0.0001,
                        confidence: Double = 0.99, seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch = {
