@@ -75,6 +75,48 @@ object Sketches {
       .groupBy(keyCol)
       .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))
 
+  /** STREAMING Count-Min maintenance: each micro-batch's delta sketch
+    * merges into a snapshot-table sketch — counters ADD (the
+    * linearity again), so the table converges to the sketch of
+    * everything the stream ever carried. Exactly-once by composition:
+    * the X184 streaming-merge epoch gate makes a replayed batch a
+    * no-op, which for an ADDITIVE update is correctness, not
+    * optimization (a replay would double-count). The sketch table
+    * stays ≤ lanes × width rows forever — the bounded-state streaming
+    * aggregate without watermarks or state-store tuning; probe it any
+    * time with [[countMinEstimate]] over `readSnapshot`.
+    */
+  def countMinSink(source: DataFrame, path: String, checkpoint: String,
+                   appId: String, keyCol: String,
+                   width: Long = 1L << 11, lanes: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // the merge sink needs a table to merge INTO: seed an empty
+    // sketch once, at sink construction (driver-side, before any
+    // batch — a restart sees the committed table and skips, so the
+    // seed never races the epoch gate)
+    val spark = source.sparkSession
+    if (graft.store.Warehouse.snapshots(spark, path).isEmpty) {
+      import org.apache.spark.sql.types._
+      graft.store.Warehouse.writeSnapshot(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("lane", IntegerType, nullable = false),
+            StructField("bucket", LongType, nullable = true),
+            StructField("c", LongType, nullable = false)))), path)
+    }
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.store.Warehouse.commitStreamMerge(
+          countMinSketch(batch, keyCol, width, lanes), path, appId, epoch,
+          keys = Seq("lane", "bucket"),
+          clauses = Seq(
+            graft.store.Warehouse.UpdateWhen(lit(true),
+              Map("c" -> (col("t.c") + col("s.c")))),
+            graft.store.Warehouse.InsertWhen(lit(true))))
+        ()
+      }
+  }
+
   /** CONSISTENT (bottom-k priority) key sample (X214): the k distinct
     * keys with the smallest md5 priority, then every row of those keys
     * — coordinated sampling. A key's priority depends on NOTHING but

@@ -1,7 +1,10 @@
 package graft.ext
 
 import graft.SparkSpec
+import graft.store.Warehouse
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** X213 Count-Min sketch — fixed-memory frequency estimation with the
   * engine-portable md5-lane contract; overestimate-only, linear under
@@ -34,6 +37,31 @@ class SketchesSpec extends SparkSpec {
     assert(joined.forall(r => r.getLong(1) >= r.getLong(0)))
     assert(joined.exists(r => r.getLong(1) > r.getLong(0)),
       "100 keys in 16 buckets must collide somewhere")
+  }
+
+  test("streaming sink: the sketch table converges to the sketch of everything streamed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val root = s"$dir/t"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    def drain(ck: String): Unit = {
+      val q = Sketches.countMinSink(mem.toDF().withColumnRenamed("value", "k"),
+        root, s"$dir/$ck", appId = "cm-spec", keyCol = "k", width = 64)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData("a", "b", "a")
+    drain("ck")
+    mem.addData("b", "c")
+    drain("ck")
+    val streamed = Warehouse.readSnapshot(spark, root)
+    val direct = Sketches.countMinSketch(
+      Seq("a", "b", "a", "b", "c").toDF("k"), "k", width = 64)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "incrementally merged counters must equal the one-shot sketch")
+    val est = Sketches.countMinEstimate(streamed, Seq("a", "b", "c").toDF("k"), "k",
+      width = 64).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") >= 2L && est("b") >= 2L && est("c") >= 1L)
   }
 
   test("consistent sample: coordinated across tables, nested in k, all rows of a key") {
