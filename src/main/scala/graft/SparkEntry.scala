@@ -599,6 +599,25 @@ object SparkEntry {
       store.Ivm.maintainMinMax(aggOld, feed, newState, Seq("o_orderstatus"),
         mins = Map("mn" -> "o_totalprice"), maxs = Map("mx" -> "o_totalprice"), "n")
     }),
+    "q_expectations" -> ((s, dir) => {
+      // X215 expectations: ingest triage — a drop rule filters, a
+      // quarantine rule diverts to the side table with provenance;
+      // rules apply in name order ('no_returns' < 'small_qty'), so
+      // quarantine only sees rows the drop kept. The oracle recomposes
+      // both destinations as plain filters.
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      val root = java.nio.file.Files.createTempDirectory("graft_qexp").toString + "/t"
+      Warehouse.setSnapshotExpectation(s, root, "no_returns",
+        "l_returnflag <> 'R'", "drop")
+      Warehouse.setSnapshotExpectation(s, root, "small_qty",
+        "l_quantity < 45.0", "quarantine")
+      Warehouse.writeSnapshot(li, root)
+      Warehouse.readSnapshot(s, root).withColumn("src", lit("kept"))
+        .unionByName(Warehouse.readSnapshot(s, Warehouse.quarantinePath(root))
+          .drop("_violated", "_violating_op")
+          .withColumn("src", lit("quarantined")))
+    }),
     "q_consistent_sample" -> ((s, dir) => {
       // X214 consistent (bottom-k priority) sampling: the 50 customers
       // with the smallest md5 priority, then every one of their order
@@ -1578,6 +1597,13 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X215 expectations: both triage destinations recompose as filters
+    "q_expectations" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, 'kept' AS src
+        |FROM lineitem WHERE l_returnflag <> 'R' AND l_quantity < 45.0
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, 'quarantined' AS src
+        |FROM lineitem WHERE l_returnflag <> 'R' AND NOT (l_quantity < 45.0)""".stripMargin,
     // X214 consistent sampling: the same bottom-k-by-md5 key choice in
     // any engine — the sampled rows recompose exactly
     "q_consistent_sample" ->

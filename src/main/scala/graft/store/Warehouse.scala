@@ -787,6 +787,145 @@ object Warehouse {
     }
   }
 
+  /** Declare a named data-quality EXPECTATION (X215) — the DLT
+    * `expect / expect_or_drop / expect_or_fail` shape, the triage
+    * layer CHECK constraints (X186) deliberately aren't: a constraint
+    * is a hard table invariant (violation = abort, every write path,
+    * rewrites included), an expectation is an INGEST policy with a
+    * per-rule action —
+    *
+    *  - `"abort"`: fail the write naming the rule and row (a CHECK
+    *    with expectation bookkeeping);
+    *  - `"drop"`: violating rows silently leave the batch (the
+    *    boilerplate filter every corpus ingest runs);
+    *  - `"quarantine"`: violating rows divert to the sibling snapshot
+    *    table `<path>/_quarantine` — stamped with the rule name and
+    *    the violating batch's op — for triage and replay (the
+    *    dead-letter pattern), and the clean remainder commits.
+    *
+    * SQL CHECK semantics per rule (only FALSE violates; NULL passes —
+    * write `x IS NOT NULL` to reject nulls). Scope is ROW-LANDING
+    * ingest (full writes, appends, streaming sinks, replaceWhere
+    * batches, branch commits); row-level REWRITES do not re-triage —
+    * dropping carried rows on an UPDATE would be silent data loss, so
+    * rewrites keep enforcing hard constraints only. Quarantine pays a
+    * second pass over the batch (the diverted write) — persist the
+    * batch upstream if it is expensive to recompute. Declarations ride
+    * an `_expectations` root file under the DDL-lock /
+    * unreadable-fails-writes contract.
+    */
+  def setSnapshotExpectation(spark: SparkSession, path: String, name: String,
+                             predicateSql: String,
+                             onViolation: String = "abort"): Unit = {
+    requireTagName(name)
+    require(Set("abort", "drop", "quarantine")(onViolation),
+      s"setSnapshotExpectation($path): unknown action '$onViolation' " +
+        "(abort | drop | quarantine)")
+    spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    withDdlLock(fs, path) {
+      writeRulesFile(fs, path, "_expectations",
+        snapshotExpectations(spark, path).map { case (n, (p, a)) => n -> s"$a $p" }
+          + (name -> s"$onViolation $predicateSql"))
+    }
+  }
+
+  /** Remove a named expectation; returns whether it existed. */
+  def dropSnapshotExpectation(spark: SparkSession, path: String, name: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withDdlLock(fs, path) {
+      val existing = snapshotExpectations(spark, path)
+      if (!existing.contains(name)) false
+      else {
+        val rest = (existing - name).map { case (n, (p, a)) => n -> s"$a $p" }
+        if (rest.isEmpty)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/_expectations"), false)
+        else writeRulesFile(fs, path, "_expectations", rest)
+        true
+      }
+    }
+  }
+
+  /** Declared expectations: name -> (predicate SQL, action). */
+  def snapshotExpectations(spark: SparkSession,
+                           path: String): Map[String, (String, String)] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(s"$path/_expectations")
+    if (!fs.exists(f)) return Map.empty
+    try {
+      val in = fs.open(f)
+      val node = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+      val it = node.fieldNames()
+      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+        .takeWhile(_.isDefined).flatten
+        .map { n =>
+          val Array(action, sql) = node.get(n).asText().split(" ", 2)
+          n -> (sql, action)
+        }.toMap
+    } catch {
+      case e @ (_: java.io.IOException |
+                _: com.fasterxml.jackson.core.JacksonException |
+                _: MatchError) =>
+        throw new java.io.IOException(
+          s"unreadable _expectations under $path — refusing to write untriaged", e)
+    }
+  }
+
+  /** The quarantine side table of `path`. */
+  def quarantinePath(path: String): String = s"$path/_quarantine"
+
+  /** Apply the declared expectations to an ingest batch: abort rules
+    * fuse as `raise_error` (zero extra jobs), drop rules as filters,
+    * quarantine rules divert their rows to the side table FIRST (one
+    * extra pass, CAS-retried append) and filter them from the batch.
+    * Rules apply in name order; a row failing an earlier drop/
+    * quarantine rule is not seen by later ones.
+    */
+  private def expectationGate(df: DataFrame, path: String, op: String): DataFrame = {
+    val rules = snapshotExpectations(df.sparkSession, path).toSeq.sortBy(_._1)
+    if (rules.isEmpty) return df
+    val spark = df.sparkSession
+    rules.foldLeft(df) { case (d, (name, (sql, action))) =>
+      val violates = !coalesce(expr(sql), lit(true))
+      action match {
+        case "abort" =>
+          d.filter(when(violates,
+            raise_error(concat(
+              lit(s"$op($path): expectation '$name' ($sql) violated by row "),
+              to_json(struct(d.columns.map(col).toIndexedSeq: _*)))))
+            .otherwise(lit(true)))
+        case "drop" => d.filter(!violates)
+        case "quarantine" =>
+          val bad = d.filter(violates)
+            .withColumn("_violated", lit(name))
+            .withColumn("_violating_op", lit(op))
+          if (!bad.isEmpty) {
+            val q = quarantinePath(path)
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try {
+                val v = snapshots(spark, q).lastOption.getOrElse(0L)
+                if (v == 0L) commitSnapshot(bad, q, 0L)
+                else appendSnapshot(bad, q, v, evolveSchema = true)
+                done = true
+              } catch {
+                case e: SnapshotConflictException =>
+                  attempts += 1
+                  if (attempts >= 20) throw e
+              }
+            }
+          }
+          d.filter(!violates)
+      }
+    }
+  }
+
   /** Declare `column` as the table's IDENTITY column (X210, the Delta
     * `GENERATED BY DEFAULT AS IDENTITY` shape): every full write and
     * append whose frame LACKS the column mints each new row a unique
@@ -1024,7 +1163,8 @@ object Warehouse {
       val (c, st) = identityRule(fs, path).get
       identityHwmAt(spark, fs, path, next - 1, c, st)
     })
-    val g = generatedAlign(idd, path, "writeSnapshot")
+    val g = expectationGate(generatedAlign(idd, path, "writeSnapshot"),
+      path, "writeSnapshot")
     constraintGuard(g, path, "writeSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
     publishManifestBestEffort(fs, spark, path, next, g.schema.json)
@@ -1131,7 +1271,8 @@ object Warehouse {
       val (c, st) = identityRule(fs, path).get
       identityHwmAt(spark, fs, path, expectedVersion, c, st)
     })
-    val g = generatedAlign(idd, path, "commitSnapshot")
+    val g = expectationGate(generatedAlign(idd, path, "commitSnapshot"),
+      path, "commitSnapshot")
     constraintGuard(g, path, "commitSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
@@ -1211,7 +1352,8 @@ object Warehouse {
                                 evolveSchema: Boolean = false): Option[Long] = {
     // generated columns (X205) fill BEFORE the schema gate: the common
     // writer supplies business columns only, the table derives the rest
-    val df = generatedAlign(dfIn, path, "appendSnapshot")
+    val df = expectationGate(generatedAlign(dfIn, path, "appendSnapshot"),
+      path, "appendSnapshot")
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2863,7 +3005,8 @@ object Warehouse {
     // r11): the WAP stage is where validation is supposed to happen —
     // skipping the CHECK/generated gates here would let publishBranch
     // promote unvalidated rows to main
-    val g = generatedAlign(df, path, "commitToBranch")
+    val g = expectationGate(generatedAlign(df, path, "commitToBranch"),
+      path, "commitToBranch")
     constraintGuard(g, path, "commitToBranch")
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
@@ -3432,8 +3575,10 @@ object Warehouse {
     def aligned(schema: StructType): DataFrame = {
       // generated columns (X205) fill before the schema gate, exactly
       // as in appendSnapshot — the reload writer supplies business
-      // columns only (review r11)
-      val b = generatedAlign(batch, path, "replaceWhere")
+      // columns only (review r11); the reload batch is an INGEST, so
+      // expectations (X215) triage it like any append
+      val b = expectationGate(generatedAlign(batch, path, "replaceWhere"),
+        path, "replaceWhere")
       val got = b.schema.fields.map(f => f.name -> f.dataType).toMap
       val want = schema.fields.map(f => f.name -> f.dataType).toMap
       require(got == want,

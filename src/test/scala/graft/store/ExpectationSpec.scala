@@ -1,0 +1,70 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** X215 expectations — the DLT expect / expect_or_drop / expect_or_fail
+  * triage layer over ingest: abort names the rule, drop filters
+  * silently, quarantine diverts to the side table with provenance.
+  */
+class ExpectationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("drop and quarantine triage an ingest; the side table carries provenance") {
+    val root = tmpRoot("graft_exp1")
+    Warehouse.setSnapshotExpectation(spark, root, "no_negatives", "x >= 0", "drop")
+    Warehouse.setSnapshotExpectation(spark, root, "short_tail", "x < 100", "quarantine")
+    Warehouse.writeSnapshot(
+      Seq(1L, -2L, 50L, 200L, -7L, 300L).toDF("x"), root)
+    val kept = Warehouse.readSnapshot(spark, root).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 50L), "negatives dropped, tail quarantined")
+    val q = Warehouse.readSnapshot(spark, Warehouse.quarantinePath(root))
+    assert(q.count() === 2)
+    assert(q.select("_violated").distinct().head().getString(0) === "short_tail")
+    assert(q.select("_violating_op").distinct().head().getString(0) === "writeSnapshot")
+    // appends triage too, and the quarantine table accumulates
+    Warehouse.appendSnapshot(Seq(7L, 500L).toDF("x"), root, 1L)
+    assert(Warehouse.readSnapshot(spark, root).count() === 3)
+    assert(Warehouse.readSnapshot(spark, Warehouse.quarantinePath(root)).count() === 3)
+  }
+
+  test("abort names the rule; NULL passes (SQL CHECK semantics); drop lifts") {
+    val root = tmpRoot("graft_exp2")
+    Warehouse.setSnapshotExpectation(spark, root, "has_id", "id IS NOT NULL", "abort")
+    val e = intercept[Exception] {
+      Warehouse.writeSnapshot(Seq(Some(1L), None).toDF("id"), root)
+    }
+    assert(e.getMessage.contains("has_id"))
+    // a rule whose predicate evaluates NULL passes the row
+    Warehouse.setSnapshotExpectation(spark, root, "null_passes", "id > 0", "drop")
+    Warehouse.dropSnapshotExpectation(spark, root, "has_id")
+    Warehouse.writeSnapshot(Seq(Some(1L), None).toDF("id"), root)
+    assert(Warehouse.readSnapshot(spark, root).count() === 2,
+      "NULL predicate = pass, like CHECK")
+    assert(Warehouse.dropSnapshotExpectation(spark, root, "null_passes"))
+    assert(!Warehouse.dropSnapshotExpectation(spark, root, "null_passes"))
+  }
+
+  test("a batch emptied by triage commits nothing on append; lifecycle gates") {
+    val root = tmpRoot("graft_exp3")
+    Warehouse.writeSnapshot(Seq(1L).toDF("x"), root)
+    Warehouse.setSnapshotExpectation(spark, root, "pos", "x > 0", "drop")
+    val v = Warehouse.appendSnapshot(Seq(-1L, -2L).toDF("x"), root, 1L)
+    assert(v === 1L, "fully-dropped batch = no commit")
+    intercept[IllegalArgumentException] {
+      Warehouse.setSnapshotExpectation(spark, root, "bad", "x > 0", "explode")
+    }
+    // unreadable rules file is a write gate
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/_expectations"), true)
+    out.write("not json".getBytes("UTF-8")); out.close()
+    val e = intercept[java.io.IOException] {
+      Warehouse.appendSnapshot(Seq(5L).toDF("x"), root, 1L)
+    }
+    assert(e.getMessage.contains("_expectations"))
+  }
+}
