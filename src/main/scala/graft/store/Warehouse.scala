@@ -2657,6 +2657,8 @@ object Warehouse {
     }
     snapshotConstraints(spark, path).toSeq.sortBy(_._1).foreach { case (n, sql) =>
       rows += ((s"constraint.$n", sql)) }
+    snapshotExpectations(spark, path).toSeq.sortBy(_._1).foreach { case (n, (sql, a)) =>
+      rows += ((s"expectation.$n", s"$a: $sql")) }
     snapshotGenerated(spark, path).toSeq.sortBy(_._1).foreach { case (c, sql) =>
       rows += ((s"generated.$c", sql)) }
     snapshotIdentity(spark, path).foreach { case (c, st) =>
