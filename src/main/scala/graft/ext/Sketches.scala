@@ -49,6 +49,23 @@ object Sketches {
       .select(laneBuckets(col("h"), width, lanes))
       .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
+      // the geometry RIDES the sketch (review r11): probing or merging
+      // under a different (width, lanes) silently UNDERestimates —
+      // the one failure mode Count-Min promises away — so consumers
+      // validate against these instead of trusting their parameters
+      .withColumn("width", lit(width))
+      .withColumn("lanes", lit(lanes))
+  }
+
+  private def requireGeometry(sketch: DataFrame, width: Long, lanes: Int,
+                              what: String): Unit = {
+    val meta = sketch.select(col("width"), col("lanes")).distinct().collect()
+    require(meta.length <= 1, s"$what: sketch mixes geometries")
+    meta.headOption.foreach { r =>
+      require(r.getLong(0) == width && r.getInt(1) == lanes,
+        s"$what: sketch was built with (width=${r.getLong(0)}, lanes=${r.getInt(1)}), " +
+          s"probed with (width=$width, lanes=$lanes) — a mismatch underestimates")
+    }
   }
 
   /** Merge sketches built with the SAME (width, lanes): counters add.
@@ -57,8 +74,12 @@ object Sketches {
     */
   def mergeSketches(sketches: DataFrame*): DataFrame = {
     require(sketches.nonEmpty, "mergeSketches needs at least one sketch")
-    sketches.reduce(_ unionByName _)
-      .groupBy("lane", "bucket").agg(sum(col("c")).as("c"))
+    val all = sketches.reduce(_ unionByName _)
+    require(all.select("width", "lanes").distinct().count() <= 1,
+      "mergeSketches: sketches were built with different geometries — " +
+        "their counters are not addable")
+    all.groupBy("lane", "bucket", "width", "lanes").agg(sum(col("c")).as("c"))
+      .select("lane", "bucket", "c", "width", "lanes")
   }
 
   /** Point estimates for the probe frame's keys: min over the key's
@@ -66,14 +87,17 @@ object Sketches {
     * The sketch side broadcasts: ≤ lanes × width rows by construction.
     */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
-                       width: Long = 1L << 11, lanes: Int = 4): DataFrame =
+                       width: Long = 1L << 11, lanes: Int = 4): DataFrame = {
+    requireGeometry(sketch, width, lanes, "countMinEstimate")
     probes.select(col(keyCol)).distinct()
       .withColumn("h", md5(col(keyCol).cast("string")))
       .select(col(keyCol), laneBuckets(col("h"), width, lanes))
       .select(col(keyCol), col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("lane", "bucket"), "left")
+      .join(broadcast(sketch.select("lane", "bucket", "c")),
+        Seq("lane", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))
+  }
 
   /** STREAMING Count-Min maintenance: each micro-batch's delta sketch
     * merges into a snapshot-table sketch — counters ADD (the
@@ -101,7 +125,9 @@ object Sketches {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("lane", IntegerType, nullable = false),
             StructField("bucket", LongType, nullable = true),
-            StructField("c", LongType, nullable = false)))), path)
+            StructField("c", LongType, nullable = false),
+            StructField("width", LongType, nullable = false),
+            StructField("lanes", IntegerType, nullable = false)))), path)
     }
     source.writeStream
       .option("checkpointLocation", checkpoint)

@@ -804,15 +804,24 @@ object Warehouse {
     *    dead-letter pattern), and the clean remainder commits.
     *
     * SQL CHECK semantics per rule (only FALSE violates; NULL passes —
-    * write `x IS NOT NULL` to reject nulls). Scope is ROW-LANDING
+    * write `x IS NOT NULL` to reject nulls); rules apply abort → drop
+    * → quarantine, name order within an action. Scope is ROW-LANDING
     * ingest (full writes, appends, streaming sinks, replaceWhere
     * batches, branch commits); row-level REWRITES do not re-triage —
     * dropping carried rows on an UPDATE would be silent data loss, so
-    * rewrites keep enforcing hard constraints only. Quarantine pays a
-    * second pass over the batch (the diverted write) — persist the
-    * batch upstream if it is expensive to recompute. Declarations ride
-    * an `_expectations` root file under the DDL-lock /
-    * unreadable-fails-writes contract.
+    * rewrites keep enforcing hard constraints only — and the
+    * maintenance/merge full rewrites (compactSnapshot, the streaming
+    * upsert sink) pass `triage = false` for the same reason: their
+    * input is committed rows, not an ingest. Quarantine rows land
+    * AFTER the main commit succeeds (at-most-once relative to it; a
+    * replayed or retried attempt never double-quarantines) and pay
+    * one extra pass over the batch — persist it upstream if it is
+    * expensive to recompute. Predicates must be deterministic
+    * (enforced at declaration like generated columns — the kept-rows
+    * filter and the quarantine write evaluate the rule in separate
+    * jobs, and a `rand()` rule would send rows to both destinations
+    * or neither). Declarations ride an `_expectations` root file
+    * under the DDL-lock / unreadable-fails-writes contract.
     */
   def setSnapshotExpectation(spark: SparkSession, path: String, name: String,
                              predicateSql: String,
@@ -821,7 +830,17 @@ object Warehouse {
     require(Set("abort", "drop", "quarantine")(onViolation),
       s"setSnapshotExpectation($path): unknown action '$onViolation' " +
         "(abort | drop | quarantine)")
-    spark.sessionState.sqlParser.parseExpression(predicateSql)
+    val parsed = spark.sessionState.sqlParser.parseExpression(predicateSql)
+    // determinism gate, same probe as setGeneratedColumn (review r11)
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }.distinct
+    scala.util.Try {
+      val probe = refs.foldLeft(spark.range(1).toDF())((d, n) => d.withColumn(n, lit(null)))
+      probe.select(expr(predicateSql).as("__e")).queryExecution.analyzed
+    }.foreach(analyzed => require(analyzed.expressions.forall(_.deterministic),
+      s"setSnapshotExpectation($path): '$predicateSql' is non-deterministic — " +
+        "the kept-rows filter and the quarantine write must agree on every row"))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
@@ -879,18 +898,30 @@ object Warehouse {
   /** The quarantine side table of `path`. */
   def quarantinePath(path: String): String = s"$path/_quarantine"
 
-  /** Apply the declared expectations to an ingest batch: abort rules
-    * fuse as `raise_error` (zero extra jobs), drop rules as filters,
-    * quarantine rules divert their rows to the side table FIRST (one
-    * extra pass, CAS-retried append) and filter them from the batch.
-    * Rules apply in name order; a row failing an earlier drop/
-    * quarantine rule is not seen by later ones.
+  /** Apply the declared expectations to an ingest batch. Returns the
+    * KEPT frame plus a quarantine FLUSH to invoke AFTER the main
+    * commit succeeds (review r11: an eager quarantine write would
+    * duplicate rows on every CAS retry, land rows for ingests a later
+    * abort rule then refused, and break the streaming epoch gate's
+    * exactly-once story — deferring it ties the side-table write to
+    * exactly the successful attempt). Abort rules fuse as
+    * `raise_error` (zero extra jobs), drop rules as filters,
+    * quarantine rules carry their rows into the flush and filter them
+    * from the batch. Rules apply abort → drop → quarantine, name
+    * order within an action — an aborting ingest never quarantines
+    * first. Quarantine delivery is AT-MOST-ONCE relative to the main
+    * commit (a crash between commit and flush loses the diverted
+    * rows, never phantoms them); audit-critical rules should abort.
     */
-  private def expectationGate(df: DataFrame, path: String, op: String): DataFrame = {
-    val rules = snapshotExpectations(df.sparkSession, path).toSeq.sortBy(_._1)
-    if (rules.isEmpty) return df
+  private def expectationGate(df: DataFrame, path: String,
+                              op: String): (DataFrame, () => Unit) = {
+    val prec = Map("abort" -> 0, "drop" -> 1, "quarantine" -> 2)
+    val rules = snapshotExpectations(df.sparkSession, path).toSeq
+      .sortBy { case (n, (_, a)) => (prec(a), n) }
+    if (rules.isEmpty) return (df, () => ())
     val spark = df.sparkSession
-    rules.foldLeft(df) { case (d, (name, (sql, action))) =>
+    val quarantined = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val kept = rules.foldLeft(df) { case (d, (name, (sql, action))) =>
       val violates = !coalesce(expr(sql), lit(true))
       action match {
         case "abort" =>
@@ -901,29 +932,32 @@ object Warehouse {
             .otherwise(lit(true)))
         case "drop" => d.filter(!violates)
         case "quarantine" =>
-          val bad = d.filter(violates)
+          quarantined += d.filter(violates)
             .withColumn("_violated", lit(name))
             .withColumn("_violating_op", lit(op))
-          if (!bad.isEmpty) {
-            val q = quarantinePath(path)
-            var attempts = 0
-            var done = false
-            while (!done) {
-              try {
-                val v = snapshots(spark, q).lastOption.getOrElse(0L)
-                if (v == 0L) commitSnapshot(bad, q, 0L)
-                else appendSnapshot(bad, q, v, evolveSchema = true)
-                done = true
-              } catch {
-                case e: SnapshotConflictException =>
-                  attempts += 1
-                  if (attempts >= 20) throw e
-              }
-            }
-          }
           d.filter(!violates)
       }
     }
+    val flush: () => Unit = () => quarantined.foreach { bad =>
+      if (!bad.isEmpty) {
+        val q = quarantinePath(path)
+        var attempts = 0
+        var done = false
+        while (!done) {
+          try {
+            val v = snapshots(spark, q).lastOption.getOrElse(0L)
+            if (v == 0L) commitSnapshot(bad, q, 0L)
+            else appendSnapshot(bad, q, v, evolveSchema = true)
+            done = true
+          } catch {
+            case e: SnapshotConflictException =>
+              attempts += 1
+              if (attempts >= 20) throw e
+          }
+        }
+      }
+    }
+    (kept, flush)
   }
 
   /** Declare `column` as the table's IDENTITY column (X210, the Delta
@@ -1163,8 +1197,8 @@ object Warehouse {
       val (c, st) = identityRule(fs, path).get
       identityHwmAt(spark, fs, path, next - 1, c, st)
     })
-    val g = expectationGate(generatedAlign(idd, path, "writeSnapshot"),
-      path, "writeSnapshot")
+    val (g, flushQuarantine) = expectationGate(
+      generatedAlign(idd, path, "writeSnapshot"), path, "writeSnapshot")
     constraintGuard(g, path, "writeSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
     publishManifestBestEffort(fs, spark, path, next, g.schema.json)
@@ -1174,6 +1208,7 @@ object Warehouse {
     val ptr = new org.apache.hadoop.fs.Path(s"$path/_latest")
     fs.delete(ptr, false)
     require(fs.rename(tmp, ptr), s"cannot swap pointer for $path")
+    flushQuarantine()
     next
   }
 
@@ -1260,7 +1295,8 @@ object Warehouse {
     * retriers conflict onwards normally.
     */
   def commitSnapshot(df: DataFrame, path: String, expectedVersion: Long,
-                     orphanGraceMs: Long = 600000L): Long = {
+                     orphanGraceMs: Long = 600000L,
+                     triage: Boolean = true): Long = {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1271,8 +1307,10 @@ object Warehouse {
       val (c, st) = identityRule(fs, path).get
       identityHwmAt(spark, fs, path, expectedVersion, c, st)
     })
-    val g = expectationGate(generatedAlign(idd, path, "commitSnapshot"),
-      path, "commitSnapshot")
+    val (g, flushQuarantine) =
+      if (triage) expectationGate(generatedAlign(idd, path, "commitSnapshot"),
+        path, "commitSnapshot")
+      else (generatedAlign(idd, path, "commitSnapshot"), () => ())
     constraintGuard(g, path, "commitSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
@@ -1291,6 +1329,7 @@ object Warehouse {
     promoteStaging(fs, staging, dest, path, next)
     publishManifestBestEffort(fs, spark, path, next, g.schema.json)
     advancePointer(fs, path, next)
+    flushQuarantine()
     next
   }
 
@@ -1349,11 +1388,12 @@ object Warehouse {
                                 next: Long, orphanGraceMs: Long,
                                 changeFeed: Boolean = false,
                                 txn: Option[(String, Long)] = None,
-                                evolveSchema: Boolean = false): Option[Long] = {
+                                evolveSchema: Boolean = false,
+                                gateOp: String = "appendSnapshot"): Option[Long] = {
     // generated columns (X205) fill BEFORE the schema gate: the common
     // writer supplies business columns only, the table derives the rest
-    val df = expectationGate(generatedAlign(dfIn, path, "appendSnapshot"),
-      path, "appendSnapshot")
+    val (df, flushQuarantine) = expectationGate(
+      generatedAlign(dfIn, path, "appendSnapshot"), path, gateOp)
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1385,7 +1425,9 @@ object Warehouse {
     // manifest read, let alone the lost-manifest max scan, for ids it
     // will never mint). The schema gate below is skipped for empty
     // batches by construction — there are no rows it could protect.
-    if (df.isEmpty) return None
+    // A batch EMPTIED by triage still delivers its quarantine rows:
+    // "nothing committed" is that ingest's correct main-table outcome.
+    if (df.isEmpty) { flushQuarantine(); return None }
     val committed0: Option[StructType] = baseSchema.orElse(
       if (base == 0L) None
       else Some(spark.read.parquet(baseEntries.map(entryPath(path, _)): _*).schema))
@@ -1477,6 +1519,7 @@ object Warehouse {
       dv = reuse.flatMap { case (m, _) => readDvState(m) },
       columnMap = if (minted.isEmpty) None else Some(cmap),
       cdfStaging = cdfStaging, advance = false)
+    flushQuarantine()
     Some(next)
   }
 
@@ -3007,8 +3050,8 @@ object Warehouse {
     // r11): the WAP stage is where validation is supposed to happen —
     // skipping the CHECK/generated gates here would let publishBranch
     // promote unvalidated rows to main
-    val g = expectationGate(generatedAlign(df, path, "commitToBranch"),
-      path, "commitToBranch")
+    val (g, flushQuarantine) = expectationGate(
+      generatedAlign(df, path, "commitToBranch"), path, "commitToBranch")
     constraintGuard(g, path, "commitToBranch")
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
@@ -3023,6 +3066,7 @@ object Warehouse {
     promoteStaging(fs, staging, dest, path, next)
     publishManifestBestEffort(fs, spark, path, next, g.schema.json)
     advanceBranch(fs, path, name, expectedBranchVersion, next)
+    flushQuarantine()
     next
   }
 
@@ -3044,7 +3088,8 @@ object Warehouse {
     if (head != expectedBranchVersion)
       throw new SnapshotConflictException(path, head)
     val next = currentSnapshot(spark, path) + 1
-    appendVersionFrom(df, path, base = head, next = next, orphanGraceMs) match {
+    appendVersionFrom(df, path, base = head, next = next, orphanGraceMs,
+      gateOp = "appendToBranch") match {
       case None => head // empty batch: branch unchanged
       case Some(v) =>
         advanceBranch(fs, path, name, expectedBranchVersion, v); v
@@ -3574,13 +3619,20 @@ object Warehouse {
                    orphanGraceMs: Long = 600000L,
                    scanBound: Option[(String, Option[Any], Option[Any])] = None,
                    changeFeed: Boolean = false): Long = {
-    def aligned(schema: StructType): DataFrame = {
+    // the gated batch builds ONCE (review r11: the rewrite and the
+    // change-feed closures both consume it — two gate evaluations
+    // would queue the quarantine rows twice), and the quarantine
+    // flush fires AFTER the commit, like every ingest path
+    var flushQuarantine: () => Unit = () => ()
+    val alignedCache = scala.collection.mutable.HashMap.empty[StructType, DataFrame]
+    def aligned(schema: StructType): DataFrame = alignedCache.getOrElseUpdate(schema, {
       // generated columns (X205) fill before the schema gate, exactly
       // as in appendSnapshot — the reload writer supplies business
       // columns only (review r11); the reload batch is an INGEST, so
       // expectations (X215) triage it like any append
-      val b = expectationGate(generatedAlign(batch, path, "replaceWhere"),
+      val (b, fl) = expectationGate(generatedAlign(batch, path, "replaceWhere"),
         path, "replaceWhere")
+      flushQuarantine = fl
       val got = b.schema.fields.map(f => f.name -> f.dataType).toMap
       val want = schema.fields.map(f => f.name -> f.dataType).toMap
       require(got == want,
@@ -3595,8 +3647,8 @@ object Warehouse {
           lit(s"replaceWhere($path): batch row outside the predicate: "),
           to_json(struct(a.columns.map(col).toIndexedSeq: _*)))))
         .otherwise(lit(true)))
-    }
-    rewriteMatchingFiles(spark, path,
+    })
+    val out = rewriteMatchingFiles(spark, path,
       discover = _.where(predicate).select(col("__file")),
       orphanGraceMs = orphanGraceMs, scanBound = scanBound,
       op = "replaceWhere",
@@ -3608,6 +3660,8 @@ object Warehouse {
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           .withColumn("_change_type", lit("delete"))
           .unionByName(aligned(schema).withColumn("_change_type", lit("insert")))))
+    flushQuarantine()
+    out
   }
 
   private def rewriteMatchingFiles(spark: SparkSession, path: String,
@@ -5211,7 +5265,9 @@ object Warehouse {
     val arranged =
       if (clusterCols.isEmpty) current.repartition(n)
       else graft.ops.Layout.zorder(current, clusterCols, n)
-    (commitSnapshot(arranged, path, expectedVersion = v), n)
+    // committed rows re-land, not an ingest: X215 triage stays off —
+    // a layout rewrite must never drop or divert data (review r11)
+    (commitSnapshot(arranged, path, expectedVersion = v, triage = false), n)
   }
 
   /** Metadata table — the Iceberg `table$files` analog: one row per

@@ -52,7 +52,11 @@ object SnapshotMerge {
         Warehouse.UpdateWhen(lit(true), updateSet),
         Warehouse.InsertWhen(lit(true))))
       try {
-        Warehouse.commitSnapshot(merged, root, cur)
+        // the merged state is mostly COMMITTED rows: X215 triage stays
+        // off, or an update whose new value violates a drop rule would
+        // silently delete the key (review r11) — expectations gate the
+        // append-style ingest sinks, not this full-state rewrite
+        Warehouse.commitSnapshot(merged, root, cur, triage = false)
         committed = true
       } catch {
         case e: Warehouse.SnapshotConflictException =>

@@ -39,6 +39,18 @@ class SketchesSpec extends SparkSpec {
       "100 keys in 16 buckets must collide somewhere")
   }
 
+  test("geometry rides the sketch: a mismatched probe or merge refuses (review r11)") {
+    val sk = Sketches.countMinSketch(data, "k", width = 1024)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(sk, Seq("k1").toDF("k"), "k", width = 2048)
+    }
+    assert(e.getMessage.contains("underestimates"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.mergeSketches(sk, Sketches.countMinSketch(data, "k", width = 64))
+    }
+    assert(e2.getMessage.contains("geometries"))
+  }
+
   test("streaming sink: the sketch table converges to the sketch of everything streamed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
     val root = s"$dir/t"

@@ -48,6 +48,45 @@ class ExpectationSpec extends SparkSpec {
     assert(!Warehouse.dropSnapshotExpectation(spark, root, "null_passes"))
   }
 
+  test("maintenance rewrites never re-triage committed rows (review r11)") {
+    val root = tmpRoot("graft_exp4")
+    Warehouse.writeSnapshot(Seq(50L, 200L).toDF("x").repartition(2), root)
+    // the rule arrives AFTER the rows committed — it gates future
+    // ingests, not layout maintenance
+    Warehouse.setSnapshotExpectation(spark, root, "small", "x < 100", "drop")
+    Warehouse.compactSnapshot(spark, root)
+    assert(Warehouse.readSnapshot(spark, root).count() === 2,
+      "compaction must never drop committed rows")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Warehouse.quarantinePath(root))),
+      "nothing quarantined by maintenance")
+  }
+
+  test("an abort rule firing means nothing reaches quarantine (review r11)") {
+    val root = tmpRoot("graft_exp5")
+    // precedence: aborts evaluate before quarantines regardless of name
+    Warehouse.setSnapshotExpectation(spark, root, "aa_quar", "x < 100", "quarantine")
+    Warehouse.setSnapshotExpectation(spark, root, "zz_abort", "x >= 0", "abort")
+    intercept[Exception] {
+      Warehouse.writeSnapshot(Seq(50L, -1L, 200L).toDF("x"), root)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(Warehouse.quarantinePath(root))),
+      "a refused ingest must leave no quarantine debris")
+  }
+
+  test("branch appends stamp their own op in quarantine provenance (review r11)") {
+    val root = tmpRoot("graft_exp6")
+    Warehouse.writeSnapshot(Seq(1L).toDF("x"), root)
+    Warehouse.setSnapshotExpectation(spark, root, "pos", "x > 0", "quarantine")
+    Warehouse.createBranch(spark, root, "wap")
+    Warehouse.appendToBranch(Seq(-5L, 7L).toDF("x"), root, "wap", 1L)
+    val q = Warehouse.readSnapshot(spark, Warehouse.quarantinePath(root))
+    assert(q.select("_violating_op").head().getString(0) === "appendToBranch")
+  }
+
   test("a batch emptied by triage commits nothing on append; lifecycle gates") {
     val root = tmpRoot("graft_exp3")
     Warehouse.writeSnapshot(Seq(1L).toDF("x"), root)
