@@ -599,6 +599,18 @@ object SparkEntry {
       store.Ivm.maintainMinMax(aggOld, feed, newState, Seq("o_orderstatus"),
         mins = Map("mn" -> "o_totalprice"), maxs = Map("mx" -> "o_totalprice"), "n")
     }),
+    "q_table_checksum" -> ((s, dir) => {
+      // X216 order-independent checksum: the replica handshake — both
+      // engines sum the same md5 windows over the same canonical row
+      // strings, so the totals match bit-exact with no row moved.
+      // BIGINT output (the sum fits far inside Long at test scale;
+      // the API's DECIMAL(38,0) is the at-scale form).
+      val o = Tables.orders(s, dir)
+      ops.Relational.tableChecksum(o,
+        Seq("o_orderkey", "o_orderstatus", "o_orderdate"))
+        .select(col("n_rows"), col("sum_w0").cast("long").as("sum_w0"),
+          col("sum_w1").cast("long").as("sum_w1"))
+    }),
     "q_expectations" -> ((s, dir) => {
       // X215 expectations: ingest triage — a drop rule filters, a
       // quarantine rule diverts to the side table with provenance;
@@ -1597,6 +1609,18 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X216 checksum: same canonical strings, same md5 windows, same sums
+    "q_table_checksum" ->
+      """WITH h AS (
+        |  SELECT md5(concat_ws(chr(31),
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(30)),
+        |    coalesce(CAST(o_orderstatus AS VARCHAR), chr(30)),
+        |    coalesce(CAST(o_orderdate AS VARCHAR), chr(30)))) AS h
+        |  FROM orders)
+        |SELECT count(*) AS n_rows,
+        |       CAST(coalesce(sum(('0x' || substr(h, 1, 8))::BIGINT), 0) AS BIGINT) AS sum_w0,
+        |       CAST(coalesce(sum(('0x' || substr(h, 9, 8))::BIGINT), 0) AS BIGINT) AS sum_w1
+        |FROM h""".stripMargin,
     // X215 expectations: both triage destinations recompose as filters
     "q_expectations" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, 'kept' AS src

@@ -520,6 +520,36 @@ object Relational {
       new java.io.ByteArrayInputStream(bytes))
   }
 
+  /** ORDER-INDEPENDENT table checksum (X216) — the replica-verification
+    * handshake: two sides each compute one row over their own data and
+    * compare (n_rows, checksum); equality means content-equality up to
+    * the chosen columns' string forms, with no rows moved and no sort
+    * anywhere. Per row: md5 over the columns'
+    * unit-separator-joined string forms (u001f between columns, so
+    * ("ab","c") differs from ("a","bc"); NULL renders as the u001e
+    * sentinel, so (NULL,'a') differs from ('a',NULL));
+    * the checksum SUMS two 32-bit hex windows of each digest as
+    * DECIMAL(38,0) — addition commutes, so partitioning and row order
+    * are irrelevant, and the md5-window contract makes it
+    * engine-portable (the X187 move again). Collisions are
+    * sum-of-random-64-bit-grade — fine for a drift DETECTOR; follow a
+    * mismatch with [[graft.store.Warehouse.diffFrames]] for the rows.
+    * Column string forms must be engine-stable: integers, strings,
+    * dates are; raw doubles are NOT (format drift) — round or
+    * fixed-point them first.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    val h = md5(concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*))
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(conv(substring(col("h"), 1, 8), 16, 10)
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("sum_w0"),
+        coalesce(sum(conv(substring(col("h"), 9, 8), 16, 10)
+          .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("sum_w1"))
+  }
+
   /** One-row key-skew report: distinct keys, total rows, the max key's
     * share, and the top-`topK` keys' combined share — the diagnostic
     * that decides between a plain shuffle join and the salted join

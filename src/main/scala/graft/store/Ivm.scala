@@ -130,6 +130,54 @@ object Ivm {
     maintainAggregate(agg, feed, keys, sums, countCol)
   }
 
+  /** [[maintainMinMax]] / [[maintainTopK]] / [[maintainDistinctSupport]]
+    * / [[maintainMoments]] driven straight from the warehouse, like
+    * [[maintainFromWarehouse]]: fold the persisted feeds of
+    * `fromVersion..toVersion` in one pass; the post-bracket state the
+    * extremum rescans consult is the pinned `toVersion` read.
+    */
+  def maintainMinMaxFromWarehouse(agg: DataFrame, path: String, keys: Seq[String],
+                                  fromVersion: Long, toVersion: Long,
+                                  mins: Map[String, String] = Map.empty,
+                                  maxs: Map[String, String] = Map.empty,
+                                  countCol: String = "n"): DataFrame = {
+    val spark = agg.sparkSession
+    maintainMinMax(agg,
+      Warehouse.readChangeFeed(spark, path, fromVersion, toVersion).drop("_commit_version"),
+      Warehouse.readSnapshot(spark, path, Some(toVersion)), keys, mins, maxs, countCol)
+  }
+
+  /** See [[maintainMinMaxFromWarehouse]]. */
+  def maintainTopKFromWarehouse(agg: DataFrame, path: String, keys: Seq[String],
+                                valueCol: String, k: Int,
+                                fromVersion: Long, toVersion: Long,
+                                topCol: String = "topk", countCol: String = "n",
+                                ascending: Boolean = false): DataFrame = {
+    val spark = agg.sparkSession
+    maintainTopK(agg,
+      Warehouse.readChangeFeed(spark, path, fromVersion, toVersion).drop("_commit_version"),
+      Warehouse.readSnapshot(spark, path, Some(toVersion)), keys, valueCol, k,
+      topCol, countCol, ascending)
+  }
+
+  /** See [[maintainMinMaxFromWarehouse]]. */
+  def maintainDistinctFromWarehouse(support: DataFrame, path: String,
+                                    keys: Seq[String], valueCol: String,
+                                    fromVersion: Long, toVersion: Long,
+                                    multCol: String = "m"): DataFrame =
+    maintainDistinctSupport(support,
+      Warehouse.readChangeFeed(support.sparkSession, path, fromVersion, toVersion)
+        .drop("_commit_version"), keys, valueCol, multCol)
+
+  /** See [[maintainMinMaxFromWarehouse]]. */
+  def maintainMomentsFromWarehouse(agg: DataFrame, path: String, keys: Seq[String],
+                                   measures: Map[String, String],
+                                   fromVersion: Long, toVersion: Long,
+                                   countCol: String = "n"): DataFrame =
+    maintainMoments(agg,
+      Warehouse.readChangeFeed(agg.sparkSession, path, fromVersion, toVersion)
+        .drop("_commit_version"), keys, measures, countCol)
+
   /** Signed change feed of the INNER equi-join `A ⋈ B` across one
     * commit bracket of each warehouse table — the classic delta-join
     * maintenance rule with the cross term folded in once:
