@@ -599,6 +599,19 @@ object SparkEntry {
       store.Ivm.maintainMinMax(aggOld, feed, newState, Seq("o_orderstatus"),
         mins = Map("mn" -> "o_totalprice"), maxs = Map("mx" -> "o_totalprice"), "n")
     }),
+    "q_graph_jaccard" -> ((s, dir) => {
+      // X212 neighborhood-overlap link prediction over the same
+      // co-occurrence graph as q_graph_triangles: common-neighbor
+      // counts + Jaccard (integer counts, one IEEE division — both
+      // engines bit-exact). common >= 3 bounds the output to the
+      // meaningful pairs.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val edges = ops.Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 10)
+      ops.Graphs.neighborhoodJaccard(edges).filter(col("common") >= 3)
+    }),
     "q_table_checksum" -> ((s, dir) => {
       // X216 order-independent checksum: the replica handshake — both
       // engines sum the same md5 windows over the same canonical row
@@ -1609,6 +1622,30 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X212 link prediction: wedge counts + degrees + one IEEE division
+    "q_graph_jaccard" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |sized AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM items) t
+        |  WHERE gs <= 10),
+        |edges AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i),
+        |adj AS (
+        |  SELECT a AS u, b AS v FROM edges
+        |  UNION ALL SELECT b AS u, a AS v FROM edges),
+        |cn AS (
+        |  SELECT x.u AS a, y.u AS b, count(*) AS common
+        |  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |deg AS (
+        |  SELECT u AS node, count(*) AS degree FROM adj GROUP BY 1)
+        |SELECT cn.a, cn.b, cn.common, da.degree AS deg_a, db.degree AS deg_b,
+        |       CAST(cn.common AS DOUBLE) / (da.degree + db.degree - cn.common) AS jaccard
+        |FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node""".stripMargin,
     // X216 checksum: same canonical strings, same md5 windows, same sums
     "q_table_checksum" ->
       """WITH h AS (

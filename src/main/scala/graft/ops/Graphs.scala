@@ -57,6 +57,38 @@ object Graphs {
         col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Common-neighbor counts for node pairs at distance 2 — the wedge
+    * aggregate under [[triangleCount]], surfaced: pair `(a < b)` with
+    * the number of shared neighbors, whether or not (a, b) is itself
+    * an edge. The raw signal of neighborhood-overlap link prediction
+    * and graph-side entity resolution. Same Σdeg² wedge cost and the
+    * same bound: cap degrees at the edge build.
+    */
+  def commonNeighbors(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    adj.as("x").join(adj.as("y"),
+        col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("a"), col("y.u").as("b"))
+      .agg(count(lit(1)).as("common"))
+  }
+
+  /** Neighborhood Jaccard of distance-2 pairs: `common / (deg(a) +
+    * deg(b) − common)` — the classic link-prediction score, exact and
+    * engine-deterministic (integer counts, one IEEE division). Pairs
+    * with zero common neighbors never appear (their score is 0 and
+    * their enumeration would be all-pairs).
+    */
+  def neighborhoodJaccard(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    commonNeighbors(edges)
+      .join(deg.withColumnsRenamed(Map("node" -> "a", "degree" -> "deg_a")), "a")
+      .join(deg.withColumnsRenamed(Map("node" -> "b", "degree" -> "deg_b")), "b")
+      .withColumn("jaccard",
+        col("common") / (col("deg_a") + col("deg_b") - col("common")))
+      .select("a", "b", "common", "deg_a", "deg_b", "jaccard")
+  }
+
   /** Degree of every node of a canonical undirected edge list. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("a").as("node"))

@@ -34,6 +34,19 @@ class GraphsSpec extends SparkSpec {
     assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) === (4L, 4L, 1L, 3L))
   }
 
+  test("common neighbors and neighborhood Jaccard on a known graph") {
+    // square 1-2-4-3-1: opposite corners (1,4) and (2,3) share two
+    // neighbors each, adjacent corners share none beyond the wedge
+    val edges = Seq((1, 2), (1, 3), (2, 4), (3, 4)).toDF("a", "b")
+    val cn = Graphs.commonNeighbors(edges).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cn === Map((1, 4) -> 2L, (2, 3) -> 2L))
+    val j = Graphs.neighborhoodJaccard(edges).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(5)).toMap
+    // deg=2 everywhere: jaccard = 2 / (2 + 2 - 2) = 1.0
+    assert(j === Map((1, 4) -> 1.0, (2, 3) -> 1.0))
+  }
+
   test("two triangles sharing an edge count as two") {
     val edges = Seq((1, 2), (1, 3), (2, 3), (2, 4), (3, 4)).toDF("a", "b")
     assert(Graphs.triangleCount(edges).head().getLong(0) === 2L)
