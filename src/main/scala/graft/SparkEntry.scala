@@ -599,6 +599,14 @@ object SparkEntry {
       store.Ivm.maintainMinMax(aggOld, feed, newState, Seq("o_orderstatus"),
         mins = Map("mn" -> "o_totalprice"), maxs = Map("mx" -> "o_totalprice"), "n")
     }),
+    "q_seasonal" -> ((s, dir) => {
+      // X217 seasonal decomposition: close = trend + seasonal +
+      // residual over the daily series, weekly phase. Trend rides the
+      // frame-ordered window parity ma7 already pins; the phase and
+      // center means sum through DECIMAL(30,10) (order-independent),
+      // so both engines agree bit-exact.
+      ops.Indicators.seasonalDecompose(dailyOhlc(s, dir), "close", period = 7)
+    }),
     "q_graph_jaccard" -> ((s, dir) => {
       // X212 neighborhood-overlap link prediction over the same
       // co-occurrence graph as q_graph_triangles: common-neighbor
@@ -1622,6 +1630,39 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X217 seasonal decomposition: windowed trend + ordered-cumulative
+    // phase means — every float add in a declared order, bit-exact
+    "q_seasonal" -> (dailyCte +
+      """, t AS (
+        |  SELECT date, asset, close,
+        |    CASE WHEN count(close) OVER w7 = 7 THEN avg(close) OVER w7 END AS trend,
+        |    (row_number() OVER (PARTITION BY asset ORDER BY date) - 1) % 7 AS phase
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY asset ORDER BY date
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT *, close - trend AS det FROM t),
+        |dc AS (
+        |  SELECT asset, phase, det,
+        |    sum(det) OVER (PARTITION BY asset, phase ORDER BY date
+        |                   ROWS UNBOUNDED PRECEDING) AS cs,
+        |    row_number() OVER (PARTITION BY asset, phase ORDER BY date) AS rn
+        |  FROM d WHERE det IS NOT NULL),
+        |pm AS (
+        |  SELECT asset, phase, arg_max(cs, rn) / count(*) AS sraw
+        |  FROM dc GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT asset, sraw,
+        |    sum(sraw) OVER (PARTITION BY asset ORDER BY phase
+        |                    ROWS UNBOUNDED PRECEDING) AS cs,
+        |    row_number() OVER (PARTITION BY asset ORDER BY phase) AS rn
+        |  FROM pm),
+        |ctr AS (SELECT asset, arg_max(cs, rn) / count(*) AS c FROM pc GROUP BY 1)
+        |SELECT d.date, d.asset, d.close, d.trend,
+        |       pm.sraw - ctr.c AS seasonal,
+        |       d.close - d.trend - (pm.sraw - ctr.c) AS residual
+        |FROM d
+        |LEFT JOIN pm ON d.asset = pm.asset AND d.phase = pm.phase
+        |LEFT JOIN ctr ON d.asset = ctr.asset""").stripMargin,
     // X212 link prediction: wedge counts + degrees + one IEEE division
     "q_graph_jaccard" ->
       """WITH items AS (

@@ -370,6 +370,67 @@ object Indicators {
         when(col("state") === 1, "golden").otherwise("death").as("signal"))
   }
 
+  /** Additive seasonal decomposition (X217) — classic-decomposition
+    * lite, the missing member of the indicator family: `value = trend
+    * + seasonal + residual` per series.
+    *
+    *  - TREND: symmetric centered moving average over `period` rows
+    *    (odd period; full windows only, the family's min_periods
+    *    discipline — edges read NULL rather than a biased average).
+    *  - SEASONAL: the mean detrended value of each PHASE (row position
+    *    mod period within the series — calendar-agnostic, so gaps
+    *    shift phase rather than silently mixing weekdays; gap-fill
+    *    first via [[Relational.gapFill]] when calendar alignment
+    *    matters), centered so the p phase effects sum to zero.
+    *  - RESIDUAL: what's left; NULL wherever the trend is.
+    *
+    * Engine parity: every floating aggregate evaluates in a DECLARED
+    * ORDER — the trend in frame order (the W2/W3 parity the ma7/ma30
+    * oracles pin), and the phase/center means as ordered CUMULATIVE
+    * sums whose last element is taken by `max_by` (sequential IEEE
+    * adds, date order / phase order) — so any engine replaying the
+    * same order lands the same bits; an unordered group sum would
+    * wiggle with partitioning. Phase means broadcast back per
+    * (series, phase) — series×period rows, never the data again.
+    */
+  def seasonalDecompose(daily: DataFrame, valueCol: String = "close",
+                        period: Int = 7): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 (symmetric centered trend), got $period")
+    val half = period / 2
+    val w = Window.partitionBy("asset").orderBy("date")
+    val frame = w.rowsBetween(-half, half)
+    val base = daily.select(col("date"), col("asset"), col(valueCol))
+      .withColumn("trend",
+        when(count(col(valueCol)).over(frame) === period,
+          avg(col(valueCol)).over(frame)))
+      .withColumn("__phase", (row_number().over(w) - 1) % period)
+      .withColumn("__det", col(valueCol) - col("trend"))
+    // mean via ordered running sum: the LAST cumulative value divided
+    // by the count — addition order is the declared sort order
+    def orderedMean(src: DataFrame, keys: Seq[String], valCol: String,
+                    ordCol: String, out: String): DataFrame = {
+      val wo = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rn = Window.partitionBy(keys.map(col): _*).orderBy(col(ordCol))
+      src.withColumn("__cs", sum(col(valCol)).over(wo))
+        .withColumn("__rn", row_number().over(rn))
+        .groupBy(keys.map(col): _*)
+        .agg((max_by(col("__cs"), col("__rn")) / count(lit(1))).as(out))
+    }
+    val phaseMeans = orderedMean(base.filter(col("__det").isNotNull),
+      Seq("asset", "__phase"), "__det", "date", "__sraw")
+    val centers = orderedMean(phaseMeans,
+      Seq("asset"), "__sraw", "__phase", "__c")
+    base
+      .join(broadcast(phaseMeans), Seq("asset", "__phase"), "left")
+      .join(broadcast(centers), Seq("asset"), "left")
+      .withColumn("seasonal", col("__sraw") - col("__c"))
+      .withColumn("residual", col(valueCol) - col("trend") - col("seasonal"))
+      .select(col("date"), col("asset"), col(valueCol),
+        col("trend"), col("seasonal"), col("residual"))
+  }
+
   def bollinger(daily: DataFrame, window: Int = 20, k: Double = 2.0): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val w = Window.partitionBy("asset").orderBy("date")

@@ -380,4 +380,30 @@ class IndicatorsSpec extends SparkSpec {
       .filter(col("date").between(lit(markDate), lit(Date.valueOf("2024-03-11"))))
     assert(out.orderBy("date").collect().toSeq === full.orderBy("date").collect().toSeq)
   }
+
+  test("seasonal decomposition: identity, zero-sum seasonality, null edges (X217)") {
+    import spark.implicits._
+    // 28 days, one asset: value = 100 + 10*sin-ish weekly pattern + ramp
+    val rows = (0 until 28).map { i =>
+      val seasonal = Seq(5.0, -3.0, 1.0, 0.0, -2.0, 4.0, -5.0)(i % 7)
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        "btc", 100.0 + i * 0.5 + seasonal)
+    }.toDF("date", "asset", "close")
+    val out = Indicators.seasonalDecompose(rows, "close", period = 7)
+    // edges (first/last 3 rows) have no full window -> null trend/residual
+    val edges = out.orderBy("date").collect()
+    assert(edges.take(3).forall(_.isNullAt(3)) && edges.takeRight(3).forall(_.isNullAt(3)))
+    // identity where trend exists
+    val interior = out.filter(org.apache.spark.sql.functions.col("trend").isNotNull).collect()
+    assert(interior.nonEmpty)
+    assert(interior.forall(r =>
+      math.abs(r.getDouble(2) - (r.getDouble(3) + r.getDouble(4) + r.getDouble(5))) < 1e-9),
+      "close = trend + seasonal + residual wherever trend exists")
+    // the 7 phase effects sum to (numerically) zero
+    val sSum = out.select("seasonal").distinct().collect().map(_.getDouble(0)).sum
+    assert(math.abs(sSum) < 1e-9, s"seasonal effects must center to zero, got $sSum")
+    // on a ramp + pure weekly pattern the interior residual is ~0
+    assert(interior.forall(r => math.abs(r.getDouble(5)) < 1.0),
+      "a clean weekly signal decomposes with small residual")
+  }
 }
