@@ -601,10 +601,11 @@ object SparkEntry {
     }),
     "q_seasonal" -> ((s, dir) => {
       // X217 seasonal decomposition: close = trend + seasonal +
-      // residual over the daily series, weekly phase. Trend rides the
-      // frame-ordered window parity ma7 already pins; the phase and
-      // center means sum through DECIMAL(30,10) (order-independent),
-      // so both engines agree bit-exact.
+      // residual over the daily series, weekly phase. Every float add
+      // happens in a DECLARED order — the trend in frame order (the
+      // parity ma7 already pins), the phase/center means as ordered
+      // CUMULATIVE sums whose last element max_by takes — so both
+      // engines replay the same additions and agree bit-exact.
       ops.Indicators.seasonalDecompose(dailyOhlc(s, dir), "close", period = 7)
     }),
     "q_graph_jaccard" -> ((s, dir) => {

@@ -57,16 +57,20 @@ object Sketches {
       .withColumn("lanes", lit(lanes))
   }
 
-  private def requireGeometry(sketch: DataFrame, width: Long, lanes: Int,
-                              what: String): Unit = {
-    val meta = sketch.select(col("width"), col("lanes")).distinct().collect()
-    require(meta.length <= 1, s"$what: sketch mixes geometries")
-    meta.headOption.foreach { r =>
-      require(r.getLong(0) == width && r.getInt(1) == lanes,
-        s"$what: sketch was built with (width=${r.getLong(0)}, lanes=${r.getInt(1)}), " +
-          s"probed with (width=$width, lanes=$lanes) — a mismatch underestimates")
-    }
-  }
+  /** Geometry guard FUSED into the sketch plan (review r11: an eager
+    * validation action would evaluate a derived sketch twice): every
+    * row asserts its riding (width, lanes) against the expected pair
+    * via `raise_error`, and the broadcast/merge that consumes the
+    * frame materializes every row — so a mismatch or a mixed-geometry
+    * union always fires, with zero extra passes.
+    */
+  private def geometryGuard(sketch: DataFrame, width: Long, lanes: Int,
+                            what: String): DataFrame =
+    sketch.filter(when(col("width") =!= width || col("lanes") =!= lanes,
+      raise_error(concat(lit(s"$what: sketch built with (width="), col("width"),
+        lit(", lanes="), col("lanes"),
+        lit(s") used with (width=$width, lanes=$lanes) - a mismatch underestimates"))))
+      .otherwise(lit(true)))
 
   /** Merge sketches built with the SAME (width, lanes): counters add.
     * The linearity is the point — per-shard/per-day sketches fold into
@@ -75,10 +79,15 @@ object Sketches {
   def mergeSketches(sketches: DataFrame*): DataFrame = {
     require(sketches.nonEmpty, "mergeSketches needs at least one sketch")
     val all = sketches.reduce(_ unionByName _)
-    require(all.select("width", "lanes").distinct().count() <= 1,
-      "mergeSketches: sketches were built with different geometries — " +
-        "their counters are not addable")
-    all.groupBy("lane", "bucket", "width", "lanes").agg(sum(col("c")).as("c"))
+    // fused mixed-geometry guard: adding counters across geometries
+    // corrupts irrecoverably, so every row must agree with the first
+    // sketch's riding pair; one cheap single-row probe reads that pair
+    // (review r11: a distinct().count() here evaluated every input
+    // sketch twice)
+    val head = sketches.head.select("width", "lanes").head(1)
+    head.headOption.fold(all) { r =>
+      geometryGuard(all, r.getLong(0), r.getInt(1), "mergeSketches")
+    }.groupBy("lane", "bucket", "width", "lanes").agg(sum(col("c")).as("c"))
       .select("lane", "bucket", "c", "width", "lanes")
   }
 
@@ -88,12 +97,14 @@ object Sketches {
     */
   def countMinEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
                        width: Long = 1L << 11, lanes: Int = 4): DataFrame = {
-    requireGeometry(sketch, width, lanes, "countMinEstimate")
+    val guarded = geometryGuard(sketch, width, lanes, "countMinEstimate")
     probes.select(col(keyCol)).distinct()
       .withColumn("h", md5(col(keyCol).cast("string")))
       .select(col(keyCol), laneBuckets(col("h"), width, lanes))
       .select(col(keyCol), col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
-      .join(broadcast(sketch.select("lane", "bucket", "c")),
+      // the broadcast build materializes EVERY sketch row, so the
+      // fused guard fires on any mismatch even when no probe matches
+      .join(broadcast(guarded.select("lane", "bucket", "c")),
         Seq("lane", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("c"), lit(0L))).as("cm_estimate"))
@@ -119,6 +130,18 @@ object Sketches {
     // batch — a restart sees the committed table and skips, so the
     // seed never races the epoch gate)
     val spark = source.sparkSession
+    // a restarted (or second) sink must match the table's recorded
+    // geometry (review r11): merging on (lane, bucket) across widths
+    // would corrupt counters irrecoverably — refuse at construction
+    if (graft.store.Warehouse.snapshots(spark, path).nonEmpty) {
+      val meta = graft.store.Warehouse.readSnapshot(spark, path)
+        .select("width", "lanes").head(1)
+      meta.headOption.foreach { r =>
+        require(r.getLong(0) == width && r.getInt(1) == lanes,
+          s"countMinSink($path): table sketch has (width=${r.getLong(0)}, " +
+            s"lanes=${r.getInt(1)}), sink configured (width=$width, lanes=$lanes)")
+      }
+    }
     if (graft.store.Warehouse.snapshots(spark, path).isEmpty) {
       import org.apache.spark.sql.types._
       graft.store.Warehouse.writeSnapshot(

@@ -913,8 +913,9 @@ object Warehouse {
     * commit (a crash between commit and flush loses the diverted
     * rows, never phantoms them); audit-critical rules should abort.
     */
-  private def expectationGate(df: DataFrame, path: String,
-                              op: String): (DataFrame, () => Unit) = {
+  private def expectationGate(df: DataFrame, path: String, op: String,
+                              txn: Option[(String, Long)] = None)
+      : (DataFrame, () => Unit) = {
     val prec = Map("abort" -> 0, "drop" -> 1, "quarantine" -> 2)
     val rules = snapshotExpectations(df.sparkSession, path).toSeq
       .sortBy { case (n, (_, a)) => (prec(a), n) }
@@ -938,25 +939,35 @@ object Warehouse {
           d.filter(!violates)
       }
     }
-    val flush: () => Unit = () => quarantined.foreach { bad =>
-      if (!bad.isEmpty) {
+    // ONE unioned side-table commit for all quarantine rules (review
+    // r11: per-rule commits multiplied the extra pass and the crash
+    // window), and for streaming ingests the flush carries its OWN
+    // (appId#q, epoch) idempotence record — a replayed epoch whose
+    // main commit never landed (e.g. a batch fully emptied by triage)
+    // must still not double-quarantine.
+    val flush: () => Unit = () =>
+      quarantined.reduceOption(_ unionByName _).foreach { bad =>
         val q = quarantinePath(path)
-        var attempts = 0
-        var done = false
-        while (!done) {
-          try {
-            val v = snapshots(spark, q).lastOption.getOrElse(0L)
-            if (v == 0L) commitSnapshot(bad, q, 0L)
-            else appendSnapshot(bad, q, v, evolveSchema = true)
-            done = true
-          } catch {
-            case e: SnapshotConflictException =>
-              attempts += 1
-              if (attempts >= 20) throw e
+        val qTxn = txn.map { case (app, epoch) => (s"$app#q", epoch) }
+        val replayed = qTxn.exists { case (app, epoch) =>
+          lastCommittedEpoch(spark, q, app).exists(_ >= epoch) }
+        if (!replayed && !bad.isEmpty) {
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try {
+              appendSnapshot(bad, q,
+                snapshots(spark, q).lastOption.getOrElse(0L),
+                evolveSchema = true, txn = qTxn)
+              done = true
+            } catch {
+              case e: SnapshotConflictException =>
+                attempts += 1
+                if (attempts >= 20) throw e
+            }
           }
         }
       }
-    }
     (kept, flush)
   }
 
@@ -1393,7 +1404,7 @@ object Warehouse {
     // generated columns (X205) fill BEFORE the schema gate: the common
     // writer supplies business columns only, the table derives the rest
     val (df, flushQuarantine) = expectationGate(
-      generatedAlign(dfIn, path, "appendSnapshot"), path, gateOp)
+      generatedAlign(dfIn, path, "appendSnapshot"), path, gateOp, txn)
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -40,15 +40,19 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("geometry rides the sketch: a mismatched probe or merge refuses (review r11)") {
+    // the guard is FUSED into the plan (zero extra passes), so it
+    // fires at execution — the broadcast build materializes every
+    // sketch row, mismatch or not
     val sk = Sketches.countMinSketch(data, "k", width = 1024)
-    val e = intercept[IllegalArgumentException] {
-      Sketches.countMinEstimate(sk, Seq("k1").toDF("k"), "k", width = 2048)
+    val e = intercept[Exception] {
+      Sketches.countMinEstimate(sk, Seq("k1").toDF("k"), "k", width = 2048).collect()
     }
     assert(e.getMessage.contains("underestimates"))
-    val e2 = intercept[IllegalArgumentException] {
+    val e2 = intercept[Exception] {
       Sketches.mergeSketches(sk, Sketches.countMinSketch(data, "k", width = 64))
+        .collect()
     }
-    assert(e2.getMessage.contains("geometries"))
+    assert(e2.getMessage.contains("mergeSketches"))
   }
 
   test("streaming sink: the sketch table converges to the sketch of everything streamed") {

@@ -87,6 +87,33 @@ class ExpectationSpec extends SparkSpec {
     assert(q.select("_violating_op").head().getString(0) === "appendToBranch")
   }
 
+  test("a streaming epoch whose batch was fully triaged never double-quarantines (review r11)") {
+    val root = tmpRoot("graft_exp7")
+    Warehouse.writeSnapshot(Seq(1L).toDF("x"), root)
+    Warehouse.setSnapshotExpectation(spark, root, "pos", "x > 0", "quarantine")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp7ck").toString
+    def drain(ck: String): Unit = {
+      val q = Warehouse.writeSnapshotStream(
+        mem.toDF().withColumnRenamed("value", "x"), root, s"$dir/$ck",
+        appId = "exp-spec").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(-1L, -2L) // the WHOLE batch violates: main table no-op
+    drain("ck1")
+    assert(Warehouse.readSnapshot(spark, root).count() === 1)
+    val q1 = Warehouse.readSnapshot(spark, Warehouse.quarantinePath(root)).count()
+    assert(q1 === 2, "the triaged rows still reach the dead-letter table")
+    // simulate the epoch replay a crashed driver produces: a FRESH
+    // checkpoint re-delivers the same batch under the same epoch
+    drain("ck2")
+    assert(Warehouse.readSnapshot(spark, Warehouse.quarantinePath(root)).count() === 2,
+      "the quarantine flush's own (appId#q, epoch) record gates the replay")
+  }
+
   test("a batch emptied by triage commits nothing on append; lifecycle gates") {
     val root = tmpRoot("graft_exp3")
     Warehouse.writeSnapshot(Seq(1L).toDF("x"), root)
