@@ -371,6 +371,34 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** All ordered pairs (a < b) of a long array, emitted as (a, b)
+    * struct rows — the per-group edge generator of the co-occurrence
+    * build: one explode of the grouped membership replaces the
+    * membership self-join (see [[postingPairs]], the same move for
+    * posting lists). Sorts defensively (insertion sort — k is small,
+    * bounded by Graphs' maxGroupSize at the feeding aggregate);
+    * duplicates are assumed already collapsed by that aggregate.
+    */
+  def longPairs(items: ArrayData): ArrayData = {
+    val m = items.numElements()
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val a = items.toLongArray()
+    java.util.Arrays.sort(a)
+    val out = new Array[Any](m * (m - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(a(i), a(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over a shingle array: bit b of the fingerprint is
     * set iff Σ over shingles of ±1 (sign of hash bit b) is positive.
     */

@@ -631,6 +631,117 @@ case class VectorMeanAgg(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Mutable buffer of [[BoundedDistinctLongAgg]]: up to `cap` distinct
+  * longs, or a poisoned overflow state once the (cap+1)-th distinct
+  * value is seen — after which updates short-circuit, so a stopword
+  * group costs O(cap) memory and O(1) per further row instead of
+  * O(group). Linear membership scan beats hashing at the caps this
+  * serves (tens): the whole buffer stays in one cache line span.
+  */
+final class BoundedLongSet(val cap: Int) {
+  var overflow: Boolean = false
+  var n: Int = 0
+  val items: Array[Long] = new Array[Long](cap)
+  def add(v: Long): Unit = if (!overflow) {
+    var i = 0
+    while (i < n) { if (items(i) == v) return; i += 1 }
+    if (n == cap) overflow = true else { items(n) = v; n += 1 }
+  }
+}
+
+/** Distinct values of a long column, capped: groups whose distinct
+  * count exceeds `cap` evaluate to NULL (the caller drops them — the
+  * co-occurrence stopword rule), everything else to the sorted
+  * distinct array. The point vs `collect_set` + size filter: the
+  * buffer NEVER exceeds cap entries, so an adversarially large group
+  * (the 100 TB stopword) costs O(cap) memory per partial instead of
+  * materializing its whole membership before the filter can see it.
+  * Partials merge associatively (overflow is absorbing).
+  */
+case class BoundedDistinctLongAgg(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[BoundedLongSet]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "bounded_distinct_long"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, LongType, "v", child)
+
+  override def createAggregationBuffer(): BoundedLongSet = new BoundedLongSet(cap)
+
+  override def update(buf: BoundedLongSet, row: InternalRow): BoundedLongSet = {
+    val v = child.eval(row)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: BoundedLongSet, b2: BoundedLongSet): BoundedLongSet = {
+    if (b2.overflow) b1.overflow = true
+    else {
+      var i = 0
+      while (i < b2.n && !b1.overflow) { b1.add(b2.items(i)); i += 1 }
+    }
+    b1
+  }
+
+  override def eval(buf: BoundedLongSet): Any =
+    if (buf.overflow) null
+    else {
+      val out = java.util.Arrays.copyOf(buf.items, buf.n)
+      java.util.Arrays.sort(out)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+  override def serialize(buf: BoundedLongSet): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + 8 * buf.n)
+    bb.put(if (buf.overflow) 1.toByte else 0.toByte)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.items(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedLongSet = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new BoundedLongSet(cap)
+    buf.overflow = bb.get() == 1.toByte
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) { buf.items(i) = bb.getLong(); i += 1 }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedDistinctLongAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedDistinctLongAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** All (a < b) pairs of a long array — see [[Kernels.longPairs]]. */
+case class LongPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "long_pairs"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, ArrayType(LongType), "items", child)
+
+  override def nullSafeEval(items: Any): Any =
+    Kernels.longPairs(items.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.longPairs($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object native {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -665,6 +776,9 @@ object native {
     c(PqAdcExpr(e(table), e(code), k))
   def vectorMean(v: Column, dim: Int): Column =
     c(VectorMeanAgg(e(v), dim).toAggregateExpression())
+  def boundedDistinctLong(v: Column, cap: Int): Column =
+    c(BoundedDistinctLongAgg(e(v), cap).toAggregateExpression())
+  def longPairs(items: Column): Column = c(LongPairsExpr(e(items)))
   def sharesShingle(text: Column, n: Int, set: java.util.HashSet[String]): Column =
     c(SharesShingleExpr(e(text), n, set))
   def bloomMightContain(item: Column, bf: org.apache.spark.util.sketch.BloomFilter): Column =

@@ -28,13 +28,42 @@ object Graphs {
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
                         maxGroupSize: Int = 50): DataFrame = {
     require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
-    val m = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
-      .withColumn("__gs", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("__gs") <= maxGroupSize)
-      .select("g", "i")
-    m.as("x").join(m.as("y"), col("x.g") === col("y.g") && col("x.i") < col("y.i"))
-      .select(col("x.i").as("a"), col("y.i").as("b"))
-      .distinct()
+    val itemType = df.schema(itemCol).dataType
+    itemType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+        // Integral fast path (2 shuffles, no join, r12 — A/B at sf0.1:
+        // edge build 1.03 s → 0.42 s warm): group membership collapses
+        // into ONE hash aggregate whose `boundedDistinctLong` buffer is
+        // capped at maxGroupSize entries — an oversized (stopword)
+        // group costs O(cap) memory per partial and evaluates to NULL
+        // (dropped), where `collect_set` + size filter would
+        // materialize its whole membership first. Pairs are generated
+        // in-task from the sorted per-group array (`longPairs`, the
+        // posting-pairs move), so the only shuffles are the groupBy
+        // and the final edge-grain distinct. Casting a ≤64-bit
+        // integral through long is order- and value-preserving.
+        df.select(col(groupCol).as("g"),
+            col(itemCol).cast("long").as("i"))
+          .groupBy("g")
+          .agg(graft.functions.native.boundedDistinctLong(col("i"), maxGroupSize).as("items"))
+          .filter(col("items").isNotNull)
+          .select(explode(graft.functions.native.longPairs(col("items"))).as("p"))
+          .select(col("p.a").cast(itemType).as("a"), col("p.b").cast(itemType).as("b"))
+          .distinct()
+      case _ =>
+        // Generic item types: the windowed-count + self-join form.
+        // Same semantics (distinct membership, groups above the cap
+        // dropped, a < b in the item type's ordering), one more
+        // shuffle + the join.
+        val m = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+          .withColumn("__gs", count(lit(1)).over(Window.partitionBy(col("g"))))
+          .filter(col("__gs") <= maxGroupSize)
+          .select("g", "i")
+        m.as("x").join(m.as("y"), col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+          .select(col("x.i").as("a"), col("y.i").as("b"))
+          .distinct()
+    }
   }
 
   /** Exact triangle count of an undirected graph given as canonical
@@ -57,6 +86,28 @@ object Graphs {
         col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
 
+  /** Materialization boundary for the multi-consumer graph ops.
+    *
+    * [[neighborhoodJaccard]] references its edge frame 4× (degrees
+    * twice via the union, the wedge self-join twice via `adj`) and
+    * [[graphSummary]] 6× — and the edge frame handed in is typically
+    * [[coOccurrenceEdges]]'s window + self-join + distinct, the
+    * costliest subtree in the pipeline. Un-materialized, Spark
+    * re-evaluates that subtree per consumer (exchange reuse only
+    * fires on byte-identical plan fragments, which the differing
+    * projections defeat). This is `Mat`'s documented "kernel-heavy
+    * multi-consumer" exception: the subtree's INPUT bytes are small
+    * (one lineitem scan) but its recompute cost is a shuffle + pair
+    * blow-up, so the size gate would never fire — checkpoint
+    * unconditionally, as `nearDupClusters` does. Measured at sf0.1
+    * (isolated min-of-3, with the r12 edge-build + wedge-join work):
+    * q_graph_jaccard 2.40 s → 1.34 s, q_graph_triangles 1.31 s →
+    * 0.85 s. Cluster swap: persist (DISK_ONLY) or a stage table for
+    * corpus-sized edge lists.
+    */
+  private def matEdges(edges: DataFrame): DataFrame =
+    edges.localCheckpoint(true)
+
   /** Common-neighbor counts for node pairs at distance 2 — the wedge
     * aggregate under [[triangleCount]], surfaced: pair `(a < b)` with
     * the number of shared neighbors, whether or not (a, b) is itself
@@ -67,7 +118,17 @@ object Graphs {
   def commonNeighbors(edges: DataFrame): DataFrame = {
     val adj = edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-    adj.as("x").join(adj.as("y"),
+    // SHUFFLE_HASH: the wedge joins are many-to-many on bounded-degree
+    // keys — a per-partition hash build of the adjacency is bounded by
+    // the same degree cap that bounds the wedge output itself, and
+    // skipping both sort passes is worth ~2× on the wedge stage
+    // (A/B at sf0.1 warm: 1.18 s SMJ → 0.67 s shuffled-hash). SMJ's
+    // spill safety buys nothing here: a partition too big to hash is a
+    // wedge stage too big to enumerate. triangleCount stays UNhinted
+    // by contrast — its edge frame is small enough that the planner
+    // broadcasts it, and forcing SHUFFLE_HASH there measured 0.85 →
+    // 1.24 s worse.
+    adj.as("x").join(adj.as("y").hint("SHUFFLE_HASH"),
         col("x.v") === col("y.v") && col("x.u") < col("y.u"))
       .groupBy(col("x.u").as("a"), col("y.u").as("b"))
       .agg(count(lit(1)).as("common"))
@@ -80,8 +141,9 @@ object Graphs {
     * their enumeration would be all-pairs).
     */
   def neighborhoodJaccard(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
-    commonNeighbors(edges)
+    val e = matEdges(edges)
+    val deg = degrees(e)
+    commonNeighbors(e)
       .join(deg.withColumnsRenamed(Map("node" -> "a", "degree" -> "deg_a")), "a")
       .join(deg.withColumnsRenamed(Map("node" -> "b", "degree" -> "deg_b")), "b")
       .withColumn("jaccard",
@@ -95,14 +157,64 @@ object Graphs {
       .unionAll(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
 
+  /** Exact triangle count under DEGREE orientation — the skew-proof
+    * upgrade over [[triangleCount]]'s ID orientation. Each edge is
+    * oriented toward its higher-(degree, id) endpoint, which provably
+    * minimizes Σ outdeg² (every node's forward fan-out is bounded by
+    * √(2·|E|) regardless of its true degree), so a power-law hub
+    * costs O(|E|) wedges instead of O(deg²). Same count — a triangle
+    * {x, y, z} has exactly one node with two outgoing oriented edges,
+    * and the closing edge is oriented low→high in the same total
+    * order, so each triangle is enumerated exactly once
+    * (spec-pinned count-equal to the ID-oriented form). The price is
+    * one extra broadcast-sized degree join at the edge grain; ID
+    * orientation stays the default because [[coOccurrenceEdges]]'s
+    * cap already bounds degrees and the ID form keeps the
+    * cross-engine SQL recomposition trivial.
+    */
+  def triangleCountDegreeOriented(edges: DataFrame): DataFrame =
+    triangleCountDegreeOrientedOn(matEdges(edges))
+
+  /** [[triangleCountDegreeOriented]] over an ALREADY-materialized edge
+    * frame (3 references below: degrees' union + the orientation
+    * join) — lets [[graphSummary]] share one boundary across its
+    * consumers instead of checkpointing twice.
+    */
+  private def triangleCountDegreeOrientedOn(e: DataFrame): DataFrame = {
+    val deg = degrees(e)
+    // orient a→b iff (deg(a), a) < (deg(b), b); carry ord(dst) so the
+    // wedge stage can order a node's two out-neighbors without
+    // re-joining degrees
+    val withDeg = e
+      .join(deg.withColumnsRenamed(Map("node" -> "a", "degree" -> "deg_a")), "a")
+      .join(deg.withColumnsRenamed(Map("node" -> "b", "degree" -> "deg_b")), "b")
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val fwd = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("dd"))
+      .localCheckpoint(true) // 3 consumers below — same boundary as matEdges
+    val e2AfterE1 = col("e1.dd") < col("e2.dd") ||
+      (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))
+    fwd.as("e1")
+      .join(fwd.as("e2"), col("e1.src") === col("e2.src") && e2AfterE1)
+      .join(fwd.as("e3"),
+        col("e1.dst") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** One-row structural summary: nodes, edges, triangles, max degree
     * — the graph-health probe a derived-graph pipeline logs per run.
+    * `degreeOriented = true` swaps the wedge stage for
+    * [[triangleCountDegreeOriented]] (same count, skew-proof cost).
     */
-  def graphSummary(edges: DataFrame): DataFrame = {
-    val d = degrees(edges)
-    val nt = triangleCount(edges)
+  def graphSummary(edges: DataFrame, degreeOriented: Boolean = false): DataFrame = {
+    val e = matEdges(edges)
+    val d = degrees(e)
+    val nt = if (degreeOriented) triangleCountDegreeOrientedOn(e) else triangleCount(e)
     val nodesEdges = d.agg(count(lit(1)).as("n_nodes"), max(col("degree")).as("max_degree"))
-      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
     nodesEdges.crossJoin(nt)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("max_degree"))
   }

@@ -51,4 +51,46 @@ class GraphsSpec extends SparkSpec {
     val edges = Seq((1, 2), (1, 3), (2, 3), (2, 4), (3, 4)).toDF("a", "b")
     assert(Graphs.triangleCount(edges).head().getLong(0) === 2L)
   }
+
+  test("degree-oriented triangle count equals ID-oriented on skewed graphs") {
+    // hub graph: node 1 connected to 2..8, plus cross edges closing
+    // triangles at the hub and a detached triangle
+    val hub = (2 to 8).map(i => (1, i)) ++
+      Seq((2, 3), (4, 5), (6, 7), (10, 11), (10, 12), (11, 12))
+    val edges = hub.toDF("a", "b")
+    val idCount = Graphs.triangleCount(edges).head().getLong(0)
+    val degCount = Graphs.triangleCountDegreeOriented(edges).head().getLong(0)
+    assert(idCount === 4L)
+    assert(degCount === idCount, "orientation must not change the count")
+    // and through the summary flag
+    val s = Graphs.graphSummary(edges, degreeOriented = true).head()
+    assert(s.getLong(2) === idCount)
+  }
+
+  test("integral fast path and generic edge build agree") {
+    // same data once as ints (fast path) and once as strings (generic
+    // windowed self-join): identical edge sets modulo the item type
+    val rows = Seq(
+      (1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 1), (3, 4),
+      (4, 10), (4, 11), (4, 12), (4, 13), (4, 14))
+    val ints = rows.toDF("g", "i")
+    val strs = rows.map { case (g, i) => (g, f"$i%03d") }.toDF("g", "i")
+    val fast = Graphs.coOccurrenceEdges(ints, "g", "i", maxGroupSize = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val gen = Graphs.coOccurrenceEdges(strs, "g", "i", maxGroupSize = 4)
+      .collect().map(r => (r.getString(0).toInt, r.getString(1).toInt)).toSet
+    assert(fast === gen)
+    assert(fast === Set((1, 2), (1, 3), (1, 4), (2, 3)))
+  }
+
+  test("bounded-distinct aggregate: cap is distinct-count, duplicates don't overflow") {
+    // group 1: 3 distinct items seen through 6 duplicate rows — kept at
+    // cap 3; group 2: 4 distinct — dropped (NULL → no edges)
+    val df = Seq(
+      (1, 7), (1, 7), (1, 8), (1, 8), (1, 9), (1, 9),
+      (2, 1), (2, 2), (2, 3), (2, 4)).toDF("g", "i")
+    val e = Graphs.coOccurrenceEdges(df, "g", "i", maxGroupSize = 3)
+      .orderBy("a", "b").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(e.toSeq === Seq((7, 8), (7, 9), (8, 9)))
+  }
 }
