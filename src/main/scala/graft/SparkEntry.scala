@@ -621,6 +621,35 @@ object SparkEntry {
         maxGroupSize = 10)
       ops.Graphs.neighborhoodJaccard(edges).filter(col("common") >= 3)
     }),
+    "q_graph_npmi" -> ((s, dir) => {
+      // X218 weighted co-occurrence: pair/item group-frequencies +
+      // lift (one IEEE division over integer counts — bit-exact) +
+      // NPMI (two libm logs — rounded 6dp on both sides). n_pair >= 2
+      // bounds the output to pairs with repeated support (>= 3 is
+      // empty at the sf0.01 correctness gate).
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      ops.Graphs.weightedCoOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 10)
+        .filter(col("n_pair") >= 2)
+    }),
+    "q_graph_pagerank" -> ((s, dir) => {
+      // X219 bounded-iteration PageRank over the q_graph_triangles
+      // co-occurrence graph: 3 iterations, damping 0.85. In-sums are
+      // plain distributed sums on both sides; a 9-dp round on BOTH
+      // sides absorbs the ~1-ULP summation-order noise (ranks ~1e-3:
+      // 9 dp keeps ~6 significant digits — see Graphs.pageRank's
+      // numeric contract, where the ordered-cumsum replay was A/B'd
+      // and rejected). Undirected input → no dangling mass.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val edges = ops.Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 10)
+      ops.Graphs.pageRank(edges, iterations = 3, damping = 0.85)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+    }),
     "q_table_checksum" -> ((s, dir) => {
       // X216 order-independent checksum: the replica handshake — both
       // engines sum the same md5 windows over the same canonical row
@@ -1688,6 +1717,75 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |SELECT cn.a, cn.b, cn.common, da.degree AS deg_a, db.degree AS deg_b,
         |       CAST(cn.common AS DOUBLE) / (da.degree + db.degree - cn.common) AS jaccard
         |FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node""".stripMargin,
+    // X218 weighted co-occurrence: integer group frequencies, lift =
+    // one IEEE division chain, npmi = two libm logs rounded 6dp
+    "q_graph_npmi" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |sized AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM items) t
+        |  WHERE gs <= 10),
+        |n AS (SELECT count(DISTINCT g) AS n_groups FROM sized),
+        |ic AS (SELECT i, count(*) AS n_i FROM sized GROUP BY 1),
+        |pc AS (
+        |  SELECT x.i AS a, y.i AS b, count(*) AS n_pair
+        |  FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pc.a, pc.b, pc.n_pair, ia.n_i AS n_a, ib.n_i AS n_b,
+        |       CAST(pc.n_pair AS DOUBLE) * n.n_groups
+        |         / (CAST(ia.n_i AS DOUBLE) * ib.n_i) AS lift,
+        |       CASE WHEN pc.n_pair = n.n_groups THEN CAST(1 AS DOUBLE)
+        |            ELSE round(ln(CAST(pc.n_pair AS DOUBLE) * n.n_groups
+        |                          / (CAST(ia.n_i AS DOUBLE) * ib.n_i))
+        |                       / ln(CAST(n.n_groups AS DOUBLE) / pc.n_pair), 6)
+        |       END AS npmi
+        |FROM pc JOIN ic ia ON pc.a = ia.i JOIN ic ib ON pc.b = ib.i, n""".stripMargin,
+    // X219 PageRank, 3 unrolled iterations: plain distributed in-sums
+    // on both sides, 9-dp round on both sides absorbing the ~1-ULP
+    // summation-order noise (see Graphs.pageRank's numeric contract).
+    // Float literals are cast to DOUBLE so DuckDB doesn't evaluate
+    // them as DECIMALs.
+    "q_graph_pagerank" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |sized AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM items) t
+        |  WHERE gs <= 10),
+        |edges AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i),
+        |dir AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION ALL SELECT b AS src, a AS dst FROM edges),
+        |od AS (SELECT src, count(*) AS outdeg FROM dir GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM dir),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+        |c1 AS (SELECT d.dst, sum(r.pr / o.outdeg) AS in_sum
+        |       FROM dir d JOIN r0 r ON r.node = d.src JOIN od o ON o.src = d.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT v.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c1.in_sum, CAST(0 AS DOUBLE)) AS pr
+        |       FROM nodes v LEFT JOIN c1 ON v.node = c1.dst),
+        |c2 AS (SELECT d.dst, sum(r.pr / o.outdeg) AS in_sum
+        |       FROM dir d JOIN r1 r ON r.node = d.src JOIN od o ON o.src = d.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT v.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c2.in_sum, CAST(0 AS DOUBLE)) AS pr
+        |       FROM nodes v LEFT JOIN c2 ON v.node = c2.dst),
+        |c3 AS (SELECT d.dst, sum(r.pr / o.outdeg) AS in_sum
+        |       FROM dir d JOIN r2 r ON r.node = d.src JOIN od o ON o.src = d.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT v.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c3.in_sum, CAST(0 AS DOUBLE)) AS pr
+        |       FROM nodes v LEFT JOIN c3 ON v.node = c3.dst)
+        |SELECT node, round(pr, 9) AS "rank" FROM r3""".stripMargin,
     // X216 checksum: same canonical strings, same md5 windows, same sums
     "q_table_checksum" ->
       """WITH h AS (

@@ -66,6 +66,140 @@ object Graphs {
     }
   }
 
+  /** Weighted co-occurrence edges (X218): per canonical pair (a < b)
+    * the number of kept groups containing BOTH endpoints plus the
+    * association scores every real co-occurrence miner consumes —
+    * `lift = P(a,b) / (P(a)·P(b))` and normalized PMI
+    * `npmi = ln(lift) / ln(N / n_pair)` (1.0 at perfect
+    * co-occurrence, 0 at independence, negative when anti-associated).
+    * Same group-cap stopword rule as [[coOccurrenceEdges]]; all
+    * probabilities are over KEPT groups. The plan is the bare-edge
+    * build's plus one more aggregate: group sets (one capped hash
+    * agg), then item frequencies (explode + agg) and pair frequencies
+    * (in-task pair gen + agg) — the group-set frame feeds 3 consumers,
+    * so it takes the [[matEdges]] boundary. Scores are one double
+    * division and two `ln`s over integer counts; npmi is rounded to
+    * 6 dp (two libm logs — the one place bit-exactness across engines
+    * isn't guaranteed), lift left raw (single IEEE division).
+    */
+  def weightedCoOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                                maxGroupSize: Int = 50): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
+    val itemType = df.schema(itemCol).dataType
+    val (nGroups, itemCnt, pairCnt) = itemType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+        val sets = df.select(col(groupCol).as("g"), col(itemCol).cast("long").as("i"))
+          .groupBy("g")
+          .agg(graft.functions.native.boundedDistinctLong(col("i"), maxGroupSize).as("items"))
+          .filter(col("items").isNotNull)
+          .localCheckpoint(true)
+        (sets.agg(count(lit(1)).as("n_groups")),
+          sets.select(explode(col("items")).as("i")).groupBy("i")
+            .agg(count(lit(1)).as("n_i")),
+          sets.select(explode(graft.functions.native.longPairs(col("items"))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(count(lit(1)).as("n_pair")))
+      case _ =>
+        val m = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+          .withColumn("__gs", count(lit(1)).over(Window.partitionBy(col("g"))))
+          .filter(col("__gs") <= maxGroupSize)
+          .select("g", "i")
+          .localCheckpoint(true)
+        (m.agg(count_distinct(col("g")).as("n_groups")),
+          m.groupBy("i").agg(count(lit(1)).as("n_i")),
+          m.as("x").join(m.as("y"), col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+            .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+            .agg(count(lit(1)).as("n_pair")))
+    }
+    pairCnt
+      .join(itemCnt.withColumnsRenamed(Map("i" -> "a", "n_i" -> "n_a")), "a")
+      .join(itemCnt.withColumnsRenamed(Map("i" -> "b", "n_i" -> "n_b")), "b")
+      .crossJoin(nGroups) // 1-row aggregate -> broadcast
+      .withColumn("lift",
+        col("n_pair").cast("double") * col("n_groups") /
+          (col("n_a").cast("double") * col("n_b")))
+      .withColumn("npmi",
+        when(col("n_pair") === col("n_groups"), lit(1.0))
+          .otherwise(round(
+            log(col("lift")) /
+              log(col("n_groups").cast("double") / col("n_pair")), 6)))
+      .select(col("a").cast(itemType).as("a"), col("b").cast(itemType).as("b"),
+        col("n_pair"), col("n_a"), col("n_b"), col("lift"), col("npmi"))
+  }
+
+  /** Bounded-iteration PageRank (X219) over an edge list — the
+    * lineage-truncation discipline of the connected-components loop
+    * applied to the other classic iterative graph op. Edge-grain
+    * DataFrames throughout: per iteration one join of ranks onto the
+    * (checkpointed) directed edges, one per-destination aggregate,
+    * and a checkpoint of the new rank frame so the plan stays
+    * iteration-sized instead of k-deep.
+    *
+    * Numeric contract (what makes q_graph_pagerank oracle-able): the
+    * per-destination in-sum is a PLAIN distributed sum — partial-agg
+    * order is engine- (and run-) dependent, so raw doubles carry
+    * ~1-ULP noise; callers that need a cross-engine pin round to 9 dp
+    * on both sides (ranks sit at 1e-2..1e-5 against an abs noise
+    * floor of ~1e-18 — 9 dp keeps ~5 significant digits and makes a
+    * bucket straddle ~1e-9-improbable per row). The ordered-cumsum
+    * replay discipline (q_seasonal) was A/B'd and REJECTED here: it
+    * still differed by 1 ULP from DuckDB's windowed sum (which is not
+    * strictly streaming) while costing a per-iteration sort shuffle —
+    * 3.2 s vs 1.x s at sf0.1 for nothing.
+    *
+    * Dangling mass (nodes with no out-edges) is redistributed
+    * uniformly each iteration; for undirected input every node sends
+    * on each incident edge, so the dangling branch (an anti-join +
+    * scalar aggregate per iteration) is skipped entirely.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85,
+               undirected: Boolean = true): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dir0 =
+      if (undirected)
+        edges.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      else edges.select(col("a").as("src"), col("b").as("dst"))
+    val outdeg = dir0.groupBy(col("src").as("odn")).agg(count(lit(1)).as("outdeg"))
+    // outdeg is per-source static: join it into the edge frame ONCE,
+    // not per iteration, and checkpoint — the per-iteration plan is
+    // then join + aggregate + join, nothing else
+    val dirEdges = dir0.join(outdeg, col("src") === col("odn")).drop("odn")
+      .localCheckpoint(true)
+    val nodes = dirEdges.select(col("src").as("node"))
+      .unionAll(dirEdges.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    // one driver-side long: the node count seeds 1/N and the teleport
+    // term (bounded by design — a scalar, not a collect of rows)
+    val n = nodes.count().toDouble
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val inSums = ranks.join(dirEdges, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      val base = nodes.join(inSums, col("node") === col("dst"), "left")
+      val next =
+        if (undirected)
+          base.select(col("node"),
+            (lit(teleport) + lit(damping) *
+              coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        else {
+          val dangling = ranks
+            .join(dirEdges.select(col("src")).distinct(), col("node") === col("src"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+          base.crossJoin(dangling) // 1-row aggregate -> broadcast
+            .select(col("node"),
+              (lit(teleport) + lit(damping) *
+                (coalesce(col("in_sum"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
+        }
+      ranks = next.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Exact triangle count of an undirected graph given as canonical
     * `(a < b)` distinct edges — the classic wedge-close join: a
     * wedge `a→b→c` (IDs ascending) closes iff `(a, c)` is an edge.

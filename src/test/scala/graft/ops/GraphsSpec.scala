@@ -83,6 +83,61 @@ class GraphsSpec extends SparkSpec {
     assert(fast === Set((1, 2), (1, 3), (1, 4), (2, 3)))
   }
 
+  test("weighted co-occurrence: counts, lift, npmi on a hand example") {
+    // g1={1,2}, g2={1,2}, g3={1,3}, g4={2,3}: N=4 kept groups
+    val df = Seq((1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2), (4, 3))
+      .toDF("g", "i")
+    val w = Graphs.weightedCoOccurrenceEdges(df, "g", "i", maxGroupSize = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    val (nPair, nA, nB, lift, npmi) = w((1, 2))
+    assert((nPair, nA, nB) === (2L, 3L, 3L))
+    assert(math.abs(lift - 8.0 / 9.0) < 1e-12)
+    assert(math.abs(npmi - math.log(8.0 / 9.0) / math.log(2.0)) < 1e-6)
+    // independence-ish pair (1,3): 1 group of its possible 4
+    assert(w((1, 3))._1 === 1L)
+  }
+
+  test("weighted co-occurrence: perfect pair gets npmi = 1") {
+    val df = Seq((1, 7), (1, 8), (2, 7), (2, 8)).toDF("g", "i")
+    val w = Graphs.weightedCoOccurrenceEdges(df, "g", "i", maxGroupSize = 5).head()
+    assert(w.getLong(2) === 2L, "n_pair = n_groups")
+    assert(w.getDouble(6) === 1.0)
+  }
+
+  test("weighted co-occurrence: generic (string) path agrees with integral") {
+    val rows = Seq((1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2), (4, 3))
+    val fast = Graphs.weightedCoOccurrenceEdges(rows.toDF("g", "i"), "g", "i", 5)
+      .collect().map(r => (r.getInt(0).toString, r.getInt(1).toString) ->
+        (r.getLong(2), r.getDouble(6))).toMap
+    val gen = Graphs.weightedCoOccurrenceEdges(
+        rows.map { case (g, i) => (g, i.toString) }.toDF("g", "i"), "g", "i", 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(6))).toMap
+    assert(fast === gen)
+  }
+
+  test("pagerank: symmetric triangle converges to uniform, mass conserved") {
+    val edges = Seq((1, 2), (1, 3), (2, 3)).toDF("a", "b")
+    val r = Graphs.pageRank(edges, iterations = 4).collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3.0) < 1e-12,
+      "every node of a vertex-transitive graph holds 1/N"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pagerank: directed graph with a dangling node conserves mass") {
+    // 1 -> 2 <- 3: node 2 has no out-edges; its mass redistributes
+    val edges = Seq((1, 2), (3, 2)).toDF("a", "b")
+    val r = Graphs.pageRank(edges, iterations = 1, undirected = false).collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    // r' = 0.15/3 + 0.85*(in + (1/3)/3): hand-computed
+    assert(math.abs(r(1) - (0.05 + 0.85 / 9.0)) < 1e-12)
+    assert(math.abs(r(3) - (0.05 + 0.85 / 9.0)) < 1e-12)
+    assert(math.abs(r(2) - (0.05 + 0.85 * (2.0 / 3.0 + 1.0 / 9.0))) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
   test("bounded-distinct aggregate: cap is distinct-count, duplicates don't overflow") {
     // group 1: 3 distinct items seen through 6 duplicate rows — kept at
     // cap 3; group 2: 4 distinct — dropped (NULL → no edges)
