@@ -4695,17 +4695,73 @@ object Warehouse {
     * checkpoint. Feed a downstream replica by applying each
     * micro-batch with [[applyChangeFeed]] in `foreachBatch`.
     *
-    * Schema-era caveat: the stream pins the CURRENT schema at call
-    * time; feed files recorded BEFORE a column rename carry the old
-    * name and would read that column as NULL through this source (the
-    * file source cannot bridge per-file). Start the stream's
-    * checkpoint AFTER the rename commit, or catch up across the
-    * rename with the batch [[readChangeFeed]] (which bridges eras,
-    * X202) before going continuous.
+    * Schema-era GATE (r12, closes the stream-side half of X202): the
+    * stream pins the CURRENT schema at call time, and the parquet
+    * file source cannot bridge per-file — a feed file recorded before
+    * a column RENAME carries the old name, so the pinned read would
+    * deliver that column as all-NULL to a continuous CDC consumer:
+    * silently wrong rows, the exact hazard the batch
+    * [[readChangeFeed]] era-bridges. So stream CONSTRUCTION resolves
+    * every recorded feed version's schema era from its manifest
+    * (driver-side, zero data I/O — the X202 machinery) and REFUSES
+    * loudly when any feed's era would misread under the pinned
+    * schema: a renamed column (current physical name lives under a
+    * different logical name in that era) or a retyped one. Eras that
+    * differ only bridgeably are NOT refused — a column added after an
+    * old feed reads NULL there (the bridge's own answer) and a
+    * dropped column is simply ignored by the pinned schema. Versions
+    * with unreadable manifests fall back to the feed FILES' own
+    * schemas under a stricter rule (same names ∧ same types or
+    * refusal — without the column map, a rename is indistinguishable
+    * from a drop+add). Catch up across a refused backlog with the
+    * batch [[readChangeFeed]], then start the stream's checkpoint at
+    * the post-change versions. A rename committed AFTER the stream
+    * starts is out of this gate's reach (the source is already
+    * running) — restart the stream to re-gate, which the refusal
+    * message of the next cold start enforces.
     */
   def readChangeFeedStream(spark: SparkSession, path: String,
                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val schema = readSnapshot(spark, path).schema
+    val base = readSnapshot(spark, path).schema
+    val recorded = changeFeedVersions(spark, path)
+    if (recorded.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val curMap = readManifest(fs, path, resolveVersion(spark, path, None))
+        .map(columnMapOf).getOrElse(Map.empty)
+      def eraOf(m: com.fasterxml.jackson.databind.JsonNode): (StructType, Map[String, String]) =
+        (org.apache.spark.sql.types.DataType
+          .fromJson(m.get("schema").toString).asInstanceOf[StructType], columnMapOf(m))
+      val offEra = recorded.filter { v =>
+        readManifest(fs, path, v).map(eraOf) match {
+          case Some((fromSchema, fromMap)) =>
+            val physToLogicalFrom = physToLogical(fromSchema, fromMap)
+            base.fields.exists { f =>
+              physToLogicalFrom.get(physicalName(curMap, f.name)) match {
+                case Some(old) =>
+                  old != f.name || fromSchema(old).dataType != f.dataType
+                case None => false // added after this era: NULL is the bridge's answer too
+              }
+            }
+          case None =>
+            // no manifest: the feed files' own schema decides, strictly
+            val fileFields = spark.read.parquet(cdfDir(path, v).toString).schema.fields
+              .filterNot(f => f.name == "_change_type" || f.name == "_commit_version")
+              .map(f => f.name -> f.dataType).toMap
+            fileFields.exists { case (n, dt) =>
+              !base.fieldNames.contains(n) || base(n).dataType != dt
+            }
+        }
+      }
+      require(offEra.isEmpty,
+        s"readChangeFeedStream($path): recorded feed version(s) ${offEra.mkString(", ")} " +
+          "were committed under an earlier schema era that the stream's pinned schema " +
+          "would misread (a renamed column reads as all-NULL through a parquet file " +
+          "source — it cannot bridge per-file). Catch up across the schema change with " +
+          "the batch readChangeFeed (which bridges eras), then start the stream's " +
+          "checkpoint at the post-change versions.")
+    }
+    val schema = base
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_commit_version", org.apache.spark.sql.types.LongType)
     val r = spark.readStream.schema(schema)
