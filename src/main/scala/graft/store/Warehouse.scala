@@ -607,6 +607,18 @@ object Warehouse {
     * one rule from the enforcement gate (last rename wins). Exclusive
     * create of `_ddl-lock`, bounded wait, stale locks broken past the
     * grace (a crashed ALTER must not wedge DDL forever).
+    *
+    * Stale-lock breaking is RENAME-CLAIMED (review r12): a bare
+    * check-then-delete races — between the staleness check and the
+    * delete, the stale holder can release and ANOTHER alter re-acquire,
+    * and the delete then kills the fresh holder's lock (two writers
+    * proceed, reintroducing the lost-rule race). Instead the breaker
+    * renames the lock to a unique breaker-owned name — atomic, exactly
+    * one breaker wins, and a lock re-created in the window is a
+    * DIFFERENT file the rename never touches — then re-verifies
+    * staleness on the claimed file (rename preserves mtime): verified
+    * stale → delete and retry the acquire; actually fresh (re-created
+    * inside the check→rename window) → rename it straight back.
     */
   private def withDdlLock[T](fs: org.apache.hadoop.fs.FileSystem, path: String,
                              graceMs: Long = 600000L)(body: => T): T = {
@@ -622,7 +634,22 @@ object Warehouse {
               try System.currentTimeMillis() -
                 fs.getFileStatus(lock).getModificationTime > graceMs
               catch { case _: java.io.FileNotFoundException => false }
-            if (stale) fs.delete(lock, false)
+            if (stale) {
+              val claimed = new org.apache.hadoop.fs.Path(
+                s"$path/_ddl-lock.broken-${java.util.UUID.randomUUID().toString.take(8)}")
+              try {
+                if (fs.rename(lock, claimed)) {
+                  val freshAgain = System.currentTimeMillis() -
+                    fs.getFileStatus(claimed).getModificationTime <= graceMs
+                  if (!freshAgain) fs.delete(claimed, false)
+                  else if (!fs.rename(claimed, lock))
+                    // a third alter locked meanwhile; the claimed copy is
+                    // now a duplicate of a lock its holder will release —
+                    // drop it rather than leave debris
+                    fs.delete(claimed, false)
+                }
+              } catch { case _: java.io.IOException => () }
+            }
             else if (System.currentTimeMillis() > deadline)
               throw new java.io.IOException(
                 s"DDL lock busy under $path — a concurrent ALTER holds it")
@@ -3060,9 +3087,18 @@ object Warehouse {
     // branch commits validate like EVERY row-writing path (review
     // r11): the WAP stage is where validation is supposed to happen —
     // skipping the CHECK/generated gates here would let publishBranch
-    // promote unvalidated rows to main
+    // promote unvalidated rows to main. Identity alignment included
+    // (review r12): a branch full-commit on an identity table must
+    // mint-or-NULL-guard like commitSnapshot, or publishBranch would
+    // promote rows with missing/NULL ids that every other row-writing
+    // path refuses. The mint's high-water mark reads the BRANCH head
+    // (the content lineage this commit extends).
+    val idd = identityAlign(df, path, "commitToBranch", {
+      val (c, st) = identityRule(fs, path).get
+      identityHwmAt(spark, fs, path, head, c, st)
+    })
     val (g, flushQuarantine) = expectationGate(
-      generatedAlign(df, path, "commitToBranch"), path, "commitToBranch")
+      generatedAlign(idd, path, "commitToBranch"), path, "commitToBranch")
     constraintGuard(g, path, "commitToBranch")
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
@@ -3318,14 +3354,21 @@ object Warehouse {
     * Iceberg `expire_snapshots(older_than)` shape: expire versions
     * whose COMMIT INSTANT (CAS-marker mtime; dir mtime for
     * single-writer versions) is older than `maxAgeMs`, always keeping
-    * at least `keepLast`. Versions commit in instant order, so the
-    * young ones form a suffix of the history; the call reduces to
-    * [[expireSnapshots]] with the suffix length — inheriting every
-    * fence (branch-head roots, reachability, unreadable-manifest hard
-    * stop) rather than duplicating the sweep. The time policy a
-    * streaming-ingest table wants: [[writeSnapshotStream]] makes
-    * version COUNT meaningless (one per micro-batch), but "7 days of
-    * replay/time-travel" is a contract humans can hold.
+    * at least `keepLast`. The call reduces to [[expireSnapshots]]
+    * with a suffix length — inheriting every fence (branch-head
+    * roots, reachability, unreadable-manifest hard stop) rather than
+    * duplicating the sweep. Commit instants are NOT assumed monotone
+    * in version order (review r12): a slow commit can claim version N
+    * yet stamp its manifest after N+1 published, so a suffix
+    * `takeWhile` from the youngest end would stop at the first
+    * old-looking instant and let a younger-than-cutoff version BELOW
+    * it expire. Membership is computed over the whole history
+    * instead, and the kept suffix starts at the OLDEST young version
+    * — over-retaining the (rare) old-instant versions sitting above
+    * it, which is the safe direction for a retention sweep. The time
+    * policy a streaming-ingest table wants: [[writeSnapshotStream]]
+    * makes version COUNT meaningless (one per micro-batch), but
+    * "7 days of replay/time-travel" is a contract humans can hold.
     */
   def expireSnapshotsOlderThan(spark: SparkSession, path: String, maxAgeMs: Long,
                                keepLast: Int = 1): Seq[Long] = {
@@ -3337,8 +3380,9 @@ object Warehouse {
     // timestamp when recorded, mtimes otherwise — so "7 days of
     // replay" keeps meaning commit age after a table copy refreshed
     // every mtime (where the mtime rule would retain EVERYTHING young)
-    val young = snapshots(spark, path).reverse
-      .takeWhile(commitInstant(fs, path, _) >= cutoff).size
+    val vs = snapshots(spark, path)
+    val oldestYoung = vs.indexWhere(commitInstant(fs, path, _) >= cutoff)
+    val young = if (oldestYoung < 0) 0 else vs.size - oldestYoung
     expireSnapshots(spark, path, math.max(keepLast, math.max(1, young)))
   }
 
@@ -5410,6 +5454,18 @@ object Warehouse {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcFs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
     val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+    // same-filesystem fence (review r12): absolute entries are stored
+    // SCHEME-LESS (rooted paths) and resolve against whatever
+    // filesystem reads the CLONE — if src and dst lived on different
+    // stores (or different authorities/buckets), every entry would
+    // resolve against the wrong one: missing-file errors at best,
+    // reads of an unrelated table at worst. Refuse loudly up front;
+    // cross-store cloning is a copy (distcp + deep clone), not a
+    // reference.
+    require(srcFs.getUri == fs.getUri,
+      s"cloneSnapshot: source (${srcFs.getUri}) and destination (${fs.getUri}) live on " +
+        "different filesystems — a shallow clone references the source's bytes in " +
+        "place, which only resolves within one filesystem; copy the data instead")
     val v = resolveVersion(spark, src, version)
     require(snapshots(spark, dst).isEmpty,
       s"cloneSnapshot: destination $dst already holds a committed table")

@@ -50,4 +50,38 @@ class RetentionWhereSpec extends SparkSpec {
     // carried references survive the sweep: full content still readable
     assert(Warehouse.readSnapshot(spark, root).count() === 13)
   }
+
+  test("age-based expiry survives out-of-order commit instants (review r12)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_age2").toString + "/t"
+    Warehouse.writeSnapshot(spark.range(0, 10).toDF("id"), root)
+    (1L to 3L).foreach(i =>
+      Warehouse.appendSnapshot(Seq(100L + i).toDF("id"), root, i))   // v1..v4
+    // backdate v1 AND v3: a slow commit can claim version N yet stamp
+    // its manifest after N+1 published, so instants are NOT monotone
+    // in version order — the old suffix-takeWhile stopped at v3 and
+    // would expire the younger-than-cutoff v2 beneath it
+    def backdate(v: Long): Unit = {
+      // through the Hadoop FS (the local FS is checksummed — a raw
+      // java.nio rewrite leaves a stale .crc and the manifest reads
+      // as bit rot)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mf = new org.apache.hadoop.fs.Path(s"$root/_manifest-v$v")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val in = fs.open(mf)
+      val node = try mapper.readTree(in)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+      node.put("committedAtMs", 1000L)
+      val out = fs.create(mf, true)
+      out.write(mapper.writeValueAsBytes(node)); out.close()
+    }
+    backdate(1L); backdate(3L)
+    val dropped = Warehouse.expireSnapshotsOlderThan(spark, root, 3600000L, keepLast = 1)
+    assert(dropped === Seq(1L),
+      "retention keeps everything from the OLDEST young version up — " +
+        "v3's stale instant must not expire the young v2 beneath it")
+    assert(Warehouse.snapshots(spark, root) === Seq(2L, 3L, 4L))
+    assert(Warehouse.readSnapshot(spark, root).count() === 13)
+  }
 }

@@ -75,6 +75,22 @@ class ReviewHardeningSpec extends SparkSpec {
     assert(!new java.io.File(root, "_ddl-lock").exists())
   }
 
+  test("a stale DDL lock is rename-claim broken; no breaker debris left (review r12)") {
+    val root = tmpRoot("graft_rh_lock")
+    Warehouse.writeSnapshot(spark.range(1, 5).toDF("id").withColumn("v", col("id")), root)
+    // a crashed ALTER left its lock behind, long past the grace
+    val lock = new java.io.File(root, "_ddl-lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(1000L))
+    // the next ALTER must break it (rename-claimed) and proceed
+    Warehouse.setSnapshotConstraint(spark, root, "pos", "v > 0")
+    assert(Warehouse.snapshotConstraints(spark, root).contains("pos"))
+    assert(!lock.exists(), "lock released after the ALTER")
+    val debris = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("_ddl-lock"))
+    assert(debris.isEmpty, s"no broken-claim debris may remain, got ${debris.toSeq}")
+  }
+
   test("vacuum preserves a manifest-less partial dir whose _dv a live manifest references") {
     val root = tmpRoot("graft_rh4")
     Warehouse.writeSnapshot(spark.range(0, 100).toDF("id"), root)           // v1
