@@ -1360,6 +1360,15 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
     }),
+    "q_ann_ivf_bucketed" -> ((s, dir) => { // FULL oracle: fixed mod-nlist
+      // cells + deterministic probe set make the IVF sweep/rerank
+      // decision ANSI-expressible — cross-engine pin of the ANN
+      // family's probe/rerank logic (only the k-means fit stays
+      // rows-only)
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopKBucketed(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
+    }),
 
     // ---- streaming (bounded replay through the PRODUCTION sink shape:
     // update-mode micro-batches upserted into a date-partitioned
@@ -2050,6 +2059,27 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |SELECT a.vec_id AS a, b.vec_id AS b, list_dot_product(a.v, b.v) / (a.nm * b.nm) AS sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.4""".stripMargin,
+    // X220 bucketed IVF: fixed cells + deterministic probes → the
+    // probe/rerank/rank decision recomposes exactly (same DOUBLE[]
+    // dot-product contract as q_topk_cosine)
+    "q_ann_ivf_bucketed" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv, (vec_id % 16)::INT AS cell
+        |      FROM n WHERE vec_id >= 10),
+        |p AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
+        |             ((q.vec_id + i.i) % 16)::INT AS cell
+        |      FROM n q, (SELECT unnest(range(0, 4)) AS i) i WHERE q.vec_id < 10),
+        |scored AS (
+        |  SELECT p.query_id, c.neighbor_id,
+        |         list_dot_product(p.qv, c.cv)
+        |           / (p.qn * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM p JOIN c USING (cell)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10""".stripMargin,
     "q_topk_cosine" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm

@@ -187,6 +187,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** ORACLE-ELIGIBLE twin of [[ivfTopK]] (r12, the X163 move applied
+    * to ANN): the same probe → exact-cosine rerank → per-query top-k
+    * decision over a FIXED, ANSI-expressible coarse assignment —
+    * corpus cell = `vec_id mod nlist`, query probes = the `nprobe`
+    * cells starting at the query's own bucket — instead of the fitted
+    * centroids. DuckDB recomposes probe-cell selection, the rerank
+    * cosine and the ranking, and hash-matches the full top-k, pinning
+    * the sweep/rerank logic cross-engine; the k-means fit stays the
+    * ANN family's only rows-only piece. Not a semantic probe choice
+    * (buckets are arbitrary) — a verification harness with the exact
+    * production plan shape: explode probes, equi-join on cell,
+    * window top-k.
+    */
+  def ivfTopKBucketed(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        l2norm(col("embedding")).as("qn"),
+        explode(sequence(lit(0), lit(nprobe - 1))).as("i"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        pmod(col("query_id") + col("i"), lit(nlist)).cast("int").as("cell"))
+    val scored = broadcast(probes).join(c, Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * l2norm(col("cv")))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** All near-duplicate embedding pairs with cosine ≥ threshold
     * (a < b), EXACT, via a blocked self-join.
     *

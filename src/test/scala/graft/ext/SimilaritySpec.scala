@@ -88,6 +88,31 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach(r => assert(math.abs(r.getDouble(3) - bySim((r.getLong(0), r.getLong(2)))) < 1e-12))
   }
 
+  test("ivfTopKBucketed: probed cells only, exact sims, contiguous ranks (oracle twin)") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val c = e.filter(col("vec_id") >= 10)
+    val out = Similarity.ivfTopKBucketed(q, c, k = 5, nlist = 16, nprobe = 4).collect()
+    // every neighbor lies in one of the query's 4 deterministic probe
+    // cells — the fixed sweep the oracle recomposes
+    out.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(2))
+      val probed = (0 until 4).map(i => (qid + i) % 16).toSet
+      assert(probed.contains(nid % 16),
+        s"neighbor $nid (cell ${nid % 16}) outside query $qid's probe set $probed")
+    }
+    // ranks contiguous from 1 per query, sims non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to rows.length))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // sims are exact cosines (same rerank kernel as brute force)
+    val bySim = Similarity.bruteForceTopK(q, c, c.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach(r => assert(r.getDouble(3) === bySim((r.getLong(0), r.getLong(2)))))
+  }
+
   test("pqTopK: reasonable recall vs brute force, exact sims for returned pairs") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 5)
