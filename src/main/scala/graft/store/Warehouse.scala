@@ -5566,16 +5566,26 @@ object Warehouse {
     * version per micro-batch (small files by construction), and a
     * periodic `optimizeSnapshot` folds them into target-sized files
     * while [[compactSnapshot]]'s full rewrite stays reserved for
-    * re-clustering. Below `minSmallFiles` small files it's a no-op
-    * returning None — safe to call on every maintenance tick. Same
-    * CAS/`_partial`/manifest/unwind contract as every file-sharing
-    * commit; pinned readers of old versions untouched; returns
-    * (newVersion, filesWritten).
+    * re-clustering the WHOLE table. Below `minSmallFiles` small files
+    * it's a no-op returning None — safe to call on every maintenance
+    * tick. Same CAS/`_partial`/manifest/unwind contract as every
+    * file-sharing commit; pinned readers of old versions untouched;
+    * returns (newVersion, filesWritten).
+    *
+    * `clusterCols` (r12, Delta's `OPTIMIZE … ZORDER BY`): the PACKED
+    * files are laid along the Morton curve over those columns
+    * ([[graft.ops.Layout.zorder]], the [[compactSnapshot]] path), so a
+    * clustered table's maintenance tick keeps its X162 per-file
+    * min/max TIGHT on the fresh files instead of letting the layout
+    * decay until a full recompaction — the rewrite still costs only
+    * the small files' bytes, and carried right-sized files (whose
+    * stats are already tight) stay by reference, untouched.
     */
   def optimizeSnapshot(spark: SparkSession, path: String,
                        targetFileBytes: Long = 128L << 20,
                        minSmallFiles: Int = 2,
-                       orphanGraceMs: Long = 600000L): Option[(Long, Int)] = {
+                       orphanGraceMs: Long = 600000L,
+                       clusterCols: Seq[String] = Seq.empty): Option[(Long, Int)] = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -5608,11 +5618,14 @@ object Warehouse {
     // dv-aware packed read (X189): a small file carrying deletion-
     // vector positions materializes them here (live rows only); its
     // positions die with the old path. Carried files keep theirs.
-    val packed = (reuse match {
+    val packedRead = reuse match {
       case Some((m, _)) => dvPlannedRead(spark, path, m, schema, small.toSeq.sorted)
       case None => spark.read.schema(schema)
         .parquet(small.toSeq.sorted.map(entryPath(path, _)): _*)
-    }).repartition(n)
+    }
+    val packed =
+      if (clusterCols.isEmpty) packedRead.repartition(n)
+      else graft.ops.Layout.zorder(packedRead, clusterCols, n)
     val packedDv: Option[DvState] = reuse.flatMap { case (m, _) =>
       readDvState(m).flatMap { d =>
         val rem = d.files.filterNot { case (f, _) => small(f) }

@@ -66,6 +66,47 @@ class OptimizeSpec extends SparkSpec {
     assert(v1.length === 1 && !v1.head.getBoolean(3))
   }
 
+  test("clusterCols: the maintenance tick z-orders the packed files; range reads prune them (r12)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_opt3").toString + "/t"
+    // v1: one big z-ordered base — must be CARRIED, never rewritten
+    val base = spark.range(0, 300000).toDF("i").select(
+      (col("i") % 317).as("x"), (col("i") / 317).cast("long").as("y"),
+      md5(col("i").cast("string")).as("pay"))
+    Warehouse.writeSnapshot(graft.ops.Layout.zorder(base, Seq("x", "y"), 4), root)
+    // v2..v9: scattered small appends — a streaming-ingest table's
+    // per-tick debris, each file spraying the whole (x, y) space
+    (1L to 8L).foreach { i =>
+      val a = spark.range(0, 20000).toDF("i").select(
+        pmod(hash(col("i") + lit(i * 77)), lit(200)).cast("long").as("x"),
+        pmod(hash(col("i") * 31 + lit(i)), lit(200)).cast("long").as("y"),
+        lit("z").as("pay"))
+      Warehouse.appendSnapshot(a.coalesce(1), root, i)
+    }
+    val before = Warehouse.readSnapshot(spark, root)
+    val beforeCnt = before.count()
+    val res = Warehouse.optimizeSnapshot(spark, root,
+      targetFileBytes = 128L << 10, clusterCols = Seq("x", "y"))
+    assert(res.isDefined)
+    val (v10, written) = res.get
+    assert(written >= 2, s"need >= 2 packed files to prove pruning, got $written")
+    // every big base file carries by reference, untouched
+    val entries = manifestEntries(root, v10)
+    assert(entries.count(_.startsWith("v=1/")) === manifestEntries(root, 1L).size,
+      s"base files must carry: $entries")
+    // content identical
+    val after = Warehouse.readSnapshot(spark, root)
+    assert(after.count() === beforeCnt && after.exceptAll(before).isEmpty)
+    // a 2-D box read prunes the FRESHLY PACKED files too: the packed
+    // layout is Morton, so its per-file min/max are tight on both dims
+    val box = Warehouse.readSnapshotWhere(spark, root,
+      Seq(("x", Some(5L), Some(40L)), ("y", Some(5L), Some(40L))))
+    val packedTouched = box.inputFiles.count(_.contains(s"v=$v10/"))
+    assert(packedTouched < written,
+      s"box read must skip some of the $written packed files, touched $packedTouched")
+    assert(box.count() ===
+      after.filter(col("x").between(5, 40) && col("y").between(5, 40)).count())
+  }
+
   test("all files small -> self-contained compacted version; expiry then reaps history") {
     val root = java.nio.file.Files.createTempDirectory("graft_opt2").toString + "/t"
     Warehouse.writeSnapshot(spark.range(0, 10).toDF("id").repartition(4), root)
