@@ -940,17 +940,72 @@ object Warehouse {
     * commit (a crash between commit and flush loses the diverted
     * rows, never phantoms them); audit-critical rules should abort.
     */
+  /** Arm-late capture of per-rule triage counts (X221): the gate's
+    * `observe` nodes count each rule's violating rows INSIDE the write
+    * plan (the DLT expectation-metrics shape — zero extra jobs, the
+    * same pass that triages also counts), and this handle pulls the
+    * observed values off the write action via a QueryExecutionListener
+    * so the commit can persist them into its manifest. `arm()` must be
+    * called immediately BEFORE the batch's write action and not
+    * earlier: a prior partial action (appendVersionFrom's `isEmpty`
+    * limit-1 probe) would report partial counts. Metrics delivery is
+    * best-effort by construction (the manifest itself is) — a listener
+    * that never fires yields None, never a blocked commit.
+    */
+  private[store] final class ExpectationMetricsHandle(
+      spark: SparkSession, tag: String, ruleActions: Seq[(String, String)]) {
+    private val results = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private val latch = new java.util.concurrent.CountDownLatch(1)
+    private val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        val mine = qe.observedMetrics.filter { case (k, _) => k.startsWith(tag) }
+        if (mine.nonEmpty) {
+          mine.foreach { case (k, row) =>
+            results.put(k.substring(tag.length), row.getLong(0))
+          }
+          latch.countDown()
+        }
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    def arm(): Unit =
+      if (ruleActions.nonEmpty) spark.listenerManager.register(listener)
+    def collect(): Option[Map[String, (String, Long)]] = {
+      if (ruleActions.isEmpty) return None
+      val ok = latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      spark.listenerManager.unregister(listener)
+      if (!ok) None
+      else Some(ruleActions.map { case (n, a) =>
+        n -> ((a, Option(results.get(n)).map(_.longValue).getOrElse(0L)))
+      }.toMap)
+    }
+  }
+
+  private[store] val NoExpectationMetrics =
+    new ExpectationMetricsHandle(null, "", Seq.empty)
+
   private def expectationGate(df: DataFrame, path: String, op: String,
                               txn: Option[(String, Long)] = None)
-      : (DataFrame, () => Unit) = {
+      : (DataFrame, () => Unit, ExpectationMetricsHandle) = {
     val prec = Map("abort" -> 0, "drop" -> 1, "quarantine" -> 2)
     val rules = snapshotExpectations(df.sparkSession, path).toSeq
       .sortBy { case (n, (_, a)) => (prec(a), n) }
-    if (rules.isEmpty) return (df, () => ())
+    if (rules.isEmpty) return (df, () => (), NoExpectationMetrics)
     val spark = df.sparkSession
+    // unique per gate: two concurrent commits' listeners must not read
+    // each other's observed nodes
+    val tag = s"graft-exp-${java.util.UUID.randomUUID().toString.take(8)}#"
     val quarantined = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val kept = rules.foldLeft(df) { case (d, (name, (sql, action))) =>
+    val kept = rules.foldLeft(df) { case (d0, (name, (sql, action))) =>
       val violates = !coalesce(expr(sql), lit(true))
+      // quarantine branches split from the PRE-observe frame so the
+      // flush action never re-fires this rule's counter
+      val d = d0.observe(s"$tag$name",
+        count(when(violates, lit(1))).as("violations"))
       action match {
         case "abort" =>
           d.filter(when(violates,
@@ -960,12 +1015,14 @@ object Warehouse {
             .otherwise(lit(true)))
         case "drop" => d.filter(!violates)
         case "quarantine" =>
-          quarantined += d.filter(violates)
+          quarantined += d0.filter(violates)
             .withColumn("_violated", lit(name))
             .withColumn("_violating_op", lit(op))
           d.filter(!violates)
       }
     }
+    val metrics = new ExpectationMetricsHandle(spark, tag,
+      rules.map { case (n, (_, a)) => n -> a })
     // ONE unioned side-table commit for all quarantine rules (review
     // r11: per-rule commits multiplied the extra pass and the crash
     // window), and for streaming ingests the flush carries its OWN
@@ -995,7 +1052,7 @@ object Warehouse {
           }
         }
       }
-    (kept, flush)
+    (kept, flush, metrics)
   }
 
   /** Declare `column` as the table's IDENTITY column (X210, the Delta
@@ -1235,11 +1292,13 @@ object Warehouse {
       val (c, st) = identityRule(fs, path).get
       identityHwmAt(spark, fs, path, next - 1, c, st)
     })
-    val (g, flushQuarantine) = expectationGate(
+    val (g, flushQuarantine, expMetrics) = expectationGate(
       generatedAlign(idd, path, "writeSnapshot"), path, "writeSnapshot")
+    expMetrics.arm()
     constraintGuard(g, path, "writeSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
-    publishManifestBestEffort(fs, spark, path, next, g.schema.json)
+    publishManifestBestEffort(fs, spark, path, next, g.schema.json,
+      expectations = expMetrics.collect())
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp")
     val out = fs.create(tmp, true)
     out.write(next.toString.getBytes("UTF-8")); out.close()
@@ -1345,10 +1404,11 @@ object Warehouse {
       val (c, st) = identityRule(fs, path).get
       identityHwmAt(spark, fs, path, expectedVersion, c, st)
     })
-    val (g, flushQuarantine) =
+    val (g, flushQuarantine, expMetrics) =
       if (triage) expectationGate(generatedAlign(idd, path, "commitSnapshot"),
         path, "commitSnapshot")
-      else (generatedAlign(idd, path, "commitSnapshot"), () => ())
+      else (generatedAlign(idd, path, "commitSnapshot"), () => (), NoExpectationMetrics)
+    expMetrics.arm()
     constraintGuard(g, path, "commitSnapshot")
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
@@ -1365,7 +1425,8 @@ object Warehouse {
       throw new SnapshotConflictException(path, next)
     }
     promoteStaging(fs, staging, dest, path, next)
-    publishManifestBestEffort(fs, spark, path, next, g.schema.json)
+    publishManifestBestEffort(fs, spark, path, next, g.schema.json,
+      expectations = expMetrics.collect())
     advancePointer(fs, path, next)
     flushQuarantine()
     next
@@ -1430,7 +1491,7 @@ object Warehouse {
                                 gateOp: String = "appendSnapshot"): Option[Long] = {
     // generated columns (X205) fill BEFORE the schema gate: the common
     // writer supplies business columns only, the table derives the rest
-    val (df, flushQuarantine) = expectationGate(
+    val (df, flushQuarantine, expMetrics) = expectationGate(
       generatedAlign(dfIn, path, "appendSnapshot"), path, gateOp, txn)
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
@@ -1534,6 +1595,9 @@ object Warehouse {
     // layout (evolution columns map per the minting above — identity
     // unless the name collides with frozen bytes)
     val cmap = cmap0 ++ minted
+    // armed here, AFTER the isEmpty probe above — its limit-1 action
+    // would otherwise deliver partial triage counts
+    expMetrics.arm()
     toPhysical(constraintGuard(aligned, path, "appendSnapshot"), cmap)
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     // file-sharing marker BEFORE the dir becomes visible (when there
@@ -1556,7 +1620,8 @@ object Warehouse {
       orphanGraceMs = orphanGraceMs, txn = txn,
       dv = reuse.flatMap { case (m, _) => readDvState(m) },
       columnMap = if (minted.isEmpty) None else Some(cmap),
-      cdfStaging = cdfStaging, advance = false)
+      cdfStaging = cdfStaging, advance = false,
+      expectations = expMetrics.collect())
     flushQuarantine()
     Some(next)
   }
@@ -2385,7 +2450,8 @@ object Warehouse {
                                    idx: Option[IdxState] = None,
                                    columnMap: Option[Map[String, String]] = None,
                                    droppedColumns: Option[Seq[String]] = None,
-                                   idxDrop: Boolean = false): Unit = {
+                                   idxDrop: Boolean = false,
+                                   expectations: Option[Map[String, (String, Long)]] = None): Unit = {
     val entries: Seq[String] = entriesIn.getOrElse {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -2460,6 +2526,18 @@ object Warehouse {
     // is no separate marker whose loss could double-apply a batch
     txn.foreach { case (app, epoch) =>
       node.put("txnApp", app); node.put("txnEpoch", epoch)
+    }
+    // per-rule triage counts (X221, the DLT expectation-metrics shape):
+    // observed inside the commit's own write plan, persisted with the
+    // commit they triaged — snapshotHistory/describeSnapshot surface
+    // them; absent on commits without declared rules (or pre-X221)
+    expectations.filter(_.nonEmpty).foreach { ms =>
+      val em = node.putObject("expectationMetrics")
+      ms.toSeq.sortBy(_._1).foreach { case (rule, (action, violations)) =>
+        val r = em.putObject(rule)
+        r.put("action", action)
+        r.put("violations", violations)
+      }
     }
     node.set[com.fasterxml.jackson.databind.JsonNode]("schema", mapper.readTree(schemaJson))
     val arr = node.putArray("files")
@@ -2553,8 +2631,10 @@ object Warehouse {
     */
   private def publishManifestBestEffort(fs: org.apache.hadoop.fs.FileSystem,
                                         spark: SparkSession, path: String,
-                                        v: Long, schemaJson: String): Unit =
-    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, v, schemaJson)
+                                        v: Long, schemaJson: String,
+                                        expectations: Option[Map[String, (String, Long)]] = None): Unit =
+    try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, v, schemaJson,
+      expectations = expectations)
     catch {
       case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -2734,6 +2814,16 @@ object Warehouse {
       Option(m.get("readerFeatures")).foreach { rf =>
         rows += (("reader_features",
           (0 until rf.size).map(rf.get(_).asText()).mkString(", ")))
+      }
+      // X221: per-rule triage counts recorded by THIS commit's gate
+      Option(m.get("expectationMetrics")).foreach { em =>
+        val it = em.fieldNames()
+        while (it.hasNext) {
+          val rule = it.next()
+          val r = em.get(rule)
+          rows += ((s"expectation_metrics.$rule",
+            s"${r.get("action").asText}: ${r.get("violations").asLong} violation(s)"))
+        }
       }
     }
     snapshotConstraints(spark, path).toSeq.sortBy(_._1).foreach { case (n, sql) =>
@@ -3097,8 +3187,9 @@ object Warehouse {
       val (c, st) = identityRule(fs, path).get
       identityHwmAt(spark, fs, path, head, c, st)
     })
-    val (g, flushQuarantine) = expectationGate(
+    val (g, flushQuarantine, expMetrics) = expectationGate(
       generatedAlign(idd, path, "commitToBranch"), path, "commitToBranch")
+    expMetrics.arm()
     constraintGuard(g, path, "commitToBranch")
       .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
@@ -3111,7 +3202,8 @@ object Warehouse {
       throw new SnapshotConflictException(path, next)
     }
     promoteStaging(fs, staging, dest, path, next)
-    publishManifestBestEffort(fs, spark, path, next, g.schema.json)
+    publishManifestBestEffort(fs, spark, path, next, g.schema.json,
+      expectations = expMetrics.collect())
     advanceBranch(fs, path, name, expectedBranchVersion, next)
     flushQuarantine()
     next
@@ -3325,12 +3417,15 @@ object Warehouse {
           val entries = manifestEntries(m)
           (v, new java.sql.Timestamp(ts), Some(m.get("rowCount").asLong),
             Some(m.get("bytes").asLong), Some(entries.size),
-            Some(entries.exists(_.contains("/"))))
-        case None => (v, new java.sql.Timestamp(ts), None, None, None, None)
+            Some(entries.exists(_.contains("/"))),
+            // X221 per-rule triage counts, as recorded at commit time
+            Option(m.get("expectationMetrics")).map(_.toString))
+        case None => (v, new java.sql.Timestamp(ts), None, None, None, None, None)
       }
     }
     import spark.implicits._
-    rows.toDF("version", "committed_at", "row_count", "bytes", "n_files", "file_sharing")
+    rows.toDF("version", "committed_at", "row_count", "bytes", "n_files",
+      "file_sharing", "expectations")
   }
 
   /** Drop every version older than `keepLast` versions back (never the
@@ -3685,7 +3780,11 @@ object Warehouse {
       // as in appendSnapshot — the reload writer supplies business
       // columns only (review r11); the reload batch is an INGEST, so
       // expectations (X215) triage it like any append
-      val (b, fl) = expectationGate(generatedAlign(batch, path, "replaceWhere"),
+      // metrics handle unused: the reload batch lands inside
+      // rewriteMatchingFiles' rewrite commit, whose manifest plumbing
+      // is the row-level family's — the X221 counts cover the
+      // row-LANDING ingest paths (write/append/branch/commit)
+      val (b, fl, _) = expectationGate(generatedAlign(batch, path, "replaceWhere"),
         path, "replaceWhere")
       flushQuarantine = fl
       val got = b.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -3937,7 +4036,8 @@ object Warehouse {
                                   columnMap: Option[Map[String, String]] = None,
                                   droppedColumns: Option[Seq[String]] = None,
                                   cdfStaging: Option[org.apache.hadoop.fs.Path] = None,
-                                  advance: Boolean = true): Seq[String] = {
+                                  advance: Boolean = true,
+                                  expectations: Option[Map[String, (String, Long)]] = None): Seq[String] = {
     def unwindStaging(): Unit = {
       fs.delete(staging, true)
       cdfStaging.foreach(fs.delete(_, true))
@@ -3960,7 +4060,7 @@ object Warehouse {
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, next,
       schemaJson, Some(fresh ++ carried), reuseFrom = reuseFrom, txn = txn,
       dv = dv, idx = idx, idxDrop = idxDrop, columnMap = columnMap,
-      droppedColumns = droppedColumns)
+      droppedColumns = droppedColumns, expectations = expectations)
     catch {
       case e: Throwable =>
         fs.delete(dest, true)

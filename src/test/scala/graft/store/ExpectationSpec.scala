@@ -31,6 +31,34 @@ class ExpectationSpec extends SparkSpec {
     assert(Warehouse.readSnapshot(spark, Warehouse.quarantinePath(root)).count() === 3)
   }
 
+  test("per-rule triage counts ride the manifest; history and describe surface them (X221)") {
+    val root = tmpRoot("graft_exp_m")
+    Warehouse.setSnapshotExpectation(spark, root, "no_negatives", "x >= 0", "drop")
+    Warehouse.setSnapshotExpectation(spark, root, "short_tail", "x < 100", "quarantine")
+    // write: 2 negatives dropped, 2 tails quarantined, 2 kept
+    Warehouse.writeSnapshot(
+      Seq(1L, -2L, 50L, 200L, -7L, 300L).toDF("x"), root)
+    // append: 1 tail quarantined, 1 kept, 0 dropped
+    Warehouse.appendSnapshot(Seq(7L, 500L).toDF("x"), root, 1L)
+    val desc = Warehouse.describeSnapshot(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("expectation_metrics.no_negatives") === "drop: 0 violation(s)",
+      s"append had no negatives: $desc")
+    assert(desc("expectation_metrics.short_tail") === "quarantine: 1 violation(s)")
+    val hist = Warehouse.snapshotHistory(spark, root).orderBy("version").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(6))).toMap
+    assert(hist(1L).exists(j =>
+      j.contains("\"no_negatives\"") && j.contains("\"violations\":2")),
+      s"v1 recorded 2 drops: ${hist(1L)}")
+    assert(hist(1L).exists(_.contains("\"action\":\"quarantine\"")))
+    assert(hist(2L).exists(_.contains("\"violations\":0")), s"got ${hist(2L)}")
+    // pinned describe of v1 reports THAT commit's counts
+    val d1 = Warehouse.describeSnapshot(spark, root, Some(1L)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d1("expectation_metrics.no_negatives") === "drop: 2 violation(s)")
+    assert(d1("expectation_metrics.short_tail") === "quarantine: 2 violation(s)")
+  }
+
   test("abort names the rule; NULL passes (SQL CHECK semantics); drop lifts") {
     val root = tmpRoot("graft_exp2")
     Warehouse.setSnapshotExpectation(spark, root, "has_id", "id IS NOT NULL", "abort")
