@@ -27,6 +27,23 @@ class PlanRegressionSpec extends SparkSpec {
     assert(exchanges(plan("q_asof_join")) === 1)
   }
 
+  test("co-occurrence edge build (integral): bounded-distinct agg — no window, no join") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val p = ops.Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bounded_distinct_long"), p.take(1500))
+    assert(!p.contains("Window"), "integral fast path must not window-count group sizes")
+    assert(!p.contains("Join"), "integral fast path must not self-join the membership")
+  }
+
+  test("wedge stage: shuffled-hash self-join — never sort-merge, never cartesian") {
+    import spark.implicits._
+    val edges = Seq((1, 2), (1, 3), (2, 3)).toDF("a", "b")
+    val p = ops.Graphs.commonNeighbors(edges).queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("compression ratio: pure per-row kernel — zero exchanges, codegen'd") {
     val p = plan("q_compression_ratio")
     assert(exchanges(p) === 0, p.take(1500))
