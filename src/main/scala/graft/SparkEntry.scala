@@ -634,6 +634,19 @@ object SparkEntry {
         maxGroupSize = 10)
         .filter(col("n_pair") >= 2)
     }),
+    "q_graph_labelprop" -> ((s, dir) => {
+      // X222: 3 fixed rounds of min-label propagation over the
+      // co-occurrence graph — the connected-components loop BODY,
+      // unrolled so DuckDB recomposes each round's join + min
+      // aggregate (integer labels, hash-exact). The converging
+      // production loop stays nearDupClusters; this pins its round.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val edges = ops.Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 10)
+      ops.Graphs.minLabelPropagate(edges, rounds = 3)
+    }),
     "q_graph_pagerank" -> ((s, dir) => {
       // X219 bounded-iteration PageRank over the q_graph_triangles
       // co-occurrence graph: 3 iterations, damping 0.85. In-sums are
@@ -1751,6 +1764,31 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |                       / ln(CAST(n.n_groups AS DOUBLE) / pc.n_pair), 6)
         |       END AS npmi
         |FROM pc JOIN ic ia ON pc.a = ia.i JOIN ic ib ON pc.b = ib.i, n""".stripMargin,
+    // X222 min-label propagation, 3 unrolled rounds: the CC loop body
+    // recomposed — integer min/least only, hash-exact
+    "q_graph_labelprop" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |sized AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM items) t
+        |  WHERE gs <= 10),
+        |edges AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i),
+        |dir AS (SELECT a AS x, b AS y FROM edges
+        |        UNION ALL SELECT b AS x, a AS y FROM edges),
+        |l1 AS (SELECT x AS id, least(x, min(y)) AS cluster FROM dir GROUP BY x),
+        |n2 AS (SELECT d.x, min(r.cluster) AS ncl
+        |       FROM dir d JOIN l1 r ON r.id = d.y GROUP BY d.x),
+        |l2 AS (SELECT l.id, least(l.cluster, coalesce(n2.ncl, l.cluster)) AS cluster
+        |       FROM l1 l LEFT JOIN n2 ON n2.x = l.id),
+        |n3 AS (SELECT d.x, min(r.cluster) AS ncl
+        |       FROM dir d JOIN l2 r ON r.id = d.y GROUP BY d.x),
+        |l3 AS (SELECT l.id, least(l.cluster, coalesce(n3.ncl, l.cluster)) AS cluster
+        |       FROM l2 l LEFT JOIN n3 ON n3.x = l.id)
+        |SELECT id, cluster FROM l3""".stripMargin,
     // X219 PageRank, 3 unrolled iterations: plain distributed in-sums
     // on both sides, 9-dp round on both sides absorbing the ~1-ULP
     // summation-order noise (see Graphs.pageRank's numeric contract).

@@ -285,6 +285,44 @@ object Graphs {
       .select("a", "b", "common", "deg_a", "deg_b", "jaccard")
   }
 
+  /** Fixed-k min-label propagation over a canonical edge list (X222)
+    * — the ORACLE-ELIGIBLE twin of the connected-components loop
+    * (X52's `nearDupClusters`): the q_bpe_learn move, a fixed-k
+    * unroll that makes the loop BODY ANSI-expressible so another
+    * engine recomposes the exact join + min-aggregate every round
+    * performs and hash-matches the labels. After k rounds each node
+    * holds the minimum id within graph distance k — the converged
+    * component min wherever k covers the component's radius from its
+    * min node (spec-pinned both ways: equality with the converged
+    * production loop on small-diameter graphs, strict distance-k
+    * semantics on a path). Round 1 is the production loop's fused
+    * form (label = min(own, neighbors) in one aggregate, no label
+    * join); rounds 2..k replay its join + aggregate + least. The
+    * production path stays [[graft.ext.Dedup.nearDupClusters]] — this
+    * is the verification harness for its loop body, same per-round
+    * plan shape, same lineage-truncation checkpoints.
+    */
+  def minLabelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dir = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true) // consumed every round
+    var labels = dir.groupBy("x").agg(min(col("y")).as("m"))
+      .select(col("x").as("id"), least(col("x"), col("m")).as("cluster"))
+      .localCheckpoint(true)
+    for (_ <- 2 to rounds) {
+      val neighborMin = dir
+        .join(labels.select(col("id").as("y"), col("cluster").as("ycl")), Seq("y"))
+        .groupBy("x").agg(min(col("ycl")).as("ncl"))
+      labels = labels
+        .join(neighborMin.select(col("x").as("id"), col("ncl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncl"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Degree of every node of a canonical undirected edge list. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("a").as("node"))

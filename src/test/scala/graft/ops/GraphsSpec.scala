@@ -138,6 +138,23 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-12)
   }
 
+  test("min-label propagation: converges to nearDupClusters' labels; distance-k before that") {
+    // two components: {1,2,3,4} (a path 1-2-3-4) and {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    // k=3 covers the path's radius from node 1: converged labels
+    val l3 = Graphs.minLabelPropagate(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l3 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val converged = graft.ext.Dedup.nearDupClusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l3 === converged, "fixed-k unroll must equal the converged loop once k covers the radius")
+    // k=1 is the fused round: node 4 only sees neighbor 3 (label 3)
+    val l1 = Graphs.minLabelPropagate(edges, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(4L) === 3L && l1(3L) === 2L && l1(2L) === 1L && l1(1L) === 1L,
+      s"round 1 holds the min within distance 1, got $l1")
+  }
+
   test("bounded-distinct aggregate: cap is distinct-count, duplicates don't overflow") {
     // group 1: 3 distinct items seen through 6 duplicate rows — kept at
     // cap 3; group 2: 4 distinct — dropped (NULL → no edges)
