@@ -1162,6 +1162,11 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) => // HLL sketch: rows-only vs oracle;
       // asserted within 3·rsd of exact per group (RelationalSpec)
       Relational.approxDistinctUsers(Tables.events(s, dir))),
+    "q_distinct_kmv" -> ((s, dir) => // X223: md5-portable KMV twin of the
+      // approx-distinct family — the (k-1)/u_k estimate recomposes
+      // bit-exact cross-engine, collisions of approximation included
+      ext.Sketches.kmvDistinct(Tables.events(s, dir),
+        Seq("event_type"), "user_id", k = 64)),
     "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(Tables.events(s, dir))),
     "q_quantiles_approx" -> ((s, dir) => // sketch: rows-only vs oracle;
       // within-rank-error-of-exact asserted in RelationalSpec
@@ -2790,6 +2795,21 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
     "q_count_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    // X223 KMV: same md5 priorities, same bottom-64, same one division
+    // — the ESTIMATE recomposes bit-exact, approximation error included
+    "q_distinct_kmv" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |u AS (SELECT event_type, user_id,
+        |             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |                  AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS u
+        |      FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                                   ORDER BY u, user_id) AS rn FROM u)
+        |SELECT event_type,
+        |       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |            ELSE CAST(63 AS DOUBLE) / max(u) END AS distinct_est
+        |FROM r WHERE rn <= 64 GROUP BY event_type""".stripMargin,
     "q_quantiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-Min sketch (X213) — frequency estimation in FIXED memory:
@@ -190,5 +191,43 @@ object Sketches {
       .limit(k)
       .drop("__pri")
     df.join(broadcast(keys), Seq(keyCol), "left_semi")
+  }
+
+  /** KMV (bottom-k minimum values) distinct-count sketch (X223) — the
+    * md5-portable twin the approx-distinct family was missing, the
+    * X153/X187/X213 move: per group, the k smallest md5-derived
+    * priorities of the DISTINCT values estimate the distinct count as
+    * `(k−1) / u_k` (u_k = the k-th smallest priority scaled into
+    * (0, 1]; standard KMV, relative error ≈ 1/√(k−2)), and a group
+    * with fewer than k distinct values reports EXACTLY. Every term is
+    * engine-recomposable: the priority is a 60-bit md5 window (exact
+    * as a long; the long→double conversion and the power-of-two scale
+    * divide round identically under IEEE), u_k is a max over the
+    * bottom-k rows, and the estimate is one division — so another
+    * engine rebuilds the SAME estimate bit-for-bit, where HLL's
+    * `approx_count_distinct` is a Spark-private register layout
+    * (rows-only forever). This is the VERIFICATION-grade portable
+    * form; the production scale form stays X22's
+    * `approx_count_distinct` (one pass, no per-group sort). Plan: one
+    * distinct on (group, value), one windowed bottom-k per group —
+    * both shuffles at value grain, nothing driver-side.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3 for the (k-1)/u_k estimator, got $k")
+    val g = groupCols.map(col)
+    val u = (conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(2.0, 60.0))).as("__u")
+    val w = Window.partitionBy(g: _*).orderBy(col("__u"), col(valueCol))
+    df.where(col(valueCol).isNotNull)
+      .select((g :+ col(valueCol)): _*).distinct()
+      .select((g :+ u :+ col(valueCol)): _*)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"), max(col("__u")).as("__uk"))
+      .select((g :+
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("__uk")).as("distinct_est")): _*)
   }
 }

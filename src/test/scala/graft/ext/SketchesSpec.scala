@@ -94,6 +94,23 @@ class SketchesSpec extends SparkSpec {
     assert(keysO.subsetOf(keys30), "growing k only adds keys (nested samples)")
   }
 
+  test("KMV distinct: exact under k, bounded relative error above it, duplicates invisible (X223)") {
+    // group "small" has 40 distinct values (< k=64: exact), group "big"
+    // 5000 (estimated); every value appears 3x — multiplicity must not
+    // move a DISTINCT estimate
+    val rows = (1 to 40).map(v => ("small", v.toLong)) ++
+      (1 to 5000).map(v => ("big", 100000L + v))
+    val df = rows.flatMap(r => Seq(r, r, r)).toDF("g", "v")
+    val est = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("small") === 40.0, "below k the sketch reports the exact distinct count")
+    val rel = math.abs(est("big") - 5000.0) / 5000.0
+    assert(rel < 0.5, s"KMV k=64 (stderr ~ 1/sqrt(62) = 0.127) way off: ${est("big")}")
+    // NULL values never count
+    val withNulls = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L))).toDF("g", "v")
+    assert(Sketches.kmvDistinct(withNulls, Seq("g"), "v", 64).head().getDouble(1) === 2.0)
+  }
+
   test("merge linearity: sketch(A) + sketch(B) == sketch(A ++ B); absent key reads 0") {
     val a = data.filter(col("k") < "k5")
     val b = data.filter(col("k") >= "k5")
