@@ -1167,6 +1167,11 @@ object SparkEntry {
       // bit-exact cross-engine, collisions of approximation included
       ext.Sketches.kmvDistinct(Tables.events(s, dir),
         Seq("event_type"), "user_id", k = 64)),
+    "q_quantiles_sampled" -> ((s, dir) => // X224: md5-coordinated sample +
+      // exact interpolated percentiles — both halves recompose
+      // cross-engine, sampling error included
+      ext.Sketches.sampledQuantiles(Tables.events(s, dir),
+        Seq("event_type"), "value", "event_id", k = 512)),
     "q_quantiles" -> ((s, dir) => Relational.valueQuantiles(Tables.events(s, dir))),
     "q_quantiles_approx" -> ((s, dir) => // sketch: rows-only vs oracle;
       // within-rank-error-of-exact asserted in RelationalSpec
@@ -2814,6 +2819,17 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1""".stripMargin,
+    // X224 sampled quantiles: same md5 bottom-512 sample, same
+    // interpolated quantiles — estimates recompose bit-exact
+    "q_quantiles_sampled" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+        |FROM r WHERE rn <= 512 GROUP BY 1""".stripMargin,
     "q_rolling_median" ->
       """SELECT ts AS ts_utc, event_type AS asset,
         |  CASE WHEN count(value) OVER w >= 30 THEN round(median(value) OVER w, 6) END AS med30

@@ -212,6 +212,37 @@ object Sketches {
     * distinct on (group, value), one windowed bottom-k per group —
     * both shuffles at value grain, nothing driver-side.
     */
+  /** Coordinated-sample quantile estimates (X224) — the portable twin
+    * of the approx-quantile family (X65's `approx_percentile` is a
+    * Spark-private KLL-ish sketch, rows-only forever): per group, keep
+    * the k rows with the smallest md5 priority of their ID — a
+    * UNIFORM, coordinated, reproducible row sample (the X214 priority
+    * rule at row grain) — then take EXACT interpolated percentiles of
+    * the sampled values. Both halves recompose cross-engine: the
+    * sample is a deterministic md5 bottom-k (ties on the id), and
+    * Spark's `percentile` interpolation ≡ DuckDB's `quantile_cont`
+    * (the q_quantiles precedent), so the ESTIMATES hash-match
+    * bit-for-bit, sampling error included. Estimate quality is the
+    * standard order-statistic bound (±O(1/√k) in rank). Verification-
+    * grade portable form; the one-pass production scale form stays
+    * X65. Plan: one windowed bottom-k (group grain), one exact
+    * percentile over ≤ k rows per group.
+    */
+  def sampledQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__pri"), col(idCol))
+    df.where(col(valueCol).isNotNull)
+      .withColumn("__pri", md5(col(idCol).cast("string")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(g: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("p50"),
+        expr(s"percentile($valueCol, 0.9)").as("p90"),
+        expr(s"percentile($valueCol, 0.99)").as("p99"))
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int): DataFrame = {
     require(k >= 3, s"k must be >= 3 for the (k-1)/u_k estimator, got $k")

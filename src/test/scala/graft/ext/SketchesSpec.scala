@@ -111,6 +111,25 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.kmvDistinct(withNulls, Seq("g"), "v", 64).head().getDouble(1) === 2.0)
   }
 
+  test("sampled quantiles: exact under k, near-exact ranks above it (X224)") {
+    // group under k: the sample IS the group — estimates equal the
+    // exact interpolated percentiles
+    val small = (1 to 100).map(i => ("s", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val es = Sketches.sampledQuantiles(small, Seq("g"), "v", "id", k = 512).head()
+    val ex = small.groupBy("g").agg(
+      expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"), expr("percentile(v, 0.99)")).head()
+    assert((es.getDouble(1), es.getDouble(2), es.getDouble(3)) ===
+      ((ex.getDouble(1), ex.getDouble(2), ex.getDouble(3))))
+    // group over k: uniform 1..20000 — sampled p50 must land within
+    // the order-statistic band (~1/sqrt(512) of rank, ~5% here at 3 sigma)
+    val big = (1 to 20000).map(i => ("b", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val eb = Sketches.sampledQuantiles(big, Seq("g"), "v", "id", k = 512).head()
+    assert(math.abs(eb.getDouble(1) - 10000.0) / 20000.0 < 0.08,
+      s"sampled p50 ${eb.getDouble(1)} too far from 10000")
+    assert(math.abs(eb.getDouble(2) - 18000.0) / 20000.0 < 0.08,
+      s"sampled p90 ${eb.getDouble(2)} too far from 18000")
+  }
+
   test("merge linearity: sketch(A) + sketch(B) == sketch(A ++ B); absent key reads 0") {
     val a = data.filter(col("k") < "k5")
     val b = data.filter(col("k") >= "k5")
