@@ -634,6 +634,20 @@ object SparkEntry {
         maxGroupSize = 10)
         .filter(col("n_pair") >= 2)
     }),
+    "q_graph_pagerank_weighted" -> ((s, dir) => {
+      // X218+X219 composition: the random walk over the WEIGHTED
+      // co-occurrence graph — an edge receives w/strength(src) of its
+      // source's rank (w = pair support). Integer weights keep the
+      // unrolled oracle exact under the same 9-dp contract.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val we = ops.Graphs.weightedCoOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 10).select(col("a"), col("b"), col("n_pair"))
+      ops.Graphs.pageRank(we, iterations = 3, damping = 0.85,
+        weightCol = Some("n_pair"))
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+    }),
     "q_graph_labelprop" -> ((s, dir) => {
       // X222: 3 fixed rounds of min-label propagation over the
       // co-occurrence graph — the connected-components loop BODY,
@@ -1774,6 +1788,46 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |                       / ln(CAST(n.n_groups AS DOUBLE) / pc.n_pair), 6)
         |       END AS npmi
         |FROM pc JOIN ic ia ON pc.a = ia.i JOIN ic ib ON pc.b = ib.i, n""".stripMargin,
+    // X218+X219 weighted PageRank: the same unrolled chain with
+    // integer edge weights — (pr * w) / strength, 9-dp both sides
+    "q_graph_pagerank_weighted" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |sized AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM items) t
+        |  WHERE gs <= 10),
+        |pc AS (SELECT x.i AS a, y.i AS b, count(*) AS w
+        |       FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i GROUP BY 1, 2),
+        |dir AS (SELECT a AS src, b AS dst, w FROM pc
+        |        UNION ALL SELECT b AS src, a AS dst, w FROM pc),
+        |od AS (SELECT src, sum(w) AS outdeg FROM dir GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM dir),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+        |c1 AS (SELECT d.dst, sum(r.pr * d.w / o.outdeg) AS in_sum
+        |       FROM dir d JOIN r0 r ON r.node = d.src JOIN od o ON o.src = d.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT v.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c1.in_sum, CAST(0 AS DOUBLE)) AS pr
+        |       FROM nodes v LEFT JOIN c1 ON v.node = c1.dst),
+        |c2 AS (SELECT d.dst, sum(r.pr * d.w / o.outdeg) AS in_sum
+        |       FROM dir d JOIN r1 r ON r.node = d.src JOIN od o ON o.src = d.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT v.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c2.in_sum, CAST(0 AS DOUBLE)) AS pr
+        |       FROM nodes v LEFT JOIN c2 ON v.node = c2.dst),
+        |c3 AS (SELECT d.dst, sum(r.pr * d.w / o.outdeg) AS in_sum
+        |       FROM dir d JOIN r2 r ON r.node = d.src JOIN od o ON o.src = d.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT v.node,
+        |         (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c3.in_sum, CAST(0 AS DOUBLE)) AS pr
+        |       FROM nodes v LEFT JOIN c3 ON v.node = c3.dst)
+        |SELECT node, round(pr, 9) AS "rank" FROM r3""".stripMargin,
     // X222 min-label propagation, 3 unrolled rounds: the CC loop body
     // recomposed — integer min/least only, hash-exact
     "q_graph_labelprop" ->

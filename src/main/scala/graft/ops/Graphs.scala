@@ -154,17 +154,26 @@ object Graphs {
     * scalar aggregate per iteration) is skipped entirely.
     */
   def pageRank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85,
-               undirected: Boolean = true): DataFrame = {
+               undirected: Boolean = true, weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // weighted walk (X218 composition): an edge with weight w receives
+    // w/strength(src) of its source's rank instead of 1/outdeg — the
+    // natural random walk over a weighted co-occurrence graph (feed
+    // n_pair from weightedCoOccurrenceEdges). Integer weights keep the
+    // oracle recomposition exact under the same 9-dp contract: the
+    // per-edge share is ONE division of a double rank by an integer
+    // ratio... (rank * w) / strength — two IEEE ops, engine-identical.
+    val w = weightCol.map(col).getOrElse(lit(1L))
     val dir0 =
       if (undirected)
-        edges.select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      else edges.select(col("a").as("src"), col("b").as("dst"))
-    val outdeg = dir0.groupBy(col("src").as("odn")).agg(count(lit(1)).as("outdeg"))
-    // outdeg is per-source static: join it into the edge frame ONCE,
-    // not per iteration, and checkpoint — the per-iteration plan is
-    // then join + aggregate + join, nothing else
+        edges.select(col("a").as("src"), col("b").as("dst"), w.as("w"))
+          .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), w.as("w")))
+      else edges.select(col("a").as("src"), col("b").as("dst"), w.as("w"))
+    val outdeg = dir0.groupBy(col("src").as("odn")).agg(sum(col("w")).as("outdeg"))
+    // outdeg (the source's total out-weight) is per-source static: join
+    // it into the edge frame ONCE, not per iteration, and checkpoint —
+    // the per-iteration plan is then join + aggregate + join, nothing
+    // else
     val dirEdges = dir0.join(outdeg, col("src") === col("odn")).drop("odn")
       .localCheckpoint(true)
     val nodes = dirEdges.select(col("src").as("node"))
@@ -179,7 +188,7 @@ object Graphs {
     for (_ <- 1 to iterations) {
       val inSums = ranks.join(dirEdges, col("node") === col("src"))
         .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+        .agg(sum(col("rank") * col("w") / col("outdeg")).as("in_sum"))
       val base = nodes.join(inSums, col("node") === col("dst"), "left")
       val next =
         if (undirected)

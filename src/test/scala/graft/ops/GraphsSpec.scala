@@ -126,6 +126,17 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-12)
   }
 
+  test("weighted pagerank: edge weight splits the source's rank by strength") {
+    // undirected star 2 -(3)- 1 -(1)- 3: node 1's rank splits 3:1
+    val edges = Seq((1, 2, 3L), (1, 3, 1L)).toDF("a", "b", "w")
+    val r = Graphs.pageRank(edges, iterations = 1, weightCol = Some("w")).collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(2) - (0.05 + 0.85 * 0.25)) < 1e-12, s"got ${r(2)}")
+    assert(math.abs(r(3) - (0.05 + 0.85 / 12.0)) < 1e-12, s"got ${r(3)}")
+    assert(math.abs(r(1) - (0.05 + 0.85 * 2.0 / 3.0)) < 1e-12, s"got ${r(1)}")
+    assert(math.abs(r.values.sum - 1.0) < 1e-12, "mass conserved under weights")
+  }
+
   test("pagerank: directed graph with a dangling node conserves mass") {
     // 1 -> 2 <- 3: node 2 has no out-edges; its mass redistributes
     val edges = Seq((1, 2), (3, 2)).toDF("a", "b")
