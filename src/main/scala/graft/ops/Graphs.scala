@@ -348,10 +348,14 @@ object Graphs {
     * and the closing edge is oriented low→high in the same total
     * order, so each triangle is enumerated exactly once
     * (spec-pinned count-equal to the ID-oriented form). The price is
-    * one extra broadcast-sized degree join at the edge grain; ID
-    * orientation stays the default because [[coOccurrenceEdges]]'s
-    * cap already bounds degrees and the ID form keeps the
-    * cross-engine SQL recomposition trivial.
+    * the orientation's two extra degree joins at the edge grain; ID
+    * orientation stays the default because on a cap-bounded
+    * co-occurrence graph degrees are near-homogeneous and the joins
+    * cost more than the Σ outdeg² reduction saves — measured
+    * (ScaleProbe graph section, 4× rotated-degree load): ID 1.17 s vs
+    * degree-oriented 3.80 s on 470k edges. Reach for this form on
+    * POWER-LAW graphs (follower/link graphs), where one hub's deg²
+    * dominates everything.
     */
   def triangleCountDegreeOriented(edges: DataFrame): DataFrame =
     triangleCountDegreeOrientedOn(matEdges(edges))

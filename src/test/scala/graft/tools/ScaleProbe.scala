@@ -22,6 +22,12 @@ object ScaleProbe {
     println(f"[scale] $label%-46s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
   }
 
+  /** GRAFT_PROBE_ONLY=<name> scopes a run to one section (dedup,
+    * fuzzy, writes, skew, ann, graph) — the full probe is ~15 min and
+    * a new family's exponent shouldn't cost re-measuring the rest. */
+  private def section(name: String)(body: => Unit): Unit =
+    if (sys.env.get("GRAFT_PROBE_ONLY").forall(_ == name)) body
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -34,6 +40,7 @@ object ScaleProbe {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    section("dedup") {
     val docs1 = Tables.documents(spark, dir)
     val maxId = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1
     def copies(base: DataFrame, idCol: String): DataFrame =
@@ -68,7 +75,9 @@ object ScaleProbe {
           graft.ext.Dedup.ngramJaccardPairs(d, 3, 0.8)).count()
       }
     }
+    }
 
+    section("fuzzy") {
     // SymSpell fuzzy join: clone the customer names K× with shifted
     // keys — every name gains K−1 exact copies, so candidate groups
     // fatten by K and verified pairs by ~K² (the worst case for any
@@ -84,7 +93,9 @@ object ScaleProbe {
         graft.ops.FuzzyJoin.editDistancePairs(c, "c_custkey", "c_name", k = 1).count()
       }
     }
+    }
 
+    section("writes") {
     // r9: the r8 WRITE surface (mergeInto / diffFrames / applyChangeFeed)
     // under the same K× load. Keyed tables have UNIQUE join keys by
     // construction, so the full-outer join cannot key-skew — the risk
@@ -135,7 +146,9 @@ object ScaleProbe {
           Warehouse.InsertWhen(lit(true)))).count()
       }
     }
+    }
 
+    section("skew") {
     // r9: AQE skew-join vs the manual salt (X35). One hot key carries
     // half the fact side; the dim side forces a sort-merge join
     // (broadcast disabled — at 100 TB the dim that matters doesn't
@@ -189,7 +202,9 @@ object ScaleProbe {
         }
       }
     }
+    }
 
+    section("ann") {
     val emb1 = Tables.embeddings(spark, dir)
     val maxVid = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1
     val embK = (0 until k).map(i => emb1.withColumn("vec_id", col("vec_id") + lit(i * maxVid)))
@@ -201,6 +216,51 @@ object ScaleProbe {
       time(s"embed near-dup banded ($label)") {
         graft.ext.Similarity.embeddingNearDupsApprox(e, 0.7).count()
       }
+    }
+    }
+
+    section("graph") {
+    // r12: the graph family under K× group load over a FIXED item
+    // universe. Copies ROTATE the item ids (copy i maps p → (p + 37i)
+    // mod universe), so group sizes are unchanged (the maxGroupSize
+    // cap keeps firing identically) but every item's DEGREE grows ~K×
+    // — distinct edges ~K×, wedge work Σdeg² ~K². That is exactly the
+    // load the cap can NOT bound (degrees come from group
+    // multiplicity, not group size): the probe pins which graph ops
+    // ride the linear side (edge build, pagerank, labelprop — all
+    // edge-grain) and which pay the wedge exponent (jaccard,
+    // triangles), where degree orientation is the documented
+    // mitigation.
+    val gk = math.min(k, 4) // wedges grow quadratically: 4× load = 16× wedge work
+    val li1 = Tables.lineitem(spark, dir).filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey")
+    val maxOk = li1.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val universe = li1.agg(max(col("l_partkey"))).head().getLong(0) + 1
+    val liK = (0 until gk).map(i => li1
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOk))
+        .withColumn("l_partkey", pmod(col("l_partkey") + lit(i * 37L), lit(universe))))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    for ((label, l) <- Seq("1x" -> li1, s"${gk}x" -> liK)) {
+      val edges = graft.ops.Graphs
+        .coOccurrenceEdges(l, "l_orderkey", "l_partkey", maxGroupSize = 10)
+        .localCheckpoint(true)
+      time(s"graph edge build ($label)") { edges.count() }
+      time(s"graph jaccard wedges ($label)") {
+        graft.ops.Graphs.neighborhoodJaccard(edges).filter(col("common") >= 3).count()
+      }
+      time(s"graph triangles id-oriented ($label)") {
+        graft.ops.Graphs.triangleCount(edges).head().getLong(0)
+      }
+      time(s"graph triangles degree-oriented ($label)") {
+        graft.ops.Graphs.triangleCountDegreeOriented(edges).head().getLong(0)
+      }
+      time(s"graph pagerank 3 iters ($label)") {
+        graft.ops.Graphs.pageRank(edges).count()
+      }
+      time(s"graph labelprop 3 rounds ($label)") {
+        graft.ops.Graphs.minLabelPropagate(edges, 3).count()
+      }
+    }
     }
     spark.stop()
   }
