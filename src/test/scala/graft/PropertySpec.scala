@@ -130,6 +130,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val randomEdges: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L)))
+      .map(_.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct)
+
+  test("co-occurrence edge build law: distinct membership, cap drop, all pairs (reference model)") {
+    val membership = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 12L)))
+    forAll2(membership, Gen.choose(2, 5)) { (rows, cap) =>
+      val got = graft.ops.Graphs.coOccurrenceEdges(rows.toDF("g", "i"), "g", "i", cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = rows.groupBy(_._1).values
+        .map(_.map(_._2).distinct.sorted)
+        .filter(_.size <= cap)
+        .flatMap(vs => for (x <- vs; y <- vs if x < y) yield (x, y)).toSet
+      assert(got === want, s"cap=$cap rows=$rows")
+    }
+  }
+
+  test("pagerank conserves unit mass for any undirected graph and iteration count") {
+    forAll2(randomEdges, Gen.choose(1, 3)) { (edges, iters) =>
+      if (edges.nonEmpty) {
+        val r = graft.ops.Graphs.pageRank(edges.toDF("a", "b"), iterations = iters)
+          .collect().map(_.getDouble(1))
+        assert(math.abs(r.sum - 1.0) < 1e-9, s"edges=$edges iters=$iters sum=${r.sum}")
+      }
+    }
+  }
+
+  test("label propagation with rounds >= diameter = union-find component minima") {
+    forAll(randomEdges, n = 3) { edges =>
+      if (edges.nonEmpty) {
+        val got = graft.ops.Graphs.minLabelPropagate(edges.toDF("a", "b"), rounds = 10)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(n => n -> find(n)).toMap
+        assert(got === want, s"edges=$edges")
+      }
+    }
+  }
+
+  test("triangle count is orientation-invariant on random graphs") {
+    forAll(randomEdges) { edges =>
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        val id = graft.ops.Graphs.triangleCount(df).head().getLong(0)
+        val deg = graft.ops.Graphs.triangleCountDegreeOriented(df).head().getLong(0)
+        assert(id === deg, s"edges=$edges id=$id deg=$deg")
+      }
+    }
+  }
+
   test("rankBucket law: binary search == naive boundary count under Spark ordering") {
     import graft.functions.Kernels
     // Spark's total order: NaN ranks greatest; everything else IEEE
