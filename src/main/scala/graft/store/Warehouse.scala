@@ -974,6 +974,12 @@ object Warehouse {
     }
     def arm(): Unit =
       if (ruleActions.nonEmpty) spark.listenerManager.register(listener)
+    /** Unregister without collecting — the failure path's cleanup. An
+      * armed listener left behind by a throwing write (constraint
+      * violation, CAS conflict) would otherwise accumulate on the
+      * session forever. */
+    def disarm(): Unit =
+      if (ruleActions.nonEmpty) spark.listenerManager.unregister(listener)
     def collect(): Option[Map[String, (String, Long)]] = {
       if (ruleActions.isEmpty) return None
       val ok = latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
@@ -1295,10 +1301,14 @@ object Warehouse {
     val (g, flushQuarantine, expMetrics) = expectationGate(
       generatedAlign(idd, path, "writeSnapshot"), path, "writeSnapshot")
     expMetrics.arm()
-    constraintGuard(g, path, "writeSnapshot")
-      .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+    val expCounts =
+      try {
+        constraintGuard(g, path, "writeSnapshot")
+          .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+        expMetrics.collect()
+      } catch { case t: Throwable => expMetrics.disarm(); throw t }
     publishManifestBestEffort(fs, spark, path, next, g.schema.json,
-      expectations = expMetrics.collect())
+      expectations = expCounts)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp")
     val out = fs.create(tmp, true)
     out.write(next.toString.getBytes("UTF-8")); out.close()
@@ -1409,8 +1419,13 @@ object Warehouse {
         path, "commitSnapshot")
       else (generatedAlign(idd, path, "commitSnapshot"), () => (), NoExpectationMetrics)
     expMetrics.arm()
-    constraintGuard(g, path, "commitSnapshot")
-      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    val expCounts =
+      try {
+        constraintGuard(g, path, "commitSnapshot")
+          .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+        expMetrics.collect() // right after the observed write: a later
+        // CAS conflict throw must not leave the listener armed
+      } catch { case t: Throwable => expMetrics.disarm(); throw t }
     val dest = new org.apache.hadoop.fs.Path(s"$path/v=$next")
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
       fs.delete(staging, true)
@@ -1426,7 +1441,7 @@ object Warehouse {
     }
     promoteStaging(fs, staging, dest, path, next)
     publishManifestBestEffort(fs, spark, path, next, g.schema.json,
-      expectations = expMetrics.collect())
+      expectations = expCounts)
     advancePointer(fs, path, next)
     flushQuarantine()
     next
@@ -1596,10 +1611,16 @@ object Warehouse {
     // unless the name collides with frozen bytes)
     val cmap = cmap0 ++ minted
     // armed here, AFTER the isEmpty probe above — its limit-1 action
-    // would otherwise deliver partial triage counts
+    // would otherwise deliver partial triage counts; collected right
+    // after the observed write so a throwing gate or a later CAS
+    // conflict never leaves the listener armed
     expMetrics.arm()
-    toPhysical(constraintGuard(aligned, path, "appendSnapshot"), cmap)
-      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    val expCounts =
+      try {
+        toPhysical(constraintGuard(aligned, path, "appendSnapshot"), cmap)
+          .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+        expMetrics.collect()
+      } catch { case t: Throwable => expMetrics.disarm(); throw t }
     // file-sharing marker BEFORE the dir becomes visible (when there
     // is a base to share — an append onto empty is self-contained)
     if (baseEntries.nonEmpty)
@@ -1621,7 +1642,7 @@ object Warehouse {
       dv = reuse.flatMap { case (m, _) => readDvState(m) },
       columnMap = if (minted.isEmpty) None else Some(cmap),
       cdfStaging = cdfStaging, advance = false,
-      expectations = expMetrics.collect())
+      expectations = expCounts)
     flushQuarantine()
     Some(next)
   }
@@ -3190,8 +3211,12 @@ object Warehouse {
     val (g, flushQuarantine, expMetrics) = expectationGate(
       generatedAlign(idd, path, "commitToBranch"), path, "commitToBranch")
     expMetrics.arm()
-    constraintGuard(g, path, "commitToBranch")
-      .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    val expCounts =
+      try {
+        constraintGuard(g, path, "commitToBranch")
+          .write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+        expMetrics.collect()
+      } catch { case t: Throwable => expMetrics.disarm(); throw t }
     if (!claimVersion(fs, path, next, orphanGraceMs)) {
       fs.delete(staging, true)
       throw new SnapshotConflictException(path, next)
@@ -3203,7 +3228,7 @@ object Warehouse {
     }
     promoteStaging(fs, staging, dest, path, next)
     publishManifestBestEffort(fs, spark, path, next, g.schema.json,
-      expectations = expMetrics.collect())
+      expectations = expCounts)
     advanceBranch(fs, path, name, expectedBranchVersion, next)
     flushQuarantine()
     next
