@@ -485,6 +485,23 @@ object SparkEntry {
         col("l_returnflag").isin("R", "A") && col("l_quantity") < 10.0)
       Warehouse.readSnapshot(s, root)
     }),
+    "q_ndv_manifest" -> ((s, dir) => {
+      // X231 per-file column synopses: ANALYZE records bottom-k KMV
+      // synopses per (file, column); after a later append the NDV
+      // answer merges recorded synopses with an on-the-fly scan of
+      // ONLY the new files — and equals Sketches.kmvDistinct over the
+      // whole table bit-for-bit (per-file bottom-k merges to the
+      // global bottom-k), which is what the oracle recomposes.
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val root = java.nio.file.Files.createTempDirectory("graft_qndv").toString + "/t"
+      val v1 = Warehouse.writeSnapshot(
+        o.filter(col("o_orderkey") % 3 =!= 0).repartition(3), root)
+      Warehouse.analyzeSnapshot(s, root, Seq("o_custkey", "o_orderstatus"), k = 64)
+      Warehouse.appendSnapshot(
+        o.filter(col("o_orderkey") % 3 === 0).repartition(2), root, v1)
+      Warehouse.ndvSnapshot(s, root, Seq("o_custkey", "o_orderstatus"), k = 64)
+    }),
     "q_sql_snapshot" -> ((s, dir) => {
       // X207 SQL table-valued functions: the lakehouse loop driven
       // from pure SQL — graft_snapshot carries the FULL read plan
@@ -708,6 +725,16 @@ object SparkEntry {
           .drop("_violated", "_violating_op")
           .withColumn("src", lit("quarantined")))
     }),
+    "q_priority_sample" -> ((s, dir) => {
+      // X228 priority sampling (Duffield–Lund–Thorup): the 100 docs
+      // with the largest w/u priority (w = char length, u = md5-window
+      // uniform), each with its τ-adjusted subset-sum weight estimate.
+      // Deterministic by the md5 contract → exact oracle, sampling
+      // randomness included.
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("w"))
+      ext.Sketches.prioritySample(d, "doc_id", "w", k = 100)
+    }),
     "q_consistent_sample" -> ((s, dir) => {
       // X214 consistent (bottom-k priority) sampling: the 50 customers
       // with the smallest md5 priority, then every one of their order
@@ -900,6 +927,14 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => { // approximate: rows-only check
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
+    }),
+    "q_ann_lsh_md5" -> ((s, dir) => { // X230 FULL oracle: md5-derived
+      // ±1 hyperplanes make signature, bucket, multiprobe and rerank
+      // all engine-recomposable — the LSH probe logic's portable pin
+      // (the fitted-Gaussian production path stays q_ann_lsh)
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopKPortable(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), k = 10, bits = 8, tables = 4)
     }),
     "q_ann_pq" -> ((s, dir) => { // approximate (PQ/ADC): rows-only check;
       // recall-vs-brute unit-asserted (SimilaritySpec pqTopK)
@@ -1195,6 +1230,22 @@ object SparkEntry {
     "q_ema_macd" -> ((s, dir) => Indicators.emaMacd(dailyOhlc(s, dir))),
     "q_rsi_atr" -> ((s, dir) => Indicators.rsiAtr(dailyOhlc(s, dir), 14)),
     "q_bollinger" -> ((s, dir) => Indicators.bollinger(dailyOhlc(s, dir), 20, 2.0)),
+    "q_autocorr" -> ((s, dir) =>
+      // X225 return ACF: corr between the return series and its own
+      // 1..5-day lags — one window pass + stack unpivot + one hash
+      // agg; corr's unordered sums round to 6dp on both sides (the
+      // q_corr_matrix precedent)
+      Indicators.autocorr(dailyOhlc(s, dir), maxLag = 5, minPairs = 10)),
+    "q_holt" -> ((s, dir) =>
+      // X226 Holt level+trend smoothing: the HoltLinear window
+      // recursion; the oracle replays the exact coupled recurrence as
+      // a recursive CTE (the q_ema_macd precedent)
+      Indicators.holt(dailyOhlc(s, dir), alpha = 0.3, beta = 0.1)),
+    "q_cusum" -> ((s, dir) =>
+      // X227 two-sided CUSUM over returns: the CusumState window
+      // recursion (reset-at-zero — no built-in frame aggregate);
+      // recursive-CTE oracle with greatest(0, ·)
+      Indicators.cusum(dailyOhlc(s, dir), target = 0.0, allowance = 0.005, h = 0.05)),
     "q_stochastic" -> ((s, dir) => Indicators.stochastic(dailyOhlc(s, dir), 14, 3)),
     "q_drawdown" -> ((s, dir) => Indicators.drawdown(dailyOhlc(s, dir))),
     "q_perf_stats" -> ((s, dir) => Indicators.perfStats(dailyOhlc(s, dir))),
@@ -1284,6 +1335,12 @@ object SparkEntry {
       // reference corpus, here the majority language slice
       ext.QualityClassifier.trainScore(Tables.documents(s, dir),
         col("lang") === "en")),
+    "q_classifier_fixed" -> ((s, dir) =>
+      // X229 fixed-weight scoring — the classifier family's portable
+      // twin: features → exact multiply-add chain → sigmoid → z-space
+      // gate, every term DuckDB-recomposable (the fit itself stays
+      // rows-only in q_quality_classifier)
+      ext.QualityClassifier.scoreFixed(Tables.documents(s, dir))),
     "q_embed_pca" -> ((s, dir) => { // rows-only: eigenvector sign is
       // basis-ambiguous; orthonormality + variance ordering + exact
       // projection asserted in SimilaritySpec. Emitted as k rounded
@@ -1924,6 +1981,23 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  ORDER BY md5(CAST(o_custkey AS VARCHAR)), o_custkey LIMIT 50)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey IN (SELECT o_custkey FROM keys)""".stripMargin,
+    // X228 priority sampling: w/u priorities with the 60-bit md5
+    // window as u, τ = the 101st largest priority (0 when the
+    // population is smaller), ŵ = max(w, τ) — every term one IEEE
+    // division/comparison/max, exact cross-engine
+    "q_priority_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
+        |         CAST(length(text) AS DOUBLE) /
+        |           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |                 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) AS q
+        |  FROM documents WHERE length(text) > 0
+        |), r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM p),
+        |tau AS (
+        |  SELECT CASE WHEN count(*) = 101 THEN min(q) ELSE CAST(0 AS DOUBLE) END AS tau
+        |  FROM r WHERE rn <= 101)
+        |SELECT doc_id, w, greatest(w, tau) AS w_est
+        |FROM r, tau WHERE rn <= 100""".stripMargin,
     // X213 Count-Min: same md5-lane counters, same collisions — the
     // estimates (overestimates included) recompose exactly
     "q_heavy_hitters_cm" ->
@@ -2196,6 +2270,47 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_vector_norm" ->
       """SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
         |FROM embeddings""".stripMargin,
+    // X230 portable LSH: planes rebuilt from md5 parity (±1 entries),
+    // signature = sign of the same sequential float64 dot product
+    // (q_topk_cosine bit-exactness), bucket = Σ bit·2^p, multiprobe =
+    // bucket XOR 2^p — candidate generation, dedup and exact-cosine
+    // rerank all recompose; sims land unrounded like q_topk_cosine
+    "q_ann_lsh_md5" ->
+      """WITH pl AS (
+        |  SELECT t.t, p.p,
+        |         list(CASE WHEN ('0x' || substr(md5('lsh:' || t.t || ':' || p.p || ':' || d.i), 1, 1))::INT % 2 = 0
+        |                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d.i) AS plane
+        |  FROM (SELECT unnest(range(4)) AS t) t,
+        |       (SELECT unnest(range(8)) AS p) p,
+        |       (SELECT unnest(range(64)) AS i) d
+        |  GROUP BY t.t, p.p
+        |), n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |  FROM embeddings
+        |), sig AS (
+        |  SELECT n.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(n.v, pl.plane) >= 0
+        |                  THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+        |  FROM n, pl GROUP BY n.vec_id, pl.t
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM sig q JOIN sig c ON q.t = c.t
+        |   AND c.bucket IN (q.bucket,
+        |     xor(q.bucket, 1), xor(q.bucket, 2), xor(q.bucket, 4), xor(q.bucket, 8),
+        |     xor(q.bucket, 16), xor(q.bucket, 32), xor(q.bucket, 64), xor(q.bucket, 128))
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_dot_product(qn.v, cn.v) / (qn.nm * cn.nm) AS sim
+        |  FROM cand
+        |  JOIN n qn ON qn.vec_id = cand.query_id
+        |  JOIN n cn ON cn.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10""".stripMargin,
     "q_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
@@ -2230,6 +2345,40 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |    + least(length(regexp_replace(text, ' ', '', 'g')) * 1.0
         |            / len(string_split(lower(text), ' ')) / 10.0, 1.0) * 0.2 AS quality_score
         |FROM documents""".stripMargin,
+    // X229 fixed-weight classifier scoring: the q_text_quality feature
+    // expressions feed the exact left-to-right multiply-add chain
+    // scoreFixed emits (weights as CAST-division literals so both
+    // engines hold identical doubles); prob behind a 6-dp round (one
+    // libm exp), the gate decision in exact z-space
+    "q_classifier_fixed" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+        |    length(regexp_replace(text, ' ', '', 'g')) * 1.0 / len(string_split(lower(text), ' ')) AS avg_token_len,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        t -> list_contains(['the','a','and','of','to','in','is','it'], t))) * 1.0
+        |      / len(string_split(lower(text), ' ')) AS stopword_ratio,
+        |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0 / greatest(length(text), 1) AS punct_ratio,
+        |    least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
+        |      + len(list_filter(string_split(lower(text), ' '),
+        |            t -> list_contains(['the','a','and','of','to','in','is','it'], t))) * 1.0
+        |        / len(string_split(lower(text), ' ')) * 0.3
+        |      + least(length(regexp_replace(text, ' ', '', 'g')) * 1.0
+        |              / len(string_split(lower(text), ' ')) / 10.0, 1.0) * 0.2 AS quality_score
+        |  FROM documents
+        |), z AS (
+        |  SELECT doc_id,
+        |    (((((CAST(0 AS DOUBLE)
+        |      + (CAST(2 AS DOUBLE)/1000) * CAST(n_tokens AS DOUBLE))
+        |      + (CAST(-5 AS DOUBLE)/10) * avg_token_len)
+        |      + CAST(6 AS DOUBLE) * stopword_ratio)
+        |      + CAST(-6 AS DOUBLE) * punct_ratio)
+        |      + CAST(3 AS DOUBLE) * quality_score) AS z
+        |  FROM f)
+        |SELECT doc_id,
+        |       round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)), 6) AS prob,
+        |       z >= CAST(0 AS DOUBLE) AS pred
+        |FROM z""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
@@ -2873,6 +3022,25 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1""".stripMargin,
+    // X231 manifest-synopsis NDV: per-file bottom-64 KMV synopses
+    // merge to the table-wide bottom-64, so the estimate recomposes as
+    // plain kmvDistinct over everything the scenario wrote (the full
+    // orders table: the write slice plus the appended complement)
+    "q_ndv_manifest" ->
+      """WITH vals AS (
+        |  SELECT 'o_custkey' AS c, CAST(o_custkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus' AS c, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+        |), d AS (SELECT DISTINCT c, v FROM vals WHERE v IS NOT NULL),
+        |u AS (SELECT c, v,
+        |             CAST(('0x' || substr(md5(v), 1, 15))::BIGINT AS DOUBLE)
+        |               / CAST(1152921504606846976 AS DOUBLE) AS u
+        |      FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c ORDER BY u, v) AS rn FROM u)
+        |SELECT c AS "column",
+        |       CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |            ELSE CAST(63 AS DOUBLE) / max(u) END AS distinct_est
+        |FROM r WHERE rn <= 64 GROUP BY c""".stripMargin,
     // X224 sampled quantiles: same md5 bottom-512 sample, same
     // interpolated quantiles — estimates recompose bit-exact
     "q_quantiles_sampled" ->
@@ -3416,6 +3584,88 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |        THEN avg(close) OVER w - 2.0*stddev_samp(close) OVER w END, 6) AS bb_lower
         |FROM daily
         |WINDOW w AS (PARTITION BY asset ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
+    // X225 return ACF: same lag-then-melt shape, corr rounded 6dp on
+    // both sides (q_corr_matrix precedent); null rets filtered BEFORE
+    // lagging, so the lag runs over the return series itself
+    "q_autocorr" -> (dailyCte +
+      """, r AS (
+        |  SELECT asset, date,
+        |         close / lag(close) OVER (PARTITION BY asset ORDER BY date) - 1 AS ret
+        |  FROM daily
+        |), rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+        |lagged AS (
+        |  SELECT asset, ret,
+        |         lag(ret, 1) OVER w AS l1, lag(ret, 2) OVER w AS l2,
+        |         lag(ret, 3) OVER w AS l3, lag(ret, 4) OVER w AS l4,
+        |         lag(ret, 5) OVER w AS l5
+        |  FROM rr WINDOW w AS (PARTITION BY asset ORDER BY date)
+        |), melted AS (
+        |  SELECT asset, ret, l.lag,
+        |         CASE l.lag WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+        |                    WHEN 4 THEN l4 ELSE l5 END AS ret_lag
+        |  FROM lagged CROSS JOIN (SELECT unnest([1,2,3,4,5]) AS lag) l
+        |)
+        |SELECT asset, lag, count(*) AS n_pairs,
+        |       CASE WHEN count(*) >= 10 THEN round(corr(ret, ret_lag), 6) END AS acf
+        |FROM melted WHERE ret_lag IS NOT NULL
+        |GROUP BY asset, lag""".stripMargin),
+    // X226 Holt: the exact coupled recurrence replayed as a recursive
+    // CTE — l_t computed in the inner subquery from the previous row's
+    // state, b_t outside from (l_t, l_{t-1}, b_{t-1}) — the same
+    // multiply-add order HoltLinear emits, bit-identical before the
+    // 6-dp round (the q_ema_macd precedent)
+    "q_holt" -> (dailyCteRec +
+      """, t AS (
+        |  SELECT asset, date, close,
+        |         row_number() OVER (PARTITION BY asset ORDER BY date) AS rn
+        |  FROM daily
+        |), e AS (
+        |  SELECT asset, date, close, rn, close AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.asset, s.date, s.close, s.rn, s.level,
+        |         (CAST(1 AS DOUBLE)/10)*(s.level - s.plevel)
+        |           + (1 - CAST(1 AS DOUBLE)/10)*s.ptrend AS trend
+        |  FROM (
+        |    SELECT t.asset, t.date, t.close, t.rn,
+        |           (CAST(3 AS DOUBLE)/10)*t.close
+        |             + (1 - CAST(3 AS DOUBLE)/10)*(e.level + e.trend) AS level,
+        |           e.level AS plevel, e.trend AS ptrend
+        |    FROM t JOIN e ON t.asset = e.asset AND t.rn = e.rn + 1
+        |  ) s
+        |)
+        |SELECT date, asset, close,
+        |       round(level, 6) AS level, round(trend, 6) AS trend,
+        |       round(level + trend, 6) AS forecast,
+        |       round(close - lag(level + trend)
+        |         OVER (PARTITION BY asset ORDER BY date), 6) AS fc_err
+        |FROM e""".stripMargin),
+    // X227 CUSUM: greatest(0, prev + deviation) replayed per row; the
+    // seed row is each asset's first (its ret is NULL by construction,
+    // so state stays at the (0,0) init)
+    "q_cusum" -> (dailyCteRec +
+      """, r AS (
+        |  SELECT asset, date,
+        |         close / lag(close) OVER (PARTITION BY asset ORDER BY date) - 1 AS ret,
+        |         row_number() OVER (PARTITION BY asset ORDER BY date) AS rn
+        |  FROM daily
+        |), e AS (
+        |  SELECT asset, date, ret, rn, CAST(0 AS DOUBLE) AS pos, CAST(0 AS DOUBLE) AS neg
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.asset, r.date, r.ret, r.rn,
+        |    CASE WHEN r.ret IS NULL THEN e.pos
+        |         ELSE greatest(e.pos + ((r.ret - CAST(0 AS DOUBLE)) - CAST(5 AS DOUBLE)/1000),
+        |                       CAST(0 AS DOUBLE)) END AS pos,
+        |    CASE WHEN r.ret IS NULL THEN e.neg
+        |         ELSE greatest(e.neg + ((CAST(0 AS DOUBLE) - CAST(5 AS DOUBLE)/1000) - r.ret),
+        |                       CAST(0 AS DOUBLE)) END AS neg
+        |  FROM r JOIN e ON r.asset = e.asset AND r.rn = e.rn + 1
+        |)
+        |SELECT date, asset, round(ret, 6) AS ret,
+        |       round(pos, 6) AS cusum_pos, round(neg, 6) AS cusum_neg,
+        |       (pos > CAST(5 AS DOUBLE)/100 OR neg > CAST(5 AS DOUBLE)/100) AS alarm
+        |FROM e""".stripMargin),
     "q_group_stats" ->
       """SELECT event_type AS asset, count(*) AS n,
         |  round(avg(value), 6) AS mean_price,

@@ -120,6 +120,56 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** md5-derived ±1 hyperplanes — the engine-portable plane family for
+    * [[lshTopKPortable]]: component (t, p, i) is +1 when the first hex
+    * digit of md5("lsh:t:p:i") is even, −1 otherwise. Rademacher (±1)
+    * entries are a standard random-projection family (sign-LSH only
+    * needs symmetric zero-mean directions), and every entry is
+    * reproducible from the MD5 standard alone — no RNG stream, no
+    * library, any engine derives the identical planes.
+    */
+  private[ext] def md5SignPlanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits, dim) { (t, p, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lsh:$t:$p:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** [[lshTopK]] with [[md5SignPlanes]] — the ENGINE-PORTABLE oracle
+    * twin of the hyperplane-LSH family (X230, the X163/X220 move, and
+    * the ANN family's last unpinned probe logic after the IVF twin):
+    * the production path draws Gaussian planes from a seeded RNG
+    * (rows-only forever — no other engine replays scala.util.Random),
+    * but with md5-derived ±1 planes EVERY stage recomposes in ANSI-ish
+    * SQL: the signature bit is a sign of a sequential float64 dot
+    * product (Spark's kernel ≡ DuckDB's list_dot_product, the
+    * q_topk_cosine bit-exactness precedent) against planes any engine
+    * rebuilds from MD5, the bucket key is Σ bit·2^p, multiprobe is
+    * bucket XOR 2^p, and the rerank is the exact-cosine contract —
+    * so candidate generation, probing, dedup and ranking all
+    * hash-match cross-engine, leaving nothing in the LSH decision
+    * path unverified. Same plan shape as the production path: one
+    * signature pass per side, bucket equi-join (broadcast query
+    * side), scalar-column dedup, windowed top-k.
+    */
+  def lshTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                      bits: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val allPlanes = md5SignPlanes(tables, bits, dim)
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      explode(graft.functions.native.lshKeys(col("embedding"), allPlanes, multiprobe = false)).as("tb"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      l2norm(col("embedding")).as("qn"),
+      explode(graft.functions.native.lshKeys(col("embedding"), allPlanes, multiprobe = true)).as("tb"))
+    val candidates = broadcast(probes).join(c, Seq("tb"))
+    val scored = candidates.select(col("query_id"), col("neighbor_id"),
+      (dot(col("qv"), col("cv")) / (col("qn") * l2norm(col("cv")))).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Approximate top-k via IVF (inverted-file) coarse quantization:
     * corpus vectors are bucketed by nearest centroid; each query
     * probes its `nprobe` nearest cells and reranks exactly. Scored

@@ -243,6 +243,60 @@ object Sketches {
         expr(s"percentile($valueCol, 0.99)").as("p99"))
   }
 
+  /** PRIORITY SAMPLING (X228) — Duffield–Lund–Thorup: the k rows with
+    * the largest priority `q_i = w_i / u_i` (u_i uniform in (0,1]),
+    * each carrying the weight estimate `ŵ_i = max(w_i, τ)` where τ is
+    * the (k+1)-th largest priority. The weighted complement of X214's
+    * uniform coordinated sample: ANY subset-sum over the population is
+    * estimated unbiasedly by summing ŵ over the sample's matching rows
+    * — the canonical "keep k documents but preserve every slice's
+    * token mass" primitive a corpus subsampler needs (uniform sampling
+    * starves heavy docs; deterministic top-k by weight has no
+    * estimator at all). Heavy rows (w_i ≥ τ) enter with certainty and
+    * keep their exact weight — the sample IS the top of the
+    * distribution plus a fair lottery over the tail.
+    *
+    * Engine-portable by the X223 contract: u_i is the 60-bit md5
+    * window of the row ID scaled into (0,1] — reproducible,
+    * coordinated (re-runs and other engines draw the same sample) —
+    * and every derived term is one IEEE division (q), one comparison
+    * (the top-k cut, ties broken on the ID), one max (ŵ). DuckDB
+    * rebuilds the identical sample and identical estimates, sampling
+    * randomness included.
+    *
+    * Plan: one column-pruned scan, one distributed top-(k+1)
+    * (TakeOrderedAndProject — no global sort), τ split off as a
+    * 1-row broadcast. At 100 TB the only full-data pass is the scan
+    * that computes priorities.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(2.0, 60.0)))
+    val pri = df
+      .where(col(idCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("double").as("w"),
+        (col(weightCol).cast("double") / u).as("__q"))
+      .orderBy(col("__q").desc, col(idCol))
+      .limit(k + 1)
+      // top-(k+1) feeds both τ and the kept rows; k+1 rows, but the
+      // subtree is a full-table TakeOrdered — always materialize (the
+      // nearDupClusters unconditional-checkpoint precedent), or each
+      // consumer would re-scan the table
+      .localCheckpoint(true)
+    // τ = the (k+1)-th largest priority; when the population has ≤ k
+    // qualifying rows there is none, and τ = 0 makes every estimate
+    // exact (ŵ = w) — the estimator's own small-population case
+    val tau = pri.agg(count(lit(1)).as("__n"), min(col("__q")).as("__qmin"))
+      .select(when(col("__n") === (k + 1), col("__qmin")).otherwise(lit(0.0))
+        .as("__tau"))
+    val kept = pri.orderBy(col("__q").desc, col(idCol)).limit(k)
+    kept.crossJoin(broadcast(tau))
+      .select(col(idCol), col("w"),
+        greatest(col("w"), col("__tau")).as("w_est"))
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int): DataFrame = {
     require(k >= 3, s"k must be >= 3 for the (k-1)/u_k estimator, got $k")

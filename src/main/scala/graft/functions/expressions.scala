@@ -792,11 +792,27 @@ object native {
   def simhashBucketPairs(ids: Column, ck: Column, width: Int, maxHamming: Int): Column =
     c(SimhashBucketPairsExpr(e(ids), e(ck), width, maxHamming))
   def seededEwmaOver(x: Column, alpha: Double, seedPeriods: Int,
-                     partitionBy: Seq[Column], orderBy: Seq[Column]): Column = {
+                     partitionBy: Seq[Column], orderBy: Seq[Column]): Column =
+    runningOver(SeededEwma(e(x), alpha, seedPeriods), partitionBy, orderBy)
+
+  /** [[HoltLinear]] over the running frame — struct(level, trend,
+    * forecast); same direct WindowExpression construction as
+    * [[seededEwmaOver]] (and for the same analysis reason). */
+  def holtLinearOver(x: Column, alpha: Double, beta: Double,
+                     partitionBy: Seq[Column], orderBy: Seq[Column]): Column =
+    runningOver(HoltLinear(e(x), alpha, beta), partitionBy, orderBy)
+
+  /** [[CusumState]] over the running frame — struct(pos, neg). */
+  def cusumOver(x: Column, target: Double, allowance: Double,
+                partitionBy: Seq[Column], orderBy: Seq[Column]): Column =
+    runningOver(CusumState(e(x), target, allowance), partitionBy, orderBy)
+
+  private def runningOver(f: Expression, partitionBy: Seq[Column],
+                          orderBy: Seq[Column]): Column = {
     import org.apache.spark.sql.catalyst.expressions.{
       Ascending, CurrentRow, RowFrame, SortOrder, SpecifiedWindowFrame,
       UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-    c(WindowExpression(SeededEwma(e(x), alpha, seedPeriods),
+    c(WindowExpression(f,
       WindowSpecDefinition(partitionBy.map(e),
         orderBy.map(o => SortOrder(e(o), Ascending)),
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))))

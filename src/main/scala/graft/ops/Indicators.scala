@@ -431,6 +431,96 @@ object Indicators {
         col("trend"), col("seasonal"), col("residual"))
   }
 
+  /** Autocorrelation function of daily returns (X225): per asset, the
+    * Pearson correlation between the return series and its own ℓ-day
+    * lag, for ℓ = 1..maxLag — the standard seasonality/momentum probe
+    * (an ACF spike at 7 on daily data IS the weekly cycle) and the
+    * diagnostic every forecasting model (X217 seasonal, Holt below) is
+    * sanity-checked against.
+    *
+    * Plan: ONE window pass materializes all maxLag lag columns over
+    * the same (asset, date) sort, a `stack` unpivot melts them to
+    * (asset, lag, ret, ret_lag) rows, one hash aggregate computes
+    * corr per (asset, lag). Two shuffles total, both asset-grain;
+    * the unpivot is a projection, not a join — maxLag passes over
+    * the series would be maxLag window sorts. `corr`'s unordered
+    * float sums drift across engines, so values round to 6 dp on
+    * both sides (the q_corr_matrix precedent); pairs with fewer than
+    * `minPairs` overlapping rows report NULL (a 3-point correlation
+    * is noise, and stddev-zero series divide by zero).
+    */
+  def autocorr(daily: DataFrame, maxLag: Int = 10, minPairs: Int = 10): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy("asset").orderBy("date")
+    val rets = daily.select(col("date"), col("asset"),
+      (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"))
+      .filter(col("ret").isNotNull)
+    val withLags = rets.select(
+      col("asset") +: col("ret") +:
+        (1 to maxLag).map(l => lag(col("ret"), l).over(w).as(s"__l$l")): _*)
+    val stacked = withLags.select(col("asset"), col("ret"),
+      expr(s"stack(${maxLag}, " +
+        (1 to maxLag).map(l => s"$l, __l$l").mkString(", ") +
+        ") as (lag, ret_lag)"))
+      .filter(col("ret_lag").isNotNull)
+    stacked.groupBy(col("asset"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        when(count(lit(1)) >= minPairs, round(corr(col("ret"), col("ret_lag")), 6))
+          .as("acf"))
+  }
+
+  /** Holt double-exponential smoothing + one-step-ahead forecast
+    * (X226) over the daily close — the [[graft.functions.HoltLinear]]
+    * window recursion (level tracks the series, trend tracks the
+    * slope, forecast = level + trend). The forecasting-family member
+    * between the lagging EMA (X82) and the full seasonal decomposition
+    * (X217). `fc_err` = close − previous row's forecast is the
+    * walk-forward residual every smoothing-parameter sweep scores
+    * (NULL on each asset's first two rows: no forecast existed before
+    * the seed, and the seed row's own forecast is the flat start).
+    * One window pass, one shuffle on asset; the recursion is serial
+    * per series (inherent — any engine pays it), parallel across
+    * assets. Rounded to 6 dp for engine portability; the oracle
+    * replays the exact recurrence as a recursive CTE (the q_ema_macd
+    * precedent).
+    */
+  def holt(daily: DataFrame, alpha: Double = 0.3, beta: Double = 0.1): DataFrame = {
+    val h = native.holtLinearOver(col("close"), alpha, beta,
+      Seq(col("asset")), Seq(col("date")))
+    val w = Window.partitionBy("asset").orderBy("date")
+    daily.select(col("date"), col("asset"), col("close"), h.as("__h"))
+      .select(col("date"), col("asset"), col("close"),
+        round(col("__h.level"), 6).as("level"),
+        round(col("__h.trend"), 6).as("trend"),
+        round(col("__h.forecast"), 6).as("forecast"),
+        round(col("close") - lag(col("__h.forecast"), 1).over(w), 6).as("fc_err"))
+  }
+
+  /** Two-sided CUSUM change detection (X227) over daily returns — the
+    * [[graft.functions.CusumState]] recursion per asset: s⁺/s⁻
+    * accumulate sustained drift of the return mean beyond ±allowance
+    * around `target` (0 = "returns should be flat") and reset at
+    * zero; `alarm` flags rows where either side exceeds `h`. The
+    * control-chart complement to the z-score spike detector (X125):
+    * z-scores catch one big outlier, CUSUM catches many small ones in
+    * the same direction. One window pass, one shuffle on asset.
+    * Rounded to 6 dp; oracle = the same recurrence as a recursive CTE
+    * with greatest(0, ·).
+    */
+  def cusum(daily: DataFrame, target: Double = 0.0, allowance: Double = 0.005,
+            h: Double = 0.05): DataFrame = {
+    val w = Window.partitionBy("asset").orderBy("date")
+    val rets = daily.select(col("date"), col("asset"),
+      (col("close") / lag(col("close"), 1).over(w) - 1).as("ret"))
+    val c = native.cusumOver(col("ret"), target, allowance,
+      Seq(col("asset")), Seq(col("date")))
+    rets.select(col("date"), col("asset"), round(col("ret"), 6).as("ret"), c.as("__c"))
+      .select(col("date"), col("asset"), col("ret"),
+        round(col("__c.pos"), 6).as("cusum_pos"),
+        round(col("__c.neg"), 6).as("cusum_neg"),
+        (col("__c.pos") > h || col("__c.neg") > h).as("alarm"))
+  }
+
   def bollinger(daily: DataFrame, window: Int = 20, k: Double = 2.0): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val w = Window.partitionBy("asset").orderBy("date")

@@ -4542,6 +4542,180 @@ object Warehouse {
     next
   }
 
+  // ---------------------------------------------------------------------------
+  // PER-FILE COLUMN SYNOPSES (X231) — the Iceberg-puffin / Delta-stats
+  // move for cardinality: ANALYZE once, answer "how many distinct X"
+  // for ANY later snapshot with ZERO data I/O. Each data file gets a
+  // bottom-k KMV synopsis per analyzed column (the X223 md5-priority
+  // contract at file grain), persisted in a side SNAPSHOT table (the
+  // quarantine/CM-sketch side-table precedent — no manifest plumbing,
+  // crash-safe via the side table's own commits). Because a value's
+  // priority depends on NOTHING but the value, the union of per-file
+  // bottom-k sets contains the table-wide bottom-k — so the merged
+  // estimate is BIT-IDENTICAL to running kmvDistinct over the whole
+  // table, while costing only a read of the (files × k)-row side
+  // table. The synopsis is a pure function of the immutable file, so
+  // it survives appends, compaction carries, time travel, clones and
+  // column RENAMES (rows key on the frozen PHYSICAL name) — analyze
+  // is append-only maintenance, never invalidation.
+
+  /** Side-table path for [[analyzeSnapshot]]'s per-file synopses. */
+  def synopsesPath(path: String): String = s"$path/_synopses"
+
+  /** Bottom-k KMV synopsis rows for `physCol` over `files`:
+    * (file, column, k, u, v) — the k smallest md5 priorities of the
+    * file's distinct values, ties on the value. One column-pruned
+    * scan of exactly `files`.
+    */
+  private def synopsisRows(spark: SparkSession, path: String, q: String,
+                           physSchema: StructType, physCol: String,
+                           files: Seq[String], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy("u", "v")
+    spark.read.schema(physSchema).parquet(files.map(entryPath(path, _)): _*)
+      .select(entryFormCol(q, stripSchemeCol(col("_metadata.file_path"))).as("file"),
+        col(physCol).cast("string").as("v"))
+      .where(col("v").isNotNull)
+      .distinct()
+      .withColumn("u",
+        conv(substring(md5(col("v")), 1, 15), 16, 10)
+          .cast("long").cast("double") / lit(math.pow(2.0, 60.0)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("file"), lit(physCol).as("column"), lit(k).as("k"),
+        col("u"), col("v"))
+  }
+
+  /** The side table's live synopsis rows for (`physCols`, `k`) over
+    * exactly `entries`, or an empty frame when no side table exists.
+    * Stale rows (dead files, other k, other columns) filter out —
+    * they are inert, never wrong.
+    */
+  private def liveSynopses(spark: SparkSession, path: String,
+                           physCols: Seq[String], entries: Seq[String],
+                           k: Int): DataFrame = {
+    import spark.implicits._
+    val side = synopsesPath(path)
+    val base =
+      if (snapshots(spark, side).isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL("file STRING, column STRING, k INT, u DOUBLE, v STRING"))
+      else readSnapshot(spark, side)
+    base.filter(col("k") === k && col("column").isin(physCols: _*))
+      .join(broadcast(entries.toDF("file")), Seq("file"), "left_semi")
+  }
+
+  /** ANALYZE (X231): compute and append the missing per-file KMV
+    * synopses for `columns` on the CURRENT snapshot. Incremental by
+    * construction: a (file, column, k) synopsis already in the side
+    * table is never recomputed (files are immutable), so the
+    * steady-state maintenance tick after an append costs the NEW
+    * files' bytes — the X200 refresh discipline. Returns the side
+    * table's new version, or None when coverage was already complete.
+    * Logical column names resolve to physical once, here — synopsis
+    * rows key on the PHYSICAL name, so a later RENAME costs nothing.
+    */
+  def analyzeSnapshot(spark: SparkSession, path: String, columns: Seq[String],
+                      k: Int = 256): Option[Long] = {
+    require(columns.nonEmpty, s"analyzeSnapshot($path): no columns given")
+    require(k >= 3, s"k must be >= 3 for the (k-1)/u_k estimator, got $k")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = mainWriteBase(spark, path)
+    require(v >= 1, s"analyzeSnapshot($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"analyzeSnapshot($path): v=$v has no readable manifest — synopses ride its entry list"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    columns.foreach(c => require(schema.fieldNames.contains(c),
+      s"analyzeSnapshot($path): column '$c' not in snapshot schema"))
+    val cmap = columnMapOf(m)
+    val physCols = columns.map(physicalName(cmap, _))
+    val entries = normEntries(m, v)
+    val q = qualifiedRoot(fs, path)
+    val covered = liveSynopses(spark, path, physCols, entries, k)
+      .select("file", "column").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val physSchema = physicalize(schema, cmap)
+    val fresh = physCols.flatMap { pc =>
+      val need = entries.filterNot(f => covered((f, pc)))
+      if (need.isEmpty) None
+      else Some(synopsisRows(spark, path, q, physSchema, pc, need, k))
+    }
+    if (fresh.isEmpty) return None
+    val rows = fresh.reduce(_ unionByName _)
+    val side = synopsesPath(path)
+    Some(snapshots(spark, side).lastOption match {
+      case None => writeSnapshot(rows, side)
+      case Some(cur) => appendSnapshot(rows, side, cur)
+    })
+  }
+
+  /** Distinct-count estimates from the synopses (X231): one row per
+    * requested column, `distinct_est` BIT-IDENTICAL to
+    * `Sketches.kmvDistinct` over the full current snapshot — per-file
+    * bottom-k sets merge to the global bottom-k because a value's
+    * priority is a function of the value alone. Files without a
+    * recorded synopsis are scanned ON THE FLY (result stays exact;
+    * only the I/O grows), so the answer is always correct and costs
+    * zero data bytes exactly when [[analyzeSnapshot]] coverage is
+    * complete. Values compare as their string forms (the kmvDistinct
+    * contract). REFUSES a snapshot carrying deletion vectors: a
+    * synopsis covers the file's rows including dv-deleted ones, and
+    * silently overcounting is the kind of wrong this store doesn't do
+    * — purge the dvs (REORG) or run kmvDistinct over readSnapshot.
+    */
+  def ndvSnapshot(spark: SparkSession, path: String, columns: Seq[String],
+                  k: Int = 256): DataFrame = {
+    require(columns.nonEmpty, s"ndvSnapshot($path): no columns given")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = mainWriteBase(spark, path)
+    require(v >= 1, s"ndvSnapshot($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"ndvSnapshot($path): v=$v has no readable manifest"))
+    require(!readDvState(m).exists(_.files.nonEmpty),
+      s"ndvSnapshot($path): v=$v carries deletion vectors — file synopses would " +
+        "overcount deleted rows. Purge them (materializeDeletes) or compute " +
+        "Sketches.kmvDistinct over readSnapshot instead.")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    columns.foreach(c => require(schema.fieldNames.contains(c),
+      s"ndvSnapshot($path): column '$c' not in snapshot schema"))
+    val cmap = columnMapOf(m)
+    val logicalOf = columns.map(c => physicalName(cmap, c) -> c).toMap
+    val physCols = columns.map(physicalName(cmap, _))
+    val entries = normEntries(m, v)
+    val q = qualifiedRoot(fs, path)
+    val recorded = liveSynopses(spark, path, physCols, entries, k)
+      .select("file", "column", "u", "v")
+    val coveredPairs = recorded.select("file", "column").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val physSchema = physicalize(schema, cmap)
+    val live = physCols.flatMap { pc =>
+      val need = entries.filterNot(f => coveredPairs((f, pc)))
+      if (need.isEmpty) None
+      else Some(synopsisRows(spark, path, q, physSchema, pc, need, k)
+        .select("file", "column", "u", "v"))
+    }
+    val all = (recorded +: live).reduce(_ unionByName _)
+    // merge: dedupe by value (u is a function of v), table-wide
+    // bottom-k per column, then the X223 estimator verbatim
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column").orderBy("u", "v")
+    val toLogical = logicalOf.foldLeft(col("column")) { case (acc, (p, l)) =>
+      when(col("column") === p, lit(l)).otherwise(acc)
+    }
+    all.groupBy("column", "v").agg(min(col("u")).as("u"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy("column")
+      .agg(count(lit(1)).as("__n"), max(col("u")).as("__uk"))
+      .select(toLogical.as("column"),
+        when(col("__n") < k, col("__n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("__uk")).as("distinct_est"))
+  }
+
   /** FILE-GRAIN BLOOM INDEX (X193) — the Delta bloom-filter-index
     * shape: point-lookup file skipping for a column the clustering
     * does NOT cover. Min/max stats (X162) prune beautifully on the

@@ -72,6 +72,31 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach(r => assert(r.getDouble(3) === exactSims((r.getLong(0), r.getLong(2)))))
   }
 
+  test("lshTopKPortable: md5 planes are ±1 and deterministic; recall + exact rerank (X230)") {
+    // plane derivation: pure ±1 entries, reproducible, parity of the
+    // first md5 hex digit of "lsh:t:p:i" (the cross-engine contract)
+    val planes = Similarity.md5SignPlanes(tables = 2, bits = 3, dim = 8)
+    assert(planes.flatten.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(planes.flatten.flatten.toSeq == Similarity.md5SignPlanes(2, 3, 8).flatten.flatten.toSeq)
+    val d0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("lsh:1:2:3".getBytes("UTF-8"))
+    val expect = if ((Character.digit(f"${d0(0) & 0xff}%02x".charAt(0), 16) & 1) == 0) 1.0 else -1.0
+    assert(planes(1)(2)(3) === expect, "entry (t,p,i) follows the md5 hex-parity rule")
+    // behavior matches the production path's contract: candidates from
+    // shared buckets, exact-cosine rerank, nonzero recall
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopKPortable(q, c, 10, bits = 8, tables = 4).collect()
+    val recall = (exact & approx.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low for ±1 random projections")
+    val exactSims = Similarity.bruteForceTopK(q, c, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    approx.foreach(r => assert(r.getDouble(3) === exactSims((r.getLong(0), r.getLong(2)))))
+  }
+
   test("ivfTopK: reasonable recall vs brute force, exact sims for returned pairs") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 5)

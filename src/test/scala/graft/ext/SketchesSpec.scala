@@ -150,4 +150,36 @@ class SketchesSpec extends SparkSpec {
     assert(ghost.head().getLong(1) >= 0L)
     assert(wide.head().getLong(1) === 0L, "empty lanes read zero")
   }
+
+  test("prioritySample: certainty for heavy rows, exact under k, unbiased subset sums (X228)") {
+    // one whale among minnows: w=10000 vs w=1. Its priority w/u >= w
+    // dominates every minnow's maximum possible priority except the
+    // vanishing tail, so it is sampled with (near-)certainty
+    val rows = (1L to 400L).map(i => (i, if (i == 7L) 10000L else 1L))
+      .toDF("id", "w")
+    val s = Sketches.prioritySample(rows, "id", "w", k = 20).collect()
+    assert(s.length === 20)
+    val byId = s.map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byId.contains(7L), "the heavy row enters with certainty")
+    assert(byId(7L)._2 === 10000.0, "a heavy row keeps its exact weight (w >= tau)")
+    // tau-adjusted estimates: sum of w_est over the sample estimates
+    // the population total (10399). Deterministic sample -> fixed
+    // outcome; assert the estimator lands within 30%
+    val est = s.map(_.getDouble(2)).sum
+    assert(math.abs(est - 10399.0) / 10399.0 < 0.3, s"subset-sum estimate $est vs 10399")
+    // population <= k: every row kept, tau = 0, estimates exact
+    val tiny = (1L to 5L).map(i => (i, i * 10L)).toDF("id", "w")
+    val all = Sketches.prioritySample(tiny, "id", "w", k = 20).collect()
+    assert(all.length === 5)
+    assert(all.forall(r => r.getDouble(2) === r.getDouble(1)),
+      "no (k+1)-th priority exists -> tau=0 -> w_est = w exactly")
+    // reproducible: the md5 priorities fix the sample across runs
+    val again = Sketches.prioritySample(rows, "id", "w", k = 20).collect()
+      .map(_.getLong(0)).sorted
+    assert(again.toSeq === s.map(_.getLong(0)).sorted.toSeq)
+    // non-positive weights are excluded, not divided by
+    val withZero = rows.union(Seq((500L, 0L), (501L, -3L)).toDF("id", "w"))
+    val ids = Sketches.prioritySample(withZero, "id", "w", k = 500).collect().map(_.getLong(0))
+    assert(!ids.contains(500L) && !ids.contains(501L))
+  }
 }

@@ -406,4 +406,86 @@ class IndicatorsSpec extends SparkSpec {
     assert(interior.forall(r => math.abs(r.getDouble(5)) < 1.0),
       "a clean weekly signal decomposes with small residual")
   }
+
+  test("autocorr: alternating returns give acf(1) ~ -1 and acf(2) ~ +1 (X225)") {
+    import spark.implicits._
+    // closes alternate 100, 110, 100, 110 ... -> rets alternate
+    // +0.1 / -0.0909..: lag-1 correlation -1, lag-2 correlation +1
+    val rows = (0 until 40).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        "btc", if (i % 2 == 0) 100.0 else 110.0)
+    }.toDF("date", "asset", "close")
+    val out = Indicators.autocorr(rows, maxLag = 3, minPairs = 5)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // 39 rets; lag l leaves 39-l pairs
+    assert(out(1)._1 === 38 && out(2)._1 === 37 && out(3)._1 === 36)
+    assert(math.abs(out(1)._2.get + 1.0) < 1e-6, s"lag-1 of an alternating series is -1: ${out(1)}")
+    assert(math.abs(out(2)._2.get - 1.0) < 1e-6, s"lag-2 of an alternating series is +1: ${out(2)}")
+    // below the pair floor the value is NULL, not noise
+    val tiny = (0 until 8).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        "btc", 100.0 + i)
+    }.toDF("date", "asset", "close")
+    val guarded = Indicators.autocorr(tiny, maxLag = 3, minPairs = 10).collect()
+    assert(guarded.forall(_.isNullAt(3)), "n_pairs < minPairs must yield NULL acf")
+  }
+
+  test("holt: hand-computed coupled recurrence, flat-start seed, walk-forward error (X226)") {
+    import spark.implicits._
+    val closes = Seq(100.0, 104.0, 110.0, 112.0)
+    val rows = closes.zipWithIndex.map { case (c, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)), "btc", c)
+    }.toDF("date", "asset", "close")
+    val out = Indicators.holt(rows, alpha = 0.5, beta = 0.5)
+      .orderBy("date").collect()
+    // replay: l1=100 b1=0; l=0.5x+0.5(l+b); b=0.5(l'-l)+0.5b
+    var l = 100.0; var b = 0.0
+    assert(out(0).getDouble(3) === 100.0 && out(0).getDouble(4) === 0.0)
+    assert(out(0).getDouble(5) === 100.0) // forecast = l+b
+    assert(out(0).isNullAt(6), "no forecast preceded the seed row")
+    for (i <- 1 until closes.length) {
+      val x = closes(i)
+      val prevF = l + b
+      val l2 = 0.5 * x + 0.5 * (l + b)
+      b = 0.5 * (l2 - l) + 0.5 * b
+      l = l2
+      assert(math.abs(out(i).getDouble(3) - l) < 1e-6, s"level row $i")
+      assert(math.abs(out(i).getDouble(4) - b) < 1e-6, s"trend row $i")
+      assert(math.abs(out(i).getDouble(5) - (l + b)) < 1e-6, s"forecast row $i")
+      assert(math.abs(out(i).getDouble(6) - (x - prevF)) < 1e-6, s"fc_err row $i")
+    }
+    // on a perfect line the forecast converges onto the line: trend -> slope
+    val line = (0 until 60).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)), "eth", 50.0 + 2.0 * i)
+    }.toDF("date", "asset", "close")
+    val last = Indicators.holt(line, alpha = 0.5, beta = 0.5).orderBy("date").collect().last
+    assert(math.abs(last.getDouble(4) - 2.0) < 1e-3, "trend locks onto a linear slope")
+    assert(math.abs(last.getDouble(6)) < 1e-3, "walk-forward error vanishes on a line")
+  }
+
+  test("cusum: accumulates sustained drift beyond the allowance, resets at zero (X227)") {
+    import spark.implicits._
+    // phase 1: flat (rets 0 -> both sides pinned at 0 by the reset);
+    // phase 2: +1% daily (beyond the 0.5% allowance -> pos climbs)
+    val closes = Seq.iterate(100.0, 20)(identity) ++
+      Seq.iterate(100.0 * 1.01, 20)(_ * 1.01)
+    val rows = closes.zipWithIndex.map { case (c, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)), "btc", c)
+    }.toDF("date", "asset", "close")
+    val out = Indicators.cusum(rows, target = 0.0, allowance = 0.005, h = 0.02)
+      .orderBy("date").collect()
+    val flat = out.slice(1, 20) // rows 1..19: ret = 0
+    assert(flat.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0),
+      "zero deviation never accumulates (the max(0,·) reset)")
+    assert(flat.forall(!_.getBoolean(5)))
+    // each +1% day adds ~0.005 to pos: by the 5th drift day it crosses 0.02
+    val driftEnd = out.last
+    assert(driftEnd.getDouble(3) > 0.05, s"sustained drift accumulates: $driftEnd")
+    assert(driftEnd.getDouble(4) === 0.0, "the opposite side stays reset")
+    assert(driftEnd.getBoolean(5), "alarm fires past h")
+    assert(out.slice(20, 23).forall(!_.getBoolean(5)),
+      "allowance absorbs the first drift days — no instant alarm")
+    // NULL first ret carries the (0,0) init, not NULL state
+    assert(out(0).getDouble(3) === 0.0 && out(0).getDouble(4) === 0.0 && !out(0).getBoolean(5))
+  }
 }

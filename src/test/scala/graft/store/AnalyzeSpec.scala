@@ -1,0 +1,127 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** X231 per-file column synopses: ANALYZE + zero-scan NDV.
+  * The load-bearing claims: (1) the merged estimate is bit-identical
+  * to kmvDistinct over the whole table, covered or not; (2) with full
+  * coverage the answer touches ZERO data bytes (poison pin: corrupt
+  * every data file, the estimate still answers); (3) analyze is
+  * incremental — covered files are never rescanned (poison pin again);
+  * (4) synopses key on physical names, so a RENAME costs nothing;
+  * (5) a dv-carrying snapshot refuses loudly instead of overcounting.
+  */
+class AnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  private def table(n: Int, mod: Int): org.apache.spark.sql.DataFrame =
+    (1 to n).map(i => (i.toLong, (i % mod).toLong, s"s${i % 7}"))
+      .toDF("id", "num", "cat")
+
+  /** The X223 estimator over the full table — the equality oracle. */
+  private def kmvOf(df: org.apache.spark.sql.DataFrame, c: String, k: Int): Double =
+    graft.ext.Sketches.kmvDistinct(df.withColumn("g", lit(1)), Seq("g"), c, k)
+      .head().getDouble(1)
+
+  private def corruptDataFiles(root: String): Int = {
+    val dir = new java.io.File(root)
+    val parts = Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .flatMap(v => Option(v.listFiles).getOrElse(Array.empty))
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    parts.foreach { f =>
+      val out = new java.io.FileOutputStream(f)
+      out.write("not parquet".getBytes); out.close()
+    }
+    parts.length
+  }
+
+  test("ndvSnapshot == kmvDistinct over the table, covered, uncovered and mixed") {
+    val root = freshRoot("ndv_eq")
+    val a = table(600, 97).filter($"id" % 3 =!= 0)
+    val b = table(600, 97).filter($"id" % 3 === 0)
+    val v1 = Warehouse.writeSnapshot(a.repartition(3), root)
+    // fully uncovered: no analyze ran — live scan path, still exact
+    val full = table(600, 97)
+    def estimates(): Map[String, Double] =
+      Warehouse.ndvSnapshot(spark, root, Seq("num", "cat"), k = 32)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val uncovered = estimates()
+    assert(uncovered("num") === kmvOf(a, "num", 32))
+    assert(uncovered("cat") === kmvOf(a, "cat", 32))
+    assert(uncovered("cat") === 7.0, "below k the estimate is the exact count")
+    // analyze, append uncovered files: mixed recorded + live
+    assert(Warehouse.analyzeSnapshot(spark, root, Seq("num", "cat"), k = 32).nonEmpty)
+    Warehouse.appendSnapshot(b.repartition(2), root, v1)
+    val mixed = estimates()
+    assert(mixed("num") === kmvOf(full, "num", 32))
+    assert(mixed("cat") === kmvOf(full, "cat", 32))
+    // covering analyze (only the 2 new files), then full coverage -> None
+    assert(Warehouse.analyzeSnapshot(spark, root, Seq("num", "cat"), k = 32).nonEmpty)
+    assert(Warehouse.analyzeSnapshot(spark, root, Seq("num", "cat"), k = 32).isEmpty,
+      "complete coverage must not commit")
+    assert(estimates() === mixed)
+    // a different k is a different synopsis family: uncovered -> live
+    // scan, exact under ITS estimator
+    val k8 = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 8)
+      .head().getDouble(1)
+    assert(k8 === kmvOf(full, "num", 8))
+  }
+
+  test("full coverage answers with ZERO data reads (poison pin) and survives a rename") {
+    val root = freshRoot("ndv_pin")
+    val df = table(400, 53)
+    Warehouse.writeSnapshot(df.repartition(4), root)
+    assert(Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 32).nonEmpty)
+    val before = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 32).head().getDouble(1)
+    assert(before === kmvOf(df, "num", 32))
+    assert(corruptDataFiles(root) === 4)
+    // data files are garbage; the synopsis side table still answers
+    val after = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 32).head().getDouble(1)
+    assert(after === before, "full coverage must not open data files")
+    // rename: synopses key on the physical name — the logical rename
+    // is free, no re-analyze, no data read (files are still garbage)
+    Warehouse.renameSnapshotColumn(spark, root, "num", "num_renamed")
+    val renamed = Warehouse.ndvSnapshot(spark, root, Seq("num_renamed"), k = 32)
+      .collect()
+    assert(renamed.length === 1 && renamed.head.getString(0) === "num_renamed")
+    assert(renamed.head.getDouble(1) === before)
+  }
+
+  test("incremental analyze never rescans covered files (poison pin on the old files)") {
+    val root = freshRoot("ndv_incr")
+    val a = table(300, 41).filter($"id" <= 200)
+    val b = table(300, 41).filter($"id" > 200)
+    val v1 = Warehouse.writeSnapshot(a.repartition(2), root)
+    assert(Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 32).nonEmpty)
+    // poison the covered files, then append clean ones: the second
+    // analyze must succeed (it may only read the NEW files) and the
+    // estimate must reflect a's ORIGINAL content via its synopses
+    assert(corruptDataFiles(root) === 2)
+    Warehouse.appendSnapshot(b.repartition(1), root, v1)
+    assert(Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 32).nonEmpty)
+    val est = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 32).head().getDouble(1)
+    assert(est === kmvOf(table(300, 41), "num", 32))
+  }
+
+  test("deletion vectors refuse loudly; unknown column refuses; both name the remedy") {
+    val root = freshRoot("ndv_dv")
+    Warehouse.writeSnapshot(table(100, 11), root)
+    Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 16)
+    Warehouse.deleteWhereDv(spark, root, col("id") <= 10)
+    val e = intercept[Exception] {
+      Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 16)
+    }
+    assert(e.getMessage.contains("deletion vectors") &&
+      e.getMessage.contains("kmvDistinct"),
+      s"must refuse naming the fallback: ${e.getMessage}")
+    val bad = intercept[IllegalArgumentException] {
+      Warehouse.analyzeSnapshot(spark, root, Seq("nope"), k = 16)
+    }
+    assert(bad.getMessage.contains("nope"))
+  }
+}
