@@ -928,6 +928,12 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
     }),
+    "q_kmeans_bounded" -> ((s, dir) =>
+      // X232 bounded Lloyd twin: md5-seeded init, 2 unrolled
+      // assignment rounds with an ordered-mean update between them —
+      // the entire Lloyd decision loop recomposes in SQL (the ML fit
+      // stays rows-only in q_embed_kmeans)
+      Similarity.kmeansBounded(Tables.embeddings(s, dir), k = 8, iters = 2)),
     "q_ann_lsh_md5" -> ((s, dir) => { // X230 FULL oracle: md5-derived
       // ±1 hyperplanes make signature, bucket, multiprobe and rerank
       // all engine-recomposable — the LSH probe logic's portable pin
@@ -2270,6 +2276,47 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_vector_norm" ->
       """SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
         |FROM embeddings""".stripMargin,
+    // X232 bounded Lloyd: md5-seeded centers, assignment by the
+    // monotone surrogate c·c − 2(v·c) (sequential dots, exact), the
+    // update as X217-style ordered cumulative means, empty clusters
+    // carry — round 2's assignment is pure integers
+    "q_kmeans_bounded" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id, v,
+        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cluster
+        |  FROM v),
+        |c0 AS (SELECT cluster, v AS c FROM seeds WHERE cluster < 8),
+        |a1 AS (
+        |  SELECT vec_id, v, cluster FROM (
+        |    SELECT v.vec_id, v.v, c0.cluster,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY list_dot_product(c0.c, c0.c) - 2*list_dot_product(v.v, c0.c),
+        |                      c0.cluster) AS rn
+        |    FROM v, c0) t WHERE rn = 1),
+        |e1 AS (
+        |  SELECT a.cluster, a.vec_id, d.i AS pos, a.v[d.i + 1] AS x
+        |  FROM a1 a, (SELECT unnest(range(64)) AS i) d),
+        |m1 AS (
+        |  SELECT cluster, pos, arg_max(cs, rn) / count(*) AS m
+        |  FROM (SELECT cluster, pos,
+        |               sum(x) OVER (PARTITION BY cluster, pos ORDER BY vec_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |               row_number() OVER (PARTITION BY cluster, pos ORDER BY vec_id) AS rn
+        |        FROM e1) t
+        |  GROUP BY cluster, pos),
+        |c1 AS (SELECT cluster, list(m ORDER BY pos) AS c FROM m1 GROUP BY cluster
+        |       UNION ALL
+        |       SELECT c0.cluster, c0.c FROM c0
+        |       WHERE c0.cluster NOT IN (SELECT cluster FROM m1)),
+        |a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c1.cluster,
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY list_dot_product(c1.c, c1.c) - 2*list_dot_product(v.v, c1.c),
+        |                      c1.cluster) AS rn
+        |    FROM v, c1) t WHERE rn = 1)
+        |SELECT vec_id, cluster FROM a2""".stripMargin,
     // X230 portable LSH: planes rebuilt from md5 parity (±1 entries),
     // signature = sign of the same sequential float64 dot product
     // (q_topk_cosine bit-exactness), bucket = Σ bit·2^p, multiprobe =

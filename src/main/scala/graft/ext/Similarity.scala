@@ -370,6 +370,77 @@ object Similarity {
     model.transform(feat).select(col("vec_id"), col("cluster"))
   }
 
+  /** BOUNDED Lloyd k-means — the ENGINE-PORTABLE oracle twin of the
+    * clustering family (X232, the q_bpe_learn/X222 move applied to the
+    * Lloyd loop, closing the "k-means fit is the only rows-only piece"
+    * gap X220 left): [[kmeansClusters]]'s ML fit is rows-only forever
+    * (random init + treeAggregate float order), but k-UNROLLED Lloyd
+    * over a deterministic seed recomposes stage by stage in SQL:
+    *
+    *  - init: the k vectors with the smallest md5 priority of their id
+    *    (the X214 coordinated rule — no RNG, no arithmetic, any engine
+    *    picks the same seeds), cluster index = priority order;
+    *  - assign: argmin squared distance via the monotone surrogate
+    *    `c·c − 2·(v·c)` — two sequential float64 dot products (the
+    *    q_topk_cosine bit-exactness contract), one multiply, one
+    *    subtract; ties break on the cluster index;
+    *  - update: per-(cluster, dim) means as ORDERED cumulative sums
+    *    whose last element max_by takes (the X217 q_seasonal ordered-
+    *    mean discipline — the one float aggregate here, and it
+    *    replays addition-for-addition); empty clusters keep their
+    *    center (the textbook convention, deterministically).
+    *
+    * `iters` assignment rounds with updates between them; the output
+    * is round `iters`'s assignment — pure integers, so the oracle
+    * hash-matches even though its floats matched anyway. This pins
+    * the ENTIRE Lloyd decision loop cross-engine; the production path
+    * stays [[kmeansClusters]] (one mergeable pass per iteration, no
+    * per-dim explode). Scale note: the twin's update explodes to
+    * (rows × dim) grain for the ordered sums — verification-grade by
+    * design, like every md5 twin in this family.
+    */
+  def kmeansBounded(embeddings: DataFrame, k: Int, iters: Int,
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val vecs = embeddings
+      .select(col("vec_id"), col(vecCol).cast("array<double>").as("v"))
+      .matBoundary // feeds every assignment round and the seed pick
+    val wInit = Window.orderBy(col("__pri"), col("vec_id"))
+    var centers = vecs
+      .withColumn("__pri", md5(col("vec_id").cast("string")))
+      .orderBy(col("__pri"), col("vec_id")).limit(k)
+      .withColumn("cluster", (row_number().over(wInit) - 1).cast("long"))
+      .select(col("cluster"), col("v").as("c"))
+      .localCheckpoint(true) // k rows; cuts the global-window lineage
+    def assign(cs: DataFrame): DataFrame = {
+      val score = dot(col("c"), col("c")) - lit(2.0) * dot(col("v"), col("c"))
+      val w = Window.partitionBy("vec_id").orderBy(score.asc, col("cluster").asc)
+      vecs.crossJoin(broadcast(cs))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("v"), col("cluster"))
+    }
+    for (_ <- 1 until iters) {
+      val a = assign(centers)
+      val ex = a.select(col("cluster"), col("vec_id"), posexplode(col("v")))
+        .withColumnRenamed("col", "x")
+      val wc = Window.partitionBy("cluster", "pos").orderBy("vec_id")
+      val means = ex
+        .withColumn("__cs", sum(col("x")).over(
+          wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__rn", row_number().over(wc))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((max_by(col("__cs"), col("__rn")) / count(lit(1))).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("c"))
+      val kept = centers.join(means.select("cluster"), Seq("cluster"), "left_anti")
+      centers = means.unionByName(kept).localCheckpoint(true)
+    }
+    assign(centers).select(col("vec_id"), col("cluster"))
+  }
+
   def quantizeInt8(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
     val amax = array_max(transform(v, x => abs(x.cast("double"))))

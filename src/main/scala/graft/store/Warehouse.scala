@@ -2832,6 +2832,22 @@ object Warehouse {
         rows += (("bloom_index",
           s"${s.column} (${s.bits} bits, ${s.files.size}/${entries.size} files covered)"))
       }
+      // X231: ANALYZE coverage per column (physical name), from the
+      // _synopses side table — "how stale is my zero-scan NDV".
+      // Synopsis rows key on NORMALIZED entries (v=N/name), so the
+      // raw manifest entries normalize before the join.
+      if (snapshots(spark, synopsesPath(path)).nonEmpty) {
+        readSnapshot(spark, synopsesPath(path))
+          .join(broadcast(normEntries(m, v).toDF("file")), Seq("file"), "left_semi")
+          .select("file", "column", "k").distinct()
+          .groupBy("column", "k").agg(countDistinct("file").as("n"))
+          .collect()
+          .sortBy(r => (r.getString(0), r.getInt(1)))
+          .foreach { r =>
+            rows += ((s"synopsis.${r.getString(0)}",
+              s"k=${r.getInt(1)}: ${r.getLong(2)}/${entries.size} files covered"))
+          }
+      }
       Option(m.get("readerFeatures")).foreach { rf =>
         rows += (("reader_features",
           (0 until rf.size).map(rf.get(_).asText()).mkString(", ")))

@@ -97,6 +97,51 @@ class SimilaritySpec extends SparkSpec {
     approx.foreach(r => assert(r.getDouble(3) === exactSims((r.getLong(0), r.getLong(2)))))
   }
 
+  test("kmeansBounded: equals a pure-Scala Lloyd replay; empty clusters carry (X232)") {
+    // 6 points in R^3, k=2, iters=2 — replay the exact algorithm
+    // (md5-priority seeds, c·c − 2v·c assignment with index ties,
+    // sequential-order means) driver-side and demand equality
+    val pts: Map[Long, Array[Double]] = Map(
+      1L -> Array(0.0, 0.1, 0.0), 2L -> Array(0.1, 0.0, 0.0),
+      3L -> Array(0.0, 0.0, 0.2), 4L -> Array(5.0, 5.1, 5.0),
+      5L -> Array(5.1, 5.0, 5.2), 6L -> Array(4.9, 5.0, 5.1))
+    val df = pts.toSeq.sortBy(_._1).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val seedIds = pts.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(2)
+    var centers: Map[Long, Array[Double]] =
+      seedIds.zipWithIndex.map { case (id, cl) => cl.toLong -> pts(id) }.toMap
+    def assign(): Map[Long, Long] = pts.map { case (id, v) =>
+      id -> centers.toSeq.map { case (cl, c) =>
+        (dot(c, c) - 2.0 * dot(v, c), cl)
+      }.minBy(identity)._2
+    }
+    for (_ <- 1 until 2) {
+      val a = assign()
+      val upd = a.groupBy(_._2).map { case (cl, m) =>
+        val ids = m.keys.toSeq.sorted
+        val mean = (0 until 3).map { d =>
+          ids.foldLeft(0.0)((acc, id) => acc + pts(id)(d)) / ids.length
+        }.toArray
+        cl -> mean
+      }
+      centers = centers.map { case (cl, c) => cl -> upd.getOrElse(cl, c) }
+    }
+    val expect = assign()
+    val got = Similarity.kmeansBounded(df, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect, s"bounded Lloyd must replay exactly: $got vs $expect")
+    assert(got.values.toSet.size === 2, "both blobs resolve")
+    // all-identical inputs: every point ties to cluster 0, the other
+    // center keeps its seed, nothing throws
+    val same = (1L to 4L).map(i => (i, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    val g2 = Similarity.kmeansBounded(same, k = 2, iters = 2).collect()
+    assert(g2.forall(_.getLong(1) === 0L))
+  }
+
   test("ivfTopK: reasonable recall vs brute force, exact sims for returned pairs") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 5)

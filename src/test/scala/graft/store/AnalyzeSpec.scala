@@ -70,6 +70,11 @@ class AnalyzeSpec extends SparkSpec {
     val k8 = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 8)
       .head().getDouble(1)
     assert(k8 === kmvOf(full, "num", 8))
+    // describe surfaces the coverage per column
+    val desc = Warehouse.describeSnapshot(spark, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("synopsis.num") === "k=32: 5/5 files covered", desc.toString)
+    assert(desc("synopsis.cat") === "k=32: 5/5 files covered")
   }
 
   test("full coverage answers with ZERO data reads (poison pin) and survives a rename") {
