@@ -1347,6 +1347,12 @@ object SparkEntry {
       // gate, every term DuckDB-recomposable (the fit itself stays
       // rows-only in q_quality_classifier)
       ext.QualityClassifier.scoreFixed(Tables.documents(s, dir))),
+    "q_pca_power" -> ((s, dir) =>
+      // X233 power-iteration twin: 5 unrolled iterations over the
+      // centered Gramian (ordered sums + sequential dots + sqrt
+      // normalize) — deterministic sign, unrounded doubles; the SVD
+      // fit stays rows-only in q_embed_pca
+      Similarity.pcaPowerTop(Tables.embeddings(s, dir), iters = 5)),
     "q_embed_pca" -> ((s, dir) => { // rows-only: eigenvector sign is
       // basis-ambiguous; orthonormality + variance ordering + exact
       // projection asserted in SimilaritySpec. Emitted as k rounded
@@ -2276,6 +2282,35 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     "q_vector_norm" ->
       """SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
         |FROM embeddings""".stripMargin,
+    // X233 power-iteration PCA twin: centered Gramian sums as
+    // list_reduce left folds (NOT windowed cumsums — DuckDB's window
+    // sum goes parallel/pairwise above ~2M input rows and drifts
+    // ~1e-15 off the sequential order; list_reduce is a guaranteed
+    // sequential fold, the q_fingerprint_rolling precedent), then 5
+    // unrolled matrix-vector + normalize steps via sequential list
+    // dots — loadings recompose UNROUNDED
+    "q_pca_power" -> {
+      val iterBlocks = (1 to 5).map { t =>
+        s""", y$t AS (SELECT gr.i, list_dot_product(gr.r, x${t - 1}.x) AS y FROM gr, x${t - 1}),
+           |x$t AS (SELECT list_transform(yl, v -> v / sqrt(list_dot_product(yl, yl))) AS x
+           |        FROM (SELECT list(y ORDER BY i) AS yl FROM y$t) t$t)""".stripMargin
+      }.mkString("\n")
+      s"""WITH d AS (SELECT unnest(range(64)) AS i),
+         |e AS (SELECT vec_id, d.i AS pos, (embedding::DOUBLE[])[d.i + 1] AS x
+         |      FROM embeddings, d),
+         |m AS (SELECT pos,
+         |             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m
+         |      FROM e GROUP BY pos),
+         |c AS (SELECT e.vec_id, e.pos, e.x - m.m AS c FROM e JOIN m USING (pos)),
+         |p AS (SELECT a.vec_id, a.pos AS i, b.pos AS j, a.c * b.c AS p
+         |      FROM c a JOIN c b ON a.vec_id = b.vec_id),
+         |g AS (SELECT i, j, list_reduce(list(p ORDER BY vec_id), (a, b) -> a + b) AS g
+         |      FROM p GROUP BY i, j),
+         |gr AS (SELECT i, list(g ORDER BY j) AS r FROM g GROUP BY i),
+         |x0 AS (SELECT list(CAST(1 AS DOUBLE) ORDER BY i) AS x FROM d)
+         |$iterBlocks
+         |SELECT d.i AS pos, x5.x[d.i + 1] AS loading FROM x5, d""".stripMargin
+    },
     // X232 bounded Lloyd: md5-seeded centers, assignment by the
     // monotone surrogate c·c − 2(v·c) (sequential dots, exact), the
     // update as X217-style ordered cumulative means, empty clusters

@@ -441,6 +441,80 @@ object Similarity {
     assign(centers).select(col("vec_id"), col("cluster"))
   }
 
+  /** POWER-ITERATION top principal direction — the ENGINE-PORTABLE
+    * oracle twin of the PCA family (X233, completing the fit-loop
+    * pins: after X222/X232 every learned/iterative operator family has
+    * a cross-engine construction pin except libm deflate): X98's SVD
+    * fit is rows-only forever (LAPACK internals + eigenvector sign
+    * ambiguity), but k-unrolled power iteration over the CENTERED
+    * Gramian recomposes term-by-term:
+    *
+    *  - per-dim means and the Gramian's Σ cᵢcⱼ sums evaluate as
+    *    ORDERED cumulative sums by vec_id (the X217 discipline — the
+    *    only data-grain float aggregates, replayed addition-for-
+    *    addition);
+    *  - each iteration is d sequential dot products (the q_topk_cosine
+    *    contract) + one sqrt-normalize — the driver-side replay below
+    *    folds in EXACTLY list_dot_product's index order, so a 64×64
+    *    matrix-vector product matches DuckDB bit-for-bit;
+    *  - the all-ones start vector and the per-step normalization make
+    *    the sign and scale deterministic (no eigen-sign ambiguity to
+    *    mod out — the usual reason PCA can't be oracled).
+    *
+    * Output: (pos, loading) — the direction after `iters` iterations,
+    * UNROUNDED (every operation is pinned-order IEEE). Convergence to
+    * the true top component is the standard (λ₂/λ₁)^iters rate; the
+    * oracle pins the LOOP, not an eigensolver. The Gramian collect is
+    * d² doubles — bounded by design (the codebook/centroid-fit
+    * precedent); the data-grain work is one (rows × d²) ordered-sum
+    * pass, verification-grade like every twin in this family
+    * (production PCA stays X98's one treeAggregate).
+    */
+  def pcaPowerTop(embeddings: DataFrame, iters: Int = 5,
+                  vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = embeddings.sparkSession
+    val ex = embeddings
+      .select(col("vec_id"), posexplode(col(vecCol).cast("array<double>")))
+      .withColumnRenamed("col", "x")
+      .matBoundary // feeds the mean pass and the pair pass
+    val wm = Window.partitionBy("pos").orderBy("vec_id")
+    val means = ex
+      .withColumn("__cs", sum(col("x")).over(
+        wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(wm))
+      .groupBy("pos")
+      .agg((max_by(col("__cs"), col("__rn")) / count(lit(1))).as("m"))
+    val centered = ex.join(broadcast(means), Seq("pos"))
+      .select(col("vec_id"), col("pos"), (col("x") - col("m")).as("c"))
+      .matBoundary // both sides of the pair self-join
+    val wg = Window.partitionBy("i", "j").orderBy("vec_id")
+    val gRows = centered.as("a").join(centered.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.pos").as("i"),
+        col("b.pos").as("j"), (col("a.c") * col("b.c")).as("p"))
+      .withColumn("__cs", sum(col("p")).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(wg))
+      .groupBy("i", "j")
+      .agg(max_by(col("__cs"), col("__rn")).as("g"))
+      .collect()
+    val d = gRows.map(_.getInt(0)).max + 1
+    val g = Array.ofDim[Double](d, d)
+    gRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    // the iteration replay: j-ascending folds ≡ list_dot_product
+    var x = Array.fill(d)(1.0)
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(d) { i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + g(i)(j) * x(j))
+      }
+      val nrm = math.sqrt((0 until d).foldLeft(0.0)((acc, i) => acc + y(i) * y(i)))
+      x = y.map(_ / nrm)
+    }
+    import spark.implicits._
+    x.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("pos", "loading")
+  }
+
   def quantizeInt8(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
     val amax = array_max(transform(v, x => abs(x.cast("double"))))

@@ -142,6 +142,29 @@ class SimilaritySpec extends SparkSpec {
     assert(g2.forall(_.getLong(1) === 0L))
   }
 
+  test("pcaPowerTop: recovers a planted dominant direction, unit norm, deterministic (X233)") {
+    // planted spike: points = t·u + small fixed-pattern noise. Power
+    // iteration on the centered Gramian must align with u.
+    val d = 8
+    val u = Array(0.5, -0.5, 0.25, 0.25, -0.25, 0.25, 0.5, -0.1)
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(_ / n) }
+    val rows = (1 to 200).map { i =>
+      val t = (i % 21) - 10.0 // spread along u
+      val noise = (0 until d).map(j => 0.01 * math.sin(i * 1.7 + j)).toArray
+      (i.toLong, (0 until d).map(j => t * un(j) + noise(j)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val load = Similarity.pcaPowerTop(df, iters = 8)
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val nrm = math.sqrt(load.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-9, s"normalized direction, got |x| = $nrm")
+    val align = math.abs(load.zip(un).map { case (a, b) => a * b }.sum)
+    assert(align > 0.999, s"must align with the planted direction, |cos| = $align")
+    val again = Similarity.pcaPowerTop(df, iters = 8)
+      .orderBy("pos").collect().map(_.getDouble(1))
+    assert(load.toSeq === again.toSeq, "bit-deterministic across runs")
+  }
+
   test("ivfTopK: reasonable recall vs brute force, exact sims for returned pairs") {
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 5)
