@@ -262,6 +262,44 @@ object ScaleProbe {
       }
     }
     }
+
+    section("ndv") {
+    // r12: the X231 zero-scan shape — after ANALYZE, the NDV answer
+    // reads the (files × k)-row side table, not the data. Measured
+    // (warm, K=20): every lane is job-floor-bound at sf0.1 (analyze
+    // 1.1 s both scales, ndv 0.65 s both, direct kmv 0.40→0.48 s) —
+    // the distinct collapses map-side over a small user_id domain, so
+    // this SF cannot separate flat from linear by time alone; the
+    // ZERO-data-read guarantee is pinned structurally instead
+    // (AnalyzeSpec's poison pins: corrupt every data file, the answer
+    // still returns). The probe stays as the regression tripwire for
+    // the side-table read path itself.
+    import graft.store.Warehouse
+    val ev1 = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val maxEv = ev1.agg(max(col("event_id"))).head().getLong(0) + 1
+    val evK = (0 until k).map(i =>
+        ev1.withColumn("event_id", col("event_id") + lit(i * maxEv)))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    // warmup pass first: the 1x numbers otherwise carry JVM/codegen
+    // warmup and invert the comparison
+    for ((label, t) <- Seq("warmup" -> ev1, "1x" -> ev1, s"${k}x" -> evK)) {
+      val root = java.nio.file.Files.createTempDirectory("probe_ndv").toString + "/t"
+      Warehouse.writeSnapshot(t.repartition(16), root)
+      time(s"analyzeSnapshot user_id ($label)") {
+        Warehouse.analyzeSnapshot(spark, root, Seq("user_id"), k = 256)
+          .map(_ => 1L).getOrElse(0L)
+      }
+      time(s"ndvSnapshot covered ($label)") {
+        Warehouse.ndvSnapshot(spark, root, Seq("user_id"), k = 256).count()
+      }
+      time(s"kmvDistinct direct scan ($label)") {
+        graft.ext.Sketches.kmvDistinct(
+          Warehouse.readSnapshot(spark, root).withColumn("g", lit(1)),
+          Seq("g"), "user_id", 256).count()
+      }
+    }
+    }
     spark.stop()
   }
 }
