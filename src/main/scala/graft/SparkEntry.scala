@@ -502,6 +502,21 @@ object SparkEntry {
         o.filter(col("o_orderkey") % 3 === 0).repartition(2), root, v1)
       Warehouse.ndvSnapshot(s, root, Seq("o_custkey", "o_orderstatus"), k = 64)
     }),
+    "q_histogram_manifest" -> ((s, dir) => {
+      // X234 histogram synopses: edges pin at the FIRST analyze (from
+      // the write slice's min/max), the appended complement's counts
+      // merge under the SAME edges (out-of-range values clamp into the
+      // end bins) — integer sums, so the merged histogram is EXACT and
+      // the oracle recomposes it bit-for-bit.
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_qhist").toString + "/t"
+      val v1 = Warehouse.writeSnapshot(
+        o.filter(col("o_orderkey") % 3 =!= 0).repartition(3), root)
+      Warehouse.analyzeHistogram(s, root, "o_totalprice", bins = 20)
+      Warehouse.appendSnapshot(
+        o.filter(col("o_orderkey") % 3 === 0).repartition(2), root, v1)
+      Warehouse.histogramSnapshot(s, root, "o_totalprice", bins = 20)
+    }),
     "q_sql_snapshot" -> ((s, dir) => {
       // X207 SQL table-valued functions: the lakehouse loop driven
       // from pure SQL — graft_snapshot carries the FULL read plan
@@ -3104,6 +3119,23 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1""".stripMargin,
+    // X234 histogram synopses: edges from the write slice's min/max,
+    // the whole table binned under them with end-bin clamping —
+    // integer counts, bit-exact
+    "q_histogram_manifest" ->
+      """WITH a AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+        |e AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+        |             max(CAST(o_totalprice AS DOUBLE)) AS hi
+        |      FROM a),
+        |b AS (
+        |  SELECT CASE WHEN e.hi = e.lo THEN 0
+        |         ELSE CAST(least(greatest(
+        |             floor((CAST(o_totalprice AS DOUBLE) - e.lo) / ((e.hi - e.lo) / 20)),
+        |             0), 19) AS BIGINT) END AS bin,
+        |         e.lo, e.hi
+        |  FROM orders, e WHERE o_totalprice IS NOT NULL)
+        |SELECT bin, min(lo) AS lo, min(hi) AS hi, count(*) AS n
+        |FROM b GROUP BY bin""".stripMargin,
     // X231 manifest-synopsis NDV: per-file bottom-64 KMV synopses
     // merge to the table-wide bottom-64, so the estimate recomposes as
     // plain kmvDistinct over everything the scenario wrote (the full

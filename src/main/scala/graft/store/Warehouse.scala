@@ -4682,11 +4682,15 @@ object Warehouse {
     * — purge the dvs (REORG) or run kmvDistinct over readSnapshot.
     */
   def ndvSnapshot(spark: SparkSession, path: String, columns: Seq[String],
-                  k: Int = 256): DataFrame = {
+                  k: Int = 256, version: Option[Long] = None): DataFrame = {
     require(columns.nonEmpty, s"ndvSnapshot($path): no columns given")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = mainWriteBase(spark, path)
+    // synopses key on immutable FILES, so any version's entry list
+    // merges the same way — time travel is free (files only ever
+    // carried by reference; an old version's files are covered iff
+    // they were live when analyzed)
+    val v = version.getOrElse(mainWriteBase(spark, path))
     require(v >= 1, s"ndvSnapshot($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"ndvSnapshot($path): v=$v has no readable manifest"))
@@ -4730,6 +4734,146 @@ object Warehouse {
       .select(toLogical.as("column"),
         when(col("__n") < k, col("__n").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("__uk")).as("distinct_est"))
+  }
+
+  /** Side-table path for [[analyzeHistogram]]'s per-file bin counts. */
+  def histogramsPath(path: String): String = s"$path/_histograms"
+
+  /** Per-file fixed-edge histogram rows for `physCol` over `files`:
+    * (file, column, lo, hi, bins, bin, n). Bin assignment is the X128
+    * IEEE expression with out-of-range values CLAMPED into the end
+    * bins (later appends may exceed the pinned range), so counts from
+    * any file merge under the same edges.
+    */
+  private def histogramRows(spark: SparkSession, path: String, q: String,
+                            physSchema: StructType, physCol: String,
+                            files: Seq[String], lo: Double, hi: Double,
+                            bins: Int): DataFrame = {
+    val width = (lit(hi) - lit(lo)) / lit(bins)
+    val bin =
+      if (hi == lo) lit(0L)
+      else least(greatest(floor((col("v") - lit(lo)) / width),
+        lit(0L)), lit(bins - 1L)).cast("long")
+    spark.read.schema(physSchema).parquet(files.map(entryPath(path, _)): _*)
+      .select(entryFormCol(q, stripSchemeCol(col("_metadata.file_path"))).as("file"),
+        col(physCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("file"), bin.as("bin"))
+      .groupBy("file", "bin").agg(count(lit(1)).as("n"))
+      .select(col("file"), lit(physCol).as("column"), lit(lo).as("lo"),
+        lit(hi).as("hi"), lit(bins).as("bins"), col("bin"), col("n"))
+  }
+
+  /** HISTOGRAM ANALYZE (X234): record per-file fixed-edge bin counts
+    * for `column` into the `_histograms` side table — the distribution
+    * complement of [[analyzeSnapshot]]'s NDV synopses, and the
+    * stronger merge: bin counts are INTEGERS that sum, so the merged
+    * histogram is EXACT, not an estimate. The bin edges pin at the
+    * FIRST analyze (from one column-pruned min/max pass over the
+    * then-current snapshot) and every later tick reuses them — files
+    * that arrive with values outside the pinned range clamp into the
+    * end bins (visible as fat edge bins: the signal to re-pin by
+    * analyzing under a new `bins` family). Incremental exactly like
+    * the NDV side: covered (file, column, bins) rows never recompute.
+    */
+  def analyzeHistogram(spark: SparkSession, path: String, column: String,
+                       bins: Int = 20): Option[Long] = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = mainWriteBase(spark, path)
+    require(v >= 1, s"analyzeHistogram($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"analyzeHistogram($path): v=$v has no readable manifest"))
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(column),
+      s"analyzeHistogram($path): column '$column' not in snapshot schema")
+    val cmap = columnMapOf(m)
+    val pc = physicalName(cmap, column)
+    val entries = normEntries(m, v)
+    val q = qualifiedRoot(fs, path)
+    val side = histogramsPath(path)
+    val existing =
+      if (snapshots(spark, side).isEmpty) None
+      else {
+        val fam = readSnapshot(spark, side)
+          .filter(col("column") === pc && col("bins") === bins)
+        fam.select("lo", "hi").head(1).headOption.map { r =>
+          val covered = fam.select("file").distinct()
+            .collect().map(_.getString(0)).toSet
+          (r.getDouble(0), r.getDouble(1), covered)
+        }
+      }
+    val (lo, hi, covered) = existing.getOrElse {
+      val r = readSnapshot(spark, path, Some(v))
+        .agg(min(col(column).cast("double")),
+          max(col(column).cast("double"))).head()
+      require(!r.isNullAt(0),
+        s"analyzeHistogram($path): column '$column' is all-NULL — no edges to pin")
+      (r.getDouble(0), r.getDouble(1), Set.empty[String])
+    }
+    val need = entries.filterNot(covered)
+    if (need.isEmpty) return None
+    val rows = histogramRows(spark, path, q,
+      physicalize(schema, cmap), pc, need, lo, hi, bins)
+    Some(snapshots(spark, side).lastOption match {
+      case None => writeSnapshot(rows, side)
+      case Some(cur) => appendSnapshot(rows, side, cur)
+    })
+  }
+
+  /** EXACT value distribution from the histogram synopses (X234): the
+    * merged per-file bin counts — plain integer sums, so the result
+    * equals binning the whole snapshot under the pinned edges, with
+    * zero data I/O at full coverage (uncovered files scan on the fly
+    * under the SAME edges, so the answer is always exact). Refuses
+    * dv-carrying snapshots for the X231 reason. Output: one row per
+    * non-empty bin — (bin, lo, hi, n), where lo/hi are the PINNED
+    * range (bin width = (hi−lo)/bins).
+    */
+  def histogramSnapshot(spark: SparkSession, path: String, column: String,
+                        bins: Int = 20, version: Option[Long] = None): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(mainWriteBase(spark, path))
+    require(v >= 1, s"histogramSnapshot($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"histogramSnapshot($path): v=$v has no readable manifest"))
+    require(!readDvState(m).exists(_.files.nonEmpty),
+      s"histogramSnapshot($path): v=$v carries deletion vectors — file synopses " +
+        "would count deleted rows. Purge them (materializeDeletes) or bin " +
+        "readSnapshot directly.")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(column),
+      s"histogramSnapshot($path): column '$column' not in snapshot schema")
+    val cmap = columnMapOf(m)
+    val pc = physicalName(cmap, column)
+    val entries = normEntries(m, v)
+    val q = qualifiedRoot(fs, path)
+    val side = histogramsPath(path)
+    require(snapshots(spark, side).nonEmpty,
+      s"histogramSnapshot($path): no histogram family — run analyzeHistogram first")
+    import spark.implicits._
+    val fam = readSnapshot(spark, side)
+      .filter(col("column") === pc && col("bins") === bins)
+    val edge = fam.select("lo", "hi").head(1).headOption.getOrElse(sys.error(
+      s"histogramSnapshot($path): no ($column, bins=$bins) family — run analyzeHistogram first"))
+    val (lo, hi) = (edge.getDouble(0), edge.getDouble(1))
+    val recorded = fam
+      .join(broadcast(entries.toDF("file")), Seq("file"), "left_semi")
+      .select("file", "bin", "n")
+    val coveredFiles = recorded.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val need = entries.filterNot(coveredFiles)
+    val live =
+      if (need.isEmpty) None
+      else Some(histogramRows(spark, path, q, physicalize(schema, cmap),
+        pc, need, lo, hi, bins).select("file", "bin", "n"))
+    live.fold(recorded)(recorded.unionByName(_))
+      .groupBy("bin").agg(sum("n").as("n"))
+      .select(col("bin"), lit(lo).as("lo"), lit(hi).as("hi"), col("n"))
   }
 
   /** FILE-GRAIN BLOOM INDEX (X193) — the Delta bloom-filter-index

@@ -113,6 +113,40 @@ class AnalyzeSpec extends SparkSpec {
     assert(est === kmvOf(table(300, 41), "num", 32))
   }
 
+  test("histogramSnapshot: exact merged counts, pinned edges clamp later appends (X234)") {
+    val root = freshRoot("hist")
+    val a = (1 to 300).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val v1 = Warehouse.writeSnapshot(a.repartition(3), root)
+    assert(Warehouse.analyzeHistogram(spark, root, "v", bins = 10).nonEmpty)
+    // append values EXCEEDING the pinned range: they must clamp into
+    // the end bin, not shift the edges
+    val b = (301 to 400).map(i => (i.toLong, 150.0 + i)).toDF("id", "v")
+    Warehouse.appendSnapshot(b.repartition(1), root, v1)
+    val h = Warehouse.histogramSnapshot(spark, root, "v", bins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val (lo, hi) = (h.values.head._1, h.values.head._2)
+    assert(lo === 0.0 && hi === 99.0, s"edges pinned from the FIRST analyze: $lo..$hi")
+    // replay: slice a bins by width 9.9; slice b (all > hi) clamps to bin 9
+    val width = (hi - lo) / 10
+    val expect = (0 until 300).map(i => (i + 1) % 100)
+      .groupBy(x => math.min(math.max(math.floor((x - lo) / width), 0), 9).toLong)
+      .view.mapValues(_.size.toLong).toMap
+    (0L to 8L).foreach(bin => assert(h(bin)._3 === expect(bin), s"bin $bin"))
+    assert(h(9L)._3 === expect(9L) + 100, "out-of-range appends clamp into the last bin")
+    // covering analyze then full coverage answers with ZERO data reads
+    assert(Warehouse.analyzeHistogram(spark, root, "v", bins = 10).nonEmpty)
+    assert(Warehouse.analyzeHistogram(spark, root, "v", bins = 10).isEmpty)
+    assert(corruptDataFiles(root) === 4)
+    val h2 = Warehouse.histogramSnapshot(spark, root, "v", bins = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h2 === h.view.mapValues(_._3).toMap, "full coverage must not open data files")
+    // a different bins count is a different family: refuses until analyzed
+    val e = intercept[Exception] {
+      Warehouse.histogramSnapshot(spark, root, "v", bins = 7)
+    }
+    assert(e.getMessage.contains("analyzeHistogram"), e.getMessage)
+  }
+
   test("deletion vectors refuse loudly; unknown column refuses; both name the remedy") {
     val root = freshRoot("ndv_dv")
     Warehouse.writeSnapshot(table(100, 11), root)
@@ -124,6 +158,11 @@ class AnalyzeSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion vectors") &&
       e.getMessage.contains("kmvDistinct"),
       s"must refuse naming the fallback: ${e.getMessage}")
+    Warehouse.analyzeHistogram(spark, root, "num", bins = 5)
+    val eh = intercept[Exception] {
+      Warehouse.histogramSnapshot(spark, root, "num", bins = 5)
+    }
+    assert(eh.getMessage.contains("deletion vectors"), eh.getMessage)
     val bad = intercept[IllegalArgumentException] {
       Warehouse.analyzeSnapshot(spark, root, Seq("nope"), k = 16)
     }
