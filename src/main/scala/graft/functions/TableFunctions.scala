@@ -199,6 +199,26 @@ object TableFunctions {
           s"graft_snapshot_branch(path, branch) takes 2 arguments, got ${es.size}")
         plan(Warehouse.readSnapshotBranch(SparkSession.active,
           strLit(es.head, "path"), strLit(es(1), "branch")))
+      }),
+    ("graft_ndv", info("graft_ndv",
+      "graft_ndv(path, column[, version]) - distinct-count estimate from the ANALYZE " +
+        "synopses (X231): zero data I/O at full coverage, uncovered files scan on the fly"),
+      (es: Seq[Expression]) => {
+        require(es.size == 2 || es.size == 3,
+          s"graft_ndv(path, column[, version]) takes 2 or 3 arguments, got ${es.size}")
+        val v = if (es.size > 2) Some(longLit(es(2), "version")) else None
+        plan(Warehouse.ndvSnapshot(SparkSession.active, strLit(es.head, "path"),
+          Seq(strLit(es(1), "column")), version = v))
+      }),
+    ("graft_histogram", info("graft_histogram",
+      "graft_histogram(path, column[, bins]) - exact value distribution from the histogram " +
+        "synopses (X234): merged per-file bin counts under the pinned edges"),
+      (es: Seq[Expression]) => {
+        require(es.size == 2 || es.size == 3,
+          s"graft_histogram(path, column[, bins]) takes 2 or 3 arguments, got ${es.size}")
+        val b = if (es.size > 2) longLit(es(2), "bins").toInt else 20
+        plan(Warehouse.histogramSnapshot(SparkSession.active,
+          strLit(es.head, "path"), strLit(es(1), "column"), bins = b))
       }))
 
   /** Register everything on a live session (idempotent) — the

@@ -399,4 +399,33 @@ class PlanRegressionSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2500))
     assert(p.contains("ntile(3)"), p.take(2500))
   }
+
+  test("priority sample: distributed top-k (TakeOrdered), no global sort, 1-row τ broadcast") {
+    // the only full-data pass is the priority scan; the top-(k+1) is a
+    // TakeOrderedAndProject (per-partition heaps + driver merge, never
+    // a range-partitioned global sort), and τ joins back as a 1-row
+    // broadcast nested loop — no shuffle of the kept rows
+    val keptPlan = {
+      spark.conf.set(graft.ops.Mat.ConfKey, "0")
+      try {
+        val d = graft.Tables.documents(spark, dir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("text")).as("w"))
+        ext.Sketches.prioritySample(d, "doc_id", "w", k = 100)
+          .queryExecution.executedPlan.toString
+      } finally spark.conf.unset(graft.ops.Mat.ConfKey)
+    }
+    assert(keptPlan.contains("TakeOrderedAndProject"), keptPlan.take(2500))
+    assert(!keptPlan.contains("Exchange rangepartitioning"), keptPlan.take(2500))
+    assert(keptPlan.contains("BroadcastNestedLoopJoin"), keptPlan.take(2500))
+  }
+
+  test("autocorr: ONE window pass materializes all lags (single asset-grain sort)") {
+    val p = plan("q_autocorr")
+    // one window shuffle (asset) + one aggregate shuffle; the stack
+    // melt is a projection, not per-lag window sorts
+    assert(exchanges(p) <= 2, p.take(2500))
+    assert("WindowExec|Window".r.findAllIn(p).size >= 1)
+  }
 }

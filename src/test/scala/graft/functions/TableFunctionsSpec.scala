@@ -216,6 +216,20 @@ class TableFunctionsSpec extends SparkSpec {
     assert(d("schema").contains("grp"))
   }
 
+  test("graft_ndv and graft_histogram answer from the ANALYZE synopses via SQL") {
+    val root = tmpRoot("graft_tvf12")
+    base(root)
+    Warehouse.analyzeSnapshot(spark, root, Seq("grp"), k = 16)
+    Warehouse.analyzeHistogram(spark, root, "id", bins = 10)
+    val ndv = spark.sql(s"SELECT * FROM graft_ndv('$root', 'grp')").head()
+    assert(ndv.getString(0) === "grp" && ndv.getDouble(1) === 5.0,
+      "5 distinct groups, exact below k")
+    val h = spark.sql(s"SELECT * FROM graft_histogram('$root', 'id', 10)")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h.values.sum === 100L && h.size === 10 && h.forall(_._2 === 10L),
+      s"100 uniform ids over 10 bins: $h")
+  }
+
   test("non-literal and wrong-arity arguments are refused with named errors") {
     val root = tmpRoot("graft_tvf6")
     base(root)

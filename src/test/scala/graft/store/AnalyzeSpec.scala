@@ -70,6 +70,11 @@ class AnalyzeSpec extends SparkSpec {
     val k8 = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 8)
       .head().getDouble(1)
     assert(k8 === kmvOf(full, "num", 8))
+    // time travel: v1's estimate answers from the same per-file rows
+    // and equals kmv over the OLD content — synopses key on files
+    val old = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 32, version = Some(v1))
+      .head().getDouble(1)
+    assert(old === kmvOf(a, "num", 32))
     // describe surfaces the coverage per column
     val desc = Warehouse.describeSnapshot(spark, root)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
