@@ -476,8 +476,8 @@ object Indicators {
     * between the lagging EMA (X82) and the full seasonal decomposition
     * (X217). `fc_err` = close − previous row's forecast is the
     * walk-forward residual every smoothing-parameter sweep scores
-    * (NULL on each asset's first two rows: no forecast existed before
-    * the seed, and the seed row's own forecast is the flat start).
+    * (NULL on each asset's first row: no forecast existed before the
+    * seed; from row 2 on it scores the previous forecast).
     * One window pass, one shuffle on asset; the recursion is serial
     * per series (inherent — any engine pays it), parallel across
     * assets. Rounded to 6 dp for engine portability; the oracle
