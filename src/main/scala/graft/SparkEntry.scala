@@ -962,6 +962,15 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.pqTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
     }),
+    "q_ann_pq_md5" -> ((s, dir) => { // X235 FULL oracle: md5 ±1
+      // codebooks + mod-nlist cells make encode, PQ-decode, the ADC
+      // sweep (one dot with the decoded vector), shortlist and rerank
+      // all engine-recomposable — the PQ family's portable pin (the
+      // fitted-codebook production path stays q_ann_pq)
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopKPortable(e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") >= 10), k = 10)
+    }),
     "q_vector_norm" -> ((s, dir) => Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.l2norm(col("embedding")).as("norm"))),
 
@@ -2367,6 +2376,54 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |                      c1.cluster) AS rn
         |    FROM v, c1) t WHERE rn = 1)
         |SELECT vec_id, cluster FROM a2""".stripMargin,
+    // X235 portable PQ: md5 ±1 codebooks (constant-norm -> argmax-dot
+    // encode, sort key 0-dot so zero signs can't diverge), ADC as one
+    // sequential dot with the PQ-decoded vector, shortlist + exact
+    // rerank — sims AND adc land unrounded
+    "q_ann_pq_md5" ->
+      """WITH cw AS (
+        |  SELECT j.j, cs.c,
+        |         list(CASE WHEN ('0x' || substr(md5('pq:' || j.j || ':' || cs.c || ':' || sub.i), 1, 1))::INT % 2 = 0
+        |                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY sub.i) AS w
+        |  FROM (SELECT unnest(range(8)) AS j) j,
+        |       (SELECT unnest(range(16)) AS c) cs,
+        |       (SELECT unnest(range(8)) AS i) sub
+        |  GROUP BY j.j, cs.c
+        |), n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |  FROM embeddings
+        |), enc AS (
+        |  SELECT vec_id, j, w FROM (
+        |    SELECT n.vec_id, cw.j, cw.w,
+        |           row_number() OVER (PARTITION BY n.vec_id, cw.j
+        |             ORDER BY (CAST(0 AS DOUBLE)
+        |               - list_dot_product(list_transform(range(8), x -> n.v[cw.j*8 + x + 1]), cw.w)),
+        |               cw.c) AS rn
+        |    FROM n, cw) t WHERE rn = 1
+        |), dec AS (
+        |  SELECT vec_id, flatten(list(w ORDER BY j)) AS dec FROM enc GROUP BY vec_id
+        |), cand AS (
+        |  SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
+        |         c.vec_id AS neighbor_id, c.v AS cv, c.nm AS cn,
+        |         list_dot_product(q.v, d.dec) AS adc
+        |  FROM n q, (SELECT unnest(range(4)) AS i) pi,
+        |       n c JOIN dec d ON d.vec_id = c.vec_id
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |    AND (c.vec_id % 16) = ((q.vec_id + pi.i) % 16)
+        |), short AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc DESC, neighbor_id) AS srn
+        |  FROM cand
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, adc,
+        |         list_dot_product(qv, cv) / (qn * cn) AS sim
+        |  FROM short WHERE srn <= 50
+        |), final AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM ranked)
+        |SELECT query_id, rank, neighbor_id, sim, adc FROM final WHERE rank <= 10""".stripMargin,
     // X230 portable LSH: planes rebuilt from md5 parity (±1 entries),
     // signature = sign of the same sequential float64 dot product
     // (q_topk_cosine bit-exactness), bucket = Σ bit·2^p, multiprobe =

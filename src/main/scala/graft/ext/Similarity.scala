@@ -268,6 +268,84 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** md5-derived ±1 PQ codebooks: codeword (j, c) of subspace j has
+    * component i = parity of the first hex digit of md5("pq:j:c:i") —
+    * the [[md5SignPlanes]] rule on the PQ family. ±1 codewords have
+    * CONSTANT norm (‖c‖² = subDim), so nearest-codeword assignment
+    * reduces to an argmax of one dot product — the whole encode
+    * decision is a pinned-order float comparison any engine replays.
+    */
+  private[ext] def md5PqCodebooks(m: Int, codes: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, codes, subDim) { (j, c, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pq:$j:$c:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+
+  /** [[pqTopK]]'s ENGINE-PORTABLE oracle twin (X235 — with this, every
+    * approximate family's decision path has a cross-engine pin; the
+    * only arithmetic left unverified by oracle anywhere is libm
+    * deflate): the production IVF-PQ fits per-subspace codebooks by
+    * k-means (rows-only), but with [[md5PqCodebooks]] ±1 codewords and
+    * the X220 fixed mod-nlist cells, EVERY stage recomposes in SQL:
+    *
+    *  - encode: per subspace, the codeword maximizing one sequential
+    *    dot (constant ‖c‖² makes argmax-dot ≡ nearest; ties on the
+    *    code index; the sort key is `0.0 − dot`, which maps −0.0 to
+    *    +0.0 so the two zero encodings can't order differently across
+    *    engines);
+    *  - ADC: the asymmetric distance sum Σⱼ qⱼ·c_{code_j} IS the dot
+    *    of the query with the PQ-DECODED vector (concatenated chosen
+    *    codewords) — evaluated as ONE sequential 64-dim dot, so the
+    *    m-term sum has a pinned order instead of an aggregate's
+    *    arbitrary one;
+    *  - shortlist by (ADC desc, id), exact-cosine rerank of the
+    *    shortlist, top-k — the production plan shape exactly.
+    *
+    * Output carries both the exact sim and the ADC score, pinning the
+    * sweep arithmetic directly, not just through the shortlist cut.
+    */
+  def pqTopKPortable(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                     nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                     codes: Int = 16, dim: Int = 64,
+                     shortlist: Int = 50): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val cb = md5PqCodebooks(m, codes, subDim)
+    // PQ-decode in the encode pass: chosen codeword rides inside the
+    // argmin struct, so the decoded vector assembles with zero joins
+    def decoded(v: Column): Column = concat((0 until m).map { j =>
+      val sub = slice(v, j * subDim + 1, subDim)
+      val packs = array((0 until codes).map { c =>
+        struct((lit(0.0) - dot(sub, typedLit(cb(j)(c).toSeq))).as("ns"),
+          lit(c).as("c"), typedLit(cb(j)(c).toSeq).as("cw"))
+      }: _*)
+      element_at(array_sort(packs), 1).getField("cw")
+    }: _*)
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("cv"),
+      pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"))
+      .withColumn("dec", decoded(col("cv")))
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"),
+        l2norm(col("embedding")).as("qn"),
+        explode(sequence(lit(0), lit(nprobe - 1))).as("i"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        pmod(col("query_id") + col("i"), lit(nlist)).cast("int").as("cell"))
+    val wS = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    val short = broadcast(probes).join(c, Seq("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("neighbor_id"), col("cv"),
+        dot(col("qv"), col("dec")).as("adc"))
+      .withColumn("__srn", row_number().over(wS))
+      .filter(col("__srn") <= shortlist)
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    short.select(col("query_id"), col("neighbor_id"), col("adc"),
+        (dot(col("qv"), col("cv")) / (col("qn") * l2norm(col("cv")))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim", "adc")
+  }
+
   /** All near-duplicate embedding pairs with cosine ≥ threshold
     * (a < b), EXACT, via a blocked self-join.
     *

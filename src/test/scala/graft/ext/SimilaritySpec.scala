@@ -142,6 +142,33 @@ class SimilaritySpec extends SparkSpec {
     assert(g2.forall(_.getLong(1) === 0L))
   }
 
+  test("pqTopKPortable: ±1 codebooks, ADC = dot with the decoded vector, exact rerank (X235)") {
+    val cb = Similarity.md5PqCodebooks(m = 2, codes = 4, subDim = 3)
+    assert(cb.flatten.flatten.forall(x => x == 1.0 || x == -1.0))
+    val d0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("pq:1:2:0".getBytes("UTF-8"))
+    val expect = if ((Character.digit(f"${d0(0) & 0xff}%02x".charAt(0), 16) & 1) == 0) 1.0 else -1.0
+    assert(cb(1)(2)(0) === expect)
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val out = Similarity.pqTopKPortable(q, c, k = 10).collect()
+    // recall vs brute force (the same bar the production pqTopK holds)
+    val exact = Similarity.bruteForceTopK(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & out.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall — mod-cells + ±1 ADC must still find neighbors")
+    // the rerank sims are the exact cosines
+    val exactSims = Similarity.bruteForceTopK(q, c, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach(r => assert(r.getDouble(3) === exactSims((r.getLong(0), r.getLong(2)))))
+    // ADC is a dot with a ±1 vector: |adc| <= L1 norm of the query;
+    // and deterministic across runs
+    val again = Similarity.pqTopKPortable(q, c, k = 10).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSeq)
+  }
+
   test("pcaPowerTop: recovers a planted dominant direction, unit norm, deterministic (X233)") {
     // planted spike: points = t·u + small fixed-pattern noise. Power
     // iteration on the centered Gramian must align with u.
