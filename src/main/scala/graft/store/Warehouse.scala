@@ -2832,10 +2832,11 @@ object Warehouse {
         rows += (("bloom_index",
           s"${s.column} (${s.bits} bits, ${s.files.size}/${entries.size} files covered)"))
       }
-      // X231: ANALYZE coverage per column (physical name), from the
-      // _synopses side table — "how stale is my zero-scan NDV".
-      // Synopsis rows key on NORMALIZED entries (v=N/name), so the
-      // raw manifest entries normalize before the join.
+      // X231/X234: ANALYZE coverage per column (physical name), from
+      // the _synopses/_histograms side tables — "how stale is my
+      // zero-scan NDV / histogram". Synopsis rows key on NORMALIZED
+      // entries (v=N/name), so the raw manifest entries normalize
+      // before the join.
       if (snapshots(spark, synopsesPath(path)).nonEmpty) {
         readSnapshot(spark, synopsesPath(path))
           .join(broadcast(normEntries(m, v).toDF("file")), Seq("file"), "left_semi")
@@ -2846,6 +2847,18 @@ object Warehouse {
           .foreach { r =>
             rows += ((s"synopsis.${r.getString(0)}",
               s"k=${r.getInt(1)}: ${r.getLong(2)}/${entries.size} files covered"))
+          }
+      }
+      if (snapshots(spark, histogramsPath(path)).nonEmpty) {
+        readSnapshot(spark, histogramsPath(path))
+          .join(broadcast(normEntries(m, v).toDF("file")), Seq("file"), "left_semi")
+          .select("file", "column", "bins").distinct()
+          .groupBy("column", "bins").agg(countDistinct("file").as("n"))
+          .collect()
+          .sortBy(r => (r.getString(0), r.getInt(1)))
+          .foreach { r =>
+            rows += ((s"histogram.${r.getString(0)}",
+              s"bins=${r.getInt(1)}: ${r.getLong(2)}/${entries.size} files covered"))
           }
       }
       Option(m.get("readerFeatures")).foreach { rf =>
@@ -4874,6 +4887,39 @@ object Warehouse {
     live.fold(recorded)(recorded.unionByName(_))
       .groupBy("bin").agg(sum("n").as("n"))
       .select(col("bin"), lit(lo).as("lo"), lit(hi).as("hi"), col("n"))
+  }
+
+  /** Maintenance for the ANALYZE side tables (X231/X234): rows for
+    * files no longer live in the MAIN table's current snapshot are
+    * inert (every read semi-joins the live entry list) but accumulate
+    * forever under churn — compaction/OPTIMIZE replaces files, whose
+    * old synopses then never match again. One full rewrite of each
+    * side table keeps only live-file rows; side tables are
+    * (files × k)-row small by construction, so this is the cheap tick
+    * of the maintenance loop (run it after compactSnapshot/OPTIMIZE;
+    * then re-[[analyzeSnapshot]]/[[analyzeHistogram]] to cover the
+    * replacement files). Returns (synopsis rows dropped, histogram
+    * rows dropped).
+    */
+  def compactAnalyzeSidecars(spark: SparkSession, path: String): (Long, Long) = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = mainWriteBase(spark, path)
+    require(v >= 1, s"compactAnalyzeSidecars($path): no committed snapshot")
+    val m = readManifest(fs, path, v).getOrElse(sys.error(
+      s"compactAnalyzeSidecars($path): v=$v has no readable manifest"))
+    val live = broadcast(normEntries(m, v).toDF("file"))
+    def sweep(side: String): Long = {
+      if (snapshots(spark, side).isEmpty) return 0L
+      val all = readSnapshot(spark, side)
+      val kept = all.join(live, Seq("file"), "left_semi")
+        .localCheckpoint(true) // the rewrite below replaces its own input
+      val dropped = all.count() - kept.count()
+      if (dropped > 0) writeSnapshot(kept, side)
+      dropped
+    }
+    (sweep(synopsesPath(path)), sweep(histogramsPath(path)))
   }
 
   /** FILE-GRAIN BLOOM INDEX (X193) — the Delta bloom-filter-index

@@ -152,6 +152,31 @@ class AnalyzeSpec extends SparkSpec {
     assert(e.getMessage.contains("analyzeHistogram"), e.getMessage)
   }
 
+  test("compactAnalyzeSidecars drops dead-file rows; answers unchanged; describe shows both") {
+    val root = freshRoot("ndv_sweep")
+    val df = table(200, 29)
+    Warehouse.writeSnapshot(df.repartition(2), root)
+    Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 16)
+    Warehouse.analyzeHistogram(spark, root, "num", bins = 5)
+    val before = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 16).head().getDouble(1)
+    // compaction replaces every file: the old synopses go inert
+    Warehouse.compactSnapshot(spark, root)
+    val (sDropped, hDropped) = Warehouse.compactAnalyzeSidecars(spark, root)
+    assert(sDropped > 0 && hDropped > 0, s"stale rows swept: $sDropped/$hDropped")
+    // content identical -> re-analyze + same estimate, same histogram family edges
+    Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 16)
+    Warehouse.analyzeHistogram(spark, root, "num", bins = 5)
+    assert(Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 16).head().getDouble(1) === before)
+    // a second sweep finds nothing
+    assert(Warehouse.compactAnalyzeSidecars(spark, root) === ((0L, 0L)))
+    val desc = Warehouse.describeSnapshot(spark, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val nFiles = desc("n_files").toInt
+    assert(desc("synopsis.num") === s"k=16: $nFiles/$nFiles files covered", desc("synopsis.num"))
+    assert(desc("histogram.num") === s"bins=5: $nFiles/$nFiles files covered",
+      desc.get("histogram.num").toString)
+  }
+
   test("deletion vectors refuse loudly; unknown column refuses; both name the remedy") {
     val root = freshRoot("ndv_dv")
     Warehouse.writeSnapshot(table(100, 11), root)
