@@ -4666,10 +4666,27 @@ object Warehouse {
       .select("file", "column").distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     val physSchema = physicalize(schema, cmap)
+    import spark.implicits._
     val fresh = physCols.flatMap { pc =>
       val need = entries.filterNot(f => covered((f, pc)))
       if (need.isEmpty) None
-      else Some(synopsisRows(spark, path, q, physSchema, pc, need, k))
+      else {
+        val real = synopsisRows(spark, path, q, physSchema, pc, need, k)
+          .localCheckpoint(true) // read once for rows AND the sentinel diff
+        // a file whose column is all-NULL yields no value rows — mark
+        // it covered with a (u, v) = NULL sentinel or every later
+        // analyze/ndv re-scans it forever; readers filter v IS NOT
+        // NULL before estimating
+        val present = real.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val empties = need.filterNot(present)
+        val sent =
+          if (empties.isEmpty) None
+          else Some(empties.toDF("file")
+            .select(col("file"), lit(pc).as("column"), lit(k).as("k"),
+              lit(null).cast("double").as("u"), lit(null).cast("string").as("v")))
+        Some(sent.fold(real)(real.unionByName(_)))
+      }
     }
     if (fresh.isEmpty) return None
     val rows = fresh.reduce(_ unionByName _)
@@ -4702,8 +4719,9 @@ object Warehouse {
     // synopses key on immutable FILES, so any version's entry list
     // merges the same way — time travel is free (files only ever
     // carried by reference; an old version's files are covered iff
-    // they were live when analyzed)
-    val v = version.getOrElse(mainWriteBase(spark, path))
+    // they were live when analyzed). Reader-side version resolution
+    // (resolveVersion), like readSnapshot/describeSnapshot.
+    val v = resolveVersion(spark, path, version)
     require(v >= 1, s"ndvSnapshot($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"ndvSnapshot($path): v=$v has no readable manifest"))
@@ -4720,6 +4738,7 @@ object Warehouse {
     val physCols = columns.map(physicalName(cmap, _))
     val entries = normEntries(m, v)
     val q = qualifiedRoot(fs, path)
+    import spark.implicits._
     val recorded = liveSynopses(spark, path, physCols, entries, k)
       .select("file", "column", "u", "v")
     val coveredPairs = recorded.select("file", "column").distinct()
@@ -4731,7 +4750,10 @@ object Warehouse {
       else Some(synopsisRows(spark, path, q, physSchema, pc, need, k)
         .select("file", "column", "u", "v"))
     }
+    // all-NULL coverage sentinels (u, v both NULL) count as covered
+    // above but carry no values — drop them before estimating
     val all = (recorded +: live).reduce(_ unionByName _)
+      .where(col("v").isNotNull)
     // merge: dedupe by value (u is a function of v), table-wide
     // bottom-k per column, then the X223 estimator verbatim
     val w = org.apache.spark.sql.expressions.Window
@@ -4739,14 +4761,19 @@ object Warehouse {
     val toLogical = logicalOf.foldLeft(col("column")) { case (acc, (p, l)) =>
       when(col("column") === p, lit(l)).otherwise(acc)
     }
-    all.groupBy("column", "v").agg(min(col("u")).as("u"))
+    val est = all.groupBy("column", "v").agg(min(col("u")).as("u"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy("column")
       .agg(count(lit(1)).as("__n"), max(col("u")).as("__uk"))
-      .select(toLogical.as("column"),
+      .select(col("column"),
         when(col("__n") < k, col("__n").cast("double"))
-          .otherwise(lit((k - 1).toDouble) / col("__uk")).as("distinct_est"))
+          .otherwise(lit((k - 1).toDouble) / col("__uk")).as("__est"))
+    // an all-NULL column has zero value rows anywhere — report 0.0,
+    // not a silently missing output row
+    physCols.toDF("column").join(est, Seq("column"), "left")
+      .select(toLogical.as("column"),
+        coalesce(col("__est"), lit(0.0)).as("distinct_est"))
   }
 
   /** Side-table path for [[analyzeHistogram]]'s per-file bin counts. */
@@ -4828,8 +4855,21 @@ object Warehouse {
     }
     val need = entries.filterNot(covered)
     if (need.isEmpty) return None
-    val rows = histogramRows(spark, path, q,
+    import spark.implicits._
+    val real = histogramRows(spark, path, q,
       physicalize(schema, cmap), pc, need, lo, hi, bins)
+      .localCheckpoint(true) // read once for rows AND the sentinel diff
+    // all-NULL files yield no bin rows — sentinel-cover them (bin, n
+    // NULL) so they never re-scan; readers filter bin IS NOT NULL
+    val present = real.select("file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val empties = need.filterNot(present)
+    val rows =
+      if (empties.isEmpty) real
+      else real.unionByName(empties.toDF("file")
+        .select(col("file"), lit(pc).as("column"), lit(lo).as("lo"),
+          lit(hi).as("hi"), lit(bins).as("bins"),
+          lit(null).cast("long").as("bin"), lit(null).cast("long").as("n")))
     Some(snapshots(spark, side).lastOption match {
       case None => writeSnapshot(rows, side)
       case Some(cur) => appendSnapshot(rows, side, cur)
@@ -4849,7 +4889,7 @@ object Warehouse {
                         bins: Int = 20, version: Option[Long] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = version.getOrElse(mainWriteBase(spark, path))
+    val v = resolveVersion(spark, path, version)
     require(v >= 1, s"histogramSnapshot($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"histogramSnapshot($path): v=$v has no readable manifest"))
@@ -4885,6 +4925,7 @@ object Warehouse {
       else Some(histogramRows(spark, path, q, physicalize(schema, cmap),
         pc, need, lo, hi, bins).select("file", "bin", "n"))
     live.fold(recorded)(recorded.unionByName(_))
+      .where(col("bin").isNotNull) // all-NULL coverage sentinels carry no counts
       .groupBy("bin").agg(sum("n").as("n"))
       .select(col("bin"), lit(lo).as("lo"), lit(hi).as("hi"), col("n"))
   }

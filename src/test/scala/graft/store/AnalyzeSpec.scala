@@ -152,6 +152,32 @@ class AnalyzeSpec extends SparkSpec {
     assert(e.getMessage.contains("analyzeHistogram"), e.getMessage)
   }
 
+  test("all-NULL files are sentinel-covered: analyzed once, never re-scanned, 0.0 for empty columns") {
+    val root = freshRoot("ndv_null")
+    // range-partitioned so one file holds ONLY null nums
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i <= 100) None else Some((i % 13).toLong))).toDF("id", "num")
+    df.repartitionByRange(2, $"id").write.parquet(s"$root-stage")
+    val staged = spark.read.parquet(s"$root-stage")
+    Warehouse.writeSnapshot(staged, root)
+    assert(Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 16).nonEmpty)
+    // full coverage claimed even though one file contributed no values
+    assert(Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 16).isEmpty,
+      "the all-NULL file must be sentinel-covered, not re-analyzed forever")
+    val est = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 16).head().getDouble(1)
+    assert(est === 13.0, s"13 distinct non-null values: $est")
+    // zero data reads with the sentinel in place
+    corruptDataFiles(root)
+    assert(Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 16).head().getDouble(1) === est)
+    // an entirely-NULL column reports 0.0, not a missing row
+    val root2 = freshRoot("ndv_allnull")
+    val df2 = (1 to 50).map(i => (i.toLong, None: Option[Long])).toDF("id", "num")
+    Warehouse.writeSnapshot(df2, root2)
+    Warehouse.analyzeSnapshot(spark, root2, Seq("num"), k = 16)
+    val z = Warehouse.ndvSnapshot(spark, root2, Seq("num"), k = 16).collect()
+    assert(z.length === 1 && z.head.getDouble(1) === 0.0)
+  }
+
   test("compactAnalyzeSidecars drops dead-file rows; answers unchanged; describe shows both") {
     val root = freshRoot("ndv_sweep")
     val df = table(200, 29)
