@@ -153,6 +153,70 @@ object Graphs {
     * on each incident edge, so the dangling branch (an anti-join +
     * scalar aggregate per iteration) is skipped entirely.
     */
+  /** PERSONALIZED PageRank (X236) — the recommendation/similarity
+    * primitive over the same edge-grain machinery as [[pageRank]]:
+    * the walk teleports to the SEED set instead of uniformly, so the
+    * stationary mass measures proximity TO THE SEEDS ("items
+    * co-bought with these", "accounts near this cluster"). Rule per
+    * iteration: rank = [node ∈ S]·(1−d)/|S| + d·in_sum (undirected
+    * input has no dangling branch, the [[pageRank]] argument); ranks
+    * start 1/|S| on seeds, 0 elsewhere. |S| counts the seeds that
+    * EXIST as graph nodes (one bounded driver count); an empty
+    * intersection refuses loudly. Seeds ride a broadcast join onto
+    * the node frame (bounded-by-design — a seed set is a query, not
+    * a corpus). Same lineage-truncation checkpoints, same
+    * iteration-sized plans, same 9-dp oracle contract as X219.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 3, damping: Double = 0.85,
+                           undirected: Boolean = true): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dir0 =
+      if (undirected)
+        edges.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      else edges.select(col("a").as("src"), col("b").as("dst"))
+    val outdeg = dir0.groupBy(col("src").as("odn")).agg(count(lit(1)).as("outdeg"))
+    val dirEdges = dir0.join(outdeg, col("src") === col("odn")).drop("odn")
+      .localCheckpoint(true)
+    val seedSet = broadcast(
+      seeds.select(seeds.columns.head).toDF("__seed").distinct())
+    val nodes = dirEdges.select(col("src").as("node"))
+      .unionAll(dirEdges.select(col("dst").as("node")))
+      .distinct()
+      .join(seedSet, col("node") === col("__seed"), "left")
+      .select(col("node"), col("__seed").isNotNull.as("is_seed"))
+      .localCheckpoint(true)
+    val nS = nodes.filter(col("is_seed")).count().toDouble
+    require(nS > 0,
+      "personalizedPageRank: no seed is a node of the graph — nothing to walk toward")
+    val teleport = (1.0 - damping) / nS
+    var ranks = nodes.select(col("node"), col("is_seed"),
+        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val inSums = ranks.join(dirEdges, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      val base = nodes.join(inSums, col("node") === col("dst"), "left")
+      val withDangling =
+        if (undirected) base.withColumn("__dm", lit(0.0))
+        else {
+          val dangling = ranks
+            .join(dirEdges.select(col("src")).distinct(), col("node") === col("src"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+          base.crossJoin(dangling).withColumnRenamed("dm", "__dm")
+        }
+      ranks = withDangling.select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(teleport)).otherwise(lit(0.0)) +
+            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+              when(col("is_seed"), col("__dm") / lit(nS)).otherwise(lit(0.0))))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85,
                undirected: Boolean = true, weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")

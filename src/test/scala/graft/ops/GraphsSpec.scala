@@ -166,6 +166,37 @@ class GraphsSpec extends SparkSpec {
       s"round 1 holds the min within distance 1, got $l1")
   }
 
+  test("personalized pagerank: seeds-are-everyone equals plain pagerank; mass stays near seeds (X236)") {
+    import org.apache.spark.sql.functions.col
+    // a path 1-2-3-4-5 plus a far pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("a", "b")
+    val allNodes = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n"))).distinct()
+    // degenerate personalization (S = V) IS standard PageRank — the
+    // teleport, init and update collapse to the uniform rule term for
+    // term, so the ranks must match BIT-exactly
+    val ppr = Graphs.personalizedPageRank(edges, allNodes, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = Graphs.pageRank(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr === pr, "S = V must reduce to the uniform walk exactly")
+    // seeded at node 1: the seed's component holds all the mass, and
+    // rank decays with distance from the seed; the 10-11 island gets 0
+    val seeded = Graphs.personalizedPageRank(edges,
+        Seq(1L).toDF("n"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(seeded(10L) === 0.0 && seeded(11L) === 0.0, "unreachable island gets nothing")
+    assert(seeded(1L) > seeded(3L) && seeded(2L) > seeded(4L),
+      s"mass decays away from the seed: $seeded")
+    assert(math.abs(seeded.values.sum - 1.0) < 0.3,
+      "teleport + forwarded mass stays near 1 on a mostly-dangling-free graph")
+    // a seed absent from the graph refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(edges, Seq(99L).toDF("n"), iterations = 1)
+    }
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("bounded-distinct aggregate: cap is distinct-count, duplicates don't overflow") {
     // group 1: 3 distinct items seen through 6 duplicate rows — kept at
     // cap 3; group 2: 4 distinct — dropped (NULL → no edges)
