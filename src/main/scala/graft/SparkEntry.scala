@@ -717,8 +717,12 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .filter(col("l_orderkey") % 10 === 0)
         .select("l_orderkey", "l_partkey")
+      // the edge build feeds TWO independent plans (the seed rule and
+      // the walk) — materialize it once; without this the seed subtree
+      // recomputes the whole pair build per consuming job (measured
+      // r13: 4.6 s vs 1.9 s at sf0.1)
       val edges = ops.Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
-        maxGroupSize = 10)
+        maxGroupSize = 10).localCheckpoint(true)
       val seeds = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node")))
         .distinct().orderBy("node").limit(3)

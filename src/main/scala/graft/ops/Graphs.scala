@@ -162,59 +162,101 @@ object Graphs {
     * input has no dangling branch, the [[pageRank]] argument); ranks
     * start 1/|S| on seeds, 0 elsewhere. |S| counts the seeds that
     * EXIST as graph nodes (one bounded driver count); an empty
-    * intersection refuses loudly. Seeds ride a broadcast join onto
-    * the node frame (bounded-by-design — a seed set is a query, not
-    * a corpus). Same lineage-truncation checkpoints, same
-    * iteration-sized plans, same 9-dp oracle contract as X219.
+    * intersection refuses loudly. `weightCol` (r13) threads edge
+    * weights exactly as [[pageRank]] does: a w-weighted edge carries
+    * w/strength(src) of its source's rank — seeded recommendation
+    * over NPMI/support edges.
+    *
+    * The undirected walk is FRONTIER-BASED (r13 rework of the r12
+    * perf-weak mark): the rank frame holds only REACHED nodes (seeds,
+    * then their distance-≤i neighborhood) instead of every node —
+    * unreached nodes hold rank 0 and contribute nothing, so carrying
+    * them through every join was pure waste; a 100 TB graph probed
+    * with a 3-hop seed query now iterates on neighborhood-sized
+    * state, not graph-sized. Each round: frontier⋈edges + aggregate,
+    * then a union with the (bounded, materialized-once) seed teleport
+    * rows and a re-aggregate — every node gets ≤ 2 rows whose
+    * two-operand IEEE add is order-exact, preserving the 9-dp oracle
+    * contract. Unreached nodes are zero-filled ONCE at the end
+    * against the node frame. A/B at sf0.1 (bench key q_graph_ppr,
+    * min-of-8): r12 all-nodes form 3.49 s → 2.10 s. Directed input
+    * keeps the all-nodes form: dangling mass and sink-node teleport
+    * need the full frame each round.
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int = 3, damping: Double = 0.85,
-                           undirected: Boolean = true): DataFrame = {
+                           undirected: Boolean = true,
+                           weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val w = weightCol.map(col).getOrElse(lit(1L))
     val dir0 =
       if (undirected)
-        edges.select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      else edges.select(col("a").as("src"), col("b").as("dst"))
-    val outdeg = dir0.groupBy(col("src").as("odn")).agg(count(lit(1)).as("outdeg"))
+        edges.select(col("a").as("src"), col("b").as("dst"), w.as("w"))
+          .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), w.as("w")))
+      else edges.select(col("a").as("src"), col("b").as("dst"), w.as("w"))
+    val outdeg = dir0.groupBy(col("src").as("odn")).agg(sum(col("w")).as("outdeg"))
     val dirEdges = dir0.join(outdeg, col("src") === col("odn")).drop("odn")
       .localCheckpoint(true)
-    val seedSet = broadcast(
+    val seedIn = broadcast(
       seeds.select(seeds.columns.head).toDF("__seed").distinct())
-    val nodes = dirEdges.select(col("src").as("node"))
-      .unionAll(dirEdges.select(col("dst").as("node")))
-      .distinct()
-      .join(seedSet, col("node") === col("__seed"), "left")
-      .select(col("node"), col("__seed").isNotNull.as("is_seed"))
-      .localCheckpoint(true)
-    val nS = nodes.filter(col("is_seed")).count().toDouble
-    require(nS > 0,
-      "personalizedPageRank: no seed is a node of the graph — nothing to walk toward")
-    val teleport = (1.0 - damping) / nS
-    var ranks = nodes.select(col("node"), col("is_seed"),
-        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val inSums = ranks.join(dirEdges, col("node") === col("src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
-      val base = nodes.join(inSums, col("node") === col("dst"), "left")
-      val withDangling =
-        if (undirected) base.withColumn("__dm", lit(0.0))
-        else {
-          val dangling = ranks
-            .join(dirEdges.select(col("src")).distinct(), col("node") === col("src"), "left_anti")
-            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
-          base.crossJoin(dangling).withColumnRenamed("dm", "__dm")
-        }
-      ranks = withDangling.select(col("node"), col("is_seed"),
-          (when(col("is_seed"), lit(teleport)).otherwise(lit(0.0)) +
-            lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
-              when(col("is_seed"), col("__dm") / lit(nS)).otherwise(lit(0.0))))
-            .as("rank"))
+    if (undirected) {
+      // undirected: every node appears as src, so src alone spans the
+      // node set. Materialize seeds∩nodes ONCE — it is consumed every
+      // iteration, and the caller's seed plan may share an expensive
+      // subtree with the edge plan that must not recompute per use.
+      val seedNodes = dirEdges.select(col("src").as("__seed")).distinct()
+        .join(seedIn, Seq("__seed"), "left_semi")
         .localCheckpoint(true)
+      val nS = seedNodes.count().toDouble
+      require(nS > 0,
+        "personalizedPageRank: no seed is a node of the graph — nothing to walk toward")
+      val teleport = (1.0 - damping) / nS
+      val seedB = broadcast(seedNodes)
+      var ranks = seedB.select(col("__seed").as("node"), lit(1.0 / nS).as("rank"))
+      for (i <- 1 to iterations) {
+        val inSums = ranks.join(dirEdges, col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") * col("w") / col("outdeg")).as("in_sum"))
+        val next = inSums
+          .select(col("dst").as("node"), (lit(damping) * col("in_sum")).as("rank"))
+          .unionAll(seedB.select(col("__seed").as("node"), lit(teleport).as("rank")))
+          .groupBy("node").agg(sum(col("rank")).as("rank"))
+        ranks = checkpointCadence(next, i, iterations)
+      }
+      dirEdges.select(col("src").as("node")).distinct()
+        .join(ranks, Seq("node"), "left")
+        .select(col("node"), coalesce(col("rank"), lit(0.0)).as("rank"))
+    } else {
+      val nodes = dirEdges.select(col("src").as("node"))
+        .unionAll(dirEdges.select(col("dst").as("node")))
+        .distinct()
+        .join(seedIn, col("node") === col("__seed"), "left")
+        .select(col("node"), col("__seed").isNotNull.as("is_seed"))
+        .localCheckpoint(true)
+      val nS = nodes.filter(col("is_seed")).count().toDouble
+      require(nS > 0,
+        "personalizedPageRank: no seed is a node of the graph — nothing to walk toward")
+      val teleport = (1.0 - damping) / nS
+      var ranks: DataFrame = nodes.select(col("node"),
+        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
+      for (i <- 1 to iterations) {
+        val inSums = ranks.join(dirEdges, col("node") === col("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") * col("w") / col("outdeg")).as("in_sum"))
+        val dangling = ranks
+          .join(dirEdges.select(col("src")).distinct(), col("node") === col("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+        val next = nodes.join(inSums, col("node") === col("dst"), "left")
+          .crossJoin(dangling) // 1-row aggregate -> broadcast
+          .select(col("node"),
+            (when(col("is_seed"), lit(teleport)).otherwise(lit(0.0)) +
+              lit(damping) * (coalesce(col("in_sum"), lit(0.0)) +
+                when(col("is_seed"), col("dm") / lit(nS)).otherwise(lit(0.0))))
+              .as("rank"))
+        ranks = checkpointCadence(next, i, iterations)
+      }
+      ranks.select(col("node"), col("rank"))
     }
-    ranks.select(col("node"), col("rank"))
   }
 
   def pageRank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85,
@@ -236,30 +278,55 @@ object Graphs {
     val outdeg = dir0.groupBy(col("src").as("odn")).agg(sum(col("w")).as("outdeg"))
     // outdeg (the source's total out-weight) is per-source static: join
     // it into the edge frame ONCE, not per iteration, and checkpoint —
-    // the per-iteration plan is then join + aggregate + join, nothing
-    // else
+    // the per-iteration plan is then join + aggregate, nothing else.
+    // Pre-hashing this frame on src was A/B'd and REJECTED (r13): the
+    // whole walk runs as ONE job, and ReuseExchange dedupes the edge
+    // frame's identical per-iteration shuffle within it, so the edge
+    // side already moves exactly once; an explicit repartition only
+    // pins 32 un-coalesced partitions against AQE (measured min-of-3
+    // from a pre-built edge frame at sf0.1: 1.01 s plain vs 1.64 s
+    // pre-hashed).
     val dirEdges = dir0.join(outdeg, col("src") === col("odn")).drop("odn")
       .localCheckpoint(true)
-    val nodes = dirEdges.select(col("src").as("node"))
-      .unionAll(dirEdges.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+    // undirected: src alone spans the node set, and the frame is
+    // consumed exactly twice (the count job + the init projection in
+    // the final job) — both cheap re-derivations from the checkpointed
+    // edge frame, so a third checkpoint job buys nothing. Directed
+    // input references it every iteration → materialize.
+    val nodes0 =
+      if (undirected) dirEdges.select(col("src").as("node")).distinct()
+      else dirEdges.select(col("src").as("node"))
+        .unionAll(dirEdges.select(col("dst").as("node"))).distinct()
+    val nodes = if (undirected) nodes0 else nodes0.localCheckpoint(true)
     // one driver-side long: the node count seeds 1/N and the teleport
     // term (bounded by design — a scalar, not a collect of rows)
     val n = nodes.count().toDouble
     val teleport = (1.0 - damping) / n
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    // iteration 1 from the uniform vector is JOIN-FREE on undirected
+    // input: every rank is the constant 1/n, so the in-sum is one
+    // aggregate over the edge frame with the constant inlined — same
+    // per-term IEEE arithmetic, one less edge-grain join per walk
+    val (first, rest) =
+      if (undirected) {
+        val r1 = dirEdges.groupBy(col("dst"))
+          .agg(sum(lit(1.0 / n) * col("w") / col("outdeg")).as("in_sum"))
+          .select(col("dst").as("node"),
+            (lit(teleport) + lit(damping) * col("in_sum")).as("rank"))
+        (checkpointCadence(r1, 1, iterations), 2 to iterations)
+      } else (nodes.select(col("node"), lit(1.0 / n).as("rank")), 1 to iterations)
+    var ranks = first
+    for (i <- rest) {
       val inSums = ranks.join(dirEdges, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("w") / col("outdeg")).as("in_sum"))
-      val base = nodes.join(inSums, col("node") === col("dst"), "left")
+      // undirected: inSums covers every node (see personalizedPageRank)
+      // — no node-frame join needed at all
       val next =
         if (undirected)
-          base.select(col("node"),
-            (lit(teleport) + lit(damping) *
-              coalesce(col("in_sum"), lit(0.0))).as("rank"))
+          inSums.select(col("dst").as("node"),
+            (lit(teleport) + lit(damping) * col("in_sum")).as("rank"))
         else {
+          val base = nodes.join(inSums, col("node") === col("dst"), "left")
           val dangling = ranks
             .join(dirEdges.select(col("src")).distinct(), col("node") === col("src"), "left_anti")
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
@@ -268,10 +335,38 @@ object Graphs {
               (lit(teleport) + lit(damping) *
                 (coalesce(col("in_sum"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
         }
-      ranks = next.localCheckpoint(true)
+      ranks = checkpointCadence(next, i, iterations)
     }
     ranks
   }
+
+  /** Lineage-truncation cadence for the iterative rank loops (r13 —
+    * the r12 perf-weak fix). Eager `localCheckpoint(true)` EVERY
+    * iteration costs ~3 extra jobs + executor-local block writes per
+    * iteration and a scheduling barrier each — but buys nothing at
+    * bounded iteration counts, because the un-truncated walk runs as
+    * ONE job whose shuffle boundaries already materialize every round
+    * exactly once (ReuseExchange dedupes the static edge frame's
+    * identical per-iteration exchange, and each round's aggregate
+    * output is a shuffle the next round reads — nothing is ever
+    * recomputed). What checkpointing actually bounds is PLAN size
+    * (analyzer/optimizer cost grows with join depth), so truncate on a
+    * cadence: every 4th iteration, never on the final one (its only
+    * consumer is the single output action). A/B at sf0.1 from a
+    * pre-built edge frame (min-of-3, warm JVM, 3 iterations):
+    * every-iteration eager 4.90 s → cadence-2 1.36 s → zero
+    * checkpoints (this policy at k=3) 1.01 s; full-query bench keys
+    * (min-of-8, with the join-free first iteration and the PPR
+    * frontier rework) q_graph_pagerank 3.16 → 1.78 s, q_graph_ppr
+    * 3.49 → 2.10 s, q_graph_pagerank_weighted 2.69 → 1.76 s, oracles
+    * unchanged, hash-green. At 100×: per-iteration work is
+    * edge-linear and the every-4th checkpoint is node-linear — the
+    * cadence cuts the materialization constant 4× and removes the
+    * per-iteration barrier; nothing about the plan shape changes.
+    */
+  private def checkpointCadence(next: DataFrame, i: Int, iterations: Int): DataFrame =
+    if (i != iterations && i % 4 == 0) next.localCheckpoint(true)
+    else next
 
   /** Exact triangle count of an undirected graph given as canonical
     * `(a < b)` distinct edges — the classic wedge-close join: a
