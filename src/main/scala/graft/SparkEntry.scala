@@ -729,6 +729,26 @@ object SparkEntry {
       ops.Graphs.personalizedPageRank(edges, seeds, iterations = 3, damping = 0.85)
         .select(col("node"), round(col("rank"), 9).as("rank"))
     }),
+    "q_graph_ppr_weighted" -> ((s, dir) => {
+      // X236+X218 (r13): seeded recommendation over SUPPORT-weighted
+      // co-occurrence edges — the walk teleports to the 3 smallest
+      // node ids and each edge carries w/strength(src) of its source's
+      // rank (w = pair support). Same 9-dp contract; integer weights
+      // keep the unrolled oracle exact. Edge build checkpointed for
+      // the same two-consumer reason as q_graph_ppr.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val we = ops.Graphs.weightedCoOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 10).select(col("a"), col("b"), col("n_pair"))
+        .localCheckpoint(true)
+      val seeds = we.select(col("a").as("node"))
+        .unionAll(we.select(col("b").as("node")))
+        .distinct().orderBy("node").limit(3)
+      ops.Graphs.personalizedPageRank(we, seeds, iterations = 3, damping = 0.85,
+        weightCol = Some("n_pair"))
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+    }),
     "q_table_checksum" -> ((s, dir) => {
       // X216 order-independent checksum: the replica handshake — both
       // engines sum the same md5 windows over the same canonical row
@@ -2053,6 +2073,58 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |         + CAST(0.85 AS DOUBLE) * coalesce(c2.in_sum, CAST(0 AS DOUBLE)) AS pr
         |       FROM nodes v LEFT JOIN c2 ON v.node = c2.dst),
         |c3 AS (SELECT d.dst, sum(r.pr / o.outdeg) AS in_sum
+        |       FROM dir d JOIN r2 r ON r.node = d.src JOIN od o ON o.src = d.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT v.node,
+        |         CASE WHEN v.node IN (SELECT node FROM seeds)
+        |              THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT s FROM ns)
+        |              ELSE CAST(0 AS DOUBLE) END
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c3.in_sum, CAST(0 AS DOUBLE)) AS pr
+        |       FROM nodes v LEFT JOIN c3 ON v.node = c3.dst)
+        |SELECT node, round(pr, 9) AS "rank" FROM r3""".stripMargin,
+    // X236+X218 weighted personalized PageRank: the seeded unrolled
+    // chain over support-weighted edges — (pr * w) / strength with
+    // seed-conditional teleport, 9-dp both sides
+    "q_graph_ppr_weighted" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |sized AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM items) t
+        |  WHERE gs <= 10),
+        |pc AS (SELECT x.i AS a, y.i AS b, count(*) AS w
+        |       FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i GROUP BY 1, 2),
+        |dir AS (SELECT a AS src, b AS dst, w FROM pc
+        |        UNION ALL SELECT b AS src, a AS dst, w FROM pc),
+        |od AS (SELECT src, sum(w) AS outdeg FROM dir GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM dir),
+        |seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+        |r0 AS (SELECT node,
+        |         CASE WHEN node IN (SELECT node FROM seeds)
+        |              THEN CAST(1 AS DOUBLE) / (SELECT s FROM ns)
+        |              ELSE CAST(0 AS DOUBLE) END AS pr
+        |       FROM nodes),
+        |c1 AS (SELECT d.dst, sum(r.pr * d.w / o.outdeg) AS in_sum
+        |       FROM dir d JOIN r0 r ON r.node = d.src JOIN od o ON o.src = d.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT v.node,
+        |         CASE WHEN v.node IN (SELECT node FROM seeds)
+        |              THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT s FROM ns)
+        |              ELSE CAST(0 AS DOUBLE) END
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c1.in_sum, CAST(0 AS DOUBLE)) AS pr
+        |       FROM nodes v LEFT JOIN c1 ON v.node = c1.dst),
+        |c2 AS (SELECT d.dst, sum(r.pr * d.w / o.outdeg) AS in_sum
+        |       FROM dir d JOIN r1 r ON r.node = d.src JOIN od o ON o.src = d.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT v.node,
+        |         CASE WHEN v.node IN (SELECT node FROM seeds)
+        |              THEN (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT s FROM ns)
+        |              ELSE CAST(0 AS DOUBLE) END
+        |         + CAST(0.85 AS DOUBLE) * coalesce(c2.in_sum, CAST(0 AS DOUBLE)) AS pr
+        |       FROM nodes v LEFT JOIN c2 ON v.node = c2.dst),
+        |c3 AS (SELECT d.dst, sum(r.pr * d.w / o.outdeg) AS in_sum
         |       FROM dir d JOIN r2 r ON r.node = d.src JOIN od o ON o.src = d.src
         |       GROUP BY 1),
         |r3 AS (SELECT v.node,

@@ -491,6 +491,52 @@ object Graphs {
     labels
   }
 
+  /** Min-label propagation TO FIXPOINT with early exit (r13): iterate
+    * [[minLabelPropagate]]'s round until no label changes, bounded by
+    * `maxRounds` (refuses loudly on hitting the bound un-converged —
+    * a silent partial labeling is a wrong answer, not a slow one).
+    * The convergence probe is one driver-side long per round (the
+    * pageRank-teleport discipline): min-label propagation is MONOTONE
+    * — labels only ever decrease — so the round's change count falls
+    * out of the same frame by carrying the previous label through the
+    * round's projection and counting `cluster < prev` rows on the
+    * already-materialized checkpoint; no second join, no extra
+    * shuffle. On a low-diameter graph (every real co-occurrence
+    * cluster) this exits in O(diameter) rounds instead of a
+    * caller-guessed k; each round is the exact join + min-aggregate
+    * the bounded form unrolls, so the fixpoint equals
+    * [[graft.ext.Dedup.nearDupClusters]]'s converged labels
+    * (spec-pinned both ways in GraphsSpec).
+    */
+  def minLabelPropagateFixpoint(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val dir = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true) // consumed every round
+    var labels = dir.groupBy("x").agg(min(col("y")).as("m"))
+      .select(col("x").as("id"), least(col("x"), col("m")).as("cluster"))
+      .localCheckpoint(true)
+    var round = 1
+    var changed = 1L
+    while (changed > 0L && round < maxRounds) {
+      val neighborMin = dir
+        .join(labels.select(col("id").as("y"), col("cluster").as("ycl")), Seq("y"))
+        .groupBy("x").agg(min(col("ycl")).as("ncl"))
+      val next = labels
+        .join(neighborMin.select(col("x").as("id"), col("ncl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncl"), col("cluster"))).as("cluster"),
+          col("cluster").as("__prev"))
+        .localCheckpoint(true)
+      changed = next.filter(col("cluster") < col("__prev")).count()
+      labels = next.drop("__prev")
+      round += 1
+    }
+    require(changed == 0L,
+      s"minLabelPropagateFixpoint: not converged after $maxRounds rounds — raise maxRounds")
+    labels
+  }
+
   /** Degree of every node of a canonical undirected edge list. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("a").as("node"))

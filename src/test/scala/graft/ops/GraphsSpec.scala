@@ -166,6 +166,33 @@ class GraphsSpec extends SparkSpec {
       s"round 1 holds the min within distance 1, got $l1")
   }
 
+  test("min-label propagation to fixpoint: early exit equals converged CC; bound refusal is loud (r13)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val fix = Graphs.minLabelPropagateFixpoint(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fix === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // fixpoint ≡ the bounded unroll at covering radius ≡ the converged
+    // production loop — the three labelings must agree exactly
+    val bounded = Graphs.minLabelPropagate(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fix === bounded, "fixpoint must equal the bounded form at covering radius")
+    val converged = graft.ext.Dedup.nearDupClusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fix === converged, "fixpoint must equal the converged production loop")
+    // a bound too small to converge refuses loudly instead of
+    // returning a silently-partial labeling
+    val e = intercept[IllegalArgumentException] {
+      Graphs.minLabelPropagateFixpoint(edges, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("converged"))
+    // a star converges in 2 probe rounds regardless of size (diameter
+    // 2): early exit means the fixpoint form never needs the caller to
+    // guess a radius
+    val star = (2L to 40L).map(i => (1L, i)).toDF("a", "b")
+    val starFix = Graphs.minLabelPropagateFixpoint(star, maxRounds = 5).collect()
+    assert(starFix.forall(_.getLong(1) == 1L) && starFix.length == 40)
+  }
+
   test("personalized pagerank: seeds-are-everyone equals plain pagerank; mass stays near seeds (X236)") {
     import org.apache.spark.sql.functions.col
     // a path 1-2-3-4-5 plus a far pair 10-11
@@ -195,6 +222,29 @@ class GraphsSpec extends SparkSpec {
       Graphs.personalizedPageRank(edges, Seq(99L).toDF("n"), iterations = 1)
     }
     assert(e.getMessage.contains("seed"))
+  }
+
+  test("personalized pagerank with weights: seed's rank splits by edge weight (r13)") {
+    import org.apache.spark.sql.functions.col
+    // star 2 -(3)- 1 -(1)- 3 seeded at 1: strength(1) = 4, so after one
+    // round node 2 holds d·(3/4) and node 3 d·(1/4) of the seed's rank
+    // — the 3:1 split — and the seed holds exactly the teleport
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("a", "b", "w")
+    val r = Graphs.personalizedPageRank(edges, Seq(1L).toDF("n"),
+        iterations = 1, weightCol = Some("w")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(2L) - 0.85 * 0.75) < 1e-15, s"got ${r(2L)}")
+    assert(math.abs(r(3L) - 0.85 * 0.25) < 1e-15, s"got ${r(3L)}")
+    assert(r(1L) === (1.0 - 0.85), "seed holds exactly the teleport after round 1")
+    // weights all-1 must equal the unweighted walk bit-exactly
+    val uw = Graphs.personalizedPageRank(
+        edges.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        Seq(1L).toDF("n"), iterations = 3, weightCol = Some("w")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val plain = Graphs.personalizedPageRank(edges.select(col("a"), col("b")),
+        Seq(1L).toDF("n"), iterations = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(uw === plain, "w = 1 must reduce to the unweighted walk exactly")
   }
 
   test("bounded-distinct aggregate: cap is distinct-count, duplicates don't overflow") {
