@@ -947,6 +947,13 @@ object SparkEntry {
       Similarity.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.4)),
     "q_embed_neardup_lsh" -> ((s, dir) => // approximate (banded-signature candidates): rows-only
       Similarity.embeddingNearDupsApprox(Tables.embeddings(s, dir), threshold = 0.45, bands = 16)),
+    "q_embed_neardup_lsh_md5" -> ((s, dir) => // r13 FULL oracle: md5 ±1
+      // plane bands make the banded candidate generation, the exact-
+      // cosine verify and the pair set all engine-recomposable — the
+      // embedding-LSH family's portable pin (the Gaussian-plane
+      // production path stays q_embed_neardup_lsh)
+      Similarity.embeddingNearDupsApproxPortable(Tables.embeddings(s, dir),
+        threshold = 0.45, bands = 16)),
     "q_dedup_keep" -> ((s, dir) => {
       val docs = Tables.documentsWide(s, dir)
       Dedup.dropNearDups(docs,
@@ -2415,6 +2422,36 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |SELECT a.vec_id AS a, b.vec_id AS b, list_dot_product(a.v, b.v) / (a.nm * b.nm) AS sim
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.4""".stripMargin,
+    // r13 portable embedding-LSH near-dup: 16 md5 ±1 plane bands of 4
+    // bits, bucket-equijoin candidates, exact-cosine verify at 0.45 —
+    // the q_ann_lsh_md5 signature CTE at band grain
+    "q_embed_neardup_lsh_md5" ->
+      """WITH pl AS (
+        |  SELECT t.t, p.p,
+        |         list(CASE WHEN ('0x' || substr(md5('lsh:' || t.t || ':' || p.p || ':' || d.i), 1, 1))::INT % 2 = 0
+        |                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d.i) AS plane
+        |  FROM (SELECT unnest(range(16)) AS t) t,
+        |       (SELECT unnest(range(4)) AS p) p,
+        |       (SELECT unnest(range(64)) AS i) d
+        |  GROUP BY t.t, p.p
+        |), n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |  FROM embeddings
+        |), sig AS (
+        |  SELECT n.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(n.v, pl.plane) >= 0
+        |                  THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+        |  FROM n, pl GROUP BY n.vec_id, pl.t
+        |), cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM sig x JOIN sig y ON x.t = y.t AND x.bucket = y.bucket
+        |   AND x.vec_id < y.vec_id
+        |)
+        |SELECT cand.a, cand.b,
+        |       list_dot_product(na.v, nb.v) / (na.nm * nb.nm) AS sim
+        |FROM cand JOIN n na ON na.vec_id = cand.a JOIN n nb ON nb.vec_id = cand.b
+        |WHERE list_dot_product(na.v, nb.v) / (na.nm * nb.nm) >= 0.45""".stripMargin,
     // X220 bucketed IVF: fixed cells + deterministic probes → the
     // probe/rerank/rank decision recomposes exactly (same DOUBLE[]
     // dot-product contract as q_topk_cosine)

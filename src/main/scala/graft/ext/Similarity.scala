@@ -901,4 +901,39 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .dropDuplicates("a", "b")
   }
+
+  /** [[embeddingNearDupsApprox]] with [[md5SignPlanes]] — the
+    * ENGINE-PORTABLE oracle twin of the embedding-LSH near-dup path
+    * (r13, the X230 move on the family's last unpinned member; with
+    * this every rows-only key except libm-deflate has a cross-engine
+    * pin). The production path's banded 64-bit Gaussian signature is
+    * re-expressed as `bands` independent md5-derived ±1 plane tables
+    * of 64/bands bits each — the identical pigeonhole guarantee (a
+    * pair within hamming distance bands−1 collides in some band)
+    * with every stage ANSI-recomposable: the band value is a sum of
+    * sign-bits of sequential float64 dots (the q_topk_cosine
+    * bit-exactness contract) against planes any engine rebuilds from
+    * MD5 alone, candidates are a bucket equi-join, and the verify is
+    * the exact-cosine filter — so candidate generation, the
+    * threshold decision and the pair set all hash-match cross-engine.
+    * Same plan shape and Σ bucket² cost as the production path; the
+    * production path stays [[embeddingNearDupsApprox]] (rows-only).
+    */
+  def embeddingNearDupsApproxPortable(embeddings: DataFrame, threshold: Double,
+                                      bands: Int = 8, dim: Int = 64): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bits = 64 / bands
+    val planes = md5SignPlanes(bands, bits, dim)
+    val banded = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nm"),
+      explode(graft.functions.native.lshKeys(col("embedding"), planes, multiprobe = false)).as("bk"))
+    val a = banded.select(col("vec_id").as("a"), col("embedding").as("va"), col("nm").as("na"), col("bk"))
+    val b = banded.select(col("vec_id").as("b"), col("embedding").as("vb"), col("nm").as("nb"), col("bk"))
+    a.hint("shuffle_hash").join(b, Seq("bk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("a", "b")
+  }
 }

@@ -336,6 +336,46 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(2) >= 0.9))
   }
 
+  test("embeddingNearDupsApproxPortable: md5 bands — planted recall, exact verify, determinism (r13)") {
+    // same clustered regime as the production-path test: the md5 ±1
+    // plane bands must keep the pigeonhole recall guarantee while
+    // being reproducible from MD5 alone
+    val rnd = new scala.util.Random(11)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def perturb(v: Array[Float], eps: Double): Array[Float] = {
+      val w = v.map(x => x + (rnd.nextGaussian() * eps).toFloat)
+      val n = math.sqrt(w.map(x => x.toDouble * x).sum)
+      w.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = unit(64)
+      Seq((i * 2L, base.toSeq), (i * 2L + 1, perturb(base, 0.02).toSeq))
+    } ++ (1000L until 1100L).map(id => (id, unit(64).toSeq))
+    val e = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Similarity.embeddingNearDupsApproxPortable(e, threshold = 0.9, bands = 8).collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(i => (i * 2L, i * 2L + 1)).toSet
+    assert((planted -- got).isEmpty, s"missed planted pairs: ${planted -- got}")
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)); assert(r.getDouble(2) >= 0.9)
+    }
+    assert(got.size === got.toSeq.distinct.size)
+    // bit-determinism across runs (no RNG stream anywhere)
+    val again = Similarity.embeddingNearDupsApproxPortable(e, threshold = 0.9, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again === out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // bands must divide the 64-bit budget
+    val err = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDupsApproxPortable(e, threshold = 0.9, bands = 7)
+    }
+    assert(err.getMessage.contains("bands"))
+  }
+
   test("pcaProject: full-rank projection is a rotation (dots preserved); variance orders components") {
     // deterministic 4-dim fixture: coord 0 has the largest spread
     val vecs = (0 until 40).map { i =>
