@@ -2176,7 +2176,7 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
       """WITH p AS (
         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w,
         |         CAST(length(text) AS DOUBLE) /
-        |           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1
         |                 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)) AS q
         |  FROM documents WHERE length(text) > 0
         |), r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rn FROM p),
@@ -3958,7 +3958,10 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM lagged CROSS JOIN (SELECT unnest([1,2,3,4,5]) AS lag) l
         |)
         |SELECT asset, lag, count(*) AS n_pairs,
-        |       CASE WHEN count(*) >= 10 THEN round(corr(ret, ret_lag), 6) END AS acf
+        |       CASE WHEN count(*) >= 10
+        |             AND stddev_samp(ret) > 0 AND stddev_samp(ret_lag) > 0
+        |            THEN round(covar_samp(ret, ret_lag)
+        |                       / (stddev_samp(ret) * stddev_samp(ret_lag)), 6) END AS acf
         |FROM melted WHERE ret_lag IS NOT NULL
         |GROUP BY asset, lag""".stripMargin),
     // X226 Holt: the exact coupled recurrence replayed as a recursive

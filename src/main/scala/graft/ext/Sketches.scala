@@ -257,7 +257,7 @@ object Sketches {
     * distribution plus a fair lottery over the tail.
     *
     * Engine-portable by the X223 contract: u_i is the 60-bit md5
-    * window of the row ID scaled into (0,1] — reproducible,
+    * window of the row ID, +1, scaled into (0,1] — reproducible,
     * coordinated (re-runs and other engines draw the same sample) —
     * and every derived term is one IEEE division (q), one comparison
     * (the top-k cut, ties broken on the ID), one max (ŵ). DuckDB
@@ -272,8 +272,14 @@ object Sketches {
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(math.pow(2.0, 60.0)))
+    // +1 before scaling: the raw 60-bit window lies in [0, 2^60−1], so
+    // (window+1)/2^60 is genuinely in (0,1] as the DLT estimator
+    // assumes — without it a (2^-60-improbable) u=0 row would get
+    // q = w/0 = +Inf and be unconditionally sampled (r13 ADVICE fix;
+    // integers ≤ 2^60 are exact in float64, so the shift is itself
+    // engine-exact)
+    val u = ((conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") + 1).cast("double") / lit(math.pow(2.0, 60.0)))
     val pri = df
       .where(col(idCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
       .select(col(idCol), col(weightCol).cast("double").as("w"),

@@ -463,10 +463,27 @@ object Indicators {
         (1 to maxLag).map(l => s"$l, __l$l").mkString(", ") +
         ") as (lag, ret_lag)"))
       .filter(col("ret_lag").isNotNull)
+    // zero-variance guard (r13 ADVICE fix): a constant-price asset
+    // makes corr's final `ck / sqrt(xMk·yMk)` divide by zero — under
+    // ANSI (the Spark 4 default) that THROWS, and it cannot be
+    // when()-guarded because every aggregate's result expression
+    // evaluates unconditionally in the agg output projection. The
+    // correlation is therefore computed EXPLICITLY as
+    // covar_samp/(stddev·stddev) — the identical statistic; Spark's
+    // component aggregates are internally If-guarded so they never
+    // throw — with OUR division sitting in the post-aggregation
+    // projection inside the when branch, where CaseWhen laziness
+    // genuinely protects it. Degenerate series → NULL on both engines
+    // (the oracle mirrors the same explicit formula); the 6-dp round
+    // absorbs the ~1-ULP formula difference vs the fused corr.
     stacked.groupBy(col("asset"), col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
-        when(count(lit(1)) >= minPairs, round(corr(col("ret"), col("ret_lag")), 6))
-          .as("acf"))
+        covar_samp(col("ret"), col("ret_lag")).as("__cv"),
+        stddev_samp(col("ret")).as("__sx"),
+        stddev_samp(col("ret_lag")).as("__sy"))
+      .select(col("asset"), col("lag"), col("n_pairs"),
+        when(col("n_pairs") >= minPairs && col("__sx") > 0 && col("__sy") > 0,
+          round(col("__cv") / (col("__sx") * col("__sy")), 6)).as("acf"))
   }
 
   /** Holt double-exponential smoothing + one-step-ahead forecast

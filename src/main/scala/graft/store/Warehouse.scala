@@ -4714,6 +4714,10 @@ object Warehouse {
   def ndvSnapshot(spark: SparkSession, path: String, columns: Seq[String],
                   k: Int = 256, version: Option[Long] = None): DataFrame = {
     require(columns.nonEmpty, s"ndvSnapshot($path): no columns given")
+    // same floor as analyzeSnapshot/kmvDistinct: the (k−1)/u_k
+    // estimator is degenerate below 3 — without this the live-scan
+    // path would silently produce garbage at k=1/2
+    require(k >= 3, s"ndvSnapshot($path): k must be >= 3 for the KMV estimator, got $k")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // synopses key on immutable FILES, so any version's entry list
@@ -4951,16 +4955,54 @@ object Warehouse {
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"compactAnalyzeSidecars($path): v=$v has no readable manifest"))
     val live = broadcast(normEntries(m, v).toDF("file"))
-    def sweep(side: String): Long = {
-      if (snapshots(spark, side).isEmpty) return 0L
-      val all = readSnapshot(spark, side)
-      val kept = all.join(live, Seq("file"), "left_semi")
-        .localCheckpoint(true) // the rewrite below replaces its own input
-      val dropped = all.count() - kept.count()
-      if (dropped > 0) writeSnapshot(kept, side)
-      dropped
+    // r13 hardening (ADVICE): (a) a histogram family's pinned (lo, hi)
+    // must SURVIVE the sweep even when every one of its file rows is
+    // dead — otherwise the next analyzeHistogram silently re-pins from
+    // current data and histograms across the sweep stop being
+    // comparable despite the edges-pin-at-first-analyze contract. Each
+    // rewrite therefore carries one sentinel EDGE ROW per (column,
+    // bins) family (file = " edges", bin/n NULL — the all-NULL
+    // sentinel shape; readers semi-join live files, so it is inert
+    // everywhere except analyzeHistogram's edge lookup, which reads
+    // lo/hi family-wide by design). (b) the rewrite rides the
+    // optimistic commitSnapshot/expectedVersion path: a concurrent
+    // analyze tick appending between our read and an unguarded
+    // writeSnapshot would be silently discarded (coverage regressing
+    // until re-analyzed); on SnapshotConflictException the sweep
+    // re-reads and retries.
+    def sweep(side: String, keepEdges: Boolean): Long = {
+      var attempts = 0
+      while (true) {
+        val cur = currentSnapshot(spark, side)
+        if (cur == 0L) return 0L
+        val all = readSnapshot(spark, side, Some(cur))
+          .localCheckpoint(true) // one read feeds dead-count, kept and the rewrite
+        // dead = rows for files no longer live, edge sentinels excluded
+        // — the rewrite trigger must not count its own edge rows as
+        // dead or every sweep after the first would rewrite a clean
+        // table forever
+        val dead = all.filter(col("file") =!= " edges")
+          .join(live, Seq("file"), "left_anti").count()
+        if (dead == 0L) return 0L
+        val liveRows = all.join(live, Seq("file"), "left_semi")
+        val kept =
+          if (!keepEdges) liveRows
+          else liveRows.unionByName(all
+            .select(col("column"), col("lo"), col("hi"), col("bins")).distinct()
+            .select(lit(" edges").as("file"), col("column"), col("lo"),
+              col("hi"), col("bins"), lit(null).cast("long").as("bin"),
+              lit(null).cast("long").as("n")))
+        try {
+          commitSnapshot(kept, side, cur)
+          return dead
+        } catch {
+          case _: SnapshotConflictException if attempts < 5 => attempts += 1
+        }
+      }
+      0L
     }
-    (sweep(synopsesPath(path)), sweep(histogramsPath(path)))
+    (sweep(synopsesPath(path), keepEdges = false),
+      sweep(histogramsPath(path), keepEdges = true))
   }
 
   /** FILE-GRAIN BLOOM INDEX (X193) — the Delta bloom-filter-index

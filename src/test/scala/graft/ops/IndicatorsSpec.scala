@@ -428,6 +428,16 @@ class IndicatorsSpec extends SparkSpec {
     }.toDF("date", "asset", "close")
     val guarded = Indicators.autocorr(tiny, maxLag = 3, minPairs = 10).collect()
     assert(guarded.forall(_.isNullAt(3)), "n_pairs < minPairs must yield NULL acf")
+    // a constant-price asset has zero-variance returns: Spark's corr
+    // is NaN there while DuckDB's is NULL — the nanvl guard normalizes
+    // to NULL so the oracle can't diverge (r13 ADVICE fix)
+    val flat = (0 until 30).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)),
+        "btc", 100.0)
+    }.toDF("date", "asset", "close")
+    val degenerate = Indicators.autocorr(flat, maxLag = 2, minPairs = 5).collect()
+    assert(degenerate.nonEmpty && degenerate.forall(_.isNullAt(3)),
+      s"zero-variance series must report NULL, never NaN: ${degenerate.mkString(",")}")
   }
 
   test("holt: hand-computed coupled recurrence, flat-start seed, walk-forward error (X226)") {

@@ -203,6 +203,44 @@ class AnalyzeSpec extends SparkSpec {
       desc.get("histogram.num").toString)
   }
 
+  test("histogram edge pin survives a sweep that kills the family's last file rows (r13)") {
+    val root = freshRoot("ndv_edgepin")
+    // pin edges on a 0..199 value range
+    val df1 = (0 until 200).map(i => (i.toLong, i.toDouble)).toDF("id", "num")
+    Warehouse.writeSnapshot(df1, root)
+    Warehouse.analyzeHistogram(spark, root, "num", bins = 4)
+    val h1 = Warehouse.histogramSnapshot(spark, root, "num", bins = 4)
+      .select("lo", "hi").head()
+    assert(h1.getDouble(0) === 0.0 && h1.getDouble(1) === 199.0)
+    // full rewrite with a WIDER range: every analyzed file goes dead
+    val df2 = (0 until 200).map(i => (i.toLong, i.toDouble * 10)).toDF("id", "num")
+    Warehouse.writeSnapshot(df2, root)
+    val (_, hDropped) = Warehouse.compactAnalyzeSidecars(spark, root)
+    assert(hDropped > 0, "the family's file rows were dead and must sweep")
+    // the next analyze must reuse the ORIGINAL pinned edges (values
+    // beyond them clamping into the end bin), not silently re-pin
+    Warehouse.analyzeHistogram(spark, root, "num", bins = 4)
+    val h2 = Warehouse.histogramSnapshot(spark, root, "num", bins = 4).collect()
+    assert(h2.forall(r => r.getDouble(1) === 0.0 && r.getDouble(2) === 199.0),
+      s"edges must survive the sweep: ${h2.mkString(",")}")
+    // bin 3 = [149.25, 199] plus every clamped value above the pinned
+    // hi: x = 10i >= 149.25 ⟺ i >= 15 → 185 of the 200 rewritten rows
+    val last = h2.find(_.getLong(0) === 3L).get.getLong(3)
+    assert(last === 185L, s"clamp accounting under the surviving pin: $last")
+    assert(h2.map(_.getLong(3)).sum === 200L)
+    // the sentinel is inert for coverage: a second sweep is a no-op
+    assert(Warehouse.compactAnalyzeSidecars(spark, root) === ((0L, 0L)))
+  }
+
+  test("ndvSnapshot refuses a degenerate k, matching kmvDistinct (r13)") {
+    val root = freshRoot("ndv_kguard")
+    Warehouse.writeSnapshot(table(50, 7), root)
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 2)
+    }
+    assert(e.getMessage.contains("k must be >= 3"), e.getMessage)
+  }
+
   test("deletion vectors refuse loudly; unknown column refuses; both name the remedy") {
     val root = freshRoot("ndv_dv")
     Warehouse.writeSnapshot(table(100, 11), root)
