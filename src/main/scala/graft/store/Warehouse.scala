@@ -4596,14 +4596,42 @@ object Warehouse {
     * file's distinct values, ties on the value. One column-pruned
     * scan of exactly `files`.
     */
+  /** The live-scan under the ANALYZE family (X231/X234), dv-aware
+    * (r13): files carrying deletion-vector positions read through the
+    * same two-leg anti-join shape as [[dvPlannedRead]] — the plain leg
+    * is one untouched parquet scan, the dv leg subtracts the sidecar's
+    * (file, pos) rows — so a zero-scan answer over a dv-carrying table
+    * is EXACT instead of refused. Emits `file` (entry-form) plus the
+    * physical columns; callers project what they bin/sketch.
+    */
+  private def analyzeScan(spark: SparkSession, path: String, q: String,
+                          physSchema: StructType, files: Seq[String],
+                          dv: Option[DvState]): DataFrame = {
+    val dvd = dv.map(_.fileSet).getOrElse(Set.empty)
+    val (hit, plain) = files.partition(dvd)
+    def leg(fs0: Seq[String], subtract: Boolean): Option[DataFrame] =
+      if (fs0.isEmpty) None
+      else {
+        val scan = spark.read.schema(physSchema)
+          .parquet(fs0.map(entryPath(path, _)): _*)
+        val withId =
+          if (subtract) antiDv(scan, dvFrame(spark, path, q, dv.get.refs),
+            bcast = dv.get.rows <= DvBroadcastMaxRows)
+          else withRowId(scan)
+        Some(withId.withColumn("file", entryFormCol(q, col("__p"))))
+      }
+    (leg(plain, subtract = false) ++ leg(hit, subtract = true))
+      .reduce(_ unionAll _)
+  }
+
   private def synopsisRows(spark: SparkSession, path: String, q: String,
                            physSchema: StructType, physCol: String,
-                           files: Seq[String], k: Int): DataFrame = {
+                           files: Seq[String], k: Int,
+                           dv: Option[DvState] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("file").orderBy("u", "v")
-    spark.read.schema(physSchema).parquet(files.map(entryPath(path, _)): _*)
-      .select(entryFormCol(q, stripSchemeCol(col("_metadata.file_path"))).as("file"),
-        col(physCol).cast("string").as("v"))
+    analyzeScan(spark, path, q, physSchema, files, dv)
+      .select(col("file"), col(physCol).cast("string").as("v"))
       .where(col("v").isNotNull)
       .distinct()
       .withColumn("u",
@@ -4660,7 +4688,12 @@ object Warehouse {
       s"analyzeSnapshot($path): column '$c' not in snapshot schema"))
     val cmap = columnMapOf(m)
     val physCols = columns.map(physicalName(cmap, _))
-    val entries = normEntries(m, v)
+    // dv-aware (r13): a synopsis covers the file's rows INCLUDING
+    // dv-deleted ones, so dv-carrying files are never recorded — they
+    // route through ndvSnapshot's live-scan leg (dv-subtracted) until
+    // a REORG rewrites them into dv-free files this tick then covers
+    val dvd = readDvState(m).map(_.fileSet).getOrElse(Set.empty)
+    val entries = normEntries(m, v).filterNot(dvd)
     val q = qualifiedRoot(fs, path)
     val covered = liveSynopses(spark, path, physCols, entries, k)
       .select("file", "column").distinct()
@@ -4706,10 +4739,12 @@ object Warehouse {
     * only the I/O grows), so the answer is always correct and costs
     * zero data bytes exactly when [[analyzeSnapshot]] coverage is
     * complete. Values compare as their string forms (the kmvDistinct
-    * contract). REFUSES a snapshot carrying deletion vectors: a
-    * synopsis covers the file's rows including dv-deleted ones, and
-    * silently overcounting is the kind of wrong this store doesn't do
-    * — purge the dvs (REORG) or run kmvDistinct over readSnapshot.
+    * contract). Deletion vectors (r13): a recorded synopsis covers the
+    * file's rows INCLUDING dv-deleted ones, so synopses of files that
+    * currently carry dv positions are ignored and those files
+    * live-scan through the dv-subtracting leg — the answer stays
+    * exact; only the dv'd files' I/O is paid (a REORG purge restores
+    * full zero-scan).
     */
   def ndvSnapshot(spark: SparkSession, path: String, columns: Seq[String],
                   k: Int = 256, version: Option[Long] = None): DataFrame = {
@@ -4729,10 +4764,6 @@ object Warehouse {
     require(v >= 1, s"ndvSnapshot($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"ndvSnapshot($path): v=$v has no readable manifest"))
-    require(!readDvState(m).exists(_.files.nonEmpty),
-      s"ndvSnapshot($path): v=$v carries deletion vectors — file synopses would " +
-        "overcount deleted rows. Purge them (materializeDeletes) or compute " +
-        "Sketches.kmvDistinct over readSnapshot instead.")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(m.get("schema").toString).asInstanceOf[StructType]
     columns.foreach(c => require(schema.fieldNames.contains(c),
@@ -4740,18 +4771,27 @@ object Warehouse {
     val cmap = columnMapOf(m)
     val logicalOf = columns.map(c => physicalName(cmap, c) -> c).toMap
     val physCols = columns.map(physicalName(cmap, _))
+    // dv-aware (r13, no refusal): recorded synopses are only
+    // trustworthy for files WITHOUT deletion-vector positions — a
+    // covered file that later gained a dv would overcount, so its
+    // rows are ignored and the file live-scans through the
+    // dv-subtracting leg. Zero data bytes still holds exactly when
+    // coverage is complete over the dv-free files and no dv exists.
+    val dv = readDvState(m).filter(_.files.nonEmpty)
+    val dvd = dv.map(_.fileSet).getOrElse(Set.empty)
     val entries = normEntries(m, v)
+    val dvFree = entries.filterNot(dvd)
     val q = qualifiedRoot(fs, path)
     import spark.implicits._
-    val recorded = liveSynopses(spark, path, physCols, entries, k)
+    val recorded = liveSynopses(spark, path, physCols, dvFree, k)
       .select("file", "column", "u", "v")
     val coveredPairs = recorded.select("file", "column").distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     val physSchema = physicalize(schema, cmap)
     val live = physCols.flatMap { pc =>
-      val need = entries.filterNot(f => coveredPairs((f, pc)))
+      val need = dvFree.filterNot(f => coveredPairs((f, pc))) ++ entries.filter(dvd)
       if (need.isEmpty) None
-      else Some(synopsisRows(spark, path, q, physSchema, pc, need, k)
+      else Some(synopsisRows(spark, path, q, physSchema, pc, need, k, dv)
         .select("file", "column", "u", "v"))
     }
     // all-NULL coverage sentinels (u, v both NULL) count as covered
@@ -4792,15 +4832,14 @@ object Warehouse {
   private def histogramRows(spark: SparkSession, path: String, q: String,
                             physSchema: StructType, physCol: String,
                             files: Seq[String], lo: Double, hi: Double,
-                            bins: Int): DataFrame = {
+                            bins: Int, dv: Option[DvState] = None): DataFrame = {
     val width = (lit(hi) - lit(lo)) / lit(bins)
     val bin =
       if (hi == lo) lit(0L)
       else least(greatest(floor((col("v") - lit(lo)) / width),
         lit(0L)), lit(bins - 1L)).cast("long")
-    spark.read.schema(physSchema).parquet(files.map(entryPath(path, _)): _*)
-      .select(entryFormCol(q, stripSchemeCol(col("_metadata.file_path"))).as("file"),
-        col(physCol).cast("double").as("v"))
+    analyzeScan(spark, path, q, physSchema, files, dv)
+      .select(col("file"), col(physCol).cast("double").as("v"))
       .where(col("v").isNotNull)
       .select(col("file"), bin.as("bin"))
       .groupBy("file", "bin").agg(count(lit(1)).as("n"))
@@ -4835,7 +4874,11 @@ object Warehouse {
       s"analyzeHistogram($path): column '$column' not in snapshot schema")
     val cmap = columnMapOf(m)
     val pc = physicalName(cmap, column)
-    val entries = normEntries(m, v)
+    // dv-aware (r13): dv-carrying files are never recorded (their bin
+    // counts would include deleted rows) — histogramSnapshot live-scans
+    // them dv-subtracted under the same pinned edges
+    val dvd = readDvState(m).map(_.fileSet).getOrElse(Set.empty)
+    val entries = normEntries(m, v).filterNot(dvd)
     val q = qualifiedRoot(fs, path)
     val side = histogramsPath(path)
     val existing =
@@ -4884,8 +4927,10 @@ object Warehouse {
     * merged per-file bin counts — plain integer sums, so the result
     * equals binning the whole snapshot under the pinned edges, with
     * zero data I/O at full coverage (uncovered files scan on the fly
-    * under the SAME edges, so the answer is always exact). Refuses
-    * dv-carrying snapshots for the X231 reason. Output: one row per
+    * under the SAME edges, so the answer is always exact). Deletion
+    * vectors (r13): dv-carrying files' recorded counts are ignored and
+    * those files live-scan dv-subtracted under the same edges — exact,
+    * never refused, the X231 contract. Output: one row per
     * non-empty bin — (bin, lo, hi, n), where lo/hi are the PINNED
     * range (bin width = (hi−lo)/bins).
     */
@@ -4897,17 +4942,20 @@ object Warehouse {
     require(v >= 1, s"histogramSnapshot($path): no committed snapshot")
     val m = readManifest(fs, path, v).getOrElse(sys.error(
       s"histogramSnapshot($path): v=$v has no readable manifest"))
-    require(!readDvState(m).exists(_.files.nonEmpty),
-      s"histogramSnapshot($path): v=$v carries deletion vectors — file synopses " +
-        "would count deleted rows. Purge them (materializeDeletes) or bin " +
-        "readSnapshot directly.")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(m.get("schema").toString).asInstanceOf[StructType]
     require(schema.fieldNames.contains(column),
       s"histogramSnapshot($path): column '$column' not in snapshot schema")
     val cmap = columnMapOf(m)
     val pc = physicalName(cmap, column)
+    // dv-aware (r13, no refusal): recorded bin counts are only
+    // trustworthy for dv-free files; dv-carrying files live-scan
+    // through the dv-subtracting leg under the SAME pinned edges, so
+    // the merged histogram stays integer-exact
+    val dv = readDvState(m).filter(_.files.nonEmpty)
+    val dvd = dv.map(_.fileSet).getOrElse(Set.empty)
     val entries = normEntries(m, v)
+    val dvFree = entries.filterNot(dvd)
     val q = qualifiedRoot(fs, path)
     val side = histogramsPath(path)
     require(snapshots(spark, side).nonEmpty,
@@ -4919,15 +4967,15 @@ object Warehouse {
       s"histogramSnapshot($path): no ($column, bins=$bins) family — run analyzeHistogram first"))
     val (lo, hi) = (edge.getDouble(0), edge.getDouble(1))
     val recorded = fam
-      .join(broadcast(entries.toDF("file")), Seq("file"), "left_semi")
+      .join(broadcast(dvFree.toDF("file")), Seq("file"), "left_semi")
       .select("file", "bin", "n")
     val coveredFiles = recorded.select("file").distinct()
       .collect().map(_.getString(0)).toSet
-    val need = entries.filterNot(coveredFiles)
+    val need = dvFree.filterNot(coveredFiles) ++ entries.filter(dvd)
     val live =
       if (need.isEmpty) None
       else Some(histogramRows(spark, path, q, physicalize(schema, cmap),
-        pc, need, lo, hi, bins).select("file", "bin", "n"))
+        pc, need, lo, hi, bins, dv).select("file", "bin", "n"))
     live.fold(recorded)(recorded.unionByName(_))
       .where(col("bin").isNotNull) // all-NULL coverage sentinels carry no counts
       .groupBy("bin").agg(sum("n").as("n"))

@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * every data file, the estimate still answers); (3) analyze is
   * incremental — covered files are never rescanned (poison pin again);
   * (4) synopses key on physical names, so a RENAME costs nothing;
-  * (5) a dv-carrying snapshot refuses loudly instead of overcounting.
+  * (5) dv-carrying files are never recorded and live-scan
+  * dv-subtracted, so a dv table's answer is exact, never refused,
+  * and dv-free files keep their zero-scan (r13).
   */
 class AnalyzeSpec extends SparkSpec {
   import spark.implicits._
@@ -241,22 +243,53 @@ class AnalyzeSpec extends SparkSpec {
     assert(e.getMessage.contains("k must be >= 3"), e.getMessage)
   }
 
-  test("deletion vectors refuse loudly; unknown column refuses; both name the remedy") {
-    val root = freshRoot("ndv_dv")
-    Warehouse.writeSnapshot(table(100, 11), root)
+  test("dv-aware analyze: dv'd files live-scan subtracted, dv-free files stay zero-scan (r13)") {
+    val root = freshRoot("ndv_dvaware")
+    // file A (v=1): ids 1..100, then file B (v=2 append): ids 101..200
+    val a = (1 to 100).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "num")
+    val b = (101 to 200).map(i => (i.toLong, (i % 29).toLong)).toDF("id", "num")
+    Warehouse.writeSnapshot(a.coalesce(1), root)
+    Warehouse.appendSnapshot(b.coalesce(1), root, 1L)
     Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 16)
-    Warehouse.deleteWhereDv(spark, root, col("id") <= 10)
-    val e = intercept[Exception] {
-      Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 16)
-    }
-    assert(e.getMessage.contains("deletion vectors") &&
-      e.getMessage.contains("kmvDistinct"),
-      s"must refuse naming the fallback: ${e.getMessage}")
-    Warehouse.analyzeHistogram(spark, root, "num", bins = 5)
-    val eh = intercept[Exception] {
-      Warehouse.histogramSnapshot(spark, root, "num", bins = 5)
-    }
-    assert(eh.getMessage.contains("deletion vectors"), eh.getMessage)
+    Warehouse.analyzeHistogram(spark, root, "num", bins = 5) // pins lo=0 hi=28
+    // dv-delete rows that live only in file B
+    Warehouse.deleteWhereDv(spark, root, col("id") > 150)
+    // ndv == the estimator over the dv-subtracted table, NOT a refusal
+    val est = Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 16).head().getDouble(1)
+    assert(est === kmvOf(Warehouse.readSnapshot(spark, root)
+      .select(col("num")), "num", 16), "dv-subtracted equality")
+    // histogram == binning the dv-subtracted table under the pinned edges
+    val width = 28.0 / 5
+    val want = Warehouse.readSnapshot(spark, root)
+      .select(least(greatest(floor(col("num").cast("double") / width), lit(0L)),
+        lit(4L)).cast("long").as("bin"))
+      .groupBy("bin").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Warehouse.histogramSnapshot(spark, root, "num", bins = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === want, s"dv-subtracted histogram: $got vs $want")
+    // zero-scan still holds for the dv-FREE file: corrupt file A's
+    // data (v=1) — its synopsis answers; only file B live-scans
+    val v1 = new java.io.File(s"$root/v=1")
+    v1.listFiles.filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .foreach { f =>
+        val out = new java.io.FileOutputStream(f)
+        out.write("not parquet".getBytes); out.close()
+      }
+    assert(Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 16)
+      .head().getDouble(1) === est, "dv-free files must answer from synopses")
+    assert(Warehouse.histogramSnapshot(spark, root, "num", bins = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap === got)
+    // the analyze tick never records a dv-carrying file: coverage over
+    // the dv-free files is already complete, so both ticks are no-ops
+    assert(Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 16).isEmpty)
+    assert(Warehouse.analyzeHistogram(spark, root, "num", bins = 5).isEmpty)
+  }
+
+  test("unknown column refuses loudly") {
+    val root = freshRoot("ndv_badcol")
+    Warehouse.writeSnapshot(table(100, 11), root)
     val bad = intercept[IllegalArgumentException] {
       Warehouse.analyzeSnapshot(spark, root, Seq("nope"), k = 16)
     }
