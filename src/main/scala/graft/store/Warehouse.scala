@@ -2719,6 +2719,56 @@ object Warehouse {
     readManifest(fs, path, v).map(_.get("rowCount").asLong())
   }
 
+  /** STATS-DRIVEN SNAPSHOT JOIN (r13): join two snapshot tables on
+    * `keys`, choosing the broadcast side from the MANIFESTS alone —
+    * the CBO dividend of the stats the warehouse already keeps. The
+    * decision reads each side's committed `rowCount` (one O(1)
+    * manifest field, no Spark job, no data bytes — the X203 zero-scan
+    * discipline) and estimates bytes as rowCount × the schema's
+    * default row width; a side under the broadcast threshold gets the
+    * explicit `broadcast()` hint — Spark's own planner can't make
+    * this call, because a fresh parquet relation's sizeInBytes is
+    * FILE bytes (compressed, column-pruned wrongly) and a snapshot
+    * read behind dv anti-joins/column maps loses even that. Both
+    * sides under the threshold broadcast the smaller; neither —
+    * plain join, and the planner's SMJ/SHJ machinery (plus AQE's
+    * runtime re-pick) takes over, which is the right fallback at
+    * 100 TB where both sides are corpus-sized. A side with no
+    * readable rowCount (crash-gap manifest) is never broadcast —
+    * unknown size is large size. The hint respects join-type build
+    * rules (a LEFT OUTER join can only build right, etc.); an
+    * ineligible side simply isn't hinted.
+    *
+    * `broadcastThreshold` defaults to the session's
+    * `spark.sql.autoBroadcastJoinThreshold`; pass an explicit value to
+    * pin the decision (the spec's poison pin proves the choice costs
+    * zero data I/O: corrupt every data file, the plan still builds
+    * with the right join strategy).
+    */
+  def joinSnapshots(spark: SparkSession, leftPath: String, rightPath: String,
+                    keys: Seq[String], joinType: String = "inner",
+                    broadcastThreshold: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "joinSnapshots: no join keys given")
+    val thr = broadcastThreshold.getOrElse(
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold)
+    val l = readSnapshot(spark, leftPath)
+    val r = readSnapshot(spark, rightPath)
+    def estBytes(path: String, df: DataFrame): Option[Long] =
+      snapshotRowCount(spark, path).map(_ * df.schema.defaultSize)
+    val norm = joinType.toLowerCase.replaceAll("[_ ]", "")
+    val canBuildLeft = Set("inner", "cross", "right", "rightouter")(norm)
+    val canBuildRight = Set("inner", "cross", "left", "leftouter",
+      "semi", "leftsemi", "anti", "leftanti")(norm)
+    val le = estBytes(leftPath, l).filter(_ <= thr).filter(_ => canBuildLeft)
+    val re = estBytes(rightPath, r).filter(_ <= thr).filter(_ => canBuildRight)
+    (le, re) match {
+      case (Some(a), Some(b)) if a <= b => broadcast(l).join(r, keys, joinType)
+      case (_, Some(_))                 => l.join(broadcast(r), keys, joinType)
+      case (Some(_), _)                 => broadcast(l).join(r, keys, joinType)
+      case _                            => l.join(r, keys, joinType)
+    }
+  }
+
   /** All LIVE snapshot versions under `path`, ascending. A version dir
     * carrying an `_expired-v<n>` marker is excluded: [[expireSnapshots]]
     * leaves such a dir behind only to host files still referenced by a
@@ -5051,6 +5101,72 @@ object Warehouse {
     }
     (sweep(synopsesPath(path), keepEdges = false),
       sweep(histogramsPath(path), keepEdges = true))
+  }
+
+  /** What [[maintainSnapshot]] should keep healthy — every knob maps
+    * to one component tick, and every component already no-ops when
+    * its surface is clean, so a policy can be maximal and cheap.
+    */
+  case class MaintenancePolicy(
+      optimize: Boolean = true,
+      targetFileBytes: Long = 128L << 20,
+      minSmallFiles: Int = 2,
+      clusterCols: Seq[String] = Seq.empty,
+      analyzeColumns: Seq[String] = Seq.empty,
+      analyzeK: Int = 256,
+      histogramColumns: Seq[(String, Int)] = Seq.empty,
+      retentionMaxAgeMs: Option[Long] = None,
+      retentionKeepLast: Int = 2)
+
+  /** What one [[maintainSnapshot]] tick actually did. */
+  case class MaintenanceReport(
+      optimized: Option[(Long, Int)],
+      indexRefreshed: Option[Long],
+      analyzed: Option[Long],
+      histogramsAnalyzed: Map[String, Option[Long]],
+      sidecarsSwept: (Long, Long),
+      expired: Seq[Long])
+
+  /** ONE MAINTENANCE ENTRYPOINT (r13): the tick a streaming-ingest
+    * table's owner calls instead of five — composes, in dependency
+    * order, OPTIMIZE (small-file bin-packing + optional Z-order) →
+    * bloom-index refresh (only when an index is declared; seeding one
+    * stays an explicit [[indexSnapshot]] decision) → ANALYZE ticks for
+    * the policy's NDV columns and histogram families → the analyze
+    * sidecar sweep (optimize just killed the old files' rows) →
+    * age-based retention (only when the policy sets an age). OPTIMIZE
+    * runs FIRST so the index/synopsis ticks cover the files that will
+    * actually live. Every component is already incremental and
+    * no-ops when clean — a clean table's tick reads manifests and
+    * side tables, ZERO data bytes (spec-pinned with the poison pin) —
+    * so running this on a schedule is safe at any frequency.
+    */
+  def maintainSnapshot(spark: SparkSession, path: String,
+                       policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val optimized =
+      if (!policy.optimize) None
+      else optimizeSnapshot(spark, path, policy.targetFileBytes,
+        policy.minSmallFiles, clusterCols = policy.clusterCols)
+    // refresh only an EXISTING index: whether a table wants one is a
+    // schema-design decision, not a maintenance default
+    val hasIndex = {
+      val v = mainWriteBase(spark, path)
+      v >= 1 && readManifest(fs, path, v).flatMap(readIdxState).isDefined
+    }
+    val indexRefreshed = if (hasIndex) refreshIndexSnapshot(spark, path) else None
+    val analyzed =
+      if (policy.analyzeColumns.isEmpty) None
+      else analyzeSnapshot(spark, path, policy.analyzeColumns, policy.analyzeK)
+    val hists = policy.histogramColumns.map { case (c, b) =>
+      s"$c/$b" -> analyzeHistogram(spark, path, c, b)
+    }.toMap
+    val swept = compactAnalyzeSidecars(spark, path)
+    val expired = policy.retentionMaxAgeMs
+      .map(age => expireSnapshotsOlderThan(spark, path, age, policy.retentionKeepLast))
+      .getOrElse(Seq.empty)
+    MaintenanceReport(optimized, indexRefreshed, analyzed, hists, swept, expired)
   }
 
   /** FILE-GRAIN BLOOM INDEX (X193) — the Delta bloom-filter-index

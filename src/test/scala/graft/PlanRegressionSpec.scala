@@ -428,4 +428,53 @@ class PlanRegressionSpec extends SparkSpec {
     assert(exchanges(p) <= 2, p.take(2500))
     assert("WindowExec|Window".r.findAllIn(p).size >= 1)
   }
+
+  test("joinSnapshots: manifest-only broadcast decision, poison-pinned (r13)") {
+    import spark.implicits._
+    val dim = java.nio.file.Files.createTempDirectory("graft_js_dim").toString + "/t"
+    val fact = java.nio.file.Files.createTempDirectory("graft_js_fact").toString + "/t"
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 50).map(i => (i.toLong, s"n$i")).toDF("k", "name"), dim)
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 5000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v"), fact)
+    // poison pin: corrupt every DATA file — the broadcast decision and
+    // the plan build must cost zero data bytes (manifest-only)
+    Seq(dim, fact).foreach { root =>
+      new java.io.File(root).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .flatMap(_.listFiles)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .foreach { f =>
+          val out = new java.io.FileOutputStream(f)
+          out.write("not parquet".getBytes); out.close()
+        }
+    }
+    // disable the planner's own file-size broadcasting so the strategy
+    // seen below is OURS (corrupt stub files look tiny to the planner)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // dim: 50 rows x 28B default width = 1400 <= 64k -> broadcast it
+      val p1 = graft.store.Warehouse.joinSnapshots(spark, fact, dim, Seq("k"),
+          broadcastThreshold = Some(64 * 1024))
+        .queryExecution.sparkPlan.toString
+      assert(p1.contains("BroadcastHashJoin"), p1.take(1500))
+      // both sides over the threshold -> plain join, planner picks
+      val p2 = graft.store.Warehouse.joinSnapshots(spark, fact, dim, Seq("k"),
+          broadcastThreshold = Some(1))
+        .queryExecution.sparkPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"), p2.take(1500))
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"), p2.take(1500))
+      // LEFT OUTER can only build right: a small LEFT side is not a
+      // legal build side, so no hint lands (fact stays over threshold)
+      val p3 = graft.store.Warehouse.joinSnapshots(spark, dim, fact, Seq("k"),
+          joinType = "left", broadcastThreshold = Some(64 * 1024))
+        .queryExecution.sparkPlan.toString
+      assert(!p3.contains("BroadcastHashJoin"), p3.take(1500))
+      // ...while a small RIGHT side under LEFT OUTER is legal
+      val p4 = graft.store.Warehouse.joinSnapshots(spark, fact, dim, Seq("k"),
+          joinType = "left", broadcastThreshold = Some(64 * 1024))
+        .queryExecution.sparkPlan.toString
+      assert(p4.contains("BroadcastHashJoin"), p4.take(1500))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
