@@ -89,8 +89,15 @@ object Bench {
     // as a separate "isolated" map so real regressions on these keys
     // stop hiding inside suite-contention drift (r9 verdict #5);
     // tools/bench_diff.py diffs both maps.
+    // r13 additions: the r12 verdict's heavy keys (q_pca_power is a
+    // declared verification twin; the two graph keys carry the r12
+    // perf-weak marks, fixed this round — in-suite r12 baselines
+    // 5.33 / 3.49 / 3.16 s) so the in-suite vs isolated delta stays
+    // on record for them too
     val isolatedKeys = Seq("q_corpus_prepare", "q_bpe_encode", "q_dedup_keep",
-      "q_dedup_cluster", "q_stream_ohlc").filter(SparkEntry.queries.contains)
+      "q_dedup_cluster", "q_stream_ohlc",
+      "q_pca_power", "q_graph_ppr", "q_graph_pagerank")
+      .filter(SparkEntry.queries.contains)
     // Stage the cross-key shared tables OUTSIDE the timed region: the
     // packed-documents stage table feeds both q_pack_sequences and
     // q_pack_util, and without this the FIRST of the two to run pays

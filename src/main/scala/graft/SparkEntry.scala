@@ -653,6 +653,19 @@ object SparkEntry {
         maxGroupSize = 10)
       ops.Graphs.neighborhoodJaccard(edges).filter(col("common") >= 3)
     }),
+    "q_graph_adamic" -> ((s, dir) => {
+      // X242 Adamic–Adar: inverse-log-degree-weighted common
+      // neighbors over the co-occurrence graph — a rare shared
+      // neighbor counts more than a hub. One libm log per wedge →
+      // 6-dp round on both sides (the NPMI contract); common >= 3
+      // bounds the output like q_graph_jaccard.
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select("l_orderkey", "l_partkey")
+      val edges = ops.Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 10)
+      ops.Graphs.adamicAdar(edges).filter(col("common") >= 3)
+    }),
     "q_graph_npmi" -> ((s, dir) => {
       // X218 weighted co-occurrence: pair/item group-frequencies +
       // lift (one IEEE division over integer counts — bit-exact) +
@@ -1903,6 +1916,30 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |SELECT cn.a, cn.b, cn.common, da.degree AS deg_a, db.degree AS deg_b,
         |       CAST(cn.common AS DOUBLE) / (da.degree + db.degree - cn.common) AS jaccard
         |FROM cn JOIN deg da ON cn.a = da.node JOIN deg db ON cn.b = db.node""".stripMargin,
+    // X242 Adamic–Adar: the q_graph_jaccard wedge with the center's
+    // degree joined on; one libm log per wedge → 6-dp both sides
+    "q_graph_adamic" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |sized AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM items) t
+        |  WHERE gs <= 10),
+        |edges AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i),
+        |adj AS (
+        |  SELECT a AS u, b AS v FROM edges
+        |  UNION ALL SELECT b AS u, a AS v FROM edges),
+        |deg AS (
+        |  SELECT u AS node, count(*) AS degree FROM adj GROUP BY 1)
+        |SELECT x.u AS a, y.u AS b, count(*) AS common,
+        |       round(sum(CAST(1 AS DOUBLE) / ln(CAST(dz.degree AS DOUBLE))), 6) AS aa
+        |FROM adj x
+        |JOIN adj y ON x.v = y.v AND x.u < y.u
+        |JOIN deg dz ON dz.node = x.v
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     // X218 weighted co-occurrence: integer group frequencies, lift =
     // one IEEE division chain, npmi = two libm logs rounded 6dp
     "q_graph_npmi" ->

@@ -166,6 +166,44 @@ class GraphsSpec extends SparkSpec {
       s"round 1 holds the min within distance 1, got $l1")
   }
 
+  test("pageRankConverged: stationary ranking, early exit, loud bound refusal (r13)") {
+    // path 1-2-3: stationary ranks are analytic — ends get
+    // (1-d)/3 + d*mid/2, the middle gets (1-d)/3 + d*(end_l + end_r)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graphs.pageRankConverged(edges, tol = 1e-11, maxIterations = 300).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, "mass conserved at the fixpoint")
+    // fixpoint equations hold
+    assert(math.abs(r(1L) - (0.05 + 0.85 * r(2L) / 2)) < 1e-9, r.toString)
+    assert(math.abs(r(2L) - (0.05 + 0.85 * (r(1L) + r(3L)))) < 1e-9, r.toString)
+    assert(r(1L) === r(3L), "symmetric ends converge to identical rank")
+    // agrees with the bounded form run far past convergence
+    val bounded = Graphs.pageRank(edges, iterations = 200).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach { case (k, v) => assert(math.abs(v - bounded(k)) < 1e-9) }
+    // a bound too small to converge refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Graphs.pageRankConverged(edges, tol = 1e-11, maxIterations = 2)
+    }
+    assert(e.getMessage.contains("maxIterations"))
+  }
+
+  test("adamic-adar: inverse-log-degree weighting, hand-computed (X242)") {
+    // triangle 1-2-3 plus pendant 1-4: degrees 1:3, 2:2, 3:2, 4:1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Graphs.adamicAdar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // (1,2) share 3 (deg 2); (1,3) share 2 (deg 2); (2,3)/(2,4)/(3,4)
+    // share node 1 (deg 3); (1,4) share nothing and must be absent
+    assert(out((1L, 2L)) === ((1L, r6(1.0 / math.log(2.0)))))
+    assert(out((1L, 3L)) === ((1L, r6(1.0 / math.log(2.0)))))
+    assert(out((2L, 3L)) === ((1L, r6(1.0 / math.log(3.0)))))
+    assert(out((2L, 4L)) === ((1L, r6(1.0 / math.log(3.0)))))
+    assert(out((3L, 4L)) === ((1L, r6(1.0 / math.log(3.0)))))
+    assert(!out.contains((1L, 4L)) && out.size === 5)
+  }
+
   test("min-label propagation to fixpoint: early exit equals converged CC; bound refusal is loud (r13)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
     val fix = Graphs.minLabelPropagateFixpoint(edges).collect()
