@@ -260,6 +260,21 @@ object ScaleProbe {
       time(s"graph labelprop 3 rounds ($label)") {
         graft.ops.Graphs.minLabelPropagate(edges, 3).count()
       }
+      // r13 additions: the frontier PPR (state = seed neighborhood,
+      // not the graph — the probe shows it ride the edge-linear side),
+      // Adamic–Adar (same wedge exponent as jaccard), and the
+      // fixpoint forms (per-round driver probes ride the same jobs)
+      time(s"graph ppr frontier 3 iters ($label)") {
+        val seeds = edges.select(col("a").as("node")).distinct()
+          .orderBy("node").limit(3)
+        graft.ops.Graphs.personalizedPageRank(edges, seeds).count()
+      }
+      time(s"graph adamic-adar wedges ($label)") {
+        graft.ops.Graphs.adamicAdar(edges).filter(col("common") >= 3).count()
+      }
+      time(s"graph labelprop fixpoint ($label)") {
+        graft.ops.Graphs.minLabelPropagateFixpoint(edges).count()
+      }
     }
     }
 
