@@ -1392,6 +1392,23 @@ object SparkEntry {
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(Tables.events(s, dir))),
     "q_bm25" -> ((s, dir) => ext.TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Bm25Queries, k = 10)),
+    "q_rrf_fusion" -> ((s, dir) => {
+      // X244 hybrid retrieval: BM25 (the q_bm25 term queries, depth
+      // 20) fused with semantic cosine (the query-id'th document's
+      // embedding vs the rest, depth 20) by reciprocal-rank fusion —
+      // rank positions only, so the two scoring scales need no
+      // calibration. Top-10 fused, 9-dp rrf both sides.
+      val docs = Tables.documents(s, dir)
+      val lex = ext.TextAnalysis.bm25TopK(docs, Bm25Queries, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+      val qids = Bm25Queries.map(_._1.toLong)
+      val sem = Similarity.bruteForceTopK(
+          e.filter(col("vec_id").isin(qids: _*)),
+          e.filter(!col("vec_id").isin(qids: _*)), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, sem), k = 10)
+    }),
     "q_temperature_mix" -> ((s, dir) =>
       ext.TextAnalysis.temperatureMixture(Tables.documents(s, dir), alpha = 0.7)),
     "q_source_kl" -> ((s, dir) =>
@@ -3804,6 +3821,55 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |                                   ORDER BY bm25 DESC, doc_id) AS rank
         |      FROM sc)
+        |WHERE rank <= 10""".stripMargin,
+    // X244 reciprocal-rank fusion: the q_bm25 chain at depth 20, the
+    // q_topk_cosine chain at depth 20 over the query-id'th embeddings,
+    // union'd and re-ranked by sum(1/(60+rank)) — 9-dp both sides
+    "q_rrf_fusion" ->
+      """WITH q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+        |                                 (2,'agg'),(2,'scan'),(3,'vector'),
+        |                                 (3,'merge')) AS t(query_id, token)),
+        |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |toks AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+        |       FROM toks WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |              avg(len(string_split(lower(text), ' ')))::DOUBLE AS avg_dl
+        |       FROM documents),
+        |dfreq AS (SELECT token, count(*)::DOUBLE AS df_t FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))), 6)
+        |           AS bm25
+        |       FROM tf JOIN q USING (token) JOIN dfreq USING (token), st
+        |       GROUP BY 1, 2),
+        |lex AS (SELECT query_id::BIGINT AS query_id, doc_id, rank
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY bm25 DESC, doc_id) AS rank
+        |              FROM sc)
+        |        WHERE rank <= 20),
+        |n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |      FROM embeddings),
+        |sem0 AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+        |                list_dot_product(a.v, b.v) / (a.nm * b.nm) AS sim
+        |         FROM n a JOIN n b ON b.vec_id NOT IN (1, 2, 3)
+        |         WHERE a.vec_id IN (1, 2, 3)),
+        |sem AS (SELECT query_id, doc_id, rank
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY sim DESC, doc_id) AS rank
+        |              FROM sem0)
+        |        WHERE rank <= 20),
+        |u AS (SELECT query_id, doc_id, rank FROM lex
+        |      UNION ALL SELECT query_id, doc_id, rank FROM sem),
+        |f AS (SELECT query_id, doc_id,
+        |             round(sum(1.0 / (60 + rank)), 9) AS rrf,
+        |             count(*) AS n_lists
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, rrf, n_lists
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY rrf DESC, doc_id) AS rank
+        |      FROM f)
         |WHERE rank <= 10""".stripMargin,
     "q_temperature_mix" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,

@@ -72,6 +72,40 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Reciprocal-rank fusion (X244, r13) — the standard hybrid-retrieval
+    * combiner (Cormack et al. '09): given N per-query rankings (lexical
+    * BM25, semantic cosine, ...), each (query_id, doc_id, rank), score
+    * every candidate `rrf = Σ_lists 1/(c + rank)` and re-rank. Rank
+    * positions, not scores, so incomparable scoring scales fuse
+    * without calibration; c=60 is the published default damping. The
+    * plan is a union of the (query×k)-grain lists, one aggregate at
+    * candidate grain and one windowed top-k — the corpus itself never
+    * enters; at 100 TB the inputs are the retrievers' outputs, which
+    * are query-bounded by construction. `n_lists` (how many rankings
+    * proposed the doc) rides along — the consensus signal hybrid
+    * evaluation wants. Arithmetic: one IEEE division per (list, doc)
+    * and a ≤N-term sum, 9-dp rounded on both sides (two-term sums are
+    * order-exact; N>2 fusions carry partial-order noise the round
+    * absorbs).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings given")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(c >= 0, s"c must be >= 0, got $c")
+    val u = rankings
+      .map(_.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionAll _)
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+    u.groupBy("query_id", "doc_id")
+      .agg(round(sum(lit(1.0) / (lit(c.toLong) + col("rank"))), 9).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf", "n_lists")
+  }
+
   /** Deterministic random hyperplanes: `bits` unit-free Gaussian
     * vectors of dimension `dim`, seeded — identical across runs and
     * executors (generated on the driver, shipped as literals).

@@ -429,6 +429,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert("WindowExec|Window".r.findAllIn(p).size >= 1)
   }
 
+  test("adamic-adar: shuffled-hash wedge join, never sort-merge or cartesian (X242)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val p = ops.Graphs.adamicAdar(edges).queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("joinSnapshots: manifest-only broadcast decision, poison-pinned (r13)") {
     import spark.implicits._
     val dim = java.nio.file.Files.createTempDirectory("graft_js_dim").toString + "/t"

@@ -376,6 +376,32 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("bands"))
   }
 
+  test("rrfFuse: hand-computed fusion, consensus wins, n_lists counts proposals (X244)") {
+    import org.apache.spark.sql.functions.col
+    // query 1: list A ranks docs 10,11,12; list B ranks 11,10,13.
+    // doc 11: 1/62 + 1/61; doc 10: 1/61 + 1/62 (tie, doc 10 first);
+    // doc 12: 1/63; doc 13: 1/63 (tie with 12, doc 12 first)
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 10L, 2L), (1L, 13L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), k = 10).collect()
+      .map(r => r.getLong(2) -> (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val both = r9(1.0 / 61 + 1.0 / 62)
+    assert(out(10L) === ((1L, both, 2L)), out.toString) // rrf tie -> lower doc_id
+    assert(out(11L) === ((2L, both, 2L)))
+    assert(out(12L) === ((3L, r9(1.0 / 63), 1L)))
+    assert(out(13L) === ((4L, r9(1.0 / 63), 1L)))
+    // consensus beats a single high rank: a doc ranked 2nd+2nd
+    // outranks one ranked 1st on a single list
+    val c = Seq((2L, 20L, 1L), (2L, 21L, 2L)).toDF("query_id", "doc_id", "rank")
+    val d = Seq((2L, 22L, 1L), (2L, 21L, 2L)).toDF("query_id", "doc_id", "rank")
+    val top = Similarity.rrfFuse(Seq(c, d), k = 1)
+      .filter(col("query_id") === 2L).head()
+    assert(top.getLong(2) === 21L, "2nd+2nd beats 1st-once")
+  }
+
   test("pcaProject: full-rank projection is a rotation (dots preserved); variance orders components") {
     // deterministic 4-dim fixture: coord 0 has the largest spread
     val vecs = (0 until 40).map { i =>
