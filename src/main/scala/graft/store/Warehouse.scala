@@ -1799,12 +1799,22 @@ object Warehouse {
     * table (two streams sharing an id would skip each other's epochs).
     */
   def writeSnapshotStream(source: DataFrame, path: String, checkpoint: String,
-                          appId: String, changeFeed: Boolean = false)
+                          appId: String, changeFeed: Boolean = false,
+                          maintainEvery: Int = 0,
+                          maintainPolicy: MaintenancePolicy = MaintenancePolicy())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         commitStreamBatch(batch, path, appId, epoch, changeFeed)
+        // r13: the in-loop maintenance tick — every `maintainEvery`
+        // epochs the sink runs [[maintainSnapshot]] after its commit,
+        // so a streaming-ingest table never drifts into the
+        // small-file/stale-stats state that needed a separate job.
+        // Safe under epoch replay: every component is idempotent and
+        // no-ops when clean.
+        if (maintainEvery > 0 && epoch % maintainEvery == maintainEvery - 1)
+          maintainSnapshot(batch.sparkSession, path, maintainPolicy)
         ()
       }
 
@@ -1850,12 +1860,16 @@ object Warehouse {
   def writeSnapshotMergeStream(source: DataFrame, path: String, checkpoint: String,
                                appId: String, keys: Seq[String],
                                clauses: Seq[MergeClause],
-                               changeFeed: Boolean = false)
+                               changeFeed: Boolean = false,
+                               maintainEvery: Int = 0,
+                               maintainPolicy: MaintenancePolicy = MaintenancePolicy())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         commitStreamMerge(batch, path, appId, epoch, keys, clauses, changeFeed)
+        if (maintainEvery > 0 && epoch % maintainEvery == maintainEvery - 1)
+          maintainSnapshot(batch.sparkSession, path, maintainPolicy)
         ()
       }
 

@@ -37,6 +37,39 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(hist.map(_.getBoolean(5)).toSeq === Seq(false, true))
   }
 
+  test("in-loop maintenance tick: the sink optimizes + analyzes on its own cadence (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_maint").toString
+    val root = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val policy = Warehouse.MaintenancePolicy(analyzeColumns = Seq("id"), analyzeK = 16)
+    def drain(): Unit = {
+      val q = Warehouse.writeSnapshotStream(
+          mem.toDF().withColumnRenamed("value", "id").repartition(1),
+          root, ckpt, appId = "sink-maint",
+          maintainEvery = 2, maintainPolicy = policy)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // 4 epochs of small files; the tick fires after epochs 1 and 3 —
+    // by the end the table is bin-packed and synopsis-covered without
+    // any separate maintenance job
+    (0 until 4).foreach { i =>
+      mem.addData(i * 100L until i * 100L + 50L: _*); drain()
+    }
+    assert(Warehouse.readSnapshot(spark, root).count() === 200)
+    val desc = Warehouse.describeSnapshot(spark, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val nFiles = desc("n_files").toInt
+    assert(nFiles === 1, s"the tick's OPTIMIZE must have bin-packed: $nFiles files")
+    assert(desc("synopsis.id") === s"k=16: $nFiles/$nFiles files covered",
+      desc.get("synopsis.id").toString)
+    // the zero-scan NDV answers from the tick's synopses
+    assert(Warehouse.ndvSnapshot(spark, root, Seq("id"), k = 16)
+      .head().getDouble(1) > 0.0)
+  }
+
   test("replayed epoch is recognized from the manifest and skipped — no double rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_replay").toString
     val root = s"$dir/t"
