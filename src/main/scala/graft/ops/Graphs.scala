@@ -429,10 +429,13 @@ object Graphs {
     * pre-built edge frame (min-of-3, warm JVM, 3 iterations):
     * every-iteration eager 4.90 s → cadence-2 1.36 s → zero
     * checkpoints (this policy at k=3) 1.01 s; full-query bench keys
-    * (min-of-8, with the join-free first iteration and the PPR
-    * frontier rework) q_graph_pagerank 3.16 → 1.78 s, q_graph_ppr
-    * 3.49 → 2.10 s, q_graph_pagerank_weighted 2.69 → 1.76 s, oracles
-    * unchanged, hash-green. At 100×: per-iteration work is
+    * (min-of-8 subset run, with the join-free first iteration and the
+    * PPR frontier rework) q_graph_pagerank 3.16 → 1.78 s, q_graph_ppr
+    * 3.49 → 2.10 s, q_graph_pagerank_weighted 2.69 → 1.76 s; the
+    * committed full-suite record (r13, min-of-3 passes + isolated
+    * min-of-3 on the fresh JVM) carries in-suite 2.05/2.42/2.06 and
+    * ISOLATED q_graph_pagerank 1.15 s / q_graph_ppr 1.98 s — the
+    * honest clean-JVM numbers; oracles unchanged, hash-green. At 100×: per-iteration work is
     * edge-linear and the every-4th checkpoint is node-linear — the
     * cadence cuts the materialization constant 4× and removes the
     * per-iteration barrier; nothing about the plan shape changes.
