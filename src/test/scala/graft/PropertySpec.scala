@@ -206,4 +206,50 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("adamic-adar law: reference model over random graphs (weights = 1/ln(deg of center))") {
+    forAll(randomEdges) { edges =>
+      if (edges.nonEmpty) {
+        val got = graft.ops.Graphs.adamicAdar(edges.toDF("a", "b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+        // driver-side reference: adjacency sets, shared-neighbor sums
+        val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val deg = adj.view.mapValues(_.size).toMap
+        val nodes = adj.keys.toSeq.sorted
+        val want = (for {
+          a <- nodes; b <- nodes if a < b
+          shared = adj(a) intersect adj(b) if shared.nonEmpty
+        } yield (a, b) -> ((shared.size.toLong,
+          math.rint(shared.toSeq.map(z => 1.0 / math.log(deg(z))).sum * 1e6) / 1e6))).toMap
+        assert(got.keySet === want.keySet, s"edges=$edges")
+        got.foreach { case (k, (c, aa)) =>
+          assert(c === want(k)._1, s"common $k edges=$edges")
+          assert(math.abs(aa - want(k)._2) < 2e-6, s"aa $k edges=$edges")
+        }
+      }
+    }
+  }
+
+  test("rrf fusion law: invariant under list order; score is the rank-reciprocal sum") {
+    val ranking: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(Gen.choose(100L, 120L)).map(_.distinct.zipWithIndex
+        .map { case (doc, i) => (doc, i + 1L) })
+    forAll2(ranking, ranking) { (ra, rb) =>
+      val a = ra.map { case (d, r) => (1L, d, r) }.toDF("query_id", "doc_id", "rank")
+      val b = rb.map { case (d, r) => (1L, d, r) }.toDF("query_id", "doc_id", "rank")
+      def run(ls: Seq[org.apache.spark.sql.DataFrame]) =
+        graft.ext.Similarity.rrfFuse(ls, k = 100).collect()
+          .map(r => r.getLong(2) -> (r.getDouble(3), r.getLong(4))).toMap
+      val ab = run(Seq(a, b))
+      assert(ab === run(Seq(b, a)), "fusion must not depend on list order")
+      val ranks = (ra.map { case (d, r) => d -> r } ++ rb.map { case (d, r) => d -> r })
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      ranks.foreach { case (doc, rs) =>
+        val want = math.rint(rs.map(r => 1.0 / (60.0 + r)).sum * 1e9) / 1e9
+        assert(math.abs(ab(doc)._1 - want) < 2e-9, s"doc=$doc")
+        assert(ab(doc)._2 === rs.size.toLong)
+      }
+    }
+  }
 }
