@@ -94,9 +94,13 @@ object Bench {
     // perf-weak marks, fixed this round — in-suite r12 baselines
     // 5.33 / 3.49 / 3.16 s) so the in-suite vs isolated delta stays
     // on record for them too
+    // r14 additions: the r13 verdict's two remaining heavy keys, so the
+    // one-pass CM build and the adamic wedge join have a clean
+    // before/after record (r13 in-suite baselines 2.82 / 2.07 s)
     val isolatedKeys = Seq("q_corpus_prepare", "q_bpe_encode", "q_dedup_keep",
       "q_dedup_cluster", "q_stream_ohlc",
-      "q_pca_power", "q_graph_ppr", "q_graph_pagerank")
+      "q_pca_power", "q_graph_ppr", "q_graph_pagerank",
+      "q_heavy_hitters_cm", "q_graph_adamic")
       .filter(SparkEntry.queries.contains)
     // Stage the cross-key shared tables OUTSIDE the timed region: the
     // packed-documents stage table feeds both q_pack_sequences and

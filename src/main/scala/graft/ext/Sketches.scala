@@ -39,6 +39,17 @@ object Sketches {
 
   /** Build the sketch: (lane, bucket, c) with c = rows whose key
     * hashes there. NULL keys are skipped (they are not a frequency).
+    *
+    * ONE-PASS build (r14): the counters accumulate in a single
+    * `lanes × width` long-array aggregation buffer
+    * ([[graft.functions.CountMinAgg]]) — per input row the kernel bumps
+    * `lanes` counters in place and generates nothing, partials merge by
+    * addition, and only the final merged buffer explodes into ≤
+    * lanes × width cell rows. The previous shape exploded `lanes`
+    * structs per INPUT row before the partial agg (a 4× row blowup
+    * through the whole scan — measured 2.4 M generated rows and 5.9×
+    * the DuckDB recomposition at sf0.1); same md5-window counters
+    * bit-for-bit, so the emitted frame and the oracle are unchanged.
     */
   def countMinSketch(df: DataFrame, keyCol: String,
                      width: Long = 1L << 11, lanes: Int = 4): DataFrame = {
@@ -47,9 +58,10 @@ object Sketches {
       s"lanes must be 1..4 (md5 yields four 32-bit windows), got $lanes")
     df.select(md5(col(keyCol).cast("string")).as("h"))
       .where(col("h").isNotNull)
-      .select(laneBuckets(col("h"), width, lanes))
-      .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(graft.functions.native.countMinCells(col("h"), width, lanes).as("cells"))
+      .select(explode(col("cells")).as("cell"))
+      .select(col("cell.lane").as("lane"), col("cell.bucket").as("bucket"),
+        col("cell.c").as("c"))
       // the geometry RIDES the sketch (review r11): probing or merging
       // under a different (width, lanes) silently UNDERestimates —
       // the one failure mode Count-Min promises away — so consumers

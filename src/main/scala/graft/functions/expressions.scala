@@ -724,6 +724,125 @@ case class BoundedDistinctLongAgg(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count-Min counters as ONE aggregation buffer — the whole
+  * `lanes × width` long array per partial, fed by the md5 hex of each
+  * key. This is the build-side fix for the X213 sketch: the previous
+  * plan exploded `lanes` (lane, bucket) structs per input row before
+  * the partial aggregate — a 4× row blowup through the full scan — and
+  * the sketch's domain is FIXED (lanes × width cells), exactly the
+  * shape TypedImperativeAggregate exists for (the [[VectorMeanAgg]]
+  * precedent). Per input row: parse `lanes` 8-hex-char windows, bump
+  * `lanes` counters in-place, generate NOTHING. Partials merge by
+  * element-wise addition (Count-Min linearity); the single merged
+  * buffer evaluates to the array of NONZERO (lane, bucket, c) cells,
+  * which the caller explodes once — ≤ lanes × width generated rows
+  * total, not lanes × input rows.
+  *
+  * Counter identity: lane i's bucket is `parseHex(h[8i..8i+8)) % width`
+  * — bit-for-bit the `conv(substring(h, i*8+1, 8), 16, 10) % width`
+  * the exploded plan computed (8 hex chars ≤ 0xFFFFFFFF, exact in a
+  * long, non-negative so `%` agrees), so the emitted frame and every
+  * downstream oracle are unchanged.
+  */
+case class CountMinAgg(
+    child: Expression,
+    width: Long,
+    lanes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  // the buffer is materialized per partial aggregate: bound it so a
+  // mis-sized width fails loudly at construction, not as an executor
+  // OOM (64 MiB of counters is far past any useful CM geometry)
+  require(width >= 2 && lanes >= 1 && lanes <= 4 &&
+    lanes.toLong * width <= (1L << 23),
+    s"count_min_cells: need width>=2, 1<=lanes<=4, lanes*width <= 2^23; " +
+      s"got (width=$width, lanes=$lanes)")
+
+  private val cells = (lanes * width).toInt
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("lane", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "count_min_cells"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, StringType, "md5_hex", child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val h = child.eval(row)
+    if (h != null) {
+      val bytes = h.asInstanceOf[UTF8String].getBytes
+      if (bytes.length >= lanes * 8) {
+        var lane = 0
+        while (lane < lanes) {
+          var v = 0L
+          var j = lane * 8
+          val end = j + 8
+          while (j < end) {
+            val b = bytes(j)
+            // md5() emits lowercase hex; accept uppercase for symmetry
+            // with conv(), which is case-insensitive
+            val d = if (b <= '9') b - '0'
+                    else if (b >= 'a') b - 'a' + 10
+                    else b - 'A' + 10
+            v = (v << 4) | d
+            j += 1
+          }
+          buf(lane * width.toInt + (v % width).toInt) += 1L
+          lane += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < cells) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var nz = 0
+    var i = 0
+    while (i < cells) { if (buf(i) != 0L) nz += 1; i += 1 }
+    val out = new Array[Any](nz)
+    var k = 0
+    i = 0
+    while (i < cells) {
+      if (buf(i) != 0L) {
+        out(k) = InternalRow(i / width.toInt, (i % width.toInt).toLong, buf(i))
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(cells * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(cells)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** All (a < b) pairs of a long array — see [[Kernels.longPairs]]. */
 case class LongPairsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(
@@ -778,6 +897,8 @@ object native {
     c(VectorMeanAgg(e(v), dim).toAggregateExpression())
   def boundedDistinctLong(v: Column, cap: Int): Column =
     c(BoundedDistinctLongAgg(e(v), cap).toAggregateExpression())
+  def countMinCells(md5Hex: Column, width: Long, lanes: Int): Column =
+    c(CountMinAgg(e(md5Hex), width, lanes).toAggregateExpression())
   def longPairs(items: Column): Column = c(LongPairsExpr(e(items)))
   def sharesShingle(text: Column, n: Int, set: java.util.HashSet[String]): Column =
     c(SharesShingleExpr(e(text), n, set))
