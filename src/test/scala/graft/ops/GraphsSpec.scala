@@ -229,6 +229,12 @@ class GraphsSpec extends SparkSpec {
     val star = (2L to 40L).map(i => (1L, i)).toDF("a", "b")
     val starFix = Graphs.minLabelPropagateFixpoint(star, maxRounds = 5).collect()
     assert(starFix.forall(_.getLong(1) == 1L) && starFix.length == 40)
+    // maxRounds means what it says (r13 ADVICE off-by-one): a single
+    // edge converges at the init labeling, so maxRounds=1 — which runs
+    // exactly ONE probe round — must succeed, not refuse
+    val one = Graphs.minLabelPropagateFixpoint(Seq((1L, 2L)).toDF("a", "b"),
+      maxRounds = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 1L, 2L -> 1L))
   }
 
   test("personalized pagerank: seeds-are-everyone equals plain pagerank; mass stays near seeds (X236)") {
