@@ -1814,9 +1814,28 @@ object Warehouse {
         // Safe under epoch replay: every component is idempotent and
         // no-ops when clean.
         if (maintainEvery > 0 && epoch % maintainEvery == maintainEvery - 1)
-          maintainSnapshot(batch.sparkSession, path, maintainPolicy)
+          maintainTickBestEffort(batch.sparkSession, path, maintainPolicy, epoch)
         ()
       }
+
+  /** Best-effort wrapper for the in-sink maintenance tick (r13 ADVICE):
+    * the epoch's DATA commit has already succeeded by the time the
+    * tick runs, and every maintenance component is idempotent and
+    * re-fires on a later epoch — so a transient hygiene failure (e.g.
+    * a SnapshotConflictException escaping the sidecar sweep's bounded
+    * CAS retry under a concurrent analyzer) must not kill the whole
+    * streaming query. Log and continue; ingestion availability is not
+    * coupled to maintenance success.
+    */
+  private def maintainTickBestEffort(spark: SparkSession, path: String,
+                                     policy: MaintenancePolicy, epoch: Long): Unit =
+    try { maintainSnapshot(spark, path, policy); () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] maintenance tick at epoch $epoch on $path failed " +
+            s"(will retry on a later epoch): ${e.getMessage}")
+    }
 
   /** One exactly-once streaming MERGE micro-batch — [[commitStreamBatch]]'s
     * upsert-shaped sibling, and why the txn gate matters MORE here: a
@@ -1869,7 +1888,7 @@ object Warehouse {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         commitStreamMerge(batch, path, appId, epoch, keys, clauses, changeFeed)
         if (maintainEvery > 0 && epoch % maintainEvery == maintainEvery - 1)
-          maintainSnapshot(batch.sparkSession, path, maintainPolicy)
+          maintainTickBestEffort(batch.sparkSession, path, maintainPolicy, epoch)
         ()
       }
 
@@ -5130,11 +5149,28 @@ object Warehouse {
       analyzeK: Int = 256,
       histogramColumns: Seq[(String, Int)] = Seq.empty,
       retentionMaxAgeMs: Option[Long] = None,
-      retentionKeepLast: Int = 2)
+      retentionKeepLast: Int = 2,
+      // DV purge thresholds (r14 — the r13 verdict's composition gap:
+      // every component existed but the tick never called
+      // materializeDeletes, so a table taking regular dv-erases
+      // accumulated `_dv` positions forever and every read paid a
+      // growing anti-join). The tick purges when the manifest's dv
+      // accounting crosses EITHER bound: total recorded positions ≥
+      // dvPurgeMinPositions, or dv-touched live files ≥
+      // dvPurgeMinFileFraction of the entry list. The decision reads
+      // two manifest fields — zero data I/O below threshold, and no
+      // dv state at all short-circuits before either test, so the
+      // clean-tick poison pin holds. Set either knob to 0 to purge on
+      // any dv at all; the defaults let small vectors ride (they are
+      // cheap to apply at read) and purge before the anti-join build
+      // side stops broadcasting.
+      dvPurgeMinPositions: Long = 1L << 20,
+      dvPurgeMinFileFraction: Double = 0.3)
 
   /** What one [[maintainSnapshot]] tick actually did. */
   case class MaintenanceReport(
       optimized: Option[(Long, Int)],
+      dvPurged: Option[(Long, Int)],
       indexRefreshed: Option[Long],
       analyzed: Option[Long],
       histogramsAnalyzed: Map[String, Option[Long]],
@@ -5144,13 +5180,17 @@ object Warehouse {
   /** ONE MAINTENANCE ENTRYPOINT (r13): the tick a streaming-ingest
     * table's owner calls instead of five — composes, in dependency
     * order, OPTIMIZE (small-file bin-packing + optional Z-order) →
+    * DV PURGE when the manifest's deletion-vector accounting crosses
+    * the policy thresholds (r14 — [[materializeDeletes]]; bounded so a
+    * dv-churned table's read-side anti-join stops growing) →
     * bloom-index refresh (only when an index is declared; seeding one
     * stays an explicit [[indexSnapshot]] decision) → ANALYZE ticks for
     * the policy's NDV columns and histogram families → the analyze
-    * sidecar sweep (optimize just killed the old files' rows) →
+    * sidecar sweep (optimize/purge just killed the old files' rows) →
     * age-based retention (only when the policy sets an age). OPTIMIZE
     * runs FIRST so the index/synopsis ticks cover the files that will
-    * actually live. Every component is already incremental and
+    * actually live, and the purge precedes those same ticks for the
+    * same reason. Every component is already incremental and
     * no-ops when clean — a clean table's tick reads manifests and
     * side tables, ZERO data bytes (spec-pinned with the poison pin) —
     * so running this on a schedule is safe at any frequency.
@@ -5163,6 +5203,22 @@ object Warehouse {
       if (!policy.optimize) None
       else optimizeSnapshot(spark, path, policy.targetFileBytes,
         policy.minSmallFiles, clusterCols = policy.clusterCols)
+    // DV purge AFTER optimize (optimize carries dv state through; the
+    // purge rewrite must not race it within the tick) and BEFORE the
+    // index/analyze ticks, so the purge's fresh files get re-covered
+    // by the SAME tick instead of decaying until the next one. The
+    // threshold decision costs two manifest fields.
+    val dvPurged = {
+      val v = mainWriteBase(spark, path)
+      val m = if (v >= 1) readManifest(fs, path, v) else None
+      m.flatMap(readDvState).filter { s =>
+        val positions = s.files.map(_._2).sum
+        val nEntries = m.map(normEntries(_, v).size).getOrElse(0)
+        val frac = if (nEntries == 0) 1.0 else s.files.size.toDouble / nEntries
+        positions >= policy.dvPurgeMinPositions ||
+          frac >= policy.dvPurgeMinFileFraction
+      }.flatMap(_ => materializeDeletes(spark, path))
+    }
     // refresh only an EXISTING index: whether a table wants one is a
     // schema-design decision, not a maintenance default
     val hasIndex = {
@@ -5180,7 +5236,7 @@ object Warehouse {
     val expired = policy.retentionMaxAgeMs
       .map(age => expireSnapshotsOlderThan(spark, path, age, policy.retentionKeepLast))
       .getOrElse(Seq.empty)
-    MaintenanceReport(optimized, indexRefreshed, analyzed, hists, swept, expired)
+    MaintenanceReport(optimized, dvPurged, indexRefreshed, analyzed, hists, swept, expired)
   }
 
   /** FILE-GRAIN BLOOM INDEX (X193) — the Delta bloom-filter-index

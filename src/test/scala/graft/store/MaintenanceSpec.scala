@@ -71,7 +71,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(desc("histogram.num") === s"bins=5: $nFiles/$nFiles files covered")
     // a second tick on the now-clean table is a full no-op
     val r2 = Warehouse.maintainSnapshot(spark, root, policy)
-    assert(r2 === Warehouse.MaintenanceReport(None, None, None,
+    assert(r2 === Warehouse.MaintenanceReport(None, None, None, None,
       Map("num/5" -> None), (0L, 0L), Seq.empty), r2.toString)
     // ...and it cost zero data bytes: with every data file corrupted
     // the tick still runs clean (manifests + side tables only)
@@ -81,6 +81,46 @@ class MaintenanceSpec extends SparkSpec {
     // the zero-scan stats still answer from the side tables
     assert(Warehouse.ndvSnapshot(spark, root, Seq("num"), k = 16)
       .head().getDouble(1) === est)
+  }
+
+  test("dv purge: tick materializes past the threshold, lets small vectors ride below it (r14)") {
+    val root = freshRoot("maint_dv")
+    val base = (1 to 400).map(i => (i.toLong, (i % 23).toLong)).toDF("id", "num")
+    Warehouse.writeSnapshot(base.coalesce(2), root)
+    Warehouse.indexSnapshot(spark, root, "id")
+    // a dv-erase touching both files: 40 positions, 100% of files
+    Warehouse.deleteWhereDv(spark, root, col("id") % 10 === 3L)
+    def dvFiles(): Int = {
+      val d = Warehouse.describeSnapshot(spark, root)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      d.get("deletion_vectors.files").map(_.toInt).getOrElse(0)
+    }
+    assert(dvFiles() > 0, "precondition: the erase recorded dv positions")
+    // BELOW both thresholds: the vectors ride, nothing rewrites
+    val lax = Warehouse.MaintenancePolicy(optimize = false,
+      dvPurgeMinPositions = 1000000L, dvPurgeMinFileFraction = 2.0)
+    val r0 = Warehouse.maintainSnapshot(spark, root, lax)
+    assert(r0.dvPurged.isEmpty, "below threshold the tick must not rewrite")
+    assert(dvFiles() > 0)
+    // PAST the file-fraction threshold: the same tick purges AND
+    // re-covers the fresh files with the declared index
+    val strict = Warehouse.MaintenancePolicy(optimize = false,
+      dvPurgeMinPositions = 1000000L, dvPurgeMinFileFraction = 0.5)
+    val r1 = Warehouse.maintainSnapshot(spark, root, strict)
+    assert(r1.dvPurged.nonEmpty, "past threshold the tick must materialize")
+    assert(dvFiles() === 0, "the purged version carries no dv state")
+    assert(r1.indexRefreshed.nonEmpty,
+      "the purge's fresh files must be index-covered by the SAME tick")
+    // content is exactly the surviving rows
+    assert(Warehouse.readSnapshot(spark, root).count() === 400 - 40)
+    // a second tick is a no-op again (no dv left to purge)
+    assert(Warehouse.maintainSnapshot(spark, root, strict).dvPurged.isEmpty)
+    // position-count threshold fires independently of the fraction
+    Warehouse.deleteWhereDv(spark, root, col("id") === 2L)
+    val byCount = Warehouse.MaintenancePolicy(optimize = false,
+      dvPurgeMinPositions = 1L, dvPurgeMinFileFraction = 2.0)
+    assert(Warehouse.maintainSnapshot(spark, root, byCount).dvPurged.nonEmpty)
+    assert(Warehouse.readSnapshot(spark, root).count() === 400 - 41)
   }
 
   test("maintainSnapshot without an index or retention policy skips both") {
