@@ -2752,54 +2752,228 @@ object Warehouse {
     readManifest(fs, path, v).map(_.get("rowCount").asLong())
   }
 
-  /** STATS-DRIVEN SNAPSHOT JOIN (r13): join two snapshot tables on
-    * `keys`, choosing the broadcast side from the MANIFESTS alone —
-    * the CBO dividend of the stats the warehouse already keeps. The
-    * decision reads each side's committed `rowCount` (one O(1)
-    * manifest field, no Spark job, no data bytes — the X203 zero-scan
-    * discipline) and estimates bytes as rowCount × the schema's
-    * default row width; a side under the broadcast threshold gets the
-    * explicit `broadcast()` hint — Spark's own planner can't make
-    * this call, because a fresh parquet relation's sizeInBytes is
-    * FILE bytes (compressed, column-pruned wrongly) and a snapshot
-    * read behind dv anti-joins/column maps loses even that. Both
-    * sides under the threshold broadcast the smaller; neither —
-    * plain join, and the planner's SMJ/SHJ machinery (plus AQE's
-    * runtime re-pick) takes over, which is the right fallback at
-    * 100 TB where both sides are corpus-sized. A side with no
-    * readable rowCount (crash-gap manifest) is never broadcast —
-    * unknown size is large size. The hint respects join-type build
-    * rules (a LEFT OUTER join can only build right, etc.); an
-    * ineligible side simply isn't hinted.
+  /** What [[joinSnapshots]] decided and why — computable with ZERO
+    * data I/O (manifest fields + analyze side tables only), so a
+    * caller can inspect the plan choice, and the skew advice, without
+    * building the join. `strategy` is one of `broadcast_left`,
+    * `broadcast_right`, `shuffle_hash_left`, `shuffle_hash_right`,
+    * `shuffle`. `saltAdvice` is SURFACED, never auto-applied: salting
+    * rewrites both sides' keys, which only the caller can decide
+    * (it changes the join's output grain for aggregates downstream).
+    */
+  case class JoinAdvice(
+      strategy: String,
+      leftBytesEst: Option[Long],
+      rightBytesEst: Option[Long],
+      buildSideNdv: Option[Double],
+      saltAdvice: Option[String])
+
+  /** STATS-DRIVEN SNAPSHOT JOIN (r13, hardened r14): join two snapshot
+    * tables on `keys`, choosing the strategy from the MANIFESTS and
+    * ANALYZE side tables alone — the CBO dividend of the stats the
+    * warehouse already keeps. Spark's own planner can't make this
+    * call: a fresh parquet relation's sizeInBytes is FILE bytes
+    * (compressed, column-pruned wrongly) and a snapshot read behind dv
+    * anti-joins/column maps loses even that.
     *
-    * `broadcastThreshold` defaults to the session's
-    * `spark.sql.autoBroadcastJoinThreshold`; pass an explicit value to
-    * pin the decision (the spec's poison pin proves the choice costs
-    * zero data I/O: corrupt every data file, the plan still builds
-    * with the right join strategy).
+    * SIZE estimate (r14 — the r13 ADVICE fix): rowCount ×
+    * schema.defaultSize assumes fixed widths (20 B per string), so a
+    * multi-KB-text table was under-estimated by orders of magnitude
+    * and broadcast into an OOM — the exact failure the hint exists to
+    * avoid. The estimate is now `max(rowCount × defaultSize,
+    * manifestBytes × DecompressionFactor)` — the manifest already
+    * records the version's total data bytes — and a schema carrying
+    * var-width columns (string/binary/array/map) with NO readable
+    * byte count is NEVER broadcast on the row-width guess alone.
+    * Unknown size is large size.
+    *
+    * STRATEGY ladder: a side under `broadcastThreshold` (default: the
+    * session's autoBroadcastJoinThreshold) gets the explicit
+    * `broadcast()` hint (both under → the smaller). When NEITHER side
+    * broadcasts, the decision consults the X231 synopses (r14): if the
+    * smaller buildable side has complete recorded-NDV coverage on a
+    * join key and its per-key cardinality `rowCount / ndv` is bounded
+    * (≤ 64 rows/key), the side is hinted SHUFFLE_HASH — bounded build
+    * partitions hash safely, and skipping both sides' sorts beats SMJ.
+    * No synopsis coverage → plain join, and the planner's SMJ/SHJ
+    * machinery (plus AQE's runtime re-pick) takes over — the right
+    * fallback at 100 TB where both sides are corpus-sized. All hints
+    * respect join-type build rules (a LEFT OUTER join can only build
+    * right, etc.); an ineligible side simply isn't hinted.
+    *
+    * SKEW is surfaced, not auto-applied ([[joinAdvice]]): when the
+    * probe side's recorded per-key cardinality exceeds ~1024 rows/key,
+    * the advice names the key and recommends salting / AQE skew join —
+    * rewriting keys is the caller's decision, not a join helper's.
+    *
+    * The whole decision costs zero DATA bytes (spec poison pin:
+    * corrupt every data file, the plan still builds with the right
+    * strategy); the synopsis lookup reads the (files × k)-row side
+    * table, which is metadata-grain by construction.
     */
   def joinSnapshots(spark: SparkSession, leftPath: String, rightPath: String,
                     keys: Seq[String], joinType: String = "inner",
                     broadcastThreshold: Option[Long] = None): DataFrame = {
+    val l = readSnapshot(spark, leftPath)
+    val r = readSnapshot(spark, rightPath)
+    joinAdvice(spark, leftPath, rightPath, keys, joinType,
+      broadcastThreshold).strategy match {
+      case "broadcast_left"     => broadcast(l).join(r, keys, joinType)
+      case "broadcast_right"    => l.join(broadcast(r), keys, joinType)
+      case "shuffle_hash_left"  => l.hint("SHUFFLE_HASH").join(r, keys, joinType)
+      case "shuffle_hash_right" => l.join(r.hint("SHUFFLE_HASH"), keys, joinType)
+      case _                    => l.join(r, keys, joinType)
+    }
+  }
+
+  /** Parquet-to-in-memory expansion guess for the size estimate:
+    * deliberately conservative (snappy parquet commonly decodes 2–5×;
+    * under-guessing risks an OOM broadcast, over-guessing only costs a
+    * shuffle that AQE may still convert back).
+    */
+  private val DecompressionFactor = 4L
+
+  /** Per-key build-side rows bound under which [[joinSnapshots]] hints
+    * SHUFFLE_HASH; and the probe-side per-key bound past which the
+    * advice recommends salting.
+    */
+  private val ShuffleHashMaxRowsPerKey = 64.0
+  private val SkewAdviseRowsPerKey = 1024.0
+
+  /** The [[joinSnapshots]] decision alone — zero data I/O. */
+  def joinAdvice(spark: SparkSession, leftPath: String, rightPath: String,
+                 keys: Seq[String], joinType: String = "inner",
+                 broadcastThreshold: Option[Long] = None): JoinAdvice = {
     require(keys.nonEmpty, "joinSnapshots: no join keys given")
     val thr = broadcastThreshold.getOrElse(
       org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold)
-    val l = readSnapshot(spark, leftPath)
-    val r = readSnapshot(spark, rightPath)
-    def estBytes(path: String, df: DataFrame): Option[Long] =
-      snapshotRowCount(spark, path).map(_ * df.schema.defaultSize)
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    def manifest(path: String) = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(fsConf)
+      val v = currentSnapshot(spark, path)
+      if (v >= 1) readManifest(fs, path, v) else None
+    }
+    def hasVarWidth(path: String): Boolean = manifest(path).exists { m =>
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+      schema.fields.exists(f => f.dataType match {
+        case _: org.apache.spark.sql.types.StringType => true
+        case _: org.apache.spark.sql.types.BinaryType => true
+        case _: org.apache.spark.sql.types.ArrayType => true
+        case _: org.apache.spark.sql.types.MapType => true
+        case _ => false
+      })
+    }
+    def estBytes(path: String): Option[Long] = manifest(path).flatMap { m =>
+      val rows = Option(m.get("rowCount")).map(_.asLong)
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+      val widthEst = rows.map(_ * schema.defaultSize)
+      val fileEst = Option(m.get("bytes")).map(_.asLong * DecompressionFactor)
+      (widthEst, fileEst) match {
+        case (Some(a), Some(b)) => Some(math.max(a, b))
+        // var-width rows under a width-only guess are the OOM path
+        // (r13 ADVICE): without the byte signal, refuse to estimate
+        case (Some(a), None) => if (hasVarWidth(path)) None else Some(a)
+        case _ => None
+      }
+    }
+    def rowCount(path: String): Option[Long] =
+      manifest(path).flatMap(m => Option(m.get("rowCount")).map(_.asLong))
     val norm = joinType.toLowerCase.replaceAll("[_ ]", "")
     val canBuildLeft = Set("inner", "cross", "right", "rightouter")(norm)
     val canBuildRight = Set("inner", "cross", "left", "leftouter",
       "semi", "leftsemi", "anti", "leftanti")(norm)
-    val le = estBytes(leftPath, l).filter(_ <= thr).filter(_ => canBuildLeft)
-    val re = estBytes(rightPath, r).filter(_ <= thr).filter(_ => canBuildRight)
-    (le, re) match {
-      case (Some(a), Some(b)) if a <= b => broadcast(l).join(r, keys, joinType)
-      case (_, Some(_))                 => l.join(broadcast(r), keys, joinType)
-      case (Some(_), _)                 => broadcast(l).join(r, keys, joinType)
-      case _                            => l.join(r, keys, joinType)
+    val lb = estBytes(leftPath)
+    val rb = estBytes(rightPath)
+    // best recorded per-key cardinality across the join keys: the
+    // composite key's per-key count is bounded by ANY single column's
+    val perKey: String => Option[Double] = path =>
+      (for {
+        n <- rowCount(path).toSeq
+        c <- keys
+        ndv <- recordedNdv(spark, path, c) if ndv > 0.0
+      } yield n.toDouble / ndv).minOption
+    val ndvOf: String => Option[Double] = path =>
+      keys.flatMap(c => recordedNdv(spark, path, c)).maxOption
+    val le = lb.filter(_ <= thr).filter(_ => canBuildLeft)
+    val re = rb.filter(_ <= thr).filter(_ => canBuildRight)
+    val (strategy, buildNdv) = (le, re) match {
+      case (Some(a), Some(b)) if a <= b => ("broadcast_left", None)
+      case (_, Some(_))                 => ("broadcast_right", None)
+      case (Some(_), _)                 => ("broadcast_left", None)
+      case _ =>
+        // neither broadcasts: try a synopsis-certified SHUFFLE_HASH on
+        // the smaller buildable side (unknown sizes stay unhinted)
+        val candidates = Seq(
+          ("shuffle_hash_left", lb, canBuildLeft, leftPath),
+          ("shuffle_hash_right", rb, canBuildRight, rightPath))
+          .collect { case (s, Some(bytes), true, p) => (s, bytes, p) }
+          .sortBy(_._2)
+        candidates.headOption.flatMap { case (s, _, p) =>
+          perKey(p).filter(_ <= ShuffleHashMaxRowsPerKey)
+            .map(_ => (s, ndvOf(p)))
+        }.getOrElse(("shuffle", None))
     }
+    // skew advice reads the PROBE side (the side not being built):
+    // a bounded build hashes fine, but a probe key holding thousands
+    // of rows lands them in one task either way
+    val saltAdvice = {
+      val probePath = strategy match {
+        case "broadcast_left" | "shuffle_hash_left" => rightPath
+        case _ => leftPath
+      }
+      perKey(probePath).filter(_ >= SkewAdviseRowsPerKey).map { pk =>
+        f"join key(s) ${keys.mkString(", ")} average $pk%.0f rows/key on " +
+          s"$probePath — consider salting the key or relying on AQE skew-join " +
+          "(spark.sql.adaptive.skewJoin.enabled) before shuffling at scale"
+      }
+    }
+    JoinAdvice(strategy, lb, rb, buildNdv, saltAdvice)
+  }
+
+  /** NDV estimate for `column` from RECORDED synopses alone — the
+    * PLANNING variant of [[ndvSnapshot]]: where that one live-scans
+    * uncovered files to stay exact, this one returns None unless
+    * every live file is dv-free and covered by a recorded synopsis
+    * family (largest recorded k wins), because a planner consult must
+    * never cost data bytes (X203). The estimate it does return is
+    * bit-identical to [[ndvSnapshot]] at that k.
+    */
+  def recordedNdv(spark: SparkSession, path: String, column: String): Option[Double] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    if (v < 1) return None
+    val m = readManifest(fs, path, v).getOrElse(return None)
+    // any dv'd file would need a live re-scan for an exact answer —
+    // planning reads nothing, so it simply declines
+    if (readDvState(m).exists(_.files.nonEmpty)) return None
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    if (!schema.fieldNames.contains(column)) return None
+    val pc = physicalName(columnMapOf(m), column)
+    val entries = normEntries(m, v)
+    if (entries.isEmpty) return Some(0.0)
+    val side = synopsesPath(path)
+    if (snapshots(spark, side).isEmpty) return None
+    import spark.implicits._
+    val fam = readSnapshot(spark, side).filter(col("column") === pc)
+      .join(broadcast(entries.toDF("file")), Seq("file"), "left_semi")
+      .localCheckpoint(true) // consumed by the coverage probe AND the estimate
+    val ks = fam.groupBy("k").agg(countDistinct(col("file")).as("nf"))
+      .filter(col("nf") === entries.size)
+      .select("k").collect().map(_.getInt(0))
+    if (ks.isEmpty) return None
+    val k = ks.max
+    val est = fam.filter(col("k") === k && col("v").isNotNull)
+      .groupBy("v").agg(min(col("u")).as("u"))
+      .orderBy(col("u"), col("v")).limit(k)
+      .agg(count(lit(1)).as("__n"), max(col("u")).as("__uk"))
+      .select(when(col("__n") < k, col("__n").cast("double"))
+        .otherwise(lit((k - 1).toDouble) / col("__uk")))
+      .head()
+    Some(if (est.isNullAt(0)) 0.0 else est.getDouble(0))
   }
 
   /** All LIVE snapshot versions under `path`, ascending. A version dir
@@ -4984,8 +5158,29 @@ object Warehouse {
       (r.getDouble(0), r.getDouble(1), Set.empty[String])
     }
     val need = entries.filterNot(covered)
-    if (need.isEmpty) return None
     import spark.implicits._
+    if (need.isEmpty) {
+      // r14 (ADVICE): when EVERY live file carries a dv, no file row
+      // can be recorded — but if the family doesn't exist yet it must
+      // still be created with its edges pinned, or histogramSnapshot
+      // refuses with "run analyzeHistogram first" while analyzeHistogram
+      // keeps returning None: an instruction loop the caller cannot
+      // resolve. Persist the " edges" sentinel row (the
+      // compactAnalyzeSidecars shape: file=" edges", bin/n NULL) —
+      // inert to every file-grain reader, visible to the family-wide
+      // edge lookup — so the all-live-scan answer serves under pinned
+      // edges. The edges came from the dv-subtracted readSnapshot
+      // min/max above, so they describe the LIVE rows.
+      if (existing.nonEmpty) return None
+      val sentinel = Seq(" edges").toDF("file")
+        .select(col("file"), lit(pc).as("column"), lit(lo).as("lo"),
+          lit(hi).as("hi"), lit(bins).as("bins"),
+          lit(null).cast("long").as("bin"), lit(null).cast("long").as("n"))
+      return Some(snapshots(spark, side).lastOption match {
+        case None => writeSnapshot(sentinel, side)
+        case Some(cur) => appendSnapshot(sentinel, side, cur)
+      })
+    }
     val real = histogramRows(spark, path, q,
       physicalize(schema, cmap), pc, need, lo, hi, bins)
       .localCheckpoint(true) // read once for rows AND the sentinel diff
@@ -5063,6 +5258,69 @@ object Warehouse {
       .where(col("bin").isNotNull) // all-NULL coverage sentinels carry no counts
       .groupBy("bin").agg(sum("n").as("n"))
       .select(col("bin"), lit(lo).as("lo"), lit(hi).as("hi"), col("n"))
+  }
+
+  /** Driver-side cardinality estimate for `column ∈ [lo, hi]` from the
+    * RECORDED histogram family alone (r14) — the planning complement of
+    * [[histogramSnapshot]], for sizing shuffles / choosing AQE hints /
+    * feeding [[joinAdvice]]-style decisions: where that one live-scans
+    * to stay exact, this one never touches a data byte and returns
+    * None when it can't certify (no (`column`, `bins`) family,
+    * incomplete file coverage, or any live file carrying a dv).
+    *
+    * Estimate: bins fully inside [lo, hi] count whole; the boundary
+    * bins prorate linearly (uniform-within-bin assumption). The true
+    * live-row count over the pinned range therefore lies within
+    * [sum of fully-contained bins, sum of all intersecting bins] — the
+    * CLAMPED-BIN bound: end bins may additionally hold out-of-range
+    * mass clamped in by later appends (the X234 contract), which can
+    * only over-estimate, never silently under-estimate a range that
+    * excludes the end bins.
+    */
+  def estimateRows(spark: SparkSession, path: String, column: String,
+                   lo: Double, hi: Double, bins: Int = 20): Option[Double] = {
+    require(lo <= hi, s"estimateRows($path): lo $lo > hi $hi")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    if (v < 1) return None
+    val m = readManifest(fs, path, v).getOrElse(return None)
+    if (readDvState(m).exists(_.files.nonEmpty)) return None
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    if (!schema.fieldNames.contains(column)) return None
+    val pc = physicalName(columnMapOf(m), column)
+    val entries = normEntries(m, v)
+    if (entries.isEmpty) return Some(0.0)
+    val side = histogramsPath(path)
+    if (snapshots(spark, side).isEmpty) return None
+    import spark.implicits._
+    val fam = readSnapshot(spark, side)
+      .filter(col("column") === pc && col("bins") === bins)
+      .join(broadcast(entries.toDF("file")), Seq("file"), "left_semi")
+      .localCheckpoint(true) // consumed by the coverage probe AND the sums
+    val edge = fam.select("lo", "hi").head(1).headOption.getOrElse(return None)
+    val (blo, bhi) = (edge.getDouble(0), edge.getDouble(1))
+    val coveredN = fam.select("file").distinct().count()
+    if (coveredN != entries.size) return None
+    val counts = fam.where(col("bin").isNotNull)
+      .groupBy("bin").agg(sum("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val width = (bhi - blo) / bins
+    val est = (0L until bins.toLong).map { b =>
+      val n = counts.getOrElse(b, 0L)
+      if (n == 0L) 0.0
+      else if (width == 0.0) {
+        // degenerate single-point range: all mass sits at blo
+        if (lo <= blo && blo <= hi) n.toDouble else 0.0
+      } else {
+        val binLo = blo + b * width
+        val binHi = blo + (b + 1) * width
+        val overlap = math.min(hi, binHi) - math.max(lo, binLo)
+        n * math.min(1.0, math.max(0.0, overlap / width))
+      }
+    }.sum
+    Some(est)
   }
 
   /** Maintenance for the ANALYZE side tables (X231/X234): rows for

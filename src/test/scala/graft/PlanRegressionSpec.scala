@@ -485,4 +485,84 @@ class PlanRegressionSpec extends SparkSpec {
       assert(p4.contains("BroadcastHashJoin"), p4.take(1500))
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("joinSnapshots: synopsis-certified SHUFFLE_HASH, SMJ fallback without synopses, zero data I/O (r14)") {
+    import spark.implicits._
+    val dim = java.nio.file.Files.createTempDirectory("graft_sh_dim").toString + "/t"
+    val fact = java.nio.file.Files.createTempDirectory("graft_sh_fact").toString + "/t"
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 50).map(i => (i.toLong, s"n$i")).toDF("k", "name"), dim)
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 5000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v"), fact)
+    // WITHOUT synopses: neither side under threshold -> no certified
+    // build side -> plain join, the planner's machinery decides
+    val a0 = graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"),
+      broadcastThreshold = Some(1))
+    assert(a0.strategy === "shuffle", a0.toString)
+    // analyze the would-be build side: per-key cardinality on dim.k is
+    // 1 row/key (50 rows, 50 distinct) - bounded, SHUFFLE_HASH-safe
+    graft.store.Warehouse.analyzeSnapshot(spark, dim, Seq("k"), k = 64)
+    assert(graft.store.Warehouse.recordedNdv(spark, dim, "k").exists(n =>
+      n > 40.0 && n <= 60.0))
+    // poison pin BEFORE the decision: the strategy must come from the
+    // manifests + the _synopses side table, never the data files
+    Seq(dim, fact).foreach { root =>
+      new java.io.File(root).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .flatMap(_.listFiles)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .foreach { f =>
+          val out = new java.io.FileOutputStream(f)
+          out.write("not parquet".getBytes); out.close()
+        }
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a1 = graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"),
+        broadcastThreshold = Some(1))
+      assert(a1.strategy === "shuffle_hash_right", a1.toString)
+      val p1 = graft.store.Warehouse.joinSnapshots(spark, fact, dim, Seq("k"),
+          broadcastThreshold = Some(1))
+        .queryExecution.sparkPlan.toString
+      assert(p1.contains("ShuffledHashJoin"), p1.take(1500))
+      assert(!p1.contains("SortMergeJoin"), p1.take(1500))
+      // LEFT OUTER onto dim can only build right: dim IS the right
+      // side, so the certified hint still lands
+      assert(graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"),
+        joinType = "left", broadcastThreshold = Some(1)).strategy === "shuffle_hash_right")
+      // ...but RIGHT OUTER can only build left (fact: uncertified) -
+      // no hint
+      assert(graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"),
+        joinType = "right", broadcastThreshold = Some(1)).strategy === "shuffle")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("joinAdvice: surfaces (never applies) a salt recommendation on a hot probe key (r14)") {
+    import spark.implicits._
+    val dim = java.nio.file.Files.createTempDirectory("graft_sk_dim").toString + "/t"
+    val hot = java.nio.file.Files.createTempDirectory("graft_sk_hot").toString + "/t"
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 10).map(i => (i.toLong, s"n$i")).toDF("k", "name"), dim)
+    // 5000 rows over 2 distinct keys: 2500 rows/key on the probe side
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 5000).map(i => (i.toLong % 2, i.toLong)).toDF("k", "v"), hot)
+    graft.store.Warehouse.analyzeSnapshot(spark, dim, Seq("k"), k = 64)
+    graft.store.Warehouse.analyzeSnapshot(spark, hot, Seq("k"), k = 64)
+    val a = graft.store.Warehouse.joinAdvice(spark, hot, dim, Seq("k"),
+      broadcastThreshold = Some(1))
+    assert(a.saltAdvice.exists(_.contains("salting")), a.toString)
+    // the advice is informational: the built plan carries no salt
+    // rewrite (key columns unchanged)
+    val cols = graft.store.Warehouse.joinSnapshots(spark, hot, dim, Seq("k"),
+      broadcastThreshold = Some(1)).columns.toSeq
+    assert(cols === Seq("k", "v", "name"), cols.toString)
+    // a cool probe key (50 distinct over 5000 rows = 100/key) stays
+    // below the advise bound
+    val factCool = java.nio.file.Files.createTempDirectory("graft_sk_cool").toString + "/t"
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 5000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v"), factCool)
+    graft.store.Warehouse.analyzeSnapshot(spark, factCool, Seq("k"), k = 64)
+    assert(graft.store.Warehouse.joinAdvice(spark, factCool, dim, Seq("k"),
+      broadcastThreshold = Some(1)).saltAdvice.isEmpty)
+  }
 }

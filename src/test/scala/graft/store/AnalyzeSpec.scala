@@ -287,6 +287,75 @@ class AnalyzeSpec extends SparkSpec {
     assert(Warehouse.analyzeHistogram(spark, root, "num", bins = 5).isEmpty)
   }
 
+  test("estimateRows: within the clamped-bin bound, zero data I/O, declines without certification (r14)") {
+    val root = freshRoot("est_rows")
+    // num spans 1..400 uniformly over 2 files
+    val df = (1 to 400).map(i => (i.toLong, i.toLong)).toDF("id", "num")
+    Warehouse.writeSnapshot(df.repartition(2), root)
+    // no family yet -> decline, never guess
+    assert(Warehouse.estimateRows(spark, root, "num", 100, 200, bins = 8).isEmpty)
+    Warehouse.analyzeHistogram(spark, root, "num", bins = 8)
+    // zero data I/O: the estimate must answer from the side table alone
+    assert(corruptDataFiles(root) === 2)
+    val est = Warehouse.estimateRows(spark, root, "num", 100.5, 200.5, bins = 8).get
+    // true count of num in [100.5, 200.5] is 100; edges pinned at
+    // (1, 400), width 49.875: the bound is [fully-contained bins,
+    // all intersecting bins]
+    val width = (400.0 - 1.0) / 8
+    def binRange(b: Int) = (1.0 + b * width, 1.0 + (b + 1) * width)
+    val full = (0 until 8).filter { b =>
+      val (l, h) = binRange(b); l >= 100.5 && h <= 200.5
+    }
+    val touch = (0 until 8).filter { b =>
+      val (l, h) = binRange(b); h > 100.5 && l < 200.5
+    }
+    def countOf(bs: Seq[Int]): Double = bs.map { b =>
+      val (l, h) = binRange(b)
+      (1 to 400).count(v => v >= l && (v < h || (b == 7 && v <= h)))
+    }.sum.toDouble
+    assert(est >= countOf(full) && est <= countOf(touch),
+      s"est $est outside [${countOf(full)}, ${countOf(touch)}]")
+    // ...and the prorated estimate is actually close to the truth
+    assert(math.abs(est - 100.0) <= width,
+      s"est $est vs true 100 (width $width)")
+    // a dv'd table declines: planning never scans
+    val root2 = freshRoot("est_rows_dv")
+    Warehouse.writeSnapshot(df, root2)
+    Warehouse.analyzeHistogram(spark, root2, "num", bins = 8)
+    Warehouse.deleteWhereDv(spark, root2, col("num") > 390L)
+    assert(Warehouse.estimateRows(spark, root2, "num", 100, 200, bins = 8).isEmpty)
+  }
+
+  test("analyzeHistogram pins the family when every live file is dv'd; histogramSnapshot serves (r14)") {
+    val root = freshRoot("hist_alldv")
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "num")
+    Warehouse.writeSnapshot(df.coalesce(1), root)
+    // one dv-erase touching THE only file: every live file now carries
+    // a dv, so no file row can be recorded
+    Warehouse.deleteWhereDv(spark, root, col("num") > 90L)
+    // r13 refused into a loop here (analyze returned None without
+    // creating the family; snapshot said "run analyzeHistogram first");
+    // now the first analyze pins the family's edges via the sentinel
+    val v = Warehouse.analyzeHistogram(spark, root, "num", bins = 5)
+    assert(v.nonEmpty, "the first analyze must create the family")
+    // edges describe the LIVE rows (dv-subtracted min/max: 1..90)
+    val hist = Warehouse.histogramSnapshot(spark, root, "num", bins = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(hist.map(_._4).sum === 90L, hist.mkString(", "))
+    assert(hist.forall(h => h._2 === 1.0 && h._3 === 90.0), hist.mkString(", "))
+    // a second analyze in the same state is a clean no-op, not a
+    // sentinel duplicator
+    assert(Warehouse.analyzeHistogram(spark, root, "num", bins = 5).isEmpty)
+    // after a purge the next tick records real file rows under the
+    // SAME pinned edges
+    Warehouse.materializeDeletes(spark, root)
+    assert(Warehouse.analyzeHistogram(spark, root, "num", bins = 5).nonEmpty)
+    val hist2 = Warehouse.histogramSnapshot(spark, root, "num", bins = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(hist2.map(_._4).sum === 90L)
+    assert(hist2.forall(h => h._2 === 1.0 && h._3 === 90.0))
+  }
+
   test("unknown column refuses loudly") {
     val root = freshRoot("ndv_badcol")
     Warehouse.writeSnapshot(table(100, 11), root)
