@@ -97,6 +97,20 @@ object Similarity {
         col("doc_id").cast("long").as("doc_id"),
         col("rank").cast("long").as("rank")))
       .reduce(_ unionAll _)
+      // loud-refusal discipline (r13 ADVICE): a NULL key silently
+      // drops from the fusion and a rank < 1 skews every score it
+      // touches — rank = −c in particular divides by zero deep in the
+      // plan, far from the caller. Rankings are rank-contract inputs
+      // (row_number output starts at 1), so a violation is a caller
+      // bug to surface, not data to massage.
+      .filter(when(col("query_id").isNull || col("doc_id").isNull ||
+          col("rank").isNull || col("rank") < 1,
+        raise_error(concat(lit("rrfFuse: invalid ranking row (query_id="),
+          coalesce(col("query_id").cast("string"), lit("NULL")),
+          lit(", doc_id="), coalesce(col("doc_id").cast("string"), lit("NULL")),
+          lit(", rank="), coalesce(col("rank").cast("string"), lit("NULL")),
+          lit(") - ranks must be non-null and >= 1"))))
+        .otherwise(lit(true)))
     val w = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
     u.groupBy("query_id", "doc_id")
       .agg(round(sum(lit(1.0) / (lit(c.toLong) + col("rank"))), 9).as("rrf"),

@@ -400,6 +400,20 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.rrfFuse(Seq(c, d), k = 1)
       .filter(col("query_id") === 2L).head()
     assert(top.getLong(2) === 21L, "2nd+2nd beats 1st-once")
+    // loud refusal (r14, r13 ADVICE): a rank-contract violation —
+    // null key or rank < 1 (rank = -60 would divide by zero deep in
+    // the plan) — names the row instead of skewing scores silently
+    val bad = Seq((3L, 30L, 0L)).toDF("query_id", "doc_id", "rank")
+    val e = intercept[Exception] {
+      Similarity.rrfFuse(Seq(a, bad), k = 10).collect()
+    }
+    assert(e.getMessage.contains("ranks must be non-null and >= 1"), e.getMessage)
+    val nullKey = Seq((Some(3L), Option.empty[Long], Some(1L)))
+      .toDF("query_id", "doc_id", "rank")
+    val e2 = intercept[Exception] {
+      Similarity.rrfFuse(Seq(a, nullKey), k = 10).collect()
+    }
+    assert(e2.getMessage.contains("ranks must be non-null and >= 1"), e2.getMessage)
   }
 
   test("pcaProject: full-rank projection is a rotation (dots preserved); variance orders components") {
