@@ -570,6 +570,26 @@ object SparkEntry {
       store.Ivm.maintainAggregate(aggOld, feed, Seq("o_orderstatus"),
         Map("s" -> "o_custkey"), "n")
     }),
+    "q_incr_degrees_cdf" -> ((s, dir) => {
+      // X245 graph × IVM composition: the degree rollup of an edge
+      // list is a COUNT view over the symmetrized edges, so it
+      // maintains algebraically from the edge diff — old graph's
+      // degrees + feed ≡ recompute over the new graph, which is
+      // exactly what the oracle computes. Integer counts → bit-exact.
+      // The bracket both INSERTS edges (the %5-only orderkeys' groups)
+      // and DELETES them (the %20 == 0 groups drop out).
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val oldE = ops.Graphs.coOccurrenceEdges(
+        li.filter(col("l_orderkey") % 10 === 0), "l_orderkey", "l_partkey",
+        maxGroupSize = 10)
+      val newE = ops.Graphs.coOccurrenceEdges(
+        li.filter(col("l_orderkey") % 5 === 0 && col("l_orderkey") % 20 =!= 0),
+        "l_orderkey", "l_partkey", maxGroupSize = 10)
+      val deg0 = ops.Graphs.degrees(oldE)
+      val feed = Warehouse.diffFrames(oldE, newE, Seq("a", "b"),
+        preImages = true)
+      store.Ivm.maintainDegrees(deg0, feed)
+    }),
     "q_incr_distinct_cdf" -> ((s, dir) => {
       // X198 COUNT DISTINCT IVM: the support relation (status, custkey)
       // -> multiplicity is itself a COUNT rollup, so it maintains
@@ -1847,6 +1867,23 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |SELECT o_orderstatus, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS s
         |FROM newst GROUP BY o_orderstatus""".stripMargin,
+    // X245 degree IVM: the maintained degree rollup must equal the
+    // direct recompute over the NEW graph's edge list — the oracle
+    // rebuilds the co-occurrence edges from the post-bracket filter
+    // and counts incidences
+    "q_incr_degrees_cdf" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 5 = 0 AND l_orderkey % 20 <> 0),
+        |sized AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM items) t
+        |  WHERE gs <= 10),
+        |edges AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i),
+        |incid AS (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+        |SELECT node, count(*) AS degree FROM incid GROUP BY node""".stripMargin,
     // X198 COUNT DISTINCT IVM: the maintained distinct counts must
     // equal the direct recompute of the new state
     "q_incr_distinct_cdf" ->

@@ -228,16 +228,9 @@ object Graphs {
       // min-of-3 at sf0.1: 1.87 s → 1.36 s.
       var ranks = seedB.select(col("__seed").as("node"), lit(1.0 / nS).as("rank"))
       for (i <- 1 to iterations) {
-        val next = ranks.join(dirEdges, col("node") === col("src"))
-          .select(col("dst"), (col("rank") * col("w") / col("outdeg")).as("term"),
-            lit(0.0).as("tel"))
-          .unionAll(seedB.select(col("__seed").as("dst"), lit(0.0).as("term"),
-            lit(teleport).as("tel")))
-          .groupBy(col("dst"))
-          .agg(sum(col("term")).as("in_sum"), max(col("tel")).as("tel"))
-          .select(col("dst").as("node"),
-            (lit(damping) * col("in_sum") + col("tel")).as("rank"))
-        ranks = checkpointCadence(next, i, iterations)
+        ranks = checkpointCadence(
+          undirectedPprRound(ranks, dirEdges, seedB, teleport, damping),
+          i, iterations)
       }
       dirEdges.select(col("src").as("node")).distinct()
         .join(ranks, Seq("node"), "left")
@@ -273,6 +266,81 @@ object Graphs {
       }
       ranks.select(col("node"), col("rank"))
     }
+  }
+
+  /** One fused undirected-PPR round (r14): edge contributions and the
+    * seed teleport rows enter the SAME groupBy, so each round is ONE
+    * edge-grain aggregate — see the doc at the call site in
+    * [[personalizedPageRank]] for the numeric-identity argument.
+    */
+  private def undirectedPprRound(ranks: DataFrame, dirEdges: DataFrame,
+                                 seedB: DataFrame, teleport: Double,
+                                 damping: Double): DataFrame =
+    ranks.join(dirEdges, col("node") === col("src"))
+      .select(col("dst"), (col("rank") * col("w") / col("outdeg")).as("term"),
+        lit(0.0).as("tel"))
+      .unionAll(seedB.select(col("__seed").as("dst"), lit(0.0).as("term"),
+        lit(teleport).as("tel")))
+      .groupBy(col("dst"))
+      .agg(sum(col("term")).as("in_sum"), max(col("tel")).as("tel"))
+      .select(col("dst").as("node"),
+        (lit(damping) * col("in_sum") + col("tel")).as("rank"))
+
+  /** WARM-START PPR REFRESH after edge churn (X245, r14) — the graph ×
+    * IVM composition's walk half: given ranks computed on the OLD edge
+    * list, run `rounds` PPR rounds on the NEW edge list starting FROM
+    * the stored ranks instead of from the seeds, then zero-fill
+    * against the new node set. The PPR round `x ← d·Pᵀx + t` is an
+    * L1-contraction with factor `d` (P is the walk's column-stochastic
+    * transition), so after j refresh rounds the L1 distance to the
+    * NEW graph's stationary ranks is ≤ dʲ · ‖R_old − R*_new‖₁ ≤ 2·dʲ
+    * (both vectors carry ≈ unit mass) — and in practice far smaller,
+    * because an edge bracket touching few nodes leaves R_old ≈ R*_new
+    * away from the changed region, so the same j lands much closer
+    * than a cold start's dʲ·‖t − R*‖₁ would (spec-pinned both ways on
+    * a hand graph). A correction walk SEEDED at the changed endpoints
+    * was considered and rejected: PPR is linear in the TELEPORT
+    * vector, but an edge change perturbs the OPERATOR — a C-seeded
+    * walk has no exactness guarantee to offer, while the warm start's
+    * contraction bound is unconditional. State stays
+    * reached-neighborhood-sized (the stored ranks are already
+    * frontier-shaped); each round is the same fused single aggregate
+    * as the cold walk. Undirected edges only, like the frontier walk.
+    */
+  def refreshPersonalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                                  storedRanks: DataFrame, rounds: Int = 2,
+                                  damping: Double = 0.85,
+                                  weightCol: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val w = weightCol.map(col).getOrElse(lit(1L))
+    val dir0 = edges.select(col("a").as("src"), col("b").as("dst"), w.as("w"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst"), w.as("w")))
+    val outdeg = dir0.groupBy(col("src").as("odn")).agg(sum(col("w")).as("outdeg"))
+    val dirEdges = dir0.join(outdeg, col("src") === col("odn")).drop("odn")
+      .localCheckpoint(true)
+    val seedIn = broadcast(
+      seeds.select(seeds.columns.head).toDF("__seed").distinct())
+    val seedNodes = dirEdges.select(col("src").as("__seed")).distinct()
+      .join(seedIn, Seq("__seed"), "left_semi")
+      .localCheckpoint(true)
+    val nS = seedNodes.count().toDouble
+    require(nS > 0,
+      "refreshPersonalizedPageRank: no seed is a node of the graph")
+    val teleport = (1.0 - damping) / nS
+    val seedB = broadcast(seedNodes)
+    // stale mass on nodes no longer in the graph would leak into the
+    // first round through the edge join only if they still have edges
+    // — nodes deleted entirely just drop (their rank rows match no
+    // src). Nodes that exist but were unreached read as 0, exactly the
+    // frontier convention.
+    var ranks = storedRanks.select(col("node"), col("rank").cast("double").as("rank"))
+    for (i <- 1 to rounds) {
+      ranks = checkpointCadence(
+        undirectedPprRound(ranks, dirEdges, seedB, teleport, damping), i, rounds)
+    }
+    dirEdges.select(col("src").as("node")).distinct()
+      .join(ranks, Seq("node"), "left")
+      .select(col("node"), coalesce(col("rank"), lit(0.0)).as("rank"))
   }
 
   def pageRank(edges: DataFrame, iterations: Int = 3, damping: Double = 0.85,

@@ -130,6 +130,43 @@ object Ivm {
     maintainAggregate(agg, feed, keys, sums, countCol)
   }
 
+  /** DEGREE rollup of an undirected edge table maintained from its
+    * change feed (X245, r14) — the graph analytics × IVM composition:
+    * `degree(v) = |{edges incident to v}|` is a COUNT view over the
+    * SYMMETRIZED edge list, so it is self-maintainable by the existing
+    * algebra with no new machinery. Each feed row (one edge, canonical
+    * `a < b`) contributes one symmetrized row per endpoint carrying
+    * the edge row's own `_change_type`: an inserted edge +1s both
+    * endpoints, a deleted edge −1s both, an update's preimage/post
+    * pair re-homes both ends naturally. The maintained frame is
+    * exactly [[graft.ops.Graphs.degrees]]'s output shape
+    * (`node`, `degree`), and equals its recompute over the post-feed
+    * edge list (oracle-pinned: q_incr_degrees_cdf). Cost: one
+    * feed-grain aggregate + one keyed merge against the batch-sized
+    * delta — a 100 TB graph's degree table stays current for the
+    * price of the edge churn, never a rescan. Zero-degree nodes drop
+    * (the recompute would not have them).
+    */
+  def maintainDegrees(deg: DataFrame, feed: DataFrame,
+                      aCol: String = "a", bCol: String = "b",
+                      nodeCol: String = "node",
+                      degreeCol: String = "degree"): DataFrame = {
+    val sym = feed.select(col(aCol).as(nodeCol), col("_change_type"))
+      .unionAll(feed.select(col(bCol).as(nodeCol), col("_change_type")))
+    maintainAggregate(deg, sym, Seq(nodeCol), countCol = degreeCol)
+  }
+
+  /** [[maintainDegrees]] driven straight from the warehouse feeds of
+    * `fromVersion..toVersion`, like [[maintainFromWarehouse]]. */
+  def maintainDegreesFromWarehouse(deg: DataFrame, path: String,
+                                   fromVersion: Long, toVersion: Long,
+                                   aCol: String = "a", bCol: String = "b",
+                                   nodeCol: String = "node",
+                                   degreeCol: String = "degree"): DataFrame =
+    maintainDegrees(deg,
+      Warehouse.readChangeFeed(deg.sparkSession, path, fromVersion, toVersion)
+        .drop("_commit_version"), aCol, bCol, nodeCol, degreeCol)
+
   /** [[maintainMinMax]] / [[maintainTopK]] / [[maintainDistinctSupport]]
     * / [[maintainMoments]] driven straight from the warehouse, like
     * [[maintainFromWarehouse]]: fold the persisted feeds of

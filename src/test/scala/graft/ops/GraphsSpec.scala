@@ -237,6 +237,43 @@ class GraphsSpec extends SparkSpec {
     assert(one === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("warm-start PPR refresh: contraction bound holds, beats cold start from the old ranks (X245)") {
+    import org.apache.spark.sql.functions.col
+    // old graph: path 1-2-3-4-5 + far pair 10-11; bracket bridges
+    // 5-10 (a structural change far from the seed)
+    val oldE = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("a", "b")
+    val newE = oldE.unionAll(Seq((5L, 10L)).toDF("a", "b"))
+    val seeds = Seq(1L).toDF("node")
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // "converged" references: 30 iterations at d=0.85 puts the
+    // iteration residual ~ 0.85^30 ≈ 8e-3 * initial - far below the
+    // bounds asserted here
+    val oldRanks = Graphs.personalizedPageRank(oldE, seeds, iterations = 30)
+      .localCheckpoint(true)
+    val newStar = toMap(Graphs.personalizedPageRank(newE, seeds, iterations = 30))
+    def l1(a: Map[Long, Double]): Double =
+      (a.keySet ++ newStar.keySet).toSeq
+        .map(k => math.abs(a.getOrElse(k, 0.0) - newStar.getOrElse(k, 0.0))).sum
+    val baseGap = l1(toMap(oldRanks))
+    assert(baseGap > 1e-4, "precondition: the bracket actually moved the ranks")
+    // the documented contraction: j refresh rounds from the stored
+    // ranks land within d^j * ||R_old - R*_new||_1 of the new fixpoint
+    for (j <- Seq(1, 2, 3)) {
+      val refreshed = toMap(Graphs.refreshPersonalizedPageRank(
+        newE, seeds, oldRanks, rounds = j))
+      val gap = l1(refreshed)
+      assert(gap <= math.pow(0.85, j) * baseGap + 1e-9,
+        s"rounds=$j: gap $gap > bound ${math.pow(0.85, j) * baseGap}")
+    }
+    // ...and the warm start beats a COLD walk of the same depth: 2
+    // refresh rounds land closer than 2 cold iterations from seeds
+    val cold2 = toMap(Graphs.personalizedPageRank(newE, seeds, iterations = 2))
+    val warm2 = toMap(Graphs.refreshPersonalizedPageRank(newE, seeds, oldRanks, rounds = 2))
+    assert(l1(warm2) < l1(cold2),
+      s"warm ${l1(warm2)} must beat cold ${l1(cold2)} at equal depth")
+  }
+
   test("personalized pagerank: seeds-are-everyone equals plain pagerank; mass stays near seeds (X236)") {
     import org.apache.spark.sql.functions.col
     // a path 1-2-3-4-5 plus a far pair 10-11

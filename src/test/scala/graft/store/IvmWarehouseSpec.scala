@@ -66,4 +66,30 @@ class IvmWarehouseSpec extends SparkSpec {
     assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((2L, 3L, 5L)),
       "moments after deleting one x=1 row: cnt 2, sum 3, sq 5")
   }
+
+  test("maintainDegrees: degree view rides the edge feed - maintained == recompute (X245)") {
+    val root = tmpRoot("graft_ivdeg")
+    // path 1-2-3-4 plus the far edge 10-11
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    Warehouse.writeSnapshot(e1, root)
+    val deg0 = graft.ops.Graphs.degrees(e1)
+    // bracket: delete (2,3) - splits the path - and insert (4,10),
+    // bridging to the far pair; node 5 appears via (4,5)
+    Warehouse.deleteWhereDv(spark, root,
+      col("a") === 2L && col("b") === 3L, changeFeed = true)
+    Warehouse.appendSnapshot(Seq((4L, 10L), (4L, 5L)).toDF("a", "b"), root, 2L,
+      changeFeed = true)
+    val maintained = Ivm.maintainDegreesFromWarehouse(deg0, root, 2L, 3L)
+    val recompute = graft.ops.Graphs.degrees(Warehouse.readSnapshot(spark, root, Some(3L)))
+    assert(maintained.exceptAll(recompute).isEmpty &&
+      recompute.exceptAll(maintained).isEmpty,
+      s"${maintained.collect().mkString(",")} vs ${recompute.collect().mkString(",")}")
+    // the churned endpoints moved, untouched ones did not, new node
+    // appeared with its degree
+    val m = maintained.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2L) === 1L && m(3L) === 1L, "deleted edge -1s both endpoints")
+    assert(m(4L) === 3L, "insert bracket +2s node 4")
+    assert(m(1L) === 1L && m(11L) === 1L, "untouched endpoints keep their degree")
+    assert(m(5L) === 1L, "a brand-new node enters through the feed")
+  }
 }
