@@ -3089,11 +3089,18 @@ object Warehouse {
         rows += (("bloom_index",
           s"${s.column} (${s.bits} bits, ${s.files.size}/${entries.size} files covered)"))
       }
-      // X231/X234: ANALYZE coverage per column (physical name), from
-      // the _synopses/_histograms side tables — "how stale is my
-      // zero-scan NDV / histogram". Synopsis rows key on NORMALIZED
-      // entries (v=N/name), so the raw manifest entries normalize
-      // before the join.
+      // X231/X234: ANALYZE coverage per column, from the _synopses/
+      // _histograms side tables — "how stale is my zero-scan NDV /
+      // histogram". Synopsis rows key on NORMALIZED entries (v=N/name),
+      // so the raw manifest entries normalize before the join. Rows
+      // key on the frozen PHYSICAL column name; the report labels them
+      // by the CURRENT logical name (r14 — a rename must not strand a
+      // family's coverage under a label no live column bears; the
+      // column_map rows disclose the physical identity either way).
+      val logicalLabel: String => String = {
+        val inv = columnMapOf(m).map(_.swap)
+        p => inv.getOrElse(p, p)
+      }
       if (snapshots(spark, synopsesPath(path)).nonEmpty) {
         readSnapshot(spark, synopsesPath(path))
           .join(broadcast(normEntries(m, v).toDF("file")), Seq("file"), "left_semi")
@@ -3102,20 +3109,27 @@ object Warehouse {
           .collect()
           .sortBy(r => (r.getString(0), r.getInt(1)))
           .foreach { r =>
-            rows += ((s"synopsis.${r.getString(0)}",
+            rows += ((s"synopsis.${logicalLabel(r.getString(0))}",
               s"k=${r.getInt(1)}: ${r.getLong(2)}/${entries.size} files covered"))
           }
       }
       if (snapshots(spark, histogramsPath(path)).nonEmpty) {
-        readSnapshot(spark, histogramsPath(path))
+        // families enumerate from the WHOLE side table (not just
+        // live-covered rows) so an edge-pinned family with zero live
+        // file rows — the all-dv analyze state — still reports its
+        // existence as 0/N instead of vanishing
+        val side = readSnapshot(spark, histogramsPath(path))
+          .localCheckpoint(true) // one read feeds families AND coverage
+        val covered = side
           .join(broadcast(normEntries(m, v).toDF("file")), Seq("file"), "left_semi")
           .select("file", "column", "bins").distinct()
           .groupBy("column", "bins").agg(countDistinct("file").as("n"))
-          .collect()
-          .sortBy(r => (r.getString(0), r.getInt(1)))
-          .foreach { r =>
-            rows += ((s"histogram.${r.getString(0)}",
-              s"bins=${r.getInt(1)}: ${r.getLong(2)}/${entries.size} files covered"))
+          .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+        side.select("column", "bins").distinct()
+          .collect().map(r => (r.getString(0), r.getInt(1))).sorted
+          .foreach { case (c, b) =>
+            rows += ((s"histogram.${logicalLabel(c)}",
+              s"bins=$b: ${covered.getOrElse((c, b), 0L)}/${entries.size} files covered"))
           }
       }
       Option(m.get("readerFeatures")).foreach { rf =>

@@ -102,6 +102,16 @@ class AnalyzeSpec extends SparkSpec {
       .collect()
     assert(renamed.length === 1 && renamed.head.getString(0) === "num_renamed")
     assert(renamed.head.getDouble(1) === before)
+    // ...and the coverage REPORT follows the rename (r14): the family
+    // must not strand under the dead logical label — describeSnapshot
+    // labels coverage by the CURRENT logical name
+    val desc = Warehouse.describeSnapshot(spark, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.contains("synopsis.num_renamed"),
+      s"coverage must re-label to the live name: ${desc.keys.filter(_.startsWith("synopsis")).mkString(", ")}")
+    assert(!desc.contains("synopsis.num"),
+      "the dead logical label must not appear")
+    assert(desc("synopsis.num_renamed") === "k=32: 4/4 files covered")
   }
 
   test("incremental analyze never rescans covered files (poison pin on the old files)") {
@@ -346,6 +356,12 @@ class AnalyzeSpec extends SparkSpec {
     // a second analyze in the same state is a clean no-op, not a
     // sentinel duplicator
     assert(Warehouse.analyzeHistogram(spark, root, "num", bins = 5).isEmpty)
+    // the edge-pinned family is VISIBLE in the coverage report as 0/N
+    // instead of vanishing (r14)
+    val desc0 = Warehouse.describeSnapshot(spark, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc0.get("histogram.num").exists(_.startsWith("bins=5: 0/")),
+      desc0.filter(_._1.startsWith("histogram")).toString)
     // after a purge the next tick records real file rows under the
     // SAME pinned edges
     Warehouse.materializeDeletes(spark, root)
