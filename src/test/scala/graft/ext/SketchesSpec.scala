@@ -39,6 +39,44 @@ class SketchesSpec extends SparkSpec {
       "100 keys in 16 buckets must collide somewhere")
   }
 
+  test("one-pass buffer build == the exploded md5-lane recomposition, partition-invariant (r14)") {
+    // counter identity: the CountMinAgg buffer must reproduce the
+    // conv(substring(md5)) % width counters the exploded plan computed
+    // — the same expression the DuckDB oracle recomposes
+    def exploded(df: org.apache.spark.sql.DataFrame, width: Long, lanes: Int) =
+      df.select(md5(col("k").cast("string")).as("h"))
+        .where(col("h").isNotNull)
+        .select(explode(array((0 until lanes).map(i =>
+          struct(lit(i).as("lane"),
+            (conv(substring(col("h"), i * 8 + 1, 8), 16, 10).cast("long") % width)
+              .as("bucket"))): _*)).as("lb"))
+        .groupBy(col("lb.lane").as("lane"), col("lb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+    for ((w, l) <- Seq((1024L, 4), (16L, 2), (2L, 1))) {
+      val fast = Sketches.countMinSketch(data, "k", width = w, lanes = l)
+        .select("lane", "bucket", "c")
+      val slow = exploded(data, w, l)
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"(width=$w, lanes=$l): buffer build diverged from the exploded form")
+    }
+    // merge associativity: the partial buffers' element-wise addition
+    // must make the result independent of partitioning
+    val p1 = Sketches.countMinSketch(data.coalesce(1), "k", width = 64)
+      .select("lane", "bucket", "c")
+    val p13 = Sketches.countMinSketch(data.repartition(13), "k", width = 64)
+      .select("lane", "bucket", "c")
+    assert(p1.exceptAll(p13).isEmpty && p13.exceptAll(p1).isEmpty,
+      "counters must not depend on partition count")
+    // null keys are skipped, not a frequency; an all-null input yields
+    // an EMPTY sketch frame (zero cells), not a row of zeros
+    val withNulls = (Seq("a", null, "a", null): Seq[String]).toDF("k")
+    val nn = Sketches.countMinSketch(withNulls, "k", width = 64)
+    // each lane's counters sum to the non-null row count
+    assert(nn.filter(col("lane") === 0).agg(sum("c")).head().getLong(0) === 2L)
+    assert(Sketches.countMinSketch(
+      (Seq(null, null): Seq[String]).toDF("k"), "k", width = 64).count() === 0L)
+  }
+
   test("geometry rides the sketch: a mismatched probe or merge refuses (review r11)") {
     // the guard is FUSED into the plan (zero extra passes), so it
     // fires at execution — the broadcast build materializes every

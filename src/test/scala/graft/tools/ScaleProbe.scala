@@ -275,6 +275,60 @@ object ScaleProbe {
       time(s"graph labelprop fixpoint ($label)") {
         graft.ops.Graphs.minLabelPropagateFixpoint(edges).count()
       }
+      // r14: the fused-round PPR (one edge-grain aggregate per round)
+      // and the warm-start refresh — the refresh at FIXED small churn
+      // should track the edge-linear per-round cost, with rounds=2
+      // beating the cold 3-iteration walk by ~a round
+      // stored ranks staged OUTSIDE the timed region: the lane prices
+      // the REFRESH, not the cold walk that seeded it
+      val refreshSeeds = edges.select(col("a").as("node")).distinct()
+        .orderBy("node").limit(3).localCheckpoint(true)
+      val storedRanks = graft.ops.Graphs.personalizedPageRank(edges, refreshSeeds)
+        .localCheckpoint(true)
+      time(s"graph ppr warm refresh 2 rounds ($label)") {
+        graft.ops.Graphs.refreshPersonalizedPageRank(edges, refreshSeeds,
+          storedRanks, rounds = 2).count()
+      }
+    }
+    }
+
+    section("sketch") {
+    // r14: the one-pass Count-Min buffer build under K× volume. The
+    // buffer is FIXED (lanes × width longs per partial) regardless of
+    // rows or key cardinality, so the build must ride the scan —
+    // linear in volume with a per-row constant and no generated rows
+    // (the old explode form paid 4× row materialization through the
+    // same scan). The degree-IVM lane pins the other claim: the
+    // maintenance merge is FEED-priced, so a fixed-size feed costs
+    // ~the same against a K×-bigger degree table.
+    val li1 = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val maxOk2 = li1.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val liK2 = (0 until k).map(i =>
+        li1.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOk2)))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    for ((label, l) <- Seq("warmup" -> li1, "1x" -> li1, s"${k}x" -> liK2)) {
+      time(s"count-min one-pass build ($label)") {
+        graft.ext.Sketches.countMinSketch(l, "l_partkey").count()
+      }
+    }
+    val liG = Tables.lineitem(spark, dir).filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey")
+    val gk2 = math.min(k, 4)
+    val maxOk3 = liG.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    val liGK = (0 until gk2).map(i =>
+        liG.withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOk3)))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    for ((label, l) <- Seq("1x" -> liG, s"${gk2}x" -> liGK)) {
+      val edges = graft.ops.Graphs
+        .coOccurrenceEdges(l, "l_orderkey", "l_partkey", maxGroupSize = 10)
+        .localCheckpoint(true)
+      val deg = graft.ops.Graphs.degrees(edges).localCheckpoint(true)
+      // fixed 200-edge feed against the K×-bigger degree table
+      val someEdges = edges.orderBy("a", "b").limit(200).localCheckpoint(true)
+      val feed = someEdges.withColumn("_change_type", lit("delete"))
+      time(s"degree IVM, fixed 200-edge feed ($label)") {
+        graft.store.Ivm.maintainDegrees(deg, feed).count()
+      }
     }
     }
 
