@@ -517,6 +517,34 @@ object SparkEntry {
         o.filter(col("o_orderkey") % 3 === 0).repartition(2), root, v1)
       Warehouse.histogramSnapshot(s, root, "o_totalprice", bins = 20)
     }),
+    "q_estimate_rows" -> ((s, dir) => {
+      // X246 histogram-driven range-cardinality estimation: the
+      // per-bin prorated contributions for o_totalprice ∈ [50k, 150k]
+      // from the recorded X234 family — the engine-portable pin of
+      // estimateRows' arithmetic (the driver-side scalar is
+      // spec-pinned in AnalyzeSpec; this key emits the per-bin terms,
+      // each one independent IEEE arithmetic — multiply, add, min/max,
+      // one division — so no summation order crosses engines).
+      // Boundary bins prorate linearly; interior bins ride whole.
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_qest").toString + "/t"
+      Warehouse.writeSnapshot(o.repartition(3), root)
+      Warehouse.analyzeHistogram(s, root, "o_totalprice", bins = 20)
+      val hist = Warehouse.histogramSnapshot(s, root, "o_totalprice", bins = 20)
+      val (qlo, qhi) = (50000.0, 150000.0)
+      hist
+        .select(col("bin"), col("n"), ((col("hi") - col("lo")) / lit(20)).as("w"),
+          col("lo"))
+        .select(col("bin"), col("n"), col("w"),
+          (col("lo") + col("bin") * col("w")).as("bin_lo"),
+          (col("lo") + (col("bin") + lit(1)) * col("w")).as("bin_hi"))
+        .withColumn("frac",
+          least(lit(1.0), greatest(lit(0.0),
+            (least(lit(qhi), col("bin_hi")) - greatest(lit(qlo), col("bin_lo")))
+              / col("w"))))
+        .filter(col("frac") > 0)
+        .select(col("bin"), col("n"), round(col("n") * col("frac"), 6).as("contribution"))
+    }),
     "q_sql_snapshot" -> ((s, dir) => {
       // X207 SQL table-valued functions: the lakehouse loop driven
       // from pure SQL — graft_snapshot carries the FULL read plan
@@ -3465,6 +3493,32 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders, e WHERE o_totalprice IS NOT NULL)
         |SELECT bin, min(lo) AS lo, min(hi) AS hi, count(*) AS n
         |FROM b GROUP BY bin""".stripMargin,
+    // X246 histogram range estimate: edges pin from the full write's
+    // min/max; bins recompose exactly (integer counts), then the
+    // per-bin proration is the same independent IEEE terms on both
+    // sides — multiply, add, min/max, one division, 6-dp round
+    "q_estimate_rows" ->
+      """WITH e AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+        |             max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+        |b AS (
+        |  SELECT CASE WHEN e.hi = e.lo THEN 0
+        |         ELSE CAST(least(greatest(
+        |             floor((CAST(o_totalprice AS DOUBLE) - e.lo) / ((e.hi - e.lo) / 20)),
+        |             0), 19) AS BIGINT) END AS bin,
+        |         e.lo, e.hi
+        |  FROM orders, e WHERE o_totalprice IS NOT NULL),
+        |h AS (SELECT bin, min(lo) AS lo, min(hi) AS hi, count(*) AS n
+        |      FROM b GROUP BY bin),
+        |p AS (SELECT bin, n, (hi - lo) / 20 AS w,
+        |             lo + bin * ((hi - lo) / 20) AS bin_lo,
+        |             lo + (bin + 1) * ((hi - lo) / 20) AS bin_hi
+        |      FROM h),
+        |f AS (SELECT bin, n,
+        |             least(1.0, greatest(0.0,
+        |               (least(150000.0, bin_hi) - greatest(50000.0, bin_lo)) / w)) AS frac
+        |      FROM p)
+        |SELECT bin, n, round(n * frac, 6) AS contribution
+        |FROM f WHERE frac > 0""".stripMargin,
     // X231 manifest-synopsis NDV: per-file bottom-64 KMV synopses
     // merge to the table-wide bottom-64, so the estimate recomposes as
     // plain kmvDistinct over everything the scenario wrote (the full
