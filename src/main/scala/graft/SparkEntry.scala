@@ -1624,6 +1624,21 @@ object SparkEntry {
       Similarity.ivfTopKBucketed(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
     }),
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      // X247 persisted IVF index, probed THROUGH storage: bucketed
+      // build (the X220 portable rule) into a range-clustered snapshot
+      // table + centroids side table, then ivfTopKIndexed's pruned
+      // read → probe join → exact-cosine rerank → top-k. Same oracle
+      // recomposition as q_ann_ivf_bucketed — what this key adds is
+      // the round-trip THROUGH the persisted index (parquet float
+      // round-trip exact, cell layout, manifest-pruned probe read).
+      val e = Tables.embeddings(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_qvidx").toString + "/t"
+      ext.VectorIndex.buildIvfIndex(e.filter(col("vec_id") >= 10), root,
+        nlist = 16, bucketed = true)
+      ext.VectorIndex.ivfTopKIndexed(e.filter(col("vec_id") < 10), root,
+        k = 10, nprobe = 4)
+    }),
 
     // ---- streaming (bounded replay through the PRODUCTION sink shape:
     // update-mode micro-batches upserted into a date-partitioned
@@ -2575,6 +2590,27 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     // probe/rerank/rank decision recomposes exactly (same DOUBLE[]
     // dot-product contract as q_topk_cosine)
     "q_ann_ivf_bucketed" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv, (vec_id % 16)::INT AS cell
+        |      FROM n WHERE vec_id >= 10),
+        |p AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
+        |             ((q.vec_id + i.i) % 16)::INT AS cell
+        |      FROM n q, (SELECT unnest(range(0, 4)) AS i) i WHERE q.vec_id < 10),
+        |scored AS (
+        |  SELECT p.query_id, c.neighbor_id,
+        |         list_dot_product(p.qv, c.cv)
+        |           / (p.qn * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM p JOIN c USING (cell)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10""".stripMargin,
+    // X247 persisted-index probe: same recomposition — the bucketed
+    // rule is deterministic whether computed inline or read back from
+    // the cell-clustered index table
+    "q_ann_ivf_indexed" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
         |           FROM embeddings),

@@ -235,8 +235,8 @@ object Similarity {
     * refinement shuffle is sample × dim cells, never corpus × dim.
     * Shared by [[ivfTopK]] and [[pqTopK]] (the IVF-PQ composition).
     */
-  private def coarseCentroids(corpus: DataFrame, nlist: Int, fitSample: Int,
-                              totalHint: Long = -1L): Array[Array[Double]] = {
+  private[ext] def coarseCentroids(corpus: DataFrame, nlist: Int, fitSample: Int,
+                                   totalHint: Long = -1L): Array[Array[Double]] = {
     def normalize(vs: Array[Array[Double]]): Array[Array[Double]] =
       vs.map { v =>
         val n = math.sqrt(v.map(x => x * x).sum)

@@ -1,0 +1,106 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.store.Warehouse
+import org.apache.spark.sql.functions._
+
+/** X247 persisted IVF index — the load-bearing claims:
+  * (1) the bucketed persisted probe is bit-identical to the inline
+  *     ivfTopKBucketed twin (same X220 rule, now through storage);
+  * (2) probing opens ONLY the probed cells' files (range layout +
+  *     manifest stats), poison-pinned: corrupt every non-probed file,
+  *     the probe still answers;
+  * (3) refresh assigns only NEW vectors against the STORED centroids
+  *     (no refit, no rescan), is a no-op on a covered corpus, and the
+  *     probe sees the appended vectors;
+  * (4) the kmeans production mode holds a recall floor against
+  *     brute force (its fit is rows-only by design — X220's argument).
+  */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(ids: Range, dim: Int = 8): org.apache.spark.sql.DataFrame =
+    ids.map { i =>
+      (i.toLong, (0 until dim).map(d =>
+        (math.sin(i * 0.37 + d * 1.13) + (if (i % 16 == d) 2.0 else 0.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  test("bucketed persisted probe == inline ivfTopKBucketed; refresh is incremental; no-op when covered") {
+    val root = freshRoot("vidx")
+    val corpus = vecs(10 until 150)
+    val queries = vecs(0 until 10)
+    VectorIndex.buildIvfIndex(corpus, root, nlist = 16, bucketed = true)
+    val got = VectorIndex.ivfTopKIndexed(queries, root, k = 10, nprobe = 4)
+    val want = Similarity.ivfTopKBucketed(queries, corpus, k = 10,
+      nlist = 16, nprobe = 4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the persisted probe must reproduce the inline twin exactly")
+    // covered corpus -> refresh no-op, no new version
+    val vBefore = Warehouse.currentSnapshot(spark, root)
+    assert(VectorIndex.refreshIvfIndex(corpus, root).isEmpty)
+    assert(Warehouse.currentSnapshot(spark, root) === vBefore)
+    // new vectors append under the STORED rule and become probe-visible
+    val grown = vecs(10 until 180)
+    assert(VectorIndex.refreshIvfIndex(grown, root).nonEmpty)
+    val got2 = VectorIndex.ivfTopKIndexed(queries, root, k = 10, nprobe = 4)
+    val want2 = Similarity.ivfTopKBucketed(queries, grown, k = 10,
+      nlist = 16, nprobe = 4)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+      "after refresh the persisted probe must match the twin over the grown corpus")
+    // old rows were NOT rewritten: the refresh committed an append
+    // (previous version's files carried by reference)
+    val hist = Warehouse.describeSnapshot(spark, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hist("n_shared_files").toInt > 0,
+      s"refresh must append, not rewrite: $hist")
+  }
+
+  test("probe opens only the probed cells' files (poison pin on every other file)") {
+    val root = freshRoot("vidx_prune")
+    val corpus = vecs(10 until 300)
+    VectorIndex.buildIvfIndex(corpus, root, nlist = 8, bucketed = true)
+    val all = Warehouse.readSnapshot(spark, root).inputFiles.toSet
+    assert(all.size > 2, s"need several files for pruning to mean anything: ${all.size}")
+    // one query, nprobe=2 -> cells {0, 1}: a contiguous run at the low
+    // end of the cell range
+    val q = vecs(0 until 1)
+    val probe = VectorIndex.ivfTopKIndexed(q, root, k = 5, nprobe = 2)
+    val opened = probe.inputFiles.toSet
+    assert(opened.nonEmpty && opened.subsetOf(all))
+    assert(opened.size < all.size,
+      s"probe must skip non-probed cells' files: opened ${opened.size}/${all.size}")
+    val expected = probe.collect().toSeq
+    // poison every file the probe does NOT plan: if the pruning ever
+    // regressed to a full scan, the read would now explode
+    (all -- opened).foreach { f =>
+      val out = new java.io.FileOutputStream(new java.io.File(new java.net.URI(f)))
+      out.write("not parquet".getBytes); out.close()
+    }
+    assert(VectorIndex.ivfTopKIndexed(q, root, k = 5, nprobe = 2)
+      .collect().toSeq === expected,
+      "the probe must answer from the probed files alone")
+  }
+
+  test("kmeans production mode: recall floor vs brute force; centroids persist and reload") {
+    val root = freshRoot("vidx_km")
+    val corpus = vecs(10 until 300)
+    val queries = vecs(0 until 10)
+    VectorIndex.buildIvfIndex(corpus, root, nlist = 8)
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorIndex.ivfTopKIndexed(queries, root, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"nprobe=4/8 cells must recover >= half: $recall")
+    // an unbuilt path refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.ivfTopKIndexed(queries, freshRoot("vidx_none"), k = 5)
+    }
+    assert(e.getMessage.contains("buildIvfIndex"))
+  }
+}
