@@ -100,7 +100,11 @@ object Bench {
     val isolatedKeys = Seq("q_corpus_prepare", "q_bpe_encode", "q_dedup_keep",
       "q_dedup_cluster", "q_stream_ohlc",
       "q_pca_power", "q_graph_ppr", "q_graph_pagerank",
-      "q_heavy_hitters_cm", "q_graph_adamic")
+      "q_heavy_hitters_cm", "q_graph_adamic",
+      // r14 newcomers whose in-suite numbers carry scenario
+      // choreography (two edge builds + diff / an index build): the
+      // isolated record keeps their real cost on file from day one
+      "q_incr_degrees_cdf", "q_ann_ivf_indexed")
       .filter(SparkEntry.queries.contains)
     // Stage the cross-key shared tables OUTSIDE the timed region: the
     // packed-documents stage table feeds both q_pack_sequences and

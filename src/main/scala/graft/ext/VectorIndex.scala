@@ -139,6 +139,32 @@ object VectorIndex {
       path, Warehouse.currentSnapshot(spark, path)))
   }
 
+  /** STREAMING index maintenance (X248): each micro-batch of
+    * (vec_id, embedding) rows refreshes the persisted index — the
+    * embedding-ingest half of a retrieval pipeline as one sink. The
+    * index must exist ([[buildIvfIndex]] seeds centroids + layout;
+    * which rule the index follows is a build decision, not an ingest
+    * one). Exactly-once WITHOUT an epoch gate, by construction:
+    * [[refreshIvfIndex]] anti-joins on `vec_id` before assigning, so
+    * a replayed batch's vectors are already indexed and the refresh
+    * no-ops — idempotence is the operator's own semantics, the same
+    * argument as the X91 incremental-dedup sink. (An epoch gate would
+    * add nothing: the anti-join IS the dedup.)
+    */
+  def vectorIndexSink(source: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = source.sparkSession
+    require(Warehouse.snapshots(spark, centroidsPath(path)).nonEmpty,
+      s"vectorIndexSink($path): no index — buildIvfIndex first (the cell rule " +
+        "is a build decision, not an ingest one)")
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refreshIvfIndex(batch, path)
+        ()
+      }
+  }
+
   /** Probe the persisted index: per query the `nprobe` nearest cells
     * (stored-centroid distance in kmeans mode; the X220 rule in
     * bucketed mode), a PRUNED read of exactly the probed cells' files,

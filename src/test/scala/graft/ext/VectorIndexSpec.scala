@@ -84,6 +84,45 @@ class VectorIndexSpec extends SparkSpec {
       "the probe must answer from the probed files alone")
   }
 
+  test("streaming sink: batches refresh the index; a replayed batch is a no-op by the anti-join (X248)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("vidx_stream")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx_ck").toString
+    VectorIndex.buildIvfIndex(vecs(10 until 60), root, nlist = 8, bucketed = true)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val src = mem.toDF().withColumnRenamed("value", "vec_id")
+      .join(vecs(0 until 400), Seq("vec_id"))
+    def drain(ck: String): Unit = {
+      val q = VectorIndex.vectorIndexSink(src, root, s"$dir/$ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(60L to 90L: _*)
+    drain("ck")
+    assert(Warehouse.readSnapshot(spark, root).count() === 50 + 31)
+    // REPLAY: a fresh checkpoint re-delivers the same rows — the
+    // anti-join makes the refresh a no-op, never a double-index
+    drain("ck_replay")
+    assert(Warehouse.readSnapshot(spark, root).count() === 50 + 31,
+      "replayed vectors must not index twice")
+    mem.addData(91L to 100L: _*)
+    drain("ck")
+    assert(Warehouse.readSnapshot(spark, root).count() === 50 + 41)
+    // the streamed-in vectors are probe-visible and match the twin
+    val q10 = vecs(0 until 5)
+    val got = VectorIndex.ivfTopKIndexed(q10, root, k = 5, nprobe = 3)
+    val want = Similarity.ivfTopKBucketed(q10, vecs(10 until 101), k = 5,
+      nlist = 8, nprobe = 3)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // an unbuilt index path refuses at sink CONSTRUCTION, not mid-stream
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.vectorIndexSink(src, freshRoot("vidx_nosink"), s"$dir/ck_no")
+    }
+    assert(e.getMessage.contains("buildIvfIndex"))
+  }
+
   test("kmeans production mode: recall floor vs brute force; centroids persist and reload") {
     val root = freshRoot("vidx_km")
     val corpus = vecs(10 until 300)
