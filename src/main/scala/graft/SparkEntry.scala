@@ -1624,6 +1624,22 @@ object SparkEntry {
       Similarity.ivfTopKBucketed(
         e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 10)
     }),
+    "q_embed_dedup_indexed" -> ((s, dir) => {
+      // X249 incremental near-dup screen against the persisted index:
+      // the query slice (the "increment") screens against the indexed
+      // corpus through the pruned probe read — best indexed neighbor
+      // at sim ≥ 0.8 flags (dup_of, dup_sim), novel rows carry NULLs.
+      // Bucketed build → every stage ANSI-recomposable.
+      val e = Tables.embeddings(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_qvnd").toString + "/t"
+      ext.VectorIndex.buildIvfIndex(e.filter(col("vec_id") >= 10), root,
+        nlist = 16, bucketed = true)
+      // dup_sim stays raw: one sequential-dot cosine per pair, the
+      // q_ann_ivf_bucketed precedent (raw doubles hash-match)
+      ext.VectorIndex.nearDupAgainstIndex(e.filter(col("vec_id") < 10), root,
+        threshold = 0.8, nprobe = 4)
+        .select("vec_id", "dup_of", "dup_sim")
+    }),
     "q_ann_ivf_indexed" -> ((s, dir) => {
       // X247 persisted IVF index, probed THROUGH storage: bucketed
       // build (the X220 portable rule) into a range-clustered snapshot
@@ -2628,6 +2644,32 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |                       ORDER BY sim DESC, neighbor_id) AS rank
         |           FROM scored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10""".stripMargin,
+    // X249 near-dup screen against the persisted index: best probed
+    // neighbor (rank-1 by sim desc, id) at sim >= 0.8 flags; the
+    // increment left-joins the flags so novel rows ride with NULLs
+    "q_embed_dedup_indexed" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv, (vec_id % 16)::INT AS cell
+        |      FROM n WHERE vec_id >= 10),
+        |p AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
+        |             ((q.vec_id + i.i) % 16)::INT AS cell
+        |      FROM n q, (SELECT unnest(range(0, 4)) AS i) i WHERE q.vec_id < 10),
+        |scored AS (
+        |  SELECT p.query_id, c.neighbor_id,
+        |         list_dot_product(p.qv, c.cv)
+        |           / (p.qn * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM p JOIN c USING (cell)),
+        |best AS (SELECT query_id, neighbor_id, sim,
+        |                row_number() OVER (PARTITION BY query_id
+        |                  ORDER BY sim DESC, neighbor_id) AS rn
+        |         FROM scored),
+        |flag AS (SELECT query_id AS vec_id, neighbor_id AS dup_of, sim AS dup_sim
+        |         FROM best WHERE rn = 1 AND sim >= 0.8)
+        |SELECT q.vec_id, f.dup_of, f.dup_sim
+        |FROM (SELECT vec_id FROM n WHERE vec_id < 10) q
+        |LEFT JOIN flag f ON q.vec_id = f.vec_id""".stripMargin,
     "q_topk_cosine" ->
       """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm

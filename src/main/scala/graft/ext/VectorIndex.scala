@@ -139,6 +139,35 @@ object VectorIndex {
       path, Warehouse.currentSnapshot(spark, path)))
   }
 
+  /** INCREMENTAL near-dup screen against the index (X249) — the
+    * embedding-space analog of the X91 incremental exact dedup: an
+    * increment of (vec_id, embedding) rows is checked against the
+    * INDEXED corpus without ever scanning it — probe the increment's
+    * vectors through the pruned cell read, exact-cosine against the
+    * probed cells only, and flag rows whose best indexed neighbor
+    * reaches `threshold`. Returns the increment plus
+    * (`dup_of`, `dup_sim`) — NULL when the row is novel — so the
+    * caller routes novel rows to [[refreshIvfIndex]] (or the
+    * streaming sink) and drops/links the near-dups: the
+    * dedup-then-index loop of a growing corpus, priced at the
+    * increment's bytes + the probed cells. Approximate exactly as IVF
+    * retrieval is (a near-dup hiding in an unprobed cell is missed —
+    * raise `nprobe` for recall); rows already indexed under the same
+    * vec_id match THEMSELVES at sim 1 — screen before refresh, or
+    * anti-join first as [[refreshIvfIndex]] does.
+    */
+  def nearDupAgainstIndex(increment: DataFrame, path: String,
+                          threshold: Double = 0.95,
+                          nprobe: Int = 4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val best = ivfTopKIndexed(increment, path, k = 1, nprobe = nprobe)
+      .filter(col("sim") >= threshold)
+      .select(col("query_id").as("vec_id"), col("neighbor_id").as("dup_of"),
+        col("sim").as("dup_sim"))
+    increment.join(best, Seq("vec_id"), "left")
+  }
+
   /** STREAMING index maintenance (X248): each micro-batch of
     * (vec_id, embedding) rows refreshes the persisted index — the
     * embedding-ingest half of a retrieval pipeline as one sink. The

@@ -84,6 +84,41 @@ class VectorIndexSpec extends SparkSpec {
       "the probe must answer from the probed files alone")
   }
 
+  test("near-dup screen against the index: clones flag, novel rows pass, corpus never rescans (X249)") {
+    val root = freshRoot("vidx_nd")
+    val corpus = vecs(10 until 100)
+    VectorIndex.buildIvfIndex(corpus, root, nlist = 8, bucketed = true)
+    // increment: vec_id 200 is an exact CLONE of indexed vec 16 — and
+    // lands in 200 % 8 = 0 = 16 % 8, so its probe cells include the
+    // clone's cell at nprobe >= 1; vec 201 is novel (orthogonal-ish)
+    val clone16 = vecs(16 until 17).select(col("embedding")).head().getSeq[Float](0)
+    val inc = Seq(
+      (200L, clone16),
+      (201L, (0 until 8).map(d => (if (d == 7) 1.0 else 0.001).toFloat).toSeq)
+    ).toDF("vec_id", "embedding")
+    val out = VectorIndex.nearDupAgainstIndex(inc, root, threshold = 0.999)
+      .select("vec_id", "dup_of", "dup_sim").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(200L) === Some(16L), "an exact clone must flag its indexed twin")
+    assert(out(201L) === None, "a novel vector must pass")
+    // the screen's price is the increment + probed cells: corrupting a
+    // file in an unprobed cell must not touch the screen (cells probed
+    // by vec 200/201 at nprobe=4: {0,1,2,3} and {1,2,3,4})
+    val all = Warehouse.readSnapshot(spark, root).inputFiles.toSet
+    val probed = VectorIndex.ivfTopKIndexed(inc, root, k = 1, nprobe = 4)
+      .inputFiles.toSet
+    assert((all -- probed).nonEmpty, "need an unprobed file for the pin")
+    (all -- probed).foreach { f =>
+      val os = new java.io.FileOutputStream(new java.io.File(new java.net.URI(f)))
+      os.write("x".getBytes); os.close()
+    }
+    val again = VectorIndex.nearDupAgainstIndex(inc, root, threshold = 0.999)
+      .select("vec_id", "dup_of").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(again === out.map { case (k, v) => k -> v },
+      "the screen must answer from the probed cells alone")
+  }
+
   test("streaming sink: batches refresh the index; a replayed batch is a no-op by the anti-join (X248)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
