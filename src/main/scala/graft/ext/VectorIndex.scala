@@ -168,6 +168,21 @@ object VectorIndex {
     increment.join(best, Seq("vec_id"), "left")
   }
 
+  /** Maintenance tick for the index table — [[Warehouse.maintainSnapshot]]
+    * with the cell clustering FORCED (r14): a plain OPTIMIZE would
+    * bin-pack the streaming sink's small append files with no layout,
+    * mixing cells inside every output file — each file's cell min/max
+    * then spans the domain and probe pruning silently dies, the exact
+    * decay this wrapper exists to prevent. The caller's policy applies
+    * otherwise (analyze columns, retention, dv purge); `clusterCols`
+    * is overridden, not merged — the index has exactly one layout key.
+    */
+  def maintainIvfIndex(spark: SparkSession, path: String,
+                       policy: Warehouse.MaintenancePolicy = Warehouse.MaintenancePolicy())
+      : Warehouse.MaintenanceReport =
+    Warehouse.maintainSnapshot(spark, path,
+      policy.copy(clusterCols = Seq("cell")))
+
   /** STREAMING index maintenance (X248): each micro-batch of
     * (vec_id, embedding) rows refreshes the persisted index — the
     * embedding-ingest half of a retrieval pipeline as one sink. The
@@ -179,8 +194,17 @@ object VectorIndex {
     * no-ops — idempotence is the operator's own semantics, the same
     * argument as the X91 incremental-dedup sink. (An epoch gate would
     * add nothing: the anti-join IS the dedup.)
+    *
+    * `maintainEvery` (r14, the X241 composition): every N epochs the
+    * sink runs [[maintainIvfIndex]] — cell-clustered OPTIMIZE, so the
+    * per-epoch small append files re-pack WITHOUT losing probe
+    * pruning — best-effort (the epoch's refresh already landed; a
+    * transient maintenance failure logs and re-fires later).
     */
-  def vectorIndexSink(source: DataFrame, path: String, checkpoint: String)
+  def vectorIndexSink(source: DataFrame, path: String, checkpoint: String,
+                      maintainEvery: Int = 0,
+                      maintainPolicy: Warehouse.MaintenancePolicy =
+                        Warehouse.MaintenancePolicy())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = source.sparkSession
     require(Warehouse.snapshots(spark, centroidsPath(path)).nonEmpty,
@@ -188,8 +212,15 @@ object VectorIndex {
         "is a build decision, not an ingest one)")
     source.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         refreshIvfIndex(batch, path)
+        if (maintainEvery > 0 && epoch % maintainEvery == maintainEvery - 1)
+          try { maintainIvfIndex(batch.sparkSession, path, maintainPolicy); () }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft] vector-index maintenance at epoch " +
+                s"$epoch on $path failed (will retry on a later epoch): ${e.getMessage}")
+          }
         ()
       }
   }

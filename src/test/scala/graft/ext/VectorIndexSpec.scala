@@ -158,6 +158,47 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("buildIvfIndex"))
   }
 
+  test("index maintenance keeps the cell layout: compaction never kills probe pruning (r14)") {
+    val root = freshRoot("vidx_maint")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx_mck").toString
+    VectorIndex.buildIvfIndex(vecs(10 until 60), root, nlist = 8, bucketed = true)
+    // several small streamed appends: the decay scenario — per-epoch
+    // files, each spanning few rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val src = mem.toDF().withColumnRenamed("value", "vec_id")
+      .join(vecs(0 until 400), Seq("vec_id"))
+    def drain(): Unit = {
+      val q = VectorIndex.vectorIndexSink(src, root, s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    (0 until 4).foreach { j =>
+      mem.addData((60L + j * 30) until (90L + j * 30): _*); drain()
+    }
+    val filesBefore = Warehouse.readSnapshot(spark, root).inputFiles.length
+    // the index-aware tick bin-packs WITH the cell layout forced; a
+    // tiny target keeps SEVERAL output files at this toy size, so the
+    // post-compaction pruning claim is testable (one giant file could
+    // never skip anything)
+    val r = VectorIndex.maintainIvfIndex(spark, root,
+      Warehouse.MaintenancePolicy(targetFileBytes = 8192))
+    assert(r.optimized.nonEmpty, "small per-epoch files must bin-pack")
+    val all = Warehouse.readSnapshot(spark, root).inputFiles.toSet
+    assert(all.size < filesBefore, s"$filesBefore -> ${all.size}")
+    // pruning survives the rewrite: a 2-cell probe still opens a
+    // strict subset of files, and the answers match the inline twin
+    val q1 = vecs(0 until 1)
+    val probe = VectorIndex.ivfTopKIndexed(q1, root, k = 5, nprobe = 2)
+    assert(probe.inputFiles.toSet.size < all.size,
+      s"post-compaction probe must still skip files: ${probe.inputFiles.length}/${all.size}")
+    val want = Similarity.ivfTopKBucketed(q1, vecs(10 until 180), k = 5,
+      nlist = 8, nprobe = 2)
+    assert(probe.exceptAll(want).isEmpty && want.exceptAll(probe).isEmpty)
+  }
+
   test("kmeans production mode: recall floor vs brute force; centroids persist and reload") {
     val root = freshRoot("vidx_km")
     val corpus = vecs(10 until 300)
