@@ -103,8 +103,11 @@ object Bench {
       "q_heavy_hitters_cm", "q_graph_adamic",
       // r14 newcomers whose in-suite numbers carry scenario
       // choreography (two edge builds + diff / an index build): the
-      // isolated record keeps their real cost on file from day one
-      "q_incr_degrees_cdf", "q_ann_ivf_indexed")
+      // isolated record keeps their real cost on file from day one —
+      // plus the remaining graph walk not yet in the map (its in-suite
+      // 1.70 s vs DuckDB 0.45 reads 3.8×; the steady-state number is
+      // what the weighted-PPR plan actually costs)
+      "q_incr_degrees_cdf", "q_ann_ivf_indexed", "q_graph_ppr_weighted")
       .filter(SparkEntry.queries.contains)
     // Stage the cross-key shared tables OUTSIDE the timed region: the
     // packed-documents stage table feeds both q_pack_sequences and
