@@ -537,6 +537,20 @@ class PlanRegressionSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("vector-index probe: broadcast probe join on cell, never cartesian or sort-merge (X247)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vidx_plan").toString + "/t"
+    val corpus = (10L until 200L).map(i =>
+      (i, (0 until 8).map(d => (i * 0.1 + d).toFloat))).toDF("vec_id", "embedding")
+    val queries = (0L until 5L).map(i =>
+      (i, (0 until 8).map(d => (i * 0.2 + d).toFloat))).toDF("vec_id", "embedding")
+    graft.ext.VectorIndex.buildIvfIndex(corpus, root, nlist = 8, bucketed = true)
+    val p = graft.ext.VectorIndex.ivfTopKIndexed(queries, root, k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("joinAdvice: surfaces (never applies) a salt recommendation on a hot probe key (r14)") {
     import spark.implicits._
     val dim = java.nio.file.Files.createTempDirectory("graft_sk_dim").toString + "/t"
