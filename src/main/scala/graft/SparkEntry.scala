@@ -517,6 +517,32 @@ object SparkEntry {
         o.filter(col("o_orderkey") % 3 === 0).repartition(2), root, v1)
       Warehouse.histogramSnapshot(s, root, "o_totalprice", bins = 20)
     }),
+    "q_join_snapshots" -> ((s, dir) => {
+      // X240/r14 stats-driven snapshot join, pinned END-TO-END: the
+      // same fact⋈dim join runs through BOTH strategy branches — the
+      // manifest-bytes broadcast path (default threshold) and the
+      // synopsis-certified SHUFFLE_HASH path (threshold=1 after
+      // ANALYZE on the dim key) — and both must produce the same
+      // rollup the oracle recomputes directly. The strategy choice is
+      // a metadata decision; this key pins that it never changes
+      // CONTENT. Integer measures → bit-exact.
+      val base = java.nio.file.Files.createTempDirectory("graft_qjs").toString
+      val facts = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      val dim = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Warehouse.writeSnapshot(facts.repartition(4), s"$base/facts")
+      Warehouse.writeSnapshot(dim.repartition(2), s"$base/dim")
+      Warehouse.analyzeSnapshot(s, s"$base/dim", Seq("custkey"), k = 64)
+      def rollup(j: org.apache.spark.sql.DataFrame, src: String) =
+        j.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+          .select(lit(src).as("src"), col("c_mktsegment"), col("n"), col("key_sum"))
+      rollup(Warehouse.joinSnapshots(s, s"$base/facts", s"$base/dim",
+        Seq("custkey")), "broadcast")
+        .unionAll(rollup(Warehouse.joinSnapshots(s, s"$base/facts", s"$base/dim",
+          Seq("custkey"), broadcastThreshold = Some(1L)), "hash"))
+    }),
     "q_estimate_rows" -> ((s, dir) => {
       // X246 histogram-driven range-cardinality estimation: the
       // per-bin prorated contributions for o_totalprice ∈ [50k, 150k]
@@ -3571,6 +3597,19 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  FROM orders, e WHERE o_totalprice IS NOT NULL)
         |SELECT bin, min(lo) AS lo, min(hi) AS hi, count(*) AS n
         |FROM b GROUP BY bin""".stripMargin,
+    // X240/r14 stats-driven join, both strategy branches: the oracle
+    // recomposes the identical fact⋈dim rollup twice under the two
+    // src labels — the strategy is metadata, the content is this
+    "q_join_snapshots" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (SELECT c_mktsegment, count(*) AS n,
+        |             CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |      FROM j GROUP BY c_mktsegment)
+        |SELECT 'broadcast' AS src, c_mktsegment, n, key_sum FROM r
+        |UNION ALL
+        |SELECT 'hash' AS src, c_mktsegment, n, key_sum FROM r""".stripMargin,
     // X246 histogram range estimate: edges pin from the full write's
     // min/max; bins recompose exactly (integer counts), then the
     // per-bin proration is the same independent IEEE terms on both
