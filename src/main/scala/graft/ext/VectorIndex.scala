@@ -176,6 +176,13 @@ object VectorIndex {
     * decay this wrapper exists to prevent. The caller's policy applies
     * otherwise (analyze columns, retention, dv purge); `clusterCols`
     * is overridden, not merged — the index has exactly one layout key.
+    * Known decay edge, correct-by-stats either way: a DV PURGE inside
+    * the tick (vectors erased via deleteWhereDv crossing the policy
+    * threshold) rewrites the touched files WITHOUT the cell sort, so
+    * those files' cell ranges widen and their pruning decays until a
+    * later tick's clustered OPTIMIZE re-packs them — reads stay exact
+    * throughout (file stats remain valid bounds; pruning is never a
+    * correctness gate).
     */
   def maintainIvfIndex(spark: SparkSession, path: String,
                        policy: Warehouse.MaintenancePolicy = Warehouse.MaintenancePolicy())
