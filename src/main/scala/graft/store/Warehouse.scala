@@ -2915,19 +2915,24 @@ object Warehouse {
             .map(_ => (s, ndvOf(p)))
         }.getOrElse(("shuffle", None))
     }
-    // skew advice reads the PROBE side (the side not being built):
-    // a bounded build hashes fine, but a probe key holding thousands
-    // of rows lands them in one task either way
+    // skew advice reads the PROBE side(s) — the side(s) not being
+    // built: a bounded build hashes fine, but a probe key holding
+    // thousands of rows lands them in one task either way. A plain
+    // shuffle has no build side, so BOTH sides are probe-shaped and
+    // the worse one speaks (r14 review).
     val saltAdvice = {
-      val probePath = strategy match {
-        case "broadcast_left" | "shuffle_hash_left" => rightPath
-        case _ => leftPath
+      val probePaths = strategy match {
+        case "broadcast_left" | "shuffle_hash_left" => Seq(rightPath)
+        case "broadcast_right" | "shuffle_hash_right" => Seq(leftPath)
+        case _ => Seq(leftPath, rightPath)
       }
-      perKey(probePath).filter(_ >= SkewAdviseRowsPerKey).map { pk =>
-        f"join key(s) ${keys.mkString(", ")} average $pk%.0f rows/key on " +
-          s"$probePath — consider salting the key or relying on AQE skew-join " +
-          "(spark.sql.adaptive.skewJoin.enabled) before shuffling at scale"
-      }
+      probePaths.flatMap(p => perKey(p).map(p -> _))
+        .filter(_._2 >= SkewAdviseRowsPerKey)
+        .sortBy(-_._2).headOption.map { case (p, pk) =>
+          f"join key(s) ${keys.mkString(", ")} average $pk%.0f rows/key on " +
+            s"$p — consider salting the key or relying on AQE skew-join " +
+            "(spark.sql.adaptive.skewJoin.enabled) before shuffling at scale"
+        }
     }
     JoinAdvice(strategy, lb, rb, buildNdv, saltAdvice)
   }

@@ -578,5 +578,12 @@ class PlanRegressionSpec extends SparkSpec {
     graft.store.Warehouse.analyzeSnapshot(spark, factCool, Seq("k"), k = 64)
     assert(graft.store.Warehouse.joinAdvice(spark, factCool, dim, Seq("k"),
       broadcastThreshold = Some(1)).saltAdvice.isEmpty)
+    // a plain SHUFFLE (no certified build) has no build side: the hot
+    // key must be flagged regardless of which side carries it — here
+    // the RIGHT side is hot while the left is cool and uncertified
+    val a2 = graft.store.Warehouse.joinAdvice(spark, factCool, hot, Seq("k"),
+      broadcastThreshold = Some(1))
+    assert(a2.strategy === "shuffle", a2.toString)
+    assert(a2.saltAdvice.exists(_.contains(hot)), a2.toString)
   }
 }
