@@ -252,4 +252,81 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("degree IVM law: old degrees + edge diff == recompute over the new edges (X245)") {
+    forAll2(randomEdges, randomEdges) { (oldE, newE) =>
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val a = oldE.toDF("a", "b")
+        val b = newE.toDF("a", "b")
+        val feed = Warehouse.diffFrames(a, b, Seq("a", "b"), preImages = true)
+        val got = graft.store.Ivm
+          .maintainDegrees(graft.ops.Graphs.degrees(a), feed)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = graft.ops.Graphs.degrees(b)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"old=$oldE new=$newE")
+      }
+    }
+  }
+
+  test("warm-start PPR refresh contracts: j rounds land within d^j of the gap, any graph pair (X245)") {
+    forAll2(randomEdges, randomEdges) { (oldE, newE) =>
+      // both graphs must contain the seed node; use the smallest node
+      // of the NEW graph as seed, present in old too or PPR refuses
+      if (oldE.nonEmpty && newE.nonEmpty) {
+        val shared = oldE.flatMap(e => Seq(e._1, e._2))
+          .intersect(newE.flatMap(e => Seq(e._1, e._2)))
+        if (shared.nonEmpty) {
+          val seed = Seq(shared.min).toDF("node")
+          def toMap(df: org.apache.spark.sql.DataFrame) =
+            df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          val stored = graft.ops.Graphs
+            .personalizedPageRank(oldE.toDF("a", "b"), seed, iterations = 20)
+            .localCheckpoint(true)
+          val star = toMap(graft.ops.Graphs
+            .personalizedPageRank(newE.toDF("a", "b"), seed, iterations = 25))
+          def l1(m: Map[Long, Double]) = (m.keySet ++ star.keySet).toSeq
+            .map(k => math.abs(m.getOrElse(k, 0.0) - star.getOrElse(k, 0.0))).sum
+          val gap = l1(toMap(stored))
+          val refreshed = toMap(graft.ops.Graphs.refreshPersonalizedPageRank(
+            newE.toDF("a", "b"), seed, stored, rounds = 2))
+          // the reference ranks are a 25-iteration approximation of the
+          // true fixpoint, so allow its own residual (~0.85^25) on top
+          assert(l1(refreshed) <= 0.85 * 0.85 * gap + 1e-2,
+            s"old=$oldE new=$newE gap=$gap refreshed=${l1(refreshed)}")
+        }
+      }
+    }
+  }
+
+  test("estimateRows law: prorated estimate within the clamped-bin bound for random tables and ranges") {
+    val table = Gen.nonEmptyListOf(Gen.choose(0.0, 100.0))
+    val range = Gen.zip(Gen.choose(-10.0, 110.0), Gen.choose(0.0, 60.0))
+    forAll2(table, range) { case (vals, (lo, width)) =>
+      val hi = lo + width
+      val root = java.nio.file.Files.createTempDirectory("graft_prop_est").toString + "/t"
+      Warehouse.writeSnapshot(
+        vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "num")
+          .repartition(2), root)
+      Warehouse.analyzeHistogram(spark, root, "num", bins = 6)
+      val est = Warehouse.estimateRows(spark, root, "num", lo, hi, bins = 6).get
+      val (bLo, bHi) = (vals.min, vals.max)
+      val w = (bHi - bLo) / 6
+      // bound: [sum of bins fully inside, sum of bins intersecting]
+      def binOf(v: Double): Int =
+        if (w == 0.0) 0
+        else math.min(5, math.max(0, math.floor((v - bLo) / w).toInt))
+      val counts = vals.groupBy(binOf).view.mapValues(_.size.toDouble).toMap
+      def binRange(b: Int) = (bLo + b * w, bLo + (b + 1) * w)
+      val full = (0 to 5).filter { b =>
+        val (l, h) = binRange(b); (if (w == 0.0) lo <= bLo && bLo <= hi else l >= lo && h <= hi)
+      }.map(counts.getOrElse(_, 0.0)).sum
+      val touch = (0 to 5).filter { b =>
+        val (l, h) = binRange(b)
+        if (w == 0.0) lo <= bLo && bLo <= hi else h > lo && l < hi
+      }.map(counts.getOrElse(_, 0.0)).sum
+      assert(est >= full - 1e-9 && est <= touch + 1e-9,
+        s"vals=${vals.size} range=[$lo,$hi] est=$est bound=[$full,$touch]")
+    }
+  }
 }
