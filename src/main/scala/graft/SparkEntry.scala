@@ -1025,6 +1025,24 @@ object SparkEntry {
       Dedup.minhashNearDups(Tables.documents(s, dir), n = 3, numHashes = 128, bands = 16, threshold = 0.8)),
     "q_dedup_minhash_md5" -> ((s, dir) => // md5-based construction: full oracle hash-match
       Dedup.minhashNearDupsMd5(Tables.documents(s, dir), n = 3, threshold = 0.8)),
+    "q_dedup_shingle_indexed" -> ((s, dir) => {
+      // X250 persisted shingle-LSH index, screened THROUGH storage:
+      // the q_dedup_minhash_md5 construction built over the even-id
+      // catalog as a bucket-clustered snapshot table (+ meta side
+      // table), then the odd-id increment screens via the pruned
+      // bucket read — candidates from band-key equality inside the
+      // probed rows, exact Jaccard over the stored distinct 60-bit
+      // shingle hashes. The bucket layer changes which FILES open,
+      // never which pairs verify, so the whole screen recomposes in
+      // ANSI SQL; what this key adds over q_dedup_minhash_md5 is the
+      // round-trip THROUGH the persisted index (parquet long-array
+      // round-trip, bucket layout, manifest-pruned probe read).
+      val docs = Tables.documents(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_qshidx").toString + "/t"
+      ext.ShingleIndex.buildShingleIndex(docs.filter(col("doc_id") % 2 === 0), root, n = 3)
+      ext.ShingleIndex.nearDupAgainstShingleIndex(
+        docs.filter(col("doc_id") % 2 === 1), root, threshold = 0.8)
+    }),
     "q_dedup_simhash" -> ((s, dir) => // hash-based: rows-only vs oracle; pair set
       // proven == brute-force hamming<=3 on sf0.001 (DedupSpec)
       Dedup.simhashNearDups(Tables.documents(s, dir), n = 3, maxHamming = 3)),
@@ -2550,6 +2568,48 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
          |  JOIN ex xa ON xa.doc_id = c.a
          |  JOIN ex xb ON xb.doc_id = c.b AND xb.s = xa.s
          |  GROUP BY 1, 2)
+         |SELECT a, b, inter / (na + nb - inter) AS jaccard
+         |FROM pairs WHERE inter / (na + nb - inter) >= 0.8""".stripMargin
+    },
+    // X250 persisted shingle-LSH screen: the md5-MinHash construction
+    // recomposed over the even/odd catalog-increment split — bucket
+    // pruning only decides which FILES open (bucket is a coarsening
+    // of the band key), so the oracle needs no bucket layer at all:
+    // candidates are band-key equality across the split, verified
+    // with exact Jaccard over each doc's DISTINCT 60-bit md5 shingle
+    // hashes (the index stores hashes, not shingle text — the
+    // Broder-style wire trade; per-doc collision odds ~1e-10)
+    "q_dedup_shingle_indexed" -> {
+      val P = "2147483647"
+      val horner60 = (2 to 15).foldLeft(
+        "(strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1)::BIGINT") {
+        (acc, i) => s"($acc * 16 + strpos('0123456789abcdef', substr(md5(s), $i, 1)) - 1)"
+      }
+      val sigCols = graft.ext.Dedup.Md5MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+        s"min(((h % $P) * $a + $b) % $P) AS m$i"
+      }.mkString(", ")
+      val bandSel = (0 until 4).map { k =>
+        s"SELECT doc_id, $k AS band, m${2 * k} * 2147483648 + m${2 * k + 1} AS bk FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                                     for i in range(1, len(toks) - 1)]) AS shingles
+         |       FROM tok WHERE len(toks) >= 3),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |hashed AS (SELECT doc_id, $horner60 AS h FROM ex),
+         |sig AS (SELECT doc_id, $sigCols,
+         |               count(DISTINCT h) AS n_sh, list_distinct(list(h)) AS shh
+         |        FROM hashed GROUP BY doc_id),
+         |bands AS ($bandSel),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk
+         |         WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+         |pairs AS (SELECT c.a, c.b,
+         |                 len(list_intersect(sa.shh, sb.shh)) AS inter,
+         |                 sa.n_sh AS na, sb.n_sh AS nb
+         |          FROM cand c
+         |          JOIN sig sa ON sa.doc_id = c.a
+         |          JOIN sig sb ON sb.doc_id = c.b)
          |SELECT a, b, inter / (na + nb - inter) AS jaccard
          |FROM pairs WHERE inter / (na + nb - inter) >= 0.8""".stripMargin
     },
