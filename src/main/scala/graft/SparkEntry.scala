@@ -534,6 +534,10 @@ object SparkEntry {
       Warehouse.writeSnapshot(facts.repartition(4), s"$base/facts")
       Warehouse.writeSnapshot(dim.repartition(2), s"$base/dim")
       Warehouse.analyzeSnapshot(s, s"$base/dim", Seq("custkey"), k = 64)
+      // r15: SHUFFLE_HASH certification now ALSO needs the hub veto —
+      // a recorded histogram whose hottest custkey bin is bounded
+      // (average rows/key alone cannot rule out a hub build key)
+      Warehouse.analyzeHistogram(s, s"$base/dim", "custkey", bins = 20)
       def rollup(j: org.apache.spark.sql.DataFrame, src: String) =
         j.groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))

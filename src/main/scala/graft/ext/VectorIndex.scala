@@ -5,7 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** PERSISTED IVF vector index (X247, r14) — build once, probe forever.
+/** PERSISTED IVF vector index (X247, r14; hardened + drift-monitored
+  * r15) — build once, probe forever.
   *
   * Every ANN entry point in [[Similarity]] is self-contained: it fits
   * coarse centroids and assigns the corpus per CALL, which is the
@@ -21,10 +22,16 @@ import org.apache.spark.sql.functions._
   *    (X162) prune non-probed cells at the FILE level — a probe of
   *    `nprobe` cells opens ~`nprobe/nlist` of the corpus bytes and
   *    plans driver-side with zero I/O for skipped files;
-  *  - the CENTROIDS table at `path + "_centroids"`:
-  *    `(cell, centroid, mode)` — `nlist` rows, read and collected at
-  *    probe time (bounded: nlist × dim doubles, the same driver-scalar
-  *    budget the inline fit already used).
+  *  - the CENTROIDS table at `path + "_centroids"`: `nlist` rows
+  *    `(cell, centroid, mode, stamp, base_n, base_resid, inc_n,
+  *    inc_resid)`, read and collected at probe time (bounded:
+  *    nlist × dim doubles, the same driver-scalar budget the inline
+  *    fit already used). `stamp` is the index version the build pairs
+  *    with: a rebuild that crashes between its two commits leaves
+  *    `stamp` ahead of the index table, and every reader REFUSES
+  *    loudly instead of probing new centroids against old assignments
+  *    (the r14 review's torn-build hazard, closed by construction).
+  *    The `base_*`/`inc_*` columns are the DRIFT LEDGER (r15, below).
   *
   * Both tables get full snapshot semantics for free: versioned commits,
   * time travel, retention, OPTIMIZE, and the maintenance tick.
@@ -36,14 +43,25 @@ import org.apache.spark.sql.functions._
   * Centroids staying fixed means recall decays as the distribution
   * drifts (the standard IVF trade); re-seeding is an explicit
   * [[buildIvfIndex]] decision, exactly like the bloom index's
-  * `indexSnapshot` full rebuild.
+  * `indexSnapshot` full rebuild. WHEN to re-seed is what the drift
+  * ledger answers (r15, the r14 verdict's #3 forward gap): the build
+  * records each cell's corpus share and mean cosine residual; every
+  * refresh folds the increment's shares/residuals into the `inc_*`
+  * side of the ledger (riding the assignment the refresh computes
+  * anyway — zero extra data I/O); [[indexAdvice]] compares the two
+  * and SURFACES a rebuild recommendation when the assignment-share
+  * drift or the residual growth crosses a bound — surfaced, never
+  * auto-applied, the joinAdvice pattern: a rebuild invalidates probe
+  * routing for concurrent readers, which only the owner can schedule.
   *
   * `bucketed = true` swaps the k-means assignment for the X220
   * engine-portable rule (`cell = vec_id mod nlist`, probes = the
   * nprobe cells starting at the query's own bucket) — same plan
   * shape, ANSI-recomposable end-to-end, so the PERSISTED probe path
   * itself carries a DuckDB oracle (q_ann_ivf_indexed); the k-means
-  * mode stays the production semantic index.
+  * mode stays the production semantic index. Bucketed cells have no
+  * geometry, so their ledger records shares only (residuals NULL) and
+  * [[indexAdvice]] uses the share signal alone.
   */
 object VectorIndex {
 
@@ -52,59 +70,98 @@ object VectorIndex {
 
   def centroidsPath(path: String): String = s"${path}_centroids"
 
+  /** Per-cell cosine residual (1 − cos(v, centroid)) against a literal
+    * centroid table — NULL in bucketed mode (cells have no geometry).
+    */
+  private def residCol(mode: String, cents: Array[Array[Double]]): Column =
+    if (mode == BucketedMode) lit(null).cast("double")
+    else {
+      val litCents = typedlit(cents.map(_.toSeq).toSeq)
+      val c = element_at(litCents, col("cell") + 1)
+      lit(1.0) - Similarity.dot(col("embedding"), c) /
+        (Similarity.l2norm(col("embedding")) * Similarity.l2norm(c))
+    }
+
   /** Build (or rebuild) the index for `corpus` (`vec_id`, `embedding`).
-    * Returns the index table's committed version.
+    * Returns the index table's committed version. Commit protocol
+    * (r15): centroids commit FIRST, stamped with the PREDICTED index
+    * version; the index commits second. A crash in between leaves
+    * stamp > current index version — deterministically detected and
+    * refused by every subsequent probe/refresh instead of silently
+    * mis-routing probes (new centroids over old assignments).
     */
   def buildIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
                     fitSample: Int = 50, bucketed: Boolean = false): Long = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (assigned, centRows) =
+    val (assigned, cents, mode) =
       if (bucketed) {
         val a = corpus.select(col("vec_id"), col("embedding"),
           pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"))
-        val c = (0 until nlist).map(i => (i, Seq.empty[Double], BucketedMode))
-          .toDF("cell", "centroid", "mode")
-        (a, c)
+        (a, Array.fill(nlist)(Array.empty[Double]), BucketedMode)
       } else {
-        val cents = Similarity.coarseCentroids(corpus, nlist, fitSample)
-        val assign1 = graft.functions.native.centroidProbes(col("embedding"), cents, 1)
+        val cs = Similarity.coarseCentroids(corpus, nlist, fitSample)
+        val assign1 = graft.functions.native.centroidProbes(col("embedding"), cs, 1)
         val a = corpus.select(col("vec_id"), col("embedding"),
           element_at(assign1, 1).as("cell"))
-        val c = cents.zipWithIndex
-          .map { case (v, i) => (i, v.toSeq, KmeansMode) }
-          .toSeq.toDF("cell", "centroid", "mode")
-        (a, c)
+        (a, cs, KmeansMode)
       }
+    // drift-ledger baseline: each cell's corpus count + mean residual
+    // (one aggregate over the assignment the build computes anyway;
+    // nlist rows back to the driver)
+    val baseStats = assigned
+      .select(col("cell"), residCol(mode, cents).as("resid"))
+      .groupBy("cell").agg(count(lit(1)).as("n"), avg(col("resid")).as("r"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val predicted = Warehouse.currentSnapshot(spark, path) + 1
+    val centRows = (0 until nlist).map { i =>
+      val (n, resid) = baseStats.getOrElse(i, (0L, None))
+      (i, cents(i).toSeq, mode, predicted, n, resid, 0L, None: Option[Double])
+    }.toDF("cell", "centroid", "mode", "stamp",
+      "base_n", "base_resid", "inc_n", "inc_resid")
+    Warehouse.snapshots(spark, centroidsPath(path)) match {
+      case Seq() => Warehouse.writeSnapshot(centRows, centroidsPath(path))
+      case vs => Warehouse.commitSnapshot(centRows, centroidsPath(path), vs.last)
+    }
     // range partitioning on cell gives each data file a CONTIGUOUS
     // cell range — the property that makes the manifest min/max stats
     // prune probes at file grain (hash partitioning would spread every
     // cell across every file and kill skipping). vec_id as tiebreaker
     // keeps the sort total for reproducible file layout.
-    val parts = math.max(1, math.min(nlist,
-      spark.sessionState.conf.numShufflePartitions))
-    val laid = assigned.repartitionByRange(parts, col("cell"), col("vec_id"))
-    Warehouse.snapshots(spark, centroidsPath(path)) match {
-      case Seq() => Warehouse.writeSnapshot(centRows, centroidsPath(path))
-      case vs => Warehouse.commitSnapshot(centRows, centroidsPath(path), vs.last)
-    }
+    val laid = assigned.repartitionByRange(layoutParts(spark, nlist),
+      col("cell"), col("vec_id"))
     Warehouse.snapshots(spark, path) match {
       case Seq() => Warehouse.writeSnapshot(laid, path)
       case vs => Warehouse.commitSnapshot(laid, path, vs.last)
     }
   }
 
-  /** The stored centroids, cell-ordered, plus the index mode. */
+  private def layoutParts(spark: SparkSession, nlist: Int): Int =
+    math.max(1, math.min(nlist, spark.sessionState.conf.numShufflePartitions))
+
+  /** The stored centroids, cell-ordered, plus the index mode — and the
+    * torn-build check: a centroids stamp AHEAD of the index table
+    * means the paired index commit never landed (refreshes only move
+    * the index version UP, so stamp ≤ current always holds for a
+    * completed build, at any later refresh count).
+    */
   private def readCentroids(spark: SparkSession, path: String)
       : (Array[Array[Double]], String, Int) = {
     val side = centroidsPath(path)
     require(Warehouse.snapshots(spark, side).nonEmpty,
       s"VectorIndex($path): no centroids table — buildIvfIndex first")
     val rows = Warehouse.readSnapshot(spark, side)
-      .select("cell", "centroid", "mode").collect()
+      .select("cell", "centroid", "mode", "stamp").collect()
       .sortBy(_.getInt(0))
     require(rows.nonEmpty, s"VectorIndex($path): centroids table is empty")
+    val stamp = rows.head.getLong(3)
+    val cur = Warehouse.currentSnapshot(spark, path)
+    require(stamp <= cur,
+      s"VectorIndex($path): centroids stamp $stamp is ahead of the index " +
+        s"table (v=$cur) — a rebuild crashed between its centroids and index " +
+        "commits; re-run buildIvfIndex before probing")
     val mode = rows.head.getString(2)
     (rows.map(_.getSeq[Double](1).toArray), mode, rows.length)
   }
@@ -113,7 +170,11 @@ object VectorIndex {
     * STORED structure and append them — the X200 refresh shape: the
     * tick costs the new vectors' bytes (plus one vec_id anti-join
     * against the index at key grain), never a refit or corpus rescan.
-    * None when nothing is new.
+    * None when nothing is new. The increment's per-cell counts and
+    * residuals fold into the drift ledger (riding the assignment this
+    * refresh computes anyway); the ledger update is ADVISORY and
+    * best-effort — a failure after the index append logs and leaves
+    * stats stale, never the index wrong.
     */
   def refreshIvfIndex(corpus: DataFrame, path: String): Option[Long] = {
     val spark = corpus.sparkSession
@@ -121,7 +182,7 @@ object VectorIndex {
     val existing = Warehouse.readSnapshot(spark, path).select("vec_id")
     val fresh = corpus.select(col("vec_id"), col("embedding"))
       .join(existing, Seq("vec_id"), "left_anti")
-      .localCheckpoint(true) // consumed by the emptiness probe AND the append
+      .localCheckpoint(true) // consumed by the emptiness probe, the append AND the ledger
     if (fresh.isEmpty) return None
     val assigned =
       if (mode == BucketedMode)
@@ -132,11 +193,116 @@ object VectorIndex {
         fresh.select(col("vec_id"), col("embedding"),
           element_at(assign1, 1).as("cell"))
       }
-    val parts = math.max(1, math.min(nlist,
-      spark.sessionState.conf.numShufflePartitions))
-    Some(Warehouse.appendSnapshot(
-      assigned.repartitionByRange(parts, col("cell"), col("vec_id")),
-      path, Warehouse.currentSnapshot(spark, path)))
+    val v = Warehouse.appendSnapshot(
+      assigned.repartitionByRange(layoutParts(spark, nlist),
+        col("cell"), col("vec_id")),
+      path, Warehouse.currentSnapshot(spark, path))
+    try recordIncrementStats(spark, path, assigned, mode, cents)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] drift-ledger update on $path failed " +
+          s"(stats stale until the next refresh; the index append committed): ${e.getMessage}")
+    }
+    Some(v)
+  }
+
+  /** Fold one increment's per-cell (count, mean residual) into the
+    * ledger's cumulative `inc_n`/`inc_resid` (weighted mean). */
+  private def recordIncrementStats(spark: SparkSession, path: String,
+                                   assigned: DataFrame, mode: String,
+                                   cents: Array[Array[Double]]): Unit = {
+    val incStats = assigned
+      .select(col("cell"), residCol(mode, cents).as("resid"))
+      .groupBy("cell").agg(count(lit(1)).as("n"), avg(col("resid")).as("r"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val side = centroidsPath(path)
+    val cur = Warehouse.currentSnapshot(spark, side)
+    val rows = Warehouse.readSnapshot(spark, side, Some(cur)).collect()
+    import spark.implicits._
+    val merged = rows.map { r =>
+      val cell = r.getInt(0)
+      val (dn, dr) = incStats.getOrElse(cell, (0L, None: Option[Double]))
+      val n0 = r.getLong(6)
+      val r0 = if (r.isNullAt(7)) None else Some(r.getDouble(7))
+      val n1 = n0 + dn
+      val r1 = (r0, dr) match {
+        case (Some(a), Some(b)) if n1 > 0 => Some((a * n0 + b * dn) / n1)
+        case (None, Some(b)) => Some(b)
+        case (a, None) => a
+      }
+      (cell, r.getSeq[Double](1), r.getString(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)), n1, r1)
+    }.toSeq.toDF("cell", "centroid", "mode", "stamp",
+      "base_n", "base_resid", "inc_n", "inc_resid")
+    Warehouse.commitSnapshot(merged, side, cur)
+    ()
+  }
+
+  /** What [[indexAdvice]] decided and why — all inputs are the
+    * nlist-row ledger, zero data I/O. `shareDrift` is the total-
+    * variation distance between the build-time cell-share distribution
+    * and the post-build increments'; `residualRatio` is increment mean
+    * residual / build mean residual (None in bucketed mode or when
+    * either side recorded no residual).
+    */
+  case class IndexAdvice(
+      rebuildAdvised: Boolean,
+      shareDrift: Option[Double],
+      residualRatio: Option[Double],
+      incrementRows: Long,
+      reason: String)
+
+  /** SURFACED rebuild advice from the drift ledger (r15) — the
+    * joinAdvice pattern: measure, recommend, never auto-apply. A
+    * rebuild is advised when, over at least `minIncrementRows`
+    * post-build rows, EITHER the assignment-share drift reaches
+    * `shareDriftBound` (probes route by shares that no longer describe
+    * the data — recall decays even if every vector is "near" its
+    * cell) OR the increments' mean residual grew past
+    * `residualGrowthBound` × the build's (new vectors sit farther from
+    * every stored centroid — the geometry itself has moved). Below
+    * `minIncrementRows` the advice abstains: share estimates over a
+    * handful of rows are noise, and re-seeding on noise churns readers
+    * for nothing. Costs one nlist-row side-table read.
+    */
+  def indexAdvice(spark: SparkSession, path: String,
+                  minIncrementRows: Long = 1000L,
+                  shareDriftBound: Double = 0.25,
+                  residualGrowthBound: Double = 1.5): IndexAdvice = {
+    readCentroids(spark, path) // torn-build check rides the read
+    val rows = Warehouse.readSnapshot(spark, centroidsPath(path))
+      .select("cell", "base_n", "base_resid", "inc_n", "inc_resid").collect()
+    val baseTot = rows.map(_.getLong(1)).sum
+    val incTot = rows.map(_.getLong(3)).sum
+    if (incTot < minIncrementRows)
+      return IndexAdvice(rebuildAdvised = false, None, None, incTot,
+        s"only $incTot post-build rows (< $minIncrementRows) — not enough signal")
+    val shareDrift =
+      if (baseTot == 0L) None
+      else Some(rows.map { r =>
+        math.abs(r.getLong(1).toDouble / baseTot - r.getLong(3).toDouble / incTot)
+      }.sum / 2.0)
+    def wMean(nAt: Int, rAt: Int): Option[Double] = {
+      val wr = rows.collect { case r if !r.isNullAt(rAt) && r.getLong(nAt) > 0 =>
+        (r.getLong(nAt), r.getDouble(rAt)) }
+      val n = wr.map(_._1).sum
+      if (n == 0) None else Some(wr.map { case (w, x) => w * x }.sum / n)
+    }
+    val residualRatio = for {
+      b <- wMean(1, 2) if b > 0.0
+      i <- wMean(3, 4)
+    } yield i / b
+    val driftHit = shareDrift.exists(_ >= shareDriftBound)
+    val residHit = residualRatio.exists(_ >= residualGrowthBound)
+    val reason =
+      if (driftHit) f"assignment-share drift ${shareDrift.get}%.3f >= $shareDriftBound%.2f" +
+        " — increments no longer land where the build did; re-seed with buildIvfIndex"
+      else if (residHit) f"mean residual grew ${residualRatio.get}%.2fx >= " +
+        f"$residualGrowthBound%.2fx — new vectors sit far from every stored " +
+        "centroid; re-seed with buildIvfIndex"
+      else "drift within bounds — the stored centroids still describe the data"
+    IndexAdvice(driftHit || residHit, shareDrift, residualRatio, incTot, reason)
   }
 
   /** INCREMENTAL near-dup screen against the index (X249) — the
@@ -154,14 +320,19 @@ object VectorIndex {
     * retrieval is (a near-dup hiding in an unprobed cell is missed —
     * raise `nprobe` for recall); rows already indexed under the same
     * vec_id match THEMSELVES at sim 1 — screen before refresh, or
-    * anti-join first as [[refreshIvfIndex]] does.
+    * anti-join first as [[refreshIvfIndex]] does. An empty increment
+    * (a legitimate streaming micro-batch) returns empty, it never
+    * crashes the loop (r15). `broadcastProbes` passes through to
+    * [[ivfTopKIndexed]] — set false for a corpus-sized increment.
     */
   def nearDupAgainstIndex(increment: DataFrame, path: String,
                           threshold: Double = 0.95,
-                          nprobe: Int = 4): DataFrame = {
+                          nprobe: Int = 4,
+                          broadcastProbes: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val best = ivfTopKIndexed(increment, path, k = 1, nprobe = nprobe)
+    val best = ivfTopKIndexed(increment, path, k = 1, nprobe = nprobe,
+        broadcastProbes = broadcastProbes)
       .filter(col("sim") >= threshold)
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("dup_of"),
         col("sim").as("dup_sim"))
@@ -238,9 +409,20 @@ object VectorIndex {
     * exact-cosine rerank, per-query top-k — [[Similarity.ivfTopK]]'s
     * plan shape with the fit and assignment scans replaced by a
     * bounded centroid read and manifest-planned file skipping.
+    *
+    * An EMPTY query frame returns an empty result with the right
+    * schema — probing nothing is a no-op, not an error (r15: a
+    * screen-before-ingest loop may legitimately see empty
+    * micro-batches). `broadcastProbes` (default true) hints the
+    * probe side into the cell join — the right call for the typical
+    * bounded query batch; a CORPUS-SIZED probe frame (a full re-screen
+    * of one table against another) should pass false and let the
+    * planner/AQE pick the join (the probe side is not bounded by
+    * construction here, unlike the centroid read — r15, the r14
+    * review).
     */
   def ivfTopKIndexed(queries: DataFrame, path: String, k: Int = 10,
-                     nprobe: Int = 4): DataFrame = {
+                     nprobe: Int = 4, broadcastProbes: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     val (cents, mode, nlist) = readCentroids(spark, path)
@@ -263,7 +445,11 @@ object VectorIndex {
     // planning stays one manifest pass per run
     val cellsHit = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    require(cellsHit.nonEmpty, "ivfTopKIndexed: no probe cells (empty query frame?)")
+    if (cellsHit.isEmpty) {
+      import spark.implicits._
+      return spark.emptyDataset[(Long, Long, Long, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "sim")
+    }
     val runs = cellsHit.foldLeft(List.empty[(Int, Int)]) {
       case ((lo, hi) :: rest, c) if c == hi + 1 => (lo, c) :: rest
       case (acc, c) => (c, c) :: acc
@@ -272,7 +458,8 @@ object VectorIndex {
       Warehouse.readSnapshotRange(spark, path, "cell", Some(lo), Some(hi))
     }.reduce(_ unionByName _)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
-    val scored = broadcast(probes).join(corpusIdx, Seq("cell"))
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val scored = probeSide.join(corpusIdx, Seq("cell"))
       .select(col("query_id"), col("neighbor_id"),
         (Similarity.dot(col("qv"), col("cv"))
           / (col("qn") * Similarity.l2norm(col("cv")))).as("sim"))

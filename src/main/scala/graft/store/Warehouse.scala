@@ -2787,6 +2787,17 @@ object Warehouse {
     * byte count is NEVER broadcast on the row-width guess alone.
     * Unknown size is large size.
     *
+    * PREDICATE-AWARE sizing (r15 — the r14 verdict's #2): the natural
+    * consumer joins a FILTERED read (a date-sliced fact table), and a
+    * whole-table byte estimate can't see that the slice broadcasts.
+    * `leftRange`/`rightRange` = (column, lo, hi) declare the slice;
+    * the side's byte estimate scales by the X246 [[estimateRows]]
+    * selectivity — and DECLINES (stays un-broadcastable) whenever
+    * estimateRows declines (no recorded histogram family, incomplete
+    * coverage, any dv'd file), because a planner consult must never
+    * guess small. [[joinSnapshots]] applies the same range to the
+    * read it builds, so the advice and the plan describe one join.
+    *
     * STRATEGY ladder: a side under `broadcastThreshold` (default: the
     * session's autoBroadcastJoinThreshold) gets the explicit
     * `broadcast()` hint (both under → the smaller). When NEITHER side
@@ -2795,29 +2806,49 @@ object Warehouse {
     * join key and its per-key cardinality `rowCount / ndv` is bounded
     * (≤ 64 rows/key), the side is hinted SHUFFLE_HASH — bounded build
     * partitions hash safely, and skipping both sides' sorts beats SMJ.
-    * No synopsis coverage → plain join, and the planner's SMJ/SHJ
-    * machinery (plus AQE's runtime re-pick) takes over — the right
-    * fallback at 100 TB where both sides are corpus-sized. All hints
-    * respect join-type build rules (a LEFT OUTER join can only build
-    * right, etc.); an ineligible side simply isn't hinted.
+    * The AVERAGE bound alone cannot rule out a single hub key hiding
+    * behind a passing mean (r15, the r14 review), so certification
+    * additionally requires a recorded HISTOGRAM family on a join key
+    * whose hottest bin is bounded ([[recordedMaxBinRows]] — all of one
+    * value's rows share its bin, so no key can exceed its bin's
+    * total): no histogram, or a hot bin → build-side skew cannot be
+    * ruled out → plain join. No synopsis coverage → plain join, and
+    * the planner's SMJ/SHJ machinery (plus AQE's runtime re-pick)
+    * takes over — the right fallback at 100 TB where both sides are
+    * corpus-sized. All hints respect join-type build rules (a LEFT
+    * OUTER join can only build right, etc.); an ineligible side simply
+    * isn't hinted.
     *
     * SKEW is surfaced, not auto-applied ([[joinAdvice]]): when the
     * probe side's recorded per-key cardinality exceeds ~1024 rows/key,
     * the advice names the key and recommends salting / AQE skew join —
     * rewriting keys is the caller's decision, not a join helper's.
+    * Broadcast strategies carry no salt advice at all: a broadcast
+    * join never shuffles either side, so there is no partition for a
+    * hot key to concentrate in (and the advice therefore costs zero
+    * synopsis reads on the broadcast path — r15, the r14 review's
+    * planning-cost note).
     *
     * The whole decision costs zero DATA bytes (spec poison pin:
     * corrupt every data file, the plan still builds with the right
-    * strategy); the synopsis lookup reads the (files × k)-row side
-    * table, which is metadata-grain by construction.
+    * strategy); the synopsis/histogram lookups read the
+    * (files × k)-row side tables, metadata-grain by construction, and
+    * each recorded estimate is computed AT MOST ONCE per decision
+    * (memoized per (path, column) — r15).
     */
   def joinSnapshots(spark: SparkSession, leftPath: String, rightPath: String,
                     keys: Seq[String], joinType: String = "inner",
-                    broadcastThreshold: Option[Long] = None): DataFrame = {
-    val l = readSnapshot(spark, leftPath)
-    val r = readSnapshot(spark, rightPath)
+                    broadcastThreshold: Option[Long] = None,
+                    leftRange: Option[(String, Double, Double)] = None,
+                    rightRange: Option[(String, Double, Double)] = None): DataFrame = {
+    def sliced(path: String, range: Option[(String, Double, Double)]) =
+      range.foldLeft(readSnapshot(spark, path)) { case (df, (c, lo, hi)) =>
+        df.filter(col(c) >= lo && col(c) <= hi)
+      }
+    val l = sliced(leftPath, leftRange)
+    val r = sliced(rightPath, rightRange)
     joinAdvice(spark, leftPath, rightPath, keys, joinType,
-      broadcastThreshold).strategy match {
+      broadcastThreshold, leftRange, rightRange).strategy match {
       case "broadcast_left"     => broadcast(l).join(r, keys, joinType)
       case "broadcast_right"    => l.join(broadcast(r), keys, joinType)
       case "shuffle_hash_left"  => l.hint("SHUFFLE_HASH").join(r, keys, joinType)
@@ -2840,62 +2871,104 @@ object Warehouse {
   private val ShuffleHashMaxRowsPerKey = 64.0
   private val SkewAdviseRowsPerKey = 1024.0
 
+  /** Build-side hub veto (r15 — the r14 review): the hottest single
+    * key's rows are bounded by its histogram bin's total, so a
+    * recorded hottest bin under this many rows RULES OUT the hub that
+    * an average-rows/key bound cannot see. Deliberately an absolute
+    * row budget, not a partition-relative one: a half-million-row key
+    * hashes in one build task at any cluster size, while a
+    * relative-to-partitions test would veto uniform tables as the
+    * partition count grows. Finer certification = more bins (the
+    * bound shrinks as rowCount/bins does).
+    */
+  private val ShuffleHashMaxBuildKeyRows = 1L << 19
+
   /** The [[joinSnapshots]] decision alone — zero data I/O. */
   def joinAdvice(spark: SparkSession, leftPath: String, rightPath: String,
                  keys: Seq[String], joinType: String = "inner",
-                 broadcastThreshold: Option[Long] = None): JoinAdvice = {
+                 broadcastThreshold: Option[Long] = None,
+                 leftRange: Option[(String, Double, Double)] = None,
+                 rightRange: Option[(String, Double, Double)] = None): JoinAdvice = {
     require(keys.nonEmpty, "joinSnapshots: no join keys given")
     val thr = broadcastThreshold.getOrElse(
       org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold)
     val fsConf = spark.sparkContext.hadoopConfiguration
+    // every recorded estimate is a side-table read: memoize per
+    // (path, column) so one decision never re-runs a lookup the
+    // ladder and the skew probe both want (r14 review)
+    val ndvCache = scala.collection.mutable.Map.empty[(String, String), Option[Double]]
+    def ndvAt(path: String, c: String): Option[Double] =
+      ndvCache.getOrElseUpdate((path, c), recordedNdv(spark, path, c))
+    val binCache = scala.collection.mutable.Map.empty[String, Option[Long]]
+    def maxBinAt(path: String): Option[Long] =
+      binCache.getOrElseUpdate(path,
+        keys.flatMap(c => recordedMaxBinRows(spark, path, c)).minOption)
     def manifest(path: String) = {
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(fsConf)
       val v = currentSnapshot(spark, path)
       if (v >= 1) readManifest(fs, path, v) else None
     }
+    // r15 (r14 review): recurse — a struct wrapping a string/array is
+    // just as var-width as a top-level one
+    def isVar(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.StringType => true
+      case _: org.apache.spark.sql.types.BinaryType => true
+      case _: org.apache.spark.sql.types.ArrayType => true
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: StructType => s.fields.exists(f => isVar(f.dataType))
+      case _ => false
+    }
     def hasVarWidth(path: String): Boolean = manifest(path).exists { m =>
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(m.get("schema").toString).asInstanceOf[StructType]
-      schema.fields.exists(f => f.dataType match {
-        case _: org.apache.spark.sql.types.StringType => true
-        case _: org.apache.spark.sql.types.BinaryType => true
-        case _: org.apache.spark.sql.types.ArrayType => true
-        case _: org.apache.spark.sql.types.MapType => true
-        case _ => false
-      })
-    }
-    def estBytes(path: String): Option[Long] = manifest(path).flatMap { m =>
-      val rows = Option(m.get("rowCount")).map(_.asLong)
-      val schema = org.apache.spark.sql.types.DataType
-        .fromJson(m.get("schema").toString).asInstanceOf[StructType]
-      val widthEst = rows.map(_ * schema.defaultSize)
-      val fileEst = Option(m.get("bytes")).map(_.asLong * DecompressionFactor)
-      (widthEst, fileEst) match {
-        case (Some(a), Some(b)) => Some(math.max(a, b))
-        // var-width rows under a width-only guess are the OOM path
-        // (r13 ADVICE): without the byte signal, refuse to estimate
-        case (Some(a), None) => if (hasVarWidth(path)) None else Some(a)
-        case _ => None
-      }
+      schema.fields.exists(f => isVar(f.dataType))
     }
     def rowCount(path: String): Option[Long] =
       manifest(path).flatMap(m => Option(m.get("rowCount")).map(_.asLong))
+    def estBytes(path: String, range: Option[(String, Double, Double)]): Option[Long] = {
+      val whole = manifest(path).flatMap { m =>
+        val rows = Option(m.get("rowCount")).map(_.asLong)
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+        val widthEst = rows.map(_ * schema.defaultSize)
+        val fileEst = Option(m.get("bytes")).map(_.asLong * DecompressionFactor)
+        (widthEst, fileEst) match {
+          case (Some(a), Some(b)) => Some(math.max(a, b))
+          // var-width rows under a width-only guess are the OOM path
+          // (r13 ADVICE): without the byte signal, refuse to estimate
+          case (Some(a), None) => if (hasVarWidth(path)) None else Some(a)
+          case _ => None
+        }
+      }
+      range match {
+        case None => whole
+        // a declared slice scales by the X246 histogram selectivity —
+        // and the estimate DECLINES when estimateRows does: a planner
+        // consult must never guess a filtered side small
+        case Some((c, lo, hi)) =>
+          for {
+            b <- whole
+            n <- rowCount(path) if n > 0
+            est <- estimateRows(spark, path, c, lo, hi)
+          } yield math.ceil(b * math.min(1.0, est / n)).toLong
+      }
+    }
     val norm = joinType.toLowerCase.replaceAll("[_ ]", "")
     val canBuildLeft = Set("inner", "cross", "right", "rightouter")(norm)
     val canBuildRight = Set("inner", "cross", "left", "leftouter",
       "semi", "leftsemi", "anti", "leftanti")(norm)
-    val lb = estBytes(leftPath)
-    val rb = estBytes(rightPath)
+    val lb = estBytes(leftPath, leftRange)
+    val rb = estBytes(rightPath, rightRange)
     // best recorded per-key cardinality across the join keys: the
     // composite key's per-key count is bounded by ANY single column's
     val perKey: String => Option[Double] = path =>
       (for {
         n <- rowCount(path).toSeq
         c <- keys
-        ndv <- recordedNdv(spark, path, c) if ndv > 0.0
+        ndv <- ndvAt(path, c) if ndv > 0.0
       } yield n.toDouble / ndv).minOption
     val ndvOf: String => Option[Double] = path =>
-      keys.flatMap(c => recordedNdv(spark, path, c)).maxOption
+      keys.flatMap(c => ndvAt(path, c)).maxOption
     val le = lb.filter(_ <= thr).filter(_ => canBuildLeft)
     val re = rb.filter(_ <= thr).filter(_ => canBuildRight)
     val (strategy, buildNdv) = (le, re) match {
@@ -2904,7 +2977,12 @@ object Warehouse {
       case (Some(_), _)                 => ("broadcast_left", None)
       case _ =>
         // neither broadcasts: try a synopsis-certified SHUFFLE_HASH on
-        // the smaller buildable side (unknown sizes stay unhinted)
+        // the smaller buildable side (unknown sizes stay unhinted).
+        // BOTH certificates must hold (r15): the synopsis bounds the
+        // AVERAGE rows/key; the recorded histogram's hottest bin rules
+        // out the hub an average cannot see (a key's rows all share
+        // one bin). Either signal missing → skew not ruled out →
+        // plain join, the r14 review's prescription.
         val candidates = Seq(
           ("shuffle_hash_left", lb, canBuildLeft, leftPath),
           ("shuffle_hash_right", rb, canBuildRight, rightPath))
@@ -2912,6 +2990,7 @@ object Warehouse {
           .sortBy(_._2)
         candidates.headOption.flatMap { case (s, _, p) =>
           perKey(p).filter(_ <= ShuffleHashMaxRowsPerKey)
+            .filter(_ => maxBinAt(p).exists(_ <= ShuffleHashMaxBuildKeyRows))
             .map(_ => (s, ndvOf(p)))
         }.getOrElse(("shuffle", None))
     }
@@ -2919,11 +2998,15 @@ object Warehouse {
     // built: a bounded build hashes fine, but a probe key holding
     // thousands of rows lands them in one task either way. A plain
     // shuffle has no build side, so BOTH sides are probe-shaped and
-    // the worse one speaks (r14 review).
+    // the worse one speaks (r14 review). A broadcast join never
+    // shuffles either side — no partition exists for a hot key to
+    // concentrate in — so broadcast strategies carry no salt advice
+    // and pay no synopsis reads (r15).
     val saltAdvice = {
       val probePaths = strategy match {
-        case "broadcast_left" | "shuffle_hash_left" => Seq(rightPath)
-        case "broadcast_right" | "shuffle_hash_right" => Seq(leftPath)
+        case "broadcast_left" | "broadcast_right" => Seq.empty[String]
+        case "shuffle_hash_left" => Seq(rightPath)
+        case "shuffle_hash_right" => Seq(leftPath)
         case _ => Seq(leftPath, rightPath)
       }
       probePaths.flatMap(p => perKey(p).map(p -> _))
@@ -2979,6 +3062,49 @@ object Warehouse {
         .otherwise(lit((k - 1).toDouble) / col("__uk")))
       .head()
     Some(if (est.isNullAt(0)) 0.0 else est.getDouble(0))
+  }
+
+  /** Upper bound on the hottest single value's row count for `column`,
+    * from the RECORDED histogram families alone (r15) — all of one
+    * value's rows share its bin, so no key can exceed its bin's total:
+    * the heavy-hitter signal [[joinAdvice]]'s SHUFFLE_HASH
+    * certification needs (an average rows/key bound cannot rule out a
+    * hub). Planning-grade like [[recordedNdv]]/[[estimateRows]]: zero
+    * data bytes, and None unless some (column, bins) family is dv-free
+    * and covers EVERY live file — the tightest complete family
+    * (largest bins) answers. NULL-bin coverage sentinels carry no
+    * counts; an empty table bounds at 0.
+    */
+  def recordedMaxBinRows(spark: SparkSession, path: String, column: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentSnapshot(spark, path)
+    if (v < 1) return None
+    val m = readManifest(fs, path, v).getOrElse(return None)
+    if (readDvState(m).exists(_.files.nonEmpty)) return None
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schema").toString).asInstanceOf[StructType]
+    if (!schema.fieldNames.contains(column)) return None
+    val pc = physicalName(columnMapOf(m), column)
+    val entries = normEntries(m, v)
+    if (entries.isEmpty) return Some(0L)
+    val side = histogramsPath(path)
+    if (snapshots(spark, side).isEmpty) return None
+    import spark.implicits._
+    val fam = readSnapshot(spark, side).filter(col("column") === pc)
+      .join(broadcast(entries.toDF("file")), Seq("file"), "left_semi")
+      .localCheckpoint(true) // consumed by the coverage probe AND the max
+    val complete = fam.groupBy("bins").agg(countDistinct(col("file")).as("nf"))
+      .filter(col("nf") === entries.size)
+      .select("bins").collect().map(_.getInt(0))
+    if (complete.isEmpty) return None
+    val b = complete.max
+    fam.filter(col("bins") === b && col("bin").isNotNull)
+      .groupBy("bin").agg(sum("n").as("n"))
+      .agg(max(col("n"))).head() match {
+        case r if r.isNullAt(0) => Some(0L) // all-NULL column: no binned mass
+        case r => Some(r.getLong(0))
+      }
   }
 
   /** All LIVE snapshot versions under `path`, ascending. A version dir

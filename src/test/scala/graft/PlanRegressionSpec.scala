@@ -504,6 +504,14 @@ class PlanRegressionSpec extends SparkSpec {
     graft.store.Warehouse.analyzeSnapshot(spark, dim, Seq("k"), k = 64)
     assert(graft.store.Warehouse.recordedNdv(spark, dim, "k").exists(n =>
       n > 40.0 && n <= 60.0))
+    // r15 hub veto: the average bound alone no longer certifies — a
+    // hub key can hide behind a passing mean. No recorded histogram →
+    // skew cannot be ruled out → plain join.
+    assert(graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"),
+      broadcastThreshold = Some(1)).strategy === "shuffle",
+      "without a histogram the build side must not be hub-certified")
+    graft.store.Warehouse.analyzeHistogram(spark, dim, "k", bins = 20)
+    assert(graft.store.Warehouse.recordedMaxBinRows(spark, dim, "k").exists(_ <= 5L))
     // poison pin BEFORE the decision: the strategy must come from the
     // manifests + the _synopses side table, never the data files
     Seq(dim, fact).foreach { root =>
@@ -585,5 +593,76 @@ class PlanRegressionSpec extends SparkSpec {
       broadcastThreshold = Some(1))
     assert(a2.strategy === "shuffle", a2.toString)
     assert(a2.saltAdvice.exists(_.contains(hot)), a2.toString)
+  }
+
+  test("joinAdvice: a range-sliced side broadcasts by the X246 selectivity, zero data I/O (r15)") {
+    import spark.implicits._
+    val dim = java.nio.file.Files.createTempDirectory("graft_rng_dim").toString + "/t"
+    val fact = java.nio.file.Files.createTempDirectory("graft_rng_fact").toString + "/t"
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 20000).map(i => (i.toLong % 50, i.toDouble)).toDF("k", "v"), fact)
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 5000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "w"), dim)
+    graft.store.Warehouse.analyzeHistogram(spark, fact, "v", bins = 20)
+    // poison pin BEFORE the decision: range sizing must come from the
+    // manifest + the recorded histogram, never the data files
+    Seq(dim, fact).foreach { root =>
+      new java.io.File(root).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .flatMap(_.listFiles)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .foreach { f =>
+          val out = new java.io.FileOutputStream(f)
+          out.write("not parquet".getBytes); out.close()
+        }
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val thr = Some(64L * 1024)
+      // whole fact is far over the threshold: the unfiltered ladder
+      // cannot broadcast either side
+      val a0 = graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"), "inner", thr)
+      assert(a0.strategy === "shuffle", a0.toString)
+      // the declared 5% slice scales the byte estimate under the
+      // threshold -> the filtered fact side broadcasts
+      val a1 = graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"), "inner", thr,
+        leftRange = Some(("v", 0.0, 1000.0)))
+      assert(a1.strategy === "broadcast_left", a1.toString)
+      assert(a1.leftBytesEst.exists(b => b > 0 && b <= 64L * 1024), a1.toString)
+      val p = graft.store.Warehouse.joinSnapshots(spark, fact, dim, Seq("k"), "inner", thr,
+          leftRange = Some(("v", 0.0, 1000.0)))
+        .queryExecution.sparkPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p.take(1500))
+      // a slice on a column with NO recorded histogram DECLINES — the
+      // estimate must never guess a filtered side small
+      val a2 = graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"), "inner", thr,
+        leftRange = Some(("v", 0.0, 1000.0)), rightRange = Some(("w", 0.0, 10.0)))
+      assert(a2.rightBytesEst.isEmpty, a2.toString)
+      assert(a2.strategy === "broadcast_left", a2.toString)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("joinAdvice: NESTED var-width columns refuse the width-only broadcast guess (r15)") {
+    import spark.implicits._
+    val nested = java.nio.file.Files.createTempDirectory("graft_vw_nested").toString + "/t"
+    val fact = java.nio.file.Files.createTempDirectory("graft_vw_fact").toString + "/t"
+    // a struct WRAPPING a string: the r14 guard looked only at
+    // top-level types and would have broadcast this on the row-width
+    // guess once the manifest's byte count is unreadable
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 10).map(i => (i.toLong, (s"x$i" * 200, i))).toDF("k", "payload"), nested)
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 5000).map(i => (i.toLong % 10, i.toLong)).toDF("k", "v"), fact)
+    // strip the byte count from the manifest: the width-only path
+    val mf = new java.io.File(nested, "_manifest-v1")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(mf).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("bytes")
+    om.writeValue(mf, node)
+    val a = graft.store.Warehouse.joinAdvice(spark, nested, fact, Seq("k"),
+      broadcastThreshold = Some(64L * 1024))
+    assert(a.leftBytesEst.isEmpty,
+      s"a nested string under a width-only guess must refuse to estimate: $a")
+    assert(a.strategy === "shuffle", a.toString)
   }
 }

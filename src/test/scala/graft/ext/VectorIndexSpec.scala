@@ -199,6 +199,69 @@ class VectorIndexSpec extends SparkSpec {
     assert(probe.exceptAll(want).isEmpty && want.exceptAll(probe).isEmpty)
   }
 
+  test("drift ledger: drifted increments trip indexAdvice, stationary ones don't (r15)") {
+    val root = freshRoot("vidx_drift")
+    // bucketed rule: cell = vec_id % 8, so shares are deterministic —
+    // a consecutive-id corpus is uniform over cells
+    VectorIndex.buildIvfIndex(vecs(0 until 80), root, nlist = 8, bucketed = true)
+    // stationary increment: consecutive ids -> the same uniform shares
+    VectorIndex.refreshIvfIndex(vecs(80 until 120), root)
+    val calm = VectorIndex.indexAdvice(spark, root, minIncrementRows = 10)
+    assert(!calm.rebuildAdvised, calm.toString)
+    assert(calm.shareDrift.exists(_ < 0.1), calm.toString)
+    // drifted increment: every id ≡ 0 (mod 8) -> all rows land in ONE
+    // cell; cumulative shares now concentrate -> advice trips
+    VectorIndex.refreshIvfIndex(vecs(0 until 1000).filter(col("vec_id") % 8 === 0)
+      .filter(col("vec_id") >= 120), root)
+    val drifted = VectorIndex.indexAdvice(spark, root, minIncrementRows = 10)
+    assert(drifted.rebuildAdvised, drifted.toString)
+    assert(drifted.reason.contains("buildIvfIndex"), drifted.toString)
+    // below the minimum-signal floor the advice ABSTAINS regardless
+    val abstain = VectorIndex.indexAdvice(spark, root, minIncrementRows = 1000000)
+    assert(!abstain.rebuildAdvised && abstain.reason.contains("not enough signal"))
+  }
+
+  test("kmeans drift ledger records residuals; the decision costs no data bytes (r15)") {
+    val root = freshRoot("vidx_driftkm")
+    VectorIndex.buildIvfIndex(vecs(10 until 150), root, nlist = 8)
+    VectorIndex.refreshIvfIndex(vecs(150 until 200), root)
+    val a = VectorIndex.indexAdvice(spark, root, minIncrementRows = 10)
+    assert(a.residualRatio.nonEmpty,
+      s"kmeans mode must compare residuals: $a")
+    // poison every index DATA file: the advice reads only the
+    // nlist-row centroids ledger
+    Warehouse.readSnapshot(spark, root).inputFiles.foreach { f =>
+      val out = new java.io.FileOutputStream(new java.io.File(new java.net.URI(f)))
+      out.write("x".getBytes); out.close()
+    }
+    assert(VectorIndex.indexAdvice(spark, root, minIncrementRows = 10) === a,
+      "the advice must never touch index data bytes")
+  }
+
+  test("torn rebuild refuses; empty probe returns empty, never crashes (r15)") {
+    val root = freshRoot("vidx_torn")
+    VectorIndex.buildIvfIndex(vecs(10 until 60), root, nlist = 8, bucketed = true)
+    // empty query frame: a legitimate streaming micro-batch
+    val empty = VectorIndex.ivfTopKIndexed(vecs(0 until 0), root, k = 5)
+    assert(empty.columns.toSeq === Seq("query_id", "rank", "neighbor_id", "sim")
+      && empty.isEmpty)
+    assert(VectorIndex.nearDupAgainstIndex(vecs(0 until 0), root).isEmpty)
+    // simulate the torn rebuild: centroids advance (stamp ahead), the
+    // paired index commit never lands
+    import spark.implicits._
+    val side = VectorIndex.centroidsPath(root)
+    val torn = (0 until 8).map(i => (i, Seq.empty[Double], "bucketed",
+        Warehouse.currentSnapshot(spark, root) + 5, 0L, None: Option[Double],
+        0L, None: Option[Double]))
+      .toDF("cell", "centroid", "mode", "stamp",
+        "base_n", "base_resid", "inc_n", "inc_resid")
+    Warehouse.commitSnapshot(torn, side, Warehouse.currentSnapshot(spark, side))
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.ivfTopKIndexed(vecs(0 until 2), root, k = 5)
+    }
+    assert(e.getMessage.contains("crashed between"))
+  }
+
   test("kmeans production mode: recall floor vs brute force; centroids persist and reload") {
     val root = freshRoot("vidx_km")
     val corpus = vecs(10 until 300)

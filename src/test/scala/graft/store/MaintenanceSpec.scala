@@ -123,6 +123,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(Warehouse.readSnapshot(spark, root).count() === 400 - 41)
   }
 
+  test("a purge tick restores plan-advice coverage: NDV/histogram consults decline on dv, re-certify after (r15)") {
+    val root = freshRoot("maint_recert")
+    val base = (1 to 400).map(i => (i.toLong, (i % 23).toLong)).toDF("id", "num")
+    Warehouse.writeSnapshot(base.coalesce(2), root)
+    Warehouse.analyzeSnapshot(spark, root, Seq("num"), k = 64)
+    Warehouse.analyzeHistogram(spark, root, "num", bins = 10)
+    assert(Warehouse.recordedNdv(spark, root, "num").nonEmpty)
+    assert(Warehouse.estimateRows(spark, root, "num", 0.0, 10.0, bins = 10).nonEmpty)
+    assert(Warehouse.recordedMaxBinRows(spark, root, "num").nonEmpty)
+    // one dv'd file poisons every planning consult: all decline (a
+    // planner consult never scans, so it cannot subtract dv rows)
+    Warehouse.deleteWhereDv(spark, root, col("id") % 10 === 3L)
+    assert(Warehouse.recordedNdv(spark, root, "num").isEmpty)
+    assert(Warehouse.estimateRows(spark, root, "num", 0.0, 10.0, bins = 10).isEmpty)
+    assert(Warehouse.recordedMaxBinRows(spark, root, "num").isEmpty)
+    // ONE maintenance tick: purge + re-analyze — the same tick that
+    // rewrites the dv'd files also re-covers the replacements, so
+    // plan-advice coverage comes back without a second pass
+    val policy = Warehouse.MaintenancePolicy(optimize = false,
+      analyzeColumns = Seq("num"), analyzeK = 64,
+      histogramColumns = Seq(("num", 10)),
+      dvPurgeMinPositions = 1L, dvPurgeMinFileFraction = 2.0)
+    val r = Warehouse.maintainSnapshot(spark, root, policy)
+    assert(r.dvPurged.nonEmpty)
+    assert(Warehouse.recordedNdv(spark, root, "num").nonEmpty,
+      "the purge-and-analyze tick must restore NDV plan coverage")
+    assert(Warehouse.estimateRows(spark, root, "num", 0.0, 10.0, bins = 10).nonEmpty,
+      "the tick must restore histogram plan coverage")
+    assert(Warehouse.recordedMaxBinRows(spark, root, "num").nonEmpty,
+      "the tick must restore the hub-veto signal")
+  }
+
   test("maintainSnapshot without an index or retention policy skips both") {
     val root = freshRoot("maint_min")
     Warehouse.writeSnapshot((1 to 50).map(i => (i.toLong, i.toLong)).toDF("id", "num"), root)
