@@ -648,6 +648,33 @@ object SparkEntry {
         preImages = true)
       store.Ivm.maintainDegrees(deg0, feed)
     }),
+    "q_graph_view_tick" -> ((s, dir) => {
+      // X252 graph-view maintenance tick driven THROUGH storage: seed
+      // tick (full recompute, cursor stamped INTO the view's own
+      // commit manifest), then a churn bracket — appended edges + a
+      // predicate delete, both with change feeds — folded by a second
+      // tick. The degree view must equal the oracle's recompute over
+      // the final edge list; integer counts → bit-exact. (The ranks
+      // view's warm-refresh contraction bound is spec-pinned in
+      // GraphViewSpec — a converged-walk oracle would pin an
+      // iteration count, not the tick.)
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val oldE = ops.Graphs.coOccurrenceEdges(
+        li.filter(col("l_orderkey") % 10 === 0), "l_orderkey", "l_partkey",
+        maxGroupSize = 10)
+      val newE = ops.Graphs.coOccurrenceEdges(
+        li.filter(col("l_orderkey") % 5 === 0 && col("l_orderkey") % 20 =!= 0),
+        "l_orderkey", "l_partkey", maxGroupSize = 10)
+      val base = java.nio.file.Files.createTempDirectory("graft_qgvt").toString
+      val ep = s"$base/edges"
+      Warehouse.writeSnapshot(oldE, ep)
+      store.GraphView.maintainGraphView(s, ep, s"$base/deg")
+      Warehouse.appendSnapshot(newE.join(oldE, Seq("a", "b"), "left_anti"),
+        ep, Warehouse.currentSnapshot(s, ep), changeFeed = true)
+      Warehouse.deleteWhere(s, ep, col("a") % 7 === 0, changeFeed = true)
+      store.GraphView.maintainGraphView(s, ep, s"$base/deg")
+      Warehouse.readSnapshot(s, s"$base/deg")
+    }),
     "q_incr_distinct_cdf" -> ((s, dir) => {
       // X198 COUNT DISTINCT IVM: the support relation (status, custkey)
       // -> multiplicity is itself a COUNT rollup, so it maintains
@@ -1990,6 +2017,35 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |  SELECT DISTINCT x.i AS a, y.i AS b
         |  FROM sized x JOIN sized y ON x.g = y.g AND x.i < y.i),
         |incid AS (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+        |SELECT node, count(*) AS degree FROM incid GROUP BY node""".stripMargin,
+    // X252 graph-view tick: the degree view after seed + churn-bracket
+    // fold must equal the recompute over the FINAL edge list — old
+    // edges ∪ appended new-only edges, minus the predicate delete
+    "q_graph_view_tick" ->
+      """WITH oldi AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 10 = 0),
+        |olds AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM oldi) t
+        |  WHERE gs <= 10),
+        |olde AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM olds x JOIN olds y ON x.g = y.g AND x.i < y.i),
+        |newi AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 5 = 0 AND l_orderkey % 20 <> 0),
+        |news AS (
+        |  SELECT g, i FROM (
+        |    SELECT g, i, count(*) OVER (PARTITION BY g) AS gs FROM newi) t
+        |  WHERE gs <= 10),
+        |newe AS (
+        |  SELECT DISTINCT x.i AS a, y.i AS b
+        |  FROM news x JOIN news y ON x.g = y.g AND x.i < y.i),
+        |kept AS (
+        |  SELECT a, b FROM (SELECT a, b FROM olde UNION SELECT a, b FROM newe)
+        |  WHERE a % 7 <> 0),
+        |incid AS (SELECT a AS node FROM kept UNION ALL SELECT b FROM kept)
         |SELECT node, count(*) AS degree FROM incid GROUP BY node""".stripMargin,
     // X198 COUNT DISTINCT IVM: the maintained distinct counts must
     // equal the direct recompute of the new state

@@ -1289,7 +1289,8 @@ object Warehouse {
         to_json(struct(d.columns.map(col).toIndexedSeq: _*)))))
       .otherwise(lit(true)))
 
-  def writeSnapshot(df: DataFrame, path: String): Long = {
+  def writeSnapshot(df: DataFrame, path: String,
+                    txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1308,7 +1309,7 @@ object Warehouse {
         expMetrics.collect()
       } catch { case t: Throwable => expMetrics.disarm(); throw t }
     publishManifestBestEffort(fs, spark, path, next, g.schema.json,
-      expectations = expCounts)
+      expectations = expCounts, txn = txn)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_latest.tmp")
     val out = fs.create(tmp, true)
     out.write(next.toString.getBytes("UTF-8")); out.close()
@@ -1403,7 +1404,8 @@ object Warehouse {
     */
   def commitSnapshot(df: DataFrame, path: String, expectedVersion: Long,
                      orphanGraceMs: Long = 600000L,
-                     triage: Boolean = true): Long = {
+                     triage: Boolean = true,
+                     txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1441,7 +1443,7 @@ object Warehouse {
     }
     promoteStaging(fs, staging, dest, path, next)
     publishManifestBestEffort(fs, spark, path, next, g.schema.json,
-      expectations = expCounts)
+      expectations = expCounts, txn = txn)
     advancePointer(fs, path, next)
     flushQuarantine()
     next
@@ -2686,9 +2688,10 @@ object Warehouse {
   private def publishManifestBestEffort(fs: org.apache.hadoop.fs.FileSystem,
                                         spark: SparkSession, path: String,
                                         v: Long, schemaJson: String,
-                                        expectations: Option[Map[String, (String, Long)]] = None): Unit =
+                                        expectations: Option[Map[String, (String, Long)]] = None,
+                                        txn: Option[(String, Long)] = None): Unit =
     try writeManifest(fs, spark.sparkContext.hadoopConfiguration, path, v, schemaJson,
-      expectations = expectations)
+      expectations = expectations, txn = txn)
     catch {
       case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
