@@ -107,7 +107,14 @@ object Bench {
       // plus the remaining graph walk not yet in the map (its in-suite
       // 1.70 s vs DuckDB 0.45 reads 3.8×; the steady-state number is
       // what the weighted-PPR plan actually costs)
-      "q_incr_degrees_cdf", "q_ann_ivf_indexed", "q_graph_ppr_weighted")
+      "q_incr_degrees_cdf", "q_ann_ivf_indexed", "q_graph_ppr_weighted",
+      // r15: the r14 verdict's two remaining >2x-proxy keys without a
+      // measured floor (jaccard's posting-pair build; fusion's two
+      // retrievers + rrf — decomposed in RetrievalFloorProbe), plus
+      // the round's new index-build keys (both build a persisted
+      // index inside the timed region by design)
+      "q_graph_jaccard", "q_rrf_fusion",
+      "q_dedup_shingle_indexed", "q_graph_view_tick")
       .filter(SparkEntry.queries.contains)
     // Stage the cross-key shared tables OUTSIDE the timed region: the
     // packed-documents stage table feeds both q_pack_sequences and

@@ -659,9 +659,11 @@ object SparkEntry {
       // GraphViewSpec — a converged-walk oracle would pin an
       // iteration count, not the tick.)
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      // oldE feeds the seed write AND the anti-join's build side —
+      // checkpoint so the co-occurrence build runs once per frame
       val oldE = ops.Graphs.coOccurrenceEdges(
         li.filter(col("l_orderkey") % 10 === 0), "l_orderkey", "l_partkey",
-        maxGroupSize = 10)
+        maxGroupSize = 10).localCheckpoint(true)
       val newE = ops.Graphs.coOccurrenceEdges(
         li.filter(col("l_orderkey") % 5 === 0 && col("l_orderkey") % 20 =!= 0),
         "l_orderkey", "l_partkey", maxGroupSize = 10)

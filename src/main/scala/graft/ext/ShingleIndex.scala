@@ -288,6 +288,34 @@ object ShingleIndex {
       .select("a", "b", "jaccard")
   }
 
+  /** THE CRAWL CYCLE in one call — the loop [[nearDupAgainstShingleIndex]]
+    * and [[refreshShingleIndex]] exist for, closed (the X249 shape for
+    * the shingle family): screen `increment` against the index, DROP
+    * every increment doc that near-dups an indexed doc at `threshold`,
+    * refresh the index with the SURVIVORS, and return them — so the
+    * caller feeds crawl batches in and gets the novel, now-indexed
+    * docs out, priced at increment bytes + probed buckets per cycle.
+    * Intra-increment near-dups are NOT screened here (both survive and
+    * index): that is a separate within-batch pass
+    * ([[Dedup.minhashNearDups]] on the increment) when the crawler
+    * doesn't already dedup its own batch — screening against the
+    * catalog and within the batch are different grains by design.
+    * Replay-safe end to end: a replayed batch's survivors are already
+    * indexed, so they now FLAG as near-dups of themselves at jaccard 1
+    * and drop — the cycle converges instead of double-indexing (and
+    * the refresh's own anti-join backstops exact doc_id replays).
+    */
+  def screenAndRefresh(increment: DataFrame, path: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val inc = increment.select(col("doc_id"), col("text"))
+    val pairs = nearDupAgainstShingleIndex(inc, path, threshold)
+    val survivors = inc
+      .join(pairs.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // consumed by the refresh AND the caller
+    refreshShingleIndex(survivors, path)
+    survivors
+  }
+
   /** Maintenance tick with the bucket clustering FORCED — a plain
     * OPTIMIZE would bin-pack the streaming sink's small append files
     * with no layout, mixing buckets inside every output file and

@@ -201,6 +201,29 @@ class ShingleIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("buildShingleIndex"))
   }
 
+  test("screenAndRefresh: dups drop, survivors index and return; a replayed batch converges") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val root = freshRoot("shidx_cycle")
+    ShingleIndex.buildShingleIndex(
+      Seq((2L, base)).toDF("doc_id", "text"), root, n = 3)
+    val batch = Seq(
+      (11L, base), // near-dup (exact clone) of indexed doc 2 -> drops
+      (13L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val out = ShingleIndex.screenAndRefresh(batch, root, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(13L), s"the clone must drop, the novel doc survive: $out")
+    val indexed = Warehouse.readSnapshot(spark, root)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(2L, 13L), s"survivors must index: $indexed")
+    // REPLAY the same batch: 13 is now indexed, so it flags against
+    // ITSELF at jaccard 1 and drops — the cycle converges
+    val replay = ShingleIndex.screenAndRefresh(batch, root, threshold = 0.8)
+    assert(replay.isEmpty, "a replayed batch must produce no survivors")
+    assert(Warehouse.readSnapshot(spark, root)
+      .select("doc_id").distinct().count() === 2, "nothing double-indexes")
+  }
+
   test("maintenance keeps the bucket layout: compaction never kills probe pruning") {
     val docs = sfDocs
     val root = freshRoot("shidx_maint")
