@@ -1517,6 +1517,19 @@ object SparkEntry {
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(Tables.events(s, dir))),
     "q_bm25" -> ((s, dir) => ext.TextAnalysis.bm25TopK(
       Tables.documents(s, dir), Bm25Queries, k = 10)),
+    "q_bm25_indexed" -> ((s, dir) => {
+      // X253 persisted BM25 index, probed THROUGH storage: postings
+      // built once into a token-hash-bucket-clustered snapshot table
+      // (+ corpus-scalar meta), then the query batch reads ONLY its
+      // terms' buckets — df exact from the probed postings, scoring
+      // q_bm25's formula verbatim, so the key shares q_bm25's oracle;
+      // what it adds is the round-trip THROUGH the persisted postings
+      // (parquet int round-trip, bucket layout, driver-planned pruned
+      // read).
+      val root = java.nio.file.Files.createTempDirectory("graft_qtidx").toString + "/t"
+      ext.TextIndex.buildTextIndex(Tables.documents(s, dir), root)
+      ext.TextIndex.bm25TopKIndexed(s, root, Bm25Queries, k = 10)
+    }),
     "q_rrf_fusion" -> ((s, dir) => {
       // X244 hybrid retrieval: BM25 (the q_bm25 term queries, depth
       // 20) fused with semantic cosine (the query-id'th document's
@@ -4129,6 +4142,31 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |       END AS BIGINT) AS bin,
         |  count(*) AS n
         |FROM events e JOIN b USING (event_type) GROUP BY 1, 2""".stripMargin,
+    // X253 indexed probe: same scoring, same oracle — the persisted
+    // postings change which FILES are read, never which scores emerge
+    "q_bm25_indexed" ->
+      """WITH q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+        |                                 (2,'agg'),(2,'scan'),(3,'vector'),
+        |                                 (3,'merge')) AS t(query_id, token)),
+        |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |toks AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+        |       FROM toks WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |              avg(len(string_split(lower(text), ' ')))::DOUBLE AS avg_dl
+        |       FROM documents),
+        |dfreq AS (SELECT token, count(*)::DOUBLE AS df_t FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))), 6)
+        |           AS bm25
+        |       FROM tf JOIN q USING (token) JOIN dfreq USING (token), st
+        |       GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, bm25
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY bm25 DESC, doc_id) AS rank
+        |      FROM sc)
+        |WHERE rank <= 10""".stripMargin,
     "q_bm25" ->
       """WITH q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
         |                                 (2,'agg'),(2,'scan'),(3,'vector'),
