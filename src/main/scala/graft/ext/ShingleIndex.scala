@@ -217,11 +217,17 @@ object ShingleIndex {
     val existing = Warehouse.readSnapshot(spark, path).select("doc_id").distinct()
     val fresh = docs.select(col("doc_id"), col("text"))
       .join(existing, Seq("doc_id"), "left_anti")
+    // gate on the SIGNATURE rows, not the fresh docs (r15 review): a
+    // batch whose un-indexed docs are all shorter than n tokens signs
+    // to nothing — appending would commit nothing, and returning
+    // Some() for it would fire the caller's on-refresh work spuriously
+    // on every tick (sub-n docs can never index: no shingles, no
+    // signature, and no screen could ever pair them either)
+    val rows = signatureRows(fresh, meta.mode, meta.n, meta.nb)
       .localCheckpoint(true) // consumed by the emptiness probe AND the append
-    if (fresh.isEmpty) return None
+    if (rows.isEmpty) return None
     Some(Warehouse.appendSnapshot(
-      layout(spark, signatureRows(fresh, meta.mode, meta.n, meta.nb),
-        meta.bands * meta.nb),
+      layout(spark, rows, meta.bands * meta.nb),
       path, Warehouse.currentSnapshot(spark, path)))
   }
 
@@ -259,14 +265,8 @@ object ShingleIndex {
     // the distinct hit-bucket set is bounded by bands × nb — a driver
     // scalar by construction, independent of increment size;
     // contiguous runs collapse into one pruned range read each
-    val hit = probes.select("bucket").distinct().collect().map(_.getInt(0)).sorted
-    val runs = hit.foldLeft(List.empty[(Int, Int)]) {
-      case ((lo, hi) :: rest, b) if b == hi + 1 => (lo, b) :: rest
-      case (acc, b) => (b, b) :: acc
-    }.reverse
-    val idx = runs.map { case (lo, hi) =>
-      Warehouse.readSnapshotRange(spark, path, "bucket", Some(lo), Some(hi))
-    }.reduce(_ unionByName _)
+    val hit = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    val idx = Warehouse.readSnapshotRuns(spark, path, "bucket", hit.toIndexedSeq)
     // band-key equality IS the candidate rule (bucket only lays out
     // files); arrays ride the join and collapse at candidate grain —
     // a pair matching on several bands dedupes in the same aggregate

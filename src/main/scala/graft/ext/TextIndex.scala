@@ -24,12 +24,15 @@ import org.apache.spark.sql.functions._
   *    computed EXACTLY from the probed read — df never goes stale as
   *    the corpus grows, with zero extra state;
   *  - the META table at `path + "_meta"`: one row
-  *    `(n_docs, sum_dl, nb, stamp)` — the two corpus scalars BM25
-  *    needs (N and avg dl = sum_dl / n_docs, both integers maintained
-  *    EXACTLY by the refresh), plus the [[ShingleIndex]]-style torn-
-  *    build stamp: a rebuild that crashes between its two commits
-  *    leaves `stamp` ahead of the postings table, and probes REFUSE
-  *    loudly instead of scoring new postings under stale corpus stats.
+  *    `(n_docs, n_dl, sum_dl, nb, stamp)` — the corpus scalars BM25
+  *    needs (N = n_docs; avg dl = sum_dl / n_dl, null-length docs
+  *    excluded exactly as the inline avg() skips them — all integers
+  *    maintained EXACTLY by the refresh, re-derivable from the
+  *    postings by [[repairTextIndexMeta]]), plus the
+  *    [[ShingleIndex]]-style torn-build stamp: a rebuild that crashes
+  *    between its two commits leaves `stamp` ahead of the postings
+  *    table, and probes REFUSE loudly instead of scoring new postings
+  *    under stale corpus stats.
   *
   * A probe ([[bm25TopKIndexed]]) then costs: one driver-side bucket
   * computation over the query's terms (the same xxhash64 the build
@@ -69,14 +72,25 @@ object TextIndex {
         org.apache.spark.unsafe.types.UTF8String.fromString(token), 42L),
       nb.toLong).toInt
 
+  /** One row per (doc, distinct token) — plus a PRESENCE SENTINEL
+    * (token NULL, tf 0, bucket 0) for a doc that yields no postings
+    * (NULL text), so EVERY doc is visible to the refresh's doc_id
+    * anti-join: without it, a posting-less doc reads as "fresh" on
+    * every refresh/replay and re-folds into the corpus scalars forever
+    * (r15 review). Probes filter `token IN (…)`, which drops NULLs, so
+    * sentinels never score; and with every doc carrying ≥1 row, the
+    * meta scalars are exactly re-derivable from the postings alone
+    * ([[repairTextIndexMeta]]).
+    */
   private def postingRows(docs: DataFrame, nb: Int): DataFrame =
     docs.select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"),
-        explode(graft.functions.native.tokenCounts(col("text"))).as("tc"))
+        explode_outer(graft.functions.native.tokenCounts(col("text"))).as("tc"))
       .select(
-        pmod(xxhash64(col("tc.token")), lit(nb.toLong)).cast("int").as("bucket"),
+        coalesce(pmod(xxhash64(col("tc.token")), lit(nb.toLong)).cast("int"),
+          lit(0)).as("bucket"),
         col("tc.token").as("token"), col("doc_id"),
-        col("tc.tf").cast("long").as("tf"), col("dl"))
+        coalesce(col("tc.tf").cast("long"), lit(0L)).as("tf"), col("dl"))
 
   private def layout(spark: SparkSession, rows: DataFrame, nb: Int): DataFrame = {
     val parts = math.max(1, math.min(nb,
@@ -94,13 +108,17 @@ object TextIndex {
     require(bucketCount >= 1, s"bucketCount must be >= 1, got $bucketCount")
     val spark = docs.sparkSession
     import spark.implicits._
-    // the two corpus scalars, exactly (integer sums)
-    val s = docs.agg(count(lit(1)).as("n"),
-      sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("sdl")).head()
-    val (nDocs, sumDl) = (s.getLong(0), if (s.isNullAt(1)) 0L else s.getLong(1))
+    // the corpus scalars, exactly (integer algebra): n_docs counts
+    // every doc (the idf's N); n_dl/sum_dl count only docs with a
+    // non-NULL length, matching the inline avg()'s null-skipping
+    val dlExpr = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val s = docs.agg(count(lit(1)).as("n"), count(dlExpr).as("ndl"),
+      sum(dlExpr).as("sdl")).head()
+    val (nDocs, nDl, sumDl) =
+      (s.getLong(0), s.getLong(1), if (s.isNullAt(2)) 0L else s.getLong(2))
     val predicted = Warehouse.currentSnapshot(spark, path) + 1
-    val metaRows = Seq((nDocs, sumDl, bucketCount, predicted))
-      .toDF("n_docs", "sum_dl", "nb", "stamp")
+    val metaRows = Seq((nDocs, nDl, sumDl, bucketCount, predicted))
+      .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp")
     Warehouse.snapshots(spark, metaPath(path)) match {
       case Seq() => Warehouse.writeSnapshot(metaRows, metaPath(path))
       case vs => Warehouse.commitSnapshot(metaRows, metaPath(path), vs.last)
@@ -112,15 +130,15 @@ object TextIndex {
     }
   }
 
-  private case class Meta(nDocs: Long, sumDl: Long, nb: Int, stamp: Long)
+  private case class Meta(nDocs: Long, nDl: Long, sumDl: Long, nb: Int, stamp: Long)
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val side = metaPath(path)
     require(Warehouse.snapshots(spark, side).nonEmpty,
       s"TextIndex($path): no meta table — buildTextIndex first")
     val r = Warehouse.readSnapshot(spark, side)
-      .select("n_docs", "sum_dl", "nb", "stamp").head()
-    val meta = Meta(r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+      .select("n_docs", "n_dl", "sum_dl", "nb", "stamp").head()
+    val meta = Meta(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))
     val cur = Warehouse.currentSnapshot(spark, path)
     require(meta.stamp <= cur,
       s"TextIndex($path): meta stamp ${meta.stamp} is ahead of the postings " +
@@ -132,11 +150,15 @@ object TextIndex {
   /** Tokenize and append ONLY docs not yet indexed, folding their
     * (count, Σdl) into the meta scalars exactly — the X200 refresh:
     * the tick costs the new docs' bytes, never a corpus re-tokenize.
-    * None when nothing is new. Meta updates AFTER the postings append
-    * (a crash in between leaves stats one increment behind — avg_dl
-    * drifts by the unrecorded docs' share, a bounded bias the next
-    * successful refresh repairs; postings and df stay exact
-    * regardless, because df comes from the postings themselves).
+    * None when nothing is new. Meta updates AFTER the postings append;
+    * a crash in between leaves the scalars PERMANENTLY missing the
+    * appended increment's share (the next refresh anti-joins those
+    * docs out, so their counts never re-fold — an under-count, not a
+    * growing drift): postings and df stay exact regardless (df comes
+    * from the postings themselves), and [[repairTextIndexMeta]]
+    * re-derives the scalars exactly from the postings when the window
+    * is suspected (r15 review — the old comment over-claimed
+    * self-repair).
     */
   def refreshTextIndex(docs: DataFrame, path: String): Option[Long] = {
     val spark = docs.sparkSession
@@ -149,16 +171,41 @@ object TextIndex {
     val v = Warehouse.appendSnapshot(
       layout(spark, postingRows(fresh, meta.nb), meta.nb),
       path, Warehouse.currentSnapshot(spark, path))
-    val s = fresh.agg(count(lit(1)).as("n"),
-      sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("sdl")).head()
-    val (dn, dsl) = (s.getLong(0), if (s.isNullAt(1)) 0L else s.getLong(1))
+    val dlExpr = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val s = fresh.agg(count(lit(1)).as("n"), count(dlExpr).as("ndl"),
+      sum(dlExpr).as("sdl")).head()
+    val (dn, dndl, dsl) =
+      (s.getLong(0), s.getLong(1), if (s.isNullAt(2)) 0L else s.getLong(2))
     import spark.implicits._
     val side = metaPath(path)
     Warehouse.commitSnapshot(
-      Seq((meta.nDocs + dn, meta.sumDl + dsl, meta.nb, meta.stamp))
-        .toDF("n_docs", "sum_dl", "nb", "stamp"),
+      Seq((meta.nDocs + dn, meta.nDl + dndl, meta.sumDl + dsl, meta.nb, meta.stamp))
+        .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp"),
       side, Warehouse.currentSnapshot(spark, side))
     Some(v)
+  }
+
+  /** Re-derive the meta scalars EXACTLY from the postings table (one
+    * index-grain scan, doc-grain aggregate) and commit them — the
+    * repair for a refresh that crashed between its postings append and
+    * its meta commit. Exact because every doc carries ≥1 posting row
+    * (the presence sentinel) and each row carries the doc's dl.
+    * Returns the new meta version.
+    */
+  def repairTextIndexMeta(spark: SparkSession, path: String): Long = {
+    val meta = readMeta(spark, path)
+    val perDoc = Warehouse.readSnapshot(spark, path)
+      .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), count(col("dl")).as("ndl"),
+        sum(col("dl")).as("sdl")).head()
+    val (n, ndl, sdl) = (perDoc.getLong(0), perDoc.getLong(1),
+      if (perDoc.isNullAt(2)) 0L else perDoc.getLong(2))
+    import spark.implicits._
+    val side = metaPath(path)
+    Warehouse.commitSnapshot(
+      Seq((n, ndl, sdl, meta.nb, meta.stamp))
+        .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp"),
+      side, Warehouse.currentSnapshot(spark, side))
   }
 
   /** BM25 top-k THROUGH the index: the [[TextAnalysis.bm25TopK]]
@@ -179,27 +226,22 @@ object TextIndex {
       .flatMap { case (qid, ts) => ts.map(t => (qid, t.toLowerCase)) }
       .toDF("query_id", "token")
     val terms = queries.flatMap(_._2.map(_.toLowerCase)).distinct
-    // driver-planned read set: the terms' buckets, no scan decides it
-    val hit = terms.map(t => bucketOf(t, meta.nb)).distinct.sorted
-    val runs = hit.foldLeft(List.empty[(Int, Int)]) {
-      case ((lo, hi) :: rest, c) if c == hi + 1 => (lo, c) :: rest
-      case (acc, c) => (c, c) :: acc
-    }.reverse
-    // consumed twice (dfreq + the scoring join) WITHOUT a checkpoint:
+    // driver-planned read set: the terms' buckets, no scan decides it.
+    // Consumed twice (dfreq + the scoring join) WITHOUT a checkpoint:
     // unlike the inline bm25TopK — whose double-consumed subtree is
     // the corpus tokenization — this subtree is already the pruned
     // bucket read, so re-scanning probed buckets costs less than an
     // eager materialization job, and the plan keeps its file lineage
     // (the probed-files poison pin reads it)
-    val idx = runs.map { case (lo, hi) =>
-      Warehouse.readSnapshotRange(spark, path, "bucket", Some(lo), Some(hi))
-    }.reduce(_ unionByName _)
+    val hit = terms.map(t => bucketOf(t, meta.nb)).distinct
+    val idx = Warehouse.readSnapshotRuns(spark, path, "bucket", hit)
       .filter(col("token").isin(terms: _*))
       .select(col("token"), col("doc_id"),
         col("tf").cast("double").as("tf"), col("dl").cast("double").as("dl"))
     val dfreq = idx.groupBy("token").agg(count(lit(1)).cast("double").as("df_t"))
     val nDocs = meta.nDocs.toDouble
-    val avgDl = meta.sumDl.toDouble / meta.nDocs.toDouble
+    // avg over docs WITH a length, the inline avg()'s null-skipping
+    val avgDl = if (meta.nDl > 0) meta.sumDl.toDouble / meta.nDl.toDouble else 0.0
     idx.join(broadcast(qterms), Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
       .withColumn("contrib",

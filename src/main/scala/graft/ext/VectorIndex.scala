@@ -450,13 +450,8 @@ object VectorIndex {
       return spark.emptyDataset[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "sim")
     }
-    val runs = cellsHit.foldLeft(List.empty[(Int, Int)]) {
-      case ((lo, hi) :: rest, c) if c == hi + 1 => (lo, c) :: rest
-      case (acc, c) => (c, c) :: acc
-    }.reverse
-    val corpusIdx = runs.map { case (lo, hi) =>
-      Warehouse.readSnapshotRange(spark, path, "cell", Some(lo), Some(hi))
-    }.reduce(_ unionByName _)
+    val corpusIdx = Warehouse
+      .readSnapshotRuns(spark, path, "cell", cellsHit.toIndexedSeq)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
     val probeSide = if (broadcastProbes) broadcast(probes) else probes
     val scored = probeSide.join(corpusIdx, Seq("cell"))

@@ -27,10 +27,19 @@ import org.apache.spark.sql.SparkSession
   * CURSOR DISCIPLINE: the bracket's upper edge version is stamped into
   * the view's OWN commit manifest (`txnApp`/`txnEpoch` — the streaming
   * sink's idempotence record, reused): the cursor and the state it
-  * describes are ONE atomic commit, so there is no separate cursor
-  * table to tear, and a replayed/crashed tick re-reads the same
-  * bracket and re-derives the same state (the fold is deterministic in
-  * (state, bracket), so re-committing it is idempotent in content).
+  * describes are ONE commit, so there is no separate cursor table to
+  * tear, and a tick that crashes BEFORE a view's commit re-reads the
+  * same bracket and re-derives the same state (the fold is
+  * deterministic in (state, bracket), so re-committing it is
+  * idempotent in content). EACH view keeps its own cursor (r15
+  * review): a crash between the degree and ranks stamps leaves the
+  * ranks cursor behind, and the next tick simply resumes that view's
+  * pending bracket — nothing wedges, nothing silently skips. The one
+  * non-atomicity left is the manifest publish itself (best-effort by
+  * design): a commit whose cursor record failed to land would make
+  * the NEXT tick re-fold an already-merged bracket, so the stamp
+  * VERIFIES its record after committing and fails the tick loudly
+  * when it is unreadable, naming the repair.
   *
   * FIRST tick seeds both views from the pinned current edge version
   * (full recomputes, once — [[Graphs.degrees]] and the cold
@@ -58,11 +67,15 @@ object GraphView {
       damping: Double = 0.85,
       weightCol: Option[String] = None)
 
-  /** What one tick did: the bracket it applied, whether the degree
-    * view moved, and the ranks action — `seeded` | `refreshed` |
-    * `skipped_small_bracket` (stale within the contraction tolerance,
-    * recorded not hidden) | `none` (no ranks view) | `clean` (cursor
-    * already current; nothing read).
+  /** What one tick did: the degree bracket it applied, whether the
+    * degree view moved, and the ranks action — `seeded` | `refreshed`
+    * | `skipped_small_bracket` (stale within the contraction
+    * tolerance, recorded not hidden — and the ranks CURSOR does not
+    * advance, so the skipped bracket stays pending and successive
+    * small brackets ACCUMULATE until the cumulative touched fraction
+    * crosses the knob, r15 review) | `current` (ranks cursor already
+    * at the edge head) | `none` (no ranks view) | `clean` (both views
+    * current; nothing read).
     */
   case class GraphViewReport(
       fromVersion: Long,
@@ -79,38 +92,58 @@ object GraphView {
       "maintainGraphView: a ranks view needs policy.seeds")
     import spark.implicits._
     def seedsDf = policy.seeds.toDF("node")
-    def stamp(df: org.apache.spark.sql.DataFrame, path: String): Long =
+    // the cursor rides the manifest, whose publish is BEST-EFFORT
+    // (reads degrade to listing) — but a LOST cursor record would make
+    // the next tick re-fold an already-merged bracket (the degree fold
+    // is algebraic, not idempotent), so a stamp whose record did not
+    // land fails the tick LOUDLY here instead (r15 review); the error
+    // names the repair (re-seed) rather than silently double-counting
+    def stamp(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
       Warehouse.snapshots(spark, path) match {
         case Seq() => Warehouse.writeSnapshot(df, path, txn = Some((AppId, cur)))
         case vs => Warehouse.commitSnapshot(df, path, vs.last,
           txn = Some((AppId, cur)))
       }
-    Warehouse.lastCommittedEpoch(spark, degPath, AppId) match {
+      require(Warehouse.lastCommittedEpoch(spark, path, AppId).contains(cur),
+        s"maintainGraphView($path): the view committed but its cursor record " +
+          s"(txnEpoch=$cur) did not publish — a later tick would re-fold this " +
+          "bracket; re-seed the view (delete it and re-tick) before continuing")
+    }
+    // each view keeps its OWN cursor (r15 review): a crash between the
+    // two stamps must not wedge or silently skip the other view, and a
+    // skipped ranks refresh must keep its bracket PENDING
+    val degAt = Warehouse.lastCommittedEpoch(spark, degPath, AppId)
+    val (degFrom, degMoved) = degAt match {
       case None =>
         // first tick: seed from the pinned edge version — the one full
-        // recompute each view ever pays
-        val edges = Warehouse.readSnapshot(spark, edgesPath, Some(cur))
-        stamp(Graphs.degrees(edges), degPath)
-        val ranksAction = ranksPath.map { rp =>
-          stamp(Graphs.personalizedPageRank(edges, seedsDf,
-            policy.pprIterations, policy.damping,
-            weightCol = policy.weightCol), rp)
-          "seeded"
-        }.getOrElse("none")
-        GraphViewReport(cur, cur, degreesMaintained = true, ranksAction)
-      case Some(at) if at >= cur =>
-        // clean tick: the cursor read + one listing — zero data bytes
-        GraphViewReport(at, cur, degreesMaintained = false, "clean")
+        // recompute the view ever pays
+        stamp(Graphs.degrees(
+          Warehouse.readSnapshot(spark, edgesPath, Some(cur))), degPath)
+        (cur, true)
+      case Some(at) if at >= cur => (at, false)
       case Some(at) =>
         val feed = Warehouse.readChangeFeed(spark, edgesPath, at + 1, cur)
           .drop("_commit_version")
-          .localCheckpoint(true) // consumed by the fold AND the bracket probe
         stamp(Ivm.maintainDegrees(
           Warehouse.readSnapshot(spark, degPath), feed), degPath)
-        val ranksAction = ranksPath.map { rp =>
-          // touched fraction: distinct bracket edges over the current
-          // edge count — the count is a manifest field (zero data I/O)
-          val touched = feed.select("a", "b").distinct().count()
+        (at + 1, true)
+    }
+    val ranksAction = ranksPath.map { rp =>
+      Warehouse.lastCommittedEpoch(spark, rp, AppId) match {
+        case None =>
+          stamp(Graphs.personalizedPageRank(
+            Warehouse.readSnapshot(spark, edgesPath, Some(cur)), seedsDf,
+            policy.pprIterations, policy.damping,
+            weightCol = policy.weightCol), rp)
+          "seeded"
+        case Some(rAt) if rAt >= cur => "current"
+        case Some(rAt) =>
+          // the PENDING bracket: everything since the last refresh,
+          // not just this tick's — skips accumulate here. Touched
+          // fraction over the current edge count, a manifest field
+          // (zero data I/O).
+          val feedR = Warehouse.readChangeFeed(spark, edgesPath, rAt + 1, cur)
+          val touched = feedR.select("a", "b").distinct().count()
           val total = math.max(1L,
             Warehouse.snapshotRowCount(spark, edgesPath, Some(cur))
               .getOrElse(Warehouse.readSnapshot(spark, edgesPath, Some(cur)).count()))
@@ -121,8 +154,10 @@ object GraphView {
               policy.refreshRounds, policy.damping, policy.weightCol), rp)
             "refreshed"
           } else "skipped_small_bracket"
-        }.getOrElse("none")
-        GraphViewReport(at + 1, cur, degreesMaintained = true, ranksAction)
-    }
+      }
+    }.getOrElse("none")
+    if (!degMoved && (ranksAction == "none" || ranksAction == "current"))
+      GraphViewReport(degFrom, cur, degreesMaintained = false, "clean")
+    else GraphViewReport(degFrom, cur, degMoved, ranksAction)
   }
 }

@@ -6211,6 +6211,28 @@ object Warehouse {
                         version: Option[Long] = None): DataFrame =
     readSnapshotWhere(spark, path, Seq((column, lower, upper)), version)
 
+  /** Pruned read of a SET of integer key values (r15): collapses the
+    * sorted distinct ids into contiguous [lo, hi] runs and unions one
+    * [[readSnapshotRange]] per run — the shared probe shape of every
+    * persisted index (IVF cells, shingle buckets, token buckets): file
+    * planning stays one manifest pass per run, contiguous probes read
+    * as one pruned range, and — because runs merge only CONSECUTIVE
+    * ids — every value inside a run is a requested id, so the result
+    * ≡ `readSnapshot(…).filter(col(column).isin(ids…))` exactly.
+    * `ids` must be non-empty.
+    */
+  def readSnapshotRuns(spark: SparkSession, path: String, column: String,
+                       ids: Seq[Int], version: Option[Long] = None): DataFrame = {
+    require(ids.nonEmpty, s"readSnapshotRuns($path): empty id set")
+    val runs = ids.distinct.sorted.foldLeft(List.empty[(Int, Int)]) {
+      case ((lo, hi) :: rest, c) if c == hi + 1 => (lo, c) :: rest
+      case (acc, c) => (c, c) :: acc
+    }.reverse
+    runs.map { case (lo, hi) =>
+      readSnapshotRange(spark, path, column, Some(lo), Some(hi), version)
+    }.reduce(_ unionByName _)
+  }
+
   /** [[readSnapshotRange]] over a CONJUNCTION of column ranges: the
     * file list is pruned by the INTERSECTION of each range's
     * stats-overlap set — on a [[graft.ops.Layout.zorder]]-clustered

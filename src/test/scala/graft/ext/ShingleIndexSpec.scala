@@ -154,6 +154,12 @@ class ShingleIndexSpec extends SparkSpec {
     // sub-n-token increment: shingle-less docs can never pair
     assert(ShingleIndex.nearDupAgainstShingleIndex(
       Seq((7L, "x y")).toDF("doc_id", "text"), root).isEmpty)
+    // ...and a refresh batch of ONLY such docs commits nothing and
+    // says so (r15 review: gate on signature rows, not fresh docs)
+    val vAt = Warehouse.currentSnapshot(spark, root)
+    assert(ShingleIndex.refreshShingleIndex(
+      Seq((8L, "x y")).toDF("doc_id", "text"), root).isEmpty)
+    assert(Warehouse.currentSnapshot(spark, root) === vAt)
     // simulate the torn rebuild: meta advances (stamp ahead of the
     // index table), the paired index commit never lands
     val metaSide = ShingleIndex.metaPath(root)

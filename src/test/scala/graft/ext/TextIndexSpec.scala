@@ -109,8 +109,8 @@ class TextIndexSpec extends SparkSpec {
       rows(TextAnalysis.bm25TopK(streamed, queries, k = 5)))
     // torn rebuild: meta advances, the postings commit never lands
     val side = TextIndex.metaPath(root)
-    val torn = Seq((1L, 1L, 64, Warehouse.currentSnapshot(spark, root) + 5))
-      .toDF("n_docs", "sum_dl", "nb", "stamp")
+    val torn = Seq((1L, 1L, 1L, 64, Warehouse.currentSnapshot(spark, root) + 5))
+      .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp")
     Warehouse.commitSnapshot(torn, side, Warehouse.currentSnapshot(spark, side))
     val e = intercept[IllegalArgumentException] {
       TextIndex.bm25TopKIndexed(spark, root, queries, k = 5)
@@ -121,6 +121,31 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.bm25TopKIndexed(spark, freshRoot("tidx_none"), queries, k = 5)
     }
     assert(e2.getMessage.contains("buildTextIndex"))
+  }
+
+  test("posting-less docs index a presence sentinel: replays never re-fold the scalars; meta repairs exactly") {
+    val root = freshRoot("tidx_sentinel")
+    val docs = Seq((1L, "alpha beta alpha"), (2L, null.asInstanceOf[String]),
+      (3L, "beta gamma")).toDF("doc_id", "text")
+    TextIndex.buildTextIndex(docs, root)
+    def meta() = Warehouse.readSnapshot(spark, TextIndex.metaPath(root))
+      .select("n_docs", "n_dl", "sum_dl").head()
+    val m0 = meta()
+    assert((m0.getLong(0), m0.getLong(1), m0.getLong(2)) === ((3L, 2L, 5L)),
+      s"N counts every doc, dl scalars skip the null-text doc: $m0")
+    // a replayed refresh of the SAME batch (incl. the posting-less
+    // doc) must be a no-op — the sentinel makes doc 2 anti-joinable
+    assert(TextIndex.refreshTextIndex(docs, root).isEmpty)
+    assert(meta() === m0, "a replay must not re-fold the corpus scalars")
+    // the scalars re-derive EXACTLY from the postings alone
+    val vMeta = Warehouse.currentSnapshot(spark, TextIndex.metaPath(root))
+    TextIndex.repairTextIndexMeta(spark, root)
+    assert(meta() === m0, "repair must reproduce the exact scalars")
+    assert(Warehouse.currentSnapshot(spark, TextIndex.metaPath(root)) === vMeta + 1)
+    // scoring still matches the inline ranking over the same frame
+    val q = Seq(1 -> Seq("beta"))
+    assert(rows(TextIndex.bm25TopKIndexed(spark, root, q, k = 5)) ===
+      rows(TextAnalysis.bm25TopK(docs, q, k = 5)))
   }
 
   test("maintenance keeps the bucket layout: compaction never kills probe pruning") {

@@ -122,12 +122,41 @@ class GraphViewSpec extends SparkSpec {
     assert(degMap(Warehouse.readSnapshot(spark, deg)) ===
       degMap(Graphs.degrees(Warehouse.readSnapshot(spark, edges))),
       "degrees fold on every tick regardless of the walk knob")
-    // a big bracket (5 of 12 edges = 42% >= 30%) fires the refresh
+    // a later bracket makes the CUMULATIVE pending fraction cross:
+    // the ranks cursor did not advance on the skip, so the fired
+    // bracket covers BOTH commits (1 + 5 of 17 edges = 35% >= 30%) —
+    // successive small brackets accumulate instead of drifting
+    // unboundedly under the knob (r15 review)
     Warehouse.appendSnapshot(
       Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (6L, 9L)).toDF("a", "b"),
       edges, Warehouse.currentSnapshot(spark, edges), changeFeed = true)
     val big = GraphView.maintainGraphView(spark, edges, deg, Some(ranks), policy)
     assert(big.ranksAction === "refreshed", big.toString)
     assert(Warehouse.currentSnapshot(spark, ranks) > ranksV)
+  }
+
+  test("per-view cursors: a missing ranks view re-seeds without disturbing the degree fold (r15)") {
+    val edges = freshRoot("gv4_edges")
+    val deg = freshRoot("gv4_deg")
+    val ranks = freshRoot("gv4_ranks")
+    val policy = GraphView.GraphViewPolicy(seeds = Seq(1L),
+      pprIterations = 4, refreshRounds = 2)
+    Warehouse.writeSnapshot(edges0, edges)
+    // the torn first tick: degrees seeded, the ranks stamp never ran
+    // (simulated by ticking WITHOUT a ranks view first)
+    val r0 = GraphView.maintainGraphView(spark, edges, deg, None, policy)
+    assert(r0.degreesMaintained && r0.ranksAction === "none")
+    // next tick WITH the ranks view: degrees are current (no re-fold,
+    // no commit), ranks seed from their own absent cursor
+    val degV = Warehouse.currentSnapshot(spark, deg)
+    val r1 = GraphView.maintainGraphView(spark, edges, deg, Some(ranks), policy)
+    assert(!r1.degreesMaintained && r1.ranksAction === "seeded", r1.toString)
+    assert(Warehouse.currentSnapshot(spark, deg) === degV,
+      "a current degree view must not re-commit")
+    assert(l1(rankMap(Warehouse.readSnapshot(spark, ranks)), rankMap(
+      Graphs.personalizedPageRank(edges0, Seq(1L).toDF("node"), 4))) < 1e-12)
+    // and a further tick with both views current is clean
+    assert(GraphView.maintainGraphView(spark, edges, deg, Some(ranks), policy)
+      .ranksAction === "clean")
   }
 }
