@@ -114,7 +114,8 @@ object Bench {
       // the round's new index-build keys (both build a persisted
       // index inside the timed region by design)
       "q_graph_jaccard", "q_rrf_fusion",
-      "q_dedup_shingle_indexed", "q_graph_view_tick", "q_bm25_indexed")
+      "q_dedup_shingle_indexed", "q_graph_view_tick", "q_bm25_indexed",
+      "q_decontam_indexed")
       .filter(SparkEntry.queries.contains)
     // Stage the cross-key shared tables OUTSIDE the timed region: the
     // packed-documents stage table feeds both q_pack_sequences and

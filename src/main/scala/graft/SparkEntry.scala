@@ -1076,6 +1076,20 @@ object SparkEntry {
       ext.ShingleIndex.nearDupAgainstShingleIndex(
         docs.filter(col("doc_id") % 2 === 1), root, threshold = 0.8)
     }),
+    "q_decontam_indexed" -> ((s, dir) => {
+      // X255 persisted shingle-posting index, screened THROUGH
+      // storage: the even-id catalog's posting lists (md5 60-bit
+      // shingle hashes, bucket-range-clustered), probed by the odd-id
+      // docs — EXACT-recall containment both ways (no banding
+      // probability; the decontamination reading is c_ba, the probe
+      // doc's contaminated fraction). dfCap off: the full exact pair
+      // set, ANSI-recomposable end to end.
+      val docs = Tables.documents(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_qpidx").toString + "/t"
+      ext.PostingIndex.buildPostingIndex(docs.filter(col("doc_id") % 2 === 0), root, n = 3)
+      ext.PostingIndex.containmentAgainstIndex(
+        docs.filter(col("doc_id") % 2 === 1), root, threshold = 0.5)
+    }),
     "q_dedup_simhash" -> ((s, dir) => // hash-based: rows-only vs oracle; pair set
       // proven == brute-force hamming<=3 on sf0.001 (DedupSpec)
       Dedup.simhashNearDups(Tables.documents(s, dir), n = 3, maxHamming = 3)),
@@ -2687,6 +2701,29 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
          |          JOIN sig sb ON sb.doc_id = c.b)
          |SELECT a, b, inter / (na + nb - inter) AS jaccard
          |FROM pairs WHERE inter / (na + nb - inter) >= 0.8""".stripMargin
+    },
+    // X255 posting-index containment screen: distinct 60-bit md5
+    // shingle hashes per doc, cross-split pairs from shared hashes,
+    // both containment directions over hash-set sizes — the bucket
+    // layer only decides which files open, so the oracle needs none
+    "q_decontam_indexed" -> {
+      val horner60 = (2 to 15).foldLeft(
+        "(strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1)::BIGINT") {
+        (acc, i) => s"($acc * 16 + strpos('0123456789abcdef', substr(md5(s), $i, 1)) - 1)"
+      }
+      s"""WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                                     for i in range(1, len(toks) - 1)]) AS shingles
+         |       FROM tok WHERE len(toks) >= 3),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+         |hd AS (SELECT DISTINCT doc_id, $horner60 AS h FROM ex),
+         |ns AS (SELECT doc_id, count(*) AS n FROM hd GROUP BY 1),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM hd x JOIN hd y ON x.h = y.h
+         |          WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1 GROUP BY 1, 2)
+         |SELECT a, b, inter / nsa.n AS c_ab, inter / nsb.n AS c_ba
+         |FROM pairs JOIN ns nsa ON nsa.doc_id = a JOIN ns nsb ON nsb.doc_id = b
+         |WHERE greatest(inter / nsa.n, inter / nsb.n) >= 0.5""".stripMargin
     },
     // X179: md5-based SimHash — the whole construction (60-bit md5
     // fingerprint, per-bit majority votes, 4x15-bit pigeonhole bands,
