@@ -96,17 +96,32 @@ object ShingleIndex {
 
   /** The uniform index-row frame for `docs` under a mode:
     * (bucket, band, bk, doc_id, n_sh, shh). Docs with fewer than `n`
-    * tokens have no shingles and are absent, as in every [[Dedup]]
-    * pair build.
+    * tokens have no shingles and no signature — they index ONE
+    * PRESENCE SENTINEL row (band −1, bk NULL, empty shh; bk NULL can
+    * never satisfy the band-key equality, so sentinels generate no
+    * candidates) so the refresh's doc_id anti-join sees them: without
+    * it, every maintenance tick re-anti-joins and re-checkpoints the
+    * same sub-n docs forever (r15 review — the X253/X255 sentinel
+    * discipline, applied here).
     */
   private def signatureRows(docs: DataFrame, mode: String, n: Int, nb: Int): DataFrame = {
     val idType = docs.schema("doc_id").dataType
     require(idType == org.apache.spark.sql.types.LongType,
       s"ShingleIndex requires a LONG doc_id (got $idType); assign surrogate " +
         "long ids (TotalOrder.globalIndex) and join back after")
+    // the size guard is a cheap split, so the two-way doc split costs
+    // two text scans but computes shingles exactly once (an
+    // explode_outer single pass was rejected: the xxh kernel would
+    // produce DEGENERATE band keys for an empty shingle array — all
+    // sub-n docs would bucket together as mutual candidates)
+    val sentinels = docs.filter(size(split(col("text"), " ")) < n)
+      .select(lit(0).as("bucket"), lit(-1).as("band"),
+        lit(null).cast("long").as("bk"), col("doc_id"),
+        lit(0L).as("n_sh"),
+        lit(Array.empty[Long]).as("shh"))
     val withSh = docs.filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"), Dedup.shingles(col("text"), n).as("sh"))
-    if (mode == Md5Mode) {
+    val signed = if (mode == Md5Mode) {
       // the q_dedup_minhash_md5 construction verbatim (see Dedup.
       // minhashNearDupsMd5): h = 60-bit md5 prefix, sig mins over
       // h mod P; shh keeps the FULL 60-bit h for the Jaccard verify
@@ -146,6 +161,7 @@ object ShingleIndex {
           shiftright(col("bk"), 48).cast("int").as("band"), col("bk"),
           col("doc_id"), col("n_sh"), col("shh"))
     }
+    signed.unionByName(sentinels)
   }
 
   /** Build (or rebuild) the index for the catalog `docs`
@@ -217,12 +233,10 @@ object ShingleIndex {
     val existing = Warehouse.readSnapshot(spark, path).select("doc_id").distinct()
     val fresh = docs.select(col("doc_id"), col("text"))
       .join(existing, Seq("doc_id"), "left_anti")
-    // gate on the SIGNATURE rows, not the fresh docs (r15 review): a
-    // batch whose un-indexed docs are all shorter than n tokens signs
-    // to nothing — appending would commit nothing, and returning
-    // Some() for it would fire the caller's on-refresh work spuriously
-    // on every tick (sub-n docs can never index: no shingles, no
-    // signature, and no screen could ever pair them either)
+    // gate on the SIGNATURE rows (r15 review): with the presence
+    // sentinels, every fresh doc — sub-n included — yields at least
+    // one row, so an empty frame here means the batch was truly
+    // all-covered and the tick reports None without an empty commit
     val rows = signatureRows(fresh, meta.mode, meta.n, meta.nb)
       .localCheckpoint(true) // consumed by the emptiness probe AND the append
     if (rows.isEmpty) return None

@@ -73,8 +73,8 @@ object TextIndex {
       nb.toLong).toInt
 
   /** One row per (doc, distinct token) — plus a PRESENCE SENTINEL
-    * (token NULL, tf 0, bucket 0) for a doc that yields no postings
-    * (NULL text), so EVERY doc is visible to the refresh's doc_id
+    * (token NULL, tf 0, bucket pinned to 0) for a doc that yields no
+    * postings (NULL text), so EVERY doc is visible to the refresh's doc_id
     * anti-join: without it, a posting-less doc reads as "fresh" on
     * every refresh/replay and re-folds into the corpus scalars forever
     * (r15 review). Probes filter `token IN (…)`, which drops NULLs, so
@@ -87,8 +87,15 @@ object TextIndex {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"),
         explode_outer(graft.functions.native.tokenCounts(col("text"))).as("tc"))
       .select(
-        coalesce(pmod(xxhash64(col("tc.token")), lit(nb.toLong)).cast("int"),
-          lit(0)).as("bucket"),
+        // sentinel bucket pinned to 0 EXPLICITLY (r15 review):
+        // xxhash64(NULL) returns the seed, not NULL, so a coalesce
+        // fallback would never fire and sentinels would land in
+        // bucket seed-mod-nb — harmless to probes (the token IN
+        // filter drops them) but a lie to anyone reasoning about
+        // where sentinels live
+        when(col("tc.token").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col("tc.token")), lit(nb.toLong)).cast("int"))
+          .as("bucket"),
         col("tc.token").as("token"), col("doc_id"),
         coalesce(col("tc.tf").cast("long"), lit(0L)).as("tf"), col("dl"))
 
@@ -108,12 +115,18 @@ object TextIndex {
     require(bucketCount >= 1, s"bucketCount must be >= 1, got $bucketCount")
     val spark = docs.sparkSession
     import spark.implicits._
-    // the corpus scalars, exactly (integer algebra): n_docs counts
-    // every doc (the idf's N); n_dl/sum_dl count only docs with a
-    // non-NULL length, matching the inline avg()'s null-skipping
-    val dlExpr = size(TextAnalysis.tokens(col("text"))).cast("long")
-    val s = docs.agg(count(lit(1)).as("n"), count(dlExpr).as("ndl"),
-      sum(dlExpr).as("sdl")).head()
+    // ONE corpus tokenization (r15 review — a separate docs.agg paid
+    // the full pass twice): the posting rows materialize once
+    // (memory-and-disk, the spill-safe default) and BOTH the corpus
+    // scalars and the layout write read them back. The scalars derive
+    // doc-grain exactly as [[repairTextIndexMeta]] does — sentinels
+    // guarantee every doc carries ≥1 row: n_docs counts every doc (the
+    // idf's N); n_dl/sum_dl count only docs with a non-NULL length,
+    // matching the inline avg()'s null-skipping.
+    val postings = postingRows(docs, bucketCount).localCheckpoint(true)
+    val s = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), count(col("dl")).as("ndl"),
+        sum(col("dl")).as("sdl")).head()
     val (nDocs, nDl, sumDl) =
       (s.getLong(0), s.getLong(1), if (s.isNullAt(2)) 0L else s.getLong(2))
     val predicted = Warehouse.currentSnapshot(spark, path) + 1
@@ -123,7 +136,7 @@ object TextIndex {
       case Seq() => Warehouse.writeSnapshot(metaRows, metaPath(path))
       case vs => Warehouse.commitSnapshot(metaRows, metaPath(path), vs.last)
     }
-    val laid = layout(spark, postingRows(docs, bucketCount), bucketCount)
+    val laid = layout(spark, postings, bucketCount)
     Warehouse.snapshots(spark, path) match {
       case Seq() => Warehouse.writeSnapshot(laid, path)
       case vs => Warehouse.commitSnapshot(laid, path, vs.last)
@@ -226,6 +239,12 @@ object TextIndex {
       .flatMap { case (qid, ts) => ts.map(t => (qid, t.toLowerCase)) }
       .toDF("query_id", "token")
     val terms = queries.flatMap(_._2.map(_.toLowerCase)).distinct
+    // all-empty term lists: the inline ranking returns empty, so must
+    // the indexed probe (r15 review — the runs read would otherwise
+    // refuse its empty id set)
+    if (terms.isEmpty)
+      return spark.emptyDataset[(Int, Int, Long, Double)]
+        .toDF("query_id", "rank", "doc_id", "bm25")
     // driver-planned read set: the terms' buckets, no scan decides it.
     // Consumed twice (dfreq + the scoring join) WITHOUT a checkpoint:
     // unlike the inline bm25TopK — whose double-consumed subtree is

@@ -1722,7 +1722,14 @@ object Warehouse {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = snapshots(spark, path)
     val key = (new org.apache.hadoop.fs.Path(path).toString, appId)
+    // a cache entry scanned PAST the table's current head means the
+    // table was deleted and recreated in-session (r15 review: the
+    // GraphView repair path is exactly "delete the view and re-tick")
+    // — both the floor AND the cached epoch describe the dead table,
+    // so the scan restarts from scratch instead of resurrecting a
+    // stale cursor against the fresh table
     val cached = Option(epochScanCache.get(key))
+      .filter(_._1 <= vs.lastOption.getOrElse(0L))
     val floor = cached.map(_._1).getOrElse(0L)
     val fresh = vs.reverseIterator.takeWhile(_ > floor)
       .flatMap(v => readManifest(fs, path, v))
@@ -6219,17 +6226,22 @@ object Warehouse {
     * as one pruned range, and — because runs merge only CONSECUTIVE
     * ids — every value inside a run is a requested id, so the result
     * ≡ `readSnapshot(…).filter(col(column).isin(ids…))` exactly.
-    * `ids` must be non-empty.
+    * `ids` must be non-empty. The version is resolved ONCE and pinned
+    * across every run (r15 review): per-run resolution would let a
+    * concurrent commit land between two runs' reads and silently mix
+    * two versions' rows into one "snapshot" — exactly the torn read
+    * the snapshot model exists to prevent.
     */
   def readSnapshotRuns(spark: SparkSession, path: String, column: String,
                        ids: Seq[Int], version: Option[Long] = None): DataFrame = {
     require(ids.nonEmpty, s"readSnapshotRuns($path): empty id set")
+    val v = version.getOrElse(resolveVersion(spark, path, None))
     val runs = ids.distinct.sorted.foldLeft(List.empty[(Int, Int)]) {
       case ((lo, hi) :: rest, c) if c == hi + 1 => (lo, c) :: rest
       case (acc, c) => (c, c) :: acc
     }.reverse
     runs.map { case (lo, hi) =>
-      readSnapshotRange(spark, path, column, Some(lo), Some(hi), version)
+      readSnapshotRange(spark, path, column, Some(lo), Some(hi), Some(v))
     }.reduce(_ unionByName _)
   }
 

@@ -154,12 +154,18 @@ class ShingleIndexSpec extends SparkSpec {
     // sub-n-token increment: shingle-less docs can never pair
     assert(ShingleIndex.nearDupAgainstShingleIndex(
       Seq((7L, "x y")).toDF("doc_id", "text"), root).isEmpty)
-    // ...and a refresh batch of ONLY such docs commits nothing and
-    // says so (r15 review: gate on signature rows, not fresh docs)
+    // ...a refresh batch of such docs indexes ONE presence sentinel
+    // each (so replays anti-join them out instead of re-shingling the
+    // same docs on every tick), and the REPLAY commits nothing
+    val sub = Seq((8L, "x y")).toDF("doc_id", "text")
+    assert(ShingleIndex.refreshShingleIndex(sub, root).nonEmpty)
     val vAt = Warehouse.currentSnapshot(spark, root)
-    assert(ShingleIndex.refreshShingleIndex(
-      Seq((8L, "x y")).toDF("doc_id", "text"), root).isEmpty)
+    assert(ShingleIndex.refreshShingleIndex(sub, root).isEmpty)
     assert(Warehouse.currentSnapshot(spark, root) === vAt)
+    // sentinels never pair: the screen over the sentinel's own doc
+    // still finds nothing
+    assert(ShingleIndex.nearDupAgainstShingleIndex(
+      Seq((9L, "x y")).toDF("doc_id", "text"), root).isEmpty)
     // simulate the torn rebuild: meta advances (stamp ahead of the
     // index table), the paired index commit never lands
     val metaSide = ShingleIndex.metaPath(root)
