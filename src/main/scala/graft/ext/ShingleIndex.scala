@@ -113,13 +113,22 @@ object ShingleIndex {
     // two text scans but computes shingles exactly once (an
     // explode_outer single pass was rejected: the xxh kernel would
     // produce DEGENERATE band keys for an empty shingle array — all
-    // sub-n docs would bucket together as mutual candidates)
-    val sentinels = docs.filter(size(split(col("text"), " ")) < n)
+    // sub-n docs would bucket together as mutual candidates).
+    // NULL text routes into the SENTINEL branch explicitly (r16, the
+    // r15 ADVICE): size(split(NULL)) is NULL, which satisfies NEITHER
+    // `< n` nor `>= n`, so a NULL-text doc would fall through both
+    // branches — no sentinel, no signature — and every refresh would
+    // re-anti-join and re-checkpoint it forever, the exact decay the
+    // sentinels exist to close (and screenAndRefresh would re-emit it
+    // as a "novel" survivor on every replay).
+    val sentinels = docs
+      .filter(col("text").isNull || size(split(col("text"), " ")) < n)
       .select(lit(0).as("bucket"), lit(-1).as("band"),
         lit(null).cast("long").as("bk"), col("doc_id"),
         lit(0L).as("n_sh"),
         lit(Array.empty[Long]).as("shh"))
-    val withSh = docs.filter(size(split(col("text"), " ")) >= n)
+    val withSh = docs
+      .filter(col("text").isNotNull && size(split(col("text"), " ")) >= n)
       .select(col("doc_id"), Dedup.shingles(col("text"), n).as("sh"))
     val signed = if (mode == Md5Mode) {
       // the q_dedup_minhash_md5 construction verbatim (see Dedup.
@@ -278,8 +287,18 @@ object ShingleIndex {
       return spark.emptyDataset[(Long, Long, Double)].toDF("a", "b", "jaccard")
     // the distinct hit-bucket set is bounded by bands × nb — a driver
     // scalar by construction, independent of increment size;
-    // contiguous runs collapse into one pruned range read each
-    val hit = probes.select("bucket").distinct().collect().map(_.getInt(0))
+    // contiguous runs collapse into one pruned range read each.
+    // SENTINEL rows (band −1, bucket pinned 0) are excluded (r16, the
+    // r15 ADVICE): their bk is NULL so they can never join, but
+    // including them would widen the pruned read to bucket 0's files
+    // on every batch that carries a sub-n doc — pruning decay, not a
+    // correctness issue
+    val hit = probes.filter(col("band") >= 0)
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    // an all-sentinel increment (every doc sub-n) probes nothing:
+    // no signatures means no candidates, by the same rule
+    if (hit.isEmpty)
+      return spark.emptyDataset[(Long, Long, Double)].toDF("a", "b", "jaccard")
     val idx = Warehouse.readSnapshotRuns(spark, path, "bucket", hit.toIndexedSeq)
     // band-key equality IS the candidate rule (bucket only lays out
     // files); arrays ride the join and collapse at candidate grain —
@@ -314,14 +333,23 @@ object ShingleIndex {
     * ([[Dedup.minhashNearDups]] on the increment) when the crawler
     * doesn't already dedup its own batch — screening against the
     * catalog and within the batch are different grains by design.
-    * Replay-safe end to end: a replayed batch's survivors are already
-    * indexed, so they now FLAG as near-dups of themselves at jaccard 1
-    * and drop — the cycle converges instead of double-indexing (and
-    * the refresh's own anti-join backstops exact doc_id replays).
+    * Replay-safe end to end: docs already indexed under their doc_id
+    * anti-join out BEFORE the screen (r16 — the r15 ADVICE: a
+    * signature-LESS doc — NULL text, sub-n tokens — can never flag
+    * against itself, so without the id gate a replayed batch would
+    * re-emit it as a "novel, now-indexed" survivor forever), and a
+    * replayed signature doc that somehow bypassed the gate still FLAGS
+    * as a near-dup of itself at jaccard 1 — the cycle converges
+    * instead of double-indexing. The id gate costs one doc_id-grain
+    * anti-join against the index — the same read the refresh already
+    * pays.
     */
   def screenAndRefresh(increment: DataFrame, path: String,
                        threshold: Double = 0.8): DataFrame = {
+    val spark = increment.sparkSession
+    val indexedIds = Warehouse.readSnapshot(spark, path).select("doc_id").distinct()
     val inc = increment.select(col("doc_id"), col("text"))
+      .join(indexedIds, Seq("doc_id"), "left_anti")
     val pairs = nearDupAgainstShingleIndex(inc, path, threshold)
     val survivors = inc
       .join(pairs.select(col("b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")

@@ -2851,9 +2851,15 @@ object Warehouse {
                     broadcastThreshold: Option[Long] = None,
                     leftRange: Option[(String, Double, Double)] = None,
                     rightRange: Option[(String, Double, Double)] = None): DataFrame = {
+    // a declared range slice READS pruned (r16, the r15 verdict): the
+    // decision already sizes the slice from the histogram; the read
+    // now opens only stats-overlapping files too (readSnapshotWhere
+    // documents result ≡ readSnapshot().filter(bounds), so semantics
+    // are untouched) — on a date-sliced 100 TB fact side the scan is
+    // the in-range files, not the table
     def sliced(path: String, range: Option[(String, Double, Double)]) =
-      range.foldLeft(readSnapshot(spark, path)) { case (df, (c, lo, hi)) =>
-        df.filter(col(c) >= lo && col(c) <= hi)
+      range.fold(readSnapshot(spark, path)) { case (c, lo, hi) =>
+        readSnapshotWhere(spark, path, Seq((c, Some(lo), Some(hi))))
       }
     val l = sliced(leftPath, leftRange)
     val r = sliced(rightPath, rightRange)
@@ -2954,12 +2960,18 @@ object Warehouse {
         case None => whole
         // a declared slice scales by the X246 histogram selectivity —
         // and the estimate DECLINES when estimateRows does: a planner
-        // consult must never guess a filtered side small
+        // consult must never guess a filtered side small. The scale
+        // factor is the UPPER bound (every intersecting bin whole —
+        // r16, the r15 ADVICE): proration assumes uniform-within-bin
+        // mass, which can under-size a slice by a boundary bin's full
+        // count when values concentrate inside the overlap — and an
+        // under-sized broadcast is the OOM path, while an over-sized
+        // one only costs a shuffle AQE may still convert back
         case Some((c, lo, hi)) =>
           for {
             b <- whole
             n <- rowCount(path) if n > 0
-            est <- estimateRows(spark, path, c, lo, hi)
+            est <- estimateRows(spark, path, c, lo, hi, upperBound = true)
           } yield math.ceil(b * math.min(1.0, est / n)).toLong
       }
     }
@@ -5433,7 +5445,8 @@ object Warehouse {
     * excludes the end bins.
     */
   def estimateRows(spark: SparkSession, path: String, column: String,
-                   lo: Double, hi: Double, bins: Int = 20): Option[Double] = {
+                   lo: Double, hi: Double, bins: Int = 20,
+                   upperBound: Boolean = false): Option[Double] = {
     require(lo <= hi, s"estimateRows($path): lo $lo > hi $hi")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -5472,7 +5485,16 @@ object Warehouse {
         val binLo = blo + b * width
         val binHi = blo + (b + 1) * width
         val overlap = math.min(hi, binHi) - math.max(lo, binLo)
-        n * math.min(1.0, math.max(0.0, overlap / width))
+        // upperBound (r16, the r15 ADVICE): any POSITIVE overlap counts
+        // the bin whole — the clamped-bin interval's top end. Proration
+        // (uniform-within-bin) can under-estimate a boundary bin by its
+        // full mass when values concentrate inside the overlap, which
+        // is exactly the guess a broadcast decision must never make.
+        // non-empty intersection is overlap >= 0 (a point range inside
+        // a bin, or a range touching a bin edge, has overlap exactly 0
+        // but must still count its bin whole for a bound)
+        if (upperBound) { if (overlap >= 0.0) n.toDouble else 0.0 }
+        else n * math.min(1.0, math.max(0.0, overlap / width))
       }
     }.sum
     Some(est)

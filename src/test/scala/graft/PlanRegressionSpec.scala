@@ -642,6 +642,67 @@ class PlanRegressionSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("joinAdvice: a boundary-bin-concentrated slice sizes by the UPPER bound (r16)") {
+    import spark.implicits._
+    val dim = java.nio.file.Files.createTempDirectory("graft_ub_dim").toString + "/t"
+    val fact = java.nio.file.Files.createTempDirectory("graft_ub_fact").toString + "/t"
+    // 20000 rows; 19000 of them concentrate at v=4.5 — inside bin 0 of
+    // the [0,100] 20-bin histogram (width 5, the planner-consult
+    // default family) but OUTSIDE the declared [0,1] slice. Linear
+    // proration would size the slice at ~bin0/5 ≈ 3800 rows; the true
+    // upper bound is bin 0 whole (≈19002). A broadcast decision
+    // scaling by proration would hint a ~19000-row side small — the
+    // exact OOM-guess the r15 ADVICE flags.
+    val vs = Seq(0.0, 100.0) ++ Seq.fill(19000)(4.5) ++
+      (1 to 998).map(i => 10.0 + (i % 90).toDouble)
+    graft.store.Warehouse.writeSnapshot(
+      vs.zipWithIndex.map { case (v, i) => (i.toLong % 50, v) }.toDF("k", "v"), fact)
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 20000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "w"), dim)
+    graft.store.Warehouse.analyzeHistogram(spark, fact, "v", bins = 20)
+    val a0 = graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"),
+      broadcastThreshold = Some(1))
+    val whole = a0.leftBytesEst.get
+    // threshold between the prorated guess (~19% of whole) and the
+    // upper bound (~95%): proration would broadcast, the bound must not
+    val thr = Some(whole * 4 / 10)
+    val a1 = graft.store.Warehouse.joinAdvice(spark, fact, dim, Seq("k"), "inner", thr,
+      leftRange = Some(("v", 0.0, 1.0)))
+    assert(a1.leftBytesEst.exists(_ > thr.get),
+      s"slice must size by whole intersecting bins (upper bound): $a1 vs thr=$thr whole=$whole")
+    assert(a1.strategy !== "broadcast_left", a1.toString)
+  }
+
+  test("joinSnapshots: a range-sliced side READS manifest-pruned (r16 — poison the out-of-range files)") {
+    import spark.implicits._
+    val dim = java.nio.file.Files.createTempDirectory("graft_prs_dim").toString + "/t"
+    val fact = java.nio.file.Files.createTempDirectory("graft_prs_fact").toString + "/t"
+    // range-clustered fact: 8 files, each a contiguous v range
+    val rows = (1 to 8000).map(i => (i.toLong % 50, i.toDouble)).toDF("k", "v")
+    graft.store.Warehouse.writeSnapshot(
+      rows.repartitionByRange(8, $"v"), fact)
+    graft.store.Warehouse.writeSnapshot(
+      (1 to 50).map(i => (i.toLong, s"n$i")).toDF("k", "name"), dim)
+    val expected = graft.store.Warehouse.readSnapshot(spark, fact)
+      .filter($"v" >= 0.0 && $"v" <= 900.0)
+      .join(graft.store.Warehouse.readSnapshot(spark, dim), Seq("k"))
+      .count()
+    val sliced = graft.store.Warehouse.joinSnapshots(spark, fact, dim, Seq("k"),
+      leftRange = Some(("v", 0.0, 900.0)))
+    val allFiles = graft.store.Warehouse.readSnapshot(spark, fact).inputFiles.toSet
+    val opened = sliced.inputFiles.toSet.intersect(allFiles)
+    assert(opened.size < allFiles.size,
+      s"a ~11% slice of a range-clustered table must skip files: ${opened.size}/${allFiles.size}")
+    // poison every out-of-range fact file: the sliced join must still
+    // answer — the scan opens only in-range files, not the table
+    (allFiles -- opened).foreach { f =>
+      val out = new java.io.FileOutputStream(new java.io.File(new java.net.URI(f)))
+      out.write("not parquet".getBytes); out.close()
+    }
+    assert(graft.store.Warehouse.joinSnapshots(spark, fact, dim, Seq("k"),
+      leftRange = Some(("v", 0.0, 900.0))).count() === expected)
+  }
+
   test("joinAdvice: NESTED var-width columns refuse the width-only broadcast guess (r15)") {
     import spark.implicits._
     val nested = java.nio.file.Files.createTempDirectory("graft_vw_nested").toString + "/t"

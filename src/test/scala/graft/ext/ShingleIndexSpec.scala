@@ -236,6 +236,51 @@ class ShingleIndexSpec extends SparkSpec {
       .select("doc_id").distinct().count() === 2, "nothing double-indexes")
   }
 
+  test("NULL-text docs sentinel like sub-n docs: refreshes converge, screens stay pruned (r16)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val root = freshRoot("shidx_null")
+    // a NULL-text doc in the BUILD gets a presence sentinel (under
+    // default ANSI, size(split(NULL)) is NULL and satisfies neither
+    // size branch — the r15 ADVICE decay: no sentinel, re-signed on
+    // every later tick)
+    val catalog = Seq((2L, base), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    ShingleIndex.buildShingleIndex(catalog, root, n = 3)
+    val sentinels = Warehouse.readSnapshot(spark, root)
+      .filter(col("band") === -1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sentinels === Set(4L), s"the NULL-text doc must index a sentinel: $sentinels")
+    // a refresh replaying the covered batch commits NOTHING
+    assert(ShingleIndex.refreshShingleIndex(catalog, root).isEmpty,
+      "a covered batch incl. the NULL-text doc must anti-join out entirely")
+    // a NULL-text INCREMENT doc: refresh indexes its sentinel once,
+    // the replay no-ops
+    val inc = Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(ShingleIndex.refreshShingleIndex(inc, root).nonEmpty)
+    assert(ShingleIndex.refreshShingleIndex(inc, root).isEmpty)
+    // screenAndRefresh replay convergence with a NULL-text doc in the
+    // batch: first pass emits it as a (signature-less) survivor and
+    // indexes its sentinel; the REPLAY anti-joins it out — it must not
+    // re-emerge as "novel, now-indexed" forever
+    val batch = Seq((11L, null.asInstanceOf[String]), (13L, base)).toDF("doc_id", "text")
+    val out1 = ShingleIndex.screenAndRefresh(batch, root, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out1 === Set(11L), s"NULL-text survives (no signature to flag), clone drops: $out1")
+    val replay = ShingleIndex.screenAndRefresh(batch, root, threshold = 0.8)
+    assert(replay.isEmpty,
+      "a replayed batch with a NULL-text doc must converge to no survivors")
+    // an all-sentinel increment (NULL + sub-n) probes NO buckets: with
+    // every data file poisoned, the screen still answers empty — the
+    // r15 ADVICE pruning note (sentinel probes must not widen the read
+    // to bucket 0's files)
+    val all = Warehouse.readSnapshot(spark, root).inputFiles.toSet
+    all.foreach { f =>
+      val o = new java.io.FileOutputStream(new java.io.File(new java.net.URI(f)))
+      o.write("not parquet".getBytes); o.close()
+    }
+    assert(ShingleIndex.nearDupAgainstShingleIndex(
+      Seq((21L, null.asInstanceOf[String]), (22L, "x y")).toDF("doc_id", "text"),
+      root).isEmpty, "an all-sentinel increment must read zero index bytes")
+  }
+
   test("maintenance keeps the bucket layout: compaction never kills probe pruning") {
     val docs = sfDocs
     val root = freshRoot("shidx_maint")
