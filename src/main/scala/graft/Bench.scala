@@ -115,7 +115,11 @@ object Bench {
       // index inside the timed region by design)
       "q_graph_jaccard", "q_rrf_fusion",
       "q_dedup_shingle_indexed", "q_graph_view_tick", "q_bm25_indexed",
-      "q_decontam_indexed")
+      "q_decontam_indexed",
+      // r16: the indexed serving loop builds BOTH persisted indexes in
+      // its timed region (the indexed-key precedent); the steady-state
+      // probe floor is on RetrievalFloorProbe's record
+      "q_rrf_indexed")
       .filter(SparkEntry.queries.contains)
     // Stage the cross-key shared tables OUTSIDE the timed region: the
     // packed-documents stage table feeds both q_pack_sequences and

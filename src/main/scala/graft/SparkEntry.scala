@@ -1561,6 +1561,26 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       Similarity.rrfFuse(Seq(lex, sem), k = 10)
     }),
+    "q_rrf_indexed" -> ((s, dir) => {
+      // r16: the SERVING loop end-to-end — q_rrf_fusion's hybrid
+      // ranking answered from the two PERSISTED indexes instead of
+      // inline corpus scans: BM25 from the token-bucket text index
+      // (q_bm25_indexed's build), semantic from the bucketed IVF index
+      // (q_ann_ivf_indexed's X220 rule — ANSI-recomposable, so the
+      // whole fused path carries an oracle), RRF-fused. Builds sit in
+      // the timed region by the indexed-key precedent; the steady-state
+      // probe cost is on the isolated map + RetrievalFloorProbe.
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qids = Bm25Queries.map(_._1.toLong)
+      val troot = java.nio.file.Files.createTempDirectory("graft_qrft").toString + "/t"
+      val vroot = java.nio.file.Files.createTempDirectory("graft_qrfv").toString + "/v"
+      ext.TextIndex.buildTextIndex(docs, troot)
+      ext.VectorIndex.buildIvfIndex(e.filter(!col("vec_id").isin(qids: _*)), vroot,
+        nlist = 16, bucketed = true)
+      ext.Retrieval.retrieveFused(s, troot, vroot, Bm25Queries,
+        e.filter(col("vec_id").isin(qids: _*)), k = 10, depth = 20, nprobe = 4)
+    }),
     "q_temperature_mix" -> ((s, dir) =>
       ext.TextAnalysis.temperatureMixture(Tables.documents(s, dir), alpha = 0.7)),
     "q_source_kl" -> ((s, dir) =>
@@ -4260,6 +4280,64 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |                list_dot_product(a.v, b.v) / (a.nm * b.nm) AS sim
         |         FROM n a JOIN n b ON b.vec_id NOT IN (1, 2, 3)
         |         WHERE a.vec_id IN (1, 2, 3)),
+        |sem AS (SELECT query_id, doc_id, rank
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY sim DESC, doc_id) AS rank
+        |              FROM sem0)
+        |        WHERE rank <= 20),
+        |u AS (SELECT query_id, doc_id, rank FROM lex
+        |      UNION ALL SELECT query_id, doc_id, rank FROM sem),
+        |f AS (SELECT query_id, doc_id,
+        |             round(sum(1.0 / (60 + rank)), 9) AS rrf,
+        |             count(*) AS n_lists
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, rrf, n_lists
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY rrf DESC, doc_id) AS rank
+        |      FROM f)
+        |WHERE rank <= 10""".stripMargin,
+    // r16 indexed serving loop: q_rrf_fusion's lex chain verbatim
+    // (indexed BM25 is score-for-score the inline ranking) + the
+    // q_ann_ivf_indexed bucketed-probe chain at depth 20 over the
+    // non-query corpus (the X220 cell rule is deterministic whether
+    // computed inline or read back through the persisted index) +
+    // the same RRF fold — the whole persisted path recomposes
+    "q_rrf_indexed" ->
+      """WITH q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+        |                                 (2,'agg'),(2,'scan'),(3,'vector'),
+        |                                 (3,'merge')) AS t(query_id, token)),
+        |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |toks AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+        |       FROM toks WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |              avg(len(string_split(lower(text), ' ')))::DOUBLE AS avg_dl
+        |       FROM documents),
+        |dfreq AS (SELECT token, count(*)::DOUBLE AS df_t FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))), 6)
+        |           AS bm25
+        |       FROM tf JOIN q USING (token) JOIN dfreq USING (token), st
+        |       GROUP BY 1, 2),
+        |lex AS (SELECT query_id::BIGINT AS query_id, doc_id, rank
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY bm25 DESC, doc_id) AS rank
+        |              FROM sc)
+        |        WHERE rank <= 20),
+        |n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |      FROM embeddings),
+        |c AS (SELECT vec_id AS doc_id, v AS cv, (vec_id % 16)::INT AS cell
+        |      FROM n WHERE vec_id NOT IN (1, 2, 3)),
+        |p AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
+        |             ((q.vec_id + i.i) % 16)::INT AS cell
+        |      FROM n q, (SELECT unnest(range(0, 4)) AS i) i
+        |      WHERE q.vec_id IN (1, 2, 3)),
+        |sem0 AS (SELECT p.query_id, c.doc_id,
+        |                list_dot_product(p.qv, c.cv)
+        |                  / (p.qn * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |         FROM p JOIN c USING (cell)),
         |sem AS (SELECT query_id, doc_id, rank
         |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |                                           ORDER BY sim DESC, doc_id) AS rank
