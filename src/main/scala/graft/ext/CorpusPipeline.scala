@@ -170,4 +170,159 @@ object CorpusPipeline {
     packed.join(corpus.select("doc_id", "text"), Seq("doc_id"))
       .select("doc_id", "text", "quality_score", "split", "pack_id")
   }
+
+  /** Steps 1–4 of the cycle (gate + both screens) WITHOUT the
+    * refreshes — the survivor set as an eagerly-materialized frame,
+    * factored out so [[frontDoorSink]] can land its corpus append
+    * BETWEEN the screens and the index refreshes (the ordering
+    * exactly-once needs; see there).
+    */
+  def screenFrontDoor(batch: DataFrame, shingleIdxPath: String,
+                      vectorIdxPath: String, cfg: Config = Config(),
+                      jaccard: Double = 0.8, cosine: Double = 0.95,
+                      nprobe: Int = 4, screenK: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val indexed = graft.store.Warehouse
+      .readSnapshot(spark, shingleIdxPath).select("doc_id").distinct()
+    val gated = hygieneGate(
+      batch.select(col("doc_id"), col("text"), col("embedding"))
+        .join(indexed, Seq("doc_id"), "left_anti"), cfg)
+      .localCheckpoint(true) // consumed by both screens, the batch-id
+      // exclusion sets, and the survivor build
+    val batchIds = gated.select("doc_id")
+    // text screen: pairs (a = indexed, b = batch); exclude pairs whose
+    // catalog side is a batch-mate (only possible on replay, when the
+    // crashed attempt's refresh already indexed them)
+    val textDups = ShingleIndex
+      .nearDupAgainstShingleIndex(gated.select("doc_id", "text"),
+        shingleIdxPath, jaccard)
+      .join(batchIds.withColumnRenamed("doc_id", "a"), Seq("a"), "left_anti")
+      .select(col("b").as("doc_id")).distinct()
+    // embedding screen: top-k probed neighbors, batch-mates excluded,
+    // best surviving similarity decides
+    val embDups = VectorIndex
+      .ivfTopKIndexed(gated.select(col("doc_id").as("vec_id"), col("embedding")),
+        vectorIdxPath, k = screenK, nprobe = nprobe)
+      .join(batchIds.withColumnRenamed("doc_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
+      .groupBy(col("query_id").as("doc_id")).agg(max(col("sim")).as("best"))
+      .filter(col("best") >= cosine)
+      .select("doc_id")
+    gated
+      .join(textDups, Seq("doc_id"), "left_anti")
+      .join(embDups, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // consumed by two refreshes AND the caller
+  }
+
+  /** The refresh half of the cycle: vector index first, shingle index
+    * LAST — the id gate reads the shingle index, so its refresh landing
+    * marks the batch fully ingested on the index side.
+    */
+  private def refreshFrontDoorIndexes(survivors: DataFrame,
+                                      shingleIdxPath: String,
+                                      vectorIdxPath: String): Unit = {
+    VectorIndex.refreshIvfIndex(
+      survivors.filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding")), vectorIdxPath)
+    ShingleIndex.refreshShingleIndex(
+      survivors.select("doc_id", "text"), shingleIdxPath)
+    ()
+  }
+
+  /** THE CRAWL FRONT DOOR, one call per ingest batch (r16, the r15
+    * verdict #6): gate → screen against BOTH persisted indexes → admit
+    * the survivors and refresh BOTH indexes with them. Input batch:
+    * `(doc_id long, text, embedding)` — the crawler's decoded page +
+    * its embedding (computed upstream; NULL embeddings are admitted
+    * on the text signals alone and indexed only on the shingle side).
+    * Returns the admitted rows `(doc_id, text, embedding,
+    * quality_score)`.
+    *
+    * The cycle, priced at batch bytes + probed buckets/cells — the
+    * catalog is never re-scanned:
+    *  1. ID GATE: docs already in the shingle index (every prior
+    *     admit lands there, presence sentinels included) anti-join
+    *     out — the re-crawl/replay fast path, the same doc_id-grain
+    *     read the refresh pays anyway;
+    *  2. HYGIENE: [[hygieneGate]] — per-row kernels, zero shuffles;
+    *  3. TEXT SCREEN: [[ShingleIndex.nearDupAgainstShingleIndex]] —
+    *     drop docs near-dupping an INDEXED doc at `jaccard`;
+    *  4. EMBEDDING SCREEN: the probed-cell cosine top-k
+    *     ([[VectorIndex.ivfTopKIndexed]]) — drop docs whose best
+    *     indexed non-batch neighbor reaches `cosine`;
+    *  5. REFRESH: vector index first, shingle index LAST — both
+    *     anti-join-idempotent.
+    *
+    * REPLAY CONSISTENCY (the design's load-bearing property): both
+    * screens exclude flags raised BY THIS BATCH's own doc ids, so a
+    * replayed batch recomputes the SAME survivor set no matter which
+    * writes already landed — the batch's own index entries (from a
+    * crashed first attempt) can neither self-flag a survivor into a
+    * dup nor change which prior-catalog doc flags it. Combined with
+    * the refreshes' anti-joins and the shingle-last write order (the
+    * id gate reads the LAST-written index, so a fully-processed batch
+    * short-circuits at step 1), every crash-and-replay window
+    * converges to the serial outcome. Known narrow edge, documented:
+    * a batch whose docs near-dup EACH OTHER admits all of them
+    * (intra-batch dedup is a different grain — run
+    * [[Dedup.minhashNearDups]] on the batch first if the crawler
+    * doesn't dedup its own frontier), and on replay such batch-mates
+    * can displace an older catalog neighbor past `screenK` in the
+    * embedding screen's top-k — raise `screenK` if crawl batches are
+    * heavily self-similar.
+    */
+  def ingestFrontDoor(batch: DataFrame, shingleIdxPath: String,
+                      vectorIdxPath: String, cfg: Config = Config(),
+                      jaccard: Double = 0.8, cosine: Double = 0.95,
+                      nprobe: Int = 4, screenK: Int = 8): DataFrame = {
+    val survivors = screenFrontDoor(batch, shingleIdxPath, vectorIdxPath,
+      cfg, jaccard, cosine, nprobe, screenK)
+    refreshFrontDoorIndexes(survivors, shingleIdxPath, vectorIdxPath)
+    survivors
+  }
+
+  /** [[ingestFrontDoor]] as a STREAMING sink: per micro-batch, screen,
+    * append the admitted rows to the corpus table at `corpusPath`, and
+    * only THEN refresh the indexes. The write order is the
+    * exactly-once argument: the corpus append is epoch-gated
+    * ([[graft.store.Warehouse.commitStreamBatch]]) and precedes both
+    * refreshes, so a crash at ANY point replays to the serial outcome —
+    * the batch-excluded screens recompute the SAME survivor set (no
+    * index write the crashed attempt made can change it), the corpus
+    * append skips on its epoch record if it already landed, and the
+    * refreshes anti-join to no-ops for whatever they already indexed.
+    * Were the shingle refresh to land FIRST instead, a crash before
+    * the corpus append would make the replay's id gate drop the whole
+    * batch and the corpus would lose it silently — the ordering is
+    * load-bearing, not stylistic. Requires both indexes built (the
+    * construction is a build decision, not an ingest one).
+    */
+  def frontDoorSink(source: DataFrame, shingleIdxPath: String,
+                    vectorIdxPath: String, corpusPath: String,
+                    checkpoint: String, cfg: Config = Config(),
+                    jaccard: Double = 0.8, cosine: Double = 0.95,
+                    nprobe: Int = 4, screenK: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = source.sparkSession
+    require(graft.store.Warehouse.snapshots(spark,
+        ShingleIndex.metaPath(shingleIdxPath)).nonEmpty,
+      s"frontDoorSink: no shingle index at $shingleIdxPath — buildShingleIndex first")
+    require(graft.store.Warehouse.snapshots(spark,
+        VectorIndex.centroidsPath(vectorIdxPath)).nonEmpty,
+      s"frontDoorSink: no vector index at $vectorIdxPath — buildIvfIndex first")
+    val appId = s"graft-front-door-${math.abs(corpusPath.hashCode)}"
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val admitted = screenFrontDoor(batch, shingleIdxPath, vectorIdxPath,
+          cfg, jaccard, cosine, nprobe, screenK)
+        // corpus first (epoch-gated), indexes after — see the ordering
+        // argument above; survivors are checkpointed, so all three
+        // writes share one computation
+        graft.store.Warehouse.commitStreamBatch(
+          admitted, corpusPath, appId, epoch)
+        refreshFrontDoorIndexes(admitted, shingleIdxPath, vectorIdxPath)
+        ()
+      }
+  }
 }

@@ -137,14 +137,33 @@ object PostingIndex {
   def refreshPostingIndex(docs: DataFrame, path: String): Option[Long] = {
     val spark = docs.sparkSession
     val meta = readMeta(spark, path)
-    val existing = Warehouse.readSnapshot(spark, path).select("doc_id").distinct()
-    val fresh = docs.select(col("doc_id"), col("text"))
-      .join(existing, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // consumed by the emptiness probe AND the append
-    if (fresh.isEmpty) return None
-    Some(Warehouse.appendSnapshot(
-      layout(spark, postingRows(fresh, meta.n, meta.nb), meta.nb),
-      path, Warehouse.currentSnapshot(spark, path)))
+    // CAS-retried end to end (r16): the whole body re-runs per
+    // conflict — anti-join included, so a racing refresh's docs are
+    // re-excluded; see [[Warehouse.retryOnConflict]]'s contract
+    Warehouse.retryOnConflict() {
+      val existing = Warehouse.readSnapshot(spark, path).select("doc_id").distinct()
+      val fresh = docs.select(col("doc_id"), col("text"))
+        .join(existing, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true) // consumed by the emptiness probe AND the append
+      if (fresh.isEmpty) None
+      else Some(Warehouse.appendSnapshot(
+        layout(spark, postingRows(fresh, meta.n, meta.nb), meta.nb),
+        path, Warehouse.currentSnapshot(spark, path)))
+    }
+  }
+
+  /** Zero-data-I/O health advice for the posting-bucket layout (r16) —
+    * [[IndexHealth.bucketIndexAdvice]] over the manifest alone; the
+    * hot-share signal doubles as a df-skew detector here (a shingle
+    * whose posting list dominates the index is a dfCap candidate).
+    */
+  def postingIndexAdvice(spark: SparkSession, path: String,
+                         minBytes: Long = 64L << 20,
+                         probeFractionBound: Double = 0.25,
+                         hotShareBound: Double = 0.25): IndexHealth.BucketIndexAdvice = {
+    val meta = readMeta(spark, path)
+    IndexHealth.bucketIndexAdvice(spark, path, "bucket", meta.nb,
+      minBytes, probeFractionBound, hotShareBound)
   }
 
   /** CONTAINMENT SCREEN against the index: for every (indexed doc a,

@@ -239,19 +239,27 @@ object ShingleIndex {
   def refreshShingleIndex(docs: DataFrame, path: String): Option[Long] = {
     val spark = docs.sparkSession
     val meta = readMeta(spark, path)
-    val existing = Warehouse.readSnapshot(spark, path).select("doc_id").distinct()
-    val fresh = docs.select(col("doc_id"), col("text"))
-      .join(existing, Seq("doc_id"), "left_anti")
-    // gate on the SIGNATURE rows (r15 review): with the presence
-    // sentinels, every fresh doc — sub-n included — yields at least
-    // one row, so an empty frame here means the batch was truly
-    // all-covered and the tick reports None without an empty commit
-    val rows = signatureRows(fresh, meta.mode, meta.n, meta.nb)
-      .localCheckpoint(true) // consumed by the emptiness probe AND the append
-    if (rows.isEmpty) return None
-    Some(Warehouse.appendSnapshot(
-      layout(spark, rows, meta.bands * meta.nb),
-      path, Warehouse.currentSnapshot(spark, path)))
+    // CAS-retried end to end (r16, the r15 verdict: a refresh racing a
+    // maintenance/compaction commit failed its micro-batch instead of
+    // retrying). The WHOLE body re-runs per conflict — the anti-join's
+    // "existing" set included, because the conflicting commit may have
+    // been another refresh indexing some of this batch's docs; the
+    // anti-join makes the re-derivation idempotent either way.
+    Warehouse.retryOnConflict() {
+      val existing = Warehouse.readSnapshot(spark, path).select("doc_id").distinct()
+      val fresh = docs.select(col("doc_id"), col("text"))
+        .join(existing, Seq("doc_id"), "left_anti")
+      // gate on the SIGNATURE rows (r15 review): with the presence
+      // sentinels, every fresh doc — sub-n included — yields at least
+      // one row, so an empty frame here means the batch was truly
+      // all-covered and the tick reports None without an empty commit
+      val rows = signatureRows(fresh, meta.mode, meta.n, meta.nb)
+        .localCheckpoint(true) // consumed by the emptiness probe AND the append
+      if (rows.isEmpty) None
+      else Some(Warehouse.appendSnapshot(
+        layout(spark, rows, meta.bands * meta.nb),
+        path, Warehouse.currentSnapshot(spark, path)))
+    }
   }
 
   /** INCREMENTAL near-dup screen against the index — the crawl-cycle
@@ -356,6 +364,22 @@ object ShingleIndex {
       .localCheckpoint(true) // consumed by the refresh AND the caller
     refreshShingleIndex(survivors, path)
     survivors
+  }
+
+  /** Zero-data-I/O health advice for this index's bucket layout (r16):
+    * [[IndexHealth.bucketIndexAdvice]] over the manifest's per-file
+    * bytes + bucket ranges — surfaces re-bucket / re-cluster advice
+    * when growth makes probes read too large a fraction of the index.
+    * Surfaced, never auto-applied ([[VectorIndex.indexAdvice]]'s
+    * discipline).
+    */
+  def shingleIndexAdvice(spark: SparkSession, path: String,
+                         minBytes: Long = 64L << 20,
+                         probeFractionBound: Double = 0.25,
+                         hotShareBound: Double = 0.25): IndexHealth.BucketIndexAdvice = {
+    val meta = readMeta(spark, path)
+    IndexHealth.bucketIndexAdvice(spark, path, "bucket", meta.bands * meta.nb,
+      minBytes, probeFractionBound, hotShareBound)
   }
 
   /** Maintenance tick with the bucket clustering FORCED — a plain

@@ -64,6 +64,18 @@ object TextIndex {
 
   def metaPath(path: String): String = s"${path}_meta"
 
+  /** The txnApp id every refresh stamps into its postings-append
+    * manifest — the detection vehicle for the refresh crash window
+    * (r16, the r15 verdict #4): meta's `synced_seq` records the
+    * highest stamped postings version whose scalars are folded, and
+    * [[Warehouse.lastCommittedEpoch]] recovers the highest stamped
+    * version actually COMMITTED, zero data I/O. Postings ahead of
+    * meta → a probe refuses loudly naming [[repairTextIndexMeta]]
+    * (after a short grace wait, since a LIVE refresh is between its
+    * two commits for a moment on every tick).
+    */
+  private val RefreshApp = "graft-text-index-refresh"
+
   /** Driver-side twin of the build's bucket expression — MUST match
     * `pmod(xxhash64(token), nb)` (Spark's xxhash64, seed 42). */
   private def bucketOf(token: String, nb: Int): Int =
@@ -130,8 +142,12 @@ object TextIndex {
     val (nDocs, nDl, sumDl) =
       (s.getLong(0), s.getLong(1), if (s.isNullAt(2)) 0L else s.getLong(2))
     val predicted = Warehouse.currentSnapshot(spark, path) + 1
-    val metaRows = Seq((nDocs, nDl, sumDl, bucketCount, predicted))
-      .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp")
+    // a REBUILD inherits prior refresh stamps in the retained history:
+    // record them as already-synced (the rebuild's scalars cover the
+    // whole corpus by construction)
+    val synced = Warehouse.lastCommittedEpoch(spark, path, RefreshApp).getOrElse(0L)
+    val metaRows = Seq((nDocs, nDl, sumDl, bucketCount, predicted, synced))
+      .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq")
     Warehouse.snapshots(spark, metaPath(path)) match {
       case Seq() => Warehouse.writeSnapshot(metaRows, metaPath(path))
       case vs => Warehouse.commitSnapshot(metaRows, metaPath(path), vs.last)
@@ -143,15 +159,17 @@ object TextIndex {
     }
   }
 
-  private case class Meta(nDocs: Long, nDl: Long, sumDl: Long, nb: Int, stamp: Long)
+  private case class Meta(nDocs: Long, nDl: Long, sumDl: Long, nb: Int,
+                          stamp: Long, syncedSeq: Long)
 
-  private def readMeta(spark: SparkSession, path: String): Meta = {
+  private def readMetaRow(spark: SparkSession, path: String): Meta = {
     val side = metaPath(path)
     require(Warehouse.snapshots(spark, side).nonEmpty,
       s"TextIndex($path): no meta table — buildTextIndex first")
     val r = Warehouse.readSnapshot(spark, side)
-      .select("n_docs", "n_dl", "sum_dl", "nb", "stamp").head()
-    val meta = Meta(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))
+      .select("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq").head()
+    val meta = Meta(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+      r.getLong(4), r.getLong(5))
     val cur = Warehouse.currentSnapshot(spark, path)
     require(meta.stamp <= cur,
       s"TextIndex($path): meta stamp ${meta.stamp} is ahead of the postings " +
@@ -160,65 +178,132 @@ object TextIndex {
     meta
   }
 
+  /** Probe-grade meta read: the torn-BUILD stamp check, plus the
+    * refresh-window check (r16, the r15 verdict #4 — previously
+    * nothing DETECTED the window; the owner had to suspect it): if the
+    * postings table carries a stamped refresh commit whose scalars
+    * never folded (`lastCommittedEpoch` > `synced_seq`), the probe
+    * REFUSES loudly naming the repair — after a short grace wait,
+    * because every live refresh sits between its two commits for a
+    * moment and a serving probe racing that moment should wait it out,
+    * not crash. The grace is bounded: a CRASHED refresh never
+    * resolves, so detection stays loud.
+    */
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    var meta = readMetaRow(spark, path)
+    def lag(): Option[Long] = Warehouse.lastCommittedEpoch(spark, path, RefreshApp)
+      .filter(_ > meta.syncedSeq)
+    // the grace budget bounds how long a probe waits out a LIVE
+    // refresh's inter-commit moment before declaring the window
+    // crashed; generous by default (a slow scalar agg on a cold
+    // executor is not a crash), overridable for tests that WANT the
+    // refusal fast
+    val graceMs = spark.conf.getOption("graft.textindex.syncGraceMs")
+      .map(_.toLong).getOrElse(15000L)
+    val stepMs = 150L
+    var waited = 0L
+    while (lag().nonEmpty && waited < graceMs) {
+      Thread.sleep(stepMs); meta = readMetaRow(spark, path); waited += stepMs
+    }
+    lag().foreach { v =>
+      throw new IllegalArgumentException(
+        s"TextIndex($path): postings v=$v landed but its corpus scalars " +
+          s"never folded (meta synced_seq=${meta.syncedSeq}) — a refresh " +
+          "crashed between its postings append and meta commit; run " +
+          "repairTextIndexMeta to re-derive the scalars exactly")
+    }
+    meta
+  }
+
   /** Tokenize and append ONLY docs not yet indexed, folding their
     * (count, Σdl) into the meta scalars exactly — the X200 refresh:
     * the tick costs the new docs' bytes, never a corpus re-tokenize.
-    * None when nothing is new. Meta updates AFTER the postings append;
-    * a crash in between leaves the scalars PERMANENTLY missing the
-    * appended increment's share (the next refresh anti-joins those
-    * docs out, so their counts never re-fold — an under-count, not a
-    * growing drift): postings and df stay exact regardless (df comes
-    * from the postings themselves), and [[repairTextIndexMeta]]
-    * re-derives the scalars exactly from the postings when the window
-    * is suspected (r15 review — the old comment over-claimed
-    * self-repair).
+    * None when nothing is new.
+    *
+    * Crash-window DETECTION (r16, the r15 verdict #4): the postings
+    * append stamps `(RefreshApp, appended version)` into its manifest;
+    * the meta fold records that version as `synced_seq`. A crash
+    * between the two commits leaves the stamp ahead of `synced_seq`,
+    * which every later probe/refresh detects and refuses loudly
+    * naming [[repairTextIndexMeta]] — the scalars can no longer go
+    * PERMANENTLY missing an increment's share without anyone knowing
+    * (postings and df stay exact throughout; df derives from the
+    * probed postings themselves).
+    *
+    * Both commits are CAS-retried (r16, the r15 verdict #3): the
+    * append re-runs its anti-join per conflict (a racing refresh's
+    * docs re-exclude; a racing maintenance tick changes nothing the
+    * anti-join reads), and the meta fold is a read-modify-write that
+    * re-reads the CURRENT scalars per attempt — `synced_seq` folds
+    * with max() so two racing refreshes' folds land in either order.
     */
   def refreshTextIndex(docs: DataFrame, path: String): Option[Long] = {
     val spark = docs.sparkSession
     val meta = readMeta(spark, path)
-    val existing = Warehouse.readSnapshot(spark, path).select("doc_id").distinct()
-    val fresh = docs.select(col("doc_id"), col("text"))
-      .join(existing, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // consumed by the emptiness probe, the append AND the stats fold
-    if (fresh.isEmpty) return None
-    val v = Warehouse.appendSnapshot(
-      layout(spark, postingRows(fresh, meta.nb), meta.nb),
-      path, Warehouse.currentSnapshot(spark, path))
-    val dlExpr = size(TextAnalysis.tokens(col("text"))).cast("long")
-    val s = fresh.agg(count(lit(1)).as("n"), count(dlExpr).as("ndl"),
-      sum(dlExpr).as("sdl")).head()
-    val (dn, dndl, dsl) =
-      (s.getLong(0), s.getLong(1), if (s.isNullAt(2)) 0L else s.getLong(2))
-    import spark.implicits._
-    val side = metaPath(path)
-    Warehouse.commitSnapshot(
-      Seq((meta.nDocs + dn, meta.nDl + dndl, meta.sumDl + dsl, meta.nb, meta.stamp))
-        .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp"),
-      side, Warehouse.currentSnapshot(spark, side))
-    Some(v)
+    val appended = Warehouse.retryOnConflict() {
+      val existing = Warehouse.readSnapshot(spark, path).select("doc_id").distinct()
+      val fresh = docs.select(col("doc_id"), col("text"))
+        .join(existing, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true) // consumed by the emptiness probe, the append AND the stats fold
+      if (fresh.isEmpty) None
+      else {
+        val base = Warehouse.currentSnapshot(spark, path)
+        val v = Warehouse.appendSnapshot(
+          layout(spark, postingRows(fresh, meta.nb), meta.nb),
+          path, base, txn = Some((RefreshApp, base + 1)))
+        Some((v, fresh))
+      }
+    }
+    appended.map { case (v, fresh) =>
+      val dlExpr = size(TextAnalysis.tokens(col("text"))).cast("long")
+      val s = fresh.agg(count(lit(1)).as("n"), count(dlExpr).as("ndl"),
+        sum(dlExpr).as("sdl")).head()
+      val (dn, dndl, dsl) =
+        (s.getLong(0), s.getLong(1), if (s.isNullAt(2)) 0L else s.getLong(2))
+      import spark.implicits._
+      val side = metaPath(path)
+      Warehouse.retryOnConflict() {
+        val curSide = Warehouse.currentSnapshot(spark, side)
+        val m = Warehouse.readSnapshot(spark, side, Some(curSide))
+          .select("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq").head()
+        Warehouse.commitSnapshot(
+          Seq((m.getLong(0) + dn, m.getLong(1) + dndl, m.getLong(2) + dsl,
+            m.getInt(3), m.getLong(4), math.max(m.getLong(5), v)))
+            .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq"),
+          side, curSide)
+      }
+      v
+    }
   }
 
   /** Re-derive the meta scalars EXACTLY from the postings table (one
     * index-grain scan, doc-grain aggregate) and commit them — the
     * repair for a refresh that crashed between its postings append and
-    * its meta commit. Exact because every doc carries ≥1 posting row
-    * (the presence sentinel) and each row carries the doc's dl.
-    * Returns the new meta version.
+    * its meta commit (which every later probe now detects and names
+    * this repair for — r16). Exact because every doc carries ≥1
+    * posting row (the presence sentinel) and each row carries the
+    * doc's dl; `synced_seq` re-pins to the highest stamped postings
+    * commit, closing the window. Returns the new meta version.
     */
   def repairTextIndexMeta(spark: SparkSession, path: String): Long = {
-    val meta = readMeta(spark, path)
+    val meta = readMetaRow(spark, path) // NOT the probe-grade read: the
+    // window this repairs would make readMeta refuse
     val perDoc = Warehouse.readSnapshot(spark, path)
       .groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), count(col("dl")).as("ndl"),
         sum(col("dl")).as("sdl")).head()
     val (n, ndl, sdl) = (perDoc.getLong(0), perDoc.getLong(1),
       if (perDoc.isNullAt(2)) 0L else perDoc.getLong(2))
+    val synced = Warehouse.lastCommittedEpoch(spark, path, RefreshApp)
+      .getOrElse(0L)
     import spark.implicits._
     val side = metaPath(path)
-    Warehouse.commitSnapshot(
-      Seq((n, ndl, sdl, meta.nb, meta.stamp))
-        .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp"),
-      side, Warehouse.currentSnapshot(spark, side))
+    Warehouse.retryOnConflict() {
+      Warehouse.commitSnapshot(
+        Seq((n, ndl, sdl, meta.nb, meta.stamp, math.max(meta.syncedSeq, synced)))
+          .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq"),
+        side, Warehouse.currentSnapshot(spark, side))
+    }
   }
 
   /** BM25 top-k THROUGH the index: the [[TextAnalysis.bm25TopK]]
@@ -272,6 +357,22 @@ object TextIndex {
         Window.partitionBy("query_id").orderBy(desc("bm25"), asc("doc_id"))))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "bm25")
+  }
+
+  /** Zero-data-I/O health advice for the token-bucket layout (r16):
+    * [[IndexHealth.bucketIndexAdvice]] over the manifest alone —
+    * re-bucket / re-cluster advice as the corpus outgrows the
+    * build-time `nb`. Reads the meta row WITHOUT the window check
+    * (advice must stay available while a crashed refresh awaits its
+    * repair).
+    */
+  def textIndexAdvice(spark: SparkSession, path: String,
+                      minBytes: Long = 64L << 20,
+                      probeFractionBound: Double = 0.25,
+                      hotShareBound: Double = 0.25): IndexHealth.BucketIndexAdvice = {
+    val meta = readMetaRow(spark, path)
+    IndexHealth.bucketIndexAdvice(spark, path, "bucket", meta.nb,
+      minBytes, probeFractionBound, hotShareBound)
   }
 
   /** Maintenance tick with the bucket clustering FORCED — the

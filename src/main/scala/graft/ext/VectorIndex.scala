@@ -179,31 +179,46 @@ object VectorIndex {
   def refreshIvfIndex(corpus: DataFrame, path: String): Option[Long] = {
     val spark = corpus.sparkSession
     val (cents, mode, nlist) = readCentroids(spark, path)
-    val existing = Warehouse.readSnapshot(spark, path).select("vec_id")
-    val fresh = corpus.select(col("vec_id"), col("embedding"))
-      .join(existing, Seq("vec_id"), "left_anti")
-      .localCheckpoint(true) // consumed by the emptiness probe, the append AND the ledger
-    if (fresh.isEmpty) return None
-    val assigned =
-      if (mode == BucketedMode)
-        fresh.select(col("vec_id"), col("embedding"),
-          pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"))
+    // CAS-retried end to end (r16): the whole assign-and-append re-runs
+    // per conflict — anti-join included, so a racing refresh's vectors
+    // are re-excluded; see [[Warehouse.retryOnConflict]]'s contract
+    val appended = Warehouse.retryOnConflict() {
+      val existing = Warehouse.readSnapshot(spark, path).select("vec_id")
+      val fresh = corpus.select(col("vec_id"), col("embedding"))
+        .join(existing, Seq("vec_id"), "left_anti")
+        .localCheckpoint(true) // consumed by the emptiness probe, the append AND the ledger
+      if (fresh.isEmpty) None
       else {
-        val assign1 = graft.functions.native.centroidProbes(col("embedding"), cents, 1)
-        fresh.select(col("vec_id"), col("embedding"),
-          element_at(assign1, 1).as("cell"))
+        val assigned =
+          if (mode == BucketedMode)
+            fresh.select(col("vec_id"), col("embedding"),
+              pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"))
+          else {
+            val assign1 = graft.functions.native.centroidProbes(col("embedding"), cents, 1)
+            fresh.select(col("vec_id"), col("embedding"),
+              element_at(assign1, 1).as("cell"))
+          }
+        val v = Warehouse.appendSnapshot(
+          assigned.repartitionByRange(layoutParts(spark, nlist),
+            col("cell"), col("vec_id")),
+          path, Warehouse.currentSnapshot(spark, path))
+        Some((v, assigned))
       }
-    val v = Warehouse.appendSnapshot(
-      assigned.repartitionByRange(layoutParts(spark, nlist),
-        col("cell"), col("vec_id")),
-      path, Warehouse.currentSnapshot(spark, path))
-    try recordIncrementStats(spark, path, assigned, mode, cents)
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[graft] drift-ledger update on $path failed " +
-          s"(stats stale until the next refresh; the index append committed): ${e.getMessage}")
     }
-    Some(v)
+    appended.map { case (v, assigned) =>
+      // the ledger fold re-reads the centroids row at ITS current
+      // version inside recordIncrementStats, so a conflict retry there
+      // is a clean re-read-modify-write
+      try Warehouse.retryOnConflict() {
+        recordIncrementStats(spark, path, assigned, mode, cents)
+      }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] drift-ledger update on $path failed " +
+            s"(stats stale until the next refresh; the index append committed): ${e.getMessage}")
+      }
+      v
+    }
   }
 
   /** Fold one increment's per-cell (count, mean residual) into the

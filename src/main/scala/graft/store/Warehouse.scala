@@ -1330,6 +1330,33 @@ object Warehouse {
       s"concurrent writer committed v=$attempted under $path first; " +
         "re-read the latest snapshot and retry")
 
+  /** Re-run `body` until it commits or `maxRetries`
+    * [[SnapshotConflictException]]s have been absorbed — the
+    * optimistic-concurrency retry loop every CAS writer needs, shared
+    * (r16, the r15 verdict: the index refreshers threw on a concurrent
+    * maintenance/compaction commit instead of retrying like
+    * [[graft.streaming.SnapshotMerge]]). The CONTRACT is on `body`:
+    * it must re-read everything the conflicting commit could have
+    * changed — the current version it CASes against at minimum, and
+    * any state it derives its write from (an anti-join's "existing"
+    * set, a read-modify-write's current row) — because a retry that
+    * reuses stale reads re-introduces exactly the lost update the CAS
+    * exists to prevent. Conflicts are expected-rare: the loop is for
+    * availability under a racing writer, not for throughput.
+    */
+  def retryOnConflict[T](maxRetries: Int = 10)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: SnapshotConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The latest committed snapshot version, 0 when the table is empty
     * — the `expectedVersion` a [[commitSnapshot]] writer reads before
     * deriving its write.
@@ -6734,6 +6761,41 @@ object Warehouse {
           .map(st => (s"v=$v/${st.getPath.getName}",
             Option(st.getLen), Option.empty[Long], false, 0L))
           .toDF("file", "bytes", "rows", "shared", "dv_rows")
+    }
+  }
+
+  /** Per-file manifest accounting for a NUMERIC `column`:
+    * (bytes, Some((min, max))) per live file, straight from the
+    * committed manifest's parallel arrays — zero data I/O (r16, the
+    * bucket-index health advice's input). Files without usable numeric
+    * stats for the column (pre-stats manifests, non-numeric types)
+    * carry None ranges; callers must treat such files as covering
+    * everything (the same keep-don't-guess rule as pruning).
+    */
+  def snapshotFileRanges(spark: SparkSession, path: String, column: String,
+                         version: Option[Long] = None)
+      : Seq[(Option[Long], Option[(Double, Double)])] = {
+    val v = resolveVersion(spark, path, version)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, path, v) match {
+      case Some(m) =>
+        val es = manifestEntries(m)
+        val bytes = Option(m.get("fileBytes"))
+        val stats = Option(m.get("stats"))
+        val phys = physicalName(columnMapOf(m), column)
+        es.indices.map { i =>
+          val b = bytes.map(_.get(i).asLong)
+          val range = for {
+            s <- stats
+            n <- Option(s.get(i))
+            st <- Option(n.get(phys))
+            mn <- Option(st.get("min")) if mn.isNumber
+            mx <- Option(st.get("max")) if mx.isNumber
+          } yield (mn.asDouble, mx.asDouble)
+          (b, range)
+        }
+      case None => Seq.empty
     }
   }
 

@@ -40,9 +40,10 @@ object SnapshotMerge {
     val folded = batch.dropDuplicates().localCheckpoint(true)
     val updateSet = folded.columns.filterNot(keys.contains)
       .map(c => c -> col(s"s.$c")).toMap
-    var attempt = 0
-    var committed = false
-    while (!committed) {
+    // the shared CAS loop (r16): the body re-reads the current version
+    // and re-derives the merge per attempt, per retryOnConflict's
+    // contract
+    Warehouse.retryOnConflict(maxRetries) {
       val cur = Warehouse.currentSnapshot(spark, root)
       val target =
         if (cur == 0L)
@@ -51,18 +52,12 @@ object SnapshotMerge {
       val merged = Warehouse.mergeInto(target, folded, keys, Seq(
         Warehouse.UpdateWhen(lit(true), updateSet),
         Warehouse.InsertWhen(lit(true))))
-      try {
-        // the merged state is mostly COMMITTED rows: X215 triage stays
-        // off, or an update whose new value violates a drop rule would
-        // silently delete the key (review r11) — expectations gate the
-        // append-style ingest sinks, not this full-state rewrite
-        Warehouse.commitSnapshot(merged, root, cur, triage = false)
-        committed = true
-      } catch {
-        case e: Warehouse.SnapshotConflictException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-      }
+      // the merged state is mostly COMMITTED rows: X215 triage stays
+      // off, or an update whose new value violates a drop rule would
+      // silently delete the key (review r11) — expectations gate the
+      // append-style ingest sinks, not this full-state rewrite
+      Warehouse.commitSnapshot(merged, root, cur, triage = false)
     }
+    ()
   }
 }

@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.store.Warehouse
+import org.apache.spark.sql.functions._
+
+/** r16 bucket-index health advice — the load-bearing claims:
+  * (1) a BALANCED, well-clustered index does not trip (probe fraction
+  *     and hot share both small);
+  * (2) a layout-decayed index (one file spanning every bucket — the
+  *     un-compacted streaming-append end state) trips the
+  *     probe-fraction signal;
+  * (3) a df-skewed index (one token's postings dominating) trips the
+  *     HOT-BUCKET signal even when the probe fraction stays low;
+  * (4) the decision reads ZERO data bytes (poison every file first);
+  * (5) below the byte floor the advice abstains.
+  */
+class IndexHealthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  private def withParts[T](n: Int)(f: => T): T = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try { spark.conf.set("spark.sql.shuffle.partitions", n.toString); f }
+    finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("balanced text index: no advice; poisoned files: decision still answers (zero data I/O)") {
+    val root = freshRoot("ih_bal")
+    val docs = (1 to 400).map(i => (i.toLong, s"tok$i other$i third$i")).toDF("doc_id", "text")
+    withParts(32)(TextIndex.buildTextIndex(docs, root, bucketCount = 64))
+    val a = TextIndex.textIndexAdvice(spark, root, minBytes = 1)
+    assert(!a.rebuildAdvised, a.toString)
+    assert(a.probeFraction.exists(_ < 0.25), a.toString)
+    assert(a.hotBucketShare.exists(_ < 0.25), a.toString)
+    assert(a.files > 4, s"need several files for the claim to bite: $a")
+    // zero data I/O: corrupt every data file, the decision is unchanged
+    Warehouse.readSnapshot(spark, root).inputFiles.foreach { f =>
+      val o = new java.io.FileOutputStream(new java.io.File(new java.net.URI(f)))
+      o.write("not parquet".getBytes); o.close()
+    }
+    assert(TextIndex.textIndexAdvice(spark, root, minBytes = 1) === a)
+  }
+
+  test("one-file layout trips the probe-fraction signal; byte floor abstains") {
+    val root = freshRoot("ih_wide")
+    val docs = (1 to 400).map(i => (i.toLong, s"tok$i other$i third$i")).toDF("doc_id", "text")
+    withParts(1)(TextIndex.buildTextIndex(docs, root, bucketCount = 64))
+    val a = TextIndex.textIndexAdvice(spark, root, minBytes = 1)
+    assert(a.rebuildAdvised, a.toString)
+    assert(a.probeFraction.exists(_ > 0.9),
+      s"one file spanning every bucket means every probe opens ~all bytes: $a")
+    // the abstention floor: same index, advisory floor above its size
+    val small = TextIndex.textIndexAdvice(spark, root, minBytes = 1L << 40)
+    assert(!small.rebuildAdvised && small.probeFraction.isEmpty,
+      s"below the floor the advice must abstain, not guess: $small")
+    assert(small.reason.contains("not enough signal"), small.reason)
+  }
+
+  test("df-skewed postings trip the HOT-BUCKET signal at a low probe fraction") {
+    val root = freshRoot("ih_hot")
+    // every doc carries the dominating token: its posting list is half
+    // the index, all in one bucket; the other half spreads over 64
+    val docs = (1 to 2000).map(i => (i.toLong, s"common uniq$i")).toDF("doc_id", "text")
+    withParts(32)(TextIndex.buildTextIndex(docs, root, bucketCount = 64))
+    val a = TextIndex.textIndexAdvice(spark, root, minBytes = 1, hotShareBound = 0.25)
+    assert(a.hotBucketShare.exists(_ >= 0.25),
+      s"the dominating token's bucket must surface: $a")
+    assert(a.rebuildAdvised, a.toString)
+    assert(a.reason.contains("skew") || a.reason.contains("hottest"), a.reason)
+  }
+
+  test("shingle + posting wrappers: balanced sf0.001 builds stay quiet") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sroot = freshRoot("ih_sh")
+    withParts(32)(ShingleIndex.buildShingleIndex(docs, sroot, n = 3))
+    val sa = ShingleIndex.shingleIndexAdvice(spark, sroot, minBytes = 1)
+    assert(!sa.rebuildAdvised, sa.toString)
+    val proot = freshRoot("ih_pi")
+    withParts(32)(PostingIndex.buildPostingIndex(docs, proot, n = 3))
+    val pa = PostingIndex.postingIndexAdvice(spark, proot, minBytes = 1)
+    assert(!pa.rebuildAdvised, pa.toString)
+  }
+}

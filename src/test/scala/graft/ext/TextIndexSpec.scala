@@ -109,8 +109,8 @@ class TextIndexSpec extends SparkSpec {
       rows(TextAnalysis.bm25TopK(streamed, queries, k = 5)))
     // torn rebuild: meta advances, the postings commit never lands
     val side = TextIndex.metaPath(root)
-    val torn = Seq((1L, 1L, 1L, 64, Warehouse.currentSnapshot(spark, root) + 5))
-      .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp")
+    val torn = Seq((1L, 1L, 1L, 64, Warehouse.currentSnapshot(spark, root) + 5, 0L))
+      .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq")
     Warehouse.commitSnapshot(torn, side, Warehouse.currentSnapshot(spark, side))
     val e = intercept[IllegalArgumentException] {
       TextIndex.bm25TopKIndexed(spark, root, queries, k = 5)
