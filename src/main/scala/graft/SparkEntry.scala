@@ -1170,6 +1170,22 @@ object SparkEntry {
       Similarity.pqTopKPortable(e.filter(col("vec_id") < 10),
         e.filter(col("vec_id") >= 10), k = 10)
     }),
+    "q_ann_pq_indexed" -> ((s, dir) => {
+      // X264 the ADC sweep THROUGH the persisted codes table: bucketed
+      // IVF index + buildPqCodes (md5 codebooks — no fit, no codebook
+      // table), then pqTopKIndexedCodes reads probed cells' CODE rows
+      // (m ints, never raw bytes) for the sweep and raw rows only for
+      // the shortlist rerank. Shares q_ann_pq_md5's oracle verbatim —
+      // the persisted path must be score-for-score the portable twin.
+      val e = Tables.embeddings(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_qpqi").toString + "/t"
+      ext.VectorIndex.buildIvfIndex(e.filter(col("vec_id") >= 10), root,
+        nlist = 16, bucketed = true)
+      ext.VectorIndex.buildPqCodes(s, root, m = 8, kc = 16)
+      ext.VectorIndex.pqTopKIndexedCodes(
+        e.filter(col("vec_id") < 10).select("vec_id", "embedding"), root,
+        k = 10, nprobe = 4, shortlist = 50)
+    }),
     "q_vector_norm" -> ((s, dir) => Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.l2norm(col("embedding")).as("norm"))),
 
@@ -1581,6 +1597,26 @@ object SparkEntry {
       ext.Retrieval.retrieveFused(s, troot, vroot, Bm25Queries,
         e.filter(col("vec_id").isin(qids: _*)), k = 10, depth = 20, nprobe = 4)
     }),
+    "q_rrf_filtered" -> ((s, dir) => {
+      // X263 FILTERED hybrid retrieval: q_rrf_indexed's serving loop
+      // with an allow set (even doc ids — standing in for "docs whose
+      // metadata passes a policy scan") semi-joined into BOTH
+      // retrievers' candidates BEFORE their rank cuts: ranks are
+      // positions among allowed docs, collection stats stay global,
+      // non-matching docs never occupy rank slots.
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qids = Bm25Queries.map(_._1.toLong)
+      val troot = java.nio.file.Files.createTempDirectory("graft_qrff").toString + "/t"
+      val vroot = java.nio.file.Files.createTempDirectory("graft_qrfg").toString + "/v"
+      ext.TextIndex.buildTextIndex(docs, troot)
+      ext.VectorIndex.buildIvfIndex(e.filter(!col("vec_id").isin(qids: _*)), vroot,
+        nlist = 16, bucketed = true)
+      val allow = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id")
+      ext.Retrieval.retrieveFused(s, troot, vroot, Bm25Queries,
+        e.filter(col("vec_id").isin(qids: _*)), k = 10, depth = 20, nprobe = 4,
+        allowedDocs = Some(allow))
+    }),
     "q_temperature_mix" -> ((s, dir) =>
       ext.TextAnalysis.temperatureMixture(Tables.documents(s, dir), alpha = 0.7)),
     "q_source_kl" -> ((s, dir) =>
@@ -1779,6 +1815,21 @@ object SparkEntry {
       ext.VectorIndex.ivfTopKIndexed(e.filter(col("vec_id") < 10), root,
         k = 10, nprobe = 4)
     }),
+    "q_ann_filtered" -> ((s, dir) => {
+      // X261 FILTERED vector search through the persisted index:
+      // attribute columns (here `label`) persist WITH the index rows,
+      // so the predicate evaluates inside the pruned probe read — no
+      // corpus join at query time — and rank counts matching rows
+      // only. Same X220 bucketed recomposition as q_ann_ivf_indexed
+      // with the attr predicate on the candidate side.
+      val e = Tables.embeddings(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_qvflt").toString + "/t"
+      ext.VectorIndex.buildIvfIndex(e.filter(col("vec_id") >= 10), root,
+        nlist = 16, bucketed = true)
+      ext.VectorIndex.ivfTopKIndexed(
+        e.filter(col("vec_id") < 10).select("vec_id", "embedding"), root,
+        k = 10, nprobe = 4, where = Some(pmod(col("label"), lit(2)) === 0))
+    }),
 
     // ---- streaming (bounded replay through the PRODUCTION sink shape:
     // update-mode micro-batches upserted into a date-partitioned
@@ -1885,6 +1936,59 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** X235's full PQ recomposition — md5 ±1 codebooks, argmax-dot
+    * encode, decode-as-flatten, ADC as one list_dot_product with the
+    * decoded vector, shortlist 50, exact rerank, top 10. Shared
+    * VERBATIM by q_ann_pq_md5 (inline portable twin) and
+    * q_ann_pq_indexed (the same arithmetic probed through the
+    * persisted codes table — r16): the two keys must stay
+    * bit-identical to each other by construction, so they must share
+    * one oracle. */
+  private val PqMd5OracleSql: String =
+    """WITH cw AS (
+      |  SELECT j.j, cs.c,
+      |         list(CASE WHEN ('0x' || substr(md5('pq:' || j.j || ':' || cs.c || ':' || sub.i), 1, 1))::INT % 2 = 0
+      |                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY sub.i) AS w
+      |  FROM (SELECT unnest(range(8)) AS j) j,
+      |       (SELECT unnest(range(16)) AS c) cs,
+      |       (SELECT unnest(range(8)) AS i) sub
+      |  GROUP BY j.j, cs.c
+      |), n AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+      |  FROM embeddings
+      |), enc AS (
+      |  SELECT vec_id, j, w FROM (
+      |    SELECT n.vec_id, cw.j, cw.w,
+      |           row_number() OVER (PARTITION BY n.vec_id, cw.j
+      |             ORDER BY (CAST(0 AS DOUBLE)
+      |               - list_dot_product(list_transform(range(8), x -> n.v[cw.j*8 + x + 1]), cw.w)),
+      |               cw.c) AS rn
+      |    FROM n, cw) t WHERE rn = 1
+      |), dec AS (
+      |  SELECT vec_id, flatten(list(w ORDER BY j)) AS dec FROM enc GROUP BY vec_id
+      |), cand AS (
+      |  SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
+      |         c.vec_id AS neighbor_id, c.v AS cv, c.nm AS cn,
+      |         list_dot_product(q.v, d.dec) AS adc
+      |  FROM n q, (SELECT unnest(range(4)) AS i) pi,
+      |       n c JOIN dec d ON d.vec_id = c.vec_id
+      |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+      |    AND (c.vec_id % 16) = ((q.vec_id + pi.i) % 16)
+      |), short AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc DESC, neighbor_id) AS srn
+      |  FROM cand
+      |), ranked AS (
+      |  SELECT query_id, neighbor_id, adc,
+      |         list_dot_product(qv, cv) / (qn * cn) AS sim
+      |  FROM short WHERE srn <= 50
+      |), final AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM ranked)
+      |SELECT query_id, rank, neighbor_id, sim, adc FROM final WHERE rank <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_bpe_learn" -> bpeLearnOracle(8),
     "q_bpe_encode" -> bpeEncodeOracle(8),
@@ -2862,6 +2966,27 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |                       ORDER BY sim DESC, neighbor_id) AS rank
         |           FROM scored)
         |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10""".stripMargin,
+    // X261 filtered probe: the attr predicate lands on the CANDIDATE
+    // side (the index rows) before ranking — queries rank among
+    // matching rows only, never fall back to unfiltered neighbors
+    "q_ann_filtered" ->
+      """WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv, (vec_id % 16)::INT AS cell
+        |      FROM n WHERE vec_id >= 10 AND label % 2 = 0),
+        |p AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
+        |             ((q.vec_id + i.i) % 16)::INT AS cell
+        |      FROM n q, (SELECT unnest(range(0, 4)) AS i) i WHERE q.vec_id < 10),
+        |scored AS (
+        |  SELECT p.query_id, c.neighbor_id,
+        |         list_dot_product(p.qv, c.cv)
+        |           / (p.qn * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM p JOIN c USING (cell)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY sim DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= 10""".stripMargin,
     // X249 near-dup screen against the persisted index: best probed
     // neighbor (rank-1 by sim desc, id) at sim >= 0.8 flags; the
     // increment left-joins the flags so novel rows ride with NULLs
@@ -2976,50 +3101,13 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
     // encode, sort key 0-dot so zero signs can't diverge), ADC as one
     // sequential dot with the PQ-decoded vector, shortlist + exact
     // rerank — sims AND adc land unrounded
-    "q_ann_pq_md5" ->
-      """WITH cw AS (
-        |  SELECT j.j, cs.c,
-        |         list(CASE WHEN ('0x' || substr(md5('pq:' || j.j || ':' || cs.c || ':' || sub.i), 1, 1))::INT % 2 = 0
-        |                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY sub.i) AS w
-        |  FROM (SELECT unnest(range(8)) AS j) j,
-        |       (SELECT unnest(range(16)) AS c) cs,
-        |       (SELECT unnest(range(8)) AS i) sub
-        |  GROUP BY j.j, cs.c
-        |), n AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
-        |  FROM embeddings
-        |), enc AS (
-        |  SELECT vec_id, j, w FROM (
-        |    SELECT n.vec_id, cw.j, cw.w,
-        |           row_number() OVER (PARTITION BY n.vec_id, cw.j
-        |             ORDER BY (CAST(0 AS DOUBLE)
-        |               - list_dot_product(list_transform(range(8), x -> n.v[cw.j*8 + x + 1]), cw.w)),
-        |               cw.c) AS rn
-        |    FROM n, cw) t WHERE rn = 1
-        |), dec AS (
-        |  SELECT vec_id, flatten(list(w ORDER BY j)) AS dec FROM enc GROUP BY vec_id
-        |), cand AS (
-        |  SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
-        |         c.vec_id AS neighbor_id, c.v AS cv, c.nm AS cn,
-        |         list_dot_product(q.v, d.dec) AS adc
-        |  FROM n q, (SELECT unnest(range(4)) AS i) pi,
-        |       n c JOIN dec d ON d.vec_id = c.vec_id
-        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
-        |    AND (c.vec_id % 16) = ((q.vec_id + pi.i) % 16)
-        |), short AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY adc DESC, neighbor_id) AS srn
-        |  FROM cand
-        |), ranked AS (
-        |  SELECT query_id, neighbor_id, adc,
-        |         list_dot_product(qv, cv) / (qn * cn) AS sim
-        |  FROM short WHERE srn <= 50
-        |), final AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM ranked)
-        |SELECT query_id, rank, neighbor_id, sim, adc FROM final WHERE rank <= 10""".stripMargin,
+    "q_ann_pq_md5" -> PqMd5OracleSql,
+    // X264 persisted-codes probe: the IDENTICAL recomposition — the
+    // stored code is the md5-rule encode the SQL derives itself, and
+    // decode/ADC/shortlist/rerank arithmetic is the portable twin's
+    // verbatim; what the key adds is the round-trip THROUGH the codes
+    // table (parquet int-array round-trip, cell layout, count gate)
+    "q_ann_pq_indexed" -> PqMd5OracleSql,
     // X230 portable LSH: planes rebuilt from md5 parity (±1 entries),
     // signature = sign of the same sequential float64 dot product
     // (q_topk_cosine bit-exactness), bucket = Σ bit·2^p, multiprobe =
@@ -4330,6 +4418,62 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |      FROM embeddings),
         |c AS (SELECT vec_id AS doc_id, v AS cv, (vec_id % 16)::INT AS cell
         |      FROM n WHERE vec_id NOT IN (1, 2, 3)),
+        |p AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
+        |             ((q.vec_id + i.i) % 16)::INT AS cell
+        |      FROM n q, (SELECT unnest(range(0, 4)) AS i) i
+        |      WHERE q.vec_id IN (1, 2, 3)),
+        |sem0 AS (SELECT p.query_id, c.doc_id,
+        |                list_dot_product(p.qv, c.cv)
+        |                  / (p.qn * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |         FROM p JOIN c USING (cell)),
+        |sem AS (SELECT query_id, doc_id, rank
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY sim DESC, doc_id) AS rank
+        |              FROM sem0)
+        |        WHERE rank <= 20),
+        |u AS (SELECT query_id, doc_id, rank FROM lex
+        |      UNION ALL SELECT query_id, doc_id, rank FROM sem),
+        |f AS (SELECT query_id, doc_id,
+        |             round(sum(1.0 / (60 + rank)), 9) AS rrf,
+        |             count(*) AS n_lists
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, rrf, n_lists
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY rrf DESC, doc_id) AS rank
+        |      FROM f)
+        |WHERE rank <= 10""".stripMargin,
+    // X263 filtered hybrid serving: q_rrf_indexed's chain with the
+    // allow set (even doc ids) landing BEFORE each retriever's rank
+    // cut — collection stats (st, dfreq) stay GLOBAL by design, the
+    // filter prunes candidates only
+    "q_rrf_filtered" ->
+      """WITH q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+        |                                 (2,'agg'),(2,'scan'),(3,'vector'),
+        |                                 (3,'merge')) AS t(query_id, token)),
+        |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |toks AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+        |       FROM toks WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |              avg(len(string_split(lower(text), ' ')))::DOUBLE AS avg_dl
+        |       FROM documents),
+        |dfreq AS (SELECT token, count(*)::DOUBLE AS df_t FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))), 6)
+        |           AS bm25
+        |       FROM tf JOIN q USING (token) JOIN dfreq USING (token), st
+        |       GROUP BY 1, 2),
+        |lex AS (SELECT query_id::BIGINT AS query_id, doc_id, rank
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY bm25 DESC, doc_id) AS rank
+        |              FROM sc WHERE doc_id % 2 = 0)
+        |        WHERE rank <= 20),
+        |n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |      FROM embeddings),
+        |c AS (SELECT vec_id AS doc_id, v AS cv, (vec_id % 16)::INT AS cell
+        |      FROM n WHERE vec_id NOT IN (1, 2, 3) AND vec_id % 2 = 0),
         |p AS (SELECT q.vec_id AS query_id, q.v AS qv, q.nm AS qn,
         |             ((q.vec_id + i.i) % 16)::INT AS cell
         |      FROM n q, (SELECT unnest(range(0, 4)) AS i) i

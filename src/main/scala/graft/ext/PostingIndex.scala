@@ -230,4 +230,38 @@ object PostingIndex {
       : Warehouse.MaintenanceReport =
     Warehouse.maintainSnapshot(spark, path,
       policy.copy(clusterCols = Seq("bucket")))
+
+  /** STREAMING index maintenance (r16) — the fourth index family gets
+    * the same sink shape as the other three ([[VectorIndex
+    * .vectorIndexSink]] / shingle / text): each micro-batch of
+    * `(doc_id, text)` rows refreshes the persisted postings.
+    * Exactly-once WITHOUT an epoch gate: [[refreshPostingIndex]]
+    * anti-joins on `doc_id` (presence sentinels make shingle-less docs
+    * visible to it), so a replayed batch no-ops — idempotence is the
+    * operator's own semantics. `maintainEvery` epochs run
+    * [[maintainPostingIndex]] best-effort (bucket clustering forced;
+    * a transient failure logs and re-fires on a later epoch).
+    */
+  def postingIndexSink(source: DataFrame, path: String, checkpoint: String,
+                       maintainEvery: Int = 0,
+                       maintainPolicy: Warehouse.MaintenancePolicy =
+                         Warehouse.MaintenancePolicy())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = source.sparkSession
+    require(Warehouse.snapshots(spark, metaPath(path)).nonEmpty,
+      s"postingIndexSink($path): no index — buildPostingIndex first")
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        refreshPostingIndex(batch, path)
+        if (maintainEvery > 0 && epoch % maintainEvery == maintainEvery - 1)
+          try { maintainPostingIndex(batch.sparkSession, path, maintainPolicy); () }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft] posting-index maintenance at epoch " +
+                s"$epoch on $path failed (will retry on a later epoch): ${e.getMessage}")
+          }
+        ()
+      }
+  }
 }

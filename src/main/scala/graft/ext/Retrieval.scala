@@ -55,18 +55,31 @@ object Retrieval {
     * candidates for consensus, linearly more fuse input); `nprobe`
     * trades semantic recall for probed bytes exactly as in
     * [[VectorIndex.ivfTopKIndexed]].
+    *
+    * `allowedDocs` (r16) is FILTERED hybrid retrieval: a one-column
+    * (`doc_id`) frame semi-joined into BOTH retrievers' candidates
+    * BEFORE their rank cuts (ranks are positions among allowed docs —
+    * fusing post-cut-filtered lists would under-fill the candidate
+    * pool and mis-weight RRF's 1/(c+rank)). Collection statistics
+    * stay global on the lexical side and probe routing stays
+    * geometric on the vector side — the filter restricts candidates,
+    * never redefines the corpus; under a SELECTIVE filter raise
+    * `depth`/`nprobe` for recall, the per-retriever caveats verbatim.
     */
   def retrieveFused(spark: SparkSession,
                     textIdxPath: String, vecIdxPath: String,
                     queries: Seq[(Int, Seq[String])], queryVecs: DataFrame,
                     k: Int, depth: Int = 20, nprobe: Int = 4,
-                    c: Int = 60): DataFrame = {
+                    c: Int = 60,
+                    allowedDocs: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(depth >= k, s"depth $depth must be >= k $k — fusing lists " +
       "shorter than the requested cut would silently shrink the candidate pool")
-    val lex = TextIndex.bm25TopKIndexed(spark, textIdxPath, queries, depth)
+    val lex = TextIndex.bm25TopKIndexed(spark, textIdxPath, queries, depth,
+        allowed = allowedDocs)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val sem = VectorIndex.ivfTopKIndexed(queryVecs, vecIdxPath, depth, nprobe)
+    val sem = VectorIndex.ivfTopKIndexed(queryVecs, vecIdxPath, depth, nprobe,
+        allowed = allowedDocs.map(_.select(col("doc_id").as("vec_id"))))
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     Similarity.rrfFuse(Seq(lex, sem), k, c)
   }

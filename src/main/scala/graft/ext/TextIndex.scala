@@ -312,10 +312,24 @@ object TextIndex {
     * build's own hash), the read opens only those buckets' files, df
     * per term is exact from the probed postings, and the scoring
     * formula/rounding is the inline ranking's verbatim.
+    *
+    * `allowed` (r16) is FILTERED retrieval: a one-column (`doc_id`)
+    * frame semi-joined into the CANDIDATES before the rank cut —
+    * "top-k among these docs", with the collection statistics (df,
+    * n_docs, avg_dl) staying GLOBAL, the standard search-engine
+    * contract (a filter restricts candidates; it does not define a
+    * new corpus, so scores are comparable across filters and the
+    * meta scalars stay one bounded read). Docs outside the set never
+    * occupy rank slots — short lists over silent fallback. At scale
+    * the semi-join's left side is already bounded by the probed
+    * buckets' postings; the allow set arrives as the caller built it
+    * (a stats-pruned id scan, a committed id list) — broadcast-hint
+    * it when it is small.
     */
   def bm25TopKIndexed(spark: SparkSession, path: String,
                       queries: Seq[(Int, Seq[String])], k: Int,
-                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                      k1: Double = 1.2, b: Double = 0.75,
+                      allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty && k >= 1)
     val meta = readMeta(spark, path)
@@ -346,7 +360,11 @@ object TextIndex {
     val nDocs = meta.nDocs.toDouble
     // avg over docs WITH a length, the inline avg()'s null-skipping
     val avgDl = if (meta.nDl > 0) meta.sumDl.toDouble / meta.nDl.toDouble else 0.0
-    idx.join(broadcast(qterms), Seq("token"))
+    // df above comes from the UNFILTERED probed postings — global
+    // stats; the allow set only prunes candidates below
+    val cand = allowed.fold(idx)(a =>
+      idx.join(a.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    cand.join(broadcast(qterms), Seq("token"))
       .join(broadcast(dfreq), Seq("token"))
       .withColumn("contrib",
         log(lit(1.0) + (lit(nDocs) - col("df_t") + 0.5) / (col("df_t") + 0.5)) *

@@ -70,6 +70,18 @@ object VectorIndex {
 
   def centroidsPath(path: String): String = s"${path}_centroids"
 
+  /** Attribute columns riding the index rows (r16): every corpus
+    * column beyond the two the index requires (`vec_id`, `embedding`)
+    * persists WITH the row, so a filtered probe evaluates its
+    * predicate inside the pruned read — no join back to the corpus
+    * table at query time. Denormalizing attrs into the index is the
+    * standard filtered-ANN trade: index bytes grow by the attr widths,
+    * and in exchange "top-k among rows WHERE p" costs exactly the
+    * probed cells' bytes (the attr predicate also rides into the
+    * parquet scan, so row-group stats skip within probed files). */
+  private def attrCols(df: DataFrame): Seq[Column] =
+    df.columns.toSeq.filterNot(c => c == "vec_id" || c == "embedding").map(col)
+
   /** Per-cell cosine residual (1 − cos(v, centroid)) against a literal
     * centroid table — NULL in bucketed mode (cells have no geometry).
     */
@@ -82,7 +94,10 @@ object VectorIndex {
         (Similarity.l2norm(col("embedding")) * Similarity.l2norm(c))
     }
 
-  /** Build (or rebuild) the index for `corpus` (`vec_id`, `embedding`).
+  /** Build (or rebuild) the index for `corpus` (`vec_id`, `embedding`,
+    * plus any ATTRIBUTE columns — persisted with the rows for filtered
+    * probes, see [[attrCols]]; refreshes must then carry the same
+    * attrs, enforced by the warehouse schema gate).
     * Returns the index table's committed version. Commit protocol
     * (r15): centroids commit FIRST, stamped with the PREDICTED index
     * version; the index commits second. A crash in between leaves
@@ -95,16 +110,17 @@ object VectorIndex {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val attrs = attrCols(corpus)
     val (assigned, cents, mode) =
       if (bucketed) {
-        val a = corpus.select(col("vec_id"), col("embedding"),
-          pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"))
+        val a = corpus.select(col("vec_id") +: col("embedding") +: attrs :+
+          pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"): _*)
         (a, Array.fill(nlist)(Array.empty[Double]), BucketedMode)
       } else {
         val cs = Similarity.coarseCentroids(corpus, nlist, fitSample)
         val assign1 = graft.functions.native.centroidProbes(col("embedding"), cs, 1)
-        val a = corpus.select(col("vec_id"), col("embedding"),
-          element_at(assign1, 1).as("cell"))
+        val a = corpus.select(col("vec_id") +: col("embedding") +: attrs :+
+          element_at(assign1, 1).as("cell"): _*)
         (a, cs, KmeansMode)
       }
     // drift-ledger baseline: each cell's corpus count + mean residual
@@ -184,19 +200,23 @@ object VectorIndex {
     // are re-excluded; see [[Warehouse.retryOnConflict]]'s contract
     val appended = Warehouse.retryOnConflict() {
       val existing = Warehouse.readSnapshot(spark, path).select("vec_id")
-      val fresh = corpus.select(col("vec_id"), col("embedding"))
+      // attrs ride the refresh exactly as they rode the build — the
+      // warehouse schema gate refuses an increment whose attr set
+      // drifted from the indexed schema (r16)
+      val attrs = attrCols(corpus)
+      val fresh = corpus.select(col("vec_id") +: col("embedding") +: attrs: _*)
         .join(existing, Seq("vec_id"), "left_anti")
         .localCheckpoint(true) // consumed by the emptiness probe, the append AND the ledger
       if (fresh.isEmpty) None
       else {
         val assigned =
           if (mode == BucketedMode)
-            fresh.select(col("vec_id"), col("embedding"),
-              pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"))
+            fresh.select(col("vec_id") +: col("embedding") +: attrs :+
+              pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"): _*)
           else {
             val assign1 = graft.functions.native.centroidProbes(col("embedding"), cents, 1)
-            fresh.select(col("vec_id"), col("embedding"),
-              element_at(assign1, 1).as("cell"))
+            fresh.select(col("vec_id") +: col("embedding") +: attrs :+
+              element_at(assign1, 1).as("cell"): _*)
           }
         val v = Warehouse.appendSnapshot(
           assigned.repartitionByRange(layoutParts(spark, nlist),
@@ -339,15 +359,19 @@ object VectorIndex {
     * (a legitimate streaming micro-batch) returns empty, it never
     * crashes the loop (r15). `broadcastProbes` passes through to
     * [[ivfTopKIndexed]] — set false for a corpus-sized increment.
+    * `where` (r16) scopes the screen to matching INDEX rows — e.g.
+    * dedup-within-language when `lang` rides the index as an attr —
+    * with [[ivfTopKIndexed]]'s filtered-probe semantics verbatim.
     */
   def nearDupAgainstIndex(increment: DataFrame, path: String,
                           threshold: Double = 0.95,
                           nprobe: Int = 4,
-                          broadcastProbes: Boolean = true): DataFrame = {
+                          broadcastProbes: Boolean = true,
+                          where: Option[Column] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val best = ivfTopKIndexed(increment, path, k = 1, nprobe = nprobe,
-        broadcastProbes = broadcastProbes)
+        broadcastProbes = broadcastProbes, where = where)
       .filter(col("sim") >= threshold)
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("dup_of"),
         col("sim").as("dup_sim"))
@@ -435,9 +459,34 @@ object VectorIndex {
     * planner/AQE pick the join (the probe side is not bounded by
     * construction here, unlike the centroid read — r15, the r14
     * review).
+    *
+    * `where` (r16) is FILTERED vector search: a predicate over the
+    * index's attribute columns (any corpus column beyond
+    * vec_id/embedding persists with the row — see [[attrCols]]),
+    * applied to the pruned read BEFORE the cosine rerank, so "top-k
+    * among rows WHERE p" never joins back to the corpus and never
+    * widens the read beyond the probed cells (the predicate reaches
+    * the parquet scan, so row-group stats skip within them too).
+    * Standard filtered-ANN recall caveat, stated honestly: the probe
+    * set is chosen by the query geometry alone, so a SELECTIVE filter
+    * thins each probed cell's candidates rather than redirecting the
+    * probe — raise `nprobe` under selective filters to recover the
+    * candidate pool (in the limit, nprobe = nlist is an exact filtered
+    * scan of the index). k-NULL semantics: a query whose probed cells
+    * hold NO matching rows simply returns fewer than k rows — never
+    * unfiltered fallback rows.
+    *
+    * `allowed` (r16) is the id-set form of the same filter: a
+    * one-column (`vec_id`) frame semi-joined into the candidates —
+    * for predicates that live OUTSIDE the index (an allow list
+    * computed from another table's stats-pruned scan), where an attr
+    * predicate can't reach. Composes with `where` (both must hold);
+    * same recall caveat and same short-list semantics.
     */
   def ivfTopKIndexed(queries: DataFrame, path: String, k: Int = 10,
-                     nprobe: Int = 4, broadcastProbes: Boolean = true): DataFrame = {
+                     nprobe: Int = 4, broadcastProbes: Boolean = true,
+                     where: Option[Column] = None,
+                     allowed: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = queries.sparkSession
     val (cents, mode, nlist) = readCentroids(spark, path)
@@ -465,8 +514,11 @@ object VectorIndex {
       return spark.emptyDataset[(Long, Long, Long, Double)]
         .toDF("query_id", "rank", "neighbor_id", "sim")
     }
-    val corpusIdx = Warehouse
+    val pruned = Warehouse
       .readSnapshotRuns(spark, path, "cell", cellsHit.toIndexedSeq)
+    val withAttr = where.fold(pruned)(pruned.filter)
+    val corpusIdx = allowed.fold(withAttr)(a =>
+        withAttr.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("cell"))
     val probeSide = if (broadcastProbes) broadcast(probes) else probes
     val scored = probeSide.join(corpusIdx, Seq("cell"))
@@ -477,5 +529,205 @@ object VectorIndex {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  // ---------- persisted PQ codes: the ADC sweep without raw bytes ----------
+
+  /** The txn app id every codes commit stamps (the TextIndex
+    * synced-seq discipline): its epoch records the INDEX version the
+    * codes were derived against — advisory; the binding validity
+    * check is the row-count equality in [[pqTopKIndexedCodes]]. */
+  private val PqApp = "graft-pq-codes"
+
+  def codesPath(path: String): String = s"${path}_codes"
+
+  /** md5-codebook PQ encode of (cell, vec_id, embedding) rows →
+    * (cell, vec_id, code[m], m, kc). The encode is
+    * [[Similarity.pqTopKPortable]]'s argmax-dot rule verbatim (±1
+    * codewords have constant norm, so nearest ≡ argmax of one
+    * sequential dot; sort key `0.0 − dot` pins −0.0; ties on the code
+    * index) — only the CODE INDEX persists, not the decoded vector.
+    * `m`/`kc` ride as constant columns (RLE — ~zero bytes) so probes
+    * and refreshes recover the build parameters from the table itself
+    * instead of trusting the caller to repeat them. */
+  private def encodePqRows(rows: DataFrame, m: Int, kc: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    val cb = Similarity.md5PqCodebooks(m, kc, subDim)
+    val v = col("embedding").cast("array<double>")
+    val code = array((0 until m).map { j =>
+      val sub = slice(v, j * subDim + 1, subDim)
+      val packs = array((0 until kc).map { c =>
+        struct((lit(0.0) - Similarity.dot(sub, typedlit(cb(j)(c).toSeq))).as("ns"),
+          lit(c).as("c"))
+      }: _*)
+      element_at(array_sort(packs), 1).getField("c")
+    }: _*)
+    rows.select(col("cell"), col("vec_id"), code.as("code"),
+      lit(m).as("m"), lit(kc).as("kc"))
+  }
+
+  /** Build (or rebuild) the PQ-codes side table for the index at
+    * `path` (X264, r16): every indexed vector's md5-codebook PQ code,
+    * cell-range-clustered like the index itself. The 100 TB point:
+    * [[ivfTopKIndexed]]'s probe reads the probed cells' RAW embedding
+    * bytes (dim × 4 per row); with codes on disk the ADC sweep reads
+    * m × 4-byte ints per row instead (8 × smaller at the defaults,
+    * before encoding), and raw bytes are touched only for the
+    * per-query SHORTLIST rerank — the standard IVF-PQ-with-refine
+    * architecture, persisted. Codebooks are md5-derived (±1, the X235
+    * portable rule), so there is no fit, no codebook table, and the
+    * whole probe recomposes in ANSI SQL (oracle key q_ann_pq_indexed).
+    */
+  def buildPqCodes(spark: SparkSession, path: String, m: Int = 8,
+                   kc: Int = 16): Long = {
+    val (_, _, nlist) = readCentroids(spark, path) // torn-build check rides
+    val idx = Warehouse.readSnapshot(spark, path)
+      .select("cell", "vec_id", "embedding")
+    val dims = idx.select(size(col("embedding")).as("d")).limit(1).collect()
+    require(dims.nonEmpty, s"buildPqCodes($path): the index is empty")
+    val enc = encodePqRows(idx, m, kc, dims.head.getInt(0))
+      .repartitionByRange(layoutParts(spark, nlist), col("cell"), col("vec_id"))
+    val side = codesPath(path)
+    val cur = Warehouse.currentSnapshot(spark, path)
+    Warehouse.snapshots(spark, side) match {
+      case Seq() => Warehouse.writeSnapshot(enc, side, txn = Some((PqApp, cur)))
+      case vs => Warehouse.commitSnapshot(enc, side, vs.last, txn = Some((PqApp, cur)))
+    }
+  }
+
+  /** Encode ONLY index rows with no code yet and append — the X200
+    * refresh shape at code grain; a replayed call no-ops by the
+    * anti-join. None when the codes already cover the index. The
+    * protocol is APPEND-ONLY self-healing: after `refreshIvfIndex`
+    * grows the index, one call re-covers it; after a DELETE on the
+    * index table the codes hold orphans this refresh cannot remove —
+    * the probe's count check refuses and its message routes to
+    * [[buildPqCodes]] (deletes rewrite history; a rebuild is the
+    * honest price, exactly like the IVF centroids themselves).
+    */
+  def refreshPqCodes(spark: SparkSession, path: String): Option[Long] = {
+    val (_, _, nlist) = readCentroids(spark, path)
+    val side = codesPath(path)
+    require(Warehouse.snapshots(spark, side).nonEmpty,
+      s"refreshPqCodes($path): no codes table — buildPqCodes first")
+    Warehouse.retryOnConflict() {
+      val codes = Warehouse.readSnapshot(spark, side)
+      val p = codes.select("m", "kc").head()
+      val fresh = Warehouse.readSnapshot(spark, path)
+        .select("cell", "vec_id", "embedding")
+        .join(codes.select("vec_id"), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true) // consumed by the emptiness probe AND the append
+      if (fresh.isEmpty) None
+      else {
+        val dim = fresh.select(size(col("embedding")).as("d")).head().getInt(0)
+        Some(Warehouse.appendSnapshot(
+          encodePqRows(fresh, p.getInt(0), p.getInt(1), dim)
+            .repartitionByRange(layoutParts(spark, nlist),
+              col("cell"), col("vec_id")),
+          side, Warehouse.currentSnapshot(spark, side),
+          txn = Some((PqApp, Warehouse.currentSnapshot(spark, path)))))
+      }
+    }
+  }
+
+  /** IVF-PQ probe THROUGH the persisted codes (X264):
+    * [[Similarity.pqTopKPortable]]'s plan shape with the encode pass
+    * replaced by the stored codes — per query the probed cells, a
+    * PRUNED read of those cells' CODE rows (m ints per row, never raw
+    * embedding bytes), the ADC sweep as one sequential dot with the
+    * PQ-decoded vector, shortlist by (adc, id), then an exact-cosine
+    * rerank that reads RAW rows only for the shortlisted ids (the
+    * probed cells' files, vec_id residual — row-group stats skip
+    * within them since files are (cell, vec_id)-sorted). Returns
+    * (query_id, rank, neighbor_id, sim, adc) — score-for-score the
+    * portable twin.
+    *
+    * Validity gate, zero data I/O: manifest row counts of codes and
+    * index must MATCH — a stale codes table (index grew: run
+    * [[refreshPqCodes]]; index saw deletes: run [[buildPqCodes]])
+    * refuses loudly instead of silently dropping the uncovered rows
+    * from every answer.
+    */
+  def pqTopKIndexedCodes(queries: DataFrame, path: String, k: Int = 10,
+                         nprobe: Int = 4, shortlist: Int = 50,
+                         broadcastProbes: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = queries.sparkSession
+    val (cents, mode, nlist) = readCentroids(spark, path)
+    val side = codesPath(path)
+    require(Warehouse.snapshots(spark, side).nonEmpty,
+      s"pqTopKIndexedCodes($path): no codes table — buildPqCodes first")
+    val (rcIdx, rcCodes) = (Warehouse.snapshotRowCount(spark, path),
+      Warehouse.snapshotRowCount(spark, side))
+    require(rcIdx.isDefined && rcCodes.isDefined && rcIdx == rcCodes,
+      s"pqTopKIndexedCodes($path): codes cover ${rcCodes.getOrElse(-1L)} rows " +
+        s"but the index holds ${rcIdx.getOrElse(-1L)} — refreshPqCodes after " +
+        "index growth, buildPqCodes after deletes")
+    import spark.implicits._
+    def emptyResult = spark.emptyDataset[(Long, Long, Long, Double, Double)]
+      .toDF("query_id", "rank", "neighbor_id", "sim", "adc")
+    val qdims = queries.select(size(col("embedding")).as("d")).limit(1).collect()
+    if (qdims.isEmpty) return emptyResult
+    val dim = qdims.head.getInt(0)
+    val pRow = Warehouse.readSnapshot(spark, side).select("m", "kc").head()
+    val (m, kc) = (pRow.getInt(0), pRow.getInt(1))
+    require(dim % m == 0,
+      s"pqTopKIndexedCodes($path): query dim $dim does not split into the " +
+        s"codes' m=$m subspaces — wrong index for these queries")
+    val subDim = dim / m
+    val cb = Similarity.md5PqCodebooks(m, kc, subDim)
+    val probes =
+      if (mode == BucketedMode)
+        queries.select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("qv"),
+            Similarity.l2norm(col("embedding")).as("qn"),
+            explode(sequence(lit(0), lit(math.min(nprobe, nlist) - 1))).as("i"))
+          .select(col("query_id"), col("qv"), col("qn"),
+            pmod(col("query_id") + col("i"), lit(nlist)).cast("int").as("cell"))
+      else
+        queries.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"),
+          Similarity.l2norm(col("embedding")).as("qn"),
+          explode(graft.functions.native.centroidProbes(col("embedding"), cents,
+            math.min(nprobe, nlist))).as("cell"))
+    val cellsHit = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (cellsHit.isEmpty) return emptyResult
+    // PQ-decode from the STORED code: chosen codewords looked up from
+    // the literal codebooks, concatenated — Σⱼ qⱼ·c_codeⱼ then
+    // evaluates as pqTopKPortable's ONE sequential dot (pinned order)
+    val dec = concat((0 until m).map { j =>
+      element_at(typedlit(cb(j).map(_.toSeq).toSeq),
+        element_at(col("code"), j + 1) + 1)
+    }: _*)
+    val codesRead = Warehouse.readSnapshotRuns(spark, side, "cell", cellsHit.toIndexedSeq)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), dec.as("dec"))
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val wS = Window.partitionBy("query_id").orderBy(desc("adc"), asc("neighbor_id"))
+    val short = probeSide.join(codesRead, Seq("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("neighbor_id"),
+        Similarity.dot(col("qv"), col("dec")).as("adc"))
+      .withColumn("__srn", row_number().over(wS))
+      .filter(col("__srn") <= shortlist)
+      .localCheckpoint(true) // consumed by the id collect AND the rerank join
+    // the rerank's raw read: probed cells' files, restricted to the
+    // shortlisted ids — bounded by queries × shortlist by construction
+    // (the same driver-scalar budget as the probe plan itself)
+    val ids = short.select("neighbor_id").distinct().collect().map(_.getLong(0))
+    if (ids.isEmpty) return emptyResult
+    val raw = Warehouse.readSnapshotRuns(spark, path, "cell", cellsHit.toIndexedSeq)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    short.join(raw, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        (Similarity.dot(col("qv"), col("cv"))
+          / (col("qn") * Similarity.l2norm(col("cv")))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim", "adc")
   }
 }

@@ -139,4 +139,44 @@ class PostingIndexSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("buildPostingIndex"))
   }
+
+  test("streaming sink: batches refresh, replay no-ops, streamed screen == inline over the streamed corpus (r16)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = sfDocs.localCheckpoint(true)
+    val root = freshRoot("pidx_stream")
+    val ck = java.nio.file.Files.createTempDirectory("graft_pidx_ck").toString
+    PostingIndex.buildPostingIndex(docs.filter($"doc_id" < 20), root)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val src = mem.toDF().withColumnRenamed("value", "doc_id").join(docs, Seq("doc_id"))
+    def drain(tag: String): Unit = {
+      val q = PostingIndex.postingIndexSink(src, root, s"$ck/$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mem.addData(20L to 40L: _*)
+    drain("ck")
+    val grown = Warehouse.readSnapshot(spark, root).select("doc_id").distinct().count()
+    drain("ck_replay")
+    assert(Warehouse.readSnapshot(spark, root).select("doc_id").distinct().count() === grown,
+      "replayed docs must not index twice")
+    // a probe against the streamed index equals the inline cross-pair
+    // screen over the streamed-in corpus
+    val streamed = docs.filter($"doc_id" < 41)
+    val probe = docs.filter($"doc_id" >= 100 && $"doc_id" < 110)
+      .localCheckpoint(true)
+    val probeIds = probe.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Dedup.ngramContainmentPairs(
+      streamed.unionByName(probe), n = 3, threshold = 0.4)
+      .collect().flatMap { r =>
+        val (a, b, cab, cba) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+        if (a < 41 && probeIds(b)) Some((a, b, cab, cba))
+        else if (b < 41 && probeIds(a)) Some((b, a, cba, cab))
+        else None
+      }.toSet
+    assert(screenRows(PostingIndex.containmentAgainstIndex(probe, root,
+        threshold = 0.4)) === want,
+      "streamed index must screen exactly like the inline op")
+  }
 }

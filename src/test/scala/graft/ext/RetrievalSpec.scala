@@ -103,6 +103,48 @@ class RetrievalSpec extends SparkSpec {
       "the serving path must answer from the probed files alone")
   }
 
+  test("filtered fusion (X263): allow set lands before BOTH rank cuts, stats stay global, no fallback rows") {
+    val (troot, vroot) = builtIndexes()
+    val docs = graft.Tables.documents(spark, dir)
+    val e = graft.Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id").isin(qids: _*))
+    val allow = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id")
+    val fused = Retrieval.retrieveFused(spark, troot, vroot, queries, qv,
+      k = 10, depth = 20, nprobe = 4, allowedDocs = Some(allow))
+    // hand-composed target: each retriever filtered INDIVIDUALLY
+    // before its cut, then fused — the pre-cut placement is the claim
+    val lex = TextIndex.bm25TopKIndexed(spark, troot, queries, k = 20,
+        allowed = Some(allow))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = VectorIndex.ivfTopKIndexed(qv, vroot, k = 20, nprobe = 4,
+        allowed = Some(allow.select(col("doc_id").as("vec_id"))))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    assert(rows(fused) === rows(Similarity.rrfFuse(Seq(lex, sem), k = 10)))
+    assert(fused.filter(pmod(col("doc_id"), lit(2)) =!= 0).isEmpty,
+      "no fused row may carry a disallowed doc")
+    // pre-cut, not post-cut: filtering the UNFILTERED retrievers'
+    // top-20 lists after the fact must disagree somewhere (allowed
+    // docs below the unfiltered cut re-enter under the filter)
+    val lexPost = TextIndex.bm25TopKIndexed(spark, troot, queries, k = 20)
+      .join(allow, Seq("doc_id"), "left_semi")
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val semPost = VectorIndex.ivfTopKIndexed(qv, vroot, k = 20, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      .join(allow, Seq("doc_id"), "left_semi")
+    assert(rows(fused) !== rows(Similarity.rrfFuse(Seq(lexPost, semPost), k = 10)),
+      "post-cut filtering must not coincide — otherwise this spec pins nothing")
+    // lexical scores are the GLOBAL-stats scores: the allowed docs'
+    // bm25 values equal the unfiltered ranking's for the same docs
+    val gotScores = TextIndex.bm25TopKIndexed(spark, troot, queries, k = 20,
+        allowed = Some(allow))
+      .select("query_id", "doc_id", "bm25")
+    val wantScores = TextIndex.bm25TopKIndexed(spark, troot, queries, k = 1000)
+      .join(allow, Seq("doc_id"), "left_semi")
+      .select("query_id", "doc_id", "bm25")
+    assert(gotScores.exceptAll(wantScores).isEmpty,
+      "a filter must never change a doc's score — stats stay global")
+  }
+
   test("term-only query fuses from the lexical list alone; depth < k refuses") {
     val (troot, vroot) = builtIndexes()
     val e = graft.Tables.embeddings(spark, dir)

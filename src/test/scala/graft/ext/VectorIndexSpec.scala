@@ -84,6 +84,113 @@ class VectorIndexSpec extends SparkSpec {
       "the probe must answer from the probed files alone")
   }
 
+  test("filtered probe (X261): attrs ride build+refresh, rank counts matching rows only, no unfiltered fallback, attr drift refuses") {
+    val root = freshRoot("vidx_flt")
+    def withLang(ids: Range) = vecs(ids).withColumn("lang",
+      when(pmod(col("vec_id"), lit(2)) === 0, "en").otherwise("de"))
+    VectorIndex.buildIvfIndex(withLang(10 until 150), root, nlist = 16, bucketed = true)
+    // attrs survive the refresh path too (same attr set, schema-gated)
+    assert(VectorIndex.refreshIvfIndex(withLang(10 until 180), root).nonEmpty)
+    val queries = vecs(0 until 10)
+    val got = VectorIndex.ivfTopKIndexed(queries, root, k = 10, nprobe = 4,
+      where = Some(col("lang") === "en"))
+    // filtering never changes cell assignment (cell = vec_id mod nlist),
+    // so the inline twin over the matching SUBSET is the exact oracle
+    val want = Similarity.ivfTopKBucketed(queries,
+      withLang(10 until 180).filter(col("lang") === "en")
+        .select("vec_id", "embedding"),
+      k = 10, nlist = 16, nprobe = 4)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "filtered probe must equal filter-then-rank over the probed cells")
+    assert(got.filter(pmod(col("neighbor_id"), lit(2)) =!= 0).isEmpty,
+      "every returned neighbor must satisfy the predicate")
+    // a predicate nothing matches returns EMPTY — shorter-than-k lists,
+    // never silent unfiltered fallback rows
+    assert(VectorIndex.ivfTopKIndexed(queries, root, k = 5, nprobe = 4,
+      where = Some(col("lang") === "fr")).isEmpty)
+    // refresh whose attr set drifted from the indexed schema refuses
+    val e = intercept[Exception] {
+      VectorIndex.refreshIvfIndex(vecs(200 until 210), root)
+    }
+    assert(e.getMessage.contains("schema"),
+      s"attr drift must hit the schema gate, got: ${e.getMessage}")
+  }
+
+  test("persisted PQ codes (X264): indexed ADC probe == pqTopKPortable; stale codes refuse; refresh re-covers") {
+    val root = freshRoot("vidx_pq")
+    val corpus = vecs(10 until 150)
+    val queries = vecs(0 until 10)
+    VectorIndex.buildIvfIndex(corpus, root, nlist = 16, bucketed = true)
+    VectorIndex.buildPqCodes(spark, root, m = 4, kc = 8)
+    def probe() = VectorIndex.pqTopKIndexedCodes(queries, root, k = 10,
+      nprobe = 4, shortlist = 30)
+    val want = Similarity.pqTopKPortable(queries, corpus, k = 10,
+      nlist = 16, nprobe = 4, m = 4, codes = 8, dim = 8, shortlist = 30)
+    val got = probe()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the persisted ADC probe must be score-for-score the portable twin")
+    // codes refresh is a no-op on a covered index
+    assert(VectorIndex.refreshPqCodes(spark, root).isEmpty)
+    // index grows -> the count gate refuses until the codes re-cover
+    assert(VectorIndex.refreshIvfIndex(vecs(10 until 170), root).nonEmpty)
+    val e = intercept[IllegalArgumentException] { probe() }
+    assert(e.getMessage.contains("refreshPqCodes"), e.getMessage)
+    assert(VectorIndex.refreshPqCodes(spark, root).nonEmpty)
+    val grownWant = Similarity.pqTopKPortable(queries, vecs(10 until 170), k = 10,
+      nlist = 16, nprobe = 4, m = 4, codes = 8, dim = 8, shortlist = 30)
+    val grownGot = probe()
+    assert(grownGot.exceptAll(grownWant).isEmpty && grownWant.exceptAll(grownGot).isEmpty,
+      "after refresh the probe must cover the grown corpus exactly")
+    // empty query batch -> empty result, right schema
+    val empty = VectorIndex.pqTopKIndexedCodes(
+      vecs(0 until 0), root, k = 5, nprobe = 2, shortlist = 10)
+    assert(empty.isEmpty && empty.columns.toSeq ===
+      Seq("query_id", "rank", "neighbor_id", "sim", "adc"))
+    // unbuilt codes refuse loudly
+    val root2 = freshRoot("vidx_pq_none")
+    VectorIndex.buildIvfIndex(corpus, root2, nlist = 8, bucketed = true)
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.pqTopKIndexedCodes(queries, root2, k = 5)
+    }
+    assert(e2.getMessage.contains("buildPqCodes"))
+  }
+
+  test("PQ probe reads only probed cells across codes AND raw tables (poison pin); kmeans mode serves") {
+    val root = freshRoot("vidx_pq_pin")
+    val corpus = vecs(10 until 300)
+    VectorIndex.buildIvfIndex(corpus, root, nlist = 8, bucketed = true)
+    VectorIndex.buildPqCodes(spark, root, m = 4, kc = 8)
+    val q = vecs(0 until 1)
+    def probe() = VectorIndex.pqTopKIndexedCodes(q, root, k = 5,
+      nprobe = 2, shortlist = 20)
+    val expected = probe().collect().toSeq
+    val allFiles = Warehouse.readSnapshot(spark, root).inputFiles.toSet ++
+      Warehouse.readSnapshot(spark, VectorIndex.codesPath(root)).inputFiles.toSet
+    // the final plan's lineage stops at the shortlist checkpoint, so
+    // the codes read's files are recovered from the same pruned-runs
+    // plan the probe builds (query 0, nprobe 2 -> cells {0, 1})
+    val codesProbed = Warehouse.readSnapshotRuns(
+      spark, VectorIndex.codesPath(root), "cell", IndexedSeq(0, 1)).inputFiles.toSet
+    val opened = (probe().inputFiles.toSet ++ codesProbed).intersect(allFiles)
+    assert(opened.size < allFiles.size,
+      s"the PQ probe must skip non-probed cells' files in BOTH tables: " +
+        s"${opened.size}/${allFiles.size}")
+    (allFiles -- opened).foreach { f =>
+      val o = new java.io.FileOutputStream(new java.io.File(new java.net.URI(f)))
+      o.write("not parquet".getBytes); o.close()
+    }
+    assert(probe().collect().toSeq === expected,
+      "the PQ probe must answer from the probed files alone")
+    // kmeans production mode serves through the same path
+    val kroot = freshRoot("vidx_pq_km")
+    VectorIndex.buildIvfIndex(vecs(10 until 100), kroot, nlist = 8)
+    VectorIndex.buildPqCodes(spark, kroot, m = 4, kc = 8)
+    val km = VectorIndex.pqTopKIndexedCodes(vecs(0 until 3), kroot, k = 5,
+      nprobe = 3, shortlist = 20).collect()
+    assert(km.nonEmpty && km.map(_.getLong(0)).toSet === Set(0L, 1L, 2L),
+      "kmeans-mode PQ probe must answer every query")
+  }
+
   test("near-dup screen against the index: clones flag, novel rows pass, corpus never rescans (X249)") {
     val root = freshRoot("vidx_nd")
     val corpus = vecs(10 until 100)
