@@ -119,7 +119,11 @@ object Bench {
       // r16: the indexed serving loop builds BOTH persisted indexes in
       // its timed region (the indexed-key precedent); the steady-state
       // probe floor is on RetrievalFloorProbe's record
-      "q_rrf_indexed")
+      "q_rrf_indexed",
+      // r16 second batch: all three build persisted structures in
+      // their timed regions (q_rrf_filtered two indexes, q_ann_filtered
+      // an attr-carrying index, q_ann_pq_indexed an index + its codes)
+      "q_rrf_filtered", "q_ann_filtered", "q_ann_pq_indexed", "q_rrf_pq")
       .filter(SparkEntry.queries.contains)
     // Stage the cross-key shared tables OUTSIDE the timed region: the
     // packed-documents stage table feeds both q_pack_sequences and

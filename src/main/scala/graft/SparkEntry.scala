@@ -1617,6 +1617,27 @@ object SparkEntry {
         e.filter(col("vec_id").isin(qids: _*)), k = 10, depth = 20, nprobe = 4,
         allowedDocs = Some(allow))
     }),
+    "q_rrf_pq" -> ((s, dir) => {
+      // X264 in the serving loop: the hybrid ranking with the semantic
+      // retriever answered from the persisted PQ CODES (ADC sweep over
+      // m ints per row, raw bytes only for the shortlist rerank) —
+      // the serving configuration for probed cells too big to read
+      // raw per batch. The whole path stays ANSI-recomposable: lex
+      // chain + md5-PQ chain + RRF fold.
+      val docs = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      val qids = Bm25Queries.map(_._1.toLong)
+      val troot = java.nio.file.Files.createTempDirectory("graft_qrfp").toString + "/t"
+      val vroot = java.nio.file.Files.createTempDirectory("graft_qrfq").toString + "/v"
+      ext.TextIndex.buildTextIndex(docs, troot)
+      ext.VectorIndex.buildIvfIndex(
+        e.filter(!col("vec_id").isin(qids: _*)).select("vec_id", "embedding"),
+        vroot, nlist = 16, bucketed = true)
+      ext.VectorIndex.buildPqCodes(s, vroot, m = 8, kc = 16)
+      ext.Retrieval.retrieveFused(s, troot, vroot, Bm25Queries,
+        e.filter(col("vec_id").isin(qids: _*)).select("vec_id", "embedding"),
+        k = 10, depth = 20, nprobe = 4, pqShortlist = Some(50))
+    }),
     "q_temperature_mix" -> ((s, dir) =>
       ext.TextAnalysis.temperatureMixture(Tables.documents(s, dir), alpha = 0.7)),
     "q_source_kl" -> ((s, dir) =>
@@ -4486,6 +4507,86 @@ seg0 AS (SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS sym FROM
         |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |                                           ORDER BY sim DESC, doc_id) AS rank
         |              FROM sem0)
+        |        WHERE rank <= 20),
+        |u AS (SELECT query_id, doc_id, rank FROM lex
+        |      UNION ALL SELECT query_id, doc_id, rank FROM sem),
+        |f AS (SELECT query_id, doc_id,
+        |             round(sum(1.0 / (60 + rank)), 9) AS rrf,
+        |             count(*) AS n_lists
+        |      FROM u GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, rrf, n_lists
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY rrf DESC, doc_id) AS rank
+        |      FROM f)
+        |WHERE rank <= 10""".stripMargin,
+    // X264 in the serving loop: q_rrf_indexed's lex chain + the
+    // q_ann_pq_md5 encode/decode/ADC/shortlist/rerank chain over the
+    // non-query corpus + the RRF fold — the PQ-backed hybrid path
+    // recomposes end-to-end
+    "q_rrf_pq" ->
+      """WITH q AS (SELECT * FROM (VALUES (1,'hash'),(1,'join'),(2,'window'),
+        |                                 (2,'agg'),(2,'scan'),(3,'vector'),
+        |                                 (3,'merge')) AS t(query_id, token)),
+        |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |toks AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, any_value(dl) AS dl, count(*)::DOUBLE AS tf
+        |       FROM toks WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+        |st AS (SELECT count(*)::DOUBLE AS n_docs,
+        |              avg(len(string_split(lower(text), ' ')))::DOUBLE AS avg_dl
+        |       FROM documents),
+        |dfreq AS (SELECT token, count(*)::DOUBLE AS df_t FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))), 6)
+        |           AS bm25
+        |       FROM tf JOIN q USING (token) JOIN dfreq USING (token), st
+        |       GROUP BY 1, 2),
+        |lex AS (SELECT query_id::BIGINT AS query_id, doc_id, rank
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY bm25 DESC, doc_id) AS rank
+        |              FROM sc)
+        |        WHERE rank <= 20),
+        |cw AS (
+        |  SELECT j.j, cs.c,
+        |         list(CASE WHEN ('0x' || substr(md5('pq:' || j.j || ':' || cs.c || ':' || sub.i), 1, 1))::INT % 2 = 0
+        |                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY sub.i) AS w
+        |  FROM (SELECT unnest(range(8)) AS j) j,
+        |       (SELECT unnest(range(16)) AS c) cs,
+        |       (SELECT unnest(range(8)) AS i) sub
+        |  GROUP BY j.j, cs.c),
+        |n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+        |      FROM embeddings),
+        |enc AS (
+        |  SELECT vec_id, j, w FROM (
+        |    SELECT n.vec_id, cw.j, cw.w,
+        |           row_number() OVER (PARTITION BY n.vec_id, cw.j
+        |             ORDER BY (CAST(0 AS DOUBLE)
+        |               - list_dot_product(list_transform(range(8), x -> n.v[cw.j*8 + x + 1]), cw.w)),
+        |               cw.c) AS rn
+        |    FROM n, cw WHERE n.vec_id NOT IN (1, 2, 3)) t WHERE rn = 1),
+        |dec AS (
+        |  SELECT vec_id, flatten(list(w ORDER BY j)) AS dec FROM enc GROUP BY vec_id),
+        |cand AS (
+        |  SELECT qe.vec_id AS query_id, qe.v AS qv, qe.nm AS qn,
+        |         c.vec_id AS neighbor_id, c.v AS cv, c.nm AS cn,
+        |         list_dot_product(qe.v, d.dec) AS adc
+        |  FROM n qe, (SELECT unnest(range(4)) AS i) pi,
+        |       n c JOIN dec d ON d.vec_id = c.vec_id
+        |  WHERE qe.vec_id IN (1, 2, 3) AND c.vec_id NOT IN (1, 2, 3)
+        |    AND (c.vec_id % 16) = ((qe.vec_id + pi.i) % 16)),
+        |shortpq AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc DESC, neighbor_id) AS srn
+        |  FROM cand),
+        |rrk AS (
+        |  SELECT query_id, neighbor_id AS doc_id,
+        |         list_dot_product(qv, cv) / (qn * cn) AS sim
+        |  FROM shortpq WHERE srn <= 50),
+        |sem AS (SELECT query_id, doc_id, rank
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                           ORDER BY sim DESC, doc_id) AS rank
+        |              FROM rrk)
         |        WHERE rank <= 20),
         |u AS (SELECT query_id, doc_id, rank FROM lex
         |      UNION ALL SELECT query_id, doc_id, rank FROM sem),

@@ -65,22 +65,44 @@ object Retrieval {
     * geometric on the vector side — the filter restricts candidates,
     * never redefines the corpus; under a SELECTIVE filter raise
     * `depth`/`nprobe` for recall, the per-retriever caveats verbatim.
+    *
+    * `pqShortlist` (r16) switches the semantic retriever to the
+    * persisted PQ codes ([[VectorIndex.pqTopKIndexedCodes]] at that
+    * shortlist): the ADC sweep reads m ints per indexed row instead
+    * of raw embedding bytes, and raw rows are touched only for the
+    * shortlist rerank — the serving configuration for a corpus whose
+    * probed cells are themselves too big to read raw per query batch.
+    * Requires [[VectorIndex.buildPqCodes]] on the vector index; the
+    * PQ path has no attr/allow filter, so it composes with
+    * `allowedDocs` on the LEXICAL side only — passing both refuses
+    * rather than fusing two differently-filtered lists.
     */
   def retrieveFused(spark: SparkSession,
                     textIdxPath: String, vecIdxPath: String,
                     queries: Seq[(Int, Seq[String])], queryVecs: DataFrame,
                     k: Int, depth: Int = 20, nprobe: Int = 4,
                     c: Int = 60,
-                    allowedDocs: Option[DataFrame] = None): DataFrame = {
+                    allowedDocs: Option[DataFrame] = None,
+                    pqShortlist: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(depth >= k, s"depth $depth must be >= k $k — fusing lists " +
       "shorter than the requested cut would silently shrink the candidate pool")
+    require(pqShortlist.isEmpty || allowedDocs.isEmpty,
+      "pqShortlist and allowedDocs don't compose: the PQ probe cannot apply " +
+        "the allow set, and fusing a filtered lexical list with an unfiltered " +
+        "semantic one would silently re-admit disallowed docs")
     val lex = TextIndex.bm25TopKIndexed(spark, textIdxPath, queries, depth,
         allowed = allowedDocs)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val sem = VectorIndex.ivfTopKIndexed(queryVecs, vecIdxPath, depth, nprobe,
-        allowed = allowedDocs.map(_.select(col("doc_id").as("vec_id"))))
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val sem = pqShortlist match {
+      case Some(sl) =>
+        VectorIndex.pqTopKIndexedCodes(queryVecs, vecIdxPath, depth, nprobe, sl)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      case None =>
+        VectorIndex.ivfTopKIndexed(queryVecs, vecIdxPath, depth, nprobe,
+            allowed = allowedDocs.map(_.select(col("doc_id").as("vec_id"))))
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    }
     Similarity.rrfFuse(Seq(lex, sem), k, c)
   }
 }

@@ -145,6 +145,29 @@ class RetrievalSpec extends SparkSpec {
       "a filter must never change a doc's score — stats stay global")
   }
 
+  test("PQ-backed fusion (X265): pq-fused == rrfFuse over the two persisted retrievers; pq+allow refuses") {
+    val (troot, vroot) = builtIndexes()
+    VectorIndex.buildPqCodes(spark, vroot, m = 8, kc = 16)
+    val e = graft.Tables.embeddings(spark, dir)
+    val qv = e.filter(col("vec_id").isin(qids: _*)).select("vec_id", "embedding")
+    val fused = Retrieval.retrieveFused(spark, troot, vroot, queries, qv,
+      k = 10, depth = 20, nprobe = 4, pqShortlist = Some(50))
+    val lex = TextIndex.bm25TopKIndexed(spark, troot, queries, k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = VectorIndex.pqTopKIndexedCodes(qv, vroot, k = 20, nprobe = 4,
+        shortlist = 50)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    assert(rows(fused) === rows(Similarity.rrfFuse(Seq(lex, sem), k = 10)))
+    // the two filters don't compose — refusal, not silent re-admission
+    val docs = graft.Tables.documents(spark, dir)
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.retrieveFused(spark, troot, vroot, queries, qv, k = 10,
+        pqShortlist = Some(50),
+        allowedDocs = Some(docs.select("doc_id")))
+    }
+    assert(err.getMessage.contains("compose"))
+  }
+
   test("term-only query fuses from the lexical list alone; depth < k refuses") {
     val (troot, vroot) = builtIndexes()
     val e = graft.Tables.embeddings(spark, dir)
