@@ -117,4 +117,58 @@ object IndexHealth {
     BucketIndexAdvice(fractionHit || hotHit, Some(probeFraction), Some(hotShare),
       total, known.size, reason)
   }
+
+  /** What [[auditIndexCoverage]] found. `missing` = corpus ids with no
+    * index row (every answer silently excludes them until a refresh
+    * runs); `orphaned` = index ids no longer in the corpus (they decay
+    * screens/probes with dead candidates; a delete on the corpus
+    * without an index rebuild is the usual cause). Sample ids are
+    * capped, for the log line — counts are exact.
+    */
+  case class CoverageAudit(
+      corpusIds: Long,
+      indexIds: Long,
+      missing: Long,
+      orphaned: Long,
+      missingSample: Seq[Long],
+      orphanedSample: Seq[Long]) {
+    def consistent: Boolean = missing == 0 && orphaned == 0
+  }
+
+  /** CORPUS ↔ INDEX coverage audit (r16): the invariant every
+    * persisted index's refresh discipline maintains — index ids ≡
+    * corpus ids — CHECKED, for the deployments where the discipline
+    * can be bypassed (a corpus table written by another job, a
+    * restored backup, a delete that skipped the index). Two id-grain
+    * anti-joins over column-pruned scans: the only columns read are
+    * the two id columns, so at 100 TB the audit costs two id-column
+    * scans + one shuffle at id grain, never a byte of text/embedding
+    * data. The per-index wrappers hand this the right id column;
+    * presence sentinels (NULL-token/hash rows) make EVERY doc visible
+    * to the index side, so a sentinel-bearing index audits clean.
+    *
+    * This is a DIAGNOSTIC, deliberately not auto-repair: `missing`
+    * routes to the index's refresh (anti-join semantics make it
+    * exactly the repair), `orphaned` to a rebuild — the same
+    * owner-schedules split as every advice API here.
+    */
+  def auditIndexCoverage(corpusIds: org.apache.spark.sql.DataFrame,
+                         indexPath: String, indexIdCol: String,
+                         sampleK: Int = 10): CoverageAudit = {
+    val spark = corpusIds.sparkSession
+    require(corpusIds.columns.length == 1,
+      s"auditIndexCoverage: pass ONE id column, got ${corpusIds.columns.toSeq}")
+    val cid = corpusIds.columns.head
+    val corpus = corpusIds.select(org.apache.spark.sql.functions.col(cid)
+      .cast("long").as("id")).distinct().localCheckpoint(true)
+    val idx = Warehouse.readSnapshot(spark, indexPath)
+      .select(org.apache.spark.sql.functions.col(indexIdCol).as("id"))
+      .distinct().localCheckpoint(true)
+    val missing = corpus.join(idx, Seq("id"), "left_anti").localCheckpoint(true)
+    val orphaned = idx.join(corpus, Seq("id"), "left_anti").localCheckpoint(true)
+    CoverageAudit(
+      corpus.count(), idx.count(), missing.count(), orphaned.count(),
+      missing.limit(sampleK).collect().map(_.getLong(0)).toSeq,
+      orphaned.limit(sampleK).collect().map(_.getLong(0)).toSeq)
+  }
 }

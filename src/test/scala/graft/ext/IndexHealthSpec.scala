@@ -83,4 +83,36 @@ class IndexHealthSpec extends SparkSpec {
     val pa = PostingIndex.postingIndexAdvice(spark, proot, minBytes = 1)
     assert(!pa.rebuildAdvised, pa.toString)
   }
+
+  test("coverage audit (r16): clean round-trip, planted gap routes to refresh, planted orphan routes to rebuild") {
+    val root = freshRoot("ih_cov")
+    val docs = (1 to 60).map(i =>
+      (i.toLong, if (i == 7) null.asInstanceOf[String] else s"alpha$i beta$i gamma$i"))
+      .toDF("doc_id", "text")
+    TextIndex.buildTextIndex(docs, root)
+    // clean: sentinels make the NULL-text doc visible, audit is green
+    val clean = IndexHealth.auditIndexCoverage(docs.select("doc_id"), root, "doc_id")
+    assert(clean.consistent && clean.corpusIds === 60L && clean.indexIds === 60L,
+      clean.toString)
+    // corpus grew without a refresh -> MISSING, with the gap ids named
+    val grown = docs.unionByName(Seq((61L, "delta x"), (62L, "delta y"))
+      .toDF("doc_id", "text"))
+    val gap = IndexHealth.auditIndexCoverage(grown.select("doc_id"), root, "doc_id")
+    assert(!gap.consistent && gap.missing === 2L && gap.orphaned === 0L)
+    assert(gap.missingSample.toSet === Set(61L, 62L))
+    // the named repair IS the refresh: after it, the audit is green
+    TextIndex.refreshTextIndex(grown, root)
+    assert(IndexHealth.auditIndexCoverage(grown.select("doc_id"), root, "doc_id")
+      .consistent)
+    // corpus shrank (a delete that bypassed the index) -> ORPHANED
+    val shrunk = grown.filter($"doc_id" =!= 30L)
+    val orphan = IndexHealth.auditIndexCoverage(shrunk.select("doc_id"), root, "doc_id")
+    assert(!orphan.consistent && orphan.orphaned === 1L && orphan.missing === 0L)
+    assert(orphan.orphanedSample === Seq(30L))
+    // one id column enforced
+    val e = intercept[IllegalArgumentException] {
+      IndexHealth.auditIndexCoverage(grown, root, "doc_id")
+    }
+    assert(e.getMessage.contains("ONE id column"))
+  }
 }
