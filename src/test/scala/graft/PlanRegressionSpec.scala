@@ -557,6 +557,23 @@ class PlanRegressionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(1500))
+    // r16 filtered probe: the attr predicate must REACH the parquet
+    // scan (row-group skipping inside probed cells), not evaluate
+    // post-scan only — the X261 claim at the plan level
+    val aroot = java.nio.file.Files.createTempDirectory("graft_vidx_aplan").toString + "/t"
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    val attrCorpus = corpus.withColumn("lang",
+      when(pmod(col("vec_id"), lit(2)) === 0, "en").otherwise("de"))
+    graft.ext.VectorIndex.buildIvfIndex(attrCorpus, aroot, nlist = 8, bucketed = true)
+    val fp = graft.ext.VectorIndex.ivfTopKIndexed(queries, aroot, k = 5, nprobe = 3,
+        where = Some(col("lang") === "en"))
+      .queryExecution.executedPlan.toString
+    // the PushedFilters list is printer-truncated, so assert on the
+    // scan line's (un-truncated) DataFilters carrying the attr
+    // predicate — the filter reached the FileScan either way
+    assert(fp.linesIterator.exists(l => l.contains("FileScan") &&
+        l.contains("DataFilters") && l.replaceAll("#\\d+", "").contains("(lang = en)")),
+      fp.take(2000))
   }
 
   test("joinAdvice: surfaces (never applies) a salt recommendation on a hot probe key (r14)") {
