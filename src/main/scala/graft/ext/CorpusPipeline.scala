@@ -310,7 +310,13 @@ object CorpusPipeline {
     require(graft.store.Warehouse.snapshots(spark,
         VectorIndex.centroidsPath(vectorIdxPath)).nonEmpty,
       s"frontDoorSink: no vector index at $vectorIdxPath — buildIvfIndex first")
-    val appId = s"graft-front-door-${math.abs(corpusPath.hashCode)}"
+    // keyed on the CHECKPOINT, not the corpus table (r16 review): two
+    // distinct streams feeding one corpus are two exactly-once
+    // domains — a shared table-derived appId would make each stream's
+    // epoch gate skip the other's batches, silently dropping admitted
+    // docs; the checkpoint path IS the stream's identity (hex, so
+    // Int.MinValue can't yield a negative id)
+    val appId = s"graft-front-door-${java.lang.Integer.toHexString(checkpoint.hashCode)}"
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>

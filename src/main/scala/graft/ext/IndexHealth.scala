@@ -131,8 +131,9 @@ object IndexHealth {
       missing: Long,
       orphaned: Long,
       missingSample: Seq[Long],
-      orphanedSample: Seq[Long]) {
-    def consistent: Boolean = missing == 0 && orphaned == 0
+      orphanedSample: Seq[Long],
+      nullCorpusIds: Long = 0L) {
+    def consistent: Boolean = missing == 0 && orphaned == 0 && nullCorpusIds == 0
   }
 
   /** CORPUS ↔ INDEX coverage audit (r16): the invariant every
@@ -159,16 +160,22 @@ object IndexHealth {
     require(corpusIds.columns.length == 1,
       s"auditIndexCoverage: pass ONE id column, got ${corpusIds.columns.toSeq}")
     val cid = corpusIds.columns.head
-    val corpus = corpusIds.select(org.apache.spark.sql.functions.col(cid)
-      .cast("long").as("id")).distinct().localCheckpoint(true)
+    // dirty input is THE audit's use case (r16 review): a NULL id (or
+    // a value whose long cast nulls out) must surface as its own
+    // finding, not poison the anti-joins or NPE the sample collect
+    val cast = corpusIds.select(org.apache.spark.sql.functions.col(cid)
+      .cast("long").as("id")).localCheckpoint(true)
+    val nullIds = cast.filter(org.apache.spark.sql.functions.col("id").isNull).count()
+    val corpus = cast.na.drop().distinct().localCheckpoint(true)
     val idx = Warehouse.readSnapshot(spark, indexPath)
       .select(org.apache.spark.sql.functions.col(indexIdCol).as("id"))
-      .distinct().localCheckpoint(true)
+      .na.drop().distinct().localCheckpoint(true)
     val missing = corpus.join(idx, Seq("id"), "left_anti").localCheckpoint(true)
     val orphaned = idx.join(corpus, Seq("id"), "left_anti").localCheckpoint(true)
     CoverageAudit(
       corpus.count(), idx.count(), missing.count(), orphaned.count(),
       missing.limit(sampleK).collect().map(_.getLong(0)).toSeq,
-      orphaned.limit(sampleK).collect().map(_.getLong(0)).toSeq)
+      orphaned.limit(sampleK).collect().map(_.getLong(0)).toSeq,
+      nullCorpusIds = nullIds)
   }
 }

@@ -349,8 +349,15 @@ object ShingleIndex {
     * replayed signature doc that somehow bypassed the gate still FLAGS
     * as a near-dup of itself at jaccard 1 — the cycle converges
     * instead of double-indexing. The id gate costs one doc_id-grain
-    * anti-join against the index — the same read the refresh already
-    * pays.
+    * anti-join against the index — the SAME SHAPE of read the refresh
+    * pays again inside its own CAS-retried body (r16 review: two
+    * id-column scans per tick, not one shared). Deliberate: the
+    * refresh's anti-join re-reads per conflict attempt to exclude a
+    * racing writer's docs — handing it this gate's (older) id set
+    * would reopen exactly the race retryOnConflict closes. The
+    * id-column read is column-pruned and key-grain; at crawl-tick
+    * batch sizes the duplicated scan is the price of the race-safety,
+    * not an oversight.
     */
   def screenAndRefresh(increment: DataFrame, path: String,
                        threshold: Double = 0.8): DataFrame = {

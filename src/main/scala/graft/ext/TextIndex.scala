@@ -76,6 +76,17 @@ object TextIndex {
     */
   private val RefreshApp = "graft-text-index-refresh"
 
+  /** The txn app each META FOLD stamps — epoch = the postings version
+    * whose scalars that fold covers (r16 review). Pairs with
+    * [[RefreshApp]] into the per-version window check in `readMeta`,
+    * makes the fold idempotent per version (a fold whose version a
+    * racing [[repairTextIndexMeta]] already covered SKIPS instead of
+    * double-counting), and lets folds advance the `synced_seq` pin
+    * across contiguously-covered stamps so the stamp sets stay small
+    * and retention can never orphan the protocol.
+    */
+  private val FoldApp = "graft-text-meta-fold"
+
   /** Driver-side twin of the build's bucket expression — MUST match
     * `pmod(xxhash64(token), nb)` (Spark's xxhash64, seed 42). */
   private def bucketOf(token: String, nb: Int): Int =
@@ -191,8 +202,23 @@ object TextIndex {
     */
   private def readMeta(spark: SparkSession, path: String): Meta = {
     var meta = readMetaRow(spark, path)
-    def lag(): Option[Long] = Warehouse.lastCommittedEpoch(spark, path, RefreshApp)
-      .filter(_ > meta.syncedSeq)
+    // PER-VERSION window detection (r16 review): a max-only comparison
+    // (newest postings stamp vs a max-folded synced_seq) is masked the
+    // moment a LATER refresh lands and folds — a crashed middle
+    // refresh's stamp then sits below the newest forever, its scalars
+    // silently missing, the exact failure the detection exists to
+    // close. So each fold stamps the postings version it covers into
+    // the META manifest ([[FoldApp]]), `synced_seq` is a covering PIN
+    // (every stamped version <= it is folded — set by build/repair,
+    // advanced by folds only across contiguously-covered stamps), and
+    // the window check compares the two stamp SETS: any stamped
+    // postings version above the pin without a matching fold stamp is
+    // an open window, however many refreshes landed after it.
+    def lag(): Set[Long] = {
+      val stamped = Warehouse.committedEpochs(spark, path, RefreshApp)
+      val folded = Warehouse.committedEpochs(spark, metaPath(path), FoldApp)
+      stamped.filter(v => v > meta.syncedSeq && !folded(v))
+    }
     // the grace budget bounds how long a probe waits out a LIVE
     // refresh's inter-commit moment before declaring the window
     // crashed; generous by default (a slow scalar agg on a cold
@@ -205,13 +231,14 @@ object TextIndex {
     while (lag().nonEmpty && waited < graceMs) {
       Thread.sleep(stepMs); meta = readMetaRow(spark, path); waited += stepMs
     }
-    lag().foreach { v =>
+    val missing = lag()
+    if (missing.nonEmpty)
       throw new IllegalArgumentException(
-        s"TextIndex($path): postings v=$v landed but its corpus scalars " +
-          s"never folded (meta synced_seq=${meta.syncedSeq}) — a refresh " +
-          "crashed between its postings append and meta commit; run " +
-          "repairTextIndexMeta to re-derive the scalars exactly")
-    }
+        s"TextIndex($path): postings v=${missing.toSeq.sorted.mkString(",")} " +
+          s"landed but their corpus scalars never folded (pin " +
+          s"synced_seq=${meta.syncedSeq}) — a refresh crashed between its " +
+          "postings append and meta commit; run repairTextIndexMeta to " +
+          "re-derive the scalars exactly")
     meta
   }
 
@@ -266,11 +293,29 @@ object TextIndex {
         val curSide = Warehouse.currentSnapshot(spark, side)
         val m = Warehouse.readSnapshot(spark, side, Some(curSide))
           .select("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq").head()
-        Warehouse.commitSnapshot(
-          Seq((m.getLong(0) + dn, m.getLong(1) + dndl, m.getLong(2) + dsl,
-            m.getInt(3), m.getLong(4), math.max(m.getLong(5), v)))
-            .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq"),
-          side, curSide)
+        val pin = m.getLong(5)
+        val folded = Warehouse.committedEpochs(spark, side, FoldApp)
+        // idempotent per version (r16 review): if a racing
+        // repairTextIndexMeta already pinned past v (its re-derivation
+        // read v's postings), or this fold's own stamp landed on an
+        // earlier attempt, adding the delta again would double-count
+        if (v <= pin || folded(v)) curSide
+        else {
+          // advance the pin across contiguously-covered stamps: the
+          // largest stamped version below which every stamp is folded
+          // — keeps the stamp sets the window check compares small,
+          // and retention-proof (a trimmed fold stamp below the pin
+          // no longer matters)
+          val stamped = Warehouse.committedEpochs(spark, path, RefreshApp)
+          val covered = folded + v
+          val newPin = stamped.filter(_ > pin).toSeq.sorted
+            .iterator.takeWhile(covered).foldLeft(pin)((_, s) => s)
+          Warehouse.commitSnapshot(
+            Seq((m.getLong(0) + dn, m.getLong(1) + dndl, m.getLong(2) + dsl,
+              m.getInt(3), m.getLong(4), newPin))
+              .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq"),
+            side, curSide, txn = Some((FoldApp, v)))
+        }
       }
       v
     }

@@ -665,6 +665,30 @@ object VectorIndex {
       s"pqTopKIndexedCodes($path): codes cover ${rcCodes.getOrElse(-1L)} rows " +
         s"but the index holds ${rcIdx.getOrElse(-1L)} — refreshPqCodes after " +
         "index growth, buildPqCodes after deletes")
+    // equal TOTALS cannot prove coverage when a delete and a later
+    // append net to zero between probes (r16 review): walk the index's
+    // manifest rowCounts since the codes' sync stamp — still zero data
+    // I/O — and refuse on any DECREASE along the chain (rows left the
+    // id set after the sync; some current rows are uncoded and some
+    // codes orphaned, at identical totals). Residual, documented:
+    // a row-count-preserving UPDATE of an embedding is indistinguishable
+    // from compaction at manifest grain — an embedding rewrite needs
+    // buildPqCodes, the same contract as a delete.
+    val syncedAt = Warehouse.lastCommittedEpoch(spark, side, PqApp)
+    require(syncedAt.isDefined,
+      s"pqTopKIndexedCodes($path): codes table carries no sync stamp — " +
+        "rebuild with buildPqCodes")
+    val chain = Warehouse.snapshots(spark, path).filter(_ >= syncedAt.get)
+    val counts = chain.flatMap(v =>
+      Warehouse.snapshotRowCount(spark, path, Some(v)).map(v -> _))
+    counts.sliding(2).foreach {
+      case Seq((_, a), (v, b)) =>
+        require(b >= a,
+          s"pqTopKIndexedCodes($path): index rowCount dropped $a -> $b at " +
+            s"v=$v after the codes' last sync (v=${syncedAt.get}) — a delete " +
+            "the count gate cannot see through; re-run buildPqCodes")
+      case _ => ()
+    }
     import spark.implicits._
     def emptyResult = spark.emptyDataset[(Long, Long, Long, Double, Double)]
       .toDF("query_id", "rank", "neighbor_id", "sim", "adc")

@@ -1769,6 +1769,41 @@ object Warehouse {
     result
   }
 
+  /** EVERY epoch writer `appId` has committed to the table — the set
+    * form of [[lastCommittedEpoch]], for protocols where the newest
+    * stamp alone cannot answer "is anything missing?" (r16 review: two
+    * racing text-index refreshes can stamp v and v+1; if v's owner
+    * crashed before its meta fold, the newest stamp v+1 masks the
+    * orphaned v forever under a max-only comparison). Same driver-side
+    * manifest scan, same forward-only cache discipline, same
+    * degrade-to-full-scan-never-to-wrong-answer rule; retention
+    * caveat: versions whose manifests [[expireSnapshots]] trimmed drop
+    * out of the set — protocols pairing two stamp sets must keep a
+    * covering PIN that retention cannot orphan (the text index's
+    * `synced_seq` rule).
+    */
+  private val epochSetScanCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Set[Long])]()
+
+  def committedEpochs(spark: SparkSession, path: String, appId: String): Set[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = snapshots(spark, path)
+    val key = (new org.apache.hadoop.fs.Path(path).toString, appId)
+    val cached = Option(epochSetScanCache.get(key))
+      .filter(_._1 <= vs.lastOption.getOrElse(0L))
+    val floor = cached.map(_._1).getOrElse(0L)
+    val fresh = vs.reverseIterator.takeWhile(_ > floor)
+      .flatMap(v => readManifest(fs, path, v))
+      .collect {
+        case m if m.has("txnApp") && m.get("txnApp").asText == appId =>
+          m.get("txnEpoch").asLong
+      }.toSet
+    val result = fresh ++ cached.map(_._2).getOrElse(Set.empty)
+    epochSetScanCache.put(key, (vs.lastOption.getOrElse(0L), result))
+    result
+  }
+
   /** One exactly-once streaming micro-batch into the table — the body
     * [[writeSnapshotStream]] runs per epoch, factored out so the
     * replay path is directly testable. Skips when `epoch` is already

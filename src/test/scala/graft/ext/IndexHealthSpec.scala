@@ -114,5 +114,14 @@ class IndexHealthSpec extends SparkSpec {
       IndexHealth.auditIndexCoverage(grown, root, "doc_id")
     }
     assert(e.getMessage.contains("ONE id column"))
+    // dirty ids — the audit's own use case (r16 review): a NULL id
+    // surfaces as its own finding instead of NPE-ing the sample
+    // collect or inflating `missing`
+    val dirty = grown.select("doc_id")
+      .unionByName(Seq(Tuple1(null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id"))
+    val d = IndexHealth.auditIndexCoverage(dirty, root, "doc_id")
+    assert(!d.consistent && d.nullCorpusIds === 1L && d.missing === 0L &&
+      d.orphaned === 0L, d.toString)
   }
 }

@@ -141,6 +141,26 @@ class VectorIndexSpec extends SparkSpec {
     val grownGot = probe()
     assert(grownGot.exceptAll(grownWant).isEmpty && grownWant.exceptAll(grownGot).isEmpty,
       "after refresh the probe must cover the grown corpus exactly")
+    // a delete and a later append netting to the SAME count must still
+    // refuse (r16 review: equal totals cannot prove coverage) — the
+    // manifest rowCount chain since the codes' sync shows the dip
+    Warehouse.deleteWhereDv(spark, root, col("vec_id").between(160, 164))
+    assert(VectorIndex.refreshIvfIndex(vecs(200 until 205), root).nonEmpty)
+    assert(Warehouse.snapshotRowCount(spark, root) ===
+      Warehouse.snapshotRowCount(spark, VectorIndex.codesPath(root)),
+      "the trap needs equal totals to mean anything")
+    val e3 = intercept[IllegalArgumentException] { probe() }
+    assert(e3.getMessage.contains("buildPqCodes"), e3.getMessage)
+    VectorIndex.buildPqCodes(spark, root, m = 4, kc = 8)
+    val finalCorpus = vecs(10 until 170)
+      .filter(!col("vec_id").between(160, 164))
+      .unionByName(vecs(200 until 205))
+    val rebuiltWant = Similarity.pqTopKPortable(queries, finalCorpus, k = 10,
+      nlist = 16, nprobe = 4, m = 4, codes = 8, dim = 8, shortlist = 30)
+    val rebuiltGot = probe()
+    assert(rebuiltGot.exceptAll(rebuiltWant).isEmpty &&
+      rebuiltWant.exceptAll(rebuiltGot).isEmpty,
+      "after the rebuild the probe must cover exactly the surviving corpus")
     // empty query batch -> empty result, right schema
     val empty = VectorIndex.pqTopKIndexedCodes(
       vecs(0 until 0), root, k = 5, nprobe = 2, shortlist = 10)

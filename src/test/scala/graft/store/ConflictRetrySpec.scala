@@ -175,4 +175,61 @@ class ConflictRetrySpec extends SparkSpec {
     assert(TextIndex.bm25TopKIndexed(spark, root, Seq(1 -> Seq("alpha")), k = 5)
       .count() === 1)
   }
+
+  test("a crashed refresh's window is NOT masked by a later refresh that lands (per-version stamps, r16 review)") {
+    spark.conf.set("graft.textindex.syncGraceMs", "300")
+    try testMaskedWindow() finally spark.conf.unset("graft.textindex.syncGraceMs")
+  }
+
+  /** The race a max-only comparison cannot see: refresh A appends
+    * stamped postings v2 and dies before its fold; refresh B — already
+    * past its window check when A committed — appends v3 AND folds,
+    * stamping v3. Under max-folded synced_seq the newest stamp (3)
+    * masks A's orphaned v2 forever; under per-version fold stamps the
+    * probe still refuses naming the repair, and the repair restores
+    * the exact scalars including A's increment.
+    */
+  private def testMaskedWindow(): Unit = {
+    val root = freshRoot("tx_masked")
+    TextIndex.buildTextIndex(
+      Seq((1L, "alpha beta alpha")).toDF("doc_id", "text"), root)
+    def postingRow(token: String, id: Long) =
+      Seq((token, id, 1L, 1L)).toDF("token", "doc_id", "tf", "dl")
+        .select(pmod(xxhash64(col("token")), lit(64L)).cast("int").as("bucket"),
+          col("token"), col("doc_id"), col("tf"), col("dl"))
+    // A: stamped append v2, no fold (crashed)
+    val v1 = Warehouse.currentSnapshot(spark, root)
+    Warehouse.appendSnapshot(postingRow("delta", 99L), root, v1,
+      txn = Some(("graft-text-index-refresh", v1 + 1)))
+    // B: the racing refresh that landed WHOLE — stamped append v3 plus
+    // its meta fold stamped for v3 (the exact on-disk state
+    // refreshTextIndex leaves; reconstructed because the in-process
+    // API correctly refuses to start a refresh over an open window)
+    val v2 = Warehouse.currentSnapshot(spark, root)
+    Warehouse.appendSnapshot(postingRow("epsilon", 100L), root, v2,
+      txn = Some(("graft-text-index-refresh", v2 + 1)))
+    val side = TextIndex.metaPath(root)
+    val m0 = Warehouse.readSnapshot(spark, side)
+      .select("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq").head()
+    Warehouse.commitSnapshot(
+      Seq((m0.getLong(0) + 1, m0.getLong(1) + 1, m0.getLong(2) + 1,
+        m0.getInt(3), m0.getLong(4), m0.getLong(5)))
+        .toDF("n_docs", "n_dl", "sum_dl", "nb", "stamp", "synced_seq"),
+      side, Warehouse.currentSnapshot(spark, side),
+      txn = Some(("graft-text-meta-fold", v2 + 1)))
+    // the probe must still see A's orphaned v2 — the masked case
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.bm25TopKIndexed(spark, root, Seq(1 -> Seq("alpha")), k = 5)
+    }
+    assert(e.getMessage.contains("repairTextIndexMeta") &&
+      e.getMessage.contains(s"v=${v1 + 1}"),
+      s"the orphaned middle version must stay detected: ${e.getMessage}")
+    TextIndex.repairTextIndexMeta(spark, root)
+    val m = Warehouse.readSnapshot(spark, side)
+      .select("n_docs", "n_dl", "sum_dl").head()
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) === ((3L, 3L, 5L)),
+      s"repair must restore BOTH increments' scalars exactly: $m")
+    assert(TextIndex.bm25TopKIndexed(spark, root, Seq(1 -> Seq("alpha")), k = 5)
+      .count() === 1)
+  }
 }
