@@ -565,15 +565,21 @@ class PlanRegressionSpec extends SparkSpec {
     val attrCorpus = corpus.withColumn("lang",
       when(pmod(col("vec_id"), lit(2)) === 0, "en").otherwise("de"))
     graft.ext.VectorIndex.buildIvfIndex(attrCorpus, aroot, nlist = 8, bucketed = true)
-    val fp = graft.ext.VectorIndex.ivfTopKIndexed(queries, aroot, k = 5, nprobe = 3,
-        where = Some(col("lang") === "en"))
-      .queryExecution.executedPlan.toString
-    // the PushedFilters list is printer-truncated, so assert on the
-    // scan line's (un-truncated) DataFilters carrying the attr
-    // predicate — the filter reached the FileScan either way
-    assert(fp.linesIterator.exists(l => l.contains("FileScan") &&
-        l.contains("DataFilters") && l.replaceAll("#\\d+", "").contains("(lang = en)")),
-      fp.take(2000))
+    val fdf = graft.ext.VectorIndex.ivfTopKIndexed(queries, aroot, k = 5, nprobe = 3,
+      where = Some(col("lang") === "en"))
+    // assert on the scan NODE, not the plan string (string formats
+    // shift with session state — attribute-id width, printer
+    // truncation): the attr predicate must be among the scan's own
+    // data filters, i.e. evaluated inside the pruned read
+    val scans = fdf.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val indexScan = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("graft_vidx_aplan")))
+    assert(indexScan.nonEmpty, s"no FileSourceScan over the attr index among ${scans.size} scans")
+    assert(indexScan.exists(_.dataFilters.exists(
+        _.references.exists(_.name == "lang"))),
+      indexScan.map(_.dataFilters.mkString(";")).mkString(" | "))
   }
 
   test("joinAdvice: surfaces (never applies) a salt recommendation on a hot probe key (r14)") {
