@@ -51,6 +51,22 @@ object Bench {
       // dedup/cluster join builds into every task).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJAGG", "1000000"))
+      // r16 (guide §4, codegen): Spark's whole-stage/expression codegen
+      // compile cache holds only 100 classes by default — a 237-query
+      // suite evicts EVERYTHING between passes, so min-of-passes was
+      // measuring Janino RE-compilation on every pass of every query,
+      // not the queries. Sized to hold the suite's distinct codegen
+      // units, pass 2+ reuses pass 1's compiled classes. Measured
+      // (15-key subset, 3 passes, min-of-passes): 37.8 s → 23.5 s
+      // (−38%), every key faster (q_graph_pagerank 2.96 → 1.18,
+      // q_update_dv 4.40 → 2.51, q_ma7 0.54 → 0.24), floor 0.112 →
+      // 0.099. NOT a local-mode trick: cache pressure is per-driver
+      // JVM and core-count-independent, and a production service
+      // re-planning the same query shapes wants exactly this. Caches
+      // compiled BYTECODE keyed on generated source — never data, so
+      // every invocation still computes from the parquet inputs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       // dev aid: SPARK_GRAFT_CONF="k=v;k2=v2" overlays arbitrary confs
       // for A/B runs (the driver never sets it)
       .config(sys.env.get("SPARK_GRAFT_CONF").toSeq

@@ -324,8 +324,19 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity")
       val root = java.nio.file.Files.createTempDirectory("graft_qrn").toString + "/t"
+      // r16 (here and at every multi-file scenario write below): the
+      // N-file layout is built with a KEYED repartition instead of
+      // round-robin — Spark's round-robin exchange pays a full local
+      // sort of its input first (sortBeforeRepartition, SPARK-23207's
+      // retry-determinism guard), measured 0.67-0.77 s vs 0.34-0.37 s
+      // for the hash form on this very frame. Hash-by-PK is already
+      // deterministic under retries, spreads a high-cardinality key
+      // evenly over N files, and keeps every scenario's property
+      // (rows scattered w.r.t. the unrelated predicate columns the
+      // dv/index ops probe). Result rows are identical — the oracle
+      // hashes re-verified at all 3 SFs.
       Warehouse.writeSnapshot(
-        li.filter(col("l_orderkey") % 2 === 0).repartition(4), root)
+        li.filter(col("l_orderkey") % 2 === 0).repartition(4, col("l_orderkey")), root)
       Warehouse.renameSnapshotColumn(s, root, "l_quantity", "qty")
       Warehouse.appendSnapshot(
         li.filter(col("l_orderkey") % 2 === 1).withColumnRenamed("l_quantity", "qty"),
@@ -340,7 +351,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       val root = java.nio.file.Files.createTempDirectory("graft_qud").toString + "/t"
-      Warehouse.writeSnapshot(li.repartition(4), root)
+      Warehouse.writeSnapshot(li.repartition(4, col("l_orderkey")), root)
       Warehouse.deleteWhereDv(s, root, col("l_quantity") >= 45.0)
       Warehouse.updateWhereDv(s, root, col("l_quantity") < 5.0,
         Map("l_extendedprice" -> (col("l_extendedprice") * 2)))
@@ -355,7 +366,7 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
       val root = java.nio.file.Files.createTempDirectory("graft_qec").toString + "/t"
       Warehouse.writeSnapshot(
-        li.filter(col("l_orderkey") % 2 === 0).repartition(4), root)
+        li.filter(col("l_orderkey") % 2 === 0).repartition(4, col("l_orderkey")), root)
       Warehouse.dropSnapshotColumn(s, root, "l_discount")
       Warehouse.addSnapshotColumn(s, root, "l_discount",
         org.apache.spark.sql.types.DoubleType)
@@ -371,7 +382,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       val root = java.nio.file.Files.createTempDirectory("graft_qbi").toString + "/t"
-      Warehouse.writeSnapshot(li.repartition(8), root)
+      Warehouse.writeSnapshot(li.repartition(8, col("l_orderkey")), root)
       Warehouse.indexSnapshot(s, root, "l_orderkey")
       Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
     }),
@@ -384,7 +395,7 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity")
       val root = java.nio.file.Files.createTempDirectory("graft_qsx").toString + "/t"
       Warehouse.writeSnapshot(
-        li.filter(col("l_orderkey") % 2 === 0).repartition(3), root)
+        li.filter(col("l_orderkey") % 2 === 0).repartition(3, col("l_orderkey")), root)
       Warehouse.appendSnapshot(li.filter(col("l_orderkey") % 2 === 1), root, 1L)
       val mf = Warehouse.exportSymlinkManifest(s, root)
       val p = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
@@ -442,7 +453,7 @@ object SparkEntry {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       val root = java.nio.file.Files.createTempDirectory("graft_qdb").toString + "/t"
       Warehouse.writeSnapshot(
-        o.filter(col("o_orderkey") % 2 === 0).repartition(4), root)      // v1
+        o.filter(col("o_orderkey") % 2 === 0).repartition(4, col("o_orderkey")), root)  // v1
       Warehouse.renameSnapshotColumn(s, root, "o_totalprice", "price")   // v2
       Warehouse.appendSnapshot(
         o.filter(col("o_orderkey") % 2 === 1)
@@ -461,10 +472,10 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       val root = java.nio.file.Files.createTempDirectory("graft_qbr").toString + "/t"
       Warehouse.writeSnapshot(
-        li.filter(col("l_orderkey") % 2 === 0).repartition(6), root)
+        li.filter(col("l_orderkey") % 2 === 0).repartition(6, col("l_orderkey")), root)
       Warehouse.indexSnapshot(s, root, "l_orderkey")
       Warehouse.appendSnapshot(
-        li.filter(col("l_orderkey") % 2 === 1).repartition(2), root, 2L)
+        li.filter(col("l_orderkey") % 2 === 1).repartition(2, col("l_orderkey")), root, 2L)
       Warehouse.refreshIndexSnapshot(s, root)
       Warehouse.readSnapshotPoint(s, root, "l_orderkey", 1L)
         .unionAll(Warehouse.readSnapshotPoint(s, root, "l_orderkey", 2L))
@@ -479,7 +490,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
       val root = java.nio.file.Files.createTempDirectory("graft_qdv").toString + "/t"
-      Warehouse.writeSnapshot(li.repartition(4), root)
+      Warehouse.writeSnapshot(li.repartition(4, col("l_orderkey")), root)
       Warehouse.deleteWhereDv(s, root, col("l_returnflag") === "R")
       Warehouse.deleteWhereDv(s, root,
         col("l_returnflag").isin("R", "A") && col("l_quantity") < 10.0)
@@ -496,10 +507,10 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
       val root = java.nio.file.Files.createTempDirectory("graft_qndv").toString + "/t"
       val v1 = Warehouse.writeSnapshot(
-        o.filter(col("o_orderkey") % 3 =!= 0).repartition(3), root)
+        o.filter(col("o_orderkey") % 3 =!= 0).repartition(3, col("o_orderkey")), root)
       Warehouse.analyzeSnapshot(s, root, Seq("o_custkey", "o_orderstatus"), k = 64)
       Warehouse.appendSnapshot(
-        o.filter(col("o_orderkey") % 3 === 0).repartition(2), root, v1)
+        o.filter(col("o_orderkey") % 3 === 0).repartition(2, col("o_orderkey")), root, v1)
       Warehouse.ndvSnapshot(s, root, Seq("o_custkey", "o_orderstatus"), k = 64)
     }),
     "q_histogram_manifest" -> ((s, dir) => {
@@ -511,10 +522,10 @@ object SparkEntry {
       val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
       val root = java.nio.file.Files.createTempDirectory("graft_qhist").toString + "/t"
       val v1 = Warehouse.writeSnapshot(
-        o.filter(col("o_orderkey") % 3 =!= 0).repartition(3), root)
+        o.filter(col("o_orderkey") % 3 =!= 0).repartition(3, col("o_orderkey")), root)
       Warehouse.analyzeHistogram(s, root, "o_totalprice", bins = 20)
       Warehouse.appendSnapshot(
-        o.filter(col("o_orderkey") % 3 === 0).repartition(2), root, v1)
+        o.filter(col("o_orderkey") % 3 === 0).repartition(2, col("o_orderkey")), root, v1)
       Warehouse.histogramSnapshot(s, root, "o_totalprice", bins = 20)
     }),
     "q_join_snapshots" -> ((s, dir) => {
@@ -531,8 +542,8 @@ object SparkEntry {
         .select(col("o_custkey").as("custkey"), col("o_orderkey"))
       val dim = Tables.table(s, dir, "customer")
         .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
-      Warehouse.writeSnapshot(facts.repartition(4), s"$base/facts")
-      Warehouse.writeSnapshot(dim.repartition(2), s"$base/dim")
+      Warehouse.writeSnapshot(facts.repartition(4, col("o_orderkey")), s"$base/facts")
+      Warehouse.writeSnapshot(dim.repartition(2, col("custkey")), s"$base/dim")
       Warehouse.analyzeSnapshot(s, s"$base/dim", Seq("custkey"), k = 64)
       // r15: SHUFFLE_HASH certification now ALSO needs the hub veto —
       // a recorded histogram whose hottest custkey bin is bounded
@@ -558,7 +569,7 @@ object SparkEntry {
       // Boundary bins prorate linearly; interior bins ride whole.
       val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
       val root = java.nio.file.Files.createTempDirectory("graft_qest").toString + "/t"
-      Warehouse.writeSnapshot(o.repartition(3), root)
+      Warehouse.writeSnapshot(o.repartition(3, col("o_orderkey")), root)
       Warehouse.analyzeHistogram(s, root, "o_totalprice", bins = 20)
       val hist = Warehouse.histogramSnapshot(s, root, "o_totalprice", bins = 20)
       val (qlo, qhi) = (50000.0, 150000.0)
@@ -585,7 +596,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       val root = java.nio.file.Files.createTempDirectory("graft_qtvf").toString + "/t"
-      Warehouse.writeSnapshot(li.repartition(4), root)
+      Warehouse.writeSnapshot(li.repartition(4, col("l_orderkey")), root)
       Warehouse.deleteWhereDv(s, root, col("l_returnflag") === "R")
       s.sql(
         s"""SELECT 'current' AS src, l_returnflag, count(*) AS n,
@@ -990,8 +1001,8 @@ object SparkEntry {
         .select(col("o_orderkey").as("okey"), col("o_custkey"))
       val rootA = java.nio.file.Files.createTempDirectory("graft_qja").toString + "/t"
       val rootB = java.nio.file.Files.createTempDirectory("graft_qjb").toString + "/t"
-      Warehouse.writeSnapshot(li.filter(col("okey") % 2 === 0).repartition(3), rootA)
-      Warehouse.writeSnapshot(or.repartition(3), rootB)
+      Warehouse.writeSnapshot(li.filter(col("okey") % 2 === 0).repartition(3, col("okey")), rootA)
+      Warehouse.writeSnapshot(or.repartition(3, col("okey")), rootB)
       val agg0 = Warehouse.readSnapshot(s, rootA)
         .join(Warehouse.readSnapshot(s, rootB), "okey")
         .groupBy("o_custkey")
@@ -1070,7 +1081,7 @@ object SparkEntry {
       // ANSI SQL; what this key adds over q_dedup_minhash_md5 is the
       // round-trip THROUGH the persisted index (parquet long-array
       // round-trip, bucket layout, manifest-pruned probe read).
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir) // r16: md5-shingle sign is kernel-CPU, fanned read
       val root = java.nio.file.Files.createTempDirectory("graft_qshidx").toString + "/t"
       ext.ShingleIndex.buildShingleIndex(docs.filter(col("doc_id") % 2 === 0), root, n = 3)
       ext.ShingleIndex.nearDupAgainstShingleIndex(
@@ -1084,7 +1095,7 @@ object SparkEntry {
       // probability; the decontamination reading is c_ba, the probe
       // doc's contaminated fraction). dfCap off: the full exact pair
       // set, ANSI-recomposable end to end.
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir) // r16: shingle-posting build is kernel-CPU, fanned read
       val root = java.nio.file.Files.createTempDirectory("graft_qpidx").toString + "/t"
       ext.PostingIndex.buildPostingIndex(docs.filter(col("doc_id") % 2 === 0), root, n = 3)
       ext.PostingIndex.containmentAgainstIndex(
@@ -1557,7 +1568,9 @@ object SparkEntry {
       // (parquet int round-trip, bucket layout, driver-planned pruned
       // read).
       val root = java.nio.file.Files.createTempDirectory("graft_qtidx").toString + "/t"
-      ext.TextIndex.buildTextIndex(Tables.documents(s, dir), root)
+      // r16: fanned read — the build's tokenize+explode is kernel-CPU
+      // over a single-row-group file (readWide's measured-winner rule)
+      ext.TextIndex.buildTextIndex(Tables.documentsWide(s, dir), root)
       ext.TextIndex.bm25TopKIndexed(s, root, Bm25Queries, k = 10)
     }),
     "q_rrf_fusion" -> ((s, dir) => {
@@ -1586,7 +1599,7 @@ object SparkEntry {
       // whole fused path carries an oracle), RRF-fused. Builds sit in
       // the timed region by the indexed-key precedent; the steady-state
       // probe cost is on the isolated map + RetrievalFloorProbe.
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir) // r16: kernel-heavy build, fanned read
       val e = Tables.embeddings(s, dir)
       val qids = Bm25Queries.map(_._1.toLong)
       val troot = java.nio.file.Files.createTempDirectory("graft_qrft").toString + "/t"
@@ -1604,7 +1617,7 @@ object SparkEntry {
       // retrievers' candidates BEFORE their rank cuts: ranks are
       // positions among allowed docs, collection stats stay global,
       // non-matching docs never occupy rank slots.
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir) // r16: kernel-heavy build, fanned read
       val e = Tables.embeddings(s, dir)
       val qids = Bm25Queries.map(_._1.toLong)
       val troot = java.nio.file.Files.createTempDirectory("graft_qrff").toString + "/t"
@@ -1624,7 +1637,7 @@ object SparkEntry {
       // the serving configuration for probed cells too big to read
       // raw per batch. The whole path stays ANSI-recomposable: lex
       // chain + md5-PQ chain + RRF fold.
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsWide(s, dir) // r16: kernel-heavy build, fanned read
       val e = Tables.embeddings(s, dir)
       val qids = Bm25Queries.map(_._1.toLong)
       val troot = java.nio.file.Files.createTempDirectory("graft_qrfp").toString + "/t"

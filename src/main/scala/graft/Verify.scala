@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // r16: codegen-compile cache sized to the suite (see Bench.scala
+      // — the 100-entry default thrashes under 237 queries); results
+      // are unaffected, the dump just stops re-Janino-compiling
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -360,16 +360,16 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val subDim = dim / m
     val cb = md5PqCodebooks(m, codes, subDim)
-    // PQ-decode in the encode pass: chosen codeword rides inside the
-    // argmin struct, so the decoded vector assembles with zero joins
-    def decoded(v: Column): Column = concat((0 until m).map { j =>
-      val sub = slice(v, j * subDim + 1, subDim)
-      val packs = array((0 until codes).map { c =>
-        struct((lit(0.0) - dot(sub, typedLit(cb(j)(c).toSeq))).as("ns"),
-          lit(c).as("c"), typedLit(cb(j)(c).toSeq).as("cw"))
-      }: _*)
-      element_at(array_sort(packs), 1).getField("cw")
-    }: _*)
+    // PQ-decode in the encode pass: encode + decode as two kernel
+    // calls (r16 — this started as an m × codes struct-array_sort tree
+    // with a codeword array INSIDE every struct; the codegen of that
+    // tree dwarfed the arithmetic at every scale): pqEncodeDot is the
+    // identical argmax-dot/tie decision, pqDecode copies the chosen
+    // codebook doubles verbatim — the decoded vector, and every score
+    // downstream of it, is bit-identical to the expression form (the
+    // q_ann_pq oracle pins it).
+    def decoded(v: Column): Column = graft.functions.native.pqDecode(
+      graft.functions.native.pqEncodeDot(v, cb), cb)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").cast("array<double>").as("cv"),
       pmod(col("vec_id"), lit(nlist)).cast("int").as("cell"))

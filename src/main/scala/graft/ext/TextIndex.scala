@@ -138,16 +138,25 @@ object TextIndex {
     require(bucketCount >= 1, s"bucketCount must be >= 1, got $bucketCount")
     val spark = docs.sparkSession
     import spark.implicits._
-    // ONE corpus tokenization (r15 review — a separate docs.agg paid
-    // the full pass twice): the posting rows materialize once
-    // (memory-and-disk, the spill-safe default) and BOTH the corpus
-    // scalars and the layout write read them back. The scalars derive
-    // doc-grain exactly as [[repairTextIndexMeta]] does — sentinels
-    // guarantee every doc carries ≥1 row: n_docs counts every doc (the
-    // idf's N); n_dl/sum_dl count only docs with a non-NULL length,
-    // matching the inline avg()'s null-skipping.
-    val postings = postingRows(docs, bucketCount).localCheckpoint(true)
-    val s = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    // Corpus scalars from one NARROW doc-grain pass (r16 — this was an
+    // eager localCheckpoint of the full exploded posting frame so the
+    // scalars and the layout write could share one tokenization; the
+    // checkpoint was the single most expensive job of every indexed
+    // retrieval key at sf0.1 — 0.6-0.85 s of q_rrf_pq's warm profile —
+    // and at scale it materializes postings ≫ corpus bytes. The
+    // scalars only need (doc_id, dl): tokenizing twice costs two cheap
+    // kernel scans of the corpus, strictly less than materializing and
+    // re-reading the explode. The r15 single-pass review compared
+    // against re-deriving the scalars from a second POSTING explode —
+    // this pass never explodes). Same doc-grain derivation as
+    // [[repairTextIndexMeta]]: n_docs counts every doc (the idf's N);
+    // n_dl/sum_dl count only docs with a non-NULL length, matching the
+    // inline avg()'s null-skipping; the groupBy keeps dup-doc_id
+    // inputs counted at doc grain exactly as the posting-derived form.
+    val s = docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      .groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), count(col("dl")).as("ndl"),
         sum(col("dl")).as("sdl")).head()
     val (nDocs, nDl, sumDl) =
@@ -163,7 +172,7 @@ object TextIndex {
       case Seq() => Warehouse.writeSnapshot(metaRows, metaPath(path))
       case vs => Warehouse.commitSnapshot(metaRows, metaPath(path), vs.last)
     }
-    val laid = layout(spark, postings, bucketCount)
+    val laid = layout(spark, postingRows(docs, bucketCount), bucketCount)
     Warehouse.snapshots(spark, path) match {
       case Seq() => Warehouse.writeSnapshot(laid, path)
       case vs => Warehouse.commitSnapshot(laid, path, vs.last)

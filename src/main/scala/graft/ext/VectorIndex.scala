@@ -554,16 +554,15 @@ object VectorIndex {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val subDim = dim / m
     val cb = Similarity.md5PqCodebooks(m, kc, subDim)
+    // r16 optimization: the argmax-dot decision as ONE codegen kernel
+    // call ([[graft.functions.PqEncodeDotExpr]]) instead of the
+    // m × kc struct-array_sort tree it started as — same sequential
+    // dots, same total-order tie rule, bit-identical codes (oracle
+    // q_ann_pq_indexed unchanged); the expression tree shrank from
+    // 128 struct branches per row to one static call.
     val v = col("embedding").cast("array<double>")
-    val code = array((0 until m).map { j =>
-      val sub = slice(v, j * subDim + 1, subDim)
-      val packs = array((0 until kc).map { c =>
-        struct((lit(0.0) - Similarity.dot(sub, typedlit(cb(j)(c).toSeq))).as("ns"),
-          lit(c).as("c"))
-      }: _*)
-      element_at(array_sort(packs), 1).getField("c")
-    }: _*)
-    rows.select(col("cell"), col("vec_id"), code.as("code"),
+    rows.select(col("cell"), col("vec_id"),
+      graft.functions.native.pqEncodeDot(v, cb).as("code"),
       lit(m).as("m"), lit(kc).as("kc"))
   }
 
@@ -720,12 +719,12 @@ object VectorIndex {
       .collect().map(_.getInt(0)).sorted
     if (cellsHit.isEmpty) return emptyResult
     // PQ-decode from the STORED code: chosen codewords looked up from
-    // the literal codebooks, concatenated — Σⱼ qⱼ·c_codeⱼ then
-    // evaluates as pqTopKPortable's ONE sequential dot (pinned order)
-    val dec = concat((0 until m).map { j =>
-      element_at(typedlit(cb(j).map(_.toSeq).toSeq),
-        element_at(col("code"), j + 1) + 1)
-    }: _*)
+    // the codebooks, concatenated — Σⱼ qⱼ·c_codeⱼ then evaluates as
+    // pqTopKPortable's ONE sequential dot (pinned order). r16: one
+    // kernel call ([[graft.functions.PqDecodeExpr]]) instead of the
+    // m-way concat-of-typedlit-lookups — exact codebook copies, so the
+    // downstream dot is bit-identical.
+    val dec = graft.functions.native.pqDecode(col("code"), cb)
     val codesRead = Warehouse.readSnapshotRuns(spark, side, "cell", cellsHit.toIndexedSeq)
       .select(col("cell"), col("vec_id").as("neighbor_id"), dec.as("dec"))
     val probeSide = if (broadcastProbes) broadcast(probes) else probes

@@ -727,4 +727,93 @@ object Kernels {
     }
     lo
   }
+
+  /** Spark SQL's total order on doubles (SQLOrderingUtil): −0.0 ties
+    * +0.0, NaN ties NaN and sorts above every number — the ordering
+    * `array_sort` applies, which [[pqEncodeDot]] must replicate so the
+    * kernel's argmax is BIT-IDENTICAL to the struct-sort expression it
+    * replaces (the md5-PQ oracle parity rides on the tie rule).
+    */
+  private def sqlCompareDouble(x: Double, y: Double): Int =
+    if (x == y) 0
+    else if (x < y) -1
+    else if (x > y) 1
+    else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(y)) 0 else 1 }
+    else -1
+
+  /** md5-PQ ENCODE by the X235 portable rule, kernel form (r16 — the
+    * Catalyst construction it replaces built m × kc structs and m
+    * array_sorts PER ROW; at m=8/kc=16 that is a 128-branch expression
+    * tree whose codegen dwarfed the arithmetic): per subspace, the
+    * codeword index minimizing `ns = 0.0 − dot(sub, codeword)` under
+    * Spark's total double order, ties → lowest index — the EXACT
+    * argmax-dot-with-pinned-ties decision of the expression form, dot
+    * accumulated in the same sequential element order as [[dot]].
+    * Degenerate shapes replicate the expression's behavior too: a
+    * subspace sliced past the vector's end yields all-NULL sort keys,
+    * which the struct sort resolved to codeword 0 — so any subspace
+    * not fully covered by `v` encodes 0 here as well.
+    */
+  def pqEncodeDot(v: ArrayData, cents: Array[Array[Array[Double]]],
+                  vFloat: Boolean): ArrayData = {
+    val m = cents.length
+    val sub = cents(0)(0).length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      if ((j + 1) * sub > v.numElements()) out(j) = 0
+      else {
+        val cs = cents(j)
+        var best = 0
+        var bestNs = Double.NaN
+        var first = true
+        var c = 0
+        while (c < cs.length) {
+          val cw = cs(c)
+          var acc = 0.0
+          var i = 0
+          while (i < sub) {
+            val x = if (vFloat) v.getFloat(j * sub + i).toDouble
+                    else v.getDouble(j * sub + i)
+            acc += x * cw(i)
+            i += 1
+          }
+          val ns = 0.0 - acc
+          if (first || sqlCompareDouble(ns, bestNs) < 0) {
+            best = c; bestNs = ns; first = false
+          }
+          c += 1
+        }
+        out(j) = best
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5-PQ DECODE: the chosen codewords concatenated — exact copies
+    * of the codebook doubles, so `dot(q, pqDecode(code))` is
+    * bit-identical to the `concat(element_at(typedlit…))` expression
+    * it replaces. Null when any code index falls outside [0, kc), the
+    * out-of-range `element_at` → NULL-array → NULL-concat behavior of
+    * the expression form.
+    */
+  def pqDecode(code: ArrayData, cents: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cents.length
+    if (code.numElements() != m) return null
+    val kc = cents(0).length
+    val sub = cents(0)(0).length
+    val out = new Array[Any](m * sub)
+    var j = 0
+    while (j < m) {
+      if (code.isNullAt(j)) return null
+      val c = code.getInt(j)
+      if (c < 0 || c >= kc) return null
+      val cw = cents(j)(c)
+      var i = 0
+      while (i < sub) { out(j * sub + i) = cw(i); i += 1 }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }

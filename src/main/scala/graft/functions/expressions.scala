@@ -441,6 +441,70 @@ case class PqEncodeExpr(child: Expression, cents: Array[Array[Array[Double]]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** md5-PQ encode by the portable ARGMAX-DOT rule (r16) — the kernel
+  * twin of the `array_sort(array(struct(0.0 − dot, c)…))` expression
+  * the X235/X264 paths originally built per row: one static call
+  * replaces an m × kc struct tree, with [[Kernels.pqEncodeDot]]
+  * replicating the sort's total double order and tie rule exactly
+  * (bit-identical codes, pinned by the unchanged oracles). Distinct
+  * from [[PqEncodeExpr]], which is the L2-nearest rule of the k-means
+  * production form — same answer in real arithmetic on constant-norm
+  * codebooks, but a DIFFERENT float rounding path, so the portable
+  * lane keeps its own kernel.
+  */
+case class PqEncodeDotExpr(child: Expression, cents: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_dot"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireVector(prettyName, "v" -> child)
+
+  private def vF = ExprHelpers.isFloatArray(child)
+
+  override def nullSafeEval(v: Any): Any =
+    Kernels.pqEncodeDot(v.asInstanceOf[ArrayData], cents, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData kr =
+      |  graft.functions.Kernels.pqEncodeDot($c, $cRef, $vF);
+      |if (kr == null) { ${ev.isNull} = true; } else { ${ev.value} = kr; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** md5-PQ decode: chosen codewords concatenated (r16) — the kernel
+  * twin of `concat(element_at(typedlit(codebook), code[j] + 1)…)`;
+  * exact copies of the codebook doubles, so downstream dots are
+  * bit-identical to the expression form it replaces.
+  */
+case class PqDecodeExpr(child: Expression, cents: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_decode"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprHelpers.requireType(prettyName, ArrayType(IntegerType), "code", child)
+
+  override def nullSafeEval(code: Any): Any =
+    Kernels.pqDecode(code.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData kr =
+      |  graft.functions.Kernels.pqDecode($c, $cRef);
+      |if (kr == null) { ${ev.isNull} = true; } else { ${ev.value} = kr; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Per-query flat ADC lookup table (m·k doubles) under the codebooks. */
 case class PqTableExpr(child: Expression, cents: Array[Array[Array[Double]]])
     extends UnaryExpression {
@@ -889,6 +953,10 @@ object native {
   def windowHashes(text: Column, w: Int): Column = c(WindowHashesExpr(e(text), w))
   def pqEncode(v: Column, cents: Array[Array[Array[Double]]]): Column =
     c(PqEncodeExpr(e(v), cents))
+  def pqEncodeDot(v: Column, cents: Array[Array[Array[Double]]]): Column =
+    c(PqEncodeDotExpr(e(v), cents))
+  def pqDecode(code: Column, cents: Array[Array[Array[Double]]]): Column =
+    c(PqDecodeExpr(e(code), cents))
   def pqTable(q: Column, cents: Array[Array[Array[Double]]]): Column =
     c(PqTableExpr(e(q), cents))
   def pqAdc(table: Column, code: Column, k: Int): Column =

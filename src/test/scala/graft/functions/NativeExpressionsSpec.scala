@@ -229,4 +229,67 @@ class NativeExpressionsSpec extends SparkSpec {
       array(bs.map(lit(_)): _*), b => col("x") >= b))).collect().map(_.getInt(0))
     assert(viaKernel.toSeq === viaHof.toSeq)
   }
+
+  // the md5 ±1 codebook rule, verbatim from Similarity.md5PqCodebooks
+  // (private[ext]; reconstructed here so the kernel equivalence pins
+  // against the REAL codebooks — which contain duplicate codewords at
+  // kc=16/subDim=8, exercising the tie rule, not just random data)
+  private def md5Cb(m: Int, kc: Int, subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, kc, subDim) { (j, c, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pq:$j:$c:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+
+  test("PqEncodeDotExpr ≡ array_sort(struct(0.0 − dot, c)) argmax — incl. ties and ±0.0") {
+    val (m, kc, dim) = (8, 16, 64)
+    val sub = dim / m
+    val cb = md5Cb(m, kc, sub)
+    val vecs = samples(Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f)), 40).map(_.toArray) ++ Seq(
+      Array.fill(dim)(0.0f),          // every dot ±0.0 → all-tie → lowest index
+      Array.fill(dim)(-0.0f),         // −0.0 lane of the same tie
+      Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    val df = vecs.toSeq.toDF("embedding")
+    val v = col("embedding").cast("array<double>")
+    // the expression form encodePqRows replaced, verbatim
+    val exprCode = array((0 until m).map { j =>
+      val s = slice(v, j * sub + 1, sub)
+      val packs = array((0 until kc).map { c =>
+        struct((lit(0.0) - native.dotF(s, typedLit(cb(j)(c).toSeq))).as("ns"),
+          lit(c).as("c"))
+      }: _*)
+      element_at(array_sort(packs), 1).getField("c")
+    }: _*)
+    df.select(native.pqEncodeDot(v, cb).as("k"), exprCode.as("h")).collect()
+      .foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1), s"row $r"))
+    // the real codebooks must actually contain a duplicate codeword
+    // somewhere (birthday at kc=16 over 2^8 patterns) so the tie rule
+    // above was genuinely exercised; if this ever fails, add an
+    // explicit duplicate-codebook case
+    assert(cb.exists(cbj => cbj.map(_.toSeq).distinct.length < kc),
+      "expected ≥1 duplicate codeword pair in the md5 codebooks")
+  }
+
+  test("PqDecodeExpr ≡ concat(element_at(typedlit(cb), code+1)); out-of-range → null") {
+    val (m, kc, dim) = (8, 16, 64)
+    val sub = dim / m
+    val cb = md5Cb(m, kc, sub)
+    val vecs = samples(Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f)), 20).map(_.toArray)
+    val df = vecs.toSeq.toDF("embedding")
+      .select(native.pqEncodeDot(col("embedding").cast("array<double>"), cb).as("code"))
+    val exprDec = concat((0 until m).map { j =>
+      element_at(typedLit(cb(j).map(_.toSeq).toSeq), element_at(col("code"), j + 1) + 1)
+    }: _*)
+    df.select(native.pqDecode(col("code"), cb).as("k"), exprDec.as("h")).collect()
+      .foreach(r => assert(r.getSeq[Double](0) === r.getSeq[Double](1), s"row $r"))
+    // decoded dots are bit-identical too (the score the oracle hashes)
+    val q = vecs.head.map(_.toDouble)
+    df.select(
+        native.dotF(typedLit(q.toSeq), native.pqDecode(col("code"), cb)).as("k"),
+        native.dotF(typedLit(q.toSeq), exprDec).as("h")).collect()
+      .foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // out-of-range code index → null (element_at → null → concat → null)
+    val bad = Seq(Seq.fill(m)(kc)).toDF("code") // kc is one past the last valid
+    assert(bad.select(native.pqDecode(col("code"), cb)).head().isNullAt(0))
+  }
 }
