@@ -37,12 +37,15 @@ object QueryProf {
     // (StageInfo.name is "op at File.scala:line" — the submitting code
     // line), plus the driver-gap: wall minus job-covered time, i.e.
     // planning / manifest IO / footer reads no job accounts for.
-    case class Job(id: Int, site: String, start: Long, var end: Long = -1)
+    case class Job(id: Int, site: String, start: Long, var end: Long = -1,
+                   tasks: Int = 0, stages: Seq[String] = Nil)
     val jobs = mutable.LinkedHashMap[Int, Job]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = jobs.synchronized {
         val site = js.stageInfos.sortBy(_.stageId).lastOption.map(_.name).getOrElse("?")
-        jobs(js.jobId) = Job(js.jobId, site, js.time)
+        jobs(js.jobId) = Job(js.jobId, site, js.time,
+          tasks = js.stageInfos.map(_.numTasks).sum,
+          stages = js.stageInfos.sortBy(_.stageId).map(_.name).distinct)
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(je.jobId).foreach(_.end = je.time)
@@ -68,6 +71,11 @@ object QueryProf {
         .sortBy(-_._2._2)
       for ((site, (n, secs)) <- bySite if secs >= 0.01)
         println(f"  $secs%7.3f s  n=$n%-4d $site")
+      // the slowest individual jobs, with their task counts and every
+      // distinct stage call-site — the per-job view the aggregate hides
+      for (j <- done.sortBy(jj => jj.start - jj.end).take(8)
+           if j.end - j.start >= 50)
+        println(f"    job ${j.id}%-4d ${(j.end - j.start) / 1e3}%6.3f s tasks=${j.tasks}%-5d ${j.stages.mkString(" | ").take(150)}")
     }
     spark.stop()
   }
