@@ -367,7 +367,7 @@ object Similarity {
     // identical argmax-dot/tie decision, pqDecode copies the chosen
     // codebook doubles verbatim — the decoded vector, and every score
     // downstream of it, is bit-identical to the expression form (the
-    // q_ann_pq oracle pins it).
+    // q_ann_pq_md5 oracle pins it).
     def decoded(v: Column): Column = graft.functions.native.pqDecode(
       graft.functions.native.pqEncodeDot(v, cb), cb)
     val c = corpus.select(col("vec_id").as("neighbor_id"),
